@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.config.Cfg
+
+/** A stage is a pure function (inputs, config) => DataFrame returning an
+  * UNEXECUTED logical plan — the key architectural departure from the
+  * reference, whose stages each eagerly collect
+  * (reference: src/core/stage.rs:19-51 `Stage::execute` materializes per
+  * stage; src/modules/transforms/filter.rs:117 `.collect()` per operator).
+  * Here the whole pipeline DAG composes into ONE Catalyst plan, so pushdown,
+  * pruning and whole-stage codegen span stage boundaries for free.
+  */
+trait Stage {
+  /** Registry name, e.g. "filter.apply". */
+  def name: String
+
+  /** source | transform | sink — informational, mirrors the reference's
+    * module grouping (src/modules/mod.rs:16-120). */
+  def kind: StageKind
+
+  def apply(ctx: StageContext): DataFrame
+}
+
+sealed trait StageKind
+object StageKind {
+  case object Source    extends StageKind
+  case object Transform extends StageKind
+  case object Sink      extends StageKind
+}
+
+/** Execution context handed to a stage.
+  *
+  * `inputs` preserves the declaration order of the stage's `inputs = [...]`
+  * list. Single-input stages take the first input (the reference does
+  * `inputs.into_values().next()` — filter.rs:93-96); multi-input stages
+  * (join/union — our extension, absent in the reference per SURVEY §2.8)
+  * consume them in order.
+  */
+final case class StageContext(
+    spark: SparkSession,
+    inputs: Seq[(String, DataFrame)],
+    cfg: Cfg,
+    stageId: String = "anon"
+) {
+  def primary: DataFrame = inputs.headOption.map(_._2).getOrElse(
+    throw new GraftPlanError(s"stage '$stageId' requires at least one input"))
+  def input(i: Int): DataFrame =
+    if (i < inputs.size) inputs(i)._2
+    else throw new GraftPlanError(s"stage '$stageId' requires ${i + 1} inputs, got ${inputs.size}")
+  def noInputs: Boolean = inputs.isEmpty
+}
+
+class GraftPlanError(msg: String) extends RuntimeException(msg)
+
+object StageContext {
+  /** Convenience for tests / SparkEntry: single anonymous input. */
+  def one(spark: SparkSession, df: DataFrame, cfg: Cfg): StageContext =
+    StageContext(spark, Seq("in" -> df), cfg)
+}

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.types.LongType
+import graft.config._
+import graft.core._
+import graft.operators.Indexing
+
+/** window.apply (batch parity) — COUNT-based windows over an ordered frame,
+  * reproducing the reference's record-count windows
+  * (reference src/core/streaming.rs:100-133 + src/modules/transforms/
+  * window.rs:169-217): tumbling{size} chunks of N records; sliding{size,
+  * slide} hops of `slide` emitting `size`-record windows; session{gap} —
+  * which the reference declares but leaves as TODO (sliding actually emits
+  * tumbling-of-slide, session is passthrough; streaming.rs:113-133). We
+  * implement the DECLARED semantics (fixing the reference's TODOs).
+  *
+  * Output: input columns + `window_id` (long). Sliding duplicates rows into
+  * every window that covers them (one row per (row, window) pair).
+  *
+  * Ordering comes from `order_by` (defaults to arrival/file order —
+  * deterministic only with an explicit key list; SURVEY §7.3). Index
+  * assignment is the distributed two-pass zipWithIndex, not a global
+  * window function, so it scales.
+  *
+  * Time-based windows (the Spark-native upgrade) live in TimeWindowOp.
+  */
+object CountWindowOp extends Stage {
+  val name = "window.apply"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val typ = cfg.strOr("type", "tumbling")
+    val orderBy = cfg.strListOr("order_by", Vector.empty)
+    val indexed = Indexing.withGlobalIndex(ctx.primary, orderBy, "_idx")
+    typ match {
+      case "tumbling" =>
+        val size = cfg.long("size")
+        indexed.withColumn("window_id", (F.col("_idx") / F.lit(size)).cast(LongType)).drop("_idx")
+      case "sliding" =>
+        val size = cfg.long("size")
+        val slide = cfg.longOr("slide", size)
+        // row i belongs to window w iff w*slide <= i < w*slide + size
+        // → w in [ceil((i-size+1)/slide), floor(i/slide)], clipped at 0
+        val i = F.col("_idx")
+        val lo = F.greatest(F.lit(0L), F.ceil((i - size + 1).cast("double") / slide).cast(LongType))
+        val hi = F.floor(i.cast("double") / slide).cast(LongType)
+        indexed
+          .withColumn("window_id", F.explode(F.sequence(lo, hi)))
+          .drop("_idx")
+      case "session" =>
+        // count-based session: a new session starts when the gap column
+        // (numeric/timestamp seconds) jumps by more than `gap`
+        val gap = cfg.doubleOr("gap", 300.0)
+        val tsCol = cfg.strOpt("gap_column").orElse(orderBy.headOption).getOrElse(
+          throw new GraftConfigError("session window requires order_by or gap_column"))
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.orderBy(F.col("_idx"))
+        val asSec = F.col(tsCol).cast("double")
+        val newSession = F.when(
+          asSec - F.lag(asSec, 1).over(w) > gap, F.lit(1L)).otherwise(F.lit(0L))
+        indexed
+          .withColumn("window_id", F.sum(newSession).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .drop("_idx")
+      case other => throw new GraftConfigError(s"unknown window type '$other'")
+    }
+  }
+}
+
+/** aggregate.stream (batch parity) — per-window aggregation over the output
+  * of window.apply (reference src/modules/transforms/aggregate_stream.rs:
+  * 29-344: ops count/sum/avg/min/max, optional group_by keys, output column
+  * named after the op). In batch mode with no window_id present it
+  * aggregates the whole input (reference behavior for DataFrame inputs).
+  */
+object AggregateStreamOp extends Stage {
+  val name = "aggregate.stream"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val df = ctx.primary
+    val op = cfg.str("operation")
+    val groupBy = cfg.strListOr("group_by", Vector.empty) ++
+      (if (df.columns.contains("window_id")) Seq("window_id") else Seq.empty)
+    val out = cfg.strOr("output_column", op)
+    val valueCol = cfg.strOpt("value_column")
+    val agg = op match {
+      case "count" => F.count(F.lit(1)).alias(out)
+      case "sum" | "avg" | "min" | "max" =>
+        val c = valueCol.getOrElse(throw new GraftConfigError(s"aggregate.stream '$op' requires value_column"))
+        graft.operators.AggOps.agg(op, c).alias(out)
+      case other => throw new GraftConfigError(s"unknown stream aggregation '$other'")
+    }
+    if (groupBy.isEmpty) df.agg(agg)
+    else df.groupBy(groupBy.map(F.col): _*).agg(agg)
+  }
+}
