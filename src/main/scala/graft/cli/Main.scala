@@ -1,0 +1,64 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import graft.config.PipelineConfig
+import graft.core.{DagCompiler, Registry}
+
+/** CLI — run/validate/list/info, mirroring the reference's commands
+  * (src/main.rs:112-138). `run` executes a TOML pipeline on local[*];
+  * on a cluster the same jar submits through spark-submit unchanged.
+  */
+object Main {
+  def main(args: Array[String]): Unit = args.toList match {
+    case "run" :: path :: rest =>
+      val pc = PipelineConfig.fromFile(path)
+      val spark = session(rest)
+      try {
+        val t0 = System.nanoTime()
+        DagCompiler.default.run(spark, pc)
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[graft] pipeline '${pc.name}' completed in $dt%.2f s")
+      } finally spark.stop()
+
+    case "validate" :: path :: _ =>
+      val pc = PipelineConfig.fromFile(path)
+      val reg = Registry.withDefaults
+      val unknown = pc.stages.filterNot(s => reg.contains(s.function))
+      if (unknown.nonEmpty) {
+        System.err.println(s"unknown functions: ${unknown.map(_.function).mkString(", ")}")
+        sys.exit(1)
+      }
+      DagCompiler.default.toposortCheck(pc) // cycle check, throws GraftPlanError
+      println(s"pipeline '${pc.name}': ${pc.stages.size} stages, OK")
+
+    case "list" :: _ =>
+      Registry.withDefaults.names.foreach(println)
+
+    case "info" :: fn :: _ =>
+      val reg = Registry.withDefaults
+      if (reg.contains(fn)) {
+        val st = reg.resolve(fn)
+        println(s"$fn [${st.kind}] — see Scaladoc in graft.operators/*")
+      } else { System.err.println(s"unknown function '$fn'"); sys.exit(1) }
+
+    case _ =>
+      System.err.println(
+        """usage: graft <command>
+          |  run <pipeline.toml>      execute a pipeline
+          |  validate <pipeline.toml> parse + validate config
+          |  list                     list registered functions
+          |  info <function>          show function info""".stripMargin)
+      sys.exit(2)
+  }
+
+  private def session(rest: List[String]): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
+    SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+  }
+}

@@ -1,0 +1,50 @@
+package graft.core
+
+import graft.config.GraftConfigError
+
+/** name → Stage dispatch, mirroring the reference's ModuleRegistry
+  * (src/core/registry.rs:23-42, canonical names src/modules/mod.rs:16-120).
+  * Plugins (FFI/WASM) become ordinary built-ins here — no ABI boundary.
+  */
+final class Registry(entries: Map[String, Stage]) {
+  def resolve(function: String): Stage =
+    entries.getOrElse(function,
+      throw new GraftConfigError(
+        s"unknown function '$function'; available: ${entries.keys.toSeq.sorted.mkString(", ")}"))
+  def contains(function: String): Boolean = entries.contains(function)
+  def names: Seq[String] = entries.keys.toSeq.sorted
+  def add(stage: Stage): Registry = new Registry(entries + (stage.name -> stage))
+}
+
+object Registry {
+  import graft.operators._
+  import graft.sources._
+  import graft.sinks._
+  import graft.streaming._
+
+  def builtins: Seq[Stage] = Seq(
+    // sources (reference §2.1)
+    CsvSource, JsonSource, StdinSource, ParquetSource, TableSource, InlineSource,
+    // sinks (reference §2.2)
+    CsvSink, JsonSink, StdoutSink, ParquetSink, NoopSink,
+    // relational transforms (reference §2.3)
+    FilterOp, SelectOp, MapOp, GroupByOp, ReduceOp, SortOp, DistinctOp,
+    ChunkOp, JsonExtractOp, ValidateOp, LimitOp,
+    // streaming transforms (reference §2.4 + event-time upgrades)
+    CountWindowOp, AggregateStreamOp, TimeWindowOp, SessionWindowOp,
+    // multi-input extensions (SURVEY §2.8)
+    JoinOp, UnionOp, IntersectOp, ExceptOp, WindowFnOp, PivotOp,
+    // row-level transforms (reference §2.5)
+    EncryptOp, DecryptOp, HttpFetchOp, AiGenerateOp,
+    // training-data extensions
+    DedupExactOp, DedupMinHashOp, DedupSimHashOp, DedupNgramOp, DedupEmbeddingOp,
+    TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
+    KnnBruteForceOp, KnnLshOp,
+    graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
+    // composition
+    SubPipelineOp
+  )
+
+  def withDefaults: Registry =
+    new Registry(builtins.map(s => s.name -> s).toMap)
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.config._
+import graft.core._
+
+/** knn.bruteforce — exact cosine top-k over an embedding column
+  * (training-data extension). Baseline/ground-truth path: one scan,
+  * per-row native dot product (aggregate ∘ zip_with — codegen'd, no UDF),
+  * then TakeOrderedAndProject for the top-k (per-partition heaps + merge
+  * of k·P rows — no global sort even at 100 TB).
+  *
+  * Query vector: `query_id` (row from the same table) or literal
+  * `query_vector` array.
+  */
+object KnnBruteForceOp extends Stage {
+  val name = "knn.bruteforce"
+  val kind = StageKind.Transform
+
+  def queryVector(ctx: StageContext): Seq[Double] = {
+    val cfg = ctx.cfg
+    cfg.arrOpt("query_vector") match {
+      case Some(vs) => vs.map {
+        case CDouble(d) => d
+        case CLong(l) => l.toDouble
+        case o => throw new GraftConfigError(s"query_vector element: ${o.render}")
+      }
+      case None =>
+        val id = cfg.long("query_id")
+        val idCol = cfg.strOr("id_column", "vec_id")
+        val vecCol = cfg.strOr("vector_column", "embedding")
+        val row = ctx.primary.filter(F.col(idCol) === id).select(F.col(vecCol)).head()
+        row.getSeq[Float](0).map(_.toDouble)
+    }
+  }
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val idCol = cfg.strOr("id_column", "vec_id")
+    val vecCol = cfg.strOr("vector_column", "embedding")
+    val k = cfg.longOr("k", 10L).toInt
+    val q = queryVector(ctx)
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val qLit = F.array(q.map(F.lit): _*)
+
+    val cos = {
+      val v = F.col(vecCol).cast("array<double>")
+      val dot = F.aggregate(F.zip_with(v, qLit, (a, b) => a * b), F.lit(0.0), (acc, x) => acc + x)
+      val n = F.sqrt(F.aggregate(F.transform(v, x => x * x), F.lit(0.0), (acc, x) => acc + x))
+      dot / (n * F.lit(qNorm))
+    }
+
+    ctx.primary
+      .withColumn("cosine", F.round(cos, 6))
+      .select(F.col(idCol), F.col("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+}
+
+/** knn.lsh — approximate cosine top-k via random-hyperplane LSH bucketing
+  * (the scale path: probe only buckets matching the query signature on at
+  * least one block, so the scan prunes to candidate partitions instead of
+  * the full corpus; with a bucket-partitioned layout this becomes true
+  * partition pruning). Same hyperplane machinery as dedup.embedding.
+  * Recall knob: more blocks (pigeonhole) / fewer planes per block.
+  */
+object KnnLshOp extends Stage {
+  val name = "knn.lsh"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val idCol = cfg.strOr("id_column", "vec_id")
+    val vecCol = cfg.strOr("vector_column", "embedding")
+    val k = cfg.longOr("k", 10L).toInt
+    val h = cfg.longOr("num_planes", 16L).toInt
+    val blocks = cfg.longOr("blocks", 4L).toInt
+    val seed = cfg.longOr("seed", 11L)
+    val q = KnnBruteForceOp.queryVector(ctx)
+    val dim = q.length
+    val width = h / blocks
+
+    // signature of every row (native exprs) + of the query (computed here)
+    val sigCol = DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed)
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(h, dim)(rnd.nextGaussian())
+    var qSig = 0L
+    for (i <- 0 until h)
+      if ((0 until dim).map(j => planes(i)(j) * q(j)).sum >= 0) qSig |= (1L << i)
+
+    // candidate = shares at least one signature block with the query
+    val blockMatch = (0 until blocks).map { j =>
+      val mask = (1L << width) - 1L
+      val qBlock = (qSig >>> (j * width)) & mask
+      (F.shiftrightunsigned(sigCol, j * width).bitwiseAND(F.lit(mask)) === F.lit(qBlock))
+    }.reduce(_ || _)
+
+    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    val qLit = F.array(q.map(F.lit): _*)
+    val cos = {
+      val v = F.col(vecCol).cast("array<double>")
+      val dot = F.aggregate(F.zip_with(v, qLit, (a, b) => a * b), F.lit(0.0), (acc, x) => acc + x)
+      val n = F.sqrt(F.aggregate(F.transform(v, x => x * x), F.lit(0.0), (acc, x) => acc + x))
+      dot / (n * F.lit(qNorm))
+    }
+
+    ctx.primary
+      .filter(blockMatch)
+      .withColumn("cosine", F.round(cos, 6))
+      .select(F.col(idCol), F.col("cosine"))
+      .orderBy(F.col("cosine").desc, F.col(idCol).asc)
+      .limit(k)
+  }
+}

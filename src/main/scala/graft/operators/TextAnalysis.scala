@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import graft.config._
+import graft.core._
+
+/** Text-analysis operators for training-data pipelines (extensions; first-
+  * class per the build brief). All pure native SQL functions — codegen'd,
+  * zero UDFs, embarrassingly parallel (no shuffle at all: every op is a
+  * per-row projection, so they pipeline inside one WholeStageCodegen span
+  * over the scan at any scale).
+  */
+object TextFns {
+  def tokens(text: Column): Column = Shingles.tokens(text)
+
+  def nChars(text: Column): Column = F.length(text)
+  def nWords(text: Column): Column = F.size(tokens(text))
+  def avgWordLen(text: Column): Column =
+    F.length(F.regexp_replace(text, "\\s+", "")).cast("double") / nWords(text)
+  def punctRatio(text: Column): Column =
+    F.coalesce(F.regexp_count(text, F.lit("[\\p{Punct}]")).cast("double") / F.length(text), F.lit(0.0))
+  def digitRatio(text: Column): Column =
+    F.coalesce(F.regexp_count(text, F.lit("[0-9]")).cast("double") / F.length(text), F.lit(0.0))
+  def upperRatio(text: Column): Column =
+    F.coalesce(F.regexp_count(text, F.lit("[A-Z]")).cast("double") / F.length(text), F.lit(0.0))
+
+  /** whitespace token count */
+  def wsTokenCount(text: Column): Column = nWords(text)
+  /** BPE-ish subword proxy: word-pieces + punctuation as separate tokens,
+    * long words split every 4 chars (a cheap stand-in for a real BPE
+    * vocab, deterministic and monotone in text length). */
+  def bpeishTokenCount(text: Column): Column =
+    F.regexp_count(text, F.lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]")).cast("long")
+
+  /** tiny per-language stopword profiles for the stopword-scoring language
+    * heuristic (public common stopwords; enough signal for LID scoring).
+    * ORDERED — argmax ties break on declaration order, which the generated
+    * oracle SQL mirrors exactly. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "that", "for", "on", "with", "as", "this", "was"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit", "für", "auf", "von", "zu", "den"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que", "qui", "des", "du", "pas"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "en", "para", "que", "por", "con", "del"),
+    "it" -> Seq("il", "la", "che", "e", "un", "una", "per", "con", "del", "sono", "non", "di", "da"))
+  val stopwordMap: Map[String, Seq[String]] = stopwords.toMap
+
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val sw = F.array(stopwordMap(lang).map(F.lit): _*)
+    F.coalesce(
+      F.size(F.filter(tokens(text), t => F.array_contains(sw, t))).cast("double") / nWords(text),
+      F.lit(0.0))
+  }
+
+  /** argmax language over stopword-profile scores; "und" (undetermined)
+    * when no profile matches at all; ties → first language in declaration
+    * order */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores: Seq[(String, Column)] = stopwords.map { case (lang, words) =>
+      val sw = F.array(words.map(F.lit): _*)
+      lang -> F.size(F.filter(toks, t => F.array_contains(sw, t)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => F.greatest(a, b))
+    scores.foldLeft(F.when(best <= 0, F.lit("und")): Column) {
+      case (acc, (lang, score)) =>
+        acc.when(score === best, F.lit(lang))
+    }.otherwise(F.lit("und"))
+  }
+
+  /** composite quality score in [0,1]: balanced length, low punct/digit
+    * noise, healthy stopword density (C4/Gopher-style heuristics) */
+  def qualityScore(text: Column): Column = {
+    val lenScore = F.least(nWords(text).cast("double") / 50.0, F.lit(1.0))
+    val punctPenalty = F.greatest(F.lit(0.0), F.lit(1.0) - punctRatio(text) * 4.0)
+    val digitPenalty = F.greatest(F.lit(0.0), F.lit(1.0) - digitRatio(text) * 4.0)
+    val swScore = F.least(stopwordRatio(text) * 3.0, F.lit(1.0))
+    F.round((lenScore * 0.3 + punctPenalty * 0.25 + digitPenalty * 0.25 + swScore * 0.2), 6)
+  }
+
+  /** 64-bit document fingerprint: xxhash64 of whitespace/case-normalized
+    * text (exact-dup detection robust to formatting) */
+  def fingerprint(text: Column): Column =
+    F.xxhash64(F.trim(F.regexp_replace(F.lower(text), "\\s+", " ")))
+
+  /** winnowing-style robust fingerprint: minimum k shingle-hashes — equal
+    * prefixes of sorted shingle minima catch heavy overlap cheaply */
+  def minShingleFingerprint(text: Column, n: Int, k: Int): Column =
+    F.slice(F.array_sort(Shingles.shingleHashes(text, n)), 1, k)
+}
+
+/** text.stats — length/word/punctuation statistics appended as columns. */
+object TextStatsOp extends Stage {
+  val name = "text.stats"
+  val kind = StageKind.Transform
+  def apply(ctx: StageContext): DataFrame = {
+    val c = F.col(ctx.cfg.str("column"))
+    ctx.primary
+      .withColumn("n_chars_calc", TextFns.nChars(c).cast("long"))
+      .withColumn("n_words", TextFns.nWords(c).cast("long"))
+      .withColumn("avg_word_len", F.round(TextFns.avgWordLen(c), 6))
+      .withColumn("punct_ratio", F.round(TextFns.punctRatio(c), 6))
+      .withColumn("digit_ratio", F.round(TextFns.digitRatio(c), 6))
+  }
+}
+
+/** text.langid — stopword-profile language identification. */
+object LangIdOp extends Stage {
+  val name = "text.langid"
+  val kind = StageKind.Transform
+  def apply(ctx: StageContext): DataFrame = {
+    val c = F.col(ctx.cfg.str("column"))
+    val out = ctx.cfg.strOr("output_column", "lang_pred")
+    ctx.primary.withColumn(out, TextFns.langId(c))
+  }
+}
+
+/** text.quality — composite quality score + component signals. */
+object QualityScoreOp extends Stage {
+  val name = "text.quality"
+  val kind = StageKind.Transform
+  def apply(ctx: StageContext): DataFrame = {
+    val c = F.col(ctx.cfg.str("column"))
+    val out = ctx.cfg.strOr("output_column", "quality")
+    ctx.primary
+      .withColumn("stopword_ratio", F.round(TextFns.stopwordRatio(c), 6))
+      .withColumn(out, TextFns.qualityScore(c))
+  }
+}
+
+/** text.tokens — whitespace + BPE-ish token counts. */
+object TokenCountOp extends Stage {
+  val name = "text.tokens"
+  val kind = StageKind.Transform
+  def apply(ctx: StageContext): DataFrame = {
+    val c = F.col(ctx.cfg.str("column"))
+    ctx.primary
+      .withColumn("ws_tokens", TextFns.wsTokenCount(c).cast("long"))
+      .withColumn("bpeish_tokens", TextFns.bpeishTokenCount(c))
+  }
+}
+
+/** text.fingerprint — 64-bit normalized hash + min-shingle sketch. */
+object FingerprintOp extends Stage {
+  val name = "text.fingerprint"
+  val kind = StageKind.Transform
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val c = F.col(cfg.str("column"))
+    val n = cfg.longOr("shingle_size", 3L).toInt
+    val k = cfg.longOr("sketch_size", 8L).toInt
+    ctx.primary
+      .withColumn("fingerprint", TextFns.fingerprint(c))
+      .withColumn("min_shingles", TextFns.minShingleFingerprint(c, n, k))
+  }
+}

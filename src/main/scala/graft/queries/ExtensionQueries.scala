@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{functions => F}
+import graft.config.Cfg
+import graft.core.StageContext
+import graft.operators._
+import graft.streaming.{SessionWindowOp, TimeWindowOp}
+import QueryDef.t
+
+/** Training-data extension queries: dedup family, text analysis, similarity
+  * search, multimodal plumbing, event-time windows.
+  *
+  * Oracle notes:
+  *  - the documents corpus contains 25 PLANTED near-dup pairs (all word-
+  *     3-shingle Jaccard >= 0.967; every other pair <= 0.067), so dedup
+  *    thresholds at 0.8 are deterministic: LSH recall at J>=0.967 with 32
+  *    bands of 4 is 1 - (1-J^4)^32 ~ 1-1e-46. The oracle computes the
+  *    EXACT pairwise criterion in SQL.
+  *  - events.ts is ns-precision; Spark truncates to us — oracle output
+  *    never exposes raw ts (hour-truncated / floor-to-second only).
+  */
+object ExtensionQueries {
+
+  private val duckToks =
+    "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
+
+  private def duckLangScores: String =
+    TextFns.stopwords.map { case (lang, words) =>
+      val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"len(list_filter(w, x -> list_contains($lst, x))) AS s_$lang"
+    }.mkString(", ")
+
+  private def duckLangCase: String = {
+    val langs = TextFns.stopwords.map(_._1)
+    val best = langs.map("s_" + _).mkString("greatest(", ", ", ")")
+    val whens = langs.map(l => s"WHEN s_$l = $best THEN '$l'").mkString(" ")
+    s"CASE WHEN $best <= 0 THEN 'und' $whens ELSE 'und' END"
+  }
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ---- dedup.exact: corpus ∪ exact copies → originals survive ----
+    QueryDef("dedup_exact",
+      "SELECT * FROM documents") { (s, d) =>
+      val docs = t(s, d, "documents")
+      val copies = docs.withColumn("doc_id", F.col("doc_id") + 10000)
+      val corpus = docs.unionByName(copies)
+      DedupExactOp(StageContext.one(s, corpus, Cfg.of(
+        "columns" -> Seq("text"), "keep" -> "first", "order_by" -> Seq("doc_id"))))
+    },
+
+    // ---- dedup.minhash on the REAL planted near-dups ----
+    QueryDef("dedup_minhash",
+      """WITH toks AS (SELECT doc_id, """ + duckToks + """ AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM toks),
+        |dropped AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        |SELECT d.* FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin) { (s, d) =>
+      DedupMinHashOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
+        "threshold" -> 0.8, "seed" -> 42)))
+    },
+
+    // ---- dedup.ngram: exact char-5-gram Jaccard criterion in SQL ----
+    QueryDef("dedup_ngram",
+      """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS nt FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |        generate_series(1, greatest(1, length(nt) - 4)),
+        |        i -> substring(nt, i, 5))) AS s FROM n),
+        |dropped AS (SELECT DISTINCT b.doc_id FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        |SELECT d.* FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin) { (s, d) =>
+      DedupNgramOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "ngram_size" -> 5, "bands" -> 16, "threshold" -> 0.8, "seed" -> 7)))
+    },
+
+    // ---- dedup.simhash: criterion (custom 64-bit sig hamming) not SQL-
+    // expressible → rows-only gate; exactness covered by unit specs ----
+    QueryDef.noOracle("dedup_simhash") { (s, d) =>
+      DedupSimHashOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text", "max_distance" -> 3)))
+    },
+
+    // ---- dedup.embedding: corpus ∪ copies; max real cosine is 0.51 ----
+    QueryDef("dedup_embedding",
+      "SELECT vec_id, label FROM embeddings") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val copies = emb.withColumn("vec_id", F.col("vec_id") + 10000)
+      val corpus = emb.unionByName(copies)
+      DedupEmbeddingOp(StageContext.one(s, corpus, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "threshold" -> 0.95, "num_planes" -> 16, "blocks" -> 4, "seed" -> 11)))
+        .select("vec_id", "label")
+    },
+
+    // ---- similarity search ----
+    QueryDef("knn_bruteforce",
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      KnnBruteForceOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
+        "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 10)))
+    },
+    QueryDef.noOracle("knn_lsh") { (s, d) =>
+      KnnLshOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
+        "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "k" -> 10, "num_planes" -> 16, "blocks" -> 4, "seed" -> 11)))
+    },
+
+    // ---- text analysis ----
+    QueryDef("text_stats",
+      ("""SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |  CAST(len(""" + duckToks + """) AS BIGINT) AS n_words,
+        |  round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(""" + duckToks + """), 6) AS avg_word_len,
+        |  round(coalesce(CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text), 0.0), 6) AS punct_ratio,
+        |  round(coalesce(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 0.0), 6) AS digit_ratio
+        |FROM documents""").stripMargin) { (s, d) =>
+      TextStatsOp(StageContext.one(s, t(s, d, "documents"), Cfg.of("column" -> "text")))
+        .select("doc_id", "n_chars_calc", "n_words", "avg_word_len", "punct_ratio", "digit_ratio")
+    },
+
+    QueryDef("text_tokens",
+      """SELECT doc_id,
+        |  CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+        |FROM documents""".stripMargin) { (s, d) =>
+      TokenCountOp(StageContext.one(s, t(s, d, "documents"), Cfg.of("column" -> "text")))
+        .select("doc_id", "ws_tokens", "bpeish_tokens")
+    },
+
+    QueryDef("text_langid",
+      s"""WITH t AS (SELECT doc_id, $duckToks AS w FROM documents),
+         |s AS (SELECT doc_id, $duckLangScores FROM t)
+         |SELECT doc_id, $duckLangCase AS lang_pred FROM s""".stripMargin) { (s, d) =>
+      LangIdOp(StageContext.one(s, t(s, d, "documents"), Cfg.of("column" -> "text")))
+        .select("doc_id", "lang_pred")
+    },
+
+    QueryDef("text_quality",
+      ("""WITH t AS (SELECT doc_id, text, """ + duckToks + """ AS w FROM documents),
+        |s AS (SELECT doc_id, text, CAST(len(w) AS DOUBLE) AS nw,
+        |  coalesce(CAST(len(list_filter(w, x -> list_contains(""" +
+          TextFns.stopwordMap("en").map(w => s"'$w'").mkString("[", ", ", "]") + """, x))) AS DOUBLE) / len(w), 0.0) AS swr
+        |  FROM t)
+        |SELECT doc_id, round(swr, 6) AS stopword_ratio,
+        |  round(least(nw / 50.0, 1.0) * 0.3
+        |    + greatest(0.0, 1.0 - coalesce(CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) / length(text), 0.0) * 4.0) * 0.25
+        |    + greatest(0.0, 1.0 - coalesce(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text), 0.0) * 4.0) * 0.25
+        |    + least(swr * 3.0, 1.0) * 0.2, 6) AS quality
+        |FROM s""").stripMargin) { (s, d) =>
+      QualityScoreOp(StageContext.one(s, t(s, d, "documents"), Cfg.of("column" -> "text")))
+        .select("doc_id", "stopword_ratio", "quality")
+    },
+
+    // xxhash64 has no DuckDB equivalent → rows-only; determinism unit-tested
+    QueryDef.noOracle("text_fingerprint") { (s, d) =>
+      FingerprintOp(StageContext.one(s, t(s, d, "documents"), Cfg.of("column" -> "text")))
+        .select("doc_id", "fingerprint", "min_shingles")
+    },
+
+    // ---- multimodal plumbing (text bytes as stand-in blobs) ----
+    QueryDef("binary_meta",
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS blob_size,
+        |  'unknown' AS blob_type FROM documents""".stripMargin) { (s, d) =>
+      val blobs = t(s, d, "documents").withColumn("blob", F.col("text").cast("binary"))
+      graft.multimodal.BinaryMetaOp(StageContext.one(s, blobs, Cfg.of("column" -> "blob")))
+        .select("doc_id", "blob_size", "blob_type")
+    },
+    QueryDef("media_features",
+      "SELECT doc_id, 64 AS feat_dim FROM documents") { (s, d) =>
+      val blobs = t(s, d, "documents").withColumn("blob", F.col("text").cast("binary"))
+      graft.multimodal.FeatureExtractOp(StageContext.one(s, blobs, Cfg.of(
+        "column" -> "blob", "feature_dim" -> 64)))
+        .select(F.col("doc_id"), F.size(F.col("features")).cast("int").alias("feat_dim"))
+    },
+
+    // ---- event-time windows (ts never exposed raw: ns vs us) ----
+    QueryDef("window_time_1h",
+      """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin) { (s, d) =>
+      val win = TimeWindowOp(StageContext.one(s, t(s, d, "events"), Cfg.of(
+        "ts_column" -> "ts", "size" -> "1 hour")))
+      win.groupBy("window").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), F.col("n_events"), F.col("sum_value"))
+    },
+
+    QueryDef("window_session_10m",
+      """WITH s AS (SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |t AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM s)
+        |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+        |  count(*) AS n_events
+        |FROM t GROUP BY user_id, sid""".stripMargin) { (s, d) =>
+      val sess = SessionWindowOp(StageContext.one(s, t(s, d, "events"), Cfg.of(
+        "ts_column" -> "ts", "gap" -> "10 minutes", "group_by" -> Seq("user_id"),
+        "aggregations" -> Seq(Map("column" -> "event_id", "operation" -> "count", "output_column" -> "n_events")))))
+      sess.select(F.col("user_id"),
+        F.floor(F.col("session.start").cast("double")).cast("long").alias("session_start_s"),
+        F.col("n_events"))
+    }
+  )
+}
