@@ -106,7 +106,7 @@ object PipelineConfig {
   }
 
   /** ${ENV_VAR} → env value (empty if unset), reference config.rs:265-293. */
-  private[config] def resolveEnv(s: String): String = {
+  def resolveEnv(s: String): String = {
     val re = "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
     re.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
       sys.env.getOrElse(m.group(1), "")))
@@ -114,7 +114,7 @@ object PipelineConfig {
 
   /** {{var}} substitution into stage-config strings, recursively
     * (reference config.rs:297-356). */
-  private[config] def interpolate(table: Map[String, CVal], vars: Map[String, String]): Map[String, CVal] = {
+  def interpolate(table: Map[String, CVal], vars: Map[String, String]): Map[String, CVal] = {
     def go(v: CVal): CVal = v match {
       case CStr(s)  => CStr(substitute(s, vars))
       case CArr(xs) => CArr(xs.map(go))
@@ -124,7 +124,7 @@ object PipelineConfig {
     table.map { case (k, v) => k -> go(v) }
   }
 
-  private[config] def substitute(s: String, vars: Map[String, String]): String = {
+  def substitute(s: String, vars: Map[String, String]): String = {
     val re = "\\{\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\}\\}".r
     re.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
       vars.getOrElse(m.group(1), m.matched)))

@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.config.{Cfg, GraftConfigError}
+import graft.core.StageContext
+import graft.operators._
+
+class CryptoSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val key16 = "0123456789abcdef"
+  private val key32 = "0123456789abcdef0123456789abcdef"
+
+  private def sensitive = Seq(
+    ("a@x.com", "4111-1111", "123-45-6789"),
+    ("b@y.org", "5500-0004", "987-65-4321")).toDF("email", "credit_card", "ssn")
+
+  test("round-trip for all three algorithms") {
+    for ((alg, key) <- Seq("aes-128-gcm" -> key16, "aes-256-gcm" -> key32,
+                           "chacha20-poly1305" -> key32)) {
+      val enc = EncryptOp(StageContext.one(spark, sensitive, Cfg.of(
+        "column" -> "ssn", "key" -> key, "algorithm" -> alg, "output_column" -> "e")))
+      val dec = DecryptOp(StageContext.one(spark, enc, Cfg.of(
+        "column" -> "e", "key" -> key, "algorithm" -> alg, "output_column" -> "d")))
+      val rows = dec.select("ssn", "d").collect()
+      assert(rows.forall(r => r.getString(0) == r.getString(1)), s"round-trip failed for $alg")
+    }
+  }
+
+  test("wire format: base64(12-byte nonce || ciphertext+tag), unique nonces") {
+    val enc = EncryptOp(StageContext.one(spark, sensitive, Cfg.of(
+      "column" -> "ssn", "key" -> key32, "output_column" -> "e")))
+    val vals = enc.select("e").collect().map(_.getString(0))
+    vals.foreach { v =>
+      val bytes = java.util.Base64.getDecoder.decode(v)
+      // 12 nonce + plaintext + 16 GCM tag
+      assert(bytes.length >= 12 + 16)
+    }
+    // re-encrypting produces different ciphertexts (random nonce per value)
+    val enc2 = EncryptOp(StageContext.one(spark, sensitive, Cfg.of(
+      "column" -> "ssn", "key" -> key32, "output_column" -> "e")))
+    assert(enc.select("e").head().getString(0) != enc2.select("e").head().getString(0))
+  }
+
+  test("default output column name is {col}_encrypted") {
+    val enc = EncryptOp(StageContext.one(spark, sensitive, Cfg.of(
+      "column" -> "email", "key" -> key32)))
+    assert(enc.columns.contains("email_encrypted"))
+  }
+
+  test("wrong key / corrupt input decrypt to null, never throw") {
+    val enc = EncryptOp(StageContext.one(spark, sensitive, Cfg.of(
+      "column" -> "ssn", "key" -> key32, "output_column" -> "e")))
+    val wrongKey = DecryptOp(StageContext.one(spark, enc, Cfg.of(
+      "column" -> "e", "key" -> "ffffffffffffffffffffffffffffffff", "output_column" -> "d")))
+    assert(wrongKey.select("d").collect().forall(_.isNullAt(0)))
+    val garbage = Seq("not-base64!!", "aGVsbG8=").toDF("e")
+    val dec = DecryptOp(StageContext.one(spark, garbage, Cfg.of(
+      "column" -> "e", "key" -> key32, "output_column" -> "d")))
+    assert(dec.select("d").collect().forall(_.isNullAt(0)))
+  }
+
+  test("key length validated per algorithm (reference encrypt.rs:198-206)") {
+    intercept[GraftConfigError](EncryptOp(StageContext.one(spark, sensitive,
+      Cfg.of("column" -> "ssn", "key" -> "short", "algorithm" -> "aes-256-gcm"))))
+    intercept[GraftConfigError](EncryptOp(StageContext.one(spark, sensitive,
+      Cfg.of("column" -> "ssn", "key" -> key32, "algorithm" -> "aes-128-gcm"))))
+    intercept[GraftConfigError](EncryptOp(StageContext.one(spark, sensitive,
+      Cfg.of("column" -> "ssn", "key" -> key32, "algorithm" -> "rot13"))))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base),                                   // exact dup of 0
+    (2L, base.replace("quick", "rapid")),         // near dup of 0
+    (3L, "completely different content about spark catalyst optimizer rules and physical plans"),
+    (4L, "yet another unrelated document mentioning parquet files and shuffle partitions today"))
+    .toDF("doc_id", "text")
+
+  test("dedup.exact drops exact duplicates only") {
+    val out = DedupExactOp(StageContext.one(spark, docs, Cfg.of(
+      "columns" -> Seq("text"), "keep" -> "first", "order_by" -> Seq("doc_id"))))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 3L, 4L))
+  }
+
+  test("dedup.minhash drops exact and near duplicates, keeps distinct docs") {
+    val out = DedupMinHashOp(StageContext.one(spark, docs, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "shingle_size" -> 2, "num_hashes" -> 64, "bands" -> 32, "threshold" -> 0.5)))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 3L, 4L))
+  }
+
+  test("dedup.simhash drops near-identical, keeps distinct") {
+    val out = DedupSimHashOp(StageContext.one(spark, docs, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text", "max_distance" -> 6)))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L))          // exact dup must go (hamming 0)
+    assert(kept.contains(0L) && kept.contains(3L) && kept.contains(4L))
+  }
+
+  test("dedup.ngram drops near duplicates by char-ngram jaccard") {
+    val out = DedupNgramOp(StageContext.one(spark, docs, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "ngram_size" -> 4, "bands" -> 16, "threshold" -> 0.6)))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 3L, 4L))
+  }
+
+  test("dedup.embedding drops cosine-near vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f, 0.0f)),  // ~same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = DedupEmbeddingOp(StageContext.one(spark, vecs, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "threshold" -> 0.99, "num_planes" -> 16, "blocks" -> 8)))
+    assert(out.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 3L))
+  }
+}
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langid identifies real sentences per language") {
+    val df = Seq(
+      (1L, "the cat sat on the mat and it was happy with this"),
+      (2L, "der Hund ist nicht mit der Katze auf das Sofa gegangen"),
+      (3L, "le chat est dans la maison et il est content pour les enfants"),
+      (4L, "el perro es un animal y la casa es grande para los gatos"),
+      (5L, "zzz qqq xxx www")).toDF("id", "text")
+    val out = LangIdOp(StageContext.one(spark, df, Cfg.of("column" -> "text")))
+      .select("id", "lang_pred").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en"); assert(out(2L) == "de")
+    assert(out(3L) == "fr"); assert(out(4L) == "es")
+    assert(out(5L) == "und")
+  }
+
+  test("text stats compute expected values") {
+    val df = Seq((1L, "Hello world, this has 7 words!")).toDF("id", "text")
+    val r = TextStatsOp(StageContext.one(spark, df, Cfg.of("column" -> "text"))).head()
+    assert(r.getAs[Long]("n_chars_calc") == 30L)
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Double]("punct_ratio") > 0.0)
+    assert(r.getAs[Double]("digit_ratio") > 0.0)
+  }
+
+  test("token counts: whitespace vs bpe-ish") {
+    val df = Seq((1L, "tokenization splits longwords")).toDF("id", "text")
+    val r = TokenCountOp(StageContext.one(spark, df, Cfg.of("column" -> "text"))).head()
+    assert(r.getAs[Long]("ws_tokens") == 3L)
+    // tokenization -> toke|niza|tion(3) ; splits -> spli|ts(2) ; longwords -> long|word|s(3)
+    assert(r.getAs[Long]("bpeish_tokens") == 8L)
+  }
+
+  test("quality score in [0,1]; clean prose scores higher than noise") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and this is a fine sentence with many of the words that people use"),
+      (2L, "@@@@ #### 1234 5678 !!!! %%%% ^^^^ &&&& **** ((((")).toDF("id", "text")
+    val out = QualityScoreOp(StageContext.one(spark, df, Cfg.of("column" -> "text")))
+      .select("id", "quality").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(1L) > out(2L))
+  }
+
+  test("fingerprint is whitespace/case-normalized and deterministic") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "different")).toDF("id", "text")
+    val out = FingerprintOp(StageContext.one(spark, df, Cfg.of("column" -> "text")))
+      .select("id", "fingerprint").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+  }
+
+  test("knn bruteforce returns self first, correct ordering") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = KnnBruteForceOp(StageContext.one(spark, vecs, Cfg.of(
+      "query_id" -> 0, "k" -> 3))).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(out(0).getDouble(1) == 1.0)
+  }
+
+  test("knn lsh finds the near neighbor of the query") {
+    val vecs = (0L to 50L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = KnnBruteForceOp(StageContext.one(spark, vecs, Cfg.of("query_id" -> 0, "k" -> 3)))
+      .collect().map(_.getLong(0)).toSet
+    val approx = KnnLshOp(StageContext.one(spark, vecs, Cfg.of(
+      "query_id" -> 0, "k" -> 10, "num_planes" -> 16, "blocks" -> 8)))
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.contains(0L))             // query itself always in its own buckets
+    assert((exact & approx).size >= 2)      // decent recall on tiny data
+  }
+
+  test("binary meta sniffs magic numbers") {
+    val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 1, 2)
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A)
+    val df = Seq((1L, jpeg), (2L, png), (3L, "plain".getBytes)).toDF("id", "blob")
+    val out = graft.multimodal.BinaryMetaOp(StageContext.one(spark, df, Cfg.of("column" -> "blob")))
+      .select("id", "blob_type", "blob_size").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("jpeg", 6L))
+    assert(out(2L) == ("png", 6L))
+    assert(out(3L) == ("unknown", 5L))
+  }
+
+  test("media features: deterministic stub vectors with declared dim") {
+    val df = Seq((1L, "blob-a".getBytes), (2L, "blob-a".getBytes), (3L, "blob-b".getBytes))
+      .toDF("id", "blob")
+    val out = graft.multimodal.FeatureExtractOp(StageContext.one(spark, df, Cfg.of(
+      "column" -> "blob", "feature_dim" -> 16)))
+      .select("id", "features").collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(out.values.forall(_.size == 16))
+    assert(out(1L) == out(2L))  // same bytes → same features
+    assert(out(1L) != out(3L))
+  }
+}

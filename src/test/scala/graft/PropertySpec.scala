@@ -1,0 +1,101 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.config.Cfg
+import graft.core.StageContext
+import graft.operators._
+
+/** ScalaCheck-generator-driven properties over the operator layer
+  * (SURVEY §5.2). Plain FunSuite + seeded Gen sampling (the scalatestplus
+  * bridge is not in the offline cache), 10 samples per property.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowsGen: Gen[List[(Long, Long)]] =
+    Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 50L), Gen.choose(-100L, 100L)))
+
+  private def samples[A](gen: Gen[A], n: Int = 10): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("filter partition property: p union not-p == input") {
+    for ((rows, i) <- samples(rowsGen).zipWithIndex) {
+      val pivot = (i * 37 - 100).toLong
+      val df = rows.toDF("id", "v").cache()
+      val p = FilterOp(StageContext.one(spark, df, Cfg.of(
+        "column" -> "v", "operator" -> ">=", "value" -> pivot)))
+      val np = FilterOp(StageContext.one(spark, df, Cfg.of(
+        "column" -> "v", "operator" -> "<", "value" -> pivot)))
+      assert(p.count() + np.count() == df.count())
+      df.unpersist()
+    }
+  }
+
+  test("distinct idempotence") {
+    for (rows <- samples(rowsGen, 5)) {
+      val df = rows.toDF("id", "v")
+      val once = DistinctOp(StageContext.one(spark, df, Cfg.empty))
+      val twice = DistinctOp(StageContext.one(spark, once, Cfg.empty))
+      assert(once.count() == twice.count())
+    }
+  }
+
+  test("groupby sum over one key == reduce sum") {
+    for (rows <- samples(rowsGen, 5)) {
+      val df = rows.toDF("id", "v")
+      val g = GroupByOp(StageContext.one(spark, df, Cfg.of(
+        "by" -> "id",
+        "aggregations" -> Seq(Map("column" -> "v", "operation" -> "sum", "output_column" -> "s")))))
+      val total = g.agg(org.apache.spark.sql.functions.sum("s")).head().getLong(0)
+      val r = ReduceOp(StageContext.one(spark, df, Cfg.of(
+        "column" -> "v", "operation" -> "sum"))).head().getLong(0)
+      assert(total == r)
+    }
+  }
+
+  test("encrypt then decrypt is identity for arbitrary strings") {
+    val strGen = Gen.listOfN(5, Gen.asciiPrintableStr)
+    for (strs <- samples(strGen, 5)) {
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      val key = "0123456789abcdef0123456789abcdef"
+      val enc = EncryptOp(StageContext.one(spark, df, Cfg.of(
+        "column" -> "s", "key" -> key, "output_column" -> "e")))
+      val dec = DecryptOp(StageContext.one(spark, enc, Cfg.of(
+        "column" -> "e", "key" -> key, "output_column" -> "d")))
+      assert(dec.select("s", "d").collect().forall(r => r.getString(0) == r.getString(1)))
+    }
+  }
+
+  test("chunk sizes: all full except possibly last; total preserved") {
+    val cfgGen = Gen.zip(Gen.choose(1, 30), Gen.choose(1, 10))
+    for ((n, size) <- samples(cfgGen)) {
+      val df = (1 to n).map(i => (i.toLong, i)).toDF("id", "x")
+      val out = ChunkOp(StageContext.one(spark, df, Cfg.of(
+        "batch_size" -> size, "order_by" -> Seq("id"))))
+        .orderBy("chunk_id").collect()
+      val sizes = out.map(_.getSeq[Any](1).size).toSeq
+      assert(sizes.sum == n)
+      assert(sizes.init.forall(_ == size))
+      assert(sizes.last <= size)
+    }
+  }
+
+  test("union count additivity") {
+    for ((a, b) <- samples(Gen.zip(rowsGen, rowsGen), 5)) {
+      val dfa = a.toDF("id", "v")
+      val dfb = b.toDF("id", "v")
+      val u = UnionOp(StageContext(spark, Seq("a" -> dfa, "b" -> dfb), Cfg.empty))
+      assert(u.count() == dfa.count() + dfb.count())
+    }
+  }
+
+  test("sort is a permutation and is ordered") {
+    for (rows <- samples(rowsGen, 5)) {
+      val df = rows.toDF("id", "v")
+      val sorted = SortOp(StageContext.one(spark, df, Cfg.of("by" -> "v")))
+        .select("v").collect().map(_.getLong(0)).toSeq
+      assert(sorted == rows.map(_._2).sorted)
+    }
+  }
+}
