@@ -30,8 +30,12 @@ object Registry {
     // relational transforms (reference §2.3)
     FilterOp, SelectOp, MapOp, GroupByOp, ReduceOp, SortOp, DistinctOp,
     ChunkOp, JsonExtractOp, ValidateOp, LimitOp,
-    // streaming transforms (reference §2.4 + event-time upgrades)
+    // streaming (reference §2.4 + §2.1 unregistered sources + event-time upgrades)
     CountWindowOp, AggregateStreamOp, TimeWindowOp, SessionWindowOp,
+    FileStreamSource, RateStreamSource, StdinStreamSource, StreamWriteSink,
+    // connector capability slots (reference §2.6-2.7; offline gaps, see Connectors.scala)
+    KafkaConsumeSource, KafkaProduceSink, MongoFindSource, MongoAggregateSource,
+    MongoInsertSink, JsEvalOp, ExcelReadSource, ExcelWriteSink,
     // multi-input extensions (SURVEY §2.8)
     JoinOp, UnionOp, IntersectOp, ExceptOp, WindowFnOp, PivotOp,
     // row-level transforms (reference §2.5)

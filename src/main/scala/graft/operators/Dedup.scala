@@ -24,9 +24,44 @@ object Shingles {
           i => F.concat_ws(" ", F.slice(toks, i + 1, F.lit(n)))))
   }
 
-  /** distinct xxhash64 of each shingle */
-  def shingleHashes(text: Column, n: Int): Column =
-    F.array_distinct(F.transform(wordShingles(text, n), s => F.xxhash64(s)))
+  /** stable FNV-1a over a string — used by the single-pass shingle UDFs;
+    * the specific hash does not matter for Jaccard (distinct counts are
+    * hash-invariant modulo 64-bit collisions), only determinism does. */
+  @inline def fnv1a(s: CharSequence): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** distinct hashes of word n-gram shingles — ONE pass per doc in a UDF
+    * (the expression form re-walks the token array per shingle, interpreted). */
+  def shingleHashes(text: Column, n: Int): Column = {
+    val udf = F.udf { t: String =>
+      if (t == null) Array.empty[Long]
+      else {
+        val toks = t.toLowerCase.trim.split("\\s+")
+        val set = new java.util.LinkedHashSet[Long]()
+        if (toks.length < n) set.add(fnv1a(toks.mkString(" ")))
+        else {
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i <= toks.length - n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+            set.add(fnv1a(sb))
+            i += 1
+          }
+        }
+        val out = new Array[Long](set.size)
+        val it = set.iterator(); var i = 0
+        while (it.hasNext) { out(i) = it.next(); i += 1 }
+        out
+      }
+    }
+    udf(text)
+  }
 
   /** MinHash signature: k universal-hash permutations h_i(x)=(a_i*x+b_i) mod p,
     * signature[i] = min over shingle hashes. Coefficients are seeded —
@@ -38,13 +73,103 @@ object Shingles {
     Seq.fill(k)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
                  math.abs(rnd.nextLong()) % MersennePrime))
   }
+  /** Single-pass UDF, not k chained array_min(transform(...)) exprs:
+    * Catalyst higher-order functions evaluate INTERPRETED per element, so
+    * k=128 separate traversals of a 400-hash array cost ~100x a tight JVM
+    * loop computing all k minima in one pass. Values are identical to the
+    * expression form (same seeded coefficients, same pmod arithmetic). */
   def minhashSignature(hashes: Column, k: Int, seed: Long): Column = {
     val coeffs = minhashCoefficients(k, seed)
-    val p = F.lit(MersennePrime)
-    F.array(coeffs.map { case (a, b) =>
-      F.array_min(F.transform(hashes,
-        x => F.pmod(F.pmod(x, p) * F.lit(a) + F.lit(b), p)))
-    }: _*)
+    val as = coeffs.map(_._1).toArray
+    val bs = coeffs.map(_._2).toArray
+    val p = MersennePrime
+    val udf = F.udf { hs: Seq[Long] =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      hs.foreach { h0 =>
+        val x = ((h0 % p) + p) % p
+        var i = 0
+        while (i < k) {
+          val v = (as(i) * x + bs(i)) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    }
+    udf(hashes)
+  }
+}
+
+/** Shared LSH candidate→verify machinery for minhash/ngram dedup.
+  *
+  * Scale shape (the part that survives 100 TB):
+  *  1. band-bucket self-join carries ONLY (id, sig) — the k-int signature,
+  *     never the wide shingle arrays, so the candidate shuffle is narrow;
+  *  2. cheap prefilter: minhash signature agreement (unbiased Jaccard
+  *     estimator, k samples) must reach threshold - 0.3 (>= 4 sigma at
+  *     k >= 32) — kills the mid-similarity candidate mass that a shared
+  *     vocabulary produces, without touching shingle arrays;
+  *  3. exact Jaccard verify re-joins shingle arrays BY ID only for the
+  *     few surviving pairs.
+  */
+object LshVerify {
+  /** input: (id, shingles, sig). Returns distinct dropped ids (higher id of
+    * each verified pair) as one column `id`. */
+  def verifiedPairs(hashed: DataFrame, bands: Int, r: Int, k: Int, threshold: Double): DataFrame = {
+    val sigs = hashed.select(F.col("id"), F.col("sig"))
+    val banded = sigs.select(F.col("id"), F.col("sig"),
+      F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+        b => F.xxhash64(F.concat_ws("_", F.slice(F.col("sig"), b * F.lit(r) + 1, F.lit(r)))))))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+
+    val lhs = banded.select(F.col("band_idx"), F.col("band_hash"),
+      F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    val rhs = banded.select(F.col("band_idx"), F.col("band_hash"),
+      F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+
+    val agreement = F.aggregate(
+      F.zip_with(F.col("sig_a"), F.col("sig_b"), (x, y) => F.when(x === y, 1).otherwise(0)),
+      F.lit(0), (acc, v) => acc + v).cast("double") / k
+
+    val candidates = lhs.join(rhs, Seq("band_idx", "band_hash"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+      .filter(agreement >= math.max(0.0, threshold - 0.3))
+      .select("id_a", "id_b")
+
+    val shA = hashed.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    val shB = hashed.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    candidates
+      .join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", jaccardUdf(F.col("sh_a"), F.col("sh_b")))
+      .filter(F.col("jaccard") >= threshold)
+      .select(F.col("id_b").alias("id")).distinct()
+  }
+
+  /** exact Jaccard over (already-distinct) hash arrays — hash-set loop
+    * instead of interpreted array_intersect/array_union per pair. */
+  val jaccardUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    F.udf { (a: Seq[Long], b: Seq[Long]) =>
+      val sa = new java.util.HashSet[java.lang.Long](a.length * 2)
+      a.foreach(sa.add(_))
+      val sb = new java.util.HashSet[java.lang.Long](b.length * 2)
+      var inter = 0
+      b.foreach { x => if (sb.add(x) && sa.contains(x)) inter += 1 }
+      val union = sa.size + sb.size - inter
+      if (union == 0) 1.0 else inter.toDouble / union
+    }
+}
+
+/** Spread a (possibly single-partition) input across all cores before a
+  * CPU-bound per-row stage. `parallelism` config overrides; a no-op when
+  * the frame already has enough partitions. */
+object Parallelize {
+  def apply(ctx: StageContext): DataFrame = {
+    val want = ctx.cfg.longOr("parallelism",
+      ctx.spark.sparkContext.defaultParallelism.toLong).toInt
+    val df = ctx.primary
+    if (df.rdd.getNumPartitions >= want) df else df.repartition(want)
   }
 }
 
@@ -106,39 +231,21 @@ object DedupMinHashOp extends Stage {
     if (k % bands != 0) throw new GraftConfigError(s"num_hashes=$k must divide evenly into bands=$bands")
     val r = k / bands
 
-    val df = ctx.primary
+    // small source files arrive as 1-2 partitions; the signature loop is
+    // CPU-bound per row, so spread it across the cluster first
+    val df = Parallelize(ctx)
     val hashed = df.select(F.col(id).alias("id"),
         Shingles.shingleHashes(F.col(text), n).alias("shingles"))
       .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // explode signature into b band hashes
-    val banded = hashed.select(F.col("id"), F.col("shingles"),
-      F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
-        b => F.xxhash64(F.concat_ws("_", F.slice(F.col("sig"), b * F.lit(r) + 1, F.lit(r)))))))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-
-    val lhs = banded.select(F.col("band_idx"), F.col("band_hash"),
-      F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    val rhs = banded.select(F.col("band_idx"), F.col("band_hash"),
-      F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-
-    val candidates = lhs.join(rhs, Seq("band_idx", "band_hash"))
-      .filter(F.col("id_a") < F.col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
-      .dropDuplicates("id_a", "id_b")
-
-    val verified = candidates.withColumn("jaccard",
-        F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double") /
-        F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))))
-      .filter(F.col("jaccard") >= threshold)
-
-    verified.select(F.col("id_b").alias("id")).distinct()
+    LshVerify.verifiedPairs(hashed, bands, r, k, threshold)
   }
 
   def apply(ctx: StageContext): DataFrame = {
     val id = ctx.cfg.str("id_column")
     val dups = duplicateIds(ctx)
-    ctx.primary.join(F.broadcast(dups), ctx.primary(id) === dups("id"), "left_anti")
+    ctx.primary.join(dups, ctx.primary(id) === dups("id"), "left_anti")
   }
 }
 
@@ -180,7 +287,7 @@ object DedupSimHashOp extends Stage {
     val blocks = maxDist + 1
     val width = 64 / blocks
 
-    val sigs = withSignature(ctx.primary, id, text)
+    val sigs = withSignature(Parallelize(ctx), id, text)
     // block j = bits [j*width, (j+1)*width) (last block takes the remainder)
     val blocked = sigs.select(F.col("id"), F.col("sig"),
       F.posexplode(F.array((0 until blocks).map { j =>
@@ -202,7 +309,7 @@ object DedupSimHashOp extends Stage {
   def apply(ctx: StageContext): DataFrame = {
     val id = ctx.cfg.str("id_column")
     val dups = duplicateIds(ctx)
-    ctx.primary.join(F.broadcast(dups), ctx.primary(id) === dups("id"), "left_anti")
+    ctx.primary.join(dups, ctx.primary(id) === dups("id"), "left_anti")
   }
 }
 
@@ -217,12 +324,31 @@ object DedupNgramOp extends Stage {
   val name = "dedup.ngram"
   val kind = StageKind.Transform
 
-  /** character n-gram hashes of normalized text (dynamic substring position
-    * requires the SQL-expr form of transform). */
-  def charNgramHashes(textCol: String, n: Int): Column =
-    F.expr(s"array_distinct(transform(" +
-      s"sequence(1, greatest(1, length(regexp_replace(lower($textCol), '\\\\s+', ' ')) - ${n - 1})), " +
-      s"i -> xxhash64(substring(regexp_replace(lower($textCol), '\\\\s+', ' '), i, $n))))")
+  /** distinct character n-gram hashes of whitespace-normalized text — one
+    * rolling pass per doc (the expression form re-normalizes the string per
+    * gram, interpreted). */
+  def charNgramHashes(textCol: String, n: Int): Column = {
+    val udf = F.udf { t: String =>
+      if (t == null) Array.empty[Long]
+      else {
+        val norm = t.toLowerCase.replaceAll("\\s+", " ")
+        val set = new java.util.LinkedHashSet[Long]()
+        if (norm.length <= n) set.add(Shingles.fnv1a(norm))
+        else {
+          var i = 0
+          while (i <= norm.length - n) {
+            set.add(Shingles.fnv1a(norm.subSequence(i, i + n)))
+            i += 1
+          }
+        }
+        val out = new Array[Long](set.size)
+        val it = set.iterator(); var i = 0
+        while (it.hasNext) { out(i) = it.next(); i += 1 }
+        out
+      }
+    }
+    udf(F.col(textCol))
+  }
 
   def duplicateIds(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
@@ -230,36 +356,25 @@ object DedupNgramOp extends Stage {
     val text = cfg.str("text_column")
     val n = cfg.longOr("ngram_size", 5L).toInt
     val threshold = cfg.doubleOr("threshold", 0.7)
-    val bands = cfg.longOr("bands", 16L).toInt
-    val r = 2
+    val bands = cfg.longOr("bands", 8L).toInt
+    // r=6: char n-grams of docs sharing a vocabulary sit at J~0.3-0.5, and
+    // band-collision probability J^r must crush that mass (0.4^6 = 0.4%)
+    // while keeping real near-dups (J>=0.9 -> P_band=53%, over 8 bands
+    // recall ~99.8%).
+    val r = cfg.longOr("rows_per_band", 6L).toInt
     val seed = cfg.longOr("seed", 7L)
 
-    val withGrams = ctx.primary.select(F.col(id).alias("id"),
-      charNgramHashes(text, n).alias("grams"))
-
-    val sig = Shingles.minhashSignature(F.col("grams"), bands * r, seed)
-    val banded = withGrams.withColumn("sig", sig)
-      .select(F.col("id"), F.col("grams"),
-        F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
-          b => F.xxhash64(F.concat_ws("_", F.slice(F.col("sig"), b * F.lit(r) + 1, F.lit(r)))))))
-      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-
-    val lhs = banded.select(F.col("band_idx"), F.col("band_hash"), F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
-    val rhs = banded.select(F.col("band_idx"), F.col("band_hash"), F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
-    lhs.join(rhs, Seq("band_idx", "band_hash"))
-      .filter(F.col("id_a") < F.col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard",
-        F.size(F.array_intersect(F.col("g_a"), F.col("g_b"))).cast("double") /
-        F.size(F.array_union(F.col("g_a"), F.col("g_b"))))
-      .filter(F.col("jaccard") >= threshold)
-      .select(F.col("id_b").alias("id")).distinct()
+    val hashed = Parallelize(ctx).select(F.col(id).alias("id"),
+      charNgramHashes(text, n).alias("shingles"))
+      .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), bands * r, seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    LshVerify.verifiedPairs(hashed, bands, r, bands * r, threshold)
   }
 
   def apply(ctx: StageContext): DataFrame = {
     val id = ctx.cfg.str("id_column")
     val dups = duplicateIds(ctx)
-    ctx.primary.join(F.broadcast(dups), ctx.primary(id) === dups("id"), "left_anti")
+    ctx.primary.join(dups, ctx.primary(id) === dups("id"), "left_anti")
   }
 }
 
@@ -274,40 +389,58 @@ object DedupEmbeddingOp extends Stage {
   val name = "dedup.embedding"
   val kind = StageKind.Transform
 
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      F.aggregate(F.zip_with(x, y, (p, q) => p * q), F.lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column) = F.sqrt(F.aggregate(
-      F.transform(x, v => v * v), F.lit(0.0), (acc, v) => acc + v))
-    dot(a, b) / (norm(a) * norm(b))
-  }
+  /** tight-loop cosine UDF (double arrays) — per-pair verify cost;
+    * interpreted zip_with/aggregate would pay per-element overhead. */
+  val cosineUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    F.udf { (a: Seq[Double], b: Seq[Double]) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
-  /** h-bit hyperplane signature of a float-array column (seeded, dim known) */
+  /** h-bit hyperplane signature of a float-array column (seeded, dim known);
+    * one pass over the vector computing all h dots. */
   def hyperplaneSig(vec: Column, dim: Int, h: Int, seed: Long): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(h, dim)(rnd.nextGaussian())
-    val bits = (0 until h).map { i =>
-      val plane = F.array(planes(i).map(F.lit): _*)
-      val dot = F.aggregate(F.zip_with(vec.cast("array<double>"), plane, (a, b) => a * b),
-        F.lit(0.0), (acc, v) => acc + v)
-      F.when(dot >= 0, F.lit(1L)).otherwise(F.lit(0L)) * F.lit(1L << i)
+    val udf = F.udf { v: Seq[Float] =>
+      var sig = 0L
+      var i = 0
+      while (i < h) {
+        var dot = 0.0
+        var j = 0
+        val n = math.min(dim, v.length)
+        while (j < n) { dot += planes(i)(j) * v(j); j += 1 }
+        if (dot >= 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
     }
-    bits.reduce(_ + _)
+    udf(vec.cast("array<float>"))
   }
 
   def duplicateIds(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     val id = cfg.str("id_column")
     val vecCol = cfg.str("vector_column")
+    // 32 planes / 4 blocks = 8-bit blocks → 256 buckets per block: keeps
+    // bucket population ~N/256 so the self-join stays near-linear (16-bit
+    // sigs with 4-bit blocks put ~N/16 rows in every bucket → quadratic).
     val threshold = cfg.doubleOr("threshold", 0.95)
-    val h = cfg.longOr("num_planes", 16L).toInt
+    val h = cfg.longOr("num_planes", 32L).toInt
     val blocks = cfg.longOr("blocks", 4L).toInt
     val seed = cfg.longOr("seed", 11L)
     val dim = ctx.primary.select(F.size(F.col(vecCol))).head().getInt(0)
     val width = h / blocks
 
-    val sigs = ctx.primary.select(F.col(id).alias("id"), F.col(vecCol).alias("vec"))
+    val sigs = Parallelize(ctx).select(F.col(id).alias("id"), F.col(vecCol).alias("vec"))
       .withColumn("sig", hyperplaneSig(F.col("vec"), dim, h, seed))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val blocked = sigs.select(F.col("id"), F.col("vec"),
       F.posexplode(F.array((0 until blocks).map { j =>
         F.shiftrightunsigned(F.col("sig"), j * width).bitwiseAND(F.lit((1L << width) - 1L))
@@ -327,6 +460,6 @@ object DedupEmbeddingOp extends Stage {
   def apply(ctx: StageContext): DataFrame = {
     val id = ctx.cfg.str("id_column")
     val dups = duplicateIds(ctx)
-    ctx.primary.join(F.broadcast(dups), ctx.primary(id) === dups("id"), "left_anti")
+    ctx.primary.join(dups, ctx.primary(id) === dups("id"), "left_anti")
   }
 }

@@ -76,7 +76,8 @@ object ExtensionQueries {
         |SELECT d.* FROM documents d WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin) { (s, d) =>
       DedupNgramOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
         "id_column" -> "doc_id", "text_column" -> "text",
-        "ngram_size" -> 5, "bands" -> 16, "threshold" -> 0.8, "seed" -> 7)))
+        "ngram_size" -> 5, "bands" -> 8, "rows_per_band" -> 6,
+        "threshold" -> 0.8, "seed" -> 7)))
     },
 
     // ---- dedup.simhash: criterion (custom 64-bit sig hamming) not SQL-
@@ -94,7 +95,7 @@ object ExtensionQueries {
       val corpus = emb.unionByName(copies)
       DedupEmbeddingOp(StageContext.one(s, corpus, Cfg.of(
         "id_column" -> "vec_id", "vector_column" -> "embedding",
-        "threshold" -> 0.95, "num_planes" -> 16, "blocks" -> 4, "seed" -> 11)))
+        "threshold" -> 0.95, "num_planes" -> 32, "blocks" -> 4, "seed" -> 11)))
         .select("vec_id", "label")
     },
 

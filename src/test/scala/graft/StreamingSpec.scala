@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{functions => F}
+import graft.config.Cfg
+import graft.core.{GraftPlanError, StageContext}
+import graft.streaming._
+
+class StreamingSpec extends SparkSpec {
+
+  test("relational transforms compose onto streaming frames; windowed agg with watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "k", "v")
+
+    // compose registry transforms unchanged on the streaming frame
+    val filtered = graft.operators.FilterOp(StageContext.one(spark, df, Cfg.of(
+      "column" -> "v", "operator" -> ">", "value" -> 0)))
+    val windowed = filtered
+      .withWatermark("ts", "1 minute")
+      .groupBy(F.window(F.col("ts"), "10 minutes"), F.col("k"))
+      .agg(F.sum("v").alias("total"))
+
+    val q = windowed.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      def t(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 10:$m:00")
+      mem.addData((t("01"), "a", 1.0), (t("02"), "a", 2.0), (t("11"), "a", 4.0),
+                  (t("03"), "b", -5.0), (t("04"), "b", 7.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, total FROM win_out ORDER BY k, total").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(rows == Seq(("a", 3.0), ("a", 4.0), ("b", 7.0)))
+    } finally q.stop()
+  }
+
+  test("file.stream source reads files exactly-once as they appear") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      "{\"id\": 1, \"v\": 10}\n{\"id\": 2, \"v\": 20}\n")
+    val src = FileStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> dir, "format" -> "jsonl"), "src"))
+    assert(src.isStreaming)
+    val q = src.writeStream.outputMode("append").format("memory").queryName("file_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM file_out").head().getLong(0) == 2L)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.json"),
+        "{\"id\": 3, \"v\": 30}\n")
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM file_out").head().getLong(0) == 3L)
+    } finally q.stop()
+  }
+
+  test("session window over a stream (update-mode state)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF().toDF("ts", "uid")
+    val sess = df.withWatermark("ts", "10 minutes")
+      .groupBy(F.session_window(F.col("ts"), "5 minutes"), F.col("uid"))
+      .agg(F.count(F.lit(1)).alias("n"))
+    val q = sess.writeStream.outputMode("complete").format("memory")
+      .queryName("sess_out").start()
+    try {
+      def t(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 10:$m:00")
+      mem.addData((t("00"), 1L), (t("03"), 1L), (t("20"), 1L))
+      q.processAllAvailable()
+      val ns = spark.sql("SELECT n FROM sess_out ORDER BY n").collect().map(_.getLong(0)).toSeq
+      assert(ns == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("stream.write rejects batch input; gap connectors raise actionable errors") {
+    intercept[GraftPlanError](StreamWriteSink(StageContext.one(spark, salesDf, Cfg.empty)))
+    val e = intercept[GraftPlanError](graft.operators.KafkaConsumeSource(
+      StageContext(spark, Seq.empty, Cfg.of("brokers" -> "b:9092", "topic" -> "t"), "k")))
+    assert(e.getMessage.contains("spark-sql-kafka"))
+    // config contract enforced even for gap stages
+    intercept[graft.config.GraftConfigError](graft.operators.KafkaConsumeSource(
+      StageContext(spark, Seq.empty, Cfg.of("topic" -> "t"), "k")))
+  }
+}
