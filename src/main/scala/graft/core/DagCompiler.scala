@@ -48,8 +48,8 @@ final class DagCompiler(registry: Registry) {
       pc.stages.foreach { st =>
         val stage = registry.resolve(st.function)
         if (stage.kind == StageKind.Sink) {
-          runWithStrategy(pc, st.id) {
-            val inputDfs = st.inputs.map(in => in -> plans(in))
+          val inputDfs = st.inputs.map(in => in -> plans(in))
+          runWithStrategy(pc, st.id, inputDfs.headOption.map(_._2)) {
             stage(StageContext(spark, inputDfs, st.config, st.id))
           }
         }
@@ -97,14 +97,35 @@ final class DagCompiler(registry: Registry) {
       throw new GraftPlanError("pipeline DAG contains a cycle")
   }
 
-  /** Stop | Continue | Retry — implemented for real (SURVEY §1.3). */
-  private def runWithStrategy(pc: PipelineConfig, stageId: String)(action: => Unit): Unit = {
+  /** Stop | Continue | Retry — implemented for real, with a working
+    * dead-letter queue (the reference declares Retry + DLQ but never calls
+    * either — strategy.rs:32-89 dead code, SURVEY §1.3). On a terminal
+    * failure under Continue (or Retry exhausted with `continue_after_retry`)
+    * the failing sink's INPUT frame is quarantined as parquet under
+    * `<dlq>/<stageId>/` next to an `_error.txt` with the cause —
+    * badRecordsPath-style. */
+  private def runWithStrategy(pc: PipelineConfig, stageId: String,
+                              input: Option[DataFrame])(action: => Unit): Unit = {
+    def quarantine(e: Exception): Unit =
+      pc.errorHandling.deadLetterQueue.foreach { dlq =>
+        try {
+          input.foreach(_.write.mode("overwrite").parquet(s"$dlq/$stageId"))
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dlq/$stageId"))
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$dlq/$stageId/_error.txt"),
+            s"stage: $stageId\nerror: ${e.getMessage}\n")
+          System.err.println(s"[graft] stage '$stageId' input quarantined to $dlq/$stageId")
+        } catch { case q: Exception =>
+          System.err.println(s"[graft] DLQ write for '$stageId' failed: ${q.getMessage}")
+        }
+      }
     pc.errorHandling.strategy match {
       case ErrorStrategy.Stop => action
       case ErrorStrategy.Continue =>
         try action catch {
           case e: Exception =>
             System.err.println(s"[graft] stage '$stageId' failed (continue): ${e.getMessage}")
+            quarantine(e)
         }
       case ErrorStrategy.Retry(maxRetries, delaySec) =>
         var attempt = 0
@@ -113,9 +134,11 @@ final class DagCompiler(registry: Registry) {
           try { action; done = true } catch {
             case e: Exception =>
               attempt += 1
-              if (attempt > maxRetries)
+              if (attempt > maxRetries) {
+                quarantine(e)
                 throw new GraftPlanError(
                   s"stage '$stageId' failed after $maxRetries retries: ${e.getMessage}")
+              }
               System.err.println(s"[graft] stage '$stageId' attempt $attempt failed, retrying in ${delaySec}s: ${e.getMessage}")
               Thread.sleep(delaySec * 1000L)
           }

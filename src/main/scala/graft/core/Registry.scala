@@ -35,7 +35,13 @@ object Registry {
     FileStreamSource, RateStreamSource, StdinStreamSource, StreamWriteSink,
     // connector capability slots (reference §2.6-2.7; offline gaps, see Connectors.scala)
     KafkaConsumeSource, KafkaProduceSink, MongoFindSource, MongoAggregateSource,
-    MongoInsertSink, JsEvalOp, ExcelReadSource, ExcelWriteSink,
+    MongoInsertSink, MongoToObjectIdOp, JsEvalOp, ExcelReadSource, ExcelWriteSink,
+    // http source family (reference conveyor-plugin-http, implemented natively)
+    HttpGetSource, HttpPostSource, HttpPutSource, HttpPatchSource, HttpDeleteSource,
+    // reference-name aliases
+    new AliasStage("file.watch", FileStreamSource),
+    new AliasStage("stdout_stream.write", StreamWriteSink)) ++
+    MongoGaps.sources ++ MongoGaps.sinks ++ Seq(
     // multi-input extensions (SURVEY §2.8)
     JoinOp, UnionOp, IntersectOp, ExceptOp, WindowFnOp, PivotOp,
     // row-level transforms (reference §2.5)

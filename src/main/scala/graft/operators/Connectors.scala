@@ -82,3 +82,49 @@ object ExcelWriteSink extends GapStage("excel.write", StageKind.Sink,
   Seq("path"),
   "Apache POI or spark-excel",
   """df.write.format("excel").option("header", true).save(path)""")
+
+/** Remaining MongoDB function surface (reference lib.rs:24-38 op enum) —
+  * same gap treatment; write-ops map to foreachPartition + Mongo driver
+  * bulk API, findOne = find + limit(1), toObjectId is a pure transform. */
+object MongoGaps {
+  private def mk(op: String, kind: StageKind, api: String) =
+    new GapStage(s"mongodb.$op", kind, Seq("uri", "database", "collection"),
+      "mongo-spark-connector", api) {}
+  val sources: Seq[Stage] = Seq(
+    mk("findOne", StageKind.Source, "find + .limit(1)"))
+  val sinks: Seq[Stage] = Seq(
+    "insertOne" -> "df.limit(1).write.format(\"mongodb\").mode(\"append\").save()",
+    "updateOne" -> "df.foreachPartition(bulkWrite(UpdateOneModel))",
+    "updateMany" -> "df.foreachPartition(bulkWrite(UpdateManyModel))",
+    "deleteOne" -> "df.foreachPartition(bulkWrite(DeleteOneModel))",
+    "deleteMany" -> "df.foreachPartition(bulkWrite(DeleteManyModel))",
+    "replaceOne" -> "df.foreachPartition(bulkWrite(ReplaceOneModel))",
+    "replaceMany" -> "df.foreachPartition(bulkWrite(ReplaceOneModel per row))",
+    "bulkWrite" -> "df.foreachPartition(collection.bulkWrite(models))"
+  ).map { case (op, api) => mk(op, StageKind.Sink, api) }
+}
+
+/** mongodb.toObjectId — the one mongo op that is a PURE transform
+  * (reference lib.rs:1553-1604 wraps hex strings as {"$oid": ...}); no
+  * driver needed, implemented natively. */
+object MongoToObjectIdOp extends Stage {
+  val name = "mongodb.toObjectId"
+  val kind = StageKind.Transform
+  def apply(ctx: StageContext): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val col = ctx.cfg.str("column")
+    val out = ctx.cfg.strOr("output_column", col)
+    ctx.primary.withColumn(out,
+      when(ctx.primary(col).rlike("^[0-9a-fA-F]{24}$"),
+        concat(lit("{\"$oid\": \""), ctx.primary(col), lit("\"}")))
+        .otherwise(ctx.primary(col)))
+  }
+}
+
+/** Registry alias — same stage under a reference-compatible second name
+  * (e.g. the reference's `file.watch` / `stdout_stream.write`). */
+final class AliasStage(alias: String, target: Stage) extends Stage {
+  val name: String = alias
+  val kind: StageKind = target.kind
+  def apply(ctx: StageContext): DataFrame = target(ctx)
+}

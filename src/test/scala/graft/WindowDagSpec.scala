@@ -253,3 +253,62 @@ class EnrichmentSpec extends SparkSpec {
     assert(r == "[mock:openai/gpt-test] Hello Bob")
   }
 }
+
+class DlqConnectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("DLQ: failing sink's input quarantined with error note under continue") {
+    val dlq = java.nio.file.Files.createTempDirectory("graft_dlq").toString
+    graft.core.DagCompiler.default.run(spark, graft.config.PipelineConfig.fromString(
+      s"""[pipeline]
+         |name = "dlq"
+         |[error_handling]
+         |strategy = "continue"
+         |dead_letter_queue = { path = "$dlq" }
+         |[[stages]]
+         |id = "src"
+         |function = "inline.data"
+         |config = { jsonl = "{\\"x\\": 1}\\n{\\"x\\": 2}" }
+         |[[stages]]
+         |id = "bad"
+         |function = "csv.write"
+         |inputs = ["src"]
+         |config = { path = "/proc/not/writable/x" }
+         |""".stripMargin))
+    val saved = spark.read.parquet(s"$dlq/bad")
+    assert(saved.count() == 2)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dlq/bad/_error.txt")))
+  }
+
+  test("http.get source: mock_response json array -> rows, object -> one row") {
+    val arr = graft.operators.HttpGetSource(graft.core.StageContext(spark, Seq.empty,
+      graft.config.Cfg.of("url" -> "https://x/api",
+        "mock_response" -> """[{"id": 1, "n": "a"}, {"id": 2, "n": "b"}]"""), "h"))
+    assert(arr.count() == 2 && arr.columns.toSet == Set("id", "n"))
+    val obj = graft.operators.HttpPostSource(graft.core.StageContext(spark, Seq.empty,
+      graft.config.Cfg.of("url" -> "https://x/api", "body" -> "{}",
+        "mock_response" -> """{"ok": true}"""), "h"))
+    assert(obj.count() == 1 && obj.head().getBoolean(0))
+  }
+
+  test("reference-name aliases resolve; full mongo family registered") {
+    val reg = graft.core.Registry.withDefaults
+    assert(reg.contains("file.watch"))
+    assert(reg.contains("stdout_stream.write"))
+    for (op <- Seq("find", "findOne", "aggregate", "insertMany", "insertOne",
+      "updateOne", "updateMany", "deleteOne", "deleteMany", "replaceOne",
+      "replaceMany", "bulkWrite", "toObjectId"))
+      assert(reg.contains(s"mongodb.$op"), s"missing mongodb.$op")
+    for (m <- Seq("get", "post", "put", "patch", "delete"))
+      assert(reg.contains(s"http.$m"), s"missing http.$m")
+  }
+
+  test("mongodb.toObjectId wraps 24-hex strings, passes others through") {
+    val df = Seq("507f1f77bcf86cd799439011", "not-an-oid").toDF("mid")
+    val out = graft.operators.MongoToObjectIdOp(graft.core.StageContext.one(
+      spark, df, graft.config.Cfg.of("column" -> "mid")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out(0) == """{"$oid": "507f1f77bcf86cd799439011"}""")
+    assert(out(1) == "not-an-oid")
+  }
+}
