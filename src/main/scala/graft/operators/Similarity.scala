@@ -5,8 +5,9 @@ import graft.config._
 import graft.core._
 
 /** knn.bruteforce — exact cosine top-k over an embedding column
-  * (training-data extension). Baseline/ground-truth path: one scan,
-  * per-row native dot product (aggregate ∘ zip_with — codegen'd, no UDF),
+  * (training-data extension). Baseline/ground-truth path: one scan with
+  * the native codegen'd `cosine_sim` Catalyst expression
+  * (graft.functions.CosineSimilarity — fused into WholeStageCodegen),
   * then TakeOrderedAndProject for the top-k (per-partition heaps + merge
   * of k·P rows — no global sort even at 100 TB).
   *
@@ -40,15 +41,11 @@ object KnnBruteForceOp extends Stage {
     val vecCol = cfg.strOr("vector_column", "embedding")
     val k = cfg.longOr("k", 10L).toInt
     val q = queryVector(ctx)
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
     val qLit = F.array(q.map(F.lit): _*)
 
-    val cos = {
-      val v = F.col(vecCol).cast("array<double>")
-      val dot = F.aggregate(F.zip_with(v, qLit, (a, b) => a * b), F.lit(0.0), (acc, x) => acc + x)
-      val n = F.sqrt(F.aggregate(F.transform(v, x => x * x), F.lit(0.0), (acc, x) => acc + x))
-      dot / (n * F.lit(qNorm))
-    }
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
+    val cos = F.call_function("cosine_sim",
+      F.col(vecCol).cast("array<double>"), qLit)
 
     ctx.primary
       .withColumn("cosine", F.round(cos, 6))
@@ -96,14 +93,10 @@ object KnnLshOp extends Stage {
       (F.shiftrightunsigned(sigCol, j * width).bitwiseAND(F.lit(mask)) === F.lit(qBlock))
     }.reduce(_ || _)
 
-    val qNorm = math.sqrt(q.map(x => x * x).sum)
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val qLit = F.array(q.map(F.lit): _*)
-    val cos = {
-      val v = F.col(vecCol).cast("array<double>")
-      val dot = F.aggregate(F.zip_with(v, qLit, (a, b) => a * b), F.lit(0.0), (acc, x) => acc + x)
-      val n = F.sqrt(F.aggregate(F.transform(v, x => x * x), F.lit(0.0), (acc, x) => acc + x))
-      dot / (n * F.lit(qNorm))
-    }
+    val cos = F.call_function("cosine_sim",
+      F.col(vecCol).cast("array<double>"), qLit)
 
     ctx.primary
       .filter(blockMatch)
