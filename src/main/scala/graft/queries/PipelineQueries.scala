@@ -185,6 +185,31 @@ object PipelineQueries {
         .select("n_nationkey", "http_result")
     },
 
+    // BASELINE.md target #2: executor-side partition-parallel IO gives the
+    // reference's claimed concurrency speedup. Same 25-row mocked 60 ms
+    // "API": sequential = 1 partition x concurrency 1 (~1.5 s);
+    // parallel = 8 partitions x concurrency 8 (~60 ms plus overhead).
+    // BENCH_r{N}.json shows both timings; results are identical and
+    // oracle-checked.
+    QueryDef("enrich_sequential",
+      """SELECT n_nationkey,
+        |  '{"mock":true,"url":"https://api.example.com/n/' || n_nationkey || '"}' AS http_result
+        |FROM nation""".stripMargin) { (s, d) =>
+      HttpFetchOp(StageContext.one(s, QueryDef.t(s, d, "nation").coalesce(1), Cfg.of(
+        "url" -> "https://api.example.com/n/{{n_nationkey}}",
+        "mock" -> true, "mock_latency_ms" -> 60, "concurrency" -> 1)))
+        .select("n_nationkey", "http_result")
+    },
+    QueryDef("enrich_parallel",
+      """SELECT n_nationkey,
+        |  '{"mock":true,"url":"https://api.example.com/n/' || n_nationkey || '"}' AS http_result
+        |FROM nation""".stripMargin) { (s, d) =>
+      HttpFetchOp(StageContext.one(s, QueryDef.t(s, d, "nation").repartition(8), Cfg.of(
+        "url" -> "https://api.example.com/n/{{n_nationkey}}",
+        "mock" -> true, "mock_latency_ms" -> 60, "concurrency" -> 8)))
+        .select("n_nationkey", "http_result")
+    },
+
     // ai.generate mock mode: deterministic templated response
     QueryDef("ai_generate_mock",
       """SELECT r_regionkey,
