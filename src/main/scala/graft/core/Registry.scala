@@ -44,6 +44,7 @@ object Registry {
     MongoGaps.sources ++ MongoGaps.sinks ++ Seq(
     // multi-input extensions (SURVEY §2.8)
     JoinOp, UnionOp, IntersectOp, ExceptOp, WindowFnOp, PivotOp,
+    AsofJoinOp, RangeJoinOp, CubeOp,
     // row-level transforms (reference §2.5)
     EncryptOp, DecryptOp, HttpFetchOp, AiGenerateOp,
     // training-data extensions
