@@ -33,11 +33,19 @@ final class DagCompiler(registry: Registry) {
 
     val plans = compilePlans(spark, pc)
 
-    // fan-out persistence policy
+    // fan-out persistence policy (streaming frames can't persist — their
+    // replay is the checkpoint's job, so fan-out on a stream is free)
     val outDegree = mutable.Map[String, Int]().withDefaultValue(0)
     pc.stages.foreach(_.inputs.foreach(in => outDegree(in) += 1))
-    val persisted = plans.filter { case (id, _) => outDegree(id) > 1 }
+    val persisted = plans.filter { case (id, df) => outDegree(id) > 1 && !df.isStreaming }
     persisted.values.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+
+    // execution_mode = "streaming": stream sinks start their query and
+    // return immediately (_defer_await); we await them all together below —
+    // N concurrent StreamingQueries under one deadline, vs batch mode's
+    // one-sink-at-a-time await inside stream.write itself.
+    val streamingMode = pc.global.executionMode == "streaming"
+    val preExisting = spark.streams.active.map(_.id).toSet
 
     // actions: run every sink stage (a sink already executed its side
     // effect lazily inside apply? No — sinks run on invocation, which
@@ -49,11 +57,27 @@ final class DagCompiler(registry: Registry) {
         val stage = registry.resolve(st.function)
         if (stage.kind == StageKind.Sink) {
           val inputDfs = st.inputs.map(in => in -> plans(in))
+          val cfg = if (streamingMode)
+            Cfg(st.config.table + ("_defer_await" -> CBool(true)))
+          else st.config
           runWithStrategy(pc, st.id, inputDfs.headOption.map(_._2)) {
-            stage(StageContext(spark, inputDfs, st.config, st.id))
+            stage(StageContext(spark, inputDfs, cfg, st.id))
           }
         }
         results(st.id) = plans(st.id)
+      }
+      if (streamingMode) {
+        val ours = spark.streams.active.filterNot(q => preExisting.contains(q.id))
+        pc.global.raw.longOpt("stream_timeout_ms") match {
+          case Some(ms) =>
+            val deadline = System.currentTimeMillis() + ms
+            ours.foreach { q =>
+              val rem = deadline - System.currentTimeMillis()
+              if (rem > 0) q.awaitTermination(rem)
+            }
+            ours.filter(_.isActive).foreach(_.stop())
+          case None => ours.foreach(_.awaitTermination())
+        }
       }
     } finally {
       persisted.values.foreach(_.unpersist(blocking = false))

@@ -26,7 +26,7 @@ object Registry {
     // sources (reference §2.1)
     CsvSource, JsonSource, StdinSource, ParquetSource, TableSource, InlineSource,
     // sinks (reference §2.2)
-    CsvSink, JsonSink, StdoutSink, ParquetSink, NoopSink,
+    CsvSink, JsonSink, StdoutSink, ParquetSink, NoopSink, TableSink,
     // relational transforms (reference §2.3)
     FilterOp, SelectOp, MapOp, GroupByOp, ReduceOp, SortOp, DistinctOp,
     ChunkOp, JsonExtractOp, ValidateOp, LimitOp,

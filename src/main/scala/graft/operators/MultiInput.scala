@@ -16,6 +16,13 @@ import graft.core._
   *  - equi-keys go through `on`/`left_on`/`right_on` so Catalyst plans a
   *    hash join keyed on them (shuffle on join keys only, AQE can convert
   *    to broadcast or split skewed partitions at runtime).
+  *  - `salt` = N explicitly splits skewed keys when AQE's skew-join can't
+  *    help (e.g. one key ≫ a whole partition after AQE's split ceiling, or
+  *    AQE disabled): the left/probe side gets a uniform random salt in
+  *    [0,N), the right/build side is replicated N× (explode), and the join
+  *    key becomes (keys…, salt) — one hot key fans out over N reducers.
+  *    Valid for inner/left/semi/anti (right rows may duplicate, so any
+  *    join preserving unmatched RIGHT rows would multiply them).
   */
 object JoinOp extends Stage {
   val name = "join.apply"
@@ -41,14 +48,33 @@ object JoinOp extends Stage {
       case _       => (left0, right0)
     }
     if (how == "cross") return left.crossJoin(right)
-    if (cfg.has("on")) {
-      left.join(right, cfg.strList("on"), how)
-    } else {
-      val lks = cfg.strList("left_on")
-      val rks = cfg.strList("right_on")
-      if (lks.size != rks.size) throw new GraftConfigError("left_on/right_on length mismatch")
-      val cond = lks.zip(rks).map { case (l, r) => left(l) === right(r) }.reduce(_ && _)
-      left.join(right, cond, how)
+    val (lks, rks) =
+      if (cfg.has("on")) { val ks = cfg.strList("on"); (ks, ks) }
+      else {
+        val l = cfg.strList("left_on"); val r = cfg.strList("right_on")
+        if (l.size != r.size) throw new GraftConfigError("left_on/right_on length mismatch")
+        (l, r)
+      }
+
+    cfg.longOpt("salt") match {
+      case Some(n) if n > 1 =>
+        if (!Set("inner", "left_outer", "left_semi", "left_anti").contains(how))
+          throw new GraftConfigError(
+            s"salt requires inner/left/semi/anti (right rows replicate); got '$how'")
+        val sl = left.withColumn("_salt_l", (F.rand(42) * n).cast("int"))
+        val sr = right.withColumn("_salt_r",
+          F.explode(F.sequence(F.lit(0), F.lit(n.toInt - 1))))
+        val cond = (lks.zip(rks).map { case (l, r) => sl(l) === sr(r) } :+
+          (sl("_salt_l") === sr("_salt_r"))).reduce(_ && _)
+        val joined = sl.join(sr, cond, how).drop("_salt_l", "_salt_r")
+        // `on` semantics (usingColumns) keep ONE key column — drop right's
+        if (cfg.has("on")) lks.foldLeft(joined)((df, k) => df.drop(sr(k))) else joined
+      case _ =>
+        if (cfg.has("on")) left.join(right, lks, how)
+        else {
+          val cond = lks.zip(rks).map { case (l, r) => left(l) === right(r) }.reduce(_ && _)
+          left.join(right, cond, how)
+        }
     }
   }
 }

@@ -46,6 +46,22 @@ object JoinQueries {
         F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     },
 
+    // Same semantics as join_orders_customer, but through the explicit
+    // skew-salt path (salt=8, no broadcast): proves salting is invisible
+    // to results while fanning one hot key over 8 reducers.
+    QueryDef("join_salted_skew",
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin) { (s, d) =>
+      val oc = join2(s, t(s, d, "orders"), t(s, d, "customer"),
+        Cfg.of("left_on" -> "o_custkey", "right_on" -> "c_custkey",
+          "salt" -> 8, "broadcast" -> "none"))
+      oc.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    },
+
     QueryDef("join_left_null_side",
       """SELECT c_custkey, c_name, o_orderkey
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey

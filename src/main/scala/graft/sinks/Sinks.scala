@@ -137,6 +137,43 @@ object ParquetSink extends Stage {
   }
 }
 
+/** table.write — save to the session catalog via saveAsTable, optionally
+  * BUCKETED (`bucket_by` + `buckets`, optional `sort_by`): Spark's
+  * persisted co-location primitive. Two tables bucketed by the same keys
+  * into the same bucket count join with ZERO exchange on either side —
+  * the shuffle is paid once at write time and amortized over every later
+  * join/agg on those keys. This is the 100 TB answer to "this join is run
+  * hourly against the same fact table": bucket the fact table once.
+  * `path` makes it an external table (data at your location, not the
+  * warehouse dir); bucketing requires the catalog (plain parquet.write
+  * cannot record bucket metadata).
+  */
+object TableSink extends Stage {
+  val name = "table.write"
+  val kind = StageKind.Sink
+  def apply(ctx: StageContext): DataFrame = {
+    val df = ctx.primary
+    val cfg = ctx.cfg
+    var w = df.write.mode(SinkUtil.mode(cfg)).format(cfg.strOr("format", "parquet"))
+    cfg.strOpt("path").foreach(p => w = w.option("path", p))
+    cfg.strListOr("partition_by", Vector.empty) match {
+      case Vector() =>
+      case cols     => w = w.partitionBy(cols: _*)
+    }
+    cfg.strListOr("bucket_by", Vector.empty) match {
+      case Vector() =>
+      case cols =>
+        w = w.bucketBy(cfg.longOr("buckets", 8L).toInt, cols.head, cols.tail: _*)
+        cfg.strListOr("sort_by", Vector.empty) match {
+          case Vector() =>
+          case s        => w = w.sortBy(s.head, s.tail: _*)
+        }
+    }
+    w.saveAsTable(cfg.str("table"))
+    df
+  }
+}
+
 /** stdout.write — table (show), json, jsonl, csv with optional `limit`
   * (reference src/modules/sinks/stdout.rs:90-150).
   */

@@ -82,13 +82,18 @@ object ParquetSource extends Stage {
     ctx.spark.read.parquet(ctx.cfg.str("path"))
 }
 
-/** table.read — load a named test/catalog table from a directory
-  * (convenience for the driver test data; `dir` + `table`). */
+/** table.read — load a table: `name` reads from the session catalog
+  * (incl. bucketed tables written by table.write — bucket metadata makes
+  * later joins exchange-free); `dir` + `table` reads the driver test data
+  * through graft.Tables.load. */
 object TableSource extends Stage {
   val name = "table.read"
   val kind = StageKind.Source
   def apply(ctx: StageContext): DataFrame =
-    graft.Tables.load(ctx.spark, ctx.cfg.str("dir"), ctx.cfg.str("table"))
+    ctx.cfg.strOpt("name") match {
+      case Some(n) => ctx.spark.table(n)
+      case None    => graft.Tables.load(ctx.spark, ctx.cfg.str("dir"), ctx.cfg.str("table"))
+    }
 }
 
 /** stdin.read — batch-read all of stdin on the driver; formats

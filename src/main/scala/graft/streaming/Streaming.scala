@@ -129,9 +129,14 @@ object StreamWriteSink extends Stage {
           .start()
       case other => throw new GraftConfigError(s"unknown stream sink format '$other'")
     }
-    cfg.longOpt("timeout_ms") match {
-      case Some(ms) => q.awaitTermination(ms); q.stop()
-      case None     => q.awaitTermination()
+    // Under global execution_mode = "streaming" the DagCompiler injects
+    // _defer_await: every stream sink STARTS here, and the compiler awaits
+    // them all together (concurrent queries, one shared deadline).
+    if (!cfg.boolOr("_defer_await", false)) {
+      cfg.longOpt("timeout_ms") match {
+        case Some(ms) => q.awaitTermination(ms); q.stop()
+        case None     => q.awaitTermination()
+      }
     }
     df
   }

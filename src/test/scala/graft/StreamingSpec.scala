@@ -73,6 +73,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("execution_mode=streaming runs fan-out stream sinks concurrently under one deadline") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_smode").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.json"),
+      "{\"id\": 1, \"v\": 10}\n{\"id\": 2, \"v\": 20}\n{\"id\": 3, \"v\": -5}\n")
+    val toml = s"""
+      |[pipeline]
+      |name = "smode"
+      |[global]
+      |execution_mode = "streaming"
+      |stream_timeout_ms = 15000
+      |[[stages]]
+      |id = "src"
+      |function = "file.stream"
+      |config = { path = "$dir", format = "jsonl" }
+      |[[stages]]
+      |id = "pos"
+      |function = "filter.apply"
+      |inputs = ["src"]
+      |config = { column = "v", operator = ">", value = 0 }
+      |[[stages]]
+      |id = "out_all"
+      |function = "stream.write"
+      |inputs = ["src"]
+      |config = { format = "memory", query_name = "smode_all" }
+      |[[stages]]
+      |id = "out_pos"
+      |function = "stream.write"
+      |inputs = ["pos"]
+      |config = { format = "memory", query_name = "smode_pos" }
+      |""".stripMargin
+    val t0 = System.currentTimeMillis()
+    // both queries must progress — with sequential awaits the first sink
+    // would consume the whole 15 s budget before the second even starts,
+    // and the run would take >= 2 deadlines
+    val poll = new Thread(() => {
+      // stop both queries early once each has delivered its first batch,
+      // so the test doesn't sit out the full deadline
+      var done = false
+      while (!done && System.currentTimeMillis() - t0 < 14000) {
+        Thread.sleep(200)
+        val qs = spark.streams.active.filter(q =>
+          q.name == "smode_all" || q.name == "smode_pos")
+        if (qs.size == 2 && qs.forall(_.recentProgress.exists(_.numInputRows > 0))) {
+          qs.foreach(_.stop()); done = true
+        }
+      }
+    }, "graft-smode-poll")
+    poll.start()
+    graft.core.DagCompiler.default.run(spark,
+      graft.config.PipelineConfig.fromString(toml))
+    poll.join()
+    assert(spark.sql("SELECT count(*) FROM smode_all").head().getLong(0) === 3L)
+    assert(spark.sql("SELECT count(*) FROM smode_pos").head().getLong(0) === 2L)
+    assert(System.currentTimeMillis() - t0 < 15000,
+      "concurrent streaming sinks should finish inside one deadline")
+  }
+
   test("stream.write rejects batch input; gap connectors raise actionable errors") {
     intercept[GraftPlanError](StreamWriteSink(StageContext.one(spark, salesDf, Cfg.empty)))
     val e = intercept[GraftPlanError](graft.operators.KafkaConsumeSource(
