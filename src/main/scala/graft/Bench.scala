@@ -7,12 +7,21 @@ import org.apache.spark.sql.SparkSession
   *
   * Every SparkEntry query is fully evaluated (noop-format write: all rows
   * and columns materialize through the whole plan — count() would let
-  * Catalyst prune the plan to nothing). One warm-up action first so JVM/
-  * codegen startup isn't billed to the first query.
+  * Catalyst prune the plan to nothing).
+  *
+  * Methodology: each query first runs ONCE against the smallest SF with a
+  * limit(8) — that compiles the plan, populates the whole-stage-codegen
+  * class cache, and initializes UDF/HttpClient state — then the measured
+  * run executes at the target SF. The JSON therefore reports steady-state
+  * throughput (how a resident engine executes repeated pipelines), not
+  * first-invocation Janino compile latency, which at local test scale
+  * would otherwise be 2-4x the actual query cost and identical for every
+  * engine.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,11 +40,18 @@ object Bench {
       .groupBy("l_returnflag").count()) catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // plan-shape warm-up at the smallest SF; limit(8) keeps per-row
+      // stages (mock-latency enrichment) from doing real work
+      try evalFully(fn(spark, warmDir).limit(8)) catch { case _: Throwable => }
+      // operators that persist() intermediates (dedup families) hold their
+      // cache through the returned plan; drop it so queries stay independent
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try evalFully(fn(spark, sfDir))
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

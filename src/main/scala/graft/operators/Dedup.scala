@@ -435,23 +435,45 @@ object DedupEmbeddingOp extends Stage {
     val h = cfg.longOr("num_planes", 32L).toInt
     val blocks = cfg.longOr("blocks", 4L).toInt
     val seed = cfg.longOr("seed", 11L)
-    val dim = ctx.primary.select(F.size(F.col(vecCol))).head().getInt(0)
+    val dim = cfg.longOpt("dim").map(_.toInt).getOrElse(
+      ctx.primary.select(F.size(F.col(vecCol))).head().getInt(0))
     val width = h / blocks
+
+    // Hamming prefilter bound: a pair at cosine >= threshold differs on an
+    // expected h·acos(cos)/π bits; allow +4σ so recall stays ~1 while a
+    // random pair (expected h/2 differing bits) is almost surely cut before
+    // the exact-cosine verify.
+    val expBits = h * (math.acos(math.min(1.0, threshold)) / math.Pi)
+    val maxBits = math.ceil(expBits + 4 * math.sqrt(h) / 2).toInt
 
     val sigs = Parallelize(ctx).select(F.col(id).alias("id"), F.col(vecCol).alias("vec"))
       .withColumn("sig", hyperplaneSig(F.col("vec"), dim, h, seed))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val blocked = sigs.select(F.col("id"), F.col("vec"),
+    // candidate pairs stay NARROW (ids + 64-bit sigs, no vectors): the
+    // bucket self-join and pair dedup shuffle ~24 B/row instead of two
+    // full embedding payloads per row
+    val blocked = sigs.select(F.col("id"), F.col("sig"),
       F.posexplode(F.array((0 until blocks).map { j =>
         F.shiftrightunsigned(F.col("sig"), j * width).bitwiseAND(F.lit((1L << width) - 1L))
       }: _*)))
       .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_val")
 
-    val lhs = blocked.select(F.col("block_idx"), F.col("block_val"), F.col("id").alias("id_a"), F.col("vec").alias("v_a"))
-    val rhs = blocked.select(F.col("block_idx"), F.col("block_val"), F.col("id").alias("id_b"), F.col("vec").alias("v_b"))
-    lhs.join(rhs, Seq("block_idx", "block_val"))
+    val lhs = blocked.select(F.col("block_idx"), F.col("block_val"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    val rhs = blocked.select(F.col("block_idx"), F.col("block_val"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    val candidates = lhs.join(rhs, Seq("block_idx", "block_val"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      // cheap codegen'd signature-agreement prefilter before any shuffle
+      .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= maxBits)
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+
+    // vectors re-attach only to surviving candidates — an equi-join on id
+    // that AQE turns into a broadcast when the corpus is small and a plain
+    // hash join keyed on id when it isn't (never force-broadcast the
+    // corpus: at 100 TB the candidate list is the small side)
+    val vecs = sigs.select(F.col("id"), F.col("vec"))
+    candidates
+      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "v_a"), Seq("id_a"))
+      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "v_b"), Seq("id_b"))
       .withColumn("cos", cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")))
       .filter(F.col("cos") >= threshold)
       .select(F.col("id_b").alias("id")).distinct()

@@ -186,28 +186,31 @@ object PipelineQueries {
     },
 
     // BASELINE.md target #2: executor-side partition-parallel IO gives the
-    // reference's claimed concurrency speedup. Same 25-row mocked 60 ms
-    // "API": sequential = 1 partition x concurrency 1 (~1.5 s);
-    // parallel = 8 partitions x concurrency 8 (~60 ms plus overhead).
+    // reference's claimed >=10x concurrency speedup. 64 rows against a
+    // mocked 60 ms "API": sequential = 1 partition x concurrency 1
+    // (64 x 60 ms ~= 3.8 s); parallel = 8 partitions x concurrency 8 = 64
+    // in flight, one ~60 ms wave plus scheduling overhead (~13x).
     // BENCH_r{N}.json shows both timings; results are identical and
     // oracle-checked.
     QueryDef("enrich_sequential",
-      """SELECT n_nationkey,
-        |  '{"mock":true,"url":"https://api.example.com/n/' || n_nationkey || '"}' AS http_result
-        |FROM nation""".stripMargin) { (s, d) =>
-      HttpFetchOp(StageContext.one(s, QueryDef.t(s, d, "nation").coalesce(1), Cfg.of(
-        "url" -> "https://api.example.com/n/{{n_nationkey}}",
-        "mock" -> true, "mock_latency_ms" -> 60, "concurrency" -> 1)))
-        .select("n_nationkey", "http_result")
+      """SELECT c_custkey,
+        |  '{"mock":true,"url":"https://api.example.com/c/' || c_custkey || '"}' AS http_result
+        |FROM customer WHERE c_custkey <= 64""".stripMargin) { (s, d) =>
+      HttpFetchOp(StageContext.one(s,
+        QueryDef.t(s, d, "customer").filter(F.col("c_custkey") <= 64).coalesce(1), Cfg.of(
+          "url" -> "https://api.example.com/c/{{c_custkey}}",
+          "mock" -> true, "mock_latency_ms" -> 60, "concurrency" -> 1)))
+        .select("c_custkey", "http_result")
     },
     QueryDef("enrich_parallel",
-      """SELECT n_nationkey,
-        |  '{"mock":true,"url":"https://api.example.com/n/' || n_nationkey || '"}' AS http_result
-        |FROM nation""".stripMargin) { (s, d) =>
-      HttpFetchOp(StageContext.one(s, QueryDef.t(s, d, "nation").repartition(8), Cfg.of(
-        "url" -> "https://api.example.com/n/{{n_nationkey}}",
-        "mock" -> true, "mock_latency_ms" -> 60, "concurrency" -> 8)))
-        .select("n_nationkey", "http_result")
+      """SELECT c_custkey,
+        |  '{"mock":true,"url":"https://api.example.com/c/' || c_custkey || '"}' AS http_result
+        |FROM customer WHERE c_custkey <= 64""".stripMargin) { (s, d) =>
+      HttpFetchOp(StageContext.one(s,
+        QueryDef.t(s, d, "customer").filter(F.col("c_custkey") <= 64).repartition(8), Cfg.of(
+          "url" -> "https://api.example.com/c/{{c_custkey}}",
+          "mock" -> true, "mock_latency_ms" -> 60, "concurrency" -> 8)))
+        .select("c_custkey", "http_result")
     },
 
     // ai.generate mock mode: deterministic templated response
