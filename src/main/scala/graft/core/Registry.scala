@@ -32,6 +32,7 @@ object Registry {
     ChunkOp, JsonExtractOp, ValidateOp, LimitOp,
     // streaming (reference §2.4 + §2.1 unregistered sources + event-time upgrades)
     CountWindowOp, AggregateStreamOp, TimeWindowOp, SessionWindowOp,
+    StreamDedupOp, StatefulAggOp,
     FileStreamSource, RateStreamSource, StdinStreamSource, StreamWriteSink,
     // connector capability slots (reference §2.6-2.7; offline gaps, see Connectors.scala)
     KafkaConsumeSource, KafkaProduceSink, MongoFindSource, MongoAggregateSource,

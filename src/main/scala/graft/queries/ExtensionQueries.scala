@@ -210,6 +210,19 @@ object ExtensionQueries {
       sess.select(F.col("user_id"),
         F.floor(F.col("session.start").cast("double")).cast("long").alias("session_start_s"),
         F.col("n_events"))
+    },
+
+    // aggregate.stateful executes the same mapGroupsWithState fold on a
+    // batch frame, so the running-total semantics get a plain GROUP BY
+    // oracle (streaming behavior covered in StatefulSpec).
+    QueryDef("stateful_sum_batch",
+      """SELECT CAST(o_custkey AS VARCHAR) AS o_custkey,
+        |  round(sum(o_totalprice), 2) AS total_spend
+        |FROM orders GROUP BY 1""".stripMargin) { (s, d) =>
+      val agg = graft.streaming.StatefulAggOp(StageContext.one(s, t(s, d, "orders"), Cfg.of(
+        "key_column" -> "o_custkey", "value_column" -> "o_totalprice",
+        "operation" -> "sum", "output_column" -> "total_spend")))
+      agg.select(F.col("o_custkey"), F.round(F.col("total_spend"), 2).alias("total_spend"))
     }
   )
 }

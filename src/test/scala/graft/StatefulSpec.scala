@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.config.Cfg
+import graft.core.StageContext
+import graft.streaming.{StatefulAggOp, StreamDedupOp}
+
+/** dedup.stream / aggregate.stateful — cross-batch state semantics. */
+class StatefulSpec extends SparkSpec {
+
+  test("dedup.stream drops duplicates across micro-batches within the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = mem.toDF().toDF("ts", "id", "payload")
+    val deduped = StreamDedupOp(StageContext.one(spark, df, Cfg.of(
+      "columns" -> Seq("id"), "watermark_column" -> "ts", "delay" -> "10 minutes")))
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName("sdedup_out").start()
+    try {
+      def t(m: String) = java.sql.Timestamp.valueOf(s"2026-01-01 10:$m:00")
+      mem.addData((t("00"), 1L, "a"), (t("01"), 2L, "b"), (t("01"), 1L, "a-dup"))
+      q.processAllAvailable()
+      mem.addData((t("02"), 2L, "b-dup"), (t("03"), 3L, "c"))   // 2 seen in batch 1
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM sdedup_out ORDER BY id").collect().map(_.getLong(0)).toSeq
+      assert(ids === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("dedup.stream on a batch frame = plain dropDuplicates") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (1L, "y"), (2L, "z")).toDF("id", "v")
+    val out = StreamDedupOp(StageContext.one(spark, df, Cfg.of("columns" -> Seq("id"))))
+    assert(out.count() === 2L)
+  }
+
+  test("aggregate.stateful keeps running per-key totals across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Double)]
+    val df = mem.toDF().toDF("k", "v")
+    val agg = StatefulAggOp(StageContext.one(spark, df, Cfg.of(
+      "key_column" -> "k", "value_column" -> "v",
+      "operation" -> "sum", "output_column" -> "total")))
+    val q = agg.writeStream.outputMode("update").format("memory")
+      .queryName("sstate_out").start()
+    try {
+      mem.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      q.processAllAvailable()
+      mem.addData(("a", 4.0))   // second batch folds into existing state
+      q.processAllAvailable()
+      // update-mode memory sink appends every emission; running totals are
+      // monotonic for positive v, so max = the current state per key
+      val last = spark.sql("SELECT k, max(total) FROM sstate_out GROUP BY k ORDER BY k")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(last === Seq(("a", 7.0), ("b", 10.0)))
+    } finally q.stop()
+  }
+
+  test("aggregate.stateful batch parity: count/avg/min/max") {
+    import spark.implicits._
+    val df = Seq(("a", 2.0), ("a", 6.0), ("b", 5.0)).toDF("k", "v")
+    def run(op: String) =
+      StatefulAggOp(StageContext.one(spark, df, Cfg.of(
+        "key_column" -> "k", "value_column" -> "v", "operation" -> op)))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(run("count") === Map("a" -> 2.0, "b" -> 1.0))
+    assert(run("avg") === Map("a" -> 4.0, "b" -> 5.0))
+    assert(run("min") === Map("a" -> 2.0, "b" -> 5.0))
+    assert(run("max") === Map("a" -> 6.0, "b" -> 5.0))
+  }
+}
