@@ -142,7 +142,7 @@ object CubeOp extends Stage {
     val cfg = ctx.cfg
     val keys = cfg.strList("by")
     val aggs = cfg.tblArr("aggregations").map { a =>
-      AggOps.agg(a.str("operation"), a.str("column"))
+      AggOps.agg(a.str("operation"), a.str("column"), a)
         .alias(a.strOr("output_column", a.str("column")))
     }
     if (aggs.isEmpty) throw new GraftConfigError("groupby.cube requires aggregations")

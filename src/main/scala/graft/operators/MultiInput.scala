@@ -157,7 +157,7 @@ object PivotOp extends Stage {
     val cfg = ctx.cfg
     val keys = cfg.strList("by")
     val pivotCol = cfg.str("pivot")
-    val agg = AggOps.agg(cfg.strOr("operation", "sum"), cfg.str("column"))
+    val agg = AggOps.agg(cfg.strOr("operation", "sum"), cfg.str("column"), cfg)
     val grouped = ctx.primary.groupBy(keys.map(F.col): _*)
     val values = cfg.arrOpt("values").map(_.map {
       case CStr(s) => s: Any

@@ -123,7 +123,15 @@ object MapOp extends Stage {
   * (percentile, not approx) for oracle parity.
   */
 object AggOps {
-  def agg(op: String, column: String): Column = op match {
+  def agg(op: String, column: String): Column = agg(op, column, Cfg.empty)
+
+  /** Full builder: `a` is the aggregation's own config table, so sketch
+    * ops can carry parameters (rsd, p, accuracy). Sketch aggregates are
+    * the 100 TB answer to distinct-count/percentile: HLL++ and KLL-style
+    * summaries merge associatively in the partial-agg step, so the shuffle
+    * carries a fixed-size sketch per group instead of the value set.
+    */
+  def agg(op: String, column: String, a: Cfg): Column = op match {
     case "sum"          => F.sum(column)
     case "avg" | "mean" => F.avg(column)
     case "count"        => F.count(F.col(column))
@@ -134,6 +142,13 @@ object AggOps {
     case "var"          => F.var_samp(column)
     case "first"        => F.first(F.col(column), ignoreNulls = false)
     case "last"         => F.last(F.col(column), ignoreNulls = false)
+    case "count_distinct" => F.count_distinct(F.col(column))
+    case "approx_count_distinct" =>
+      F.approx_count_distinct(F.col(column), a.doubleOr("rsd", 0.05))
+    case "percentile_approx" =>
+      F.percentile_approx(F.col(column), F.lit(a.doubleOr("p", 0.5)),
+        F.lit(a.longOr("accuracy", 10000L).toInt))
+    case "collect_set"  => F.collect_set(column)
     case other => throw new GraftConfigError(s"unknown aggregation '$other'")
   }
 }
@@ -152,7 +167,7 @@ object GroupByOp extends Stage {
       val col = a.str("column")
       val op  = a.str("operation")
       val out = a.strOr("output_column", col)
-      AggOps.agg(op, col).alias(out)
+      AggOps.agg(op, col, a).alias(out)
     }
     if (aggs.isEmpty) throw new GraftConfigError("groupby.apply requires at least one aggregation")
     ctx.primary.groupBy(keys.map(F.col): _*).agg(aggs.head, aggs.tail: _*)
@@ -170,7 +185,7 @@ object ReduceOp extends Stage {
     val col = ctx.cfg.str("column")
     val op  = ctx.cfg.str("operation")
     val out = ctx.cfg.strOr("output_column", "result")
-    ctx.primary.agg(AggOps.agg(op, col).alias(out))
+    ctx.primary.agg(AggOps.agg(op, col, ctx.cfg).alias(out))
   }
 }
 

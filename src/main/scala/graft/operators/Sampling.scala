@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.config._
+import graft.core._
+
+/** sample.apply — row sampling (training-data extension; the reference has
+  * no sampling at all). Plain Bernoulli/with-replacement via Dataset.sample
+  * (per-partition, no shuffle, seeded), or STRATIFIED via sampleBy when
+  * `by` + `fractions` are given — per-stratum fractions fix class imbalance
+  * at source scale instead of after a full materialization.
+  *
+  * fractions keys are matched against the stratum column cast to string
+  * (TOML table keys are strings); `default_fraction` covers unlisted
+  * strata (sampleBy itself drops them).
+  */
+object SampleOp extends Stage {
+  val name = "sample.apply"
+  val kind = StageKind.Transform
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val seed = cfg.longOr("seed", 42L)
+    val df = ctx.primary
+    cfg.strOpt("by") match {
+      case Some(stratum) =>
+        val fr = cfg.tblOpt("fractions").getOrElse(
+          throw new GraftConfigError("sample.apply with 'by' requires a 'fractions' table"))
+        val dflt = cfg.doubleOr("default_fraction", 0.0)
+        val key = s"_stratum_${stratum}"
+        val keyed = df.withColumn(key, F.col(stratum).cast("string"))
+        val explicit = fr.table.keys.map(k => k -> fr.doubleOr(k, dflt)).toMap
+        val allKeys =
+          if (dflt > 0.0)
+            // strata are class labels — small by definition, so the
+            // distinct-collect is a dimension-table-sized driver list
+            keyed.select(key).distinct().collect().map(_.getString(0))
+              .map(k => k -> explicit.getOrElse(k, dflt)).toMap
+          else explicit
+        keyed.stat.sampleBy(key, allKeys, seed).drop(key)
+      case None =>
+        df.sample(cfg.boolOr("with_replacement", false),
+          cfg.doubleOr("fraction", 0.1), seed)
+    }
+  }
+}
+
+/** split.apply — DETERMINISTIC hash split (train/test/holdout). Row routing
+  * is a pure function of the key columns (+ salt): xxhash64 mod 100 <
+  * percent. Unlike sample(), the same row lands on the same side across
+  * runs, machines, and partitionings — the property a reproducible
+  * train/eval split needs — and the complement (`partition = "test"`)
+  * is exactly the other side with zero coordination. Narrow (no shuffle).
+  */
+object SplitOp extends Stage {
+  val name = "split.apply"
+  val kind = StageKind.Transform
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val keys = cfg.strList("columns")
+    val pct = cfg.longOr("percent", 80L)
+    if (pct < 0 || pct > 100) throw new GraftConfigError(s"percent must be 0-100, got $pct")
+    val salt = cfg.strOr("salt", "graft")
+    val bucket = F.pmod(
+      F.xxhash64(F.lit(salt) +: keys.map(F.col): _*), F.lit(100L))
+    cfg.strOr("partition", "train") match {
+      case "train" => ctx.primary.filter(bucket < pct)
+      case "test"  => ctx.primary.filter(bucket >= pct)
+      case other   => throw new GraftConfigError(s"partition must be train|test, got '$other'")
+    }
+  }
+}

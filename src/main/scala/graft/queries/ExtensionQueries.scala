@@ -223,6 +223,37 @@ object ExtensionQueries {
         "key_column" -> "o_custkey", "value_column" -> "o_totalprice",
         "operation" -> "sum", "output_column" -> "total_spend")))
       agg.select(F.col("o_custkey"), F.round(F.col("total_spend"), 2).alias("total_spend"))
+    },
+
+    // ---- sketch / distinct aggregates ----
+    QueryDef("groupby_count_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, d) =>
+      GroupByOp(StageContext.one(s, t(s, d, "lineitem"), Cfg.of(
+        "by" -> "l_returnflag",
+        "aggregations" -> Seq(
+          Map("column" -> "l_partkey", "operation" -> "count_distinct", "output_column" -> "n_parts"),
+          Map("column" -> "l_suppkey", "operation" -> "count_distinct", "output_column" -> "n_supps")))))
+    },
+    // approx_count_distinct is an HLL sketch — engine-specific estimates
+    // can't hash-match an oracle; accuracy asserted in SamplingAggSpec
+    QueryDef.noOracle("approx_distinct_parts") { (s, d) =>
+      GroupByOp(StageContext.one(s, t(s, d, "lineitem"), Cfg.of(
+        "by" -> "l_returnflag",
+        "aggregations" -> Seq(Map("column" -> "l_partkey",
+          "operation" -> "approx_count_distinct", "output_column" -> "n_parts_approx")))))
+    },
+
+    // ---- sampling / deterministic split (RNG/hash differ per engine →
+    // rows-only gates; invariants asserted in SamplingAggSpec) ----
+    QueryDef.noOracle("sample_bernoulli") { (s, d) =>
+      SampleOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "fraction" -> 0.2, "seed" -> 7)))
+    },
+    QueryDef.noOracle("split_train") { (s, d) =>
+      SplitOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "columns" -> Seq("doc_id"), "percent" -> 80, "partition" -> "train")))
     }
   )
 }

@@ -51,7 +51,7 @@ object SessionWindowOp extends Stage {
     val aggs = cfg.tblArr("aggregations") match {
       case Vector() => Vector(F.count(F.lit(1)).alias("n_events"))
       case tbls => tbls.map { a =>
-        graft.operators.AggOps.agg(a.str("operation"), a.str("column"))
+        graft.operators.AggOps.agg(a.str("operation"), a.str("column"), a)
           .alias(a.strOr("output_column", a.str("column")))
       }
     }

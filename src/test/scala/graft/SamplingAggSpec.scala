@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.config.{Cfg, GraftConfigError}
+import graft.core.StageContext
+import graft.operators._
+
+/** sample.apply / split.apply / sketch aggregates. */
+class SamplingAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids = (1L to 2000L).toDF("id")
+    .withColumn("cls", (F.col("id") % 4).cast("int"))
+
+  test("sample.apply: seeded Bernoulli is reproducible and near the fraction") {
+    def run() = SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "fraction" -> 0.25, "seed" -> 13))).select("id").as[Long].collect().toSet
+    val a = run(); val b = run()
+    assert(a === b, "same seed must give the same sample")
+    assert(math.abs(a.size - 500) < 120, s"got ${a.size}, expected ~500")
+  }
+
+  test("sample.apply stratified: per-class fractions with default") {
+    val out = SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "cls", "seed" -> 5,
+      "fractions" -> Map("0" -> 0.5, "1" -> 0.1),
+      "default_fraction" -> 0.9)))
+    val byCls = out.groupBy("cls").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(math.abs(byCls(0) - 250) < 90)
+    assert(math.abs(byCls(1) - 50) < 45)
+    assert(math.abs(byCls.getOrElse(2, 0L) - 450) < 90)   // default 0.9 of 500
+  }
+
+  test("split.apply: train/test partition the table deterministically") {
+    def part(p: String) = SplitOp(StageContext.one(spark, ids, Cfg.of(
+      "columns" -> Seq("id"), "percent" -> 80, "partition" -> p)))
+      .select("id").as[Long].collect().toSet
+    val train = part("train"); val test = part("test")
+    assert(train.intersect(test).isEmpty)
+    assert(train.size + test.size === 2000)
+    assert(math.abs(train.size - 1600) < 120)
+    assert(part("train") === train, "hash split must be run-stable")
+    intercept[GraftConfigError](SplitOp(StageContext.one(spark, ids,
+      Cfg.of("columns" -> Seq("id"), "percent" -> 101))))
+  }
+
+  test("approx_count_distinct within rsd; count_distinct exact; percentile_approx") {
+    val g = GroupByOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "cls",
+      "aggregations" -> Seq(
+        Map("column" -> "id", "operation" -> "count_distinct", "output_column" -> "exact"),
+        Map("column" -> "id", "operation" -> "approx_count_distinct",
+          "output_column" -> "approx", "rsd" -> 0.02),
+        Map("column" -> "id", "operation" -> "percentile_approx",
+          "output_column" -> "p50", "p" -> 0.5, "accuracy" -> 10000)))))
+    g.collect().foreach { r =>
+      val exact = r.getAs[Long]("exact")
+      val approx = r.getAs[Long]("approx")
+      assert(exact === 500L)
+      assert(math.abs(approx - exact) <= exact * 0.06,
+        s"approx $approx vs exact $exact")
+      // ids per class are an arithmetic sequence; exact median is the
+      // 250th/251st element ±accuracy slack
+      assert(math.abs(r.getAs[Long]("p50") - 1000L) <= 16L)
+    }
+  }
+}
