@@ -55,7 +55,17 @@ object Tables {
       StructField("label", IntegerType)))
   )
 
+  // memoized per (session, dir, table): Verify/Bench build 70+ query plans
+  // over the same ten tables — reusing the resolved relation skips repeated
+  // schema/footer resolution (the data itself is still read lazily per job)
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), DataFrame]()
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((System.identityHashCode(spark), dir, name),
+      _ => load0(spark, dir, name))
+
+  private def load0(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
       // (PARQUET_TYPE_ILLEGAL) unless read as long; convert ns → µs

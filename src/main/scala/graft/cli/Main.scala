@@ -20,6 +20,28 @@ object Main {
         System.err.println(f"[graft] pipeline '${pc.name}' completed in $dt%.2f s")
       } finally spark.stop()
 
+    case "explain" :: path :: rest =>
+      // compile the whole DAG WITHOUT running sink side effects and print
+      // each sink input's physical plan — the tool for checking that
+      // filters reached the scan (PushedFilters), projections pruned
+      // (ReadSchema), dims broadcast, and codegen spans are wide, before
+      // a pipeline ships to a real cluster
+      val pc = PipelineConfig.fromFile(path)
+      val spark = session(rest)
+      try {
+        val plans = DagCompiler.default.compilePlans(spark, pc)
+        val sinks = pc.stages.filter(s =>
+          Registry.withDefaults.contains(s.function) &&
+            Registry.withDefaults.resolve(s.function).kind == graft.core.StageKind.Sink)
+        val targets = if (sinks.nonEmpty) sinks.flatMap(_.inputs.headOption)
+                      else pc.stages.lastOption.map(_.id).toSeq
+        targets.distinct.foreach { id =>
+          println(s"== stage '$id' ==")
+          println(plans(id).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+      } finally spark.stop()
+
     case "validate" :: path :: _ =>
       val pc = PipelineConfig.fromFile(path)
       val reg = Registry.withDefaults
@@ -45,6 +67,7 @@ object Main {
       System.err.println(
         """usage: graft <command>
           |  run <pipeline.toml>      execute a pipeline
+          |  explain <pipeline.toml>  print each sink's physical plan (no execution)
           |  validate <pipeline.toml> parse + validate config
           |  list                     list registered functions
           |  info <function>          show function info""".stripMargin)
