@@ -58,13 +58,15 @@ object AsofJoinOp extends Stage {
     val w = part.orderBy(F.col(on).asc, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // carry the latest right row forward (its `on` too, for tolerance)
-    val carried = rightValueCols.foldLeft(
-      unioned.withColumn("_r_on_matched",
-        F.last(F.when(F.col("_side") === 0, F.col(on)), ignoreNulls = true).over(w))) {
-      (df, c) => df.withColumn(s"_m_$c",
-        F.last(F.when(F.col("_side") === 0, F.col(s"_r_$c")), ignoreNulls = true).over(w))
-    }
+    // carry the latest right row forward (its `on` too, for tolerance) —
+    // all carries in ONE select so they compile to a single Window node
+    // (chained withColumn leaves interleaved Projects that block Spark's
+    // CollapseWindow rule → one sorted pass per carried column)
+    def carry(src: Column, out: String): Column =
+      F.last(F.when(F.col("_side") === 0, src), ignoreNulls = true).over(w).alias(out)
+    val carryCols = carry(F.col(on), "_r_on_matched") +:
+      rightValueCols.map(c => carry(F.col(s"_r_$c"), s"_m_$c"))
+    val carried = unioned.select(F.col("*") +: carryCols: _*)
 
     val withinTol: Column = tolerance match {
       case Some(t) => F.col("_r_on_matched").isNotNull &&
