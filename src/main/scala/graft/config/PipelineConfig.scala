@@ -38,6 +38,7 @@ final case class GlobalConfig(
     streamBatchSize: Long,
     variables: Map[String, String],
     shufflePartitions: Option[Int], // our extension: spark.sql.shuffle.partitions
+    sparkConf: Map[String, String], // our extension: [global.spark] → spark.conf.set
     raw: Cfg)
 
 sealed trait ErrorStrategy
@@ -73,6 +74,12 @@ object PipelineConfig {
       streamBatchSize = globalRaw.longOr("stream_batch_size", 1000L),
       variables = variables,
       shufflePartitions = globalRaw.longOpt("shuffle_partitions").map(_.toInt),
+      // [global.spark] — runtime SQL confs per pipeline (AQE knobs,
+      // broadcast threshold, partition sizing). TOML nests dotted keys
+      // (sql.adaptive.enabled → {sql:{adaptive:{enabled}}}), so flatten
+      // back to dotted conf names; values render as strings.
+      sparkConf = globalRaw.tblOpt("spark")
+        .map(c => flattenConf("spark.", c.table)).getOrElse(Map.empty),
       raw = globalRaw)
 
     val stages = root.tblArr("stages").map { st =>
@@ -104,6 +111,12 @@ object PipelineConfig {
     pc.validate()
     pc
   }
+
+  private def flattenConf(prefix: String, t: Map[String, CVal]): Map[String, String] =
+    t.flatMap {
+      case (k, CTbl(sub)) => flattenConf(s"$prefix$k.", sub)
+      case (k, v)         => Map(s"$prefix$k" -> v.render)
+    }
 
   /** ${ENV_VAR} → env value (empty if unset), reference config.rs:265-293. */
   def resolveEnv(s: String): String = {

@@ -30,6 +30,7 @@ final class DagCompiler(registry: Registry) {
     toposortCheck(pc)
     pc.global.shufflePartitions.foreach(n =>
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    pc.global.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
 
     val plans = compilePlans(spark, pc)
 

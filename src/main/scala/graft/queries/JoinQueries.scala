@@ -46,6 +46,35 @@ object JoinQueries {
         F.round(F.sum("o_totalprice"), 2).alias("revenue"))
     },
 
+    // TPC-H Q3 shape — the classic 3-way fact join: filter both fact sides
+    // BEFORE the join (predicate pushdown to both scans), broadcast nothing
+    // (orders/lineitem are both fact-sized), aggregate after, top-k last.
+    QueryDef("q3_shipping_priority",
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-15'
+        |  AND l_shipdate > TIMESTAMP '1997-06-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      val cust = FilterOp(StageContext.one(s, t(s, d, "customer"),
+        Cfg.of("column" -> "c_mktsegment", "operator" -> "==", "value" -> "BUILDING")))
+      val ord = t(s, d, "orders").filter(F.col("o_orderdate") < F.lit("1997-06-15"))
+      val li = t(s, d, "lineitem").filter(F.col("l_shipdate") > F.lit("1997-06-15"))
+      val co = join2(s, ord, cust,
+        Cfg.of("left_on" -> "o_custkey", "right_on" -> "c_custkey"))
+      val col3 = join2(s, li, co,
+        Cfg.of("left_on" -> "l_orderkey", "right_on" -> "o_orderkey"))
+      col3.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2)
+          .alias("revenue"))
+        .orderBy(F.col("revenue").desc, F.col("l_orderkey"))
+        .limit(10)
+    },
+
     // Same semantics as join_orders_customer, but through the explicit
     // skew-salt path (salt=8, no broadcast): proves salting is invisible
     // to results while fanning one hot key over 8 reducers.

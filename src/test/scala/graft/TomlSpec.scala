@@ -127,6 +127,23 @@ class PipelineConfigSpec extends AnyFunSuite {
     assert(PipelineConfig.substitute("a {{nope}} b", Map.empty) == "a {{nope}} b")
   }
 
+  test("[global.spark] flattens nested TOML keys to dotted conf names") {
+    val pc = PipelineConfig.fromString(
+      """[pipeline]
+        |name = "t"
+        |[global.spark]
+        |sql.adaptive.enabled = true
+        |sql.autoBroadcastJoinThreshold = "64MB"
+        |[[stages]]
+        |id = "s"
+        |function = "csv.read"
+        |config = { path = "/x.csv" }
+        |""".stripMargin)
+    assert(pc.global.sparkConf == Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "64MB"))
+  }
+
   test("validation: duplicate ids and dangling inputs") {
     def mk(body: String) = PipelineConfig.fromString(
       s"""[pipeline]
