@@ -98,4 +98,43 @@ class PropertySpec extends SparkSpec {
       assert(sorted == rows.map(_._2).sorted)
     }
   }
+
+  // as-of join vs an in-memory brute-force reference: random keyed
+  // timelines with deliberate timestamp collisions (small t domain)
+  private val asofGen: Gen[(List[(String, Long, Long)], List[(String, Long, Long)])] = {
+    val key = Gen.oneOf("a", "b", "c")
+    // left rows get unique value ids; right DEDUPED per (key,t) below so
+    // the matched payload is deterministic
+    val row = Gen.zip(key, Gen.choose(0L, 20L), Gen.choose(0L, 1000L))
+    Gen.zip(Gen.nonEmptyListOf(row), Gen.nonEmptyListOf(row))
+  }
+
+  test("join.asof matches brute-force latest-at-or-before per key") {
+    for (((left, right0), i) <- samples(asofGen, 8).zipWithIndex) {
+      val strict = i % 2 == 1
+      // dedup right per (key,t) keeping max payload — same rule as the DF
+      val right = right0.groupBy(r => (r._1, r._2)).map { case ((k, t), rs) =>
+        (k, t, rs.map(_._3).max)
+      }.toList
+      val ldf = left.toDF("k", "t", "lv")
+      val rdf = right.toDF("k", "t", "rv")
+      val out = AsofJoinOp(StageContext(spark,
+        Seq("l" -> ldf, "r" -> rdf),
+        Cfg.of("by" -> Seq("k"), "on" -> "t", "strict" -> strict,
+          "right_prefix" -> "m_")))
+        .select("k", "t", "lv", "m_rv")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+        .toSeq.sorted
+
+      val expected = left.map { case (k, t, lv) =>
+        val cands = right.filter(r => r._1 == k &&
+          (if (strict) r._2 < t else r._2 <= t))
+        val m = if (cands.isEmpty) None
+                else Some(cands.maxBy(_._2)._3)
+        (k, t, lv, m)
+      }.sorted
+      assert(out == expected, s"sample $i strict=$strict")
+    }
+  }
 }
