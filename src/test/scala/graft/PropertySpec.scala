@@ -137,4 +137,32 @@ class PropertySpec extends SparkSpec {
       assert(out == expected, s"sample $i strict=$strict")
     }
   }
+
+  private val rangeGen: Gen[(List[Long], List[(Long, Long, Long)])] = {
+    val point = Gen.choose(0L, 100L)
+    val range = Gen.zip(Gen.choose(0L, 90L), Gen.choose(0L, 25L))
+      .map { case (lo, w) => (lo, lo + w) }
+    Gen.zip(Gen.nonEmptyListOf(point), Gen.nonEmptyListOf(range))
+      .map { case (ps, rs) =>
+        (ps, rs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) })
+      }
+  }
+
+  test("join.range bucketed matches brute-force interval containment") {
+    for (((points, ranges), i) <- samples(rangeGen, 6).zipWithIndex) {
+      val pdf = points.toDF("x")
+      val rdf = ranges.toDF("rid", "lo", "hi")
+      val width = Seq(3.0, 10.0, 50.0)(i % 3)
+      val out = RangeJoinOp(StageContext(spark,
+        Seq("l" -> pdf, "r" -> rdf),
+        Cfg.of("value" -> "x", "lo" -> "lo", "hi" -> "hi", "bucket_width" -> width)))
+        .select("x", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val expected = (for {
+        x <- points
+        (rid, lo, hi) <- ranges if x >= lo && x <= hi
+      } yield (x, rid)).sorted
+      assert(out == expected, s"sample $i width=$width")
+    }
+  }
 }
