@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan regression tests: the scale properties the engine is
+  * designed around, asserted on real gate queries so they can't silently
+  * regress. Uses the sf0.001 test tables (plan shape, not timing).
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.sparkPlan.toString
+  }
+
+  test("q3: filters are pushed to both fact scans") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate")
+      || p.matches("(?s).*PushedFilters: \\[.*l_shipdate.*"), p.take(2000))
+    assert(p.matches("(?s).*PushedFilters: \\[.*o_orderdate.*"), "orders filter not pushed")
+    assert(p.matches("(?s).*PushedFilters: \\[.*c_mktsegment.*"), "customer filter not pushed")
+  }
+
+  test("projection prunes the parquet ReadSchema") {
+    val p = plan("select_proj")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double>"),
+      p.take(1500))
+  }
+
+  test("dimension joins broadcast; the fact side never exchanges pre-join") {
+    val p = plan("join_cust_nation_region")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "dim join degenerated to SMJ")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+  }
+
+  test("groupby aggregates partially before the exchange") {
+    val p = plan("groupby_basic")
+    assert(p.matches("(?s).*partial_sum.*Exchange.*") ||
+      p.matches("(?s).*HashAggregate.*partial.*"), p.take(1500))
+  }
+
+  test("no similarity operator ever plans a cartesian/nested-loop join") {
+    for (q <- Seq("dedup_embedding", "dedup_minhash", "dedup_ngram", "knn_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")
+    }
+  }
+
+  test("as-of join is one exchange + one sort + one window over the union") {
+    val p = plan("asof_prev_order")
+    // the right side's groupBy adds its own exchange; the asof core adds
+    // exactly one more + a single Window node
+    assert("Window".r.findAllIn(p).length === 1, p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 2, p.take(2000))
+  }
+
+  test("range join bucket decomposition stays an equi hash join") {
+    val p = plan("range_join_bands")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+}
