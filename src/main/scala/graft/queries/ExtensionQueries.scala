@@ -254,6 +254,17 @@ object ExtensionQueries {
     QueryDef.noOracle("split_train") { (s, d) =>
       SplitOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
         "columns" -> Seq("doc_id"), "percent" -> 80, "partition" -> "train")))
+    },
+
+    // repartition is result-invariant — the oracle checks the pipeline
+    // around it; partition-layout semantics are asserted in ScaleJoinSpec
+    QueryDef("repartition_then_agg",
+      """SELECT l_suppkey, count(*) AS n, sum(l_quantity) AS qty
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin) { (s, d) =>
+      val rp = RepartitionOp(StageContext.one(s, t(s, d, "lineitem"), Cfg.of(
+        "n" -> 16, "by" -> Seq("l_suppkey"))))
+      rp.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
     }
   )
 }

@@ -119,7 +119,11 @@ object JsonSink extends Stage {
   }
 }
 
-/** parquet.write — native extension (the scale-correct sink). */
+/** parquet.write — native extension (the scale-correct sink). File-layout
+  * knobs for the 100 TB case: `compression` (zstd beats snappy ~30% on
+  * text-heavy corpora at similar scan speed) and `max_records_per_file`
+  * (bounds file size so downstream scans parallelize and object-store
+  * multipart limits are never hit). */
 object ParquetSink extends Stage {
   val name = "parquet.write"
   val kind = StageKind.Sink
@@ -128,6 +132,8 @@ object ParquetSink extends Stage {
     val cfg = ctx.cfg
     var w = SinkUtil.prepare(df, Cfg(cfg.table + ("single_file" -> CBool(cfg.boolOr("single_file", false)))))
       .write.mode(SinkUtil.mode(cfg))
+    cfg.strOpt("compression").foreach(c => w = w.option("compression", c))
+    cfg.longOpt("max_records_per_file").foreach(n => w = w.option("maxRecordsPerFile", n))
     cfg.strListOr("partition_by", Vector.empty) match {
       case Vector() =>
       case cols     => w = w.partitionBy(cols: _*)

@@ -71,6 +71,26 @@ class ScaleJoinSpec extends SparkSpec {
     }
   }
 
+  test("repartition.apply: hash/range/coalesce control partition layout") {
+    val df = (1 to 100).map(i => (i.toLong % 10, i.toLong)).toDF("k", "v")
+    def run(cfg: Cfg) = RepartitionOp(StageContext.one(spark, df, cfg))
+    assert(run(Cfg.of("n" -> 7)).rdd.getNumPartitions === 7)
+    assert(run(Cfg.of("n" -> 5, "by" -> Seq("k"))).rdd.getNumPartitions === 5)
+    assert(run(Cfg.of("mode" -> "coalesce", "n" -> 1)).rdd.getNumPartitions === 1)
+    val ranged = run(Cfg.of("mode" -> "range", "n" -> 4, "by" -> Seq("v")))
+    assert(ranged.rdd.getNumPartitions <= 4)
+    // range layout: partition-local max < next partition's min
+    val perPart = ranged.select("v").rdd
+      .mapPartitionsWithIndex((i, it) => { val s = it.map(_.getLong(0)).toSeq
+        if (s.isEmpty) Iterator.empty else Iterator((i, s.min, s.max)) })
+      .collect().sortBy(_._1)
+    perPart.sliding(2).foreach {
+      case Array((_, _, max1), (_, min2, _)) => assert(max1 < min2)
+      case _ =>
+    }
+    intercept[GraftConfigError](run(Cfg.of("mode" -> "coalesce")))
+  }
+
   test("table.read by catalog name round-trips table.write") {
     val wh = java.nio.file.Files.createTempDirectory("graft_tbl_").toString
     try {
