@@ -39,9 +39,17 @@ object ExtensionQueries {
 
   val all: Seq[QueryDef] = Seq(
 
-    // ---- dedup.exact: corpus ∪ exact copies → originals survive ----
+    // ---- dedup.exact: corpus ∪ exact copies → first (min doc_id) row
+    // per distinct text survives. The oracle states that rule directly so
+    // it holds even when the corpus itself contains repeated texts (sf0.1
+    // has 8 twice-occurring texts; "SELECT * FROM documents" would not).
     QueryDef("dedup_exact",
-      "SELECT * FROM documents") { (s, d) =>
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM (SELECT * FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 10000, text, lang, source, n_chars FROM documents))
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val copies = docs.withColumn("doc_id", F.col("doc_id") + 10000)
       val corpus = docs.unionByName(copies)
