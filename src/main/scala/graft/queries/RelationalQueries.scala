@@ -254,6 +254,26 @@ object RelationalQueries {
         F.max("event_id").alias("last_event"))
     },
 
+    QueryDef("window_count_sliding",
+      """SELECT window_id, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM (
+        |  SELECT event_id,
+        |    unnest(generate_series(
+        |      greatest(0, CAST(ceil((rn - 300 + 1) / 100.0) AS BIGINT)),
+        |      CAST(floor(rn / 100.0) AS BIGINT))) AS window_id
+        |  FROM (SELECT event_id, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn
+        |        FROM events))
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val win = graft.streaming.CountWindowOp(StageContext.one(s, t(s, d, "events"), Cfg.of(
+        "type" -> "sliding", "size" -> 300, "slide" -> 100,
+        "order_by" -> Seq("ts", "event_id"))))
+      win.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"))
+    },
+
     // ---- limit / top-k ----
     QueryDef("topk_orders",
       "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10") { (s, d) =>
