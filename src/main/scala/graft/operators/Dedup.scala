@@ -112,6 +112,30 @@ object Shingles {
   *  3. exact Jaccard verify re-joins shingle arrays BY ID only for the
   *     few surviving pairs.
   */
+/** Collapse rows whose similarity KEY (text / vector) is bit-identical to
+  * one representative (min id) BEFORE any LSH pairing. Training corpora are
+  * dominated by exact copies, and a duplicate group of size g lands in the
+  * same buckets and emits O(g²) candidate pairs; one hash shuffle on the
+  * key finds the group in linear time and LSH then runs on DISTINCT keys
+  * only. Identical keys have identical similarity to everything else, so
+  * this is semantics-preserving for every downstream pair decision.
+  */
+object ExactCollapse {
+  /** df must carry (idCol, keyCol). Returns (representatives, dropped ids
+    * as one column `id`). The collapsed frame is persisted: both outputs
+    * filter the same one-shuffle window pass, and without the persist each
+    * branch would re-execute the scan + key shuffle. */
+  def apply(df: DataFrame, idCol: String, keyCol: String): (DataFrame, DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    val withRep = df.withColumn("_rep_id", F.min(idCol).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dups = withRep.filter(F.col(idCol) =!= F.col("_rep_id"))
+      .select(F.col(idCol).alias("id"))
+    val reps = withRep.filter(F.col(idCol) === F.col("_rep_id")).drop("_rep_id")
+    (reps, dups)
+  }
+}
+
 object LshVerify {
   /** input: (id, shingles, sig). Returns distinct dropped ids (higher id of
     * each verified pair) as one column `id`. */
@@ -233,13 +257,14 @@ object DedupMinHashOp extends Stage {
 
     // small source files arrive as 1-2 partitions; the signature loop is
     // CPU-bound per row, so spread it across the cluster first
-    val df = Parallelize(ctx)
-    val hashed = df.select(F.col(id).alias("id"),
-        Shingles.shingleHashes(F.col(text), n).alias("shingles"))
+    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(text).alias("_txt"))
+    val (reps, exactDups) = ExactCollapse(base, "id", "_txt")
+    val hashed = reps.select(F.col("id"),
+        Shingles.shingleHashes(F.col("_txt"), n).alias("shingles"))
       .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    LshVerify.verifiedPairs(hashed, bands, r, k, threshold)
+    exactDups.unionByName(LshVerify.verifiedPairs(hashed, bands, r, k, threshold)).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -287,7 +312,9 @@ object DedupSimHashOp extends Stage {
     val blocks = maxDist + 1
     val width = 64 / blocks
 
-    val sigs = withSignature(Parallelize(ctx), id, text)
+    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(text).alias("_txt"))
+    val (reps, exactDups) = ExactCollapse(base, "id", "_txt")
+    val sigs = withSignature(reps, "id", "_txt")
     // block j = bits [j*width, (j+1)*width) (last block takes the remainder)
     val blocked = sigs.select(F.col("id"), F.col("sig"),
       F.posexplode(F.array((0 until blocks).map { j =>
@@ -299,11 +326,12 @@ object DedupSimHashOp extends Stage {
 
     val lhs = blocked.select(F.col("block_idx"), F.col("block_val"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     val rhs = blocked.select(F.col("block_idx"), F.col("block_val"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    lhs.join(rhs, Seq("block_idx", "block_val"))
+    val nearDups = lhs.join(rhs, Seq("block_idx", "block_val"))
       .filter(F.col("id_a") < F.col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= maxDist)
-      .select(F.col("id_b").alias("id")).distinct()
+      .select(F.col("id_b").alias("id"))
+    exactDups.unionByName(nearDups).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -364,11 +392,14 @@ object DedupNgramOp extends Stage {
     val r = cfg.longOr("rows_per_band", 6L).toInt
     val seed = cfg.longOr("seed", 7L)
 
-    val hashed = Parallelize(ctx).select(F.col(id).alias("id"),
-      charNgramHashes(text, n).alias("shingles"))
+    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(text).alias("_txt"))
+    val (reps, exactDups) = ExactCollapse(base, "id", "_txt")
+    val hashed = reps.select(F.col("id"),
+      charNgramHashes("_txt", n).alias("shingles"))
       .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), bands * r, seed))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    LshVerify.verifiedPairs(hashed, bands, r, bands * r, threshold)
+    exactDups.unionByName(
+      LshVerify.verifiedPairs(hashed, bands, r, bands * r, threshold)).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -446,7 +477,9 @@ object DedupEmbeddingOp extends Stage {
     val expBits = h * (math.acos(math.min(1.0, threshold)) / math.Pi)
     val maxBits = math.ceil(expBits + 4 * math.sqrt(h) / 2).toInt
 
-    val sigs = Parallelize(ctx).select(F.col(id).alias("id"), F.col(vecCol).alias("vec"))
+    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(vecCol).alias("vec"))
+    val (reps, exactDups) = ExactCollapse(base, "id", "vec")
+    val sigs = reps
       .withColumn("sig", hyperplaneSig(F.col("vec"), dim, h, seed))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidate pairs stay NARROW (ids + 64-bit sigs, no vectors): the
@@ -471,12 +504,13 @@ object DedupEmbeddingOp extends Stage {
     // hash join keyed on id when it isn't (never force-broadcast the
     // corpus: at 100 TB the candidate list is the small side)
     val vecs = sigs.select(F.col("id"), F.col("vec"))
-    candidates
+    val nearDups = candidates
       .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "v_a"), Seq("id_a"))
       .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "v_b"), Seq("id_b"))
       .withColumn("cos", cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")))
       .filter(F.col("cos") >= threshold)
-      .select(F.col("id_b").alias("id")).distinct()
+      .select(F.col("id_b").alias("id"))
+    exactDups.unionByName(nearDups).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
