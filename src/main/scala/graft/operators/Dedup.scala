@@ -467,7 +467,8 @@ object DedupEmbeddingOp extends Stage {
     val blocks = cfg.longOr("blocks", 4L).toInt
     val seed = cfg.longOr("seed", 11L)
     val dim = cfg.longOpt("dim").map(_.toInt).getOrElse(
-      ctx.primary.select(F.size(F.col(vecCol))).head().getInt(0))
+      ctx.primary.select(F.size(F.col(vecCol))).head(1)
+        .headOption.map(_.getInt(0)).getOrElse(0))   // empty corpus → no-op
     val width = h / blocks
 
     // Hamming prefilter bound: a pair at cosine >= threshold differs on an

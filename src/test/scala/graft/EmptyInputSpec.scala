@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.config.Cfg
+import graft.core.StageContext
+import graft.operators._
+
+/** Empty and single-row inputs — the degenerate shapes that break
+  * window/LSH/union-based operators first. */
+class EmptyInputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyDocs: DataFrame =
+    Seq.empty[(Long, String)].toDF("doc_id", "text")
+  private def oneDoc: DataFrame = Seq((1L, "hello world")).toDF("doc_id", "text")
+
+  test("dedup families: empty and single-row inputs pass through") {
+    for ((op, cfg) <- Seq[(graft.core.Stage, Cfg)](
+      DedupExactOp -> Cfg.of("columns" -> Seq("text")),
+      DedupMinHashOp -> Cfg.of("id_column" -> "doc_id", "text_column" -> "text"),
+      DedupNgramOp -> Cfg.of("id_column" -> "doc_id", "text_column" -> "text"),
+      DedupSimHashOp -> Cfg.of("id_column" -> "doc_id", "text_column" -> "text"))) {
+      assert(op(StageContext.one(spark, emptyDocs, cfg)).count() === 0L, op.name)
+      assert(op(StageContext.one(spark, oneDoc, cfg)).count() === 1L, op.name)
+    }
+  }
+
+  test("dedup.embedding: empty and single-vector inputs") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val one = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val cfg = Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding", "dim" -> 2)
+    assert(DedupEmbeddingOp(StageContext.one(spark, empty, cfg)).count() === 0L)
+    assert(DedupEmbeddingOp(StageContext.one(spark, one, cfg)).count() === 1L)
+    // without a declared dim, inference must survive the empty frame too
+    val noDim = Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding")
+    assert(DedupEmbeddingOp(StageContext.one(spark, empty, noDim)).count() === 0L)
+  }
+
+  test("join.asof: empty right keeps all left rows unmatched; empty left is empty") {
+    val l = Seq(("a", 1L, 10.0)).toDF("k", "t", "px")
+    val r = Seq.empty[(String, Long, Double)].toDF("k", "t", "bid")
+    val out = AsofJoinOp(StageContext(spark, Seq("l" -> l, "r" -> r),
+      Cfg.of("by" -> Seq("k"), "on" -> "t", "right_prefix" -> "q_")))
+    assert(out.count() === 1L)
+    assert(out.select("q_bid").head().isNullAt(0))
+    val out2 = AsofJoinOp(StageContext(spark, Seq("l" -> r.toDF("k", "t", "bid"), "r" -> l),
+      Cfg.of("by" -> Seq("k"), "on" -> "t")))
+    assert(out2.count() === 0L)
+  }
+
+  test("join.range: empty sides") {
+    val pts = Seq(1.0).toDF("x")
+    val none = Seq.empty[(String, Double, Double)].toDF("rid", "lo", "hi")
+    for (cfg <- Seq(
+      Cfg.of("value" -> "x", "lo" -> "lo", "hi" -> "hi"),
+      Cfg.of("value" -> "x", "lo" -> "lo", "hi" -> "hi", "bucket_width" -> 5.0))) {
+      assert(RangeJoinOp(StageContext(spark, Seq("l" -> pts, "r" -> none), cfg)).count() === 0L)
+      assert(RangeJoinOp(StageContext(spark, Seq("l" -> pts, "r" -> none),
+        Cfg(cfg.table + ("how" -> graft.config.CStr("left"))))).count() === 1L)
+    }
+  }
+
+  test("groupby.cube on empty input emits only the grand-total grouping row semantics") {
+    val empty = Seq.empty[(String, Long)].toDF("a", "v")
+    val out = CubeOp(StageContext.one(spark, empty, Cfg.of(
+      "mode" -> "cube", "by" -> Seq("a"),
+      "aggregations" -> Seq(Map("operation" -> "count", "column" -> "v", "output_column" -> "n")))))
+    // matches SQL: GROUP BY CUBE over empty input has no groups at all
+    assert(out.count() === 0L)
+  }
+
+  test("sample/split/repartition on empty frames") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "v")
+    assert(SampleOp(StageContext.one(spark, empty,
+      Cfg.of("fraction" -> 0.5))).count() === 0L)
+    assert(SplitOp(StageContext.one(spark, empty,
+      Cfg.of("columns" -> Seq("id"), "percent" -> 50))).count() === 0L)
+    assert(RepartitionOp(StageContext.one(spark, empty,
+      Cfg.of("n" -> 4))).count() === 0L)
+  }
+
+  test("aggregate.stateful on empty batch input") {
+    val empty = Seq.empty[(String, Double)].toDF("k", "v")
+    val out = graft.streaming.StatefulAggOp(StageContext.one(spark, empty, Cfg.of(
+      "key_column" -> "k", "value_column" -> "v", "operation" -> "sum")))
+    assert(out.count() === 0L)
+  }
+}
