@@ -274,6 +274,30 @@ object RelationalQueries {
         F.max("event_id").alias("last_event"))
     },
 
+    // count-session: gap column floored to whole epoch seconds on BOTH
+    // sides (events.ts is ns in parquet, µs in Spark — sub-second precision
+    // would flip boundary comparisons)
+    QueryDef("window_count_session",
+      """WITH o AS (SELECT event_id, floor(epoch(ts)) AS gv,
+        |    row_number() OVER (ORDER BY floor(epoch(ts)), event_id) - 1 AS rn FROM events),
+        |f AS (SELECT event_id, rn,
+        |    CASE WHEN lag(gv) OVER (ORDER BY rn) IS NOT NULL
+        |         AND gv - lag(gv) OVER (ORDER BY rn) > 600 THEN 1 ELSE 0 END AS flag FROM o)
+        |SELECT window_id, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM (SELECT event_id, sum(flag) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS window_id FROM f)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val ev = t(s, d, "events")
+        .withColumn("tsec", F.floor(F.col("ts").cast("double")).cast("double"))
+      val win = graft.streaming.CountWindowOp(StageContext.one(s, ev, Cfg.of(
+        "type" -> "session", "gap" -> 600.0,
+        "order_by" -> Seq("tsec", "event_id"), "gap_column" -> "tsec")))
+      win.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"))
+    },
+
     // ---- limit / top-k ----
     QueryDef("topk_orders",
       "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10") { (s, d) =>

@@ -51,19 +51,57 @@ object CountWindowOp extends Stage {
           .drop("_idx")
       case "session" =>
         // count-based session: a new session starts when the gap column
-        // (numeric/timestamp seconds) jumps by more than `gap`
+        // (numeric/timestamp seconds) jumps by more than `gap`. The running
+        // session id is a global prefix sum — computed DISTRIBUTED with the
+        // same two-pass shape as zipWithIndex (per-partition boundary stats
+        // to the driver, broadcast prefix offsets back), never a
+        // single-partition window.
         val gap = cfg.doubleOr("gap", 300.0)
         val tsCol = cfg.strOpt("gap_column").orElse(orderBy.headOption).getOrElse(
           throw new GraftConfigError("session window requires order_by or gap_column"))
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.orderBy(F.col("_idx"))
-        val asSec = F.col(tsCol).cast("double")
-        val newSession = F.when(
-          asSec - F.lag(asSec, 1).over(w) > gap, F.lit(1L)).otherwise(F.lit(0L))
-        indexed
-          .withColumn("window_id", F.sum(newSession).over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .drop("_idx")
+        val prepared = indexed.withColumn("_gapv", F.col(tsCol).cast("double"))
+        val rdd = prepared.rdd
+        // pass 1: per partition — first/last gap value and internal starts
+        val stats = rdd.mapPartitionsWithIndex { (p, it) =>
+          var first: Option[Double] = None; var last = 0.0
+          var starts = 0L; var n = 0L; var prev: Option[Double] = None
+          it.foreach { r =>
+            val v = r.getAs[Double]("_gapv")
+            if (first.isEmpty) first = Some(v)
+            prev.foreach(pv => if (v - pv > gap) starts += 1)
+            prev = Some(v); last = v; n += 1
+          }
+          Iterator((p, first, last, starts, n))
+        }.collect().sortBy(_._1)
+        var cur = 0L; var prevLast: Option[Double] = None
+        val offs = stats.map { case (_, first, last, starts, n) =>
+          val boundary = (prevLast, first) match {
+            case (Some(pl), Some(f)) if f - pl > gap => 1L
+            case _ => 0L
+          }
+          cur += boundary
+          val off = cur
+          cur += starts
+          if (n > 0) prevLast = Some(last)
+          off
+        }
+        // pass 2: assign ids with the partition's prefix offset
+        val spark = prepared.sparkSession
+        val bOffs = spark.sparkContext.broadcast(offs)
+        val outSchema = org.apache.spark.sql.types.StructType(
+          ctx.primary.schema.fields :+
+            org.apache.spark.sql.types.StructField("window_id", LongType, nullable = false))
+        val outRdd = rdd.mapPartitionsWithIndex { (p, it) =>
+          var sid = if (bOffs.value.isEmpty) 0L else bOffs.value(p)
+          var prev: Option[Double] = None
+          it.map { r =>
+            val v = r.getAs[Double]("_gapv")
+            prev.foreach(pv => if (v - pv > gap) sid += 1)
+            prev = Some(v)
+            org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(2) :+ sid)
+          }
+        }
+        spark.createDataFrame(outRdd, outSchema)
       case other => throw new GraftConfigError(s"unknown window type '$other'")
     }
   }
