@@ -51,7 +51,7 @@ object Registry {
     // training-data extensions
     DedupExactOp, DedupMinHashOp, DedupSimHashOp, DedupNgramOp, DedupEmbeddingOp,
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
-    KnnBruteForceOp, KnnLshOp,
+    KnnBruteForceOp, KnnLshOp, KnnIvfOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
     // composition
     SubPipelineOp

@@ -115,6 +115,11 @@ object ExtensionQueries {
       KnnBruteForceOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
         "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 10)))
     },
+    QueryDef.noOracle("knn_ivf") { (s, d) =>
+      KnnIvfOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
+        "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "k" -> 10, "nlist" -> 16, "nprobe" -> 4, "seed" -> 11)))
+    },
     QueryDef.noOracle("knn_lsh") { (s, d) =>
       KnnLshOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
         "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",

@@ -200,6 +200,24 @@ class TextSpec extends SparkSpec {
     assert((exact & approx).size >= 2)      // decent recall on tiny data
   }
 
+  test("knn ivf: full probe equals brute force; partial probe keeps the query's cell") {
+    val vecs = (0L to 50L).map { i =>
+      (i, Array.tabulate(8)(j => math.sin(i * 7.0 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = KnnBruteForceOp(StageContext.one(spark, vecs, Cfg.of("query_id" -> 0, "k" -> 5)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // nprobe = nlist probes every cell -> must match brute force exactly
+    val full = KnnIvfOp(StageContext.one(spark, vecs, Cfg.of(
+      "query_id" -> 0, "k" -> 5, "nlist" -> 4, "nprobe" -> 4, "seed" -> 3)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === exact)
+    // partial probe always includes the query's own cell -> self is top-1
+    val partial = KnnIvfOp(StageContext.one(spark, vecs, Cfg.of(
+      "query_id" -> 0, "k" -> 5, "nlist" -> 8, "nprobe" -> 2, "seed" -> 3)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(partial.head === 0L)
+  }
+
   test("binary meta sniffs magic numbers") {
     val jpeg = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte, 1, 2)
     val png = Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A)
