@@ -1,0 +1,94 @@
+package graft.cli
+
+/** One-line self-documentation per registered function, for `graft info`
+  * (the reference ships module metadata with its `info` command; here the
+  * source of truth is the operators' Scaladoc - these are the per-function
+  * summaries with their main config keys).
+  */
+object Docs {
+  private val entries: Map[String, String] = Map(
+    // sources
+    "csv.read" -> "read CSV - path, headers, delimiter, schema",
+    "json.read" -> "read JSON (records|jsonl|dataframe) - path, format, schema",
+    "parquet.read" -> "read parquet - path",
+    "table.read" -> "read a catalog table (name) or driver test table (dir, table)",
+    "stdin.read" -> "batch-read stdin - format: json|jsonl|csv|raw",
+    "inline.data" -> "rows declared inline as jsonl - jsonl, schema",
+    // sinks
+    "csv.write" -> "write CSV - path, single_file, mode",
+    "json.write" -> "write JSON (records|jsonl|dataframe) - path, format, pretty, driver_limit",
+    "parquet.write" -> "write parquet - path, partition_by, compression, max_records_per_file, single_file",
+    "table.write" -> "saveAsTable, optionally bucketed - table, path, bucket_by, buckets, sort_by",
+    "stdout.write" -> "print - format: table|json|jsonl|csv, limit",
+    "noop.sink" -> "evaluate fully, write nothing (bench/smoke)",
+    // relational
+    "filter.apply" -> "row filter - column, operator (== != > >= < <= contains in), value",
+    "select.apply" -> "project columns - columns",
+    "map.apply" -> "derive a column - expression (micro-expr) or sql, output_column",
+    "groupby.apply" -> "GROUP BY - by, aggregations[{column, operation, output_column}]",
+    "groupby.cube" -> "CUBE/ROLLUP - mode, by, aggregations, grouping_id",
+    "reduce.apply" -> "whole-table aggregate - column, operation, output_column",
+    "sort.apply" -> "multi-key sort - by, descending, nulls_last",
+    "distinct.apply" -> "dedup rows - columns, keep: first|last|none|any, order_by",
+    "limit.apply" -> "top-k - n, by, descending (TakeOrderedAndProject)",
+    "chunk.apply" -> "group rows into fixed-size array chunks - size, order_by",
+    "json.extract" -> "extract a JSON path from a string column - column, path, output_column",
+    "validate.schema" -> "assert declared schema/nullability - schema, mode",
+    "repartition.apply" -> "partition layout - mode: hash|range|coalesce, n, by",
+    "sample.apply" -> "sampling - fraction, seed, with_replacement | by + fractions (stratified)",
+    "split.apply" -> "deterministic hash split - columns, percent, partition: train|test, salt",
+    "stage.pipeline" -> "run a nested pipeline as one stage - path or inline stages",
+    // multi-input
+    "join.apply" -> "equi/theta join - how, on | left_on+right_on, broadcast, salt (skew)",
+    "join.asof" -> "point-in-time join - by, on, strict, tolerance, right_prefix",
+    "join.range" -> "interval containment join - value, lo, hi, how, bucket_width",
+    "union.apply" -> "UNION ALL by name - allow_missing_columns, distinct",
+    "intersect.apply" -> "INTERSECT [ALL] - all",
+    "except.apply" -> "EXCEPT [ALL] - all",
+    "window.rank" -> "analytic window fns - function, partition_by, order_by, output_column",
+    "pivot.apply" -> "pivot wide - by, pivot, values, column, operation",
+    // streaming
+    "file.stream" -> "Structured Streaming file source - path, format, schema, max_files_per_trigger",
+    "file.watch" -> "alias of file.stream",
+    "rate.stream" -> "load-generator stream - rows_per_second",
+    "stdin.stream" -> "stdin as a stream - format: text|jsonl|csv, schema",
+    "stream.write" -> "writeStream sink - format: console|memory|parquet|csv|json, output_mode, trigger_ms, timeout_ms",
+    "stdout_stream.write" -> "alias of stream.write",
+    "window.apply" -> "count-based windows - type: tumbling|sliding|session, size, slide, gap, order_by",
+    "window.time" -> "event-time tumbling/sliding - ts_column, size, slide, watermark, group_by, aggregations",
+    "window.session" -> "event-time session windows - ts_column, gap, group_by, aggregations",
+    "aggregate.stream" -> "per-window aggregate - operation, value_column, group_by",
+    "aggregate.stateful" -> "running per-key aggregate (mapGroupsWithState) - key_column, value_column, operation",
+    "dedup.stream" -> "streaming dedup - columns, watermark_column, delay (bounded state)",
+    // enrichment / row-level
+    "http.fetch" -> "per-row HTTP enrichment on executors - url template, concurrency, mock",
+    "ai.generate" -> "LLM enrichment - provider, model, prompt template, output_column, mock",
+    "encrypt.apply" -> "encrypt columns - columns, algorithm: aes128-gcm|aes256-gcm|chacha20, key_env",
+    "decrypt.apply" -> "decrypt columns (null per value on failure) - columns, algorithm, key_env",
+    // training-data
+    "dedup.exact" -> "exact dedup - columns, keep, order_by",
+    "dedup.minhash" -> "near-dedup, word-shingle MinHash LSH - id_column, text_column, threshold, bands, num_hashes",
+    "dedup.ngram" -> "near-dedup, char n-gram Jaccard - id_column, text_column, threshold, ngram_size",
+    "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance",
+    "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes",
+    "knn.bruteforce" -> "exact cosine top-k - query_id|query_vector, k",
+    "knn.lsh" -> "ANN via hyperplane-LSH block buckets - query_id, k, num_planes, blocks",
+    "knn.ivf" -> "ANN via IVF coarse quantizer - query_id, k, nlist, nprobe, seed",
+    "text.stats" -> "length/punct/word stats - column",
+    "text.langid" -> "n-gram/stopword language ID - column, output_column",
+    "text.quality" -> "document quality score - column, output_column",
+    "text.tokens" -> "token counts (whitespace + BPE-ish) - column",
+    "text.fingerprint" -> "normalized hash + min-shingle sketch - column",
+    "binary.meta" -> "binary column metadata (magic, hash, size) - column",
+    "media.features" -> "batched decode/feature harness (decode stubbed offline) - column, kind")
+
+  def describe(fn: String): String =
+    entries.get(fn).getOrElse {
+      if (fn.startsWith("mongodb.")) "MongoDB connector slot - validates config; execution needs mongo-spark-connector (absent offline)"
+      else if (fn.startsWith("kafka.")) "Kafka connector slot - validates config; execution needs spark-sql-kafka (absent offline)"
+      else if (fn.startsWith("excel.")) "Excel connector slot - needs POI/spark-excel (absent offline)"
+      else if (fn.startsWith("http.")) "driver-side HTTP source/sink - url, body, headers, mock_response"
+      else if (fn == "js.eval") "JS eval slot - needs GraalVM JS (absent offline); use map.apply sql instead"
+      else "see Scaladoc in graft.operators/*"
+    }
+}

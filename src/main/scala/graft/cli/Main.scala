@@ -60,7 +60,7 @@ object Main {
       val reg = Registry.withDefaults
       if (reg.contains(fn)) {
         val st = reg.resolve(fn)
-        println(s"$fn [${st.kind}] — see Scaladoc in graft.operators/*")
+        println(s"$fn [${st.kind}] - ${Docs.describe(fn)}")
       } else { System.err.println(s"unknown function '$fn'"); sys.exit(1) }
 
     case _ =>
