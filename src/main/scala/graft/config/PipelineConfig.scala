@@ -83,11 +83,15 @@ object PipelineConfig {
       raw = globalRaw)
 
     val stages = root.tblArr("stages").map { st =>
+      val inputs = st.strListOr("inputs", Vector.empty)
+      val cfg = Cfg(interpolate(st.tblOpt("config").getOrElse(Cfg.empty).table, variables))
+      val raw = st.strOpt("function").orElse(st.strOpt("type")).getOrElse(
+        throw new GraftConfigError(s"stage '${st.strOr("id", "?")}': missing 'function'"))
       StageDef(
         id = st.str("id"),
-        function = st.str("function"),
-        inputs = st.strListOr("inputs", Vector.empty),
-        config = Cfg(interpolate(st.tblOpt("config").getOrElse(Cfg.empty).table, variables)))
+        function = normalizeFunction(raw, inputs, cfg),
+        inputs = inputs,
+        config = cfg)
     }
 
     val ehCfg = root.tblOpt("error_handling").getOrElse(Cfg.empty)
@@ -110,6 +114,49 @@ object PipelineConfig {
       errorHandling = ErrorHandling(strategy, dlq))
     pc.validate()
     pc
+  }
+
+  /** Accept every function spelling the reference's configs use:
+    *  - canonical dotted names ("csv.read") pass through;
+    *  - FFI/WASM plugin capability names ("mongodb-find", "http-get",
+    *    bare "kafka"/"http") map to our dotted registrations — bare kafka
+    *    is consume as a source / produce as a sink, bare http picks its
+    *    verb from config.method;
+    *  - the legacy `type = "source.stdin_stream"` shape (still present in
+    *    reference examples although its CURRENT parser rejects it) strips
+    *    the category prefix and maps the module name.
+    */
+  def normalizeFunction(raw: String, inputs: Vector[String], cfg: Cfg): String = {
+    val mongo = Map(
+      "find" -> "find", "findone" -> "findOne", "aggregate" -> "aggregate",
+      "insertone" -> "insertOne", "insertmany" -> "insertMany",
+      "createone" -> "insertOne", "createmany" -> "insertMany",
+      "updateone" -> "updateOne", "updatemany" -> "updateMany",
+      "deleteone" -> "deleteOne", "deletemany" -> "deleteMany",
+      "replaceone" -> "replaceOne", "replacemany" -> "replaceMany",
+      "bulkwrite" -> "bulkWrite", "toobjectid" -> "toObjectId")
+    val legacyModule = Map(
+      "stdin_stream" -> "stdin.stream", "stdout_stream" -> "stream.write",
+      "file_watch" -> "file.watch", "stdin" -> "stdin.read", "stdout" -> "stdout.write")
+    raw match {
+      case "kafka" => if (inputs.isEmpty) "kafka.consume" else "kafka.produce"
+      case "mongodb" => if (inputs.isEmpty) "mongodb.find" else "mongodb.insertMany"
+      case p if p.startsWith("plugin.") =>
+        normalizeFunction(p.stripPrefix("plugin."), inputs, cfg)
+      case "http"  => s"http.${cfg.strOr("method", "GET").toLowerCase}"
+      case "stdout.stream" => "stream.write"
+      case m if m.startsWith("mongodb-") =>
+        mongo.get(m.stripPrefix("mongodb-")).map("mongodb." + _).getOrElse(m)
+      case h if h.startsWith("http-") => "http." + h.stripPrefix("http-").toLowerCase
+      case t if t.startsWith("source.") || t.startsWith("sink.") || t.startsWith("transform.") =>
+        val name = t.substring(t.indexOf('.') + 1)
+        legacyModule.getOrElse(name,
+          if (name.contains('.')) name
+          else if (t.startsWith("source.")) s"$name.read"
+          else if (t.startsWith("sink.")) s"$name.write"
+          else s"$name.apply")
+      case other => other
+    }
   }
 
   private def flattenConf(prefix: String, t: Map[String, CVal]): Map[String, String] =
