@@ -154,12 +154,11 @@ object CubeOp extends Stage {
       case "rollup" => df.rollup(keys.map(F.col): _*)
       case other => throw new GraftConfigError(s"unknown mode '$other' (cube|rollup)")
     }
-    val out = grouped.agg(aggs.head, aggs.tail: _*)
-    if (cfg.boolOr("grouping_id", false))
-      // re-aggregate path not needed: grouping_id() must be computed inside
-      // the same agg — rebuild with it appended
-      ctx.primary.cube(keys.map(F.col): _*)
-        .agg(aggs.head, aggs.tail :+ F.grouping_id().alias("grouping_id"): _*)
-    else out
+    // grouping_id() must be computed inside the same agg as the measures
+    val finalAggs =
+      if (cfg.boolOr("grouping_id", false))
+        aggs :+ F.grouping_id().alias("grouping_id")
+      else aggs
+    grouped.agg(finalAggs.head, finalAggs.tail: _*)
   }
 }

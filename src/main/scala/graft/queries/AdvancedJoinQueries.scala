@@ -87,6 +87,25 @@ object AdvancedJoinQueries {
           Map("operation" -> "count", "column" -> "o_orderkey", "output_column" -> "n_orders")))))
       roll.select(F.col("o_orderstatus"), F.col("o_orderpriority"),
         F.round(F.col("revenue"), 2).alias("revenue"), F.col("n_orders"))
+    },
+
+    // rollup + grouping_id: guards the CubeOp mode-dispatch (round-1 bug:
+    // grouping_id=true silently recomputed a CUBE regardless of mode). A
+    // rollup of 2 keys has 3 levels; a cube would emit a 4th (gid=2) — the
+    // row count alone catches the regression, the gid values pin semantics.
+    QueryDef("rollup_grouping_id",
+      """SELECT o_orderstatus, o_orderpriority,
+        |  round(sum(o_totalprice), 2) AS revenue,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS grouping_id
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin) { (s, d) =>
+      val roll = CubeOp(StageContext.one(s, t(s, d, "orders"), Cfg.of(
+        "mode" -> "rollup", "by" -> Seq("o_orderstatus", "o_orderpriority"),
+        "grouping_id" -> true,
+        "aggregations" -> Seq(
+          Map("operation" -> "sum", "column" -> "o_totalprice", "output_column" -> "revenue")))))
+      roll.select(F.col("o_orderstatus"), F.col("o_orderpriority"),
+        F.round(F.col("revenue"), 2).alias("revenue"),
+        F.col("grouping_id").cast("long").alias("grouping_id"))
     }
   )
 }

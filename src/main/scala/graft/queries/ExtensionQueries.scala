@@ -172,10 +172,14 @@ object ExtensionQueries {
         .select("doc_id", "stopword_ratio", "quality")
     },
 
-    // xxhash64 has no DuckDB equivalent → rows-only; determinism unit-tested
+    // xxhash64 has no DuckDB equivalent → rows-only; determinism unit-tested.
+    // The sketch array is collapsed to one BIGINT signature: the driver's
+    // rows-only checker still sorts every output column with pandas, which
+    // cannot sort ndarray cells (round-1 gate crash) — scalar columns only.
     QueryDef.noOracle("text_fingerprint") { (s, d) =>
       FingerprintOp(StageContext.one(s, t(s, d, "documents"), Cfg.of("column" -> "text")))
-        .select("doc_id", "fingerprint", "min_shingles")
+        .select(F.col("doc_id"), F.col("fingerprint"),
+          F.xxhash64(F.to_json(F.col("min_shingles"))).alias("min_shingles_sig"))
     },
 
     // ---- multimodal plumbing (text bytes as stand-in blobs) ----

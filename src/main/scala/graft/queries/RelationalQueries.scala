@@ -276,7 +276,10 @@ object RelationalQueries {
 
     // count-session: gap column floored to whole epoch seconds on BOTH
     // sides (events.ts is ns in parquet, µs in Spark — sub-second precision
-    // would flip boundary comparisons)
+    // would flip boundary comparisons). window_id must be CAST to BIGINT:
+    // DuckDB sum(INTEGER) yields HUGEINT, which pandas renders as float64
+    // (0.0 vs Spark's 0) and the driver's value-hash compare then fails
+    // even though every value is numerically equal.
     QueryDef("window_count_session",
       """WITH o AS (SELECT event_id, floor(epoch(ts)) AS gv,
         |    row_number() OVER (ORDER BY floor(epoch(ts)), event_id) - 1 AS rn FROM events),
@@ -285,7 +288,7 @@ object RelationalQueries {
         |         AND gv - lag(gv) OVER (ORDER BY rn) > 600 THEN 1 ELSE 0 END AS flag FROM o)
         |SELECT window_id, count(*) AS n_events,
         |  min(event_id) AS first_event, max(event_id) AS last_event
-        |FROM (SELECT event_id, sum(flag) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS window_id FROM f)
+        |FROM (SELECT event_id, CAST(sum(flag) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS BIGINT) AS window_id FROM f)
         |GROUP BY 1""".stripMargin) { (s, d) =>
       val ev = t(s, d, "events")
         .withColumn("tsec", F.floor(F.col("ts").cast("double")).cast("double"))

@@ -109,4 +109,17 @@ class AdvancedJoinsSpec extends SparkSpec {
     val ids = out.select("grouping_id").as[Long].collect().sorted
     assert(ids === Array(0L, 1L, 2L, 3L))
   }
+
+  test("groupby.cube: grouping_id=true respects mode=rollup (round-1 bug)") {
+    val df = Seq(("x", "p", 1L), ("x", "q", 2L), ("y", "p", 4L))
+      .toDF("a", "b", "v")
+    val out = CubeOp(StageContext.one(spark, df, Cfg.of(
+      "mode" -> "rollup", "by" -> Seq("a", "b"), "grouping_id" -> true,
+      "aggregations" -> Seq(Map("operation" -> "sum", "column" -> "v", "output_column" -> "sv")))))
+      .collect()
+    // rollup of 2 keys: no (b)-only level → gid=2 must be absent
+    assert(out.length === 3 + 2 + 1)
+    val ids = out.map(_.getAs[Long]("grouping_id")).distinct.sorted
+    assert(ids === Array(0L, 1L, 3L))
+  }
 }
