@@ -51,22 +51,71 @@ object AsofJoinOp extends Stage {
     }
     val unioned = taggedLeft.unionByName(taggedRight.select(taggedLeft.columns.map(F.col): _*))
 
-    val part = if (by.isEmpty) Window.partitionBy(F.lit(1)) else Window.partitionBy(by.map(F.col): _*)
     // order: by on ascending; at equal `on`, right rows first unless strict
     // (strict: right rows at same timestamp must NOT be visible -> left first)
     val sideOrder = if (strict) F.col("_side").desc else F.col("_side").asc
-    val w = part.orderBy(F.col(on).asc, sideOrder)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    // carry the latest right row forward (its `on` too, for tolerance) —
-    // all carries in ONE select so they compile to a single Window node
-    // (chained withColumn leaves interleaved Projects that block Spark's
-    // CollapseWindow rule → one sorted pass per carried column)
-    def carry(src: Column, out: String): Column =
-      F.last(F.when(F.col("_side") === 0, src), ignoreNulls = true).over(w).alias(out)
-    val carryCols = carry(F.col(on), "_r_on_matched") +:
-      rightValueCols.map(c => carry(F.col(s"_r_$c"), s"_m_$c"))
-    val carried = unioned.select(F.col("*") +: carryCols: _*)
+    val carried: DataFrame = if (by.nonEmpty) {
+      val part = Window.partitionBy(by.map(F.col): _*)
+      val w = part.orderBy(F.col(on).asc, sideOrder)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // carry the latest right row forward (its `on` too, for tolerance) —
+      // all carries in ONE select so they compile to a single Window node
+      // (chained withColumn leaves interleaved Projects that block Spark's
+      // CollapseWindow rule → one sorted pass per carried column)
+      def carry(src: Column, out: String): Column =
+        F.last(F.when(F.col("_side") === 0, src), ignoreNulls = true).over(w).alias(out)
+      val carryCols = carry(F.col(on), "_r_on_matched") +:
+        rightValueCols.map(c => carry(F.col(s"_r_$c"), s"_m_$c"))
+      unioned.select(F.col("*") +: carryCols: _*)
+    } else {
+      // keyless as-of: Window.partitionBy() would be a SinglePartition
+      // exchange (round-1 scale-killer). Instead: global range sort, then
+      // the two-pass carry — pass 1 ships one last-non-null vector per
+      // partition to the driver, pass 2 streams each partition seeded with
+      // the broadcast prefix carry. Matches the window path's PER-COLUMN
+      // last(ignoreNulls) semantics: a null cell in the newest right row
+      // falls back to an older right row's value for that column only.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StructField, StructType}
+      val sorted = unioned.orderBy(F.col(on).asc, sideOrder)
+      val cols = sorted.columns
+      val sideIdx = cols.indexOf("_side")
+      val srcNames = on +: rightValueCols.map(c => s"_r_$c")
+      val srcIdcs = srcNames.map(n => cols.indexOf(n)).toArray
+      val nSrc = srcIdcs.length
+      val rdd = sorted.rdd
+      val stats = rdd.mapPartitionsWithIndex { (p, it) =>
+        val acc = Array.fill[Any](nSrc)(null)
+        it.foreach { r =>
+          if (r.getInt(sideIdx) == 0) {
+            var i = 0
+            while (i < nSrc) { val v = r.get(srcIdcs(i)); if (v != null) acc(i) = v; i += 1 }
+          }
+        }
+        Iterator((p, acc.toVector))
+      }.collect().sortBy(_._1)
+      val offsets = stats.scanLeft(Vector.fill[Any](nSrc)(null)) { (acc, s) =>
+        Vector.tabulate(nSrc)(i => if (s._2(i) != null) s._2(i) else acc(i))
+      }.dropRight(1)
+      val spark = sorted.sparkSession
+      val bOff = spark.sparkContext.broadcast(offsets)
+      val outNames = "_r_on_matched" +: rightValueCols.map(c => s"_m_$c")
+      val outSchema = StructType(sorted.schema.fields ++
+        outNames.zip(srcIdcs.map(i => sorted.schema.fields(i).dataType))
+          .map { case (n, t) => StructField(n, t, nullable = true) })
+      val outRdd = rdd.mapPartitionsWithIndex { (p, it) =>
+        val acc: Array[Any] = bOff.value(p).toArray
+        it.map { r =>
+          if (r.getInt(sideIdx) == 0) {
+            var i = 0
+            while (i < nSrc) { val v = r.get(srcIdcs(i)); if (v != null) acc(i) = v; i += 1 }
+          }
+          Row.fromSeq(r.toSeq ++ acc)
+        }
+      }
+      spark.createDataFrame(outRdd, outSchema)
+    }
 
     val withinTol: Column = tolerance match {
       case Some(t) => F.col("_r_on_matched").isNotNull &&

@@ -114,6 +114,12 @@ object ExceptOp extends Stage {
   * lag/lead/cume_dist/ntile + framed aggregates) partitioned by keys.
   * Extension (reference has no window *functions*, SURVEY §2.8).
   * One shuffle on partition keys; sort is within partitions only.
+  *
+  * With EMPTY `partition_by` the naive `Window.partitionBy()` plan is an
+  * `Exchange SinglePartition` — every row through one task. That case is
+  * routed to [[KeylessWindow]], which computes identical answers with
+  * distributed two-pass plans (grouped prefix for rank-family/aggregates,
+  * range-sort + zipWithIndex for positional functions).
   */
 object WindowFnOp extends Stage {
   val name = "window.rank"
@@ -122,11 +128,14 @@ object WindowFnOp extends Stage {
     import org.apache.spark.sql.expressions.Window
     val cfg = ctx.cfg
     val partition = cfg.strListOr("partition_by", Vector.empty)
+    val fn0 = cfg.strOr("function", "row_number")
+    if (partition.isEmpty)
+      return KeylessWindow.run(ctx.primary, cfg, fn0, cfg.strOr("output_column", fn0))
     val orderCfg = Cfg(cfg.table ++ Map("by" -> cfg.table.getOrElse("order_by", CArr(Vector.empty))))
     val order = SortOp.sortCols(orderCfg)
-    val base = if (partition.isEmpty) Window.partitionBy() else Window.partitionBy(partition.map(F.col): _*)
+    val base = Window.partitionBy(partition.map(F.col): _*)
     val w = base.orderBy(order: _*)
-    val fn = cfg.strOr("function", "row_number")
+    val fn = fn0
     val out = cfg.strOr("output_column", fn)
     val col: Column = fn match {
       case "row_number" => F.row_number()
