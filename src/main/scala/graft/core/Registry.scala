@@ -36,7 +36,8 @@ object Registry {
     FileStreamSource, RateStreamSource, StdinStreamSource, StreamWriteSink,
     // connector capability slots (reference §2.6-2.7; offline gaps, see Connectors.scala)
     KafkaConsumeSource, KafkaProduceSink, MongoFindSource, MongoAggregateSource,
-    MongoInsertSink, MongoToObjectIdOp, JsEvalOp, ExcelReadSource, ExcelWriteSink,
+    MongoInsertSink, MongoToObjectIdOp, MongoNormalizeOp, JsEvalOp,
+    ExcelReadSource, ExcelWriteSink,
     // http source family (reference conveyor-plugin-http, implemented natively)
     HttpGetSource, HttpPostSource, HttpPutSource, HttpPatchSource, HttpDeleteSource,
     // reference-name aliases

@@ -121,6 +121,99 @@ object MongoToObjectIdOp extends Stage {
   }
 }
 
+/** mongodb.normalize — MongoDB Extended JSON → plain scalars, the inverse
+  * of toObjectId and the read-side companion the reference performs inside
+  * json_to_bson (reference plugins/conveyor-plugin-mongodb/src/lib.rs:
+  * 1540-1615): recursively rewrites
+  *   {"$oid": "24-hex"}                     → the hex string
+  *   {"$date": "rfc3339" | {"$numberLong": "ms"} | ms}
+  *                                          → epoch millis (default) or a
+  *                                            fixed-format ISO-8601 string
+  *                                            (date_format = "iso")
+  *   {"$numberLong": "n"}                   → 64-bit integer
+  *   {"$numberInt": "n"}                    → 32-bit integer
+  *   {"$numberDouble": "x"}                 → double
+  * inside arbitrarily nested documents/arrays. Wrappers that fail to parse
+  * fall through as regular objects, and non-JSON input passes through
+  * unchanged — both mirroring the reference's lenient fallbacks.
+  *
+  * Pure column transform (Jackson, already on Spark's classpath); needs no
+  * Mongo driver, so pipelines can consume extended-JSON exports (mongoexport
+  * files, $-typed API payloads) fully offline. Scala UDF is justified here:
+  * a recursive tree rewrite has no functions./Catalyst equivalent.
+  */
+object MongoNormalizeOp extends Stage {
+  val name = "mongodb.normalize"
+  val kind = StageKind.Transform
+
+  import com.fasterxml.jackson.databind.JsonNode
+  import com.fasterxml.jackson.databind.node._
+
+  // per-executor singleton (ObjectMapper is not serializable-stable)
+  @transient private lazy val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val isoFmt = java.time.format.DateTimeFormatter
+    .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSS'Z'").withZone(java.time.ZoneOffset.UTC)
+
+  private def dateNode(millis: Long, iso: Boolean): JsonNode =
+    if (iso) TextNode.valueOf(isoFmt.format(java.time.Instant.ofEpochMilli(millis)))
+    else LongNode.valueOf(millis)
+
+  private def rewrite(n: JsonNode, iso: Boolean): JsonNode = n match {
+    case o: ObjectNode =>
+      val oid = o.get("$oid")
+      if (oid != null && oid.isTextual && oid.asText.matches("^[0-9a-fA-F]{24}$"))
+        return TextNode.valueOf(oid.asText)
+      val date = o.get("$date")
+      if (date != null) {
+        if (date.isTextual)
+          try return dateNode(java.time.Instant.parse(date.asText).toEpochMilli, iso)
+          catch { case _: java.time.format.DateTimeParseException => }
+        else if (date.isObject && date.get("$numberLong") != null && date.get("$numberLong").isTextual)
+          try return dateNode(date.get("$numberLong").asText.toLong, iso)
+          catch { case _: NumberFormatException => }
+        else if (date.isIntegralNumber)
+          return dateNode(date.asLong, iso)
+      }
+      def num(key: String)(parse: String => JsonNode): Option[JsonNode] = {
+        val v = o.get(key)
+        if (v != null && v.isTextual)
+          try Some(parse(v.asText)) catch { case _: NumberFormatException => None }
+        else None
+      }
+      num("$numberLong")(s => LongNode.valueOf(s.toLong))
+        .orElse(num("$numberInt")(s => IntNode.valueOf(s.toInt)))
+        .orElse(num("$numberDouble")(s => DoubleNode.valueOf(s.toDouble)))
+        .getOrElse {
+          val out = mapper.createObjectNode()
+          o.fields().forEachRemaining(e => out.set[JsonNode](e.getKey, rewrite(e.getValue, iso)))
+          out
+        }
+    case a: ArrayNode =>
+      val out = mapper.createArrayNode()
+      a.forEach(e => out.add(rewrite(e, iso)))
+      out
+    case other => other
+  }
+
+  /** Normalize one extended-JSON document; non-JSON input passes through. */
+  def normalize(s: String, iso: Boolean): String =
+    try mapper.writeValueAsString(rewrite(mapper.readTree(s), iso))
+    catch { case _: Exception => s }
+
+  def apply(ctx: StageContext): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val col = ctx.cfg.str("column")
+    val out = ctx.cfg.strOr("output_column", col)
+    val iso = ctx.cfg.strOr("date_format", "millis") match {
+      case "millis" => false
+      case "iso"    => true
+      case other => throw new GraftConfigError(s"date_format must be millis|iso, got '$other'")
+    }
+    val fn = udf((s: String) => if (s == null) null else normalize(s, iso))
+    ctx.primary.withColumn(out, fn(ctx.primary(col)))
+  }
+}
+
 /** Registry alias — same stage under a reference-compatible second name
   * (e.g. the reference's `file.watch` / `stdout_stream.write`). */
 final class AliasStage(alias: String, target: Stage) extends Stage {

@@ -273,6 +273,31 @@ object ExtensionQueries {
         "columns" -> Seq("doc_id"), "percent" -> 80, "partition" -> "train")))
     },
 
+    // ---- mongodb.normalize: extended JSON → scalars. The fixture is
+    // constructed identically in both engines from o_orderkey; the oracle
+    // states the NORMALIZED string directly (Jackson compact serialization
+    // preserves field order, so the byte-level output is deterministic).
+    // Covers: $oid, $numberLong, $numberInt, $numberDouble, $date in both
+    // {"$numberLong"} and RFC-3339 string form, nested arrays.
+    QueryDef("mongo_normalize",
+      """SELECT o_orderkey,
+        |  '{"_id":"aabbccddeeff001122334455","k":' || o_orderkey ||
+        |  ',"pri":7,"score":2.5,"created":' || (o_orderkey * 1000) ||
+        |  ',"iso_d":803392245500,"tag":[1,"x"]}' AS norm
+        |FROM orders""".stripMargin) { (s, d) =>
+      val ext = t(s, d, "orders").select(F.col("o_orderkey"),
+        F.concat(
+          F.lit("""{"_id": {"$oid": "aabbccddeeff001122334455"}, "k": {"$numberLong": """"),
+          F.col("o_orderkey").cast("string"),
+          F.lit(""""}, "pri": {"$numberInt": "7"}, "score": {"$numberDouble": "2.5"}, "created": {"$date": {"$numberLong": """"),
+          (F.col("o_orderkey") * 1000).cast("string"),
+          F.lit(""""}}, "iso_d": {"$date": "1995-06-17T12:30:45.500Z"}, "tag": [{"$numberInt": "1"}, "x"]}""")
+        ).alias("ext"))
+      MongoNormalizeOp(StageContext.one(s, ext, Cfg.of(
+        "column" -> "ext", "output_column" -> "norm")))
+        .select("o_orderkey", "norm")
+    },
+
     // repartition is result-invariant — the oracle checks the pipeline
     // around it; partition-layout semantics are asserted in ScaleJoinSpec
     QueryDef("repartition_then_agg",
