@@ -52,7 +52,7 @@ object Registry {
     // training-data extensions
     DedupExactOp, DedupMinHashOp, DedupSimHashOp, DedupNgramOp, DedupEmbeddingOp,
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
-    KnnBruteForceOp, KnnLshOp, KnnIvfOp,
+    KnnBruteForceOp, KnnLshOp, KnnIvfOp, IndexBuildOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
     // composition
     SubPipelineOp

@@ -108,52 +108,72 @@ object KnnLshOp extends Stage {
 }
 
 /** knn.ivf — IVF-flat approximate nearest neighbor (the brief's IVF scale
-  * path, complementing knn.lsh). A coarse quantizer (MLlib KMeans, trained
-  * on a bounded sample) partitions the corpus into `nlist` cells; a query
-  * probes only the `nprobe` cells whose centroids are nearest, then exact
-  * cosine runs on that slice. At 100 TB the corpus is written bucketed by
-  * cell id so a probe reads nprobe/nlist of the data — scan cost drops
-  * proportionally while recall stays tunable (nprobe = nlist → exact).
+  * path, complementing knn.lsh). A coarse quantizer partitions the corpus
+  * into `nlist` cells; a query probes only the `nprobe` cells whose
+  * centroids are nearest, then exact cosine runs on that slice.
+  *
+  * Two modes:
+  *  - `index_path` (the 100 TB path): probe a PREBUILT index from
+  *    [[IndexBuildOp]]. Centroids (nlist rows) rank driver-side; the
+  *    corpus scan filters `cell IN (probed)` against the cell-partitioned
+  *    layout, so parquet partition pruning reads only nprobe/nlist of the
+  *    bytes (asserted in VectorIndexSpec). No training in the query.
+  *  - inline (exploratory): train the quantizer on a bounded sample inside
+  *    the query — fine at notebook scale, wasteful for repeated queries.
   */
 object KnnIvfOp extends Stage {
   val name = "knn.ivf"
   val kind = StageKind.Transform
 
   def apply(ctx: StageContext): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val cfg = ctx.cfg
     val idCol = cfg.strOr("id_column", "vec_id")
     val vecCol = cfg.strOr("vector_column", "embedding")
     val k = cfg.longOr("k", 10L).toInt
-    val nlist = cfg.longOr("nlist", 16L).toInt
-    val nprobe = math.min(cfg.longOr("nprobe", 4L).toInt, nlist)
-    val seed = cfg.longOr("seed", 11L)
-    val maxTrain = cfg.longOr("max_train", 10000L).toInt
+    val nprobe0 = cfg.longOr("nprobe", 4L).toInt
     val q = KnnBruteForceOp.queryVector(ctx)
-
-    val toVec = F.udf { v: Seq[Float] => Vectors.dense(v.map(_.toDouble).toArray) }
-    val feat = ctx.primary.select(F.col(idCol), F.col(vecCol))
-      .withColumn("features", toVec(F.col(vecCol).cast("array<float>")))
-
-    // coarse quantizer on a bounded sample — centroid count is tiny, the
-    // model broadcasts, assignment is one map pass
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(feat.select("features").limit(maxTrain))
     val qv = Vectors.dense(q.toArray)
-    val probed = km.clusterCenters.zipWithIndex
-      .sortBy { case (c, _) => Vectors.sqdist(c, qv) }
-      .take(nprobe).map(_._2.toString).toSeq
 
     graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val qLit = F.array(q.map(F.lit): _*)
     val cos = F.call_function("cosine_sim", F.col(vecCol).cast("array<double>"), qLit)
 
-    km.transform(feat)
-      .filter(F.col("prediction").cast("string").isin(probed: _*))
+    def topk(cells: DataFrame): DataFrame = cells
       .withColumn("cosine", F.round(cos, 6))
       .select(F.col(idCol), F.col("cosine"))
       .orderBy(F.col("cosine").desc, F.col(idCol).asc)
       .limit(k)
+
+    cfg.strOpt("index_path") match {
+      case Some(path) =>
+        val spark = ctx.spark
+        val cents = spark.read.parquet(s"$path/centroids")
+          .select("cell", "centroid").collect()
+          .map(r => (r.getInt(0), Vectors.dense(r.getSeq[Double](1).toArray)))
+        val nprobe = math.min(nprobe0, cents.length)
+        val probed = cents.sortBy { case (_, c) => Vectors.sqdist(c, qv) }
+          .take(nprobe).map(_._1.toInt)
+        topk(spark.read.parquet(s"$path/corpus")
+          .filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*)))
+      case None =>
+        import org.apache.spark.ml.clustering.KMeans
+        val nlist = cfg.longOr("nlist", 16L).toInt
+        val nprobe = math.min(nprobe0, nlist)
+        val seed = cfg.longOr("seed", 11L)
+        val maxTrain = cfg.longOr("max_train", 10000L).toInt
+        val toVec = F.udf { v: Seq[Float] => Vectors.dense(v.map(_.toDouble).toArray) }
+        val feat = ctx.primary.select(F.col(idCol), F.col(vecCol))
+          .withColumn("features", toVec(F.col(vecCol).cast("array<float>")))
+        // coarse quantizer on a bounded sample — centroid count is tiny,
+        // the model broadcasts, assignment is one map pass
+        val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+          .fit(feat.select("features").limit(maxTrain))
+        val probed = km.clusterCenters.zipWithIndex
+          .sortBy { case (c, _) => Vectors.sqdist(c, qv) }
+          .take(nprobe).map(_._2.toString).toSeq
+        topk(km.transform(feat)
+          .filter(F.col("prediction").cast("string").isin(probed: _*)))
+    }
   }
 }

@@ -120,6 +120,18 @@ object ExtensionQueries {
         "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
         "k" -> 10, "nlist" -> 16, "nprobe" -> 4, "seed" -> 11)))
     },
+    // prebuilt-index probe (the 100 TB path): the index is built ONCE per
+    // sf dir (first invocation) into /tmp and reused — in Bench's min-of-2
+    // the second rep therefore measures the pure partition-pruned probe.
+    QueryDef.noOracle("knn_ivf_indexed") { (s, d) =>
+      val idx = "/tmp/graft_ivf_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists())
+        IndexBuildOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
+          "path" -> idx, "vector_column" -> "embedding", "nlist" -> 16, "seed" -> 11)))
+      KnnIvfOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
+        "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "k" -> 10, "nprobe" -> 4, "index_path" -> idx)))
+    },
     QueryDef.noOracle("knn_lsh") { (s, d) =>
       KnnLshOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
         "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",

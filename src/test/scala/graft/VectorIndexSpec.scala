@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import graft.config.Cfg
+import graft.core.StageContext
+import graft.operators.{IndexBuildOp, KnnBruteForceOp, KnnIvfOp}
+
+/** index.build + knn.ivf index_path: exactness at nprobe=nlist and real
+  * parquet partition pruning on the probe scan. */
+class VectorIndexSpec extends SparkSpec {
+
+  private def emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+
+  private def buildIndex(nlist: Int): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_spec").toString
+    IndexBuildOp(StageContext.one(spark, emb, Cfg.of(
+      "path" -> dir, "vector_column" -> "embedding", "nlist" -> nlist, "seed" -> 11)))
+    dir
+  }
+
+  test("nprobe = nlist probes every cell and matches brute force exactly") {
+    val dir = buildIndex(nlist = 8)
+    val viaIndex = KnnIvfOp(StageContext.one(spark, emb, Cfg.of(
+      "query_id" -> 0, "k" -> 10, "nprobe" -> 8, "index_path" -> dir)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = KnnBruteForceOp(StageContext.one(spark, emb, Cfg.of(
+      "query_id" -> 0, "k" -> 10)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaIndex === brute)
+  }
+
+  test("nprobe < nlist prunes corpus partitions in the scan") {
+    val dir = buildIndex(nlist = 8)
+    val probe = KnnIvfOp(StageContext.one(spark, emb, Cfg.of(
+      "query_id" -> 0, "k" -> 10, "nprobe" -> 2, "index_path" -> dir)))
+    val scans = probe.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths.exists(_.toString.contains("corpus")) => f
+    }
+    assert(scans.nonEmpty, "expected a corpus file scan")
+    // the cell IN (...) predicate must be a PARTITION filter (pruned at
+    // planning), not a post-scan data filter
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      probe.queryExecution.executedPlan.toString.linesIterator.take(8).mkString("\n"))
+    // top-1 must still be the query vector itself (cosine 1.0 cell always probed)
+    val top = probe.collect().head
+    assert(top.getLong(0) === 0L && top.getDouble(1) === 1.0)
+  }
+
+  test("knn.ivf with no index_path still trains inline (legacy mode)") {
+    val out = KnnIvfOp(StageContext.one(spark, emb, Cfg.of(
+      "query_id" -> 0, "k" -> 5, "nlist" -> 4, "nprobe" -> 4, "seed" -> 11)))
+      .collect()
+    assert(out.length === 5 && out.head.getLong(0) === 0L)
+  }
+}
