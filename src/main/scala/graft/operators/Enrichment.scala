@@ -159,6 +159,13 @@ object AiGenerateOp extends Stage {
     case other => throw new GraftConfigError(s"unknown provider '$other'")
   }
 
+  /** Per-provider API-version request header, as config data rather than a
+    * code literal: (header name, default value) — defaults mirror the
+    * public provider docs (same values the reference sends, ai.rs:203);
+    * override per pipeline with `api_version`. */
+  val versionHeaders: Map[String, (String, String)] =
+    Map("anthropic" -> ("anthropic-version", "2023-06-01"))
+
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     val provider = cfg.str("provider")
@@ -173,6 +180,8 @@ object AiGenerateOp extends Stage {
     val concurrency = cfg.longOr("concurrency", 4L).toInt
     val url = endpoint(provider, baseUrl)
     val apiKey = apiKeyEnv.flatMap(sys.env.get)
+    val versionHeader: Option[(String, String)] = versionHeaders.get(provider)
+      .map { case (h, dflt) => (h, cfg.strOr("api_version", dflt)) }
 
     val df = ctx.primary
     val outSchema = StructType(df.schema.fields :+ StructField(out, StringType, nullable = true))
@@ -192,11 +201,10 @@ object AiGenerateOp extends Stage {
               .timeout(Duration.ofSeconds(120))
               .header("content-type", "application/json")
             provider match {
-              case "anthropic" =>
-                apiKey.foreach(k => b.header("x-api-key", k))
-                b.header("anthropic-version", "2023-06-01")
+              case "anthropic" => apiKey.foreach(k => b.header("x-api-key", k))
               case _ => apiKey.foreach(k => b.header("authorization", s"Bearer $k"))
             }
+            versionHeader.foreach { case (h, v) => b.header(h, v) }
             client.sendAsync(b.POST(HttpRequest.BodyPublishers.ofString(body)).build(),
                 HttpResponse.BodyHandlers.ofString())
               .thenApply[String](r => r.body()).exceptionally(_ => null)

@@ -30,12 +30,22 @@ object SampleOp extends Stage {
         val keyed = df.withColumn(key, F.col(stratum).cast("string"))
         val explicit = fr.table.keys.map(k => k -> fr.doubleOr(k, dflt)).toMap
         val allKeys =
-          if (dflt > 0.0)
-            // strata are class labels — small by definition, so the
-            // distinct-collect is a dimension-table-sized driver list
-            keyed.select(key).distinct().collect().map(_.getString(0))
-              .map(k => k -> explicit.getOrElse(k, dflt)).toMap
-          else explicit
+          if (dflt > 0.0) {
+            // default_fraction needs the stratum-key universe on the driver.
+            // Strata are class labels — small by definition — but a config
+            // mistake (stratifying on a high-cardinality key) would OOM the
+            // driver here, so the collect is bounded and fails LOUD: list
+            // the fractions explicitly or raise max_strata if intentional.
+            val maxStrata = cfg.longOr("max_strata", 10000L).toInt
+            val keys = keyed.select(key).distinct().limit(maxStrata + 1)
+              .collect().map(_.getString(0))
+            if (keys.length > maxStrata)
+              throw new GraftConfigError(
+                s"sample.apply: stratum column '$stratum' has more than " +
+                s"$maxStrata distinct values — default_fraction would collect " +
+                "them all to the driver. List 'fractions' explicitly or raise 'max_strata'.")
+            keys.map(k => k -> explicit.getOrElse(k, dflt)).toMap
+          } else explicit
         keyed.stat.sampleBy(key, allKeys, seed).drop(key)
       case None =>
         df.sample(cfg.boolOr("with_replacement", false),

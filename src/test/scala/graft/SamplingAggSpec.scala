@@ -32,6 +32,19 @@ class SamplingAggSpec extends SparkSpec {
     assert(math.abs(byCls.getOrElse(2, 0L) - 450) < 90)   // default 0.9 of 500
   }
 
+  test("sample.apply stratified: default_fraction over a high-cardinality key fails loud") {
+    // `id` has 2000 distinct values; with default_fraction the stratum-key
+    // universe must come to the driver, so the bounded collect trips
+    val e = intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "id", "seed" -> 5, "fractions" -> Map("1" -> 0.5),
+      "default_fraction" -> 0.2, "max_strata" -> 100))))
+    assert(e.getMessage.contains("max_strata"))
+    // explicit fractions only (no default) never collect — any cardinality OK
+    val ok = SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "id", "seed" -> 5, "fractions" -> Map("1" -> 1.0), "max_strata" -> 100)))
+    assert(ok.count() === 1L)
+  }
+
   test("split.apply: train/test partition the table deterministically") {
     def part(p: String) = SplitOp(StageContext.one(spark, ids, Cfg.of(
       "columns" -> Seq("id"), "percent" -> 80, "partition" -> p)))
