@@ -89,7 +89,8 @@ object Docs {
     entries.get(fn).getOrElse {
       if (fn.startsWith("mongodb.")) "MongoDB connector slot - validates config; execution needs mongo-spark-connector (absent offline)"
       else if (fn.startsWith("kafka.")) "Kafka connector slot - validates config; execution needs spark-sql-kafka (absent offline)"
-      else if (fn.startsWith("excel.")) "Excel connector slot - needs POI/spark-excel (absent offline)"
+      else if (fn == "excel.read") "read .xlsx (native OOXML, no POI) - path, sheet (name|index), has_headers"
+      else if (fn == "excel.write") "write .xlsx (native OOXML, driver-side) - path, sheet, write_headers, driver_limit"
       else if (fn.startsWith("http.")) "driver-side HTTP source/sink - url, body, headers, mock_response"
       else if (fn == "js.eval") "JS eval slot - needs GraalVM JS (absent offline); use map.apply sql instead"
       else "see Scaladoc in graft.operators/*"

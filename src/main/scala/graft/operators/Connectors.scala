@@ -72,17 +72,6 @@ object JsEvalOp extends GapStage("js.eval", StageKind.Transform,
   """df.mapPartitions { rows => val engine = enginePerPartition(); rows.map(evalRow) }
     |(offline alternative: map.apply with config sql = "<spark sql expr>")""".stripMargin)
 
-/** excel.read / excel.write — reference conveyor-plugin-excel-wasm. */
-object ExcelReadSource extends GapStage("excel.read", StageKind.Source,
-  Seq("path"),
-  "Apache POI (org.apache.poi:poi-ooxml) or com.crealytics:spark-excel",
-  """spark.read.format("excel").option("header", true).load(path)""")
-
-object ExcelWriteSink extends GapStage("excel.write", StageKind.Sink,
-  Seq("path"),
-  "Apache POI or spark-excel",
-  """df.write.format("excel").option("header", true).save(path)""")
-
 /** Remaining MongoDB function surface (reference lib.rs:24-38 op enum) —
   * same gap treatment; write-ops map to foreachPartition + Mongo driver
   * bulk API, findOne = find + limit(1), toObjectId is a pure transform. */

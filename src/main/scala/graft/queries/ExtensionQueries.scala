@@ -310,6 +310,22 @@ object ExtensionQueries {
         .select("o_orderkey", "norm")
     },
 
+    // ---- excel round-trip: write a deterministic orders slice to .xlsx,
+    // read it back, compare against the direct relational answer. A full
+    // oracle gate because the round-trip must be the identity: strings,
+    // longs and doubles all survive (Double.toString round-trips exactly).
+    QueryDef("excel_roundtrip",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey < 2000""".stripMargin) { (s, d) =>
+      val slice = t(s, d, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val path = java.nio.file.Files.createTempDirectory("graft_xlsx").toString + "/orders.xlsx"
+      ExcelWriteSink(StageContext.one(s, slice, Cfg.of("path" -> path)))
+      ExcelReadSource(StageContext(s, Seq.empty, Cfg.of("path" -> path)))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+
     // repartition is result-invariant — the oracle checks the pipeline
     // around it; partition-layout semantics are asserted in ScaleJoinSpec
     QueryDef("repartition_then_agg",
