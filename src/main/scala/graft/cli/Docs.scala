@@ -58,7 +58,7 @@ object Docs {
     "window.time" -> "event-time tumbling/sliding - ts_column, size, slide, watermark, group_by, aggregations",
     "window.session" -> "event-time session windows - ts_column, gap, group_by, aggregations",
     "aggregate.stream" -> "per-window aggregate - operation, value_column, group_by",
-    "aggregate.stateful" -> "running per-key aggregate (mapGroupsWithState) - key_column, value_column, operation",
+    "aggregate.stateful" -> "running per-key aggregate - key_column, value_column, operation; engine=mgws|tws (tws = Spark 4 transformWithState, supports state_ttl)",
     "dedup.stream" -> "streaming dedup - columns, watermark_column, delay (bounded state)",
     // enrichment / row-level
     "http.fetch" -> "per-row HTTP enrichment on executors - url template, concurrency, mock",

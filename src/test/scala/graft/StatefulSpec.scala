@@ -70,4 +70,48 @@ class StatefulSpec extends SparkSpec {
     assert(run("min") === Map("a" -> 2.0, "b" -> 5.0))
     assert(run("max") === Map("a" -> 6.0, "b" -> 5.0))
   }
+
+  test("aggregate.stateful engine=tws matches mgws on every op (batch)") {
+    import spark.implicits._
+    val df = Seq(("a", 2.0), ("a", 6.0), ("b", 5.0), ("c", -1.0)).toDF("k", "v")
+    for (op <- Seq("count", "sum", "avg", "min", "max")) {
+      def run(engine: String) =
+        StatefulAggOp(StageContext.one(spark, df, Cfg.of(
+          "key_column" -> "k", "value_column" -> "v", "operation" -> op,
+          "engine" -> engine)))
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(run("tws") === run("mgws"), s"op=$op")
+    }
+  }
+
+  test("aggregate.stateful engine=tws streams with the RocksDB state store") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Double)]
+      val df = mem.toDF().toDF("k", "v")
+      val agg = StatefulAggOp(StageContext.one(spark, df, Cfg.of(
+        "key_column" -> "k", "value_column" -> "v", "operation" -> "sum",
+        "output_column" -> "total", "engine" -> "tws")))
+      val q = agg.writeStream.outputMode("update").format("memory")
+        .queryName("tws_out").start()
+      try {
+        mem.addData(("a", 1.0), ("b", 10.0))
+        q.processAllAvailable()
+        mem.addData(("a", 4.0))
+        q.processAllAvailable()
+        val last = spark.sql("SELECT k, max(total) FROM tws_out GROUP BY k ORDER BY k")
+          .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        assert(last === Seq(("a", 5.0), ("b", 10.0)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
