@@ -72,9 +72,9 @@ object Docs {
     "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance",
     "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes",
     "knn.bruteforce" -> "exact cosine top-k - query_id|query_vector, k",
-    "knn.lsh" -> "ANN via hyperplane-LSH block buckets - query_id, k, num_planes, blocks",
+    "knn.lsh" -> "ANN via hyperplane-LSH block buckets - query_id, k, num_planes, blocks; index_path probes a prebuilt lsh index (partition-pruned)",
     "knn.ivf" -> "ANN via IVF coarse quantizer - query_id, k, nprobe; index_path probes a prebuilt index, else nlist/seed/max_train train inline",
-    "index.build" -> "persist an IVF-flat index (cell-partitioned corpus + centroids) - path, vector_column, nlist, seed, max_train",
+    "index.build" -> "persist a vector index - path, type=ivf (cell-partitioned corpus + centroids; nlist, max_train) | lsh ((block,bucket)-partitioned tables; num_planes, blocks), vector_column, seed",
     "text.stats" -> "length/punct/word stats - column",
     "text.langid" -> "n-gram/stopword language ID - column, output_column",
     "text.quality" -> "document quality score - column, output_column",

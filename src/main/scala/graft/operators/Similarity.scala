@@ -55,55 +55,87 @@ object KnnBruteForceOp extends Stage {
   }
 }
 
-/** knn.lsh — approximate cosine top-k via random-hyperplane LSH bucketing
-  * (the scale path: probe only buckets matching the query signature on at
-  * least one block, so the scan prunes to candidate partitions instead of
-  * the full corpus; with a bucket-partitioned layout this becomes true
-  * partition pruning). Same hyperplane machinery as dedup.embedding.
-  * Recall knob: more blocks (pigeonhole) / fewer planes per block.
+/** knn.lsh — approximate cosine top-k via random-hyperplane LSH bucketing:
+  * candidates share at least one signature block with the query. Same
+  * hyperplane machinery as dedup.embedding. Recall knob: more blocks
+  * (pigeonhole) / fewer planes per block.
+  *
+  * Two modes:
+  *  - `index_path` (the 100 TB path): probe an [[IndexBuildOp]] type=lsh
+  *    table. The corpus is stored once per block partitioned by
+  *    (block, bucket); the probe reads exactly `blocks` partitions —
+  *    (block=j AND bucket=qBlock_j) for each j — via parquet partition
+  *    pruning, dedupes candidates on the id, and scores them.
+  *  - inline: compute every row's signature in the scan and filter — one
+  *    full scan but zero index maintenance.
   */
 object KnnLshOp extends Stage {
   val name = "knn.lsh"
   val kind = StageKind.Transform
+
+  /** Query signature from the same seeded plane generation as
+    * DedupEmbeddingOp.hyperplaneSig. */
+  private def querySig(q: Seq[Double], dim: Int, h: Int, seed: Long): Long = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(h, dim)(rnd.nextGaussian())
+    var qSig = 0L
+    for (i <- 0 until h)
+      if ((0 until dim).map(j => planes(i)(j) * q(j)).sum >= 0) qSig |= (1L << i)
+    qSig
+  }
 
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     val idCol = cfg.strOr("id_column", "vec_id")
     val vecCol = cfg.strOr("vector_column", "embedding")
     val k = cfg.longOr("k", 10L).toInt
-    val h = cfg.longOr("num_planes", 16L).toInt
-    val blocks = cfg.longOr("blocks", 4L).toInt
-    val seed = cfg.longOr("seed", 11L)
     val q = KnnBruteForceOp.queryVector(ctx)
-    val dim = q.length
-    val width = h / blocks
-
-    // signature of every row (native exprs) + of the query (computed here)
-    val sigCol = DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed)
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(h, dim)(rnd.nextGaussian())
-    var qSig = 0L
-    for (i <- 0 until h)
-      if ((0 until dim).map(j => planes(i)(j) * q(j)).sum >= 0) qSig |= (1L << i)
-
-    // candidate = shares at least one signature block with the query
-    val blockMatch = (0 until blocks).map { j =>
-      val mask = (1L << width) - 1L
-      val qBlock = (qSig >>> (j * width)) & mask
-      (F.shiftrightunsigned(sigCol, j * width).bitwiseAND(F.lit(mask)) === F.lit(qBlock))
-    }.reduce(_ || _)
 
     graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val qLit = F.array(q.map(F.lit): _*)
     val cos = F.call_function("cosine_sim",
       F.col(vecCol).cast("array<double>"), qLit)
-
-    ctx.primary
-      .filter(blockMatch)
+    def topk(candidates: DataFrame): DataFrame = candidates
       .withColumn("cosine", F.round(cos, 6))
       .select(F.col(idCol), F.col("cosine"))
       .orderBy(F.col("cosine").desc, F.col(idCol).asc)
       .limit(k)
+
+    cfg.strOpt("index_path") match {
+      case Some(path) =>
+        val spark = ctx.spark
+        val meta = spark.read.parquet(s"$path/meta").head()
+        val h = meta.getAs[Int]("num_planes")
+        val blocks = meta.getAs[Int]("blocks")
+        val seed = meta.getAs[Long]("seed")
+        val dim = meta.getAs[Int]("dim")
+        val width = h / blocks
+        val mask = (1L << width) - 1L
+        val qSig = querySig(q, dim, h, seed)
+        // one (block, bucket) partition per block → `blocks` partitions read
+        val probe = (0 until blocks).map { j =>
+          F.col("block") === j && F.col("bucket") === ((qSig >>> (j * width)) & mask)
+        }.reduce(_ || _)
+        topk(spark.read.parquet(s"$path/corpus")
+          .filter(probe)
+          .dropDuplicates(idCol)   // a candidate can match several blocks
+          .drop("block", "bucket"))
+      case None =>
+        val h = cfg.longOr("num_planes", 16L).toInt
+        val blocks = cfg.longOr("blocks", 4L).toInt
+        val seed = cfg.longOr("seed", 11L)
+        val dim = q.length
+        val width = h / blocks
+        val mask = (1L << width) - 1L
+        // signature of every row (native exprs) + of the query
+        val sigCol = DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed)
+        val qSig = querySig(q, dim, h, seed)
+        val blockMatch = (0 until blocks).map { j =>
+          val qBlock = (qSig >>> (j * width)) & mask
+          (F.shiftrightunsigned(sigCol, j * width).bitwiseAND(F.lit(mask)) === F.lit(qBlock))
+        }.reduce(_ || _)
+        topk(ctx.primary.filter(blockMatch))
+    }
   }
 }
 

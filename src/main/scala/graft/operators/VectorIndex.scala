@@ -4,30 +4,50 @@ import org.apache.spark.sql.{DataFrame, functions => F}
 import graft.config._
 import graft.core._
 
-/** index.build — persist an IVF-flat vector index so ANN probes prune I/O
-  * instead of scanning the corpus (round-1 review: knn.ivf re-trained its
-  * quantizer inside every query — correct, but the index belongs OUTSIDE
-  * the query at 100 TB).
+/** index.build — persist a vector index so ANN probes prune I/O instead of
+  * scanning the corpus (round-1 review: knn.ivf re-trained its quantizer
+  * inside every query — correct, but the index belongs OUTSIDE the query
+  * at 100 TB).
   *
-  * Layout under `path`:
+  * `type = "ivf"` (default) — layout under `path`:
   *   corpus/    the input rows + `cell` (nearest-centroid id), written
   *              `partitionBy("cell")` — a probe filtering `cell IN (...)`
   *              becomes parquet PARTITION PRUNING: nprobe/nlist of the
   *              bytes are read, visible as PartitionFilters in the scan
   *   centroids/ (cell INT, centroid ARRAY<DOUBLE>) — nlist rows, tiny;
   *              probes rank these driver-side to pick cells
-  *
   * The quantizer is MLlib KMeans on a bounded sample (`max_train`), the
   * standard IVF recipe: centroid quality needs a sample, assignment is one
-  * broadcast-model map pass over the full corpus. Rebuild = re-run with
-  * mode=overwrite (default). Pass-through stage: returns its input, so it
-  * composes mid-pipeline like table.write.
+  * broadcast-model map pass over the full corpus.
+  *
+  * `type = "lsh"` — the classic multi-probe LSH table layout: each row's
+  * hyperplane signature (num_planes bits, same machinery as
+  * dedup.embedding) splits into `blocks` bucket keys and the row is
+  * written once PER BLOCK, partitioned by (block, bucket) — storage
+  * amplification = blocks, probe cost = blocks partitions out of
+  * blocks × 2^(num_planes/blocks). meta/ records (num_planes, blocks,
+  * seed, dim) so probes regenerate the identical planes. `num_planes /
+  * blocks` is capped at 12 bits (4096 buckets/block) to bound the
+  * partition-directory count.
+  *
+  * Rebuild = re-run with mode=overwrite (default). Pass-through stage:
+  * returns its input, so it composes mid-pipeline like table.write.
   */
 object IndexBuildOp extends Stage {
   val name = "index.build"
   val kind = StageKind.Sink
 
   def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    cfg.strOr("type", "ivf") match {
+      case "ivf" => buildIvf(ctx)
+      case "lsh" => buildLsh(ctx)
+      case other => throw new GraftConfigError(s"index.build type must be ivf|lsh, got '$other'")
+    }
+    ctx.primary
+  }
+
+  private def buildIvf(ctx: StageContext): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val cfg = ctx.cfg
@@ -53,6 +73,38 @@ object IndexBuildOp extends Stage {
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode(mode).parquet(s"$path/centroids")
-    ctx.primary
+  }
+
+  private def buildLsh(ctx: StageContext): Unit = {
+    val cfg = ctx.cfg
+    val path = cfg.str("path")
+    val vecCol = cfg.strOr("vector_column", "embedding")
+    val h = cfg.longOr("num_planes", 16L).toInt
+    val blocks = cfg.longOr("blocks", 4L).toInt
+    val seed = cfg.longOr("seed", 11L)
+    val mode = cfg.strOr("mode", "overwrite")
+    val width = h / blocks
+    if (h % blocks != 0) throw new GraftConfigError("num_planes must be divisible by blocks")
+    if (width > 12) throw new GraftConfigError(
+      s"num_planes/blocks = $width bits → ${1 << width} buckets per block; " +
+      "cap is 12 bits (4096) to bound the partition count — raise blocks or lower num_planes")
+
+    val dim = ctx.primary.select(F.size(F.col(vecCol))).head(1).headOption match {
+      case Some(r) => r.getInt(0)
+      case None    => throw new GraftPlanError("index.build type=lsh: empty input, cannot infer dim")
+    }
+    val sig = DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed)
+    val mask = (1L << width) - 1L
+    val exploded = ctx.primary.withColumn("_sig", sig)
+      .select(F.col("*"), F.posexplode(F.array((0 until blocks).map { j =>
+        F.shiftrightunsigned(F.col("_sig"), j * width).bitwiseAND(F.lit(mask))
+      }: _*)).as(Seq("block", "bucket")))
+      .drop("_sig")
+    exploded.write.mode(mode).partitionBy("block", "bucket").parquet(s"$path/corpus")
+
+    val spark = ctx.spark
+    import spark.implicits._
+    Seq((h, blocks, seed, dim)).toDF("num_planes", "blocks", "seed", "dim")
+      .coalesce(1).write.mode(mode).parquet(s"$path/meta")
   }
 }

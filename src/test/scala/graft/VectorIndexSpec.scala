@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.FileSourceScanExec
 import graft.config.Cfg
 import graft.core.StageContext
-import graft.operators.{IndexBuildOp, KnnBruteForceOp, KnnIvfOp}
+import graft.operators.{IndexBuildOp, KnnBruteForceOp, KnnIvfOp, KnnLshOp}
 
 /** index.build + knn.ivf index_path: exactness at nprobe=nlist and real
   * parquet partition pruning on the probe scan. */
@@ -44,6 +44,36 @@ class VectorIndexSpec extends SparkSpec {
     // top-1 must still be the query vector itself (cosine 1.0 cell always probed)
     val top = probe.collect().head
     assert(top.getLong(0) === 0L && top.getDouble(1) === 1.0)
+  }
+
+  test("lsh index probe returns the same candidates as the inline scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_spec").toString
+    IndexBuildOp(StageContext.one(spark, emb, Cfg.of(
+      "path" -> dir, "type" -> "lsh", "vector_column" -> "embedding",
+      "num_planes" -> 16, "blocks" -> 4, "seed" -> 11)))
+    def run(extra: (String, Any)*) =
+      KnnLshOp(StageContext.one(spark, emb, Cfg.of(
+        (Seq[(String, Any)]("query_id" -> 0, "k" -> 10, "num_planes" -> 16,
+          "blocks" -> 4, "seed" -> 11) ++ extra): _*)))
+    val inline = run().collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val probe = run("index_path" -> dir)
+    val indexed = probe.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(indexed === inline)
+    // the (block, bucket) predicate must prune at planning time; the scan
+    // sits inside an AdaptiveSparkPlanExec (dropDuplicates adds an
+    // exchange), so flatten adaptive nodes before collecting
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children.flatMap(flatten) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case _ => Seq.empty
+      }))
+    val flat = flatten(probe.queryExecution.executedPlan)
+    info("plan nodes: " + flat.map(_.getClass.getSimpleName).distinct.mkString(", "))
+    val scans = flat.collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths.exists(_.toString.contains("corpus")) => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty))
   }
 
   test("knn.ivf with no index_path still trains inline (legacy mode)") {
