@@ -301,6 +301,25 @@ object RelationalQueries {
         F.max("event_id").alias("last_event"))
     },
 
+    // per-key tumbling count windows (group_by batch path — the same
+    // semantics the streaming transformWithState processor keeps per key)
+    QueryDef("window_count_keyed",
+      """SELECT user_id, window_id, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event
+        |FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(floor((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1) / 50) AS BIGINT) AS window_id
+        |  FROM events)
+        |GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val win = graft.streaming.CountWindowOp(StageContext.one(s, t(s, d, "events"), Cfg.of(
+        "type" -> "tumbling", "size" -> 50,
+        "group_by" -> Seq("user_id"), "order_by" -> Seq("ts", "event_id"))))
+      win.groupBy("user_id", "window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"))
+    },
+
     // ---- limit / top-k ----
     QueryDef("topk_orders",
       "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10") { (s, d) =>

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, functions => F}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import graft.config._
 import graft.core._
 import graft.operators.Indexing
@@ -23,6 +23,15 @@ import graft.operators.Indexing
   * assignment is the distributed two-pass zipWithIndex, not a global
   * window function, so it scales.
   *
+  * With `group_by` keys the windows are PER KEY (each key counts its own
+  * records) and two more modes open up:
+  *  - batch: plain partitioned window functions — one shuffle on the keys.
+  *  - TRUE STREAMING input: a transformWithState processor keeps each
+  *    key's running count (or last-gap/session-id) across micro-batches —
+  *    the reference's record-count semantics, distributed by key. A
+  *    keyless streaming count window is rejected loudly: global record
+  *    order does not exist on a distributed stream (use time windows).
+  *
   * Time-based windows (the Spark-native upgrade) live in TimeWindowOp.
   */
 object CountWindowOp extends Stage {
@@ -33,6 +42,9 @@ object CountWindowOp extends Stage {
     val cfg = ctx.cfg
     val typ = cfg.strOr("type", "tumbling")
     val orderBy = cfg.strListOr("order_by", Vector.empty)
+    val groupBy = cfg.strListOr("group_by", Vector.empty)
+    if (ctx.primary.isStreaming) return streamingKeyed(ctx, typ, groupBy)
+    if (groupBy.nonEmpty) return batchKeyed(ctx, typ, groupBy, orderBy)
     val indexed = Indexing.withGlobalIndex(ctx.primary, orderBy, "_idx")
     typ match {
       case "tumbling" =>
@@ -104,6 +116,122 @@ object CountWindowOp extends Stage {
         spark.createDataFrame(outRdd, outSchema)
       case other => throw new GraftConfigError(s"unknown window type '$other'")
     }
+  }
+
+  /** Batch + group_by: per-key count windows via partitioned window
+    * functions — one hash shuffle on the keys, sort within partitions. */
+  private def batchKeyed(ctx: StageContext, typ: String,
+      groupBy: Seq[String], orderBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cfg = ctx.cfg
+    val part = Window.partitionBy(groupBy.map(F.col): _*)
+    val order = (if (orderBy.nonEmpty) orderBy else groupBy).map(F.col(_).asc)
+    val w = part.orderBy(order: _*)
+    val rn = F.row_number().over(w).cast(LongType) - 1
+    typ match {
+      case "tumbling" =>
+        val size = cfg.long("size")
+        ctx.primary.withColumn("window_id", (rn / size).cast(LongType))
+      case "sliding" =>
+        val size = cfg.long("size")
+        val slide = cfg.longOr("slide", size)
+        val i = rn
+        val lo = F.greatest(F.lit(0L), F.ceil((i - size + 1).cast("double") / slide).cast(LongType))
+        val hi = F.floor(i.cast("double") / slide).cast(LongType)
+        // one select: rn + explode in a single Window node
+        ctx.primary.withColumn("window_id", F.explode(F.sequence(lo, hi)))
+      case "session" =>
+        val gap = cfg.doubleOr("gap", 300.0)
+        val tsCol = cfg.strOpt("gap_column").orElse(orderBy.headOption).getOrElse(
+          throw new GraftConfigError("session window requires order_by or gap_column"))
+        val gv = F.col(tsCol).cast("double")
+        val flag = F.when(F.lag(gv, 1).over(w).isNotNull &&
+          gv - F.lag(gv, 1).over(w) > gap, 1L).otherwise(0L)
+        ctx.primary
+          .withColumn("_flag", flag)
+          .withColumn("window_id",
+            F.sum(F.col("_flag")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .drop("_flag")
+      case other => throw new GraftConfigError(s"unknown window type '$other'")
+    }
+  }
+
+  /** Streaming + group_by: transformWithState keeps each key's running
+    * record count (tumbling/sliding) or (last gap value, session id)
+    * across micro-batches. Rows within a key are processed in micro-batch
+    * arrival order — the reference's record-count semantics per key. */
+  private def streamingKeyed(ctx: StageContext, typ: String, groupBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState, TimerValues, StatefulProcessor}
+    val cfg = ctx.cfg
+    if (groupBy.isEmpty)
+      throw new GraftConfigError(
+        "streaming count windows require group_by keys: global record order " +
+        "does not exist on a distributed stream — group by a key, or use " +
+        "time-based windows (window.apply via TimeWindowOp / session time windows)")
+    val df = ctx.primary
+    val keyIdcs = groupBy.map(df.columns.indexOf(_)).toArray
+    keyIdcs.zipWithIndex.foreach { case (i, j) =>
+      if (i < 0) throw new GraftConfigError(s"window.apply: unknown group_by column '${groupBy(j)}'")
+    }
+
+    val (prepared, gapIdx) = typ match {
+      case "session" =>
+        val tsCol = cfg.strOpt("gap_column").getOrElse(
+          throw new GraftConfigError("streaming session window requires gap_column"))
+        val p = df.withColumn("_gapv", F.col(tsCol).cast("double"))
+        (p, p.columns.length - 1)
+      case _ => (df, -1)
+    }
+    val outSchema = StructType(df.schema.fields :+ StructField("window_id", LongType, nullable = false))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val keyFn = (r: Row) => keyIdcs.map(i => String.valueOf(r.get(i))).mkString("\u0001")
+
+    val processor: StatefulProcessor[String, Row, Row] = typ match {
+      case "tumbling" | "sliding" =>
+        val size = cfg.long("size")
+        val slide = if (typ == "sliding") cfg.longOr("slide", size) else size
+        new StatefulProcessor[String, Row, Row] {
+          @transient private var st: ValueState[Long] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            st = getHandle.getValueState[Long]("n", Encoders.scalaLong, TTLConfig.NONE)
+          override def handleInputRows(key: String, rows: Iterator[Row],
+              tv: TimerValues): Iterator[Row] = {
+            var n = if (st.exists()) st.get() else 0L
+            val out = rows.flatMap { r =>
+              val i = n; n += 1; st.update(n)
+              val lo = math.max(0L, math.ceil((i - size + 1).toDouble / slide).toLong)
+              val hi = math.floorDiv(i, slide)
+              (lo to hi).iterator.map(wid => Row.fromSeq(r.toSeq :+ wid))
+            }
+            out
+          }
+        }
+      case "session" =>
+        val gap = cfg.doubleOr("gap", 300.0)
+        new StatefulProcessor[String, Row, Row] {
+          @transient private var st: ValueState[(Double, Long)] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            st = getHandle.getValueState[(Double, Long)]("s",
+              Encoders.product[(Double, Long)], TTLConfig.NONE)
+          override def handleInputRows(key: String, rows: Iterator[Row],
+              tv: TimerValues): Iterator[Row] = {
+            var state = Option(st.get())
+            rows.map { r =>
+              val v = r.getDouble(gapIdx)
+              val sid = state match {
+                case Some((prev, s)) => if (v - prev > gap) s + 1 else s
+                case None            => 0L
+              }
+              state = Some((v, sid)); st.update((v, sid))
+              Row.fromSeq(r.toSeq.dropRight(1) :+ sid)
+            }
+          }
+        }
+      case other => throw new GraftConfigError(s"unknown window type '$other'")
+    }
+    prepared.groupByKey(keyFn)(Encoders.STRING)
+      .transformWithState(processor, TimeMode.None(), OutputMode.Append())(enc)
   }
 }
 

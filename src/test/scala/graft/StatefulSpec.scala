@@ -84,6 +84,62 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
+  test("window.apply streams per-key tumbling windows across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val df = mem.toDF().toDF("user", "n")
+      val win = graft.streaming.CountWindowOp(StageContext.one(spark, df, Cfg.of(
+        "type" -> "tumbling", "size" -> 2, "group_by" -> Seq("user"))))
+      val q = win.writeStream.outputMode("append").format("memory")
+        .queryName("cw_out").start()
+      try {
+        mem.addData(("a", 1L), ("a", 2L), ("b", 1L))
+        q.processAllAvailable()
+        mem.addData(("a", 3L), ("b", 2L), ("b", 3L))  // counts continue per key
+        q.processAllAvailable()
+        val got = spark.sql("SELECT user, n, window_id FROM cw_out ORDER BY user, n")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        assert(got === Seq(
+          ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),   // a's 3rd record opens window 1
+          ("b", 1L, 0L), ("b", 2L, 0L), ("b", 3L, 1L)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("window.apply batch group_by matches per-key window arithmetic; keyless streaming rejected") {
+    import spark.implicits._
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L)).toDF("user", "seq")
+    val win = graft.streaming.CountWindowOp(StageContext.one(spark, df, Cfg.of(
+      "type" -> "tumbling", "size" -> 2, "group_by" -> Seq("user"), "order_by" -> Seq("seq"))))
+    val got = win.collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("window_id"))).sorted
+    assert(got.toSeq === Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("b", 10L, 0L)))
+
+    // per-key session in batch
+    val sess = graft.streaming.CountWindowOp(StageContext.one(spark, df, Cfg.of(
+      "type" -> "session", "gap" -> 0.5, "group_by" -> Seq("user"),
+      "order_by" -> Seq("seq"), "gap_column" -> "seq")))
+    val sids = sess.collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("window_id"))).sorted
+    assert(sids.toSeq === Seq(("a", 1L, 0L), ("a", 2L, 1L), ("a", 3L, 2L), ("b", 10L, 0L)))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val sdf = mem.toDF().toDF("user", "n")
+    intercept[graft.config.GraftConfigError] {
+      graft.streaming.CountWindowOp(StageContext.one(spark, sdf, Cfg.of(
+        "type" -> "tumbling", "size" -> 2)))
+    }
+  }
+
   test("aggregate.stateful engine=tws streams with the RocksDB state store") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
