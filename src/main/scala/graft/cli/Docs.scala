@@ -83,7 +83,9 @@ object Docs {
     "mongodb.normalize" -> "MongoDB extended JSON to plain scalars ($oid/$date/$numberLong/Int/Double) - column, output_column, date_format=millis|iso",
     "mongodb.toObjectId" -> "wrap 24-hex strings as {\"$oid\": ...} - column, output_column",
     "binary.meta" -> "binary column metadata (magic, hash, size) - column",
-    "media.features" -> "batched decode/feature harness (decode stubbed offline) - column, kind")
+    "image.decode" -> "decode PNG/JPEG/BMP/GIF via javax.imageio - column, resize=[w,h] adds a thumb column",
+    "audio.decode" -> "parse WAV/AIFF/AU PCM via javax.sound - column; adds sample_rate/channels/frames/duration",
+    "media.features" -> "feature extraction - column, feature_dim, kind=auto|image|audio|stub (image: tiny-image grayscale; audio: windowed RMS; video/unknown: labeled stub)")
 
   def describe(fn: String): String =
     entries.get(fn).getOrElse {

@@ -54,6 +54,7 @@ object Registry {
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
     KnnBruteForceOp, KnnLshOp, KnnIvfOp, IndexBuildOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
+    graft.multimodal.ImageDecodeOp, graft.multimodal.AudioDecodeOp,
     // composition
     SubPipelineOp
   )

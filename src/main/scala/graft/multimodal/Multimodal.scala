@@ -40,18 +40,21 @@ object BinaryMetaOp extends Stage {
   * mapPartitions (the Scala analog of mapInPandas: iterator-of-batches in,
   * iterator-of-rows out, one decoder init per partition).
   *
-  * STUB DECODE: `decodeToFeatures` derives a deterministic pseudo-feature
-  * vector from the blob bytes (seeded by content hash) — the real decoder
-  * (JPEG decode → resize → embed, PCM decode → mel spectrogram, …) replaces
-  * exactly that one function; the Spark-side contract (schema
-  * `features array<float>`, `feature_dim`, per-partition init, bounded
-  * batch memory) is the part under test.
+  * REAL decode for images and PCM audio on pure-JDK codecs (see
+  * [[MediaCodec]]): images (PNG/JPEG/BMP/GIF) → g×g grayscale tiny-image
+  * descriptor; WAV/AIFF/AU → windowed RMS energy. `kind` selects: `auto`
+  * (default — sniff, decode, fall back), `image`, `audio` (null features
+  * when the blob doesn't decode as the requested kind), or `stub`.
+  *
+  * STUB fallback: video and unknown formats derive a deterministic
+  * pseudo-feature vector from the content hash — the only remaining
+  * stand-in (no video codec ships in the JDK), clearly isolated here.
   */
 object FeatureExtractOp extends Stage {
   val name = "media.features"
   val kind = StageKind.Transform
 
-  /** STUB — stand-in for a real image/audio decoder + feature extractor. */
+  /** STUB — stand-in for formats without a JDK codec (video, exotic). */
   def decodeToFeatures(blob: Array[Byte], dim: Int): Array[Float] = {
     var h = 0xcbf29ce484222325L
     blob.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
@@ -70,16 +73,30 @@ object FeatureExtractOp extends Stage {
     val cfg = ctx.cfg
     val col = cfg.str("column")
     val dim = cfg.longOr("feature_dim", 64L).toInt
+    val kindSel = cfg.strOr("kind", "auto")
+    if (!Set("auto", "image", "audio", "stub").contains(kindSel))
+      throw new GraftConfigError(s"media.features kind must be auto|image|audio|stub, got '$kindSel'")
     val df = ctx.primary
     val colIdx = df.schema.fieldIndex(col)
     val outSchema = StructType(df.schema.fields :+
       StructField("features", ArrayType(FloatType), nullable = true))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
     df.mapPartitions { rows =>
-      // real impl: initialize the decoder ONCE per partition here
       rows.map { row =>
         val blob = if (row.isNullAt(colIdx)) null else row.getAs[Array[Byte]](colIdx)
-        val feats = if (blob == null) null else decodeToFeatures(blob, dim)
+        val feats: Array[Float] =
+          if (blob == null) null
+          else kindSel match {
+            case "image" => MediaCodec.decodeImage(blob)
+              .map(MediaCodec.tinyImageFeatures(_, dim)).orNull
+            case "audio" => MediaCodec.decodeAudio(blob)
+              .map(m => MediaCodec.rmsFeatures(m.samples, dim)).orNull
+            case "stub"  => decodeToFeatures(blob, dim)
+            case _ =>       // auto: image, then audio, then stub
+              MediaCodec.decodeImage(blob).map(MediaCodec.tinyImageFeatures(_, dim))
+                .orElse(MediaCodec.decodeAudio(blob).map(m => MediaCodec.rmsFeatures(m.samples, dim)))
+                .getOrElse(decodeToFeatures(blob, dim))
+          }
         Row.fromSeq(row.toSeq :+ feats)
       }
     }(enc)

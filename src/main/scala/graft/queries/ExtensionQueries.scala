@@ -210,6 +210,59 @@ object ExtensionQueries {
         .select(F.col("doc_id"), F.size(F.col("features")).cast("int").alias("feat_dim"))
     },
 
+    // REAL image decode end-to-end: synthesize a PNG per row whose width
+    // is a function of doc_id, decode it with image.decode (javax.imageio),
+    // and let the oracle state the expected dimensions arithmetically.
+    QueryDef("image_decode",
+      """SELECT doc_id,
+        |  CAST(doc_id % 16 + 1 AS INTEGER) AS img_width,
+        |  CAST(7 AS INTEGER) AS img_height,
+        |  CAST(3 AS INTEGER) AS img_channels
+        |FROM documents""".stripMargin) { (s, d) =>
+      val mkPng = F.udf { id: Long =>
+        val w = (id % 16 + 1).toInt
+        val img = new java.awt.image.BufferedImage(w, 7, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var x = 0
+        while (x < w) { var y = 0; while (y < 7) { img.setRGB(x, y, (id * 2654435761L).toInt + x * 256 + y); y += 1 }; x += 1 }
+        graft.multimodal.MediaCodec.pngBytes(img)
+      }
+      val blobs = t(s, d, "documents").select(F.col("doc_id"),
+        mkPng(F.col("doc_id").cast("long")).alias("blob"))
+      graft.multimodal.ImageDecodeOp(StageContext.one(s, blobs, Cfg.of("column" -> "blob")))
+        .select("doc_id", "img_width", "img_height", "img_channels")
+    },
+
+    // REAL WAV decode end-to-end: synthesize 16-bit PCM per row with a
+    // doc_id-dependent frame count; the oracle computes duration directly.
+    QueryDef("audio_decode",
+      """SELECT doc_id,
+        |  CAST(8000 AS DOUBLE) AS sample_rate,
+        |  CAST((doc_id % 5 + 1) * 800 AS BIGINT) AS n_frames,
+        |  round((doc_id % 5 + 1) * 800 / 8000.0, 6) AS duration_s
+        |FROM documents""".stripMargin) { (s, d) =>
+      val mkWav = F.udf { id: Long =>
+        val frames = ((id % 5 + 1) * 800).toInt
+        val data = new Array[Byte](frames * 2)
+        var i = 0
+        while (i < frames) {
+          val v = (math.sin(2 * math.Pi * 220.0 * i / 8000.0) * 12000).toInt.toShort
+          data(i * 2) = (v & 0xff).toByte; data(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val in = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(in, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+      val blobs = t(s, d, "documents").select(F.col("doc_id"),
+        mkWav(F.col("doc_id").cast("long")).alias("blob"))
+      graft.multimodal.AudioDecodeOp(StageContext.one(s, blobs, Cfg.of("column" -> "blob")))
+        .select(F.col("doc_id"), F.col("sample_rate"), F.col("n_frames"),
+          F.round(F.col("duration_s"), 6).alias("duration_s"))
+    },
+
     // ---- event-time windows (ts never exposed raw: ns vs us) ----
     QueryDef("window_time_1h",
       """SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events,
