@@ -80,6 +80,7 @@ object Docs {
     "text.quality" -> "document quality score - column, output_column",
     "text.tokens" -> "token counts (whitespace + BPE-ish) - column",
     "text.fingerprint" -> "normalized hash + min-shingle sketch - column",
+    "zorder.apply" -> "Z-order (Morton) clustering on 2-6 columns for multi-dimensional row-group pruning - columns, bits, partitions",
     "mongodb.normalize" -> "MongoDB extended JSON to plain scalars ($oid/$date/$numberLong/Int/Double) - column, output_column, date_format=millis|iso",
     "mongodb.toObjectId" -> "wrap 24-hex strings as {\"$oid\": ...} - column, output_column",
     "binary.meta" -> "binary column metadata (magic, hash, size) - column",

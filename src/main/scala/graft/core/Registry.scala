@@ -30,6 +30,7 @@ object Registry {
     // relational transforms (reference §2.3)
     FilterOp, SelectOp, MapOp, GroupByOp, ReduceOp, SortOp, DistinctOp,
     ChunkOp, JsonExtractOp, ValidateOp, LimitOp, SampleOp, SplitOp, RepartitionOp,
+    ZOrderOp,
     // streaming (reference §2.4 + §2.1 unregistered sources + event-time upgrades)
     CountWindowOp, AggregateStreamOp, TimeWindowOp, SessionWindowOp,
     StreamDedupOp, StatefulAggOp,

@@ -379,6 +379,20 @@ object ExtensionQueries {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     },
 
+    // z-order is result-invariant (pure reordering) — the oracle checks the
+    // pipeline around it; the row-group pruning win is measured in ZOrderSpec
+    QueryDef("zorder_then_agg",
+      """SELECT l_suppkey, l_partkey, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS rev
+        |FROM lineitem WHERE l_suppkey < 50 GROUP BY 1, 2""".stripMargin) { (s, d) =>
+      val z = ZOrderOp(StageContext.one(s, t(s, d, "lineitem"), Cfg.of(
+        "columns" -> Seq("l_suppkey", "l_partkey"), "bits" -> 10)))
+      z.filter(F.col("l_suppkey") < 50)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"),
+          F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+    },
+
     // repartition is result-invariant — the oracle checks the pipeline
     // around it; partition-layout semantics are asserted in ScaleJoinSpec
     QueryDef("repartition_then_agg",
