@@ -35,7 +35,11 @@ import graft.core._
   */
 object IndexBuildOp extends Stage {
   val name = "index.build"
-  val kind = StageKind.Sink
+  // Transform, not Sink: the DAG compiler defers Sink side effects until
+  // after every plan is composed, but a downstream knn probe must LIST the
+  // index files at plan time — index.build is a materialization barrier
+  // that runs eagerly during plan composition and passes its input through.
+  val kind = StageKind.Transform
 
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
