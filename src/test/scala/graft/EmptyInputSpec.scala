@@ -85,4 +85,42 @@ class EmptyInputSpec extends SparkSpec {
       "key_column" -> "k", "value_column" -> "v", "operation" -> "sum")))
     assert(out.count() === 0L)
   }
+
+  test("keyless window functions on empty and single-row frames") {
+    val empty = Seq.empty[(Long, Double)].toDF("k", "v")
+    val one = Seq((1L, 2.0)).toDF("k", "v")
+    for (fn <- Seq("rank", "row_number", "sum", "lag")) {
+      val cfg = Cfg.of("function" -> fn, "order_by" -> Seq("k"),
+        "column" -> "v", "output_column" -> "w")
+      assert(WindowFnOp(StageContext.one(spark, empty, cfg)).count() === 0L, fn)
+      assert(WindowFnOp(StageContext.one(spark, one, cfg)).count() === 1L, fn)
+    }
+  }
+
+  test("zorder.apply on empty, single-row, and constant-column frames") {
+    val empty = Seq.empty[(Long, Long)].toDF("x", "y")
+    val one = Seq((1L, 2L)).toDF("x", "y")
+    val const = Seq((5L, 1L), (5L, 2L)).toDF("x", "y")
+    val cfg = Cfg.of("columns" -> Seq("x", "y"), "bits" -> 4)
+    assert(ZOrderOp(StageContext.one(spark, empty, cfg)).count() === 0L)
+    assert(ZOrderOp(StageContext.one(spark, one, cfg)).count() === 1L)
+    assert(ZOrderOp(StageContext.one(spark, const, cfg)).count() === 2L)
+  }
+
+  test("excel round-trip of an empty frame (header-only sheet)") {
+    val path = java.nio.file.Files.createTempFile("graft_empty", ".xlsx").toString
+    val empty = Seq.empty[(Long, String)].toDF("id", "name")
+    ExcelWriteSink(StageContext.one(spark, empty, Cfg.of("path" -> path)))
+    val back = ExcelReadSource(StageContext(spark, Seq.empty, Cfg.of("path" -> path)))
+    assert(back.count() === 0L)
+  }
+
+  test("mongodb.normalize passes null cells through") {
+    val df = Seq((1L, """{"a": {"$numberInt": "2"}}"""), (2L, null))
+      .toDF("id", "j")
+    val out = MongoNormalizeOp(StageContext.one(spark, df, Cfg.of("column" -> "j")))
+      .orderBy("id").select("j").collect()
+    assert(out(0).getString(0) === """{"a":2}""")
+    assert(out(1).isNullAt(0))
+  }
 }
