@@ -67,13 +67,20 @@ object Tables {
 
   private def load0(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-      // (PARQUET_TYPE_ILLEGAL) unless read as long; convert ns → µs
-      // TimestampType to present the FIXTURES.md schema.
+      // The driver fixture's events.ts is parquet TIMESTAMP(NANOS), which
+      // Spark 4 rejects (PARQUET_TYPE_ILLEGAL) unless read as long; convert
+      // ns → µs TimestampType to present the FIXTURES.md schema. A replica
+      // WRITTEN by Spark (e.g. the 10× scaling copy) already has µs
+      // timestamps — branch on the actual decoded type.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions._
-      raw.withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      import org.apache.spark.sql.types.LongType
+      val ts = raw.schema("ts").dataType match {
+        case LongType => timestamp_micros(floor(col("ts") / 1000L).cast("long"))
+        case _        => col("ts")
+      }
+      raw.withColumn("ts", ts)
         .select("event_id", "ts", "user_id", "event_type", "value", "props")
     } else spark.read.parquet(s"$dir/$name.parquet")
 }
