@@ -29,7 +29,7 @@ object Main {
       val pc = PipelineConfig.fromFile(path)
       val spark = session(rest)
       try {
-        val plans = DagCompiler.default.compilePlans(spark, pc)
+        val plans = DagCompiler.default.compilePlans(spark, pc, explainOnly = true)
         val sinks = pc.stages.filter(s =>
           Registry.withDefaults.contains(s.function) &&
             Registry.withDefaults.resolve(s.function).kind == graft.core.StageKind.Sink)

@@ -87,8 +87,15 @@ final class DagCompiler(registry: Registry) {
   }
 
   /** Pure plan composition: transforms/sources compose lazily; sink stages
-    * contribute their input plan (pass-through) without side effects. */
-  def compilePlans(spark: SparkSession, pc: PipelineConfig): Map[String, DataFrame] = {
+    * contribute their input plan (pass-through) without side effects.
+    *
+    * `explainOnly = true` (the CLI `explain` command) additionally tells
+    * materialization-barrier transforms — stages that execute eagerly at
+    * compose time, like index.build — to skip their side effect: stage
+    * configs gain `_explain_only = true` and the affected stage documents
+    * the placeholder behavior. */
+  def compilePlans(spark: SparkSession, pc: PipelineConfig,
+      explainOnly: Boolean = false): Map[String, DataFrame] = {
     val memo = mutable.Map[String, DataFrame]()
     def plan(id: String): DataFrame = memo.getOrElseUpdate(id, {
       val st = pc.stageById(id).getOrElse(throw new GraftPlanError(s"unknown stage '$id'"))
@@ -99,7 +106,10 @@ final class DagCompiler(registry: Registry) {
         inputDfs.headOption.map(_._2).getOrElse(
           throw new GraftPlanError(s"sink stage '$id' has no input"))
       } else {
-        stage(StageContext(spark, inputDfs, st.config, st.id))
+        val cfg = if (explainOnly)
+          graft.config.Cfg(st.config.table + ("_explain_only" -> graft.config.CBool(true)))
+        else st.config
+        stage(StageContext(spark, inputDfs, cfg, st.id))
       }
     })
     pc.stages.foreach(st => plan(st.id))

@@ -84,7 +84,9 @@ object AsofJoinOp extends Stage {
       val srcNames = on +: rightValueCols.map(c => s"_r_$c")
       val srcIdcs = srcNames.map(n => cols.indexOf(n)).toArray
       val nSrc = srcIdcs.length
-      val rdd = sorted.rdd
+      // persist across the two passes: recomputing the sort between jobs
+      // could permute equal-(on, side) rows and mis-stitch the carries
+      val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = rdd.mapPartitionsWithIndex { (p, it) =>
         val acc = Array.fill[Any](nSrc)(null)
         it.foreach { r =>

@@ -231,6 +231,11 @@ object ExcelWriteSink extends Stage {
       v match {
         case null => ""
         case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+        // NaN/Infinity have no OOXML numeric representation — emitting
+        // <v>NaN</v> produces a file Excel refuses to open. Blank cell
+        // (= null), matching the reference's serde NaN→null behavior.
+        case d: Double if d.isNaN || d.isInfinite => ""
+        case f: Float if f.isNaN || f.isInfinite => ""
         case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float | _: Double) =>
           s"""<c r="$ref"><v>$n</v></c>"""
         case d: java.math.BigDecimal => s"""<c r="$ref"><v>${d.toPlainString}</v></c>"""

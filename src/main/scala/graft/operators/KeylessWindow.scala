@@ -75,7 +75,8 @@ object KeylessWindow {
         val m = r.merge   // detach from RunSpec before closure capture
         (a: Any, b: Any) => if (a == null) b else if (b == null) a else m(a, b)
       }.toIndexedSeq
-    val rdd = sortedG.rdd
+    // persist: the two passes are separate jobs sharing this lineage
+    val rdd = sortedG.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // pass 1: per-partition totals (rows, groups, per-run partial)
     val stats = rdd.mapPartitionsWithIndex { (p, it) =>
@@ -150,7 +151,10 @@ object KeylessWindow {
     val sorted = df.orderBy(sortCols: _*)
     val vIdx = sorted.columns.indexOf(valueCol)
     if (vIdx < 0) throw new GraftConfigError(s"window.rank: unknown column '$valueCol'")
-    val rdd = sorted.rdd
+    // persist: pass 1 (first-k/last-k stats) and pass 2 (carry application)
+    // are separate jobs — a recompute between them could permute rows tying
+    // on the sort key and hand a row the wrong neighbor values
+    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = offset
     // pass 1: first-k and last-k values per partition
     val stats = rdd.mapPartitionsWithIndex { (p, it) =>

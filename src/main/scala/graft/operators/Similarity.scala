@@ -104,6 +104,10 @@ object KnnLshOp extends Stage {
     cfg.strOpt("index_path") match {
       case Some(path) =>
         val spark = ctx.spark
+        if (!new java.io.File(s"$path/meta").exists())
+          throw new GraftPlanError(
+            s"knn.lsh: no index at '$path' — run an index.build type=lsh stage first " +
+            "(note: the CLI `explain` command never builds indexes)")
         val meta = spark.read.parquet(s"$path/meta").head()
         val h = meta.getAs[Int]("num_planes")
         val blocks = meta.getAs[Int]("blocks")
@@ -180,6 +184,10 @@ object KnnIvfOp extends Stage {
     cfg.strOpt("index_path") match {
       case Some(path) =>
         val spark = ctx.spark
+        if (!new java.io.File(s"$path/centroids").exists())
+          throw new GraftPlanError(
+            s"knn.ivf: no index at '$path' — run an index.build stage first " +
+            "(note: the CLI `explain` command never builds indexes)")
         val cents = spark.read.parquet(s"$path/centroids")
           .select("cell", "centroid").collect()
           .map(r => (r.getInt(0), Vectors.dense(r.getSeq[Double](1).toArray)))

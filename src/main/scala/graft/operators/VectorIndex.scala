@@ -43,6 +43,10 @@ object IndexBuildOp extends Stage {
 
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
+    // CLI `explain` must stay read-only: skip the eager build (the plan
+    // shown is the pass-through input; the probe stage will list whatever
+    // index already exists on disk, or fail loudly when run for real)
+    if (cfg.boolOr("_explain_only", false)) return ctx.primary
     cfg.strOr("type", "ivf") match {
       case "ivf" => buildIvf(ctx)
       case "lsh" => buildLsh(ctx)
@@ -64,9 +68,12 @@ object IndexBuildOp extends Stage {
 
     val toVec = F.udf { v: Seq[Float] => Vectors.dense(v.map(_.toDouble).toArray) }
     val feat = ctx.primary.withColumn("_features", toVec(F.col(vecCol).cast("array<float>")))
+    val train = feat.select("_features").limit(maxTrain)
+    if (train.isEmpty)
+      throw new GraftPlanError("index.build type=ivf: empty input, nothing to train the quantizer on")
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
       .setFeaturesCol("_features").setPredictionCol("cell")
-      .fit(feat.select("_features").limit(maxTrain))
+      .fit(train)
 
     km.transform(feat).drop("_features")
       .write.mode(mode).partitionBy("cell").parquet(s"$path/corpus")

@@ -42,16 +42,28 @@ object ZOrderOp extends Stage {
         s"bits=$bits × ${cols.size} columns exceeds 60 interleaved bits — lower bits")
     val df = ctx.primary
 
-    // 1. per-column min/max in ONE aggregate pass (tiny driver row)
-    val aggs = cols.flatMap(c => Seq(
-      F.min(F.col(c).cast("double")).alias(s"_min_$c"),
-      F.max(F.col(c).cast("double")).alias(s"_max_$c")))
-    val st = df.agg(aggs.head, aggs.tail: _*).head()
-    val ranges = cols.zipWithIndex.map { case (c, i) =>
-      val lo = if (st.isNullAt(2 * i)) 0.0 else st.getDouble(2 * i)
-      val hi = if (st.isNullAt(2 * i + 1)) 0.0 else st.getDouble(2 * i + 1)
-      (c, lo, hi)
+    // DateType does not cast to double directly — route through timestamp
+    def numeric(c: String): org.apache.spark.sql.Column = df.schema(c).dataType match {
+      case org.apache.spark.sql.types.DateType => F.col(c).cast("timestamp").cast("double")
+      case _ => F.col(c).cast("double")
     }
+
+    // 1. per-column min/max in ONE aggregate pass (tiny driver row).
+    // Under CLI `explain` no job may run — placeholder ranges keep the
+    // plan shape identical without touching the data.
+    val ranges: Seq[(String, Double, Double)] =
+      if (cfg.boolOr("_explain_only", false)) cols.map(c => (c, 0.0, 1.0))
+      else {
+        val aggs = cols.flatMap(c => Seq(
+          F.min(numeric(c)).alias(s"_min_$c"),
+          F.max(numeric(c)).alias(s"_max_$c")))
+        val st = df.agg(aggs.head, aggs.tail: _*).head()
+        cols.zipWithIndex.map { case (c, i) =>
+          val lo = if (st.isNullAt(2 * i)) 0.0 else st.getDouble(2 * i)
+          val hi = if (st.isNullAt(2 * i + 1)) 0.0 else st.getDouble(2 * i + 1)
+          (c, lo, hi)
+        }
+      }
 
     // 2-3. bucket + interleave, all as codegen'd expressions: bucket_c =
     // clamp(floor((v-lo)/(hi-lo) * 2^bits)); z = Σ_bit bucket_c[bit] moved
@@ -61,7 +73,7 @@ object ZOrderOp extends Stage {
     val bucketCols = ranges.map { case (c, lo, hi) =>
       if (hi <= lo) F.lit(0L)
       else F.least(F.lit(maxBucket), F.greatest(F.lit(0L),
-        F.floor((F.coalesce(F.col(c).cast("double"), F.lit(lo)) - lo) / (hi - lo) * (maxBucket + 1)).cast(LongType)))
+        F.floor((F.coalesce(numeric(c), F.lit(lo)) - lo) / (hi - lo) * (maxBucket + 1)).cast(LongType)))
     }
     val z = (0 until bits).flatMap { bit =>
       bucketCols.zipWithIndex.map { case (b, ci) =>

@@ -125,7 +125,11 @@ object ExtensionQueries {
     // the second rep therefore measures the pure partition-pruned probe.
     QueryDef.noOracle("knn_ivf_indexed") { (s, d) =>
       val idx = "/tmp/graft_ivf_" + d.replaceAll("[^A-Za-z0-9]", "_")
-      if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists())
+      // rebuild when missing OR older than the fixture — a regenerated
+      // embeddings table must never be probed through a stale index
+      val marker = new java.io.File(s"$idx/centroids/_SUCCESS")
+      val fixture = new java.io.File(s"$d/embeddings.parquet")
+      if (!marker.exists() || marker.lastModified() < fixture.lastModified())
         IndexBuildOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
           "path" -> idx, "vector_column" -> "embedding", "nlist" -> 16, "seed" -> 11)))
       KnnIvfOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(

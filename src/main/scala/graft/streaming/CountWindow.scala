@@ -54,12 +54,16 @@ object CountWindowOp extends Stage {
         val size = cfg.long("size")
         val slide = cfg.longOr("slide", size)
         // row i belongs to window w iff w*slide <= i < w*slide + size
-        // → w in [ceil((i-size+1)/slide), floor(i/slide)], clipped at 0
+        // → w in [ceil((i-size+1)/slide), floor(i/slide)], clipped at 0.
+        // With slide > size, rows in inter-window gaps have lo > hi and
+        // belong to NO window — sequence(lo, hi) would count DOWN and
+        // invent windows, so guard with a when (explode of NULL drops the
+        // row, matching the streaming per-key path's empty `lo to hi`).
         val i = F.col("_idx")
         val lo = F.greatest(F.lit(0L), F.ceil((i - size + 1).cast("double") / slide).cast(LongType))
         val hi = F.floor(i.cast("double") / slide).cast(LongType)
         indexed
-          .withColumn("window_id", F.explode(F.sequence(lo, hi)))
+          .withColumn("window_id", F.explode(F.when(lo <= hi, F.sequence(lo, hi))))
           .drop("_idx")
       case "session" =>
         // count-based session: a new session starts when the gap column
@@ -72,7 +76,11 @@ object CountWindowOp extends Stage {
         val tsCol = cfg.strOpt("gap_column").orElse(orderBy.headOption).getOrElse(
           throw new GraftConfigError("session window requires order_by or gap_column"))
         val prepared = indexed.withColumn("_gapv", F.col(tsCol).cast("double"))
-        val rdd = prepared.rdd
+        // persist: passes 1 and 2 are separate jobs — without pinning the
+        // materialized partitions, a recompute could permute rows that tie
+        // on the sort key and mis-stitch the broadcast offsets (the
+        // ContextCleaner drops the persisted RDD once unreferenced)
+        val rdd = prepared.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // pass 1: per partition — first/last gap value and internal starts
         val stats = rdd.mapPartitionsWithIndex { (p, it) =>
           var first: Option[Double] = None; var last = 0.0
@@ -135,11 +143,16 @@ object CountWindowOp extends Stage {
       case "sliding" =>
         val size = cfg.long("size")
         val slide = cfg.longOr("slide", size)
-        val i = rn
+        // the window expression must land in its own projection: Spark
+        // refuses a generator whose operand embeds a window function
+        val i = F.col("_rn")
         val lo = F.greatest(F.lit(0L), F.ceil((i - size + 1).cast("double") / slide).cast(LongType))
         val hi = F.floor(i.cast("double") / slide).cast(LongType)
-        // one select: rn + explode in a single Window node
-        ctx.primary.withColumn("window_id", F.explode(F.sequence(lo, hi)))
+        // lo > hi (gap rows when slide > size) → NULL → explode drops the
+        // row, never a descending sequence inventing windows
+        ctx.primary.withColumn("_rn", rn)
+          .withColumn("window_id", F.explode(F.when(lo <= hi, F.sequence(lo, hi))))
+          .drop("_rn")
       case "session" =>
         val gap = cfg.doubleOr("gap", 300.0)
         val tsCol = cfg.strOpt("gap_column").orElse(orderBy.headOption).getOrElse(
@@ -185,7 +198,12 @@ object CountWindowOp extends Stage {
     }
     val outSchema = StructType(df.schema.fields :+ StructField("window_id", LongType, nullable = false))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
-    val keyFn = (r: Row) => keyIdcs.map(i => String.valueOf(r.get(i))).mkString("\u0001")
+    // length-prefixed key encoding: unambiguous under any value content —
+    // ("ab","c") differs from ("a","bc"), and a null key differs from the
+    // string "null"
+    val keyFn = (r: Row) => keyIdcs.map { i =>
+      if (r.isNullAt(i)) "-" else { val s = String.valueOf(r.get(i)); s"${s.length}:$s" }
+    }.mkString("|")
 
     val processor: StatefulProcessor[String, Row, Row] = typ match {
       case "tumbling" | "sliding" =>

@@ -33,6 +33,24 @@ class WindowSpec extends SparkSpec {
     assert(out.filter("id = 5").select("window_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("sampling windows (slide > size): gap rows belong to NO window") {
+    // size 2, slide 5: windows cover rows {0,1}, {5,6}; rows 2-4 and 7-9
+    // are in inter-window gaps — the round-2 review caught sequence(lo, hi)
+    // counting DOWN for them and inventing windows
+    def gaps(df: org.apache.spark.sql.DataFrame): Unit = {
+      val got = df.select("id", "window_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(got === Seq((0L, 0L), (1L, 0L), (5L, 1L), (6L, 1L)), got)
+    }
+    gaps(CountWindowOp(StageContext.one(spark, seqDf, Cfg.of(
+      "type" -> "sliding", "size" -> 2, "slide" -> 5, "order_by" -> Seq("id")))))
+    // keyed batch path shares the arithmetic — one constant key
+    val keyed = seqDf.withColumn("k", F.lit("x"))
+    gaps(CountWindowOp(StageContext.one(spark, keyed, Cfg.of(
+      "type" -> "sliding", "size" -> 2, "slide" -> 5,
+      "group_by" -> Seq("k"), "order_by" -> Seq("id")))).drop("k"))
+  }
+
   test("count session windows: gap on a numeric column") {
     val df = Seq(0.0, 1.0, 2.0, 50.0, 51.0, 120.0).zipWithIndex
       .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
