@@ -84,10 +84,12 @@ object AsofJoinOp extends Stage {
       val srcNames = on +: rightValueCols.map(c => s"_r_$c")
       val srcIdcs = srcNames.map(n => cols.indexOf(n)).toArray
       val nSrc = srcIdcs.length
-      // persist across the two passes: recomputing the sort between jobs
-      // could permute equal-(on, side) rows and mis-stitch the carries
-      val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val stats = rdd.mapPartitionsWithIndex { (p, it) =>
+      val outNames = "_r_on_matched" +: rightValueCols.map(c => s"_m_$c")
+      val outSchema = StructType(sorted.schema.fields ++
+        outNames.zip(srcIdcs.map(i => sorted.schema.fields(i).dataType))
+          .map { case (n, t) => StructField(n, t, nullable = true) })
+      TwoPass(sorted, outSchema) { it =>
+        // pass 1: last non-null value per carried column in this partition
         val acc = Array.fill[Any](nSrc)(null)
         it.foreach { r =>
           if (r.getInt(sideIdx) == 0) {
@@ -95,19 +97,13 @@ object AsofJoinOp extends Stage {
             while (i < nSrc) { val v = r.get(srcIdcs(i)); if (v != null) acc(i) = v; i += 1 }
           }
         }
-        Iterator((p, acc.toVector))
-      }.collect().sortBy(_._1)
-      val offsets = stats.scanLeft(Vector.fill[Any](nSrc)(null)) { (acc, s) =>
-        Vector.tabulate(nSrc)(i => if (s._2(i) != null) s._2(i) else acc(i))
-      }.dropRight(1)
-      val spark = sorted.sparkSession
-      val bOff = spark.sparkContext.broadcast(offsets)
-      val outNames = "_r_on_matched" +: rightValueCols.map(c => s"_m_$c")
-      val outSchema = StructType(sorted.schema.fields ++
-        outNames.zip(srcIdcs.map(i => sorted.schema.fields(i).dataType))
-          .map { case (n, t) => StructField(n, t, nullable = true) })
-      val outRdd = rdd.mapPartitionsWithIndex { (p, it) =>
-        val acc: Array[Any] = bOff.value(p).toArray
+        acc.toVector
+      } { stats =>
+        stats.scanLeft(Vector.fill[Any](nSrc)(null)) { (acc, s) =>
+          Vector.tabulate(nSrc)(i => if (s(i) != null) s(i) else acc(i))
+        }.dropRight(1).toIndexedSeq
+      } { (carry, it) =>
+        val acc: Array[Any] = carry.toArray
         it.map { r =>
           if (r.getInt(sideIdx) == 0) {
             var i = 0
@@ -116,7 +112,6 @@ object AsofJoinOp extends Stage {
           Row.fromSeq(r.toSeq ++ acc)
         }
       }
-      spark.createDataFrame(outRdd, outSchema)
     }
 
     val withinTol: Column = tolerance match {

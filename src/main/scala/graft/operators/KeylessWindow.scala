@@ -75,11 +75,16 @@ object KeylessWindow {
         val m = r.merge   // detach from RunSpec before closure capture
         (a: Any, b: Any) => if (a == null) b else if (b == null) a else m(a, b)
       }.toIndexedSeq
-    // persist: the two passes are separate jobs sharing this lineage
-    val rdd = sortedG.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val outSchema = StructType(sortedG.schema.fields ++
+      (StructField("_rows_before", LongType, nullable = false) +:
+       StructField("_dense", LongType, nullable = false) +:
+       runs.zipWithIndex.map { case (r, i) =>
+         StructField(s"_run_${r.tmp}", sortedG.schema.fields(runIdx(i)).dataType, nullable = true)
+       }))
 
-    // pass 1: per-partition totals (rows, groups, per-run partial)
-    val stats = rdd.mapPartitionsWithIndex { (p, it) =>
+    var total = 0L   // stashed by the driver-side fold
+    val out = TwoPass(sortedG, outSchema) { it =>
+      // pass 1: per-partition totals (rows, groups, per-run partial)
       var rows = 0L; var groups = 0L
       val partial = Array.fill[Any](nRuns)(null)
       it.foreach { r =>
@@ -89,25 +94,14 @@ object KeylessWindow {
           partial(i) = merges(i)(partial(i), r.get(runIdx(i))); i += 1
         }
       }
-      Iterator((p, rows, groups, partial.toVector))
-    }.collect().sortBy(_._1)
-
-    val zero = (0L, 0L, Vector.fill[Any](runs.size)(null))
-    val offsets = stats.scanLeft(zero) { case ((rows, groups, acc), (_, r, gc, pv)) =>
-      (rows + r, groups + gc, Vector.tabulate(runs.size)(i => merges(i)(acc(i), pv(i))))
-    }.dropRight(1)
-    val total = stats.map(_._2).sum
-
-    val spark = df.sparkSession
-    val bOff = spark.sparkContext.broadcast(offsets)
-    val outSchema = StructType(sortedG.schema.fields ++
-      (StructField("_rows_before", LongType, nullable = false) +:
-       StructField("_dense", LongType, nullable = false) +:
-       runs.zipWithIndex.map { case (r, i) =>
-         StructField(s"_run_${r.tmp}", sortedG.schema.fields(runIdx(i)).dataType, nullable = true)
-       }))
-    val outRdd = rdd.mapPartitionsWithIndex { (p, it) =>
-      val (rows0, dense0, acc0) = bOff.value(p)
+      (rows, groups, partial.toVector)
+    } { stats =>
+      total = stats.map(_._1).sum
+      val zero = (0L, 0L, Vector.fill[Any](nRuns)(null))
+      stats.scanLeft(zero) { case ((rows, groups, acc), (r, gc, pv)) =>
+        (rows + r, groups + gc, Vector.tabulate(nRuns)(i => merges(i)(acc(i), pv(i))))
+      }.dropRight(1).toIndexedSeq
+    } { case ((rows0, dense0, acc0), it) =>
       var rows = rows0; var dense = dense0
       val acc = acc0.toArray
       it.map { r =>
@@ -120,7 +114,7 @@ object KeylessWindow {
         Row.fromSeq(r.toSeq ++ (before +: dense +: acc.toSeq))
       }
     }
-    (spark.createDataFrame(outRdd, outSchema), total)
+    (out, total)
   }
 
   /** Join per-group computed columns back onto the original rows (null-safe
@@ -151,13 +145,11 @@ object KeylessWindow {
     val sorted = df.orderBy(sortCols: _*)
     val vIdx = sorted.columns.indexOf(valueCol)
     if (vIdx < 0) throw new GraftConfigError(s"window.rank: unknown column '$valueCol'")
-    // persist: pass 1 (first-k/last-k stats) and pass 2 (carry application)
-    // are separate jobs — a recompute between them could permute rows tying
-    // on the sort key and hand a row the wrong neighbor values
-    val rdd = sorted.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = offset
-    // pass 1: first-k and last-k values per partition
-    val stats = rdd.mapPartitionsWithIndex { (p, it) =>
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField(out, sorted.schema(vIdx).dataType, nullable = true))
+    TwoPass(sorted, outSchema) { it =>
+      // pass 1: first-k and last-k values per partition
       val first = scala.collection.mutable.ArrayBuffer.empty[Any]
       val last = scala.collection.mutable.ArrayDeque.empty[Any]
       it.foreach { r =>
@@ -165,25 +157,17 @@ object KeylessWindow {
         if (first.size < k) first += v
         last += v; if (last.size > k) last.removeHead()
       }
-      Iterator((p, first.toVector, last.toVector))
-    }.collect().sortBy(_._1)
-
-    // carries: for lag, the last k values before partition p; for lead, the
-    // first k values after partition p
-    val nP = stats.size
-    val lagCarry = stats.scanLeft(Vector.empty[Any]) { (acc, s) =>
-      (acc ++ s._3).takeRight(k)
-    }.dropRight(1)
-    val leadCarry = stats.scanRight(Vector.empty[Any]) { (s, acc) =>
-      (s._2 ++ acc).take(k)
-    }.drop(1)
-
-    val spark = df.sparkSession
-    val bCarry = spark.sparkContext.broadcast(if (lead) leadCarry.toVector else lagCarry.toVector)
-    val outSchema = StructType(sorted.schema.fields :+
-      StructField(out, sorted.schema(vIdx).dataType, nullable = true))
-    val outRdd = rdd.mapPartitionsWithIndex { (p, it) =>
-      val carry = if (p < nP) bCarry.value(p) else Vector.empty[Any]
+      (first.toVector, last.toVector)
+    } { stats =>
+      // carries: for lag, the last k values before partition p; for lead,
+      // the first k values after partition p
+      if (!lead)
+        stats.scanLeft(Vector.empty[Any])((acc, s) => (acc ++ s._2).takeRight(k))
+          .dropRight(1).toIndexedSeq
+      else
+        stats.scanRight(Vector.empty[Any])((s, acc) => (s._1 ++ acc).take(k))
+          .drop(1).toIndexedSeq
+    } { (carry, it) =>
       if (!lead) {
         // ring of the k values preceding the current row, seeded from carry
         // (left-padded with nulls when fewer than k rows precede globally)
@@ -209,7 +193,6 @@ object KeylessWindow {
         }
       }
     }
-    spark.createDataFrame(outRdd, outSchema)
   }
 
   /** Entry point for WindowFnOp's empty-partition_by case. */

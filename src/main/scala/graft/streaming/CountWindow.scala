@@ -76,13 +76,10 @@ object CountWindowOp extends Stage {
         val tsCol = cfg.strOpt("gap_column").orElse(orderBy.headOption).getOrElse(
           throw new GraftConfigError("session window requires order_by or gap_column"))
         val prepared = indexed.withColumn("_gapv", F.col(tsCol).cast("double"))
-        // persist: passes 1 and 2 are separate jobs — without pinning the
-        // materialized partitions, a recompute could permute rows that tie
-        // on the sort key and mis-stitch the broadcast offsets (the
-        // ContextCleaner drops the persisted RDD once unreferenced)
-        val rdd = prepared.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // pass 1: per partition — first/last gap value and internal starts
-        val stats = rdd.mapPartitionsWithIndex { (p, it) =>
+        val outSchema = StructType(ctx.primary.schema.fields :+
+          StructField("window_id", LongType, nullable = false))
+        graft.operators.TwoPass(prepared, outSchema) { it =>
+          // pass 1: per partition — first/last gap value + internal starts
           var first: Option[Double] = None; var last = 0.0
           var starts = 0L; var n = 0L; var prev: Option[Double] = None
           it.foreach { r =>
@@ -91,28 +88,23 @@ object CountWindowOp extends Stage {
             prev.foreach(pv => if (v - pv > gap) starts += 1)
             prev = Some(v); last = v; n += 1
           }
-          Iterator((p, first, last, starts, n))
-        }.collect().sortBy(_._1)
-        var cur = 0L; var prevLast: Option[Double] = None
-        val offs = stats.map { case (_, first, last, starts, n) =>
-          val boundary = (prevLast, first) match {
-            case (Some(pl), Some(f)) if f - pl > gap => 1L
-            case _ => 0L
+          (first, last, starts, n)
+        } { stats =>
+          var cur = 0L; var prevLast: Option[Double] = None
+          stats.map { case (first, last, starts, n) =>
+            val boundary = (prevLast, first) match {
+              case (Some(pl), Some(f)) if f - pl > gap => 1L
+              case _ => 0L
+            }
+            cur += boundary
+            val off = cur
+            cur += starts
+            if (n > 0) prevLast = Some(last)
+            off
           }
-          cur += boundary
-          val off = cur
-          cur += starts
-          if (n > 0) prevLast = Some(last)
-          off
-        }
-        // pass 2: assign ids with the partition's prefix offset
-        val spark = prepared.sparkSession
-        val bOffs = spark.sparkContext.broadcast(offs)
-        val outSchema = org.apache.spark.sql.types.StructType(
-          ctx.primary.schema.fields :+
-            org.apache.spark.sql.types.StructField("window_id", LongType, nullable = false))
-        val outRdd = rdd.mapPartitionsWithIndex { (p, it) =>
-          var sid = if (bOffs.value.isEmpty) 0L else bOffs.value(p)
+        } { (off, it) =>
+          // pass 2: assign ids with the partition's prefix offset
+          var sid = off
           var prev: Option[Double] = None
           it.map { r =>
             val v = r.getAs[Double]("_gapv")
@@ -121,7 +113,6 @@ object CountWindowOp extends Stage {
             org.apache.spark.sql.Row.fromSeq(r.toSeq.dropRight(2) :+ sid)
           }
         }
-        spark.createDataFrame(outRdd, outSchema)
       case other => throw new GraftConfigError(s"unknown window type '$other'")
     }
   }
