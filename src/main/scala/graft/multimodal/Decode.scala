@@ -17,6 +17,19 @@ import graft.core._
   * cheap pre-filter).
   */
 object MediaCodec {
+  /** Magic-number sniff — lets `auto` mode skip codec attempts entirely on
+    * blobs that cannot be media (a failed ImageIO probe still costs reader
+    * discovery per call; over millions of text blobs that dominates). */
+  def looksLikeImage(b: Array[Byte]): Boolean = b.length >= 4 && (
+    (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||  // png
+    (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) || // jpeg
+    (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||          // gif
+    (b(0) == 'B' && b(1) == 'M'))                                          // bmp
+  def looksLikeAudio(b: Array[Byte]): Boolean = b.length >= 4 && (
+    (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') ||          // wav
+    (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M') ||          // aiff
+    (b(0) == '.' && b(1) == 's' && b(2) == 'n' && b(3) == 'd'))            // au
+
   /** Decode an image blob → (width, height, channels, BufferedImage). */
   def decodeImage(blob: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))

@@ -92,9 +92,12 @@ object FeatureExtractOp extends Stage {
             case "audio" => MediaCodec.decodeAudio(blob)
               .map(m => MediaCodec.rmsFeatures(m.samples, dim)).orNull
             case "stub"  => decodeToFeatures(blob, dim)
-            case _ =>       // auto: image, then audio, then stub
-              MediaCodec.decodeImage(blob).map(MediaCodec.tinyImageFeatures(_, dim))
-                .orElse(MediaCodec.decodeAudio(blob).map(m => MediaCodec.rmsFeatures(m.samples, dim)))
+            case _ =>       // auto: sniff magic, then decode, then stub
+              (if (MediaCodec.looksLikeImage(blob))
+                 MediaCodec.decodeImage(blob).map(MediaCodec.tinyImageFeatures(_, dim))
+               else if (MediaCodec.looksLikeAudio(blob))
+                 MediaCodec.decodeAudio(blob).map(m => MediaCodec.rmsFeatures(m.samples, dim))
+               else None)
                 .getOrElse(decodeToFeatures(blob, dim))
           }
         Row.fromSeq(row.toSeq :+ feats)
