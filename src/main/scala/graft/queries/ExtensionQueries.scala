@@ -383,6 +383,38 @@ object ExtensionQueries {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     },
 
+    // ---- csv / jsonl round-trips: write a deterministic orders slice
+    // through the reference's own file formats and read it back — upgrades
+    // csv.read/csv.write/json.read/json.write from specs-only to
+    // oracle-gated (identity round-trip, declared schema on the csv read
+    // so types survive; jsonl preserves types natively).
+    QueryDef("csv_roundtrip",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey < 2000""".stripMargin) { (s, d) =>
+      val slice = t(s, d, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val path = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/orders_csv"
+      graft.sinks.CsvSink(StageContext.one(s, slice, Cfg.of("path" -> path)))
+      graft.sources.CsvSource(StageContext(s, Seq.empty, Cfg.of(
+        "path" -> path,
+        "schema" -> "o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE")))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+    QueryDef("json_roundtrip",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice
+        |FROM orders WHERE o_orderkey < 2000""".stripMargin) { (s, d) =>
+      val slice = t(s, d, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val path = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/orders_jsonl"
+      graft.sinks.JsonSink(StageContext.one(s, slice, Cfg.of(
+        "path" -> path, "format" -> "jsonl")))
+      graft.sources.JsonSource(StageContext(s, Seq.empty, Cfg.of(
+        "path" -> path, "format" -> "jsonl")))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+
     // z-order is result-invariant (pure reordering) — the oracle checks the
     // pipeline around it; the row-group pruning win is measured in ZOrderSpec
     QueryDef("zorder_then_agg",
