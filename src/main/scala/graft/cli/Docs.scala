@@ -67,10 +67,10 @@ object Docs {
     "decrypt.apply" -> "decrypt columns (null per value on failure) - columns, algorithm, key_env",
     // training-data
     "dedup.exact" -> "exact dedup - columns, keep, order_by",
-    "dedup.minhash" -> "near-dedup, word-shingle MinHash LSH - id_column, text_column, threshold, bands, num_hashes",
+    "dedup.minhash" -> "near-dedup, word-shingle MinHash LSH - id_column, text_column, threshold, bands, num_hashes; transitive=true for connected-component collapse",
     "dedup.ngram" -> "near-dedup, char n-gram Jaccard - id_column, text_column, threshold, ngram_size",
     "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance",
-    "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes",
+    "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes; transitive=true for connected-component collapse",
     "knn.bruteforce" -> "exact cosine top-k - query_id|query_vector, k",
     "knn.lsh" -> "ANN via hyperplane-LSH block buckets - query_id, k, num_planes, blocks; index_path probes a prebuilt lsh index (partition-pruned)",
     "knn.ivf" -> "ANN via IVF coarse quantizer - query_id, k, nprobe; index_path probes a prebuilt index, else nlist/seed/max_train train inline",

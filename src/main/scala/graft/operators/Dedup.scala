@@ -136,9 +136,63 @@ object ExactCollapse {
   }
 }
 
+/** Final pair → drop-set reduction, shared by every dedup family.
+  *
+  * - pairwise (default): drop `id_b` of every verified pair — a doc
+  *   survives unless it DIRECTLY matches a lower-id doc. The documented
+  *   approximation: in a chain a~c, b~c with a≁b, both a and b survive.
+  * - `transitive = true`: connected components over the verified pairs by
+  *   iterative min-label propagation (labels only decrease, so the sum is
+  *   a monotone convergence witness) — exactly one doc (the component's
+  *   min id) survives per near-dup cluster, the semantics large-scale
+  *   training-data dedup pipelines standardize on. Iterations ∝ component
+  *   diameter (tiny for dup clusters); each is two keyed joins, fully
+  *   distributed.
+  */
+object DedupPairs {
+  def dropped(pairs: DataFrame, transitive: Boolean): DataFrame =
+    if (transitive) transitiveDropped(pairs)
+    else pairs.select(F.col("id_b").alias("id")).distinct()
+
+  def transitiveDropped(pairs0: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = pairs0.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.unionByName(
+      pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = pairs.select(F.col("id_a").alias("id"))
+      .unionByName(pairs.select(F.col("id_b").alias("id"))).distinct()
+      .withColumn("label", F.col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def checksum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var sum = checksum(labels)
+    var iter = 0
+    var done = sum.signum() == 0 && labels.isEmpty
+    while (!done && iter < 30) {
+      val nbr = edges
+        .join(labels.select(F.col("id").alias("id_b"), F.col("label").alias("_nbl")), Seq("id_b"))
+        .groupBy("id_a").agg(F.min("_nbl").alias("_nbr"))
+        .withColumnRenamed("id_a", "id")
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(F.col("id"),
+          F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = checksum(next)
+      labels.unpersist(blocking = false)
+      labels = next
+      done = nextSum.compareTo(sum) == 0
+      sum = nextSum
+      iter += 1
+    }
+    labels.filter(F.col("id") =!= F.col("label")).select("id")
+  }
+}
+
 object LshVerify {
-  /** input: (id, shingles, sig). Returns distinct dropped ids (higher id of
-    * each verified pair) as one column `id`. */
+  /** input: (id, shingles, sig). Returns verified near-dup PAIRS
+    * (id_a < id_b); reduce with DedupPairs.dropped. */
   def verifiedPairs(hashed: DataFrame, bands: Int, r: Int, k: Int, threshold: Double): DataFrame = {
     val sigs = hashed.select(F.col("id"), F.col("sig"))
     val banded = sigs.select(F.col("id"), F.col("sig"),
@@ -168,7 +222,7 @@ object LshVerify {
       .join(shA, "id_a").join(shB, "id_b")
       .withColumn("jaccard", jaccardUdf(F.col("sh_a"), F.col("sh_b")))
       .filter(F.col("jaccard") >= threshold)
-      .select(F.col("id_b").alias("id")).distinct()
+      .select("id_a", "id_b")
   }
 
   /** exact Jaccard over (already-distinct) hash arrays — hash-set loop
@@ -264,7 +318,9 @@ object DedupMinHashOp extends Stage {
       .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    exactDups.unionByName(LshVerify.verifiedPairs(hashed, bands, r, k, threshold)).distinct()
+    exactDups.unionByName(DedupPairs.dropped(
+      LshVerify.verifiedPairs(hashed, bands, r, k, threshold),
+      cfg.boolOr("transitive", false))).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -326,12 +382,13 @@ object DedupSimHashOp extends Stage {
 
     val lhs = blocked.select(F.col("block_idx"), F.col("block_val"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     val rhs = blocked.select(F.col("block_idx"), F.col("block_val"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    val nearDups = lhs.join(rhs, Seq("block_idx", "block_val"))
+    val nearPairs = lhs.join(rhs, Seq("block_idx", "block_val"))
       .filter(F.col("id_a") < F.col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= maxDist)
-      .select(F.col("id_b").alias("id"))
-    exactDups.unionByName(nearDups).distinct()
+      .select("id_a", "id_b")
+    exactDups.unionByName(DedupPairs.dropped(nearPairs,
+      cfg.boolOr("transitive", false))).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -398,8 +455,9 @@ object DedupNgramOp extends Stage {
       charNgramHashes("_txt", n).alias("shingles"))
       .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), bands * r, seed))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    exactDups.unionByName(
-      LshVerify.verifiedPairs(hashed, bands, r, bands * r, threshold)).distinct()
+    exactDups.unionByName(DedupPairs.dropped(
+      LshVerify.verifiedPairs(hashed, bands, r, bands * r, threshold),
+      cfg.boolOr("transitive", false))).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -505,13 +563,14 @@ object DedupEmbeddingOp extends Stage {
     // hash join keyed on id when it isn't (never force-broadcast the
     // corpus: at 100 TB the candidate list is the small side)
     val vecs = sigs.select(F.col("id"), F.col("vec"))
-    val nearDups = candidates
+    val nearPairs = candidates
       .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "v_a"), Seq("id_a"))
       .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "v_b"), Seq("id_b"))
       .withColumn("cos", cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")))
       .filter(F.col("cos") >= threshold)
-      .select(F.col("id_b").alias("id"))
-    exactDups.unionByName(nearDups).distinct()
+      .select("id_a", "id_b")
+    exactDups.unionByName(DedupPairs.dropped(nearPairs,
+      cfg.boolOr("transitive", false))).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {

@@ -122,6 +122,28 @@ class DedupSpec extends SparkSpec {
       "threshold" -> 0.99, "num_planes" -> 16, "blocks" -> 8)))
     assert(out.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 3L))
   }
+
+  test("transitive=true collapses chained near-dups to one representative") {
+    // chain: v1 ~ v3 and v2 ~ v3 but v1 !~ v2 (15° / 15° / 30° apart,
+    // threshold 0.95: cos15°=0.966 ≥ t, cos30°=0.866 < t)
+    val a15 = math.toRadians(15); val a30 = math.toRadians(30)
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(math.cos(a30).toFloat, math.sin(a30).toFloat, 0.0f, 0.0f)),
+      (3L, Array(math.cos(a15).toFloat, math.sin(a15).toFloat, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    def run(extra: (String, Any)*) =
+      DedupEmbeddingOp(StageContext.one(spark, vecs, Cfg.of(
+        (Seq[(String, Any)]("id_column" -> "vec_id", "vector_column" -> "embedding",
+          "threshold" -> 0.95, "num_planes" -> 32, "blocks" -> 4, "seed" -> 11) ++ extra): _*)))
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    // pairwise: only direct matches of a lower id drop → v3 dropped (1~3),
+    // v2 SURVIVES (its only match is v3, which is higher-id)
+    assert(run() === Seq(1L, 2L, 4L))
+    // transitive: {1,2,3} is one component via the chain → min id survives
+    assert(run("transitive" -> true) === Seq(1L, 4L))
+  }
 }
 
 class TextSpec extends SparkSpec {
