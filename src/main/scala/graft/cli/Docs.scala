@@ -95,7 +95,7 @@ object Docs {
       else if (fn == "excel.read") "read .xlsx (native OOXML, no POI) - path, sheet (name|index), has_headers"
       else if (fn == "excel.write") "write .xlsx (native OOXML, driver-side) - path, sheet, write_headers, driver_limit"
       else if (fn.startsWith("http.")) "driver-side HTTP source/sink - url, body, headers, mock_response"
-      else if (fn == "js.eval") "JS eval slot - needs GraalVM JS (absent offline); use map.apply sql instead"
+      else if (fn == "js.eval") "per-row JS transform(row) - script (required), schema (DDL, skips inference), on_error fail|skip; native ECMAScript-subset interpreter, no engine jar"
       else "see Scaladoc in graft.operators/*"
     }
 }

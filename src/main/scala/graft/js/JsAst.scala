@@ -1,0 +1,657 @@
+package graft.js
+
+import scala.collection.mutable
+
+/** Tokens, AST, lexer and parser for the `js.eval` ECMAScript subset.
+  *
+  * Supported surface (declared — JsInterpSpec pins each item):
+  *   - literals: numbers (dec/hex/exponent), 'single'/"double" strings with
+  *     escapes, template literals with `${expr}` interpolation, booleans,
+  *     null, undefined, object/array literals (incl. shorthand props,
+  *     computed keys, spread in array/object literals)
+  *   - functions: declarations, expressions, arrow functions (expression
+  *     and block bodies), closures, `return`
+  *   - statements: var/let/const (multi-declarator), if/else, while,
+  *     do-while, classic for, for-of, for-in, break, continue, block,
+  *     throw, expression statements
+  *   - operators: + - * / % **, comparisons, == != === !==, && || ??,
+  *     ! unary- unary+ typeof, ternary, assignment (= += -= *= /= %=),
+  *     ++/-- (pre/post), member access (. [] ?.), calls, `new`, `in`
+  * Deliberately out of scope (clear parse/runtime errors, documented in
+  * COVERAGE.md): regex literals, classes, generators/async, destructuring,
+  * labels, switch, try/catch, getters/setters, prototypes.
+  */
+object JsTok {
+  sealed trait Token { def pos: Int }
+  final case class TNum(d: Double, pos: Int) extends Token
+  final case class TStr(s: String, pos: Int) extends Token
+  /** Template literal: literal chunks interleaved with expression sources.
+    * chunks.size == exprs.size + 1. */
+  final case class TTemplate(chunks: Vector[String], exprs: Vector[Vector[Token]], pos: Int) extends Token
+  final case class TIdent(name: String, pos: Int) extends Token
+  final case class TKw(name: String, pos: Int) extends Token
+  final case class TPunct(s: String, pos: Int) extends Token
+  final case class TEof(pos: Int) extends Token
+
+  val keywords: Set[String] = Set(
+    "function", "return", "var", "let", "const", "if", "else", "for",
+    "while", "do", "break", "continue", "new", "true", "false", "null",
+    "undefined", "typeof", "in", "of", "throw")
+}
+
+object JsLexer {
+  import JsTok._
+
+  def lex(src: String): Vector[Token] = {
+    val out = Vector.newBuilder[Token]
+    var i = 0
+    val n = src.length
+    def fail(msg: String) = throw new JsError(s"js parse error at offset $i: $msg")
+
+    while (i < n) {
+      val c = src.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (c == '/' && i + 1 < n && src.charAt(i + 1) == '/') {
+        while (i < n && src.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && src.charAt(i + 1) == '*') {
+        val end = src.indexOf("*/", i + 2)
+        if (end < 0) fail("unterminated /* comment")
+        i = end + 2
+      } else if (Character.isDigit(c) || (c == '.' && i + 1 < n && Character.isDigit(src.charAt(i + 1)))) {
+        val start = i
+        if (c == '0' && i + 1 < n && (src.charAt(i + 1) == 'x' || src.charAt(i + 1) == 'X')) {
+          i += 2
+          while (i < n && isHex(src.charAt(i))) i += 1
+          out += TNum(java.lang.Long.parseLong(src.substring(start + 2, i), 16).toDouble, start)
+        } else {
+          while (i < n && Character.isDigit(src.charAt(i))) i += 1
+          if (i < n && src.charAt(i) == '.') { i += 1; while (i < n && Character.isDigit(src.charAt(i))) i += 1 }
+          if (i < n && (src.charAt(i) == 'e' || src.charAt(i) == 'E')) {
+            i += 1
+            if (i < n && (src.charAt(i) == '+' || src.charAt(i) == '-')) i += 1
+            while (i < n && Character.isDigit(src.charAt(i))) i += 1
+          }
+          out += TNum(src.substring(start, i).toDouble, start)
+        }
+      } else if (c == '"' || c == '\'') {
+        val start = i
+        i += 1
+        val b = new java.lang.StringBuilder
+        var closed = false
+        while (!closed) {
+          if (i >= n) fail("unterminated string")
+          val ch = src.charAt(i); i += 1
+          if (ch == c) closed = true
+          else if (ch == '\\') { val (decoded, ni) = escape(src, i); b.append(decoded); i = ni }
+          else b.append(ch)
+        }
+        out += TStr(b.toString, start)
+      } else if (c == '`') {
+        val start = i
+        i += 1
+        val chunks = Vector.newBuilder[String]
+        val exprs = Vector.newBuilder[Vector[Token]]
+        val b = new java.lang.StringBuilder
+        var closed = false
+        while (!closed) {
+          if (i >= n) fail("unterminated template literal")
+          val ch = src.charAt(i)
+          if (ch == '`') { i += 1; closed = true }
+          else if (ch == '\\') { i += 1; val (decoded, ni) = escape(src, i); b.append(decoded); i = ni }
+          else if (ch == '$' && i + 1 < n && src.charAt(i + 1) == '{') {
+            chunks += b.toString; b.setLength(0)
+            i += 2
+            // find matching close brace, tracking nesting + strings
+            val exprStart = i
+            var depth = 1
+            while (depth > 0) {
+              if (i >= n) fail("unterminated ${ in template literal")
+              val e = src.charAt(i)
+              if (e == '{') depth += 1
+              else if (e == '}') depth -= 1
+              else if (e == '"' || e == '\'') {
+                val q = e; i += 1
+                while (i < n && src.charAt(i) != q) { if (src.charAt(i) == '\\') i += 1; i += 1 }
+              }
+              i += 1
+            }
+            exprs += lex(src.substring(exprStart, i - 1))
+          } else { b.append(ch); i += 1 }
+        }
+        chunks += b.toString
+        out += TTemplate(chunks.result(), exprs.result(), start)
+      } else if (Character.isJavaIdentifierStart(c)) {
+        val start = i
+        while (i < n && Character.isJavaIdentifierPart(src.charAt(i))) i += 1
+        val w = src.substring(start, i)
+        out += (if (keywords(w)) TKw(w, start) else TIdent(w, start))
+      } else {
+        val start = i
+        val three = if (i + 3 <= n) src.substring(i, i + 3) else ""
+        val two = if (i + 2 <= n) src.substring(i, i + 2) else ""
+        if (Set("===", "!==", "**=", "...").contains(three)) { out += TPunct(three, start); i += 3 }
+        else if (Set("==", "!=", "<=", ">=", "&&", "||", "??", "?.", "=>",
+                     "+=", "-=", "*=", "/=", "%=", "++", "--", "**").contains(two)) {
+          out += TPunct(two, start); i += 2
+        } else if ("+-*/%<>=!?:.,;()[]{}&|".indexOf(c) >= 0) {
+          out += TPunct(c.toString, start); i += 1
+        } else fail(s"unexpected character '$c'")
+      }
+    }
+    out += TEof(n)
+    out.result()
+  }
+
+  private def isHex(c: Char) =
+    Character.isDigit(c) || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  /** Decode one escape starting at src(i) (the char after the backslash);
+    * returns (decoded string, next index). */
+  private def escape(src: String, i: Int): (String, Int) = {
+    if (i >= src.length) throw new JsError("dangling backslash")
+    src.charAt(i) match {
+      case 'n' => ("\n", i + 1)
+      case 't' => ("\t", i + 1)
+      case 'r' => ("\r", i + 1)
+      case 'b' => ("\b", i + 1)
+      case 'f' => ("\f", i + 1)
+      case '0' => ("\u0000", i + 1)
+      case 'u' =>
+        if (i + 1 < src.length && src.charAt(i + 1) == '{') {
+          val end = src.indexOf('}', i + 2)
+          if (end < 0) throw new JsError("unterminated \\u{...}")
+          (new String(Character.toChars(Integer.parseInt(src.substring(i + 2, end), 16))), end + 1)
+        } else {
+          if (i + 5 > src.length) throw new JsError("bad \\u escape")
+          (Integer.parseInt(src.substring(i + 1, i + 5), 16).toChar.toString, i + 5)
+        }
+      case 'x' =>
+        if (i + 3 > src.length) throw new JsError("bad \\x escape")
+        (Integer.parseInt(src.substring(i + 1, i + 3), 16).toChar.toString, i + 3)
+      case '\n' => ("", i + 1) // line continuation
+      case other => (other.toString, i + 1)
+    }
+  }
+}
+
+// ------------------------------------------------------------------- AST
+
+sealed trait Expr
+final case class ENum(d: Double) extends Expr
+final case class EStr(s: String) extends Expr
+final case class ETemplate(chunks: Vector[String], exprs: Vector[Expr]) extends Expr
+final case class EBool(b: Boolean) extends Expr
+case object ENull extends Expr
+case object EUndefined extends Expr
+final case class EIdent(name: String) extends Expr
+final case class EArr(items: Vector[Expr], spreads: Set[Int]) extends Expr
+/** key is either a literal name or (for computed keys) an Expr. */
+final case class EObjLit(entries: Vector[(Either[String, Expr], Expr)], spreads: Vector[Expr], order: Vector[Either[Int, Int]]) extends Expr
+final case class EFunc(params: Vector[String], body: Vector[Stmt], name: String) extends Expr
+final case class EUn(op: String, e: Expr) extends Expr
+final case class EUpdate(op: String, target: Expr, prefix: Boolean) extends Expr
+final case class EBin(op: String, l: Expr, r: Expr) extends Expr
+final case class ELogical(op: String, l: Expr, r: Expr) extends Expr
+final case class ECond(c: Expr, t: Expr, f: Expr) extends Expr
+final case class EAssign(op: String, target: Expr, value: Expr) extends Expr
+final case class EMember(obj: Expr, name: String, optional: Boolean) extends Expr
+final case class EIndex(obj: Expr, idx: Expr, optional: Boolean) extends Expr
+final case class ECall(callee: Expr, args: Vector[Expr], optional: Boolean) extends Expr
+final case class ENew(callee: Expr, args: Vector[Expr]) extends Expr
+
+sealed trait Stmt
+final case class SExpr(e: Expr) extends Stmt
+final case class SDecl(kind: String, decls: Vector[(String, Option[Expr])]) extends Stmt
+final case class SFunc(name: String, params: Vector[String], body: Vector[Stmt]) extends Stmt
+final case class SReturn(e: Option[Expr]) extends Stmt
+final case class SIf(c: Expr, t: Vector[Stmt], f: Vector[Stmt]) extends Stmt
+final case class SWhile(c: Expr, body: Vector[Stmt]) extends Stmt
+final case class SDoWhile(body: Vector[Stmt], c: Expr) extends Stmt
+final case class SFor(init: Option[Stmt], cond: Option[Expr], update: Option[Expr], body: Vector[Stmt]) extends Stmt
+final case class SForOf(decl: String, name: String, iter: Expr, body: Vector[Stmt], keys: Boolean) extends Stmt
+case object SBreak extends Stmt
+case object SContinue extends Stmt
+final case class SThrow(e: Expr) extends Stmt
+final case class SBlock(body: Vector[Stmt]) extends Stmt
+
+object JsParser {
+  import JsTok._
+
+  def parseProgram(src: String): Vector[Stmt] = {
+    val p = new JsParser(JsLexer.lex(src))
+    val stmts = Vector.newBuilder[Stmt]
+    while (!p.atEof) stmts += p.statement()
+    stmts.result()
+  }
+
+  def parseTokens(toks: Vector[Token]): Expr = {
+    val p = new JsParser(toks)
+    val e = p.expression()
+    if (!p.atEof) throw new JsError("js parse error: trailing tokens in interpolation")
+    e
+  }
+}
+
+final class JsParser(toks: Vector[JsTok.Token]) {
+  import JsTok._
+
+  private var pos = 0
+  private def peek: Token = toks(pos)
+  private def peek2: Token = if (pos + 1 < toks.size) toks(pos + 1) else toks.last
+  private def advance(): Token = { val t = toks(pos); if (pos < toks.size - 1) pos += 1; t }
+  def atEof: Boolean = peek.isInstanceOf[TEof]
+  private def fail(msg: String) =
+    throw new JsError(s"js parse error at offset ${peek.pos}: $msg (found ${describe(peek)})")
+  private def describe(t: Token) = t match {
+    case TNum(d, _) => s"number $d"
+    case TStr(s, _) => s"string \"$s\""
+    case _: TTemplate => "template literal"
+    case TIdent(n, _) => s"identifier '$n'"
+    case TKw(n, _) => s"keyword '$n'"
+    case TPunct(s, _) => s"'$s'"
+    case _: TEof => "end of script"
+  }
+  private def isPunct(s: String): Boolean = peek match { case TPunct(x, _) => x == s; case _ => false }
+  private def isKw(s: String): Boolean = peek match { case TKw(x, _) => x == s; case _ => false }
+  private def eatPunct(s: String): Unit = if (isPunct(s)) advance() else fail(s"expected '$s'")
+  private def eatKw(s: String): Unit = if (isKw(s)) advance() else fail(s"expected '$s'")
+  private def tryPunct(s: String): Boolean = if (isPunct(s)) { advance(); true } else false
+  private def ident(): String = peek match {
+    case TIdent(n, _) => advance(); n
+    // allow non-reserved-feeling keywords as property names handled at member site
+    case _ => fail("expected identifier")
+  }
+  private def eatSemi(): Unit = { while (isPunct(";")) advance() }
+
+  // ------------------------------------------------------------ statements
+
+  def statement(): Stmt = {
+    val s = statementInner()
+    eatSemi()
+    s
+  }
+
+  private def block(): Vector[Stmt] = {
+    eatPunct("{")
+    val b = Vector.newBuilder[Stmt]
+    while (!isPunct("}") && !atEof) b += statement()
+    eatPunct("}")
+    b.result()
+  }
+
+  /** A statement body that may be a block or a single statement. */
+  private def bodyOrBlock(): Vector[Stmt] =
+    if (isPunct("{")) block() else Vector(statement())
+
+  private def statementInner(): Stmt = peek match {
+    case TPunct("{", _) => SBlock(block())
+    case TPunct(";", _) => advance(); SBlock(Vector.empty)
+    case TKw("var" | "let" | "const", _) => declStatement()
+    case TKw("function", _) =>
+      advance()
+      val name = ident()
+      val params = paramList()
+      SFunc(name, params, block())
+    case TKw("return", _) =>
+      advance()
+      if (isPunct(";") || isPunct("}") || atEof) SReturn(None) else SReturn(Some(expression()))
+    case TKw("if", _) =>
+      advance(); eatPunct("(")
+      val c = expression(); eatPunct(")")
+      val t = bodyOrBlock()
+      val f = if (isKw("else")) { advance(); bodyOrBlock() } else Vector.empty
+      SIf(c, t, f)
+    case TKw("while", _) =>
+      advance(); eatPunct("(")
+      val c = expression(); eatPunct(")")
+      SWhile(c, bodyOrBlock())
+    case TKw("do", _) =>
+      advance()
+      val b = bodyOrBlock()
+      eatKw("while"); eatPunct("(")
+      val c = expression(); eatPunct(")")
+      SDoWhile(b, c)
+    case TKw("for", _) => forStatement()
+    case TKw("break", _)    => advance(); SBreak
+    case TKw("continue", _) => advance(); SContinue
+    case TKw("throw", _)    => advance(); SThrow(expression())
+    case _ => SExpr(expression())
+  }
+
+  private def declStatement(): Stmt = {
+    val kind = advance().asInstanceOf[TKw].name
+    val decls = Vector.newBuilder[(String, Option[Expr])]
+    var more = true
+    while (more) {
+      val name = ident()
+      val init = if (tryPunct("=")) Some(assignExpr()) else None
+      decls += ((name, init))
+      more = tryPunct(",")
+    }
+    SDecl(kind, decls.result())
+  }
+
+  private def forStatement(): Stmt = {
+    eatKw("for"); eatPunct("(")
+    // for (const x of iter) / for (const k in obj)
+    val save = pos
+    peek match {
+      case TKw(k @ ("var" | "let" | "const"), _) =>
+        advance()
+        (peek, peek2) match {
+          case (TIdent(name, _), TKw(io @ ("of" | "in"), _)) =>
+            advance(); advance()
+            val iter = expression(); eatPunct(")")
+            return SForOf(k, name, iter, bodyOrBlock(), keys = io == "in")
+          case _ => pos = save
+        }
+      case _ =>
+    }
+    // classic for
+    val init: Option[Stmt] =
+      if (isPunct(";")) None
+      else peek match {
+        case TKw("var" | "let" | "const", _) => Some(declStatement())
+        case _ => Some(SExpr(expression()))
+      }
+    eatPunct(";")
+    val cond = if (isPunct(";")) None else Some(expression())
+    eatPunct(";")
+    val update = if (isPunct(")")) None else Some(expression())
+    eatPunct(")")
+    SFor(init, cond, update, bodyOrBlock())
+  }
+
+  private def paramList(): Vector[String] = {
+    eatPunct("(")
+    val ps = Vector.newBuilder[String]
+    if (!isPunct(")")) {
+      var more = true
+      while (more) { ps += ident(); more = tryPunct(",") }
+    }
+    eatPunct(")")
+    ps.result()
+  }
+
+  // ----------------------------------------------------------- expressions
+
+  def expression(): Expr = {
+    var e = assignExpr()
+    while (isPunct(",")) { advance(); e = EBin(",", e, assignExpr()) }
+    e
+  }
+
+  def assignExpr(): Expr = {
+    // arrow-function lookahead: IDENT => ...  or  ( params ) => ...
+    peek match {
+      case TIdent(name, _) if punct2("=>") =>
+        advance(); advance()
+        return EFunc(Vector(name), arrowBody(), "<arrow>")
+      case TPunct("(", _) =>
+        val save = pos
+        tryArrowParams() match {
+          case Some(params) if isPunct("=>") =>
+            advance()
+            return EFunc(params, arrowBody(), "<arrow>")
+          case _ => pos = save
+        }
+      case _ =>
+    }
+    val lhs = conditional()
+    peek match {
+      case TPunct(op @ ("=" | "+=" | "-=" | "*=" | "/=" | "%=" | "**="), _) =>
+        lhs match {
+          case _: EIdent | _: EMember | _: EIndex =>
+            advance()
+            EAssign(op, lhs, assignExpr())
+          case _ => fail(s"invalid assignment target before '$op'")
+        }
+      case _ => lhs
+    }
+  }
+
+  private def punct2(s: String): Boolean = peek2 match { case TPunct(x, _) => x == s; case _ => false }
+
+  private def tryArrowParams(): Option[Vector[String]] = {
+    // at '('; succeed only if contents are a plain comma-separated ident list
+    advance()
+    val ps = Vector.newBuilder[String]
+    if (tryPunct(")")) return Some(ps.result())
+    var more = true
+    while (more) {
+      peek match {
+        case TIdent(n, _) => advance(); ps += n
+        case _ => return None
+      }
+      if (tryPunct(",")) more = true
+      else if (tryPunct(")")) more = false
+      else return None
+    }
+    Some(ps.result())
+  }
+
+  private def arrowBody(): Vector[Stmt] =
+    if (isPunct("{")) block()
+    else Vector(SReturn(Some(assignExpr())))
+
+  private def conditional(): Expr = {
+    val c = nullish()
+    if (tryPunct("?")) {
+      val t = assignExpr()
+      eatPunct(":")
+      ECond(c, t, assignExpr())
+    } else c
+  }
+
+  private def nullish(): Expr = {
+    var l = or()
+    while (isPunct("??")) { advance(); l = ELogical("??", l, or()) }
+    l
+  }
+  private def or(): Expr = {
+    var l = and()
+    while (isPunct("||")) { advance(); l = ELogical("||", l, and()) }
+    l
+  }
+  private def and(): Expr = {
+    var l = equality()
+    while (isPunct("&&")) { advance(); l = ELogical("&&", l, equality()) }
+    l
+  }
+  private def equality(): Expr = {
+    var l = relational()
+    var more = true
+    while (more) peek match {
+      case TPunct(op @ ("==" | "!=" | "===" | "!=="), _) => advance(); l = EBin(op, l, relational())
+      case _ => more = false
+    }
+    l
+  }
+  private def relational(): Expr = {
+    var l = additive()
+    var more = true
+    while (more) peek match {
+      case TPunct(op @ ("<" | "<=" | ">" | ">="), _) => advance(); l = EBin(op, l, additive())
+      case TKw("in", _) => advance(); l = EBin("in", l, additive())
+      case _ => more = false
+    }
+    l
+  }
+  private def additive(): Expr = {
+    var l = multiplicative()
+    var more = true
+    while (more) peek match {
+      case TPunct(op @ ("+" | "-"), _) => advance(); l = EBin(op, l, multiplicative())
+      case _ => more = false
+    }
+    l
+  }
+  private def multiplicative(): Expr = {
+    var l = exponent()
+    var more = true
+    while (more) peek match {
+      case TPunct(op @ ("*" | "/" | "%"), _) => advance(); l = EBin(op, l, exponent())
+      case _ => more = false
+    }
+    l
+  }
+  private def exponent(): Expr = {
+    val l = unary()
+    if (isPunct("**")) { advance(); EBin("**", l, exponent()) } // right-assoc
+    else l
+  }
+
+  private def unary(): Expr = peek match {
+    case TPunct(op @ ("!" | "-" | "+"), _) => advance(); EUn(op, unary())
+    case TKw("typeof", _)                  => advance(); EUn("typeof", unary())
+    case TPunct(op @ ("++" | "--"), _) =>
+      advance()
+      EUpdate(op, unary(), prefix = true)
+    case TKw("new", _) =>
+      advance()
+      val callee = primary()
+      val args = if (isPunct("(")) callArgs() else Vector.empty
+      postfixOps(ENew(callee, args))
+    case _ => postfix()
+  }
+
+  private def postfix(): Expr = {
+    val e = postfixOps(primary())
+    peek match {
+      case TPunct(op @ ("++" | "--"), _) =>
+        e match {
+          case _: EIdent | _: EMember | _: EIndex => advance(); EUpdate(op, e, prefix = false)
+          case _ => e
+        }
+      case _ => e
+    }
+  }
+
+  private def postfixOps(start: Expr): Expr = {
+    var e = start
+    var more = true
+    while (more) peek match {
+      case TPunct(".", _) =>
+        advance()
+        e = EMember(e, memberName(), optional = false)
+      case TPunct("?.", _) =>
+        advance()
+        if (isPunct("(")) e = ECall(e, callArgs(), optional = true)
+        else if (isPunct("[")) { advance(); val idx = expression(); eatPunct("]"); e = EIndex(e, idx, optional = true) }
+        else e = EMember(e, memberName(), optional = true)
+      case TPunct("[", _) =>
+        advance()
+        val idx = expression()
+        eatPunct("]")
+        e = EIndex(e, idx, optional = false)
+      case TPunct("(", _) =>
+        e = ECall(e, callArgs(), optional = false)
+      case _ => more = false
+    }
+    e
+  }
+
+  /** Property names may be keywords (`row.new`, `x.in`). */
+  private def memberName(): String = peek match {
+    case TIdent(n, _) => advance(); n
+    case TKw(n, _)    => advance(); n
+    case _            => fail("expected property name")
+  }
+
+  private def callArgs(): Vector[Expr] = {
+    eatPunct("(")
+    val args = Vector.newBuilder[Expr]
+    if (!isPunct(")")) {
+      var more = true
+      while (more) {
+        if (tryPunct("...")) args += EUn("...", assignExpr())
+        else args += assignExpr()
+        more = tryPunct(",")
+      }
+    }
+    eatPunct(")")
+    args.result()
+  }
+
+  private def primary(): Expr = peek match {
+    case TNum(d, _)  => advance(); ENum(d)
+    case TStr(s, _)  => advance(); EStr(s)
+    case t: TTemplate =>
+      advance()
+      ETemplate(t.chunks, t.exprs.map(JsParser.parseTokens))
+    case TKw("true", _)      => advance(); EBool(true)
+    case TKw("false", _)     => advance(); EBool(false)
+    case TKw("null", _)      => advance(); ENull
+    case TKw("undefined", _) => advance(); EUndefined
+    case TKw("function", _)  =>
+      advance()
+      val name = peek match { case TIdent(n, _) => advance(); n; case _ => "<anonymous>" }
+      val params = paramList()
+      EFunc(params, block(), name)
+    case TIdent(n, _) => advance(); EIdent(n)
+    case TPunct("(", _) =>
+      advance()
+      val e = expression()
+      eatPunct(")")
+      e
+    case TPunct("[", _) =>
+      advance()
+      val items = Vector.newBuilder[Expr]
+      val spreads = mutable.Set.empty[Int]
+      var idx = 0
+      if (!isPunct("]")) {
+        var more = true
+        while (more) {
+          if (tryPunct("...")) { spreads += idx; items += assignExpr() }
+          else items += assignExpr()
+          idx += 1
+          more = tryPunct(",") && !isPunct("]") // allow trailing comma
+        }
+      }
+      eatPunct("]")
+      EArr(items.result(), spreads.toSet)
+    case TPunct("{", _) => objectLiteral()
+    case _ => fail("expected an expression")
+  }
+
+  private def objectLiteral(): Expr = {
+    eatPunct("{")
+    val entries = Vector.newBuilder[(Either[String, Expr], Expr)]
+    val spreads = Vector.newBuilder[Expr]
+    val order = Vector.newBuilder[Either[Int, Int]]
+    var nEntries = 0
+    var nSpreads = 0
+    if (!isPunct("}")) {
+      var more = true
+      while (more) {
+        if (tryPunct("...")) {
+          spreads += assignExpr()
+          order += Right(nSpreads); nSpreads += 1
+        } else {
+          val key: Either[String, Expr] = peek match {
+            case TIdent(n, _) => advance(); Left(n)
+            case TKw(n, _)    => advance(); Left(n)
+            case TStr(s, _)   => advance(); Left(s)
+            case TNum(d, _)   => advance(); Left(JsVal.numToString(d))
+            case TPunct("[", _) => advance(); val e = assignExpr(); eatPunct("]"); Right(e)
+            case _ => fail("expected property key")
+          }
+          val value: Expr =
+            if (tryPunct(":")) assignExpr()
+            else if (isPunct("(")) { // method shorthand
+              val params = paramList()
+              EFunc(params, block(), key.left.getOrElse("<method>"))
+            } else key match { // shorthand { a }
+              case Left(n) => EIdent(n)
+              case Right(_) => fail("computed key requires a value")
+            }
+          entries += ((key, value))
+          order += Left(nEntries); nEntries += 1
+        }
+        more = tryPunct(",") && !isPunct("}") // allow trailing comma
+      }
+    }
+    eatPunct("}")
+    EObjLit(entries.result(), spreads.result(), order.result())
+  }
+}

@@ -62,16 +62,6 @@ object MongoInsertSink extends GapStage("mongodb.insertMany", StageKind.Sink,
   """df.write.format("mongodb").mode("append").option("connection.uri", uri)
     |.option("database", db).option("collection", coll).save()""".stripMargin)
 
-/** js.eval — reference conveyor-plugin-js-wasm (Boa engine): per-row JS
-  * transform(row) => row. No JS engine ships with JDK 17 and GraalVM JS is
-  * not in the offline cache. The Spark-idiomatic substitute available TODAY
-  * is map.apply's `sql` passthrough (full Spark SQL expressions). */
-object JsEvalOp extends GapStage("js.eval", StageKind.Transform,
-  Seq("script"),
-  "a JVM JavaScript engine (org.graalvm.js:js + js-scriptengine)",
-  """df.mapPartitions { rows => val engine = enginePerPartition(); rows.map(evalRow) }
-    |(offline alternative: map.apply with config sql = "<spark sql expr>")""".stripMargin)
-
 /** Remaining MongoDB function surface (reference lib.rs:24-38 op enum) —
   * same gap treatment; write-ops map to foreachPartition + Mongo driver
   * bulk API, findOne = find + limit(1), toObjectId is a pure transform. */

@@ -429,6 +429,35 @@ object ExtensionQueries {
           F.round(F.sum("l_extendedprice"), 2).alias("rev"))
     },
 
+    // ---- js.eval: per-row JS transform through the native graft.js
+    // interpreter. The script exercises member access, string methods,
+    // Math.round, %, comparison, and the declared return-null-drops-row
+    // semantic; the oracle states the same computation in SQL. Explicit
+    // schema keeps the plan single-pass (no inference job).
+    QueryDef("js_eval_transform",
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |  lower(c_mktsegment) AS seg,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |  c_acctbal < 0 AS is_debtor, c_custkey % 7 AS key_mod
+        |FROM customer WHERE c_custkey % 10 <> 0""".stripMargin) { (s, d) =>
+      JsEvalOp(StageContext.one(s, t(s, d, "customer"), Cfg.of(
+        "script" ->
+          """function transform(row) {
+            |  if (row.c_custkey % 10 === 0) return null; // drop every 10th
+            |  return {
+            |    c_custkey: row.c_custkey,
+            |    name_upper: row.c_name.toUpperCase(),
+            |    seg: row.c_mktsegment.toLowerCase(),
+            |    bal_cents: Math.round(row.c_acctbal * 100),
+            |    is_debtor: row.c_acctbal < 0,
+            |    key_mod: row.c_custkey % 7
+            |  };
+            |}""".stripMargin,
+        "schema" -> ("c_custkey BIGINT, name_upper STRING, seg STRING, " +
+          "bal_cents BIGINT, is_debtor BOOLEAN, key_mod BIGINT"))))
+        .select("c_custkey", "name_upper", "seg", "bal_cents", "is_debtor", "key_mod")
+    },
+
     // repartition is result-invariant — the oracle checks the pipeline
     // around it; partition-layout semantics are asserted in ScaleJoinSpec
     QueryDef("repartition_then_agg",

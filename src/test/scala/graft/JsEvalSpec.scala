@@ -1,0 +1,402 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.js._
+import graft.config.Cfg
+import graft.core.{GraftPlanError, StageContext}
+import graft.operators.JsEvalOp
+
+/** Interpreter-level tests for the graft.js ECMAScript subset (no Spark). */
+class JsInterpSpec extends AnyFunSuite {
+
+  /** Run `transform` over a JSON row, return the result as a JSON string. */
+  private def run(script: String, rowJson: String = "{}"): String = {
+    val interp = new JsInterp(script)
+    JsVal.stringify(interp.callTransform(JsVal.parseJson(rowJson)))
+  }
+  private def expr(e: String, rowJson: String = "{}"): String =
+    run(s"function transform(row) { return { v: $e }; }", rowJson)
+
+  test("arithmetic, precedence, exponent") {
+    assert(expr("1 + 2 * 3") === """{"v":7}""")
+    assert(expr("(1 + 2) * 3") === """{"v":9}""")
+    assert(expr("2 ** 10") === """{"v":1024}""")
+    assert(expr("7 % 3") === """{"v":1}""")
+    assert(expr("10 / 4") === """{"v":2.5}""")
+    assert(expr("-3 + +2") === """{"v":-1}""")
+    assert(expr("0x1F") === """{"v":31}""")
+    assert(expr("1.5e2") === """{"v":150}""")
+  }
+
+  test("string concat and coercion follow JS + semantics") {
+    assert(expr("'a' + 'b'") === """{"v":"ab"}""")
+    assert(expr("'n=' + 5") === """{"v":"n=5"}""")
+    assert(expr("1 + '2'") === """{"v":"12"}""")
+    assert(expr("'3' * '4'") === """{"v":12}""")
+    assert(expr("true + 1") === """{"v":2}""")
+  }
+
+  test("comparisons, equality, strict vs loose") {
+    assert(expr("1 < 2 && 2 <= 2 && 3 > 2 && 3 >= 3") === """{"v":true}""")
+    assert(expr("'abc' < 'abd'") === """{"v":true}""")
+    assert(expr("1 == '1'") === """{"v":true}""")
+    assert(expr("1 === '1'") === """{"v":false}""")
+    assert(expr("null == undefined") === """{"v":true}""")
+    assert(expr("null === undefined") === """{"v":false}""")
+    assert(expr("NaN === NaN") === """{"v":false}""")
+    assert(expr("2 != '2'") === """{"v":false}""")
+  }
+
+  test("logical operators return operands; ?? only fires on nullish") {
+    assert(expr("null ?? 'dflt'") === """{"v":"dflt"}""")
+    assert(expr("0 ?? 'dflt'") === """{"v":0}""")
+    assert(expr("0 || 'dflt'") === """{"v":"dflt"}""")
+    assert(expr("'x' && 'y'") === """{"v":"y"}""")
+    assert(expr("false && row.missing.boom") === """{"v":false}""") // short-circuit
+  }
+
+  test("ternary, typeof, template literals") {
+    assert(expr("5 > 3 ? 'big' : 'small'") === """{"v":"big"}""")
+    assert(expr("typeof 'x'") === """{"v":"string"}""")
+    assert(expr("typeof undeclared_name") === """{"v":"undefined"}""")
+    assert(run(
+      "function transform(row) { const n = 2; return { v: `a${n + 1}b${'c'}` }; }")
+      === """{"v":"a3bc"}""")
+  }
+
+  test("row field access: dot, bracket, optional chaining, in") {
+    val row = """{"a": 1, "b": {"c": [10, 20]}, "s": "hi"}"""
+    assert(expr("row.a", row) === """{"v":1}""")
+    assert(expr("row.b.c[1]", row) === """{"v":20}""")
+    assert(expr("row['b']['c'][0]", row) === """{"v":10}""")
+    assert(expr("row.missing", row) === """{}""") // undefined dropped by stringify
+    assert(expr("row.missing?.deep", row) === """{}""")
+    assert(expr("row.missing?.deep ?? -1", row) === """{"v":-1}""")
+    assert(expr("'a' in row", row) === """{"v":true}""")
+    assert(expr("'z' in row", row) === """{"v":false}""")
+    assert(expr("row.s.length", row) === """{"v":2}""")
+  }
+
+  test("accessing property of undefined raises a named error") {
+    val e = intercept[JsError](expr("row.missing.deep"))
+    assert(e.getMessage.contains("'deep'"))
+  }
+
+  test("var/let/const, assignment operators, ++/--") {
+    assert(run(
+      """function transform(row) {
+        |  let x = 1; x += 4; x *= 2; x -= 1; x /= 3; x %= 2;
+        |  var y = 0; y++; ++y; y--;
+        |  const z = x + y;
+        |  return { x: x, y: y, z: z };
+        |}""".stripMargin) === """{"x":1,"y":1,"z":2}""")
+  }
+
+  test("if/else, while, do-while, classic for, break/continue") {
+    assert(run(
+      """function transform(row) {
+        |  let evens = 0, total = 0, i = 0;
+        |  for (let k = 0; k < 10; k++) {
+        |    if (k % 2 === 0) evens++; else continue;
+        |    if (k > 6) break;
+        |    total += k;
+        |  }
+        |  while (i < 3) i++;
+        |  let j = 0;
+        |  do { j++; } while (j < 2);
+        |  return { evens: evens, total: total, i: i, j: j };
+        |}""".stripMargin) === """{"evens":5,"total":12,"i":3,"j":2}""")
+  }
+
+  test("for-of over arrays/strings, for-in over object keys") {
+    assert(run(
+      """function transform(row) {
+        |  let sum = 0;
+        |  for (const x of row.nums) sum += x;
+        |  let keys = [];
+        |  for (const k in row.obj) keys.push(k);
+        |  let chars = 0;
+        |  for (const c of 'abc') chars++;
+        |  return { sum: sum, keys: keys.join(','), chars: chars };
+        |}""".stripMargin,
+      """{"nums": [1, 2, 3], "obj": {"p": 1, "q": 2}}""")
+      === """{"sum":6,"keys":"p,q","chars":3}""")
+  }
+
+  test("functions: declarations, expressions, arrows, closures, recursion") {
+    assert(run(
+      """function fact(n) { return n <= 1 ? 1 : n * fact(n - 1); }
+        |const double = x => x * 2;
+        |const add = (a, b) => { return a + b; };
+        |function counter() { let c = 0; return () => ++c; }
+        |function transform(row) {
+        |  const inc = counter();
+        |  inc(); inc();
+        |  return { f: fact(5), d: double(21), a: add(1, 2), c: inc() };
+        |}""".stripMargin) === """{"f":120,"d":42,"a":3,"c":3}""")
+  }
+
+  test("object literals: shorthand, computed keys, spread, methods") {
+    assert(run(
+      """function transform(row) {
+        |  const a = 1, key = 'dyn';
+        |  const base = { x: 10, y: 20 };
+        |  const o = { a, [key + '1']: 2, ...base, y: 99 };
+        |  return o;
+        |}""".stripMargin) === """{"a":1,"dyn1":2,"x":10,"y":99}""")
+  }
+
+  test("array literals, spread, index assignment") {
+    assert(run(
+      """function transform(row) {
+        |  const a = [1, 2];
+        |  const b = [0, ...a, 3];
+        |  b[5] = 9;
+        |  return { b: b, len: b.length };
+        |}""".stripMargin) === """{"b":[0,1,2,3,null,9],"len":6}""")
+  }
+
+  test("string methods") {
+    assert(expr("' Hi World '.trim().toUpperCase()") === """{"v":"HI WORLD"}""")
+    assert(expr("'a,b,,c'.split(',').length") === """{"v":4}""")
+    assert(expr("'hello'.slice(1, 3)") === """{"v":"el"}""")
+    assert(expr("'hello'.slice(-3)") === """{"v":"llo"}""")
+    assert(expr("'hello'.substring(3, 1)") === """{"v":"el"}""")
+    assert(expr("'hello'.indexOf('ll')") === """{"v":2}""")
+    assert(expr("'hello'.includes('ell')") === """{"v":true}""")
+    assert(expr("'hello'.replace('l', 'L')") === """{"v":"heLlo"}""")
+    assert(expr("'hello'.replaceAll('l', 'L')") === """{"v":"heLLo"}""")
+    assert(expr("'5'.padStart(3, '0')") === """{"v":"005"}""")
+    assert(expr("'ab'.repeat(3)") === """{"v":"ababab"}""")
+    assert(expr("'abc'.charAt(1)") === """{"v":"b"}""")
+    assert(expr("'abc'.charCodeAt(0)") === """{"v":97}""")
+    assert(expr("'abc'.at(-1)") === """{"v":"c"}""")
+    assert(expr("'a-b'.startsWith('a') && 'a-b'.endsWith('b')") === """{"v":true}""")
+  }
+
+  test("array methods: map/filter/reduce/find/sort/join/flat") {
+    val row = """{"xs": [3, 1, 4, 1, 5, 9, 2, 6]}"""
+    assert(expr("row.xs.map(x => x * 2).slice(0, 3)", row) === """{"v":[6,2,8]}""")
+    assert(expr("row.xs.filter(x => x > 3)", row) === """{"v":[4,5,9,6]}""")
+    assert(expr("row.xs.reduce((a, b) => a + b, 0)", row) === """{"v":31}""")
+    assert(expr("row.xs.reduce((a, b) => a + b)", row) === """{"v":31}""")
+    assert(expr("row.xs.find(x => x > 4)", row) === """{"v":5}""")
+    assert(expr("row.xs.findIndex(x => x > 4)", row) === """{"v":4}""")
+    assert(expr("row.xs.some(x => x === 9) && row.xs.every(x => x < 10)", row) === """{"v":true}""")
+    assert(expr("row.xs.sort((a, b) => a - b).join('')", row) === """{"v":"11234569"}""")
+    assert(expr("[10, 9, 1].sort().join(',')", row) === """{"v":"1,10,9"}""") // default string sort
+    assert(expr("[[1, 2], [3, [4]]].flat(2)", row) === """{"v":[1,2,3,4]}""")
+    assert(expr("[1, 2, 3].flatMap(x => [x, x * 10])", row) === """{"v":[1,10,2,20,3,30]}""")
+    assert(expr("row.xs.includes(9)", row) === """{"v":true}""")
+    assert(expr("row.xs.indexOf(4)", row) === """{"v":2}""")
+    assert(expr("[...row.xs].reverse()[0]", row) === """{"v":6}""")
+  }
+
+  test("Object/Array statics, JSON, Math, Number, parse fns") {
+    val row = """{"o": {"a": 1, "b": 2}}"""
+    assert(expr("Object.keys(row.o).join('|')", row) === """{"v":"a|b"}""")
+    assert(expr("Object.values(row.o)", row) === """{"v":[1,2]}""")
+    assert(expr("Object.entries(row.o).map(e => e[0] + '=' + e[1]).join(',')", row) === """{"v":"a=1,b=2"}""")
+    assert(expr("Object.fromEntries([['x', 1]]).x", row) === """{"v":1}""")
+    assert(expr("Object.assign({}, row.o, {b: 9}).b", row) === """{"v":9}""")
+    assert(expr("Array.isArray([1]) && !Array.isArray('s')", row) === """{"v":true}""")
+    assert(expr("JSON.parse('{\"k\": [1, true, null]}').k[1]", row) === """{"v":true}""")
+    assert(expr("JSON.stringify({a: [1, 'x']})", row) === """{"v":"{\"a\":[1,\"x\"]}"}""")
+    assert(expr("Math.floor(3.7) + Math.ceil(3.2) + Math.round(2.5)") === """{"v":10}""")
+    assert(expr("Math.round(-2.5)") === """{"v":-2}""") // JS half-up
+    assert(expr("Math.max(1, 5, 3) - Math.min(2, -1)") === """{"v":6}""")
+    assert(expr("Math.abs(-4) + Math.sqrt(16) + Math.pow(2, 3)") === """{"v":16}""")
+    assert(expr("Math.trunc(-3.9)") === """{"v":-3}""")
+    assert(expr("parseInt('42px')") === """{"v":42}""")
+    assert(expr("parseInt('ff', 16)") === """{"v":255}""")
+    assert(expr("parseFloat('3.14abc')") === """{"v":3.14}""")
+    assert(expr("isNaN(parseInt('x'))") === """{"v":true}""")
+    assert(expr("Number('12.5') + Number(true)") === """{"v":13.5}""")
+    assert(expr("Number.isInteger(5) && !Number.isInteger(5.5)") === """{"v":true}""")
+    assert(expr("String(42) + String(null)") === """{"v":"42null"}""")
+    assert(expr("Boolean('') || Boolean('x')") === """{"v":true}""")
+    assert(expr("(1234.5678).toFixed(2)") === """{"v":"1234.57"}""")
+    assert(expr("(255).toString(16)") === """{"v":"ff"}""")
+  }
+
+  test("Date: construction, accessors, ISO output") {
+    assert(expr("new Date(86400000).getTime()") === """{"v":86400000}""")
+    assert(expr("new Date('2020-03-15T12:30:45Z').getFullYear()") === """{"v":2020}""")
+    assert(expr("new Date('2020-03-15T12:30:45Z').getMonth()") === """{"v":2}""")
+    assert(expr("new Date('2020-03-15T12:30:45Z').getDate()") === """{"v":15}""")
+    assert(expr("new Date('2020-03-15T12:30:45Z').getHours()") === """{"v":12}""")
+    assert(expr("new Date('2020-03-15').toISOString()") === """{"v":"2020-03-15T00:00:00.000Z"}""")
+    assert(expr("new Date(2020, 0, 31).toISOString()") === """{"v":"2020-01-31T00:00:00.000Z"}""")
+    // reference example script shape: new Date().getFullYear()
+    assert(run(
+      "function transform(row) { return { ok: new Date().getFullYear() >= 2025 }; }")
+      === """{"ok":true}""")
+    assert(expr("Date.parse('1970-01-02T00:00:00Z')") === """{"v":86400000}""")
+  }
+
+  test("throw raises; error message propagates") {
+    val e = intercept[JsError](run(
+      "function transform(row) { throw new Error('bad row ' + row.id); }", """{"id": 7}"""))
+    assert(e.getMessage === "bad row 7")
+  }
+
+  test("script without transform function is rejected") {
+    val e = intercept[JsError](new JsInterp("var x = 10;"))
+    assert(e.getMessage.contains("transform"))
+  }
+
+  test("syntax errors carry offset context") {
+    val e = intercept[JsError](new JsInterp("function transform(row) { return { x: } }"))
+    assert(e.getMessage.contains("parse error"))
+  }
+
+  test("unsupported features fail loudly, not silently") {
+    intercept[JsError](new JsInterp("class A {}; function transform(r) { return r; }"))
+    intercept[JsError](run("function transform(r) { return { v: 'x'.match('x') }; }"))
+    intercept[JsError](run("function transform(r) { return { v: new Set() }; }"))
+  }
+
+  test("reference example script: js-transform-example.toml") {
+    // reference examples/js-transform-example.toml stages.config.script
+    val script =
+      """function transform(row) {
+        |    const fullName = row.firstName + ' ' + row.lastName;
+        |    const currentYear = new Date().getFullYear();
+        |    const age = currentYear - row.birthYear;
+        |    const isAdult = age >= 18;
+        |    return {
+        |        id: row.id,
+        |        fullName: fullName,
+        |        birthYear: row.birthYear,
+        |        age: age,
+        |        isAdult: isAdult
+        |    };
+        |}""".stripMargin
+    val out = run(script, """{"id": 1, "firstName": "John", "lastName": "Doe", "birthYear": 1990}""")
+    assert(out.contains(""""fullName":"John Doe""""))
+    assert(out.contains(""""isAdult":true"""))
+  }
+
+  test("reference unit-test scripts behave identically (lib.rs tests)") {
+    // reference plugins-wasm/conveyor-plugin-js-wasm/src/lib.rs test_transform_row_basic
+    assert(run(
+      """function transform(row) {
+        |  return { name: row.name, age: row.age, adult: row.age >= 18 };
+        |}""".stripMargin,
+      """{"name": "Alice", "age": 30}""") === """{"name":"Alice","age":30,"adult":true}""")
+  }
+
+  test("JSON number round-trip: integral values stay integral in output") {
+    assert(expr("1000000 * 3") === """{"v":3000000}""")
+    assert(expr("0.1 + 0.2") === """{"v":0.30000000000000004}""") // IEEE, same as JS
+  }
+
+  test("interpreter instance is reusable across rows (per-partition reuse)") {
+    val interp = new JsInterp(
+      "let calls = 0; function transform(row) { calls++; return { n: row.n * 2, calls: calls }; }")
+    val r1 = JsVal.stringify(interp.callTransform(JsVal.parseJson("""{"n": 1}""")))
+    val r2 = JsVal.stringify(interp.callTransform(JsVal.parseJson("""{"n": 2}""")))
+    assert(r1 === """{"n":2,"calls":1}""")
+    assert(r2 === """{"n":4,"calls":2}""") // top-level state persists, parsed once
+  }
+}
+
+/** DataFrame-level tests for the js.eval stage. */
+class JsEvalOpSpec extends SparkSpec {
+  import org.apache.spark.sql.Row
+
+  private def eval(df: org.apache.spark.sql.DataFrame, cfg: Map[String, Any]) =
+    JsEvalOp(StageContext.one(spark, df, Cfg.of(cfg.toSeq: _*)))
+
+  test("basic transform: computed columns, schema inferred") {
+    val out = eval(salesDf, Map("script" ->
+      """function transform(row) {
+        |  return { id: row.id, name: row.name.toUpperCase(), big: row.value >= 150 };
+        |}""".stripMargin))
+    assert(out.columns.sorted.toSeq === Seq("big", "id", "name"))
+    val rows = out.orderBy("id").collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("name"), r.getAs[Boolean]("big")))
+    assert(rows.toSeq === Seq((1L, "ALICE", false), (2L, "BOB", true), (3L, "CHARLIE", true)))
+  }
+
+  test("explicit schema skips inference and casts") {
+    val out = eval(salesDf, Map(
+      "script" -> "function transform(row) { return { id: row.id, dbl: row.value * 2 }; }",
+      "schema" -> "id BIGINT, dbl BIGINT"))
+    assert(out.schema.map(_.dataType.simpleString).toSeq === Seq("bigint", "bigint"))
+    assert(out.orderBy("id").collect().map(_.getAs[Long]("dbl")).toSeq === Seq(200L, 400L, 300L).sorted
+      || out.orderBy("id").collect().map(_.getAs[Long]("dbl")).toSeq === Seq(200L, 400L, 300L))
+  }
+
+  test("returning null drops the row (transform-as-filter)") {
+    val out = eval(salesDf, Map("script" ->
+      "function transform(row) { return row.value > 120 ? { id: row.id } : null; }"))
+    assert(out.collect().map(_.getAs[Long]("id")).sorted.toSeq === Seq(2L, 3L))
+  }
+
+  test("returning an array emits multiple rows (flat-map)") {
+    val out = eval(salesDf, Map("script" ->
+      """function transform(row) {
+        |  return [{ id: row.id, half: 1 }, { id: row.id, half: 2 }];
+        |}""".stripMargin))
+    assert(out.count() === 6)
+  }
+
+  test("null input fields arrive as null, not undefined") {
+    import spark.implicits._
+    val df = Seq((1L, Some("x")), (2L, None)).toDF("id", "opt")
+    val out = eval(df, Map("script" ->
+      "function transform(row) { return { id: row.id, isNull: row.opt === null }; }"))
+    assert(out.orderBy("id").collect().map(_.getAs[Boolean]("isNull")).toSeq === Seq(false, true))
+  }
+
+  test("on_error=skip drops failing rows; default fails the job") {
+    import spark.implicits._
+    val df = Seq(("a", "1"), ("b", "not"), ("c", "3")).toDF("k", "v")
+    val script =
+      """function transform(row) {
+        |  const n = parseInt(row.v);
+        |  if (isNaN(n)) throw new Error('bad int: ' + row.v);
+        |  return { k: row.k, n: n };
+        |}""".stripMargin
+    val ok = eval(df, Map("script" -> script, "on_error" -> "skip"))
+    assert(ok.collect().map(_.getAs[String]("k")).sorted.toSeq === Seq("a", "c"))
+    val e = intercept[org.apache.spark.SparkException](
+      eval(df, Map("script" -> script)).collect())
+    assert(e.getMessage.contains("bad int") || e.getCause.getMessage.contains("bad int"))
+  }
+
+  test("invalid script fails at plan time with GraftPlanError") {
+    intercept[GraftPlanError](eval(salesDf, Map("script" -> "function transform(row) { return {")))
+    intercept[GraftPlanError](eval(salesDf, Map("script" -> "var noTransform = 1;")))
+  }
+
+  test("nested output objects become struct columns") {
+    val out = eval(salesDf, Map("script" ->
+      """function transform(row) {
+        |  return { id: row.id, meta: { upper: row.name.toUpperCase(), len: row.name.length } };
+        |}""".stripMargin))
+    val m = out.orderBy("id").select("meta.upper", "meta.len").collect().head
+    assert(m.getAs[String]("upper") === "ALICE")
+    assert(m.getAs[Long]("len") === 5L)
+  }
+
+  test("reference example pipeline end-to-end shape (users fixture)") {
+    import spark.implicits._
+    val users = Seq(
+      (1L, "John", "Doe", 1990L, "john@example.com", "active"),
+      (2L, "Jane", "Roe", 2010L, "jane@example.com", "active"))
+      .toDF("id", "firstName", "lastName", "birthYear", "email", "status")
+    val out = eval(users, Map("script" ->
+      """function transform(row) {
+        |    const fullName = row.firstName + ' ' + row.lastName;
+        |    const currentYear = new Date().getFullYear();
+        |    const age = currentYear - row.birthYear;
+        |    return { id: row.id, fullName: fullName, age: age, isAdult: age >= 18,
+        |             email: row.email, status: row.status };
+        |}""".stripMargin))
+    val rows = out.orderBy("id").collect()
+    assert(rows.map(_.getAs[String]("fullName")).toSeq === Seq("John Doe", "Jane Roe"))
+    assert(rows.head.getAs[Boolean]("isAdult") === true)
+  }
+}
