@@ -90,7 +90,9 @@ object Docs {
 
   def describe(fn: String): String =
     entries.get(fn).getOrElse {
-      if (fn.startsWith("mongodb.")) "MongoDB connector slot - validates config; execution needs mongo-spark-connector (absent offline)"
+      if (Set("mongodb.find", "mongodb.findOne", "mongodb.aggregate")(fn))
+        "Mongo query/pipeline compiled to Catalyst - path (extended-JSON dump) or input frame; query/projection/sort/limit/skip or pipeline; uri-only mode needs mongo-spark-connector"
+      else if (fn.startsWith("mongodb.")) "MongoDB write-op slot - validates config; execution needs mongo-spark-connector (absent offline)"
       else if (fn.startsWith("kafka.")) "Kafka connector slot - validates config; execution needs spark-sql-kafka (absent offline)"
       else if (fn == "excel.read") "read .xlsx (native OOXML, no POI) - path, sheet (name|index), has_headers"
       else if (fn == "excel.write") "write .xlsx (native OOXML, driver-side) - path, sheet, write_headers, driver_limit"

@@ -36,15 +36,15 @@ object Registry {
     StreamDedupOp, StatefulAggOp,
     FileStreamSource, RateStreamSource, StdinStreamSource, StreamWriteSink,
     // connector capability slots (reference §2.6-2.7; offline gaps, see Connectors.scala)
-    KafkaConsumeSource, KafkaProduceSink, MongoFindSource, MongoAggregateSource,
-    MongoInsertSink, MongoToObjectIdOp, MongoNormalizeOp, JsEvalOp,
+    KafkaConsumeSource, KafkaProduceSink, MongoFindSource, MongoFindOneSource,
+    MongoAggregateSource, MongoInsertSink, MongoToObjectIdOp, MongoNormalizeOp, JsEvalOp,
     ExcelReadSource, ExcelWriteSink,
     // http source family (reference conveyor-plugin-http, implemented natively)
     HttpGetSource, HttpPostSource, HttpPutSource, HttpPatchSource, HttpDeleteSource,
     // reference-name aliases
     new AliasStage("file.watch", FileStreamSource),
     new AliasStage("stdout_stream.write", StreamWriteSink)) ++
-    MongoGaps.sources ++ MongoGaps.sinks ++ Seq(
+    MongoGaps.sinks ++ Seq(
     // multi-input extensions (SURVEY §2.8)
     JoinOp, UnionOp, IntersectOp, ExceptOp, WindowFnOp, PivotOp,
     AsofJoinOp, RangeJoinOp, CubeOp,

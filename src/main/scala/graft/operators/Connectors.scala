@@ -40,19 +40,9 @@ object KafkaProduceSink extends GapStage("kafka.produce", StageKind.Sink,
   """df.selectExpr("to_json(struct(*)) AS value").write.format("kafka")
     |.option("kafka.bootstrap.servers", brokers).option("topic", topic).save()""".stripMargin)
 
-/** mongodb.find / mongodb.aggregate — reference conveyor-plugin-mongodb
-  * lib.rs:24-38 op enum; read side. */
-object MongoFindSource extends GapStage("mongodb.find", StageKind.Source,
-  Seq("uri", "database", "collection"),
-  "mongo-spark-connector (org.mongodb.spark:mongo-spark-connector_2.13)",
-  """spark.read.format("mongodb").option("connection.uri", uri)
-    |.option("database", db).option("collection", coll)
-    |.option("aggregation.pipeline", jsonFilter).load()""".stripMargin)
-
-object MongoAggregateSource extends GapStage("mongodb.aggregate", StageKind.Source,
-  Seq("uri", "database", "collection", "pipeline"),
-  "mongo-spark-connector",
-  """spark.read.format("mongodb").option("aggregation.pipeline", pipelineJson).load()""")
+// mongodb.find / mongodb.findOne / mongodb.aggregate are implemented
+// natively in MongoQuery.scala: the Mongo query language compiles to
+// Catalyst, with extended-JSON dump files as the offline collection source.
 
 /** mongodb.insertMany (the write family collapses to Spark save modes;
   * update/replace/delete need foreachPartition + the Mongo driver). */
@@ -62,15 +52,13 @@ object MongoInsertSink extends GapStage("mongodb.insertMany", StageKind.Sink,
   """df.write.format("mongodb").mode("append").option("connection.uri", uri)
     |.option("database", db).option("collection", coll).save()""".stripMargin)
 
-/** Remaining MongoDB function surface (reference lib.rs:24-38 op enum) —
-  * same gap treatment; write-ops map to foreachPartition + Mongo driver
-  * bulk API, findOne = find + limit(1), toObjectId is a pure transform. */
+/** Remaining MongoDB write-op surface (reference lib.rs:24-38 op enum) —
+  * gap treatment: these genuinely need a live server round-trip
+  * (foreachPartition + the Mongo driver bulk API). */
 object MongoGaps {
   private def mk(op: String, kind: StageKind, api: String) =
     new GapStage(s"mongodb.$op", kind, Seq("uri", "database", "collection"),
       "mongo-spark-connector", api) {}
-  val sources: Seq[Stage] = Seq(
-    mk("findOne", StageKind.Source, "find + .limit(1)"))
   val sinks: Seq[Stage] = Seq(
     "insertOne" -> "df.limit(1).write.format(\"mongodb\").mode(\"append\").save()",
     "updateOne" -> "df.foreachPartition(bulkWrite(UpdateOneModel))",

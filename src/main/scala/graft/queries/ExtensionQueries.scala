@@ -415,6 +415,45 @@ object ExtensionQueries {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     },
 
+    // ---- mongodb.find over an extended-JSON dump: builds a mongoexport-
+    // style .jsonl (orders slice with {"$numberLong"} wrappers), then the
+    // Mongo filter doc compiles to Catalyst and the wrappers normalize
+    // before schema inference. Oracle states the same predicate in SQL.
+    QueryDef("mongo_find_dump",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey < 2000 AND o_orderstatus IN ('O', 'F')
+        |  AND o_totalprice > 50000""".stripMargin) { (s, d) =>
+      val lines = t(s, d, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(F.concat(
+          F.lit("{\"o_orderkey\": {\"$numberLong\": \""), F.col("o_orderkey").cast("string"),
+          F.lit("\"}, \"o_orderstatus\": \""), F.col("o_orderstatus"),
+          F.lit("\", \"o_totalprice\": "), F.col("o_totalprice").cast("string"),
+          F.lit("}")).alias("value"))
+      val dir = java.nio.file.Files.createTempDirectory("graft_mongo").toString + "/orders_dump"
+      lines.write.text(dir)
+      MongoFindSource(StageContext(s, Seq.empty, Cfg.of(
+        "path" -> dir,
+        "query" -> """{"o_orderstatus": {"$in": ["O", "F"]}, "o_totalprice": {"$gt": 50000}}""")))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+
+    // ---- mongodb.aggregate in transform mode: the aggregation pipeline
+    // ($match → $group accumulators → $project $round) compiles to one
+    // Catalyst plan over the input frame.
+    QueryDef("mongo_aggregate_group",
+      """SELECT o_orderstatus AS _id, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS rev
+        |FROM orders WHERE o_totalprice > 100000 GROUP BY 1""".stripMargin) { (s, d) =>
+      MongoAggregateSource(StageContext.one(s, t(s, d, "orders"), Cfg.of(
+        "pipeline" ->
+          """[{"$match": {"o_totalprice": {"$gt": 100000}}},
+            | {"$group": {"_id": "$o_orderstatus", "n": {"$sum": 1},
+            |             "rev": {"$sum": "$o_totalprice"}}},
+            | {"$project": {"_id": 1, "n": 1, "rev": {"$round": ["$rev", 2]}}}]""".stripMargin)))
+        .select("_id", "n", "rev")
+    },
+
     // z-order is result-invariant (pure reordering) — the oracle checks the
     // pipeline around it; the row-group pruning win is measured in ZOrderSpec
     QueryDef("zorder_then_agg",
