@@ -22,9 +22,17 @@ import graft.core._
   *  4. repartitionByRange + sortWithinPartitions on the code cluster the
   *     data; the helper column is dropped before the sink sees it.
   *
-  * Equal-width bucketing is stats-cheap and good enough for pruning; a
-  * heavily skewed column can pre-transform (e.g. map.apply log) before
-  * z-ordering. `partitions` overrides the shuffle width (default:
+  * Bucketing modes (`bucketing`, default `width`):
+  *  - `width`: equal-width buckets from one (min, max) agg — stats-cheap,
+  *    right for roughly-uniform columns;
+  *  - `quantile`: bucket boundaries from ONE multi-column approxQuantile
+  *    pass (Greenwald-Khanna sketch, error `quantile_error`, default
+  *    0.25/2^bits), applied via MLlib Bucketizer (binary-search splits).
+  *    Equal-POPULATION buckets keep every bucket selective under heavy
+  *    skew (a power-law column collapses to a handful of width-buckets,
+  *    and row groups stop pruning on that dimension). Costs one extra
+  *    stats pass — pay it when the column is skewed.
+  * `partitions` overrides the shuffle width (default:
   * spark.sql.shuffle.partitions).
   */
 object ZOrderOp extends Stage {
@@ -48,33 +56,86 @@ object ZOrderOp extends Stage {
       case _ => F.col(c).cast("double")
     }
 
-    // 1. per-column min/max in ONE aggregate pass (tiny driver row).
-    // Under CLI `explain` no job may run — placeholder ranges keep the
-    // plan shape identical without touching the data.
-    val ranges: Seq[(String, Double, Double)] =
-      if (cfg.boolOr("_explain_only", false)) cols.map(c => (c, 0.0, 1.0))
-      else {
-        val aggs = cols.flatMap(c => Seq(
-          F.min(numeric(c)).alias(s"_min_$c"),
-          F.max(numeric(c)).alias(s"_max_$c")))
-        val st = df.agg(aggs.head, aggs.tail: _*).head()
-        cols.zipWithIndex.map { case (c, i) =>
-          val lo = if (st.isNullAt(2 * i)) 0.0 else st.getDouble(2 * i)
-          val hi = if (st.isNullAt(2 * i + 1)) 0.0 else st.getDouble(2 * i + 1)
-          (c, lo, hi)
-        }
-      }
-
-    // 2-3. bucket + interleave, all as codegen'd expressions: bucket_c =
-    // clamp(floor((v-lo)/(hi-lo) * 2^bits)); z = Σ_bit bucket_c[bit] moved
-    // to position (bit * ncols + colIdx)
+    val mode = cfg.strOr("bucketing", "width") match {
+      case ok @ ("width" | "quantile") => ok
+      case other => throw new GraftConfigError(s"zorder.apply bucketing must be width|quantile, got '$other'")
+    }
+    val explainOnly = cfg.boolOr("_explain_only", false)
     val n = cols.size
     val maxBucket = (1L << bits) - 1
-    val bucketCols = ranges.map { case (c, lo, hi) =>
-      if (hi <= lo) F.lit(0L)
-      else F.least(F.lit(maxBucket), F.greatest(F.lit(0L),
-        F.floor((F.coalesce(numeric(c), F.lit(lo)) - lo) / (hi - lo) * (maxBucket + 1)).cast(LongType)))
-    }
+
+    // 1-2. per-column bucket expressions. Under CLI `explain` no job may
+    // run — placeholder stats keep the plan shape without touching data.
+    // (source: a frame that may carry quantile temp columns)
+    val (bucketSource, bucketCols: Seq[org.apache.spark.sql.Column], tempCols: Seq[String]) =
+      if (mode == "width" || explainOnly) {
+        val ranges: Seq[(String, Double, Double)] =
+          if (explainOnly) cols.map(c => (c, 0.0, 1.0))
+          else {
+            val aggs = cols.flatMap(c => Seq(
+              F.min(numeric(c)).alias(s"_min_$c"),
+              F.max(numeric(c)).alias(s"_max_$c")))
+            val st = df.agg(aggs.head, aggs.tail: _*).head()
+            cols.zipWithIndex.map { case (c, i) =>
+              val lo = if (st.isNullAt(2 * i)) 0.0 else st.getDouble(2 * i)
+              val hi = if (st.isNullAt(2 * i + 1)) 0.0 else st.getDouble(2 * i + 1)
+              (c, lo, hi)
+            }
+          }
+        val bc = ranges.map { case (c, lo, hi) =>
+          if (hi <= lo) F.lit(0L)
+          else F.least(F.lit(maxBucket), F.greatest(F.lit(0L),
+            F.floor((F.coalesce(numeric(c), F.lit(lo)) - lo) / (hi - lo) * (maxBucket + 1)).cast(LongType)))
+        }
+        (df, bc, Seq.empty[String])
+      } else {
+        // quantile mode: equal-population boundaries from one G-K sketch
+        // pass over all columns, materialized through Bucketizer's
+        // binary-search (a layout-time op — the per-row log2(buckets)
+        // search is noise next to the range shuffle that follows).
+        val nBuckets = (1L << bits).toInt
+        val err = cfg.doubleOr("quantile_error", 0.25 / nBuckets)
+        val probs = (0 to nBuckets).map(_.toDouble / nBuckets).toArray
+        val numNames = cols.indices.map(i => s"_zq_$i")
+        val withNum = cols.zip(numNames).foldLeft(df) { case (d, (c, nm)) =>
+          d.withColumn(nm, numeric(c))
+        }
+        val allSplits = withNum.stat.approxQuantile(numNames.toArray, probs, err)
+        var cur = withNum
+        val bc = Vector.newBuilder[org.apache.spark.sql.Column]
+        val temps = Vector.newBuilder[String]
+        cols.indices.foreach { ci =>
+          temps += numNames(ci)
+          val interior = allSplits(ci).distinct.sorted.drop(1).dropRight(1)
+            .filter(v => !v.isNaN && !v.isInfinite)
+          if (interior.isEmpty) bc += F.lit(0L) // constant / all-null column
+          else {
+            val splits = Double.NegativeInfinity +: interior :+ Double.PositiveInfinity
+            val outName = s"_zb_$ci"
+            // nulls → lowest bucket (same policy as width mode); NaN → kept
+            // by Bucketizer in an overflow bucket, clamped below
+            cur = cur.withColumn(numNames(ci),
+              F.coalesce(F.col(numNames(ci)), F.lit(interior.head - 1)))
+            val bucketizer = new org.apache.spark.ml.feature.Bucketizer()
+              .setInputCol(numNames(ci)).setOutputCol(outName)
+              .setSplits(splits).setHandleInvalid("keep")
+            cur = bucketizer.transform(cur)
+            temps += outName
+            // After split dedup a skewed/low-cardinality column may yield
+            // m << 2^bits buckets. Raw ids would then occupy only the LOW
+            // interleaved bits (the fast-varying end of the curve) and the
+            // dimension would stop clustering — scale ids across the full
+            // bit width so distinctions land in the high bits.
+            val m = splits.length - 1
+            bc += F.least(F.lit(maxBucket),
+              F.floor(F.col(outName) * ((maxBucket + 1).toDouble / m)).cast(LongType))
+          }
+        }
+        (cur, bc.result(), temps.result())
+      }
+
+    // 3. interleave, all as codegen'd expressions: z = Σ_bit
+    // bucket_c[bit] moved to position (bit * ncols + colIdx)
     val z = (0 until bits).flatMap { bit =>
       bucketCols.zipWithIndex.map { case (b, ci) =>
         // extract bit `bit` of the bucket, shift to interleaved position
@@ -83,11 +144,11 @@ object ZOrderOp extends Stage {
     }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
 
     // 4. cluster
-    val withZ = df.withColumn("_zorder", z)
+    val withZ = bucketSource.withColumn("_zorder", z)
     val parted = cfg.longOpt("partitions") match {
       case Some(p) => withZ.repartitionByRange(p.toInt, F.col("_zorder"))
       case None    => withZ.repartitionByRange(F.col("_zorder"))
     }
-    parted.sortWithinPartitions("_zorder").drop("_zorder")
+    parted.sortWithinPartitions("_zorder").drop("_zorder").drop(tempCols: _*)
   }
 }

@@ -84,4 +84,37 @@ class ZOrderSpec extends SparkSpec {
       .filter(F.col("x").between(40, 60) && F.col("y").between(40, 60)).count()
     assert(backZ === backL)
   }
+
+  test("quantile bucketing keeps pruning selective under heavy skew") {
+    // power-law x: ~97% of values land in [0, 40) but the range runs to
+    // ~524k, so width-bucketing with 8 bits puts almost every row in
+    // bucket 0 and the x dimension stops contributing to the Morton code.
+    val skewed = spark.range(40000).select(
+      F.pow(F.lit(2.0), (F.col("id") % 20).cast("double") - 1).cast("long").alias("x"),
+      (F.col("id") / 200).cast("long").alias("y"),
+      F.col("id").alias("payload"))
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_skew").toString
+    val small = Map("parquet.block.size" -> "16384", "parquet.page.size" -> "4096")
+    def layout(mode: String, dir: String): Unit =
+      ZOrderOp(StageContext.one(spark, skewed, Cfg.of(
+        "columns" -> Seq("x", "y"), "bits" -> 8, "partitions" -> 1,
+        "bucketing" -> mode)))
+        .coalesce(1).write.options(small).mode("overwrite").parquet(s"$base/$dir")
+    layout("width", "width")
+    layout("quantile", "quantile")
+
+    // hot-range query on the skewed dimension: x in [0, 8) holds ~4/20 of
+    // the data; equal-population buckets separate it, width buckets don't.
+    val (ww, wTot) = overlappingRowGroups(s"$base/width", 0, 7, 0, 199)
+    val (qq, qTot) = overlappingRowGroups(s"$base/quantile", 0, 7, 0, 199)
+    info(s"row groups overlapping hot x-range: width $ww/$wTot, quantile $qq/$qTot")
+    assert(wTot > 10 && qTot > 10, "need multiple row groups for the comparison")
+    assert(qq.toDouble / qTot < ww.toDouble / wTot,
+      s"quantile mode must prune the skewed dimension better: $qq/$qTot vs $ww/$wTot")
+    assert(qq.toDouble / qTot < 0.6, s"quantile layout should skip the cold tail: $qq/$qTot")
+    // result invariance
+    assert(spark.read.parquet(s"$base/quantile").count() === 40000L)
+    assert(spark.read.parquet(s"$base/quantile").agg(F.sum("payload")).head().getLong(0) ===
+      skewed.agg(F.sum("payload")).head().getLong(0))
+  }
 }
