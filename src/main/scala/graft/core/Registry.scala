@@ -53,6 +53,7 @@ object Registry {
     // training-data extensions
     DedupExactOp, DedupMinHashOp, DedupSimHashOp, DedupNgramOp, DedupEmbeddingOp,
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
+    RedactOp, RepetitionOp,
     KnnBruteForceOp, KnnLshOp, KnnIvfOp, IndexBuildOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
     graft.multimodal.ImageDecodeOp, graft.multimodal.AudioDecodeOp,

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, functions => F}
+import org.apache.spark.sql.types._
+import graft.config._
+import graft.core._
+
+/** Corpus-cleaning operators for training-data pipelines (extensions,
+  * first-class per the build brief): PII redaction and repetition
+  * metrics — the standard pre-training filters described in the Gopher
+  * (Rae et al. 2021, §A.1.1) and RefinedWeb (Penedo et al. 2023, §3)
+  * dataset papers.
+  */
+object TextCleaning {
+
+  /** PII pattern table. Patterns are deliberately restricted to the
+    * regex-dialect intersection of java.util.regex and RE2 (no lookahead,
+    * no backreferences) so the DuckDB oracle can run the IDENTICAL
+    * pattern — the generated oracle SQL chains regexp_replace(...,'g') in
+    * the same declaration order. Order matters and is part of the
+    * contract: SSN and card patterns must fire before the greedier phone
+    * pattern eats their digits.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    // (type, pattern, mask token)
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("url", "https?://[^\\s]+", "[URL]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+    ("credit_card", "\\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\\b", "[CARD]"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "[IP]"),
+    ("phone", "\\+?[0-9][0-9()\\-\\s.]{6,}[0-9]\\b", "[PHONE]")
+  )
+
+  def redact(text: Column, types: Seq[String], mode: String): Column = {
+    val selected = piiPatterns.filter { case (t, _, _) => types.contains(t) }
+    selected.foldLeft(text) { case (c, (_, pattern, token)) =>
+      F.regexp_replace(c, pattern, if (mode == "remove") "" else token)
+    }
+  }
+
+  /** Count of PII matches (before redaction), for audit columns. */
+  def piiCount(text: Column, types: Seq[String]): Column =
+    piiPatterns.filter { case (t, _, _) => types.contains(t) }
+      .map { case (_, pattern, _) => F.regexp_count(text, F.lit(pattern)) }
+      .reduce(_ + _).cast(LongType)
+}
+
+/** text.redact — mask or strip PII spans (emails, URLs, SSNs, card
+  * numbers, IPs, phone numbers) from a text column. Pure codegen'd
+  * regexp_replace chain: per-row projection, no shuffle, pipelines inside
+  * the scan's WholeStageCodegen span at any scale. `types` selects and
+  * ORDERS nothing — the declaration order of the pattern table governs
+  * chaining so overlapping patterns resolve deterministically.
+  */
+object RedactOp extends Stage {
+  val name = "text.redact"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val col = ctx.cfg.strOr("column", "text")
+    val out = ctx.cfg.strOr("output_column", col)
+    val mode = ctx.cfg.strOr("mode", "mask") match {
+      case ok @ ("mask" | "remove") => ok
+      case other => throw new GraftConfigError(s"text.redact mode must be mask|remove, got '$other'")
+    }
+    val known = TextCleaning.piiPatterns.map(_._1)
+    val types = ctx.cfg.strListOr("types", known.toVector)
+    types.filterNot(known.contains).foreach(t =>
+      throw new GraftConfigError(s"text.redact: unknown type '$t' (known: ${known.mkString(", ")})"))
+    val df = ctx.primary
+    // audit count references the PRE-redaction text, so it must be added
+    // before out overwrites col (when they are the same column)
+    val counted = ctx.cfg.strOpt("count_column") match {
+      case Some(cc) => df.withColumn(cc, TextCleaning.piiCount(df(col), types))
+      case None     => df
+    }
+    counted.withColumn(out, TextCleaning.redact(counted(col), types, mode))
+  }
+}
+
+/** text.repetition — within-document repetition metrics, the Gopher-style
+  * repetitious-text filters (duplicate lines, duplicate/top word n-grams).
+  * Declared metric definitions (DuckDB oracle states the line metrics
+  * identically; n-gram metrics are spec-pinned):
+  *
+  *   dup_line_frac       = (#lines − #distinct lines) / #lines
+  *   dup_line_char_frac  = chars in line occurrences AFTER the first /
+  *                         total chars across lines
+  *   dup_ngram_frac      = (#ngrams − #distinct ngrams) / #ngrams
+  *   top_ngram_char_frac = (most frequent n-gram's count × its length) /
+  *                         total text chars
+  *
+  * Lines split on \n as-is; words = the shared lower/trim/\s+ tokenizer
+  * (TextFns.tokens parity). Empty denominators → 0.0.
+  *
+  * Implementation note: one pass per row in a single UDF rather than
+  * exploded arrays + re-aggregation — Catalyst higher-order array lambdas
+  * evaluate interpreted per element (CodegenFallback), and an
+  * explode/groupBy would shuffle 40+ rows per document; a hash-map pass
+  * over the tokens is the scale-correct shape for a per-document metric.
+  * Zero shuffle: still a pure projection.
+  */
+object RepetitionOp extends Stage {
+  val name = "text.repetition"
+  val kind = StageKind.Transform
+
+  private val outType = StructType(Seq(
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false),
+    StructField("dup_ngram_frac", DoubleType, nullable = false),
+    StructField("top_ngram_char_frac", DoubleType, nullable = false)))
+
+  def metrics(text: String, n: Int): Row = {
+    if (text == null) return Row(0.0, 0.0, 0.0, 0.0)
+    // ---- line metrics
+    val lines = text.split("\n", -1)
+    val lineCounts = new java.util.HashMap[String, Int]()
+    var totalLineChars = 0L
+    var dupLineChars = 0L
+    var i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      totalLineChars += l.length
+      val seen = lineCounts.merge(l, 1, Integer.sum)
+      if (seen > 1) dupLineChars += l.length
+      i += 1
+    }
+    val nLines = lines.length
+    val dupLineFrac =
+      if (nLines == 0) 0.0 else (nLines - lineCounts.size).toDouble / nLines
+    val dupLineCharFrac =
+      if (totalLineChars == 0) 0.0 else dupLineChars.toDouble / totalLineChars
+    // ---- word n-gram metrics (tokenizer parity with TextFns.tokens:
+    // lower, trim, split \s+)
+    val toks = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    var dupNgramFrac = 0.0
+    var topNgramCharFrac = 0.0
+    if (toks.length >= n) {
+      val ngramCounts = new java.util.HashMap[String, Int]()
+      val nNgrams = toks.length - n + 1
+      var best: String = null
+      var bestCount = 0
+      var j = 0
+      val sb = new java.lang.StringBuilder
+      while (j < nNgrams) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) { if (k > 0) sb.append(' '); sb.append(toks(j + k)); k += 1 }
+        val g = sb.toString
+        val c = ngramCounts.merge(g, 1, Integer.sum)
+        // ties break to the FIRST n-gram reaching the count (deterministic)
+        if (c > bestCount) { bestCount = c; best = g }
+        j += 1
+      }
+      dupNgramFrac = (nNgrams - ngramCounts.size).toDouble / nNgrams
+      val totalChars = text.length
+      if (totalChars > 0 && best != null && bestCount > 1)
+        topNgramCharFrac = math.min(1.0, bestCount.toDouble * best.length / totalChars)
+    }
+    // metrics stay UNROUNDED: each is one IEEE division of exact integer
+    // counts, so an oracle computing the same ratio matches bit-for-bit
+    // (rounding would instead have to reconcile half-even vs half-up)
+    Row(dupLineFrac, dupLineCharFrac, dupNgramFrac, topNgramCharFrac)
+  }
+
+  def apply(ctx: StageContext): DataFrame = {
+    val col = ctx.cfg.strOr("column", "text")
+    val n = ctx.cfg.longOr("ngram", 2L).toInt
+    if (n < 1) throw new GraftConfigError("text.repetition ngram must be >= 1")
+    val prefix = ctx.cfg.strOr("prefix", "")
+    val df = ctx.primary
+    // Java UDF API: the typed Scala path cannot express a Row-returning
+    // struct UDF, and the untyped one is disallowed by default in Spark 4
+    val fn = F.udf(new org.apache.spark.sql.api.java.UDF1[String, Row] {
+      override def call(s: String): Row = metrics(s, n)
+    }, outType)
+    val withS = df.withColumn("_rep", fn(df(col)))
+    outType.fields.foldLeft(withS) { (d, f) =>
+      d.withColumn(prefix + f.name, F.col(s"_rep.${f.name}"))
+    }.drop("_rep")
+  }
+}

@@ -415,6 +415,57 @@ object ExtensionQueries {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     },
 
+    // ---- text.redact: PII masking. The documents corpus has no PII, so
+    // the query plants deterministic emails/IPs/SSNs derived from doc_id
+    // and both engines chain the IDENTICAL patterns (the operator's
+    // pattern table is restricted to the java.util.regex ∩ RE2 dialect
+    // precisely so this oracle can exist).
+    QueryDef("text_redact", {
+      val steps = Seq("email", "ssn", "ip").map { t =>
+        TextCleaning.piiPatterns.find(_._1 == t).get
+      }
+      val inner = "text || ' reach user' || doc_id || '@example.com or 10.0.' || " +
+        "(doc_id % 256) || '.7 ssn 123-45-' || (1000 + doc_id % 9000)"
+      val chained = steps.foldLeft(s"($inner)") { case (acc, (_, pat, tok)) =>
+        s"regexp_replace($acc, '$pat', '$tok', 'g')"
+      }
+      s"SELECT doc_id, $chained AS red FROM documents"
+    }) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val planted = docs.withColumn("pii_text",
+        F.concat(F.col("text"), F.lit(" reach user"), F.col("doc_id"),
+          F.lit("@example.com or 10.0."), F.col("doc_id") % 256,
+          F.lit(".7 ssn 123-45-"), F.col("doc_id") % 9000 + 1000))
+      RedactOp(StageContext.one(s, planted, Cfg.of(
+        "column" -> "pii_text", "output_column" -> "red",
+        "types" -> Seq("email", "ssn", "ip"))))
+        .select("doc_id", "red")
+    },
+
+    // ---- text.repetition: Gopher-style repetition metrics. Line metrics
+    // have an exact SQL statement (unrounded single IEEE divisions of
+    // integer counts — bit-identical across engines); n-gram metrics are
+    // pinned by TextCleaningSpec fixtures. The query plants a duplicated
+    // line so the metrics are non-trivial per document.
+    QueryDef("text_repetition",
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(string_split(text || chr(10) || source || chr(10) || source, chr(10))) AS line
+        |  FROM documents),
+        |tot AS (SELECT doc_id, count(*) AS n, sum(len(line)) AS tc FROM ex GROUP BY doc_id),
+        |dst AS (SELECT doc_id, count(*) AS d, sum(len(line)) AS uc
+        |        FROM (SELECT DISTINCT doc_id, line FROM ex) GROUP BY doc_id)
+        |SELECT tot.doc_id,
+        |  CAST(tot.n - dst.d AS DOUBLE) / tot.n AS dup_line_frac,
+        |  CASE WHEN tot.tc = 0 THEN 0.0
+        |       ELSE CAST(tot.tc - dst.uc AS DOUBLE) / tot.tc END AS dup_line_char_frac
+        |FROM tot JOIN dst ON tot.doc_id = dst.doc_id""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val planted = docs.withColumn("rep_text",
+        F.concat(F.col("text"), F.lit("\n"), F.col("source"), F.lit("\n"), F.col("source")))
+      RepetitionOp(StageContext.one(s, planted, Cfg.of("column" -> "rep_text")))
+        .select("doc_id", "dup_line_frac", "dup_line_char_frac")
+    },
+
     // ---- mongodb.find over an extended-JSON dump: builds a mongoexport-
     // style .jsonl (orders slice with {"$numberLong"} wrappers), then the
     // Mongo filter doc compiles to Catalyst and the wrappers normalize

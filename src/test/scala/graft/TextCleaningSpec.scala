@@ -1,0 +1,84 @@
+package graft
+
+import graft.config.{Cfg, GraftConfigError}
+import graft.core.StageContext
+import graft.operators.{RedactOp, RepetitionOp}
+
+/** text.redact + text.repetition — corpus-cleaning extensions. */
+class TextCleaningSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def redact(text: String, cfg: (String, Any)*): String =
+    RedactOp(StageContext.one(spark, Seq(Tuple1(text)).toDF("text"), Cfg.of(cfg: _*)))
+      .select("text").as[String].head()
+
+  test("each PII type masks with its token") {
+    assert(redact("mail me at jo.doe+x@corp.example.org today") === "mail me at [EMAIL] today")
+    assert(redact("see https://ex.com/a?b=1 for docs") === "see [URL] for docs")
+    assert(redact("ssn is 123-45-6789 ok") === "ssn is [SSN] ok")
+    assert(redact("card 4111 1111 1111 1111 on file") === "card [CARD] on file")
+    assert(redact("host 192.168.10.1 up") === "host [IP] up")
+    assert(redact("call +1 (415) 555-0137 now") === "call [PHONE] now")
+  }
+
+  test("declaration order protects structured digits from the phone pattern") {
+    // SSN and card fire before the greedy phone pattern
+    assert(redact("id 123-45-6789.") === "id [SSN].")
+    assert(redact("pay 4111-1111-1111-1111 thanks") === "pay [CARD] thanks")
+  }
+
+  test("type selection, remove mode, audit count") {
+    assert(redact("a@b.co and 10.0.0.1", "types" -> Seq("email")) === "[EMAIL] and 10.0.0.1")
+    assert(redact("a@b.co!", "mode" -> "remove") === "!")
+    val out = RedactOp(StageContext.one(spark,
+      Seq(Tuple1("a@b.co or c@d.io at 10.0.0.1")).toDF("text"),
+      Cfg.of("types" -> Seq("email", "ip"), "count_column" -> "n_pii")))
+    assert(out.select("n_pii").as[Long].head() === 3L)
+    intercept[GraftConfigError](redact("x", "types" -> Seq("dna")))
+  }
+
+  test("repetition metrics on a hand-computed fixture") {
+    // lines: "a b a b" | "x" | "x" → 3 lines, 2 distinct, 9 chars, 1 dup char
+    // tokens: a b a b x x → 2-grams: "a b","b a","a b","b x","x x" → 5, 4 distinct
+    // top 2-gram "a b" ×2, len 3; text len 11
+    val out = RepetitionOp(StageContext.one(spark,
+      Seq(Tuple1("a b a b\nx\nx")).toDF("text"), Cfg.of()))
+      .select("dup_line_frac", "dup_line_char_frac", "dup_ngram_frac", "top_ngram_char_frac")
+      .head()
+    assert(out.getDouble(0) === 1.0 / 3)
+    assert(out.getDouble(1) === 1.0 / 9)
+    assert(out.getDouble(2) === 1.0 / 5)
+    assert(out.getDouble(3) === 6.0 / 11)
+  }
+
+  test("repetition edge cases: no repeats, single line, short text, ngram config") {
+    val clean = RepetitionOp(StageContext.one(spark,
+      Seq(Tuple1("one two three")).toDF("text"), Cfg.of()))
+      .select("dup_line_frac", "dup_ngram_frac").head()
+    assert(clean.getDouble(0) === 0.0)
+    assert(clean.getDouble(1) === 0.0)
+    // fewer tokens than n → ngram metrics 0
+    val short = RepetitionOp(StageContext.one(spark,
+      Seq(Tuple1("word")).toDF("text"), Cfg.of("ngram" -> 3)))
+      .select("dup_ngram_frac", "top_ngram_char_frac").head()
+    assert(short.getDouble(0) === 0.0 && short.getDouble(1) === 0.0)
+    // trigram mode counts trigram repeats
+    val tri = RepetitionOp(StageContext.one(spark,
+      Seq(Tuple1("a b c a b c a b c")).toDF("text"), Cfg.of("ngram" -> 3)))
+      .select("dup_ngram_frac").head()
+    // 9 toks → 7 trigrams, distinct 3 → 4/7
+    assert(tri.getDouble(0) === 4.0 / 7)
+    // a top n-gram that occurs once contributes 0 (only REPEATED text counts)
+    val once = RepetitionOp(StageContext.one(spark,
+      Seq(Tuple1("p q r s")).toDF("text"), Cfg.of()))
+      .select("top_ngram_char_frac").head()
+    assert(once.getDouble(0) === 0.0)
+  }
+
+  test("prefix option namespaces the metric columns") {
+    val out = RepetitionOp(StageContext.one(spark,
+      Seq(Tuple1("x\nx")).toDF("text"), Cfg.of("prefix" -> "rep_")))
+    assert(out.columns.contains("rep_dup_line_frac"))
+    assert(out.select("rep_dup_line_frac").head().getDouble(0) === 0.5)
+  }
+}
