@@ -381,6 +381,28 @@ class JsEvalOpSpec extends SparkSpec {
     assert(m.getAs[Long]("len") === 5L)
   }
 
+  test("the reference's js-transform-example.toml runs END-TO-END unmodified (path swap only)") {
+    // reference examples/js-transform-example.toml verbatim; its data file
+    // (examples/data/users.json, absent even in the reference repo) is
+    // reconstructed here with the fields the script reads
+    val dataDir = java.nio.file.Files.createTempDirectory("graft_jsex")
+    val users = dataDir.resolve("users.json")
+    java.nio.file.Files.writeString(users,
+      """[{"id": 1, "firstName": "John", "lastName": "Doe", "birthYear": 1990,
+        |  "email": "john@example.com", "status": "active"},
+        | {"id": 2, "firstName": "Jane", "lastName": "Roe", "birthYear": 2015,
+        |  "email": "jane@example.com", "status": "inactive"}]""".stripMargin)
+    val toml = java.nio.file.Files.readString(
+      java.nio.file.Path.of("/root/reference/examples/js-transform-example.toml"))
+      .replace("examples/data/users.json", users.toString)
+    val outputs = graft.core.DagCompiler.default.run(
+      spark, graft.config.PipelineConfig.fromString(toml))
+    val out = outputs("js_transform").orderBy("id").collect()
+    assert(out.map(_.getAs[String]("fullName")).toSeq === Seq("John Doe", "Jane Roe"))
+    assert(out.map(_.getAs[Boolean]("isAdult")).toSeq === Seq(true, false))
+    assert(out.head.getAs[Long]("age") >= 36L) // currentYear - 1990
+  }
+
   test("reference example pipeline end-to-end shape (users fixture)") {
     import spark.implicits._
     val users = Seq(
