@@ -47,7 +47,7 @@ object Registry {
     MongoGaps.sinks ++ Seq(
     // multi-input extensions (SURVEY §2.8)
     JoinOp, UnionOp, IntersectOp, ExceptOp, WindowFnOp, PivotOp,
-    AsofJoinOp, RangeJoinOp, CubeOp,
+    AsofJoinOp, RangeJoinOp, CubeOp, SimilarJoinOp,
     // row-level transforms (reference §2.5)
     EncryptOp, DecryptOp, HttpFetchOp, AiGenerateOp,
     // training-data extensions

@@ -415,6 +415,31 @@ object ExtensionQueries {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     },
 
+    // ---- join.similar anti mode: decontamination against a synthetic
+    // "benchmark" (every 10th document). The oracle computes the exact
+    // cross-pair Jaccard criterion in SQL — a training doc survives iff no
+    // benchmark doc (other than itself) reaches the threshold. Same planted
+    // near-dup corpus as the dedup gates, so recall is deterministic.
+    QueryDef("similar_join_anti",
+      """WITH toks AS (SELECT doc_id, """ + duckToks + """ AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM toks),
+        |bench AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |hit AS (SELECT DISTINCT a.doc_id FROM sh a JOIN bench b ON a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        |SELECT d.doc_id, d.text FROM documents d
+        |WHERE d.doc_id % 10 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val train = docs.filter(F.col("doc_id") % 10 =!= 0)
+      val bench = docs.filter(F.col("doc_id") % 10 === 0)
+      SimilarJoinOp(StageContext(s, Seq("l" -> train, "r" -> bench), Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
+        "threshold" -> 0.8, "mode" -> "anti")))
+        .select("doc_id", "text")
+    },
+
     // ---- text.redact: PII masking. The documents corpus has no PII, so
     // the query plants deterministic emails/IPs/SSNs derived from doc_id
     // and both engines chain the IDENTICAL patterns (the operator's

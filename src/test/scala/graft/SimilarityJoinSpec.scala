@@ -1,0 +1,100 @@
+package graft
+
+import graft.config.{Cfg, GraftConfigError}
+import graft.core.StageContext
+import graft.operators.SimilarJoinOp
+
+/** join.similar — cross-table near-match join (decontamination primitive). */
+class SimilarityJoinSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.DataFrame
+
+  private def run(l: DataFrame, r: DataFrame, cfg: (String, Any)*) =
+    SimilarJoinOp(StageContext(spark, Seq("l" -> l, "r" -> r), Cfg.of(cfg: _*)))
+
+  // training corpus: two docs near-identical to benchmark items, two clean
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "completely unrelated text about distributed query engines and shuffles"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+    (4L, "another clean document discussing parquet footers and row group pruning"),
+    (5L, "the quick brown fox jumps over the lazy dog near the river bank today")
+  ).toDF("doc_id", "text")
+
+  private val benchmark = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (101L, "some benchmark question about astronomy and the orbital period of mars")
+  ).toDF("doc_id", "text")
+
+  test("pairs mode emits verified (left, right, jaccard) matches") {
+    val pairs = run(corpus, benchmark,
+      "id_column" -> "doc_id", "text_column" -> "text", "threshold" -> 0.8)
+      .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id")))
+    // docs 1, 3, 5 match benchmark 100 (1 and 5 are exact copies of it;
+    // 3 differs by one trailing token); nothing matches 101
+    assert(pairs.toSet === Set((1L, 100L), (3L, 100L), (5L, 100L)))
+  }
+
+  test("anti mode = decontamination: keeps only unmatched left rows") {
+    val clean = run(corpus, benchmark,
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "threshold" -> 0.8, "mode" -> "anti")
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq === Seq(2L, 4L))
+    assert(clean.columns.toSeq === corpus.columns.toSeq) // full left rows
+  }
+
+  test("semi mode keeps the contaminated rows for auditing") {
+    val hits = run(corpus, benchmark,
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "threshold" -> 0.8, "mode" -> "semi")
+    assert(hits.select("doc_id").as[Long].collect().sorted.toSeq === Seq(1L, 3L, 5L))
+  }
+
+  test("exact-duplicate groups expand through representatives (1 and 5 both reported)") {
+    // 1 and 5 share identical text: the LSH join sees ONE representative,
+    // yet both original ids must appear in the output
+    val pairs = run(corpus, benchmark,
+      "id_column" -> "doc_id", "text_column" -> "text", "threshold" -> 0.8)
+    assert(pairs.filter($"left_id".isin(1L, 5L)).count() === 2)
+  }
+
+  test("distinct id/text column names per side") {
+    val l = corpus.toDF("lid", "ltxt")
+    val r = benchmark.toDF("rid", "rtxt")
+    val pairs = run(l, r,
+      "left_id" -> "lid", "right_id" -> "rid",
+      "left_text" -> "ltxt", "right_text" -> "rtxt", "threshold" -> 0.8)
+    assert(pairs.count() === 3)
+  }
+
+  test("embedding method matches by cosine") {
+    def vec(base: Double, jitter: Double) =
+      Array.tabulate(8)(i => (base + (if (i == 0) jitter else 0.0) + i).toFloat)
+    val l = Seq((1L, vec(1.0, 0.0)), (2L, Array.fill(8)(-1.0f))).toDF("id", "emb")
+    val r = Seq((10L, vec(1.0, 0.01))).toDF("id", "emb")
+    val pairs = run(l, r,
+      "method" -> "embedding", "vector_column" -> "emb", "threshold" -> 0.99)
+      .collect().map(x => (x.getAs[Long]("left_id"), x.getAs[Long]("right_id")))
+    assert(pairs.toSet === Set((1L, 10L)))
+    val anti = run(l, r,
+      "method" -> "embedding", "vector_column" -> "emb",
+      "threshold" -> 0.99, "mode" -> "anti")
+    assert(anti.select("id").as[Long].collect().toSeq === Seq(2L))
+  }
+
+  test("config validation is loud") {
+    intercept[GraftConfigError](run(corpus, benchmark,
+      "id_column" -> "doc_id", "mode" -> "full"))
+    intercept[GraftConfigError](run(corpus, benchmark,
+      "id_column" -> "doc_id", "method" -> "levenshtein"))
+    intercept[GraftConfigError](run(corpus, benchmark,
+      "id_column" -> "doc_id", "num_hashes" -> 100, "bands" -> 32))
+  }
+
+  test("no cartesian/nested-loop join in the plan") {
+    val plan = run(corpus, benchmark,
+      "id_column" -> "doc_id", "text_column" -> "text")
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesian") && !plan.contains("joinwithoutcondition"))
+  }
+}
