@@ -80,7 +80,11 @@ object Docs {
     "text.quality" -> "document quality score - column, output_column",
     "text.tokens" -> "token counts (whitespace + BPE-ish) - column",
     "text.fingerprint" -> "normalized hash + min-shingle sketch - column",
-    "zorder.apply" -> "Z-order (Morton) clustering on 2-6 columns for multi-dimensional row-group pruning - columns, bits, partitions",
+    "pack.sequences" -> "pack docs into token-budget training sequences - max_tokens, order_by, mode=chunk|greedy, token_column or text_column+tokenizer",
+    "text.redact" -> "PII masking (email/url/ssn/credit_card/ip/phone) - column, types, mode=mask|remove, count_column",
+    "text.repetition" -> "Gopher repetition metrics (dup_line_frac, dup_line_char_frac, dup_ngram_frac, top_ngram_char_frac) - column, ngram, prefix",
+    "join.similar" -> "similarity join / decontamination - two inputs; method=minhash|embedding, mode=pairs|semi|anti, threshold; anti drops left rows near-matching any right row",
+    "zorder.apply" -> "Z-order (Morton) clustering on 2-6 columns for multi-dimensional row-group pruning - columns, bits, partitions, bucketing=width|quantile (quantile = equal-population buckets for skewed columns)",
     "mongodb.normalize" -> "MongoDB extended JSON to plain scalars ($oid/$date/$numberLong/Int/Double) - column, output_column, date_format=millis|iso",
     "mongodb.toObjectId" -> "wrap 24-hex strings as {\"$oid\": ...} - column, output_column",
     "binary.meta" -> "binary column metadata (magic, hash, size) - column",

@@ -53,7 +53,7 @@ object Registry {
     // training-data extensions
     DedupExactOp, DedupMinHashOp, DedupSimHashOp, DedupNgramOp, DedupEmbeddingOp,
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
-    RedactOp, RepetitionOp,
+    RedactOp, RepetitionOp, PackOp,
     KnnBruteForceOp, KnnLshOp, KnnIvfOp, IndexBuildOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
     graft.multimodal.ImageDecodeOp, graft.multimodal.AudioDecodeOp,

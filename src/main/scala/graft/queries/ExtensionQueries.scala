@@ -415,6 +415,29 @@ object ExtensionQueries {
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     },
 
+    // ---- pack.sequences chunk mode: GPT-style concat-and-cut packing.
+    // The global token offset is a pure window cumsum, so DuckDB states
+    // the whole semantic; the Spark side computes it with the distributed
+    // TwoPass prefix (no single-partition exchange).
+    QueryDef("pack_chunk",
+      """WITH tk AS (SELECT doc_id,
+        |  CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |cum AS (SELECT doc_id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM tk)
+        |SELECT doc_id, n_tokens, tok_start,
+        |  CAST(tok_start + n_tokens AS BIGINT) AS tok_end,
+        |  CAST(tok_start // 512 AS BIGINT) AS seq_first,
+        |  CAST(greatest(tok_start, tok_start + n_tokens - 1) // 512 AS BIGINT) AS seq_last
+        |FROM cum""".stripMargin) { (s, d) =>
+      PackOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "max_tokens" -> 512, "order_by" -> Seq("doc_id"),
+        "text_column" -> "text", "tokenizer" -> "whitespace")))
+        .select("doc_id", "n_tokens", "tok_start", "tok_end", "seq_first", "seq_last")
+    },
+
     // ---- join.similar anti mode: decontamination against a synthetic
     // "benchmark" (every 10th document). The oracle computes the exact
     // cross-pair Jaccard criterion in SQL — a training doc survives iff no
