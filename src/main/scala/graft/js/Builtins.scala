@@ -356,6 +356,9 @@ object Builtins {
   }
 
   private def arrayMember(a: JsArr, name: String, interp: JsInterp): Option[JsVal] = Some(name match {
+    case idx if idx.nonEmpty && idx.forall(c => c >= '0' && c <= '9') && idx.length <= 9 =>
+      val i = idx.toInt // arr["3"] reaching the member path (e.g. call position)
+      if (i < a.items.length) a.items(i) else JsUndefined
     case "length" => JsNum(a.items.length.toDouble)
     case "push" => JsNative(name, (_, as) => { a.items ++= as; JsNum(a.items.length.toDouble) })
     case "pop"  => JsNative(name, (_, _) =>

@@ -230,6 +230,11 @@ final class JsInterp(script: String) {
           case (a: JsArr, JsNum(d)) =>
             val i = d.toInt
             if (i >= 0 && i < a.items.length) a.items(i) else JsUndefined
+          // JS: arr["0"] === arr[0] (property keys are strings; for...in
+          // yields string indices)
+          case (a: JsArr, JsStr(s)) if isIndexString(s) =>
+            val i = s.toInt
+            if (i < a.items.length) a.items(i) else JsUndefined
           case (JsStr(s), JsNum(d)) =>
             val i = d.toInt
             if (i >= 0 && i < s.length) JsStr(s.charAt(i).toString) else JsUndefined
@@ -285,6 +290,12 @@ final class JsInterp(script: String) {
   /** Evaluate an lvalue expression for its current value (for +=, ++). */
   private def evalRef(target: Expr, env: Env): JsVal = eval(target, env)
 
+  /** "0", "15", … — a canonical non-negative array index (no leading +,
+    * no leading zeros beyond "0", bounded to Int). */
+  private def isIndexString(s: String): Boolean =
+    s.nonEmpty && s.length <= 9 && s.forall(c => c >= '0' && c <= '9') &&
+      (s == "0" || s.charAt(0) != '0')
+
   private def assignTo(target: Expr, v: JsVal, env: Env): Unit = target match {
     case EIdent(name) => env.assign(name, v)
     case EMember(objE, name, _) =>
@@ -303,6 +314,10 @@ final class JsInterp(script: String) {
         case (a: JsArr, JsNum(d)) =>
           val i = d.toInt
           if (i < 0) throw new JsError("negative array index assignment")
+          while (a.items.length <= i) a.items += JsUndefined
+          a.items(i) = v
+        case (a: JsArr, JsStr(s)) if isIndexString(s) =>
+          val i = s.toInt
           while (a.items.length <= i) a.items += JsUndefined
           a.items(i) = v
         case (o: JsObj, k) => o.fields(toStr(k)) = v

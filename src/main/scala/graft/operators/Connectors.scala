@@ -284,7 +284,12 @@ object MongoNormalizeOp extends Stage {
           case "$numberInt" if wasString =>
             try { intV = rawInner.toInt; hasInt = true } catch { case _: NumberFormatException => }
           case "$numberDouble" if wasString =>
-            try { numDouble = rawInner.toDouble.toString } catch { case _: NumberFormatException => }
+            try {
+              val d = rawInner.toDouble
+              // NaN/Infinity are legal extended JSON but not legal bare
+              // JSON numbers — emit quoted (the Jackson path did the same)
+              numDouble = if (d.isNaN || d.isInfinite) "\"" + d.toString + "\"" else d.toString
+            } catch { case _: NumberFormatException => }
           case _ =>
         }
         skipWs()

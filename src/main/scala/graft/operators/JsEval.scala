@@ -73,12 +73,15 @@ object JsEvalOp extends Stage {
       val interp = new JsInterp(script) // parsed once per partition
       val skipOnError = onError == "skip"
       rows.flatMap { line =>
+        // the array branch materializes EAGERLY (strict Vector, not a lazy
+        // iterator) so element-type errors surface inside this try and
+        // respect on_error + the row-context wrapper
         try {
           interp.callTransform(JsVal.parseJson(line)) match {
-            case JsNull | JsUndefined => Iterator.empty // declared: drop row
-            case o: JsObj             => Iterator.single(JsVal.stringify(o))
+            case JsNull | JsUndefined => Vector.empty // declared: drop row
+            case o: JsObj             => Vector(JsVal.stringify(o))
             case a: JsArr => // declared: array => multiple output rows
-              a.items.iterator.map {
+              a.items.toVector.map {
                 case o: JsObj => JsVal.stringify(o)
                 case other => throw new JsError(
                   s"transform returned an array containing ${JsVal.typeOf(other)}; elements must be objects")
@@ -87,8 +90,11 @@ object JsEvalOp extends Stage {
               s"transform must return an object (or null to drop, array to expand); got ${JsVal.typeOf(other)}")
           }
         } catch {
-          case e: JsError if skipOnError => Iterator.empty
-          case e: JsError =>
+          // builtins may surface raw JVM exceptions (NumberFormatException
+          // from parseInt overflow, DateTimeParseException, ...) — treat
+          // every non-fatal throw as a row failure, not a job crash
+          case scala.util.control.NonFatal(_) if skipOnError => Vector.empty
+          case scala.util.control.NonFatal(e) =>
             val snippet = if (line.length > 200) line.take(200) + "..." else line
             throw new JsError(s"js.eval failed on row $snippet: ${e.getMessage}")
         }

@@ -256,19 +256,32 @@ object MongoQuery {
       case o: JsObj if o.fields.nonEmpty =>
         def isExclude(v: JsVal) = v == JsNum(0.0) || v == JsBool(false)
         def isInclude(v: JsVal) = v == JsNum(1.0) || v == JsBool(true)
-        val excludes = o.fields.collect { case (f, v) if isExclude(v) => f }.toSeq
+        // `_id: 0` is special: Mongo allows it INSIDE an inclusion
+        // projection, and _id is included by default otherwise
+        val idExcluded = o.fields.get("_id").exists(isExclude)
+        val rest = o.fields.filter(_._1 != "_id")
+        val excludes = rest.collect { case (f, v) if isExclude(v) => f }.toSeq
         if (excludes.nonEmpty) {
-          val bad = o.fields.collect {
-            case (f, v) if !isExclude(v) && f != "_id" => f
-          }
+          val bad = rest.collect { case (f, v) if !isExclude(v) => f }
           if (bad.nonEmpty) err(s"$$project cannot mix exclusion with inclusion (${bad.mkString(",")})")
-          df.drop(excludes: _*)
+          df.drop(excludes ++ (if (idExcluded) Seq("_id") else Seq.empty): _*)
+        } else if (rest.isEmpty && idExcluded) {
+          df.drop("_id")
         } else {
-          val cols = o.fields.map {
+          val named = rest.map {
             case (f, v) if isInclude(v) => F.col(f)
             case (f, expr)              => compileExpr(expr).alias(f)
           }.toSeq
-          df.select(cols: _*)
+          // _id handling: explicit expression wins; otherwise included by
+          // default when the frame has it and `_id: 0` wasn't given
+          val idCol = o.fields.get("_id") match {
+            case Some(v) if isExclude(v) => Seq.empty
+            case Some(v) if isInclude(v) => Seq(F.col("_id"))
+            case Some(expr)              => Seq(compileExpr(expr).alias("_id"))
+            case None if df.columns.contains("_id") => Seq(F.col("_id"))
+            case None => Seq.empty
+          }
+          df.select(idCol ++ named: _*)
         }
       case _ => err("$project expects a projection document")
     }
@@ -363,12 +376,11 @@ abstract class MongoReadStage(val name: String) extends Stage {
         import ctx.spark.implicits._
         val raw = ctx.spark.read.textFile(path)
         val normalized = raw.map(line => MongoNormalizeOp.normalize(line, iso = false))
-        val df = ctx.spark.read.json(normalized)
         ctx.cfg.strOpt("schema") match {
-          case Some(ddl) =>
+          case Some(ddl) => // single pass — no inference job
             val fields = org.apache.spark.sql.types.StructType.fromDDL(ddl)
             ctx.spark.read.schema(fields).json(normalized)
-          case None => df
+          case None => ctx.spark.read.json(normalized)
         }
       case None if !ctx.noInputs => ctx.primary // transform mode: query the input frame
       case None =>
@@ -387,15 +399,18 @@ abstract class MongoReadStage(val name: String) extends Stage {
     ctx.cfg.strOpt("query").foreach { q =>
       df = df.filter(MongoQuery.compileFilter(MongoQuery.parseDoc(q)))
     }
-    ctx.cfg.strOpt("projection").foreach { p =>
-      df = MongoQuery.applyPipeline(df, s"""[{"$$project": $p}]""")
-    }
+    // Mongo evaluation order: sort/skip/limit act on full documents; the
+    // projection applies LAST (sorting by an unprojected field is legal)
     ctx.cfg.strOpt("sort").foreach { s =>
       df = MongoQuery.applyPipeline(df, s"""[{"$$sort": $s}]""")
     }
     ctx.cfg.doubleOpt("skip").foreach(n => df = df.offset(n.toInt))
-    if (one) df.limit(1)
-    else ctx.cfg.doubleOpt("limit").map(n => df.limit(n.toInt)).getOrElse(df)
+    if (one) df = df.limit(1)
+    else ctx.cfg.doubleOpt("limit").foreach(n => df = df.limit(n.toInt))
+    ctx.cfg.strOpt("projection").foreach { p =>
+      df = MongoQuery.applyPipeline(df, s"""[{"$$project": $p}]""")
+    }
+    df
   }
 }
 

@@ -45,7 +45,7 @@ object PackOp extends Stage {
       "pack.sequences requires order_by — packing is order-dependent and must be deterministic")
     val df = ctx.primary
 
-    val nTok: org.apache.spark.sql.Column = cfg.strOpt("token_column") match {
+    val nTok0: org.apache.spark.sql.Column = cfg.strOpt("token_column") match {
       case Some(tc) => F.col(tc).cast(LongType)
       case None =>
         val text = F.col(cfg.strOr("text_column", "text"))
@@ -56,12 +56,17 @@ object PackOp extends Stage {
             s"pack.sequences tokenizer must be whitespace|bpeish, got '$other'")
         }
     }
+    // null text / null token value contributes zero tokens (a null would
+    // otherwise NPE out of Row.getLong in the executor)
+    val nTok = F.coalesce(nTok0, F.lit(0L))
 
     val orderCols = orderBy.map(F.col)
     val sorted = df.withColumn("n_tokens", nTok)
       .repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
-    val ntokIdx = sorted.columns.length - 1
+    // fieldIndex, not columns.length-1: withColumn REPLACES in place when
+    // the input already has an n_tokens column
+    val ntokIdx = sorted.schema.fieldIndex("n_tokens")
 
     cfg.strOr("mode", "chunk") match {
       case "chunk"  => chunk(sorted, ntokIdx, maxTokens)

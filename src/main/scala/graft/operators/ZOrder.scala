@@ -143,12 +143,13 @@ object ZOrderOp extends Stage {
       }
     }.reduce[org.apache.spark.sql.Column](_.bitwiseOR(_))
 
-    // 4. cluster
-    val withZ = bucketSource.withColumn("_zorder", z)
+    // 4. cluster — temp quantile/bucket columns are dropped BEFORE the
+    // range exchange so they never ride through shuffle + sort
+    val withZ = bucketSource.withColumn("_zorder", z).drop(tempCols: _*)
     val parted = cfg.longOpt("partitions") match {
       case Some(p) => withZ.repartitionByRange(p.toInt, F.col("_zorder"))
       case None    => withZ.repartitionByRange(F.col("_zorder"))
     }
-    parted.sortWithinPartitions("_zorder").drop("_zorder").drop(tempCols: _*)
+    parted.sortWithinPartitions("_zorder").drop("_zorder")
   }
 }

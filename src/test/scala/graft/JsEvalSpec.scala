@@ -291,6 +291,18 @@ class JsInterpSpec extends AnyFunSuite {
     assert(expr("0.1 + 0.2") === """{"v":0.30000000000000004}""") // IEEE, same as JS
   }
 
+  test("array indexing by numeric string: arr['0'] === arr[0], for...in sums work") {
+    assert(run(
+      """function transform(row) {
+        |  let s = 0;
+        |  for (const k in row.nums) s += row.nums[k];
+        |  const a = [9];
+        |  a["1"] = 5;
+        |  return { s: s, first: row.nums["0"], a1: a[1] };
+        |}""".stripMargin,
+      """{"nums": [1, 2, 3]}""") === """{"s":6,"first":1,"a1":5}""")
+  }
+
   test("interpreter instance is reusable across rows (per-partition reuse)") {
     val interp = new JsInterp(
       "let calls = 0; function transform(row) { calls++; return { n: row.n * 2, calls: calls }; }")
@@ -364,6 +376,31 @@ class JsEvalOpSpec extends SparkSpec {
     val e = intercept[org.apache.spark.SparkException](
       eval(df, Map("script" -> script)).collect())
     assert(e.getMessage.contains("bad int") || e.getCause.getMessage.contains("bad int"))
+  }
+
+  test("errors inside a returned array respect on_error and row context") {
+    import spark.implicits._
+    val df = Seq(Tuple1(1L), Tuple1(2L)).toDF("id")
+    val skip = eval(df, Map("script" ->
+      "function transform(row) { return row.id === 1 ? [1, 2] : [{id: row.id}]; }",
+      "on_error" -> "skip"))
+    assert(skip.collect().map(_.getAs[Long]("id")).toSeq === Seq(2L))
+    val e = intercept[org.apache.spark.SparkException](
+      eval(df, Map("script" ->
+        "function transform(row) { return [row.id]; }")).collect())
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("js.eval failed on row"))
+  }
+
+  test("raw JVM exceptions from builtins (parseInt overflow) obey on_error=skip") {
+    import spark.implicits._
+    val df = Seq(("a", "123"), ("b", "99999999999999999999999")).toDF("k", "v")
+    val out = eval(df, Map("script" ->
+      "function transform(row) { return { k: row.k, n: parseInt(row.v, 10) }; }",
+      "on_error" -> "skip"))
+    // the overflowing parse throws NumberFormatException inside parseInt;
+    // skip must drop the row, not kill the job
+    assert(out.collect().map(_.getAs[String]("k")).toSeq === Seq("a"))
   }
 
   test("invalid script fails at plan time with GraftPlanError") {

@@ -43,5 +43,9 @@ class MongoNormalizeSpec extends SparkSpec {
     assert(run("""{"n": {"$numberLong": "xx"}}""") === """{"n":{"$numberLong":"xx"}}""")
     // non-JSON passes through untouched
     assert(run("not json at all") === "not json at all")
+    // non-finite $numberDouble is legal extended JSON but not a legal bare
+    // JSON number — emitted quoted so the document stays parseable
+    assert(run("""{"x": {"$numberDouble": "NaN"}}""") === """{"x":"NaN"}""")
+    assert(run("""{"x": {"$numberDouble": "-Infinity"}}""") === """{"x":"-Infinity"}""")
   }
 }

@@ -59,6 +59,25 @@ class MongoQuerySpec extends SparkSpec {
     assert(excl.columns.toSeq === Seq("id", "status", "total"))
   }
 
+  test("sort by a field the projection excludes (Mongo evaluation order)") {
+    val out = find(ordersLike,
+      "projection" -> """{"id": 1}""",
+      "sort" -> """{"total": -1}""", "limit" -> 2)
+    assert(out.columns.toSeq === Seq("id"))
+    assert(out.collect().map(_.getLong(0)).toSeq === Seq(4L, 2L)) // totals 300, 250
+  }
+
+  test("$project _id semantics: default-included, _id:0 mixes with inclusions") {
+    import spark.implicits._
+    val df = Seq(("x1", 1L, "a"), ("x2", 2L, "b")).toDF("_id", "n", "s")
+    val incl = agg(df, """[{"$project": {"n": 1}}]""")
+    assert(incl.columns.toSeq === Seq("_id", "n")) // _id rides along by default
+    val noId = agg(df, """[{"$project": {"_id": 0, "n": 1}}]""")
+    assert(noId.columns.toSeq === Seq("n")) // legal mix in Mongo
+    val computed = agg(df, """[{"$project": {"_id": {"$toUpper": "$s"}, "n": 1}}]""")
+    assert(computed.orderBy("n").collect().map(_.getString(0)).toSeq === Seq("A", "B"))
+  }
+
   test("findOne returns exactly one row") {
     val out = MongoFindOneSource(StageContext.one(spark, ordersLike, Cfg.of(
       "query" -> """{"status": "F"}""", "sort" -> """{"id": 1}""")))

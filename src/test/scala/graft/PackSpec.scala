@@ -67,6 +67,23 @@ class PackSpec extends SparkSpec {
     assert(bp === 3L) // "a b c" → 3 bpeish tokens
   }
 
+  test("null text counts zero tokens; existing n_tokens column is found by position") {
+    val nullDocs = Seq((1L, Some("a b")), (2L, None), (3L, Some("c")))
+      .toDF("doc_id", "text")
+    val out = PackOp(StageContext.one(spark, nullDocs, Cfg.of(
+      "order_by" -> Seq("doc_id"), "max_tokens" -> 2)))
+      .orderBy("doc_id").select("n_tokens", "tok_start").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq((2L, 0L), (0L, 2L), (1L, 2L)))
+    // token column named n_tokens but NOT in last position
+    val mid = Seq((1L, 7L, "x"), (2L, 3L, "y")).toDF("doc_id", "n_tokens", "note")
+    val packed = PackOp(StageContext.one(spark, mid, Cfg.of(
+      "order_by" -> Seq("doc_id"), "max_tokens" -> 5, "token_column" -> "n_tokens")))
+      .orderBy("doc_id").select("tok_start", "tok_end").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(packed.toSeq === Seq((0L, 7L), (7L, 10L)))
+  }
+
   test("config validation is loud") {
     intercept[GraftConfigError](PackOp(StageContext.one(spark, docs, Cfg.of("max_tokens" -> 4))))
     intercept[GraftConfigError](pack("max_tokens" -> 0))
