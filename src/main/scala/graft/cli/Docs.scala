@@ -81,6 +81,7 @@ object Docs {
     "text.tokens" -> "token counts (whitespace + BPE-ish) - column",
     "text.fingerprint" -> "normalized hash + min-shingle sketch - column",
     "pack.sequences" -> "pack docs into token-budget training sequences - max_tokens, order_by, mode=chunk|greedy, token_column or text_column+tokenizer",
+    "html.strip" -> "strip HTML to clean text - column, decode_entities, collapse_whitespace",
     "text.redact" -> "PII masking (email/url/ssn/credit_card/ip/phone) - column, types, mode=mask|remove, count_column",
     "text.repetition" -> "Gopher repetition metrics (dup_line_frac, dup_line_char_frac, dup_ngram_frac, top_ngram_char_frac) - column, ngram, prefix",
     "join.similar" -> "similarity join / decontamination - two inputs; method=minhash|embedding, mode=pairs|semi|anti, threshold; anti drops left rows near-matching any right row",

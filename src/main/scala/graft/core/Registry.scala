@@ -53,7 +53,7 @@ object Registry {
     // training-data extensions
     DedupExactOp, DedupMinHashOp, DedupSimHashOp, DedupNgramOp, DedupEmbeddingOp,
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
-    RedactOp, RepetitionOp, PackOp,
+    RedactOp, RepetitionOp, PackOp, HtmlStripOp,
     KnnBruteForceOp, KnnLshOp, KnnIvfOp, IndexBuildOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
     graft.multimodal.ImageDecodeOp, graft.multimodal.AudioDecodeOp,

@@ -45,6 +45,54 @@ object TextCleaning {
       .reduce(_ + _).cast(LongType)
 }
 
+/** html.strip — reduce raw HTML to clean text: drop script/style blocks
+  * and comments, strip tags (replaced by spaces so words never fuse),
+  * decode the common entities, collapse whitespace. The standard first
+  * step over web-scraped corpora (every HTML extraction pipeline —
+  * trafilatura, jusText, RefinedWeb §3.1 — starts with exactly this
+  * block/tag/entity layering; declared deliberately as a REGEX-level
+  * strip, not a DOM parser: no JSoup-class jar exists offline, and the
+  * oracle must be expressible).
+  *
+  * Pure codegen'd regexp_replace chain, dialect-restricted to
+  * java.util.regex ∩ RE2 like text.redact, so the DuckDB oracle chains
+  * the identical patterns. Zero shuffle.
+  */
+object HtmlStripOp extends Stage {
+  val name = "html.strip"
+  val kind = StageKind.Transform
+
+  /** (pattern, replacement) chain — order is the contract: blocks before
+    * tags (else `<script>` loses its body), entities after tags (so
+    * `&lt;b&gt;` decodes to literal text, not a strippable tag). */
+  val stripChain: Seq[(String, String)] = Seq(
+    ("(?is)<script\\b[^>]*>.*?</script\\s*>", " "),
+    ("(?is)<style\\b[^>]*>.*?</style\\s*>", " "),
+    ("(?s)<!--.*?-->", " "),
+    ("<[^>]+>", " "))
+
+  val entityChain: Seq[(String, String)] = Seq(
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"))
+
+  def strip(html: Column, decodeEntities: Boolean, collapse: Boolean): Column = {
+    val tagless = stripChain.foldLeft(html) { case (c, (p, r)) => F.regexp_replace(c, p, r) }
+    val decoded =
+      if (decodeEntities) entityChain.foldLeft(tagless) { case (c, (p, r)) => F.regexp_replace(c, p, r) }
+      else tagless
+    if (collapse) F.trim(F.regexp_replace(decoded, "\\s+", " ")) else decoded
+  }
+
+  def apply(ctx: StageContext): DataFrame = {
+    val col = ctx.cfg.strOr("column", "text")
+    val out = ctx.cfg.strOr("output_column", col)
+    val df = ctx.primary
+    df.withColumn(out, strip(df(col),
+      ctx.cfg.boolOr("decode_entities", true),
+      ctx.cfg.boolOr("collapse_whitespace", true)))
+  }
+}
+
 /** text.redact — mask or strip PII spans (emails, URLs, SSNs, card
   * numbers, IPs, phone numbers) from a text column. Pure codegen'd
   * regexp_replace chain: per-row projection, no shuffle, pipelines inside

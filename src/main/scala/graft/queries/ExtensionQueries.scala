@@ -463,6 +463,28 @@ object ExtensionQueries {
         .select("doc_id", "text")
     },
 
+    // ---- html.strip: the documents are plain text, so the query wraps
+    // each in a deterministic HTML shell (tags, a script block, entities)
+    // and both engines run the identical strip chain.
+    QueryDef("html_strip", {
+      val chained = (HtmlStripOp.stripChain ++ HtmlStripOp.entityChain)
+        .foldLeft("""('<html><!-- c --><body class="m">' ||
+          |'<script type="text/js">var x = 1 < 2;</script>' ||
+          |'<p>' || text || '</p>&amp; &lt;tail&gt;&nbsp;end</body></html>')""".stripMargin) {
+          case (acc, (p, r)) =>
+            s"regexp_replace($acc, '${p.replace("'", "''")}', '${r.replace("'", "''")}', 'g')"
+        }
+      s"SELECT doc_id, trim(regexp_replace($chained, '\\s+', ' ', 'g')) AS clean FROM documents"
+    }) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val htmled = docs.withColumn("html",
+        F.concat(F.lit("""<html><!-- c --><body class="m"><script type="text/js">var x = 1 < 2;</script><p>"""),
+          F.col("text"), F.lit("""</p>&amp; &lt;tail&gt;&nbsp;end</body></html>""")))
+      HtmlStripOp(StageContext.one(s, htmled, Cfg.of(
+        "column" -> "html", "output_column" -> "clean")))
+        .select("doc_id", "clean")
+    },
+
     // ---- text.redact: PII masking. The documents corpus has no PII, so
     // the query plants deterministic emails/IPs/SSNs derived from doc_id
     // and both engines chain the IDENTICAL patterns (the operator's

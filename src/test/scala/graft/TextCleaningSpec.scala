@@ -75,6 +75,23 @@ class TextCleaningSpec extends SparkSpec {
     assert(once.getDouble(0) === 0.0)
   }
 
+  test("html.strip: blocks, tags, comments, entities, whitespace") {
+    def strip(s: String, cfg: (String, Any)*): String =
+      graft.operators.HtmlStripOp(StageContext.one(spark, Seq(Tuple1(s)).toDF("text"),
+        Cfg.of(cfg: _*))).select("text").as[String].head()
+    assert(strip("<p>Hello <b>world</b></p>") === "Hello world")
+    assert(strip("<script>var x = \"<p>\";</script>after") === "after")
+    assert(strip("<STYLE type='a'>.x{color:red}</STYLE>ok") === "ok")
+    assert(strip("a<!-- hidden\nmultiline -->b") === "a b")
+    assert(strip("fish &amp; chips &lt;cheap&gt;") === "fish & chips <cheap>")
+    assert(strip("&lt;script&gt;not code&lt;/script&gt;") === "<script>not code</script>")
+    assert(strip("a   b\n\n c") === "a b c")
+    assert(strip("x &amp; y", "decode_entities" -> false) === "x &amp; y")
+    assert(strip("a  b", "collapse_whitespace" -> false) === "a  b")
+    // tags become spaces so words never fuse
+    assert(strip("one<br>two") === "one two")
+  }
+
   test("prefix option namespaces the metric columns") {
     val out = RepetitionOp(StageContext.one(spark,
       Seq(Tuple1("x\nx")).toDF("text"), Cfg.of("prefix" -> "rep_")))
