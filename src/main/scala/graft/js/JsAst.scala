@@ -13,13 +13,14 @@ import scala.collection.mutable
   *     and block bodies), closures, `return`
   *   - statements: var/let/const (multi-declarator), if/else, while,
   *     do-while, classic for, for-of, for-in, break, continue, block,
-  *     throw, expression statements
+  *     throw, try/catch/finally, switch (with fall-through), expression
+  *     statements
   *   - operators: + - * / % **, comparisons, == != === !==, && || ??,
   *     ! unary- unary+ typeof, ternary, assignment (= += -= *= /= %=),
   *     ++/-- (pre/post), member access (. [] ?.), calls, `new`, `in`
   * Deliberately out of scope (clear parse/runtime errors, documented in
   * COVERAGE.md): regex literals, classes, generators/async, destructuring,
-  * labels, switch, try/catch, getters/setters, prototypes.
+  * labels, getters/setters, prototypes.
   */
 object JsTok {
   sealed trait Token { def pos: Int }
@@ -36,7 +37,8 @@ object JsTok {
   val keywords: Set[String] = Set(
     "function", "return", "var", "let", "const", "if", "else", "for",
     "while", "do", "break", "continue", "new", "true", "false", "null",
-    "undefined", "typeof", "in", "of", "throw")
+    "undefined", "typeof", "in", "of", "throw",
+    "try", "catch", "finally", "switch", "case", "default")
 }
 
 object JsLexer {
@@ -213,6 +215,10 @@ case object SBreak extends Stmt
 case object SContinue extends Stmt
 final case class SThrow(e: Expr) extends Stmt
 final case class SBlock(body: Vector[Stmt]) extends Stmt
+final case class STry(body: Vector[Stmt], catchParam: Option[String],
+                      catchBody: Option[Vector[Stmt]], finallyBody: Vector[Stmt]) extends Stmt
+/** cases: (test, body); None test = default. Fall-through per JS. */
+final case class SSwitch(scrutinee: Expr, cases: Vector[(Option[Expr], Vector[Stmt])]) extends Stmt
 
 object JsParser {
   import JsTok._
@@ -315,6 +321,35 @@ final class JsParser(toks: Vector[JsTok.Token]) {
     case TKw("break", _)    => advance(); SBreak
     case TKw("continue", _) => advance(); SContinue
     case TKw("throw", _)    => advance(); SThrow(expression())
+    case TKw("try", _) =>
+      advance()
+      val body = block()
+      val (cp, cb) = if (isKw("catch")) {
+        advance()
+        val param = if (tryPunct("(")) { val p = ident(); eatPunct(")"); Some(p) } else None
+        (param, Some(block()))
+      } else (None, None)
+      val fin = if (isKw("finally")) { advance(); block() } else Vector.empty
+      if (cb.isEmpty && fin.isEmpty) fail("try requires catch or finally")
+      STry(body, cp, cb, fin)
+    case TKw("switch", _) =>
+      advance(); eatPunct("(")
+      val scrut = expression(); eatPunct(")")
+      eatPunct("{")
+      val cases = Vector.newBuilder[(Option[Expr], Vector[Stmt])]
+      while (!isPunct("}") && !atEof) {
+        val test = peek match {
+          case TKw("case", _)    => advance(); val e = expression(); eatPunct(":"); Some(e)
+          case TKw("default", _) => advance(); eatPunct(":"); None
+          case _                 => fail("expected 'case' or 'default' in switch")
+        }
+        val body = Vector.newBuilder[Stmt]
+        while (!isPunct("}") && !isKw("case") && !isKw("default") && !atEof)
+          body += statement()
+        cases += ((test, body.result()))
+      }
+      eatPunct("}")
+      SSwitch(scrut, cases.result())
     case _ => SExpr(expression())
   }
 

@@ -133,6 +133,47 @@ final class JsInterp(script: String) {
       }
       throw new JsError(msg)
     case SBlock(body) => exec(body, env.child)
+    case STry(body, catchParam, catchBody, finallyBody) =>
+      val sig =
+        try exec(body, env.child)
+        catch {
+          // builtins can surface raw JVM exceptions (NumberFormatException
+          // et al.) — all non-fatal throws are catchable, like real JS
+          case e if catchBody.isDefined && scala.util.control.NonFatal(e) =>
+            val cEnv = env.child
+            catchParam.foreach(p => cEnv.define(p,
+              JsObj("message" -> JsStr(String.valueOf(e.getMessage)), "name" -> JsStr("Error"))))
+            exec(catchBody.get, cEnv)
+        } finally {
+          // a return/break/continue inside finally is out of scope (loud
+          // error beats silently swallowing the pending signal, JS allows
+          // but strongly discourages it)
+          if (finallyBody.nonEmpty && exec(finallyBody, env.child) != SigNone)
+            throw new JsError("return/break/continue inside finally is not supported")
+        }
+      sig
+    case SSwitch(scrutE, cases) =>
+      val v = eval(scrutE, env)
+      val switchEnv = env.child
+      val start = cases.indexWhere(_._1.exists(t => strictEq(eval(t, switchEnv), v))) match {
+        case -1 => cases.indexWhere(_._1.isEmpty) // default clause
+        case i  => i
+      }
+      if (start < 0) SigNone
+      else {
+        // fall-through from the matched clause until break/return
+        var sig: Signal = SigNone
+        var i = start
+        while (sig == SigNone && i < cases.length) {
+          sig = exec(cases(i)._2, switchEnv)
+          i += 1
+        }
+        sig match {
+          case SigBreak     => SigNone // break leaves the switch
+          case r: SigReturn => r
+          case other        => other // continue propagates to the enclosing loop
+        }
+      }
   }
 
   // ------------------------------------------------------------ evaluation

@@ -291,6 +291,58 @@ class JsInterpSpec extends AnyFunSuite {
     assert(expr("0.1 + 0.2") === """{"v":0.30000000000000004}""") // IEEE, same as JS
   }
 
+  test("try/catch/finally: JsErrors bind as {message}, finally always runs") {
+    assert(run(
+      """function transform(row) {
+        |  let log = [];
+        |  try {
+        |    log.push('t');
+        |    throw new Error('boom ' + row.id);
+        |  } catch (e) {
+        |    log.push('c:' + e.message);
+        |  } finally {
+        |    log.push('f');
+        |  }
+        |  try { log.push('ok'); } finally { log.push('f2'); }
+        |  let caught = 'no';
+        |  try { row.missing.deep; } catch { caught = 'yes'; }
+        |  return { log: log.join('|'), caught };
+        |}""".stripMargin, """{"id": 3}""")
+      === """{"log":"t|c:boom 3|f|ok|f2","caught":"yes"}""")
+  }
+
+  test("switch: strict matching, fall-through, default, break") {
+    val script =
+      """function transform(row) {
+        |  let out = [];
+        |  switch (row.k) {
+        |    case 1: out.push('one'); break;
+        |    case '2': out.push('two-str'); // falls through
+        |    case 3: out.push('three'); break;
+        |    default: out.push('other');
+        |  }
+        |  return { v: out.join(',') };
+        |}""".stripMargin
+    assert(run(script, """{"k": 1}""") === """{"v":"one"}""")
+    assert(run(script, """{"k": "2"}""") === """{"v":"two-str,three"}""")
+    assert(run(script, """{"k": 3}""") === """{"v":"three"}""")
+    assert(run(script, """{"k": 2}""") === """{"v":"other"}""") // 2 !== '2'
+  }
+
+  test("switch inside a function can return directly") {
+    assert(run(
+      """function label(n) {
+        |  switch (true) {
+        |    case n < 0: return 'neg';
+        |    case n === 0: return 'zero';
+        |    default: return 'pos';
+        |  }
+        |}
+        |function transform(row) {
+        |  return { a: label(-5), b: label(0), c: label(7) };
+        |}""".stripMargin) === """{"a":"neg","b":"zero","c":"pos"}""")
+  }
+
   test("array indexing by numeric string: arr['0'] === arr[0], for...in sums work") {
     assert(run(
       """function transform(row) {
