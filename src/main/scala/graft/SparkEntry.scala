@@ -12,7 +12,7 @@ object SparkEntry {
 
   private def registries: Seq[QueryDef] =
     RelationalQueries.all ++ JoinQueries.all ++ AdvancedJoinQueries.all ++
-      ExtensionQueries.all ++ PipelineQueries.all
+      ExtensionQueries.all ++ PipelineQueries.all ++ MongoWriteQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1-shaped: scan → filter → groupBy partial-agg → sort. */

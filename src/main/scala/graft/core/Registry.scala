@@ -35,16 +35,18 @@ object Registry {
     CountWindowOp, AggregateStreamOp, TimeWindowOp, SessionWindowOp,
     StreamDedupOp, StatefulAggOp,
     FileStreamSource, RateStreamSource, StdinStreamSource, StreamWriteSink,
-    // connector capability slots (reference §2.6-2.7; offline gaps, see Connectors.scala)
+    // connectors (reference §2.6-2.7; kafka stays an offline gap, see Connectors.scala)
     KafkaConsumeSource, KafkaProduceSink, MongoFindSource, MongoFindOneSource,
-    MongoAggregateSource, MongoInsertSink, MongoToObjectIdOp, MongoNormalizeOp, JsEvalOp,
+    MongoAggregateSource, MongoToObjectIdOp, MongoNormalizeOp, JsEvalOp,
+    MongoInsertOneOp, MongoInsertManyOp, MongoUpdateOneOp, MongoUpdateManyOp,
+    MongoDeleteOneOp, MongoDeleteManyOp, MongoReplaceOneOp, MongoReplaceManyOp,
+    MongoBulkWriteOp,
     ExcelReadSource, ExcelWriteSink,
     // http source family (reference conveyor-plugin-http, implemented natively)
     HttpGetSource, HttpPostSource, HttpPutSource, HttpPatchSource, HttpDeleteSource,
     // reference-name aliases
     new AliasStage("file.watch", FileStreamSource),
-    new AliasStage("stdout_stream.write", StreamWriteSink)) ++
-    MongoGaps.sinks ++ Seq(
+    new AliasStage("stdout_stream.write", StreamWriteSink)) ++ Seq(
     // multi-input extensions (SURVEY §2.8)
     JoinOp, UnionOp, IntersectOp, ExceptOp, WindowFnOp, PivotOp,
     AsofJoinOp, RangeJoinOp, CubeOp, SimilarJoinOp,

@@ -43,33 +43,9 @@ object KafkaProduceSink extends GapStage("kafka.produce", StageKind.Sink,
 // mongodb.find / mongodb.findOne / mongodb.aggregate are implemented
 // natively in MongoQuery.scala: the Mongo query language compiles to
 // Catalyst, with extended-JSON dump files as the offline collection source.
-
-/** mongodb.insertMany (the write family collapses to Spark save modes;
-  * update/replace/delete need foreachPartition + the Mongo driver). */
-object MongoInsertSink extends GapStage("mongodb.insertMany", StageKind.Sink,
-  Seq("uri", "database", "collection"),
-  "mongo-spark-connector",
-  """df.write.format("mongodb").mode("append").option("connection.uri", uri)
-    |.option("database", db).option("collection", coll).save()""".stripMargin)
-
-/** Remaining MongoDB write-op surface (reference lib.rs:24-38 op enum) —
-  * gap treatment: these genuinely need a live server round-trip
-  * (foreachPartition + the Mongo driver bulk API). */
-object MongoGaps {
-  private def mk(op: String, kind: StageKind, api: String) =
-    new GapStage(s"mongodb.$op", kind, Seq("uri", "database", "collection"),
-      "mongo-spark-connector", api) {}
-  val sinks: Seq[Stage] = Seq(
-    "insertOne" -> "df.limit(1).write.format(\"mongodb\").mode(\"append\").save()",
-    "updateOne" -> "df.foreachPartition(bulkWrite(UpdateOneModel))",
-    "updateMany" -> "df.foreachPartition(bulkWrite(UpdateManyModel))",
-    "deleteOne" -> "df.foreachPartition(bulkWrite(DeleteOneModel))",
-    "deleteMany" -> "df.foreachPartition(bulkWrite(DeleteManyModel))",
-    "replaceOne" -> "df.foreachPartition(bulkWrite(ReplaceOneModel))",
-    "replaceMany" -> "df.foreachPartition(bulkWrite(ReplaceOneModel per row))",
-    "bulkWrite" -> "df.foreachPartition(collection.bulkWrite(models))"
-  ).map { case (op, api) => mk(op, StageKind.Sink, api) }
-}
+// The write family (insert/update/delete/replace/bulkWrite) is implemented
+// natively in MongoWrite.scala: update documents compile to Catalyst column
+// rewrites over the same file-backed collections.
 
 /** mongodb.toObjectId — the one mongo op that is a PURE transform
   * (reference lib.rs:1553-1604 wraps hex strings as {"$oid": ...}); no

@@ -128,7 +128,7 @@ object MongoQuery {
     }
   }
 
-  private def litValue(v: JsVal): Any = v match {
+  private[operators] def litValue(v: JsVal): Any = v match {
     case JsNum(d)  => if (d == Math.floor(d) && Math.abs(d) < 1e15) d.toLong else d
     case JsStr(s)  => s
     case JsBool(b) => b
@@ -364,13 +364,12 @@ object MongoQuery {
   }
 }
 
-/** Shared scaffolding for the find/findOne/aggregate stages: resolve the
-  * collection frame (dump file or error naming the connector jar), then
-  * compile the configured query surface. */
-abstract class MongoReadStage(val name: String) extends Stage {
-  val kind = StageKind.Source
-
-  protected def collection(ctx: StageContext): DataFrame = {
+/** Collection resolution shared by the read AND write stages: a
+  * mongoexport-style extended-JSON dump (`path`), an input frame
+  * (transform mode), or — `uri` with no offline substitute — the gap
+  * error naming the enabling connector jar. */
+private[operators] object MongoCollection {
+  def resolve(ctx: StageContext, name: String): DataFrame = {
     ctx.cfg.strOpt("path") match {
       case Some(path) =>
         import ctx.spark.implicits._
@@ -393,6 +392,16 @@ abstract class MongoReadStage(val name: String) extends Stage {
           "stage an input frame to query it in place.")
     }
   }
+}
+
+/** Shared scaffolding for the find/findOne/aggregate stages: resolve the
+  * collection frame (dump file or error naming the connector jar), then
+  * compile the configured query surface. */
+abstract class MongoReadStage(val name: String) extends Stage {
+  val kind = StageKind.Source
+
+  protected def collection(ctx: StageContext): DataFrame =
+    MongoCollection.resolve(ctx, name)
 
   protected def applyFind(ctx: StageContext, one: Boolean): DataFrame = {
     var df = collection(ctx)
