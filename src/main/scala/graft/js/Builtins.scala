@@ -202,6 +202,7 @@ object Builtins {
     case a: JsArr  => arrayMember(a, name, interp)
     case JsNum(d)  => numberMember(d, name)
     case d: JsDate => Some(dateMember(d, name))
+    case r: JsRegex => Some(regexMember(r, name))
     case JsBool(_) => name match {
       case "toString" => Some(JsNative("toString", (t, _) => JsStr(toStr(t))))
       case _          => None
@@ -250,6 +251,9 @@ object Builtins {
     case "trimEnd"   => JsNative(name, (_, _) => JsStr(s.replaceFirst("\\s+$", "")))
     case "split" => JsNative(name, (_, as) => as.headOption match {
       case None | Some(JsUndefined) => JsArr(JsStr(s))
+      case Some(re: JsRegex) =>
+        val limit = as.lift(1).map(toNumber(_).toInt).getOrElse(Int.MaxValue)
+        JsArr.of(regexSplit(s, re).take(limit))
       case Some(sep0) =>
         val sep = toStr(sep0)
         val limit = as.lift(1).map(toNumber(_).toInt).getOrElse(Int.MaxValue)
@@ -296,12 +300,26 @@ object Builtins {
     case "padStart" => JsNative(name, (_, as) => JsStr(pad(s, as, start = true)))
     case "padEnd"   => JsNative(name, (_, as) => JsStr(pad(s, as, start = false)))
     case "concat"  => JsNative(name, (_, as) => JsStr(s + as.map(toStr).mkString))
-    case "replace" => JsNative(name, (_, as) => {
-      val pat = str(as, 0); val rep = str(as, 1)
-      val i = s.indexOf(pat)
-      JsStr(if (i < 0 || pat.isEmpty) s else s.substring(0, i) + rep + s.substring(i + pat.length))
+    case "replace" => JsNative(name, (_, as) => as.headOption match {
+      case Some(re: JsRegex) =>
+        JsStr(regexReplace(s, re, as.lift(1).getOrElse(JsUndefined), re.global, interp))
+      case _ =>
+        val pat = str(as, 0)
+        val i = s.indexOf(pat)
+        if (i < 0 || pat.isEmpty) JsStr(s)
+        else as.lift(1) match {
+          case Some(f @ (_: JsFunc | _: JsNative)) => // fn replacement, literal pattern
+            val rep = toStr(interp.call(f, JsUndefined, Seq(JsStr(pat), JsNum(i), JsStr(s))))
+            JsStr(s.substring(0, i) + rep + s.substring(i + pat.length))
+          case repV => JsStr(s.substring(0, i) + str(Seq(repV.getOrElse(JsUndefined)), 0) + s.substring(i + pat.length))
+        }
     })
-    case "replaceAll" => JsNative(name, (_, as) => JsStr(s.replace(str(as, 0), str(as, 1))))
+    case "replaceAll" => JsNative(name, (_, as) => as.headOption match {
+      case Some(re: JsRegex) =>
+        if (!re.global) throw new JsError("String.replaceAll requires a /g regex")
+        JsStr(regexReplace(s, re, as.lift(1).getOrElse(JsUndefined), all = true, interp))
+      case _ => JsStr(s.replace(str(as, 0), str(as, 1)))
+    })
     case "toString"   => JsNative(name, (_, _) => JsStr(s))
     case "localeCompare" => JsNative(name, (_, as) => JsNum(Integer.signum(s.compareTo(str(as, 0))).toDouble))
     case "codePointAt" => JsNative(name, (_, as) => {
@@ -309,10 +327,176 @@ object Builtins {
       if (i >= 0 && i < s.length) JsNum(s.codePointAt(i).toDouble) else JsUndefined
     })
     case "normalize" => JsNative(name, (_, _) => JsStr(java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)))
-    case "match" | "matchAll" | "search" =>
-      throw new JsError(s"String.$name (regex) is not supported in js.eval — use includes/indexOf/split")
+    case "match" => JsNative(name, (_, as) => {
+      val re = regexArg(as, "match")
+      if (re.global) { // all full matches, or null when none
+        val m = re.pattern.matcher(s)
+        val out = Vector.newBuilder[JsVal]
+        while (m.find()) out += JsStr(m.group)
+        val v = out.result()
+        if (v.isEmpty) JsNull else JsArr.of(v)
+      } else {
+        val m = re.pattern.matcher(s)
+        if (m.find()) matchArray(m) else JsNull
+      }
+    })
+    case "matchAll" => JsNative(name, (_, as) => {
+      val re = regexArg(as, "matchAll")
+      if (!re.global) throw new JsError("String.matchAll requires a /g regex")
+      val m = re.pattern.matcher(s)
+      val out = Vector.newBuilder[JsVal]
+      while (m.find()) out += matchArray(m)
+      JsArr.of(out.result()) // array, not iterator: for-of works the same
+    })
+    case "search" => JsNative(name, (_, as) => {
+      val m = regexArg(as, "search").pattern.matcher(s)
+      JsNum(if (m.find()) m.start.toDouble else -1.0)
+    })
     case other => throw new JsError(s"unsupported string method '.$other'")
   })
+
+  // --------------------------------------------------------------- regex
+
+  /** String regex-method argument: a regex, or a pattern string compiled
+    * flagless (JS coerces). */
+  private def regexArg(as: Seq[JsVal], m: String): JsRegex = as.headOption match {
+    case Some(r: JsRegex) => r
+    case Some(JsStr(p))   => new JsRegex(p, "")
+    case other => throw new JsError(s"String.$m expects a regex, got ${other.map(typeOf).getOrElse("nothing")}")
+  }
+
+  /** JS match/exec result: [full, group1, ...] (undefined for groups that
+    * did not participate). Extra props (.index/.input) are not carried —
+    * use search() for the index. */
+  private def matchArray(m: java.util.regex.Matcher): JsArr = {
+    val out = Vector.newBuilder[JsVal]
+    out += JsStr(m.group)
+    var g = 1
+    while (g <= m.groupCount) {
+      out += (if (m.group(g) == null) JsUndefined else JsStr(m.group(g)))
+      g += 1
+    }
+    JsArr.of(out.result())
+  }
+
+  /** String.replace/replaceAll with a regex: function replacements get
+    * (match, p1.., offset, string); string replacements expand JS $-refs
+    * ourselves ($$ $& $` $' $n $<name>) — Java's appendReplacement has
+    * different escaping rules. Java's find() self-advances on zero-width
+    * matches, so a star-quantified /g pattern never loops. */
+  private def regexReplace(s: String, re: JsRegex, rep: JsVal, all: Boolean, interp: JsInterp): String = {
+    val m = re.pattern.matcher(s)
+    val b = new java.lang.StringBuilder
+    var last = 0
+    var go = true
+    while (go && m.find()) {
+      b.append(s, last, m.start)
+      rep match {
+        case f @ (_: JsFunc | _: JsNative) =>
+          val args = Vector.newBuilder[JsVal]
+          args += JsStr(m.group)
+          var g = 1
+          while (g <= m.groupCount) {
+            args += (if (m.group(g) == null) JsUndefined else JsStr(m.group(g)))
+            g += 1
+          }
+          args += JsNum(m.start.toDouble); args += JsStr(s)
+          b.append(toStr(interp.call(f, JsUndefined, args.result())))
+        case other => expandReplacement(toStr(other), m, s, b)
+      }
+      last = m.end
+      if (!all) go = false
+    }
+    b.append(s, last, s.length)
+    b.toString
+  }
+
+  /** Expand a JS replacement template against the current match. */
+  private def expandReplacement(rep: String, m: java.util.regex.Matcher, input: String, b: java.lang.StringBuilder): Unit = {
+    var i = 0
+    val n = rep.length
+    while (i < n) {
+      val c = rep.charAt(i)
+      if (c == '$' && i + 1 < n) {
+        rep.charAt(i + 1) match {
+          case '$'  => b.append('$'); i += 2
+          case '&'  => b.append(m.group); i += 2
+          case '`'  => b.append(input, 0, m.start); i += 2
+          case '\'' => b.append(input, m.end, input.length); i += 2
+          case '<' =>
+            val end = rep.indexOf('>', i + 2)
+            if (end < 0) { b.append(c); i += 1 }
+            else {
+              val g = try m.group(rep.substring(i + 2, end)) catch { case _: Exception => null }
+              if (g != null) b.append(g)
+              i = end + 1
+            }
+          case d if d >= '0' && d <= '9' =>
+            // longest valid group number wins (up to 2 digits), per JS
+            val twoEnd = if (i + 2 < n && rep.charAt(i + 2).isDigit) i + 3 else i + 2
+            val two = rep.substring(i + 1, twoEnd).toInt
+            if (twoEnd == i + 3 && two >= 1 && two <= m.groupCount) {
+              val g = m.group(two); if (g != null) b.append(g); i += 3
+            } else {
+              val one = rep.charAt(i + 1) - '0'
+              if (one >= 1 && one <= m.groupCount) {
+                val g = m.group(one); if (g != null) b.append(g); i += 2
+              } else { b.append(c); i += 1 } // $0 / out-of-range: literal
+            }
+          case _ => b.append(c); i += 1
+        }
+      } else { b.append(c); i += 1 }
+    }
+  }
+
+  /** JS String.split(regex): pieces between matches, captured groups
+    * interleaved, no match accepted at the end position, zero-width
+    * matches at the previous boundary skipped. */
+  private def regexSplit(s: String, re: JsRegex): Vector[JsVal] = {
+    if (s.isEmpty) { // "".split(/x/) → [""] unless the regex matches empty
+      val m = re.pattern.matcher(s)
+      return if (m.find()) Vector.empty else Vector(JsStr(s))
+    }
+    val out = Vector.newBuilder[JsVal]
+    val m = re.pattern.matcher(s)
+    var last = 0
+    var searchFrom = 0
+    var done = false
+    while (!done && searchFrom <= s.length && m.find(searchFrom)) {
+      val st = m.start; val en = m.end
+      if (st == s.length) done = true // no separator match at the end position
+      else if (st == en && en == last) searchFrom = st + 1 // zero-width at prev boundary
+      else {
+        out += JsStr(s.substring(last, st))
+        var g = 1
+        while (g <= m.groupCount) {
+          out += (if (m.group(g) == null) JsUndefined else JsStr(m.group(g)))
+          g += 1
+        }
+        last = en
+        searchFrom = if (en == st) en + 1 else en
+      }
+    }
+    out += JsStr(s.substring(last))
+    out.result()
+  }
+
+  private def regexMember(r: JsRegex, name: String): JsVal = name match {
+    case "source"     => JsStr(r.source)
+    case "flags"      => JsStr(r.flags)
+    case "global"     => JsBool(r.global)
+    case "ignoreCase" => JsBool(r.flags.contains('i'))
+    case "multiline"  => JsBool(r.flags.contains('m'))
+    case "lastIndex"  => JsNum(0) // stateless engine (header note)
+    case "test" => JsNative("RegExp.test", (_, as) =>
+      JsBool(r.pattern.matcher(str(as, 0)).find()))
+    case "exec" => JsNative("RegExp.exec", (_, as) => {
+      val m = r.pattern.matcher(str(as, 0))
+      if (m.find()) matchArray(m) else JsNull
+    })
+    case "toString" => JsNative("RegExp.toString", (_, _) => JsStr(s"/${r.source}/${r.flags}"))
+    case other => throw new JsError(s"unsupported RegExp member '.$other'")
+  }
 
   /** JS String.split with a literal separator ("a,,b".split(",") keeps the
     * empty middle AND trailing empties, unlike Java's split). */

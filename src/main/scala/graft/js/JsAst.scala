@@ -18,9 +18,12 @@ import scala.collection.mutable
   *   - operators: + - * / % **, comparisons, == != === !==, && || ??,
   *     ! unary- unary+ typeof, ternary, assignment (= += -= *= /= %=),
   *     ++/-- (pre/post), member access (. [] ?.), calls, `new`, `in`
+  *   - regex: /pattern/flags literals + new RegExp(p, f), compiled to
+  *     java.util.regex; g/i/m/s flags; test/exec and the regex-aware
+  *     string methods (replace/replaceAll/match/matchAll/search/split)
   * Deliberately out of scope (clear parse/runtime errors, documented in
-  * COVERAGE.md): regex literals, classes, generators/async, destructuring,
-  * labels, getters/setters, prototypes.
+  * COVERAGE.md): classes, generators/async, destructuring, labels,
+  * getters/setters, prototypes, stateful regex exec (lastIndex).
   */
 object JsTok {
   sealed trait Token { def pos: Int }
@@ -32,6 +35,7 @@ object JsTok {
   final case class TIdent(name: String, pos: Int) extends Token
   final case class TKw(name: String, pos: Int) extends Token
   final case class TPunct(s: String, pos: Int) extends Token
+  final case class TRegex(pattern: String, flags: String, pos: Int) extends Token
   final case class TEof(pos: Int) extends Token
 
   val keywords: Set[String] = Set(
@@ -44,8 +48,18 @@ object JsTok {
 object JsLexer {
   import JsTok._
 
+  /** After these tokens a `/` is division; anywhere else it starts a regex
+    * literal (the standard operand-position heuristic). */
+  private def regexAllowed(prev: Option[Token]): Boolean = prev match {
+    case None => true
+    case Some(_: TNum | _: TStr | _: TTemplate | _: TIdent | _: TRegex) => false
+    case Some(TKw(w, _)) => !Set("true", "false", "null", "undefined").contains(w)
+    case Some(TPunct(p, _)) => !Set(")", "]", "}", "++", "--").contains(p)
+    case Some(_: TEof) => false
+  }
+
   def lex(src: String): Vector[Token] = {
-    val out = Vector.newBuilder[Token]
+    val out = mutable.ArrayBuffer.empty[Token]
     var i = 0
     val n = src.length
     def fail(msg: String) = throw new JsError(s"js parse error at offset $i: $msg")
@@ -59,6 +73,26 @@ object JsLexer {
         val end = src.indexOf("*/", i + 2)
         if (end < 0) fail("unterminated /* comment")
         i = end + 2
+      } else if (c == '/' && regexAllowed(out.lastOption)) {
+        val start = i
+        i += 1
+        val b = new java.lang.StringBuilder
+        var inClass = false
+        var closed = false
+        while (!closed) {
+          if (i >= n || src.charAt(i) == '\n') fail("unterminated regex literal")
+          val ch = src.charAt(i)
+          if (ch == '\\') {
+            if (i + 1 >= n) fail("unterminated regex literal")
+            b.append(ch).append(src.charAt(i + 1)); i += 2
+          } else if (ch == '[') { inClass = true; b.append(ch); i += 1 }
+          else if (ch == ']' && inClass) { inClass = false; b.append(ch); i += 1 }
+          else if (ch == '/' && !inClass) { i += 1; closed = true }
+          else { b.append(ch); i += 1 }
+        }
+        val fs = i
+        while (i < n && Character.isJavaIdentifierPart(src.charAt(i))) i += 1
+        out += TRegex(b.toString, src.substring(fs, i), start)
       } else if (Character.isDigit(c) || (c == '.' && i + 1 < n && Character.isDigit(src.charAt(i + 1)))) {
         val start = i
         if (c == '0' && i + 1 < n && (src.charAt(i + 1) == 'x' || src.charAt(i + 1) == 'X')) {
@@ -141,7 +175,7 @@ object JsLexer {
       }
     }
     out += TEof(n)
-    out.result()
+    out.toVector
   }
 
   private def isHex(c: Char) =
@@ -181,6 +215,11 @@ object JsLexer {
 sealed trait Expr
 final case class ENum(d: Double) extends Expr
 final case class EStr(s: String) extends Expr
+/** Regex literal — compiled once per AST (scripts parse once per
+  * partition; JsRegex is immutable so cross-row sharing is safe). */
+final case class ERegex(pattern: String, flags: String) extends Expr {
+  lazy val compiled: JsRegex = new JsRegex(pattern, flags)
+}
 final case class ETemplate(chunks: Vector[String], exprs: Vector[Expr]) extends Expr
 final case class EBool(b: Boolean) extends Expr
 case object ENull extends Expr
@@ -255,6 +294,7 @@ final class JsParser(toks: Vector[JsTok.Token]) {
     case TIdent(n, _) => s"identifier '$n'"
     case TKw(n, _) => s"keyword '$n'"
     case TPunct(s, _) => s"'$s'"
+    case TRegex(p, f, _) => s"regex /$p/$f"
     case _: TEof => "end of script"
   }
   private def isPunct(s: String): Boolean = peek match { case TPunct(x, _) => x == s; case _ => false }
@@ -611,6 +651,7 @@ final class JsParser(toks: Vector[JsTok.Token]) {
   private def primary(): Expr = peek match {
     case TNum(d, _)  => advance(); ENum(d)
     case TStr(s, _)  => advance(); EStr(s)
+    case TRegex(p, f, _) => advance(); ERegex(p, f)
     case t: TTemplate =>
       advance()
       ETemplate(t.chunks, t.exprs.map(JsParser.parseTokens))

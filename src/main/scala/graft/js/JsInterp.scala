@@ -181,6 +181,7 @@ final class JsInterp(script: String) {
   def eval(e: Expr, env: Env): JsVal = e match {
     case ENum(d)  => JsNum(d)
     case EStr(s)  => JsStr(s)
+    case r: ERegex => r.compiled
     case EBool(b) => JsBool(b)
     case ENull    => JsNull
     case EUndefined => JsUndefined
@@ -315,6 +316,13 @@ final class JsInterp(script: String) {
       val args = argEs.map(eval(_, env))
       calleeE match {
         case EIdent("Date")  => Builtins.newDate(args)
+        case EIdent("RegExp") => args match {
+          case Seq(r: JsRegex)             => new JsRegex(r.source, r.flags)
+          case Seq(r: JsRegex, JsStr(f))   => new JsRegex(r.source, f)
+          case Seq(JsStr(p))               => new JsRegex(p, "")
+          case Seq(JsStr(p), JsStr(f))     => new JsRegex(p, f)
+          case _ => throw new JsError("new RegExp expects (pattern[, flags]) strings")
+        }
         case EIdent("Error") | EIdent("TypeError") | EIdent("RangeError") =>
           JsObj("message" -> args.headOption.getOrElse(JsStr("")), "name" -> JsStr("Error"))
         case EIdent("Array") => args match {

@@ -35,6 +35,40 @@ final case class JsNative(name: String, fn: (JsVal, Seq[JsVal]) => JsVal) extend
 /** `new Date(...)` — epoch millis, UTC accessors. */
 final case class JsDate(millis: Long) extends JsVal
 
+/** Regex literal `/pattern/flags` or `new RegExp(...)` — the JS-flavored
+  * pattern compiled to `java.util.regex` (the syntaxes agree on the
+  * engine-portable subset scripts actually use: classes, quantifiers,
+  * alternation, anchors, groups incl. named ones, lookaround, \d \w \s \b).
+  * Stateless: `g` drives replace/match/split call sites, not a mutable
+  * `lastIndex` cursor (document scripts relying on stateful `exec`
+  * loops — use matchAll instead). Immutable, so one compiled instance is
+  * safely shared across rows and partitions. */
+final class JsRegex(val source: String, val flags: String) extends JsVal {
+  val global: Boolean = flags.contains('g')
+  val pattern: java.util.regex.Pattern = JsRegex.compile(source, flags)
+}
+
+object JsRegex {
+  def compile(source: String, flags: String): java.util.regex.Pattern = {
+    import java.util.regex.Pattern
+    var f = 0
+    flags.foreach {
+      case 'g' | 'y' => // sticky/global are call-site behavior, not Pattern flags
+      case 'i' => f |= Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE
+      case 'm' => f |= Pattern.MULTILINE
+      case 's' => f |= Pattern.DOTALL
+      case 'u' => // java.util.regex is natively unicode-aware
+      case 'd' => // match-indices flag: no observable effect here
+      case other => throw new JsError(s"unsupported regex flag '$other'")
+    }
+    try Pattern.compile(source, f)
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        throw new JsError(s"invalid regex /$source/$flags: ${e.getMessage}")
+    }
+  }
+}
+
 object JsObj {
   def empty: JsObj = new JsObj(mutable.LinkedHashMap.empty)
   def apply(kvs: (String, JsVal)*): JsObj = new JsObj(mutable.LinkedHashMap(kvs: _*))
@@ -83,6 +117,7 @@ object JsVal {
     case f: JsFunc    => s"function ${f.name}() { ... }"
     case n: JsNative  => s"function ${n.name}() { [native code] }"
     case JsDate(ms)   => isoString(ms)
+    case r: JsRegex   => s"/${r.source}/${r.flags}"
   }
 
   def numToString(d: Double): String =
@@ -120,6 +155,7 @@ object JsVal {
     case (JsUndefined, JsUndefined) => true
     case (x: JsObj, y: JsObj)   => x eq y
     case (x: JsArr, y: JsArr)   => x eq y
+    case (x: JsRegex, y: JsRegex) => x eq y
     case (JsDate(x), JsDate(y)) => x == y
     case _                      => false
   }
@@ -246,6 +282,7 @@ object JsVal {
       if (d.isNaN || d.isInfinite) b.append("null") else b.append(numToString(d))
     case JsStr(s)             => writeJsonString(s, b)
     case JsDate(ms)           => writeJsonString(isoString(ms), b)
+    case _: JsRegex           => b.append("{}") // JSON.stringify(/x/) === '{}'
     case a: JsArr =>
       b.append('[')
       var first = true

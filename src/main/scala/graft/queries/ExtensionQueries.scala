@@ -618,6 +618,33 @@ object ExtensionQueries {
         .select("c_custkey", "name_upper", "seg", "bal_cents", "is_debtor", "key_mod")
     },
 
+    // ---- js.eval regex surface: literals, g-flag replace, split, test.
+    // Patterns are kept inside the java.util.regex ∩ RE2 intersection so
+    // DuckDB states the identical semantics (same discipline as
+    // text.redact).
+    QueryDef("js_eval_regex",
+      """SELECT c_custkey,
+        |  regexp_replace(c_name, '[^0-9]', '', 'g') AS name_digits,
+        |  regexp_replace(lower(c_mktsegment), '[^a-z]+', '_', 'g') AS seg_norm,
+        |  CAST(len(string_split_regex(c_name, '#')) AS BIGINT) AS n_parts,
+        |  regexp_matches(c_mktsegment, 'H') AS has_h
+        |FROM customer""".stripMargin) { (s, d) =>
+      JsEvalOp(StageContext.one(s, t(s, d, "customer"), Cfg.of(
+        "script" ->
+          """function transform(row) {
+            |  return {
+            |    c_custkey: row.c_custkey,
+            |    name_digits: row.c_name.replace(/[^0-9]/g, ""),
+            |    seg_norm: row.c_mktsegment.toLowerCase().replace(/[^a-z]+/g, "_"),
+            |    n_parts: row.c_name.split(/#/).length,
+            |    has_h: /H/.test(row.c_mktsegment)
+            |  };
+            |}""".stripMargin,
+        "schema" -> ("c_custkey BIGINT, name_digits STRING, seg_norm STRING, " +
+          "n_parts BIGINT, has_h BOOLEAN"))))
+        .select("c_custkey", "name_digits", "seg_norm", "n_parts", "has_h")
+    },
+
     // repartition is result-invariant — the oracle checks the pipeline
     // around it; partition-layout semantics are asserted in ScaleJoinSpec
     QueryDef("repartition_then_agg",

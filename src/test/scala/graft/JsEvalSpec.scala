@@ -240,6 +240,67 @@ class JsInterpSpec extends AnyFunSuite {
     assert(e.getMessage === "bad row 7")
   }
 
+  test("regex literals: test/exec, flags, division stays division") {
+    assert(expr("""/\d+/.test("abc123")""") === """{"v":true}""")
+    assert(expr("""/^\d+$/.test("abc123")""") === """{"v":false}""")
+    assert(expr("""/ab/i.test("XAByz")""") === """{"v":true}""")
+    assert(expr("""/a(b+)(x)?/.exec("aabbb")""") === """{"v":["abbb","bbb",null]}""")
+    assert(expr("""/zz/.exec("aabbb")""") === """{"v":null}""")
+    // operand-position heuristic: these are divisions, not regexes
+    assert(expr("10 / 2 / 5") === """{"v":1}""")
+    assert(expr("(8) / 2") === """{"v":4}""")
+    // regex after punctuation/keyword positions
+    assert(run("""function transform(row) {
+      var hits = 0;
+      if (/b/.test(row.s)) hits = hits + 1;
+      return { v: hits, w: [/c/.test(row.s), row.n / 2] };
+    }""", """{"s": "abc", "n": 10}""") === """{"v":1,"w":[true,5]}""")
+  }
+
+  test("regex-aware string methods: replace/replaceAll with $-refs and functions") {
+    assert(expr(""""a1b22c".replace(/\d+/, "#")""") === """{"v":"a#b22c"}""")
+    assert(expr(""""a1b22c".replace(/\d+/g, "#")""") === """{"v":"a#b#c"}""")
+    assert(expr(""""john smith".replace(/(\w+) (\w+)/, "$2 $1")""") === """{"v":"smith john"}""")
+    assert(expr(""""price: 5".replace(/(\d+)/, "$&$1")""") === """{"v":"price: 55"}""")
+    assert(expr(""""x".replace(/x/, "$$")""") === """{"v":"$"}""")
+    assert(expr(""""a-b".replace(/(?<l>\w)-(?<r>\w)/, "$<r>-$<l>")""") === """{"v":"b-a"}""")
+    assert(expr(""""aaa".replaceAll(/a/g, "b")""") === """{"v":"bbb"}""")
+    assert(expr(""""a1b2".replace(/\d/g, function(m) { return "<" + m + ">"; })""") ===
+      """{"v":"a<1>b<2>"}""")
+    assert(expr(""""ab12cd".replace(/([a-z]+)(\d+)/, (m, p1, p2) => p2 + p1)""") ===
+      """{"v":"12abcd"}""")
+    val e = intercept[JsError](expr(""""x".replaceAll(/x/, "y")"""))
+    assert(e.getMessage.contains("/g"))
+  }
+
+  test("regex match/matchAll/search/split") {
+    assert(expr(""""a1b22".match(/\d+/g)""") === """{"v":["1","22"]}""")
+    assert(expr(""""a1b22".match(/(\d)(\d)?/)""") === """{"v":["1","1",null]}""")
+    assert(expr(""""abc".match(/z/g)""") === """{"v":null}""")
+    assert(expr(""""a1b2".matchAll(/([a-z])(\d)/g).map(m => m[2] + m[1]).join(",")""") ===
+      """{"v":"1a,2b"}""")
+    assert(expr(""""xxabc".search(/bc/)""") === """{"v":3}""")
+    assert(expr(""""xx".search(/z/)""") === """{"v":-1}""")
+    assert(expr(""""a1b,c2d".split(/,/)""") === """{"v":["a1b","c2d"]}""")
+    assert(expr(""""a, b ,c".split(/\s*,\s*/)""") === """{"v":["a","b","c"]}""")
+    assert(expr(""""a1b2c".split(/(\d)/)""") === """{"v":["a","1","b","2","c"]}""")
+    assert(expr(""""a,b,".split(/,/)""") === """{"v":["a","b",""]}""")
+  }
+
+  test("new RegExp, flags accessors, dynamic patterns") {
+    assert(expr("""new RegExp("\\d+").test("x9")""") === """{"v":true}""")
+    assert(expr("""new RegExp("ab", "i").test("XAB")""") === """{"v":true}""")
+    assert(expr("""/x/gi.flags""") === """{"v":"gi"}""")
+    assert(expr("""/x/g.global && !/x/.global""") === """{"v":true}""")
+    assert(expr("""/abc/.source""") === """{"v":"abc"}""")
+    assert(run("""function transform(row) {
+      var re = new RegExp(row.pat, "g");
+      return { v: row.s.replace(re, "_") };
+    }""", """{"pat": "[aeiou]", "s": "banana"}""") === """{"v":"b_n_n_"}""")
+    val e = intercept[JsError](expr("""/x/Q.test("x")"""))
+    assert(e.getMessage.contains("flag"))
+  }
+
   test("script without transform function is rejected") {
     val e = intercept[JsError](new JsInterp("var x = 10;"))
     assert(e.getMessage.contains("transform"))
@@ -252,8 +313,9 @@ class JsInterpSpec extends AnyFunSuite {
 
   test("unsupported features fail loudly, not silently") {
     intercept[JsError](new JsInterp("class A {}; function transform(r) { return r; }"))
-    intercept[JsError](run("function transform(r) { return { v: 'x'.match('x') }; }"))
     intercept[JsError](run("function transform(r) { return { v: new Set() }; }"))
+    // match with a string arg coerces to a regex per JS (regex support)
+    assert(run("function transform(r) { return { v: 'x'.match('x') }; }") === """{"v":["x"]}""")
   }
 
   test("reference example script: js-transform-example.toml") {
