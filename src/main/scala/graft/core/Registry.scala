@@ -55,7 +55,7 @@ object Registry {
     // training-data extensions
     DedupExactOp, DedupMinHashOp, DedupSimHashOp, DedupNgramOp, DedupEmbeddingOp,
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
-    RedactOp, RepetitionOp, PackOp, HtmlStripOp,
+    RedactOp, RepetitionOp, PackOp, HtmlStripOp, DedupLinesOp, UrlNormalizeOp,
     KnnBruteForceOp, KnnLshOp, KnnIvfOp, IndexBuildOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
     graft.multimodal.ImageDecodeOp, graft.multimodal.AudioDecodeOp,

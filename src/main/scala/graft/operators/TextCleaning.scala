@@ -228,3 +228,113 @@ object RepetitionOp extends Stage {
     }.drop("_rep")
   }
 }
+
+/** dedup.lines — CROSS-document repeated-line removal: lines that occur
+  * in >= `min_docs` distinct documents (or >= `min_count` total
+  * occurrences with count_mode=rows) are dropped from every document.
+  * This is the corpus-level boilerplate filter of RefinedWeb §3.2 /
+  * CCNet — navigation bars, cookie banners, "subscribe" footers repeat
+  * across pages and survive per-document filters like text.repetition
+  * (which is within-doc only).
+  *
+  * Scale shape (the 100 TB lens): posexplode is narrow; the line-frequency
+  * aggregate is one shuffle on the line value with map-side partial
+  * counts; the removal join is LEFT ANTI against only the FREQUENT lines
+  * (a tiny fraction of distinct lines — AQE broadcasts it when it fits);
+  * reassembly is one shuffle on the doc id. No driver-side collection
+  * anywhere. Lines shorter than `min_chars` are exempt (structure like
+  * blank lines would otherwise be removed everywhere).
+  *
+  * Documents whose every line is boilerplate come back as "" (the row
+  * SURVIVES — pair with filter.apply length > 0 to drop husks, mirroring
+  * the reference's filter-after-transform composition style).
+  */
+object DedupLinesOp extends Stage {
+  val name = "dedup.lines"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val df = ctx.primary
+    val textCol = ctx.cfg.strOr("column", "text")
+    val out = ctx.cfg.strOr("output_column", textCol)
+    val id = ctx.cfg.strOr("id_column", "doc_id")
+    if (!df.columns.contains(id))
+      throw new GraftPlanError(
+        s"dedup.lines: id_column '$id' not found (needed to reassemble documents); " +
+        s"available: ${df.columns.mkString(", ")}")
+    val delim = ctx.cfg.strOr("delimiter", "\n")
+    val minChars = ctx.cfg.longOr("min_chars", 0L).toInt
+    val countMode = ctx.cfg.strOr("count_mode", "docs")
+    val threshold = countMode match {
+      case "docs" => ctx.cfg.longOr("min_docs", 2L)
+      case "rows" => ctx.cfg.longOr("min_count", 2L)
+      case other  => throw new GraftConfigError(s"dedup.lines count_mode must be docs|rows, got '$other'")
+    }
+
+    val lines = df.select(F.col(id),
+      F.posexplode(F.split(F.col(textCol), java.util.regex.Pattern.quote(delim)))
+        .as(Seq("__pos", "__line")))
+    val counted =
+      if (countMode == "docs") lines.groupBy("__line").agg(F.count_distinct(F.col(id)).alias("__n"))
+      else lines.groupBy("__line").agg(F.count(F.lit(1)).alias("__n"))
+    val frequent = counted
+      .filter(F.col("__n") >= threshold && F.length(F.col("__line")) >= minChars)
+      .select("__line")
+    val kept = lines.join(frequent, Seq("__line"), "left_anti")
+    val rebuilt = kept.groupBy(id).agg(
+      F.concat_ws(delim,
+        F.transform(F.array_sort(F.collect_list(F.struct(F.col("__pos"), F.col("__line")))),
+          x => x.getField("__line"))).alias("__graft_clean"))
+
+    val joined = df.join(rebuilt, Seq(id), "left")
+      .withColumn("__graft_clean", F.coalesce(F.col("__graft_clean"), F.lit("")))
+    if (out == textCol) joined.withColumn(textCol, F.col("__graft_clean")).drop("__graft_clean")
+    else joined.withColumnRenamed("__graft_clean", out)
+  }
+}
+
+/** url.normalize — canonicalize URLs for dedup keys and blocklist joins
+  * (the C4/CCNet URL-dedup prelude): strip fragment, strip tracking
+  * params (utm_*, fbclid, gclid), drop the scheme and leading www.,
+  * drop one trailing slash, optionally lowercase. Composes with
+  * dedup.exact on the output column for C4-style URL dedup.
+  *
+  * Pure codegen'd regexp_replace chain (zero shuffle); patterns live in
+  * the java.util.regex ∩ RE2 intersection so the oracle chains the
+  * IDENTICAL regexes — same discipline as text.redact/html.strip. The
+  * three tracking-param rules handle the delimiter cases in order:
+  * mid/tail '&p=v', leading '?p=v&' (next param is promoted), lone
+  * '?p=v'.
+  */
+object UrlNormalizeOp extends Stage {
+  val name = "url.normalize"
+  val kind = StageKind.Transform
+
+  /** (pattern, replacement) chain, applied in declaration order. The
+    * (?i) inline flag is the case-insensitivity spelling both
+    * java.util.regex and RE2 accept (lowercasing is the LAST step, so
+    * the structural rules must match any case themselves). */
+  val rules: Seq[(String, String)] = Seq(
+    "#.*$"                                        -> "",   // fragment
+    "(?i)&(utm_[a-z]+|fbclid|gclid)=[^&]*"        -> "",   // non-leading tracking param
+    "(?i)\\?(utm_[a-z]+|fbclid|gclid)=[^&]*&"     -> "?",  // leading, more follow
+    "(?i)\\?(utm_[a-z]+|fbclid|gclid)=[^&]*$"     -> "",   // leading, alone
+    "(?i)^https?://"                              -> "",   // scheme
+    "(?i)^www\\."                                 -> "",   // www prefix
+    "/$"                                          -> ""    // trailing slash
+  )
+
+  def normalize(c: Column, lowercase: Boolean): Column = {
+    val stripped = rules.foldLeft(F.trim(c)) { case (cur, (p, r)) =>
+      F.regexp_replace(cur, p, r)
+    }
+    if (lowercase) F.lower(stripped) else stripped
+  }
+
+  def apply(ctx: StageContext): DataFrame = {
+    val col = ctx.cfg.str("column")
+    val out = ctx.cfg.strOr("output_column", "url_norm")
+    val lower = ctx.cfg.boolOr("lowercase", true)
+    ctx.primary.withColumn(out, normalize(ctx.primary(col), lower))
+  }
+}

@@ -512,6 +512,63 @@ object ExtensionQueries {
         .select("doc_id", "red")
     },
 
+    // ---- dedup.lines: cross-document boilerplate-line removal. The
+    // fixture plants a 3-line structure per doc: a header shared by ~1/3
+    // of the corpus, the doc's own text, and a footer shared by ALL docs.
+    // min_docs=2 removes header+footer everywhere and also the text line
+    // of exact-duplicate doc groups (24 of 500 docs share text) — the
+    // oracle states the same frequency rule over the exploded lines.
+    QueryDef("dedup_lines",
+      """WITH planted AS (
+        |  SELECT doc_id, 'HEADER-' || CAST(doc_id % 3 AS VARCHAR) AS l1,
+        |         text AS l2, 'FOOTER' AS l3
+        |  FROM documents),
+        |ex AS (
+        |  SELECT doc_id, l1 AS line FROM planted
+        |  UNION ALL SELECT doc_id, l2 FROM planted
+        |  UNION ALL SELECT doc_id, l3 FROM planted),
+        |freq AS (SELECT line FROM ex GROUP BY line HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT p.doc_id, concat_ws(chr(10),
+        |  CASE WHEN f1.line IS NULL THEN p.l1 END,
+        |  CASE WHEN f2.line IS NULL THEN p.l2 END,
+        |  CASE WHEN f3.line IS NULL THEN p.l3 END) AS clean
+        |FROM planted p
+        |LEFT JOIN freq f1 ON f1.line = p.l1
+        |LEFT JOIN freq f2 ON f2.line = p.l2
+        |LEFT JOIN freq f3 ON f3.line = p.l3""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val planted = docs.withColumn("multi",
+        F.concat(F.lit("HEADER-"), (F.col("doc_id") % 3).cast("string"),
+          F.lit("\n"), F.col("text"), F.lit("\nFOOTER")))
+      DedupLinesOp(StageContext.one(s, planted, Cfg.of(
+        "column" -> "multi", "output_column" -> "clean",
+        "id_column" -> "doc_id", "min_docs" -> 2)))
+        .select("doc_id", "clean")
+    },
+
+    // ---- url.normalize: canonicalization chain. The oracle is GENERATED
+    // from the operator's own rule table (identical regexes, 'g' flag —
+    // Spark's regexp_replace is always-global), so the two engines cannot
+    // drift. The fixture URL exercises every rule: scheme, WWW, mixed-case
+    // host/path, leading + trailing tracking params, fragment, slash.
+    QueryDef("url_normalize", {
+      val inner = "'https://WWW.' || source || '.Example.com/Path' || (doc_id % 5) || " +
+        "'/?utm_source=x&id=' || (doc_id % 7) || '&gclid=Z&p=2#Sec' || doc_id"
+      val chained = UrlNormalizeOp.rules.foldLeft(s"trim($inner)") { case (acc, (p, r)) =>
+        s"regexp_replace($acc, '$p', '$r', 'g')"
+      }
+      s"SELECT doc_id, lower($chained) AS url_norm FROM documents"
+    }) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val planted = docs.withColumn("url",
+        F.concat(F.lit("https://WWW."), F.col("source"), F.lit(".Example.com/Path"),
+          (F.col("doc_id") % 5).cast("string"), F.lit("/?utm_source=x&id="),
+          (F.col("doc_id") % 7).cast("string"), F.lit("&gclid=Z&p=2#Sec"),
+          F.col("doc_id").cast("string")))
+      UrlNormalizeOp(StageContext.one(s, planted, Cfg.of("column" -> "url")))
+        .select("doc_id", "url_norm")
+    },
+
     // ---- text.repetition: Gopher-style repetition metrics. Line metrics
     // have an exact SQL statement (unrounded single IEEE divisions of
     // integer counts — bit-identical across engines); n-gram metrics are

@@ -2,7 +2,7 @@ package graft
 
 import graft.config.{Cfg, GraftConfigError}
 import graft.core.StageContext
-import graft.operators.{RedactOp, RepetitionOp}
+import graft.operators.{DedupLinesOp, RedactOp, RepetitionOp, UrlNormalizeOp}
 
 /** text.redact + text.repetition — corpus-cleaning extensions. */
 class TextCleaningSpec extends SparkSpec {
@@ -97,5 +97,69 @@ class TextCleaningSpec extends SparkSpec {
       Seq(Tuple1("x\nx")).toDF("text"), Cfg.of("prefix" -> "rep_")))
     assert(out.columns.contains("rep_dup_line_frac"))
     assert(out.select("rep_dup_line_frac").head().getDouble(0) === 0.5)
+  }
+
+  // ------------------------------------------------------------ dedup.lines
+
+  private def cleanLines(docs: Seq[(Long, String)], cfg: (String, Any)*): Map[Long, String] =
+    DedupLinesOp(StageContext.one(spark, docs.toDF("doc_id", "text"),
+      Cfg.of((Seq[(String, Any)]("id_column" -> "doc_id") ++ cfg): _*)))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+
+  test("dedup.lines removes lines shared across >= min_docs documents, keeps order") {
+    val docs = Seq(
+      (1L, "COOKIE BANNER\nunique alpha\nfooter"),
+      (2L, "COOKIE BANNER\nunique beta\nfooter"),
+      (3L, "solo line\nunique gamma"))
+    val out = cleanLines(docs)
+    assert(out === Map(
+      1L -> "unique alpha", 2L -> "unique beta", 3L -> "solo line\nunique gamma"))
+  }
+
+  test("dedup.lines: within-doc repeats are ONE doc (docs mode) but count in rows mode") {
+    val docs = Seq((1L, "dup\ndup\nkeep"), (2L, "other"))
+    // docs mode: 'dup' appears in 1 distinct doc -> kept
+    assert(cleanLines(docs)(1L) === "dup\ndup\nkeep")
+    // rows mode: 2 total occurrences -> removed
+    assert(cleanLines(docs, "count_mode" -> "rows")(1L) === "keep")
+  }
+
+  test("dedup.lines: min_chars exempts short structural lines; empty docs survive as \"\"") {
+    val docs = Seq((1L, "--\nbody one"), (2L, "--\nbody two"), (3L, "same\nsame2"), (4L, "same\nsame2"))
+    val out = cleanLines(docs, "min_chars" -> 3)
+    assert(out(1L) === "--\nbody one") // "--" shared but under min_chars
+    assert(out(3L) === "" && out(4L) === "") // all lines boilerplate -> empty, row kept
+  }
+
+  test("dedup.lines: custom output column and missing id column error") {
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val out = DedupLinesOp(StageContext.one(spark, docs, Cfg.of(
+      "id_column" -> "doc_id", "output_column" -> "clean")))
+    assert(out.columns.toSeq === Seq("doc_id", "text", "clean"))
+    val e = intercept[graft.core.GraftPlanError] {
+      DedupLinesOp(StageContext.one(spark, docs, Cfg.of("id_column" -> "nope")))
+    }
+    assert(e.getMessage.contains("id_column"))
+  }
+
+  // ---------------------------------------------------------- url.normalize
+
+  private def norm(url: String, cfg: (String, Any)*): String =
+    UrlNormalizeOp(StageContext.one(spark, Seq(Tuple1(url)).toDF("url"),
+      Cfg.of((Seq[(String, Any)]("column" -> "url") ++ cfg): _*)))
+      .select("url_norm").as[String].head()
+
+  test("url.normalize strips scheme, www, fragment, tracking params, trailing slash") {
+    assert(norm("https://www.Example.com/Path/?utm_source=x&id=7&gclid=z#frag") ===
+      "example.com/path/?id=7")
+    assert(norm("HTTP://WWW.Site.org/a/") === "site.org/a")
+    assert(norm("https://site.org/p?utm_medium=em") === "site.org/p")
+    assert(norm("https://site.org/p?UTM_Campaign=A&x=1") === "site.org/p?x=1")
+    assert(norm("site.org/p#x") === "site.org/p")
+  }
+
+  test("url.normalize: lowercase=false preserves case; non-tracking params survive") {
+    assert(norm("https://Example.com/Path?id=1&q=Foo", "lowercase" -> false) ===
+      "Example.com/Path?id=1&q=Foo")
   }
 }
