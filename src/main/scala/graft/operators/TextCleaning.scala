@@ -338,3 +338,51 @@ object UrlNormalizeOp extends Stage {
     ctx.primary.withColumn(out, normalize(ctx.primary(col), lower))
   }
 }
+
+/** text.normalize — unicode canonicalization for corpus text: NFC/NFKC/
+  * NFD/NFKD normalization (java.text.Normalizer), optional accent
+  * stripping (NFD → drop \p{M} marks → re-normalize), optional ROOT-locale
+  * lowercasing. The standard text-canonicalization step before hashing /
+  * exact-dedup / n-gram shingling (CCNet normalizes before dedup hashing;
+  * minor unicode variants otherwise defeat exact matching).
+  *
+  * Step order is part of the contract (normalize → strip accents →
+  * lowercase) and matches the oracle's
+  * lower(strip_accents(nfc_normalize(x))) composition — verified
+  * character-for-character against DuckDB's ICU implementations on the
+  * Latin-1/Latin-Extended range (ß æ œ ø are correctly NOT stripped by
+  * either engine: they are distinct letters, not accented forms).
+  * Scala UDF justified: no Catalyst unicode-normalization expression
+  * exists; the UDF is a pure per-row map, zero shuffle.
+  */
+object TextNormalizeOp extends Stage {
+  val name = "text.normalize"
+  val kind = StageKind.Transform
+
+  private val marks = java.util.regex.Pattern.compile("\\p{M}+")
+
+  def normalize(s: String, form: java.text.Normalizer.Form,
+                stripAccents: Boolean, lowercase: Boolean): String = {
+    if (s == null) return null
+    var t = java.text.Normalizer.normalize(s, form)
+    if (stripAccents) {
+      val decomposed = java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFD)
+      t = java.text.Normalizer.normalize(marks.matcher(decomposed).replaceAll(""), form)
+    }
+    if (lowercase) t = t.toLowerCase(java.util.Locale.ROOT)
+    t
+  }
+
+  def apply(ctx: StageContext): DataFrame = {
+    val col = ctx.cfg.strOr("column", "text")
+    val out = ctx.cfg.strOr("output_column", col)
+    val form = ctx.cfg.strOr("form", "nfc").toUpperCase match {
+      case f @ ("NFC" | "NFD" | "NFKC" | "NFKD") => java.text.Normalizer.Form.valueOf(f)
+      case other => throw new GraftConfigError(s"text.normalize form must be nfc|nfd|nfkc|nfkd, got '$other'")
+    }
+    val stripAccents = ctx.cfg.boolOr("strip_accents", false)
+    val lowercase = ctx.cfg.boolOr("lowercase", false)
+    val fn = F.udf((s: String) => normalize(s, form, stripAccents, lowercase))
+    ctx.primary.withColumn(out, fn(ctx.primary(col)))
+  }
+}

@@ -546,6 +546,24 @@ object ExtensionQueries {
         .select("doc_id", "clean")
     },
 
+    // ---- text.normalize: unicode canonicalization. The fixture plants a
+    // Latin-Extended suffix where java.text.Normalizer (NFC + NFD-strip-
+    // marks) and DuckDB's ICU nfc_normalize/strip_accents agree character
+    // for character (ß æ œ ø are letters, not accents — neither engine
+    // strips them; É ü Ñ å ç decompose in both).
+    QueryDef("text_normalize",
+      """SELECT doc_id,
+        |  lower(strip_accents(nfc_normalize(text || ' CAFÉ Über Ñandú Åre çß æœø'))) AS norm
+        |FROM documents""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val planted = docs.withColumn("planted",
+        F.concat(F.col("text"), F.lit(" CAFÉ Über Ñandú Åre çß æœø")))
+      TextNormalizeOp(StageContext.one(s, planted, Cfg.of(
+        "column" -> "planted", "output_column" -> "norm",
+        "form" -> "nfc", "strip_accents" -> true, "lowercase" -> true)))
+        .select("doc_id", "norm")
+    },
+
     // ---- url.normalize: canonicalization chain. The oracle is GENERATED
     // from the operator's own rule table (identical regexes, 'g' flag —
     // Spark's regexp_replace is always-global), so the two engines cannot

@@ -2,7 +2,7 @@ package graft
 
 import graft.config.{Cfg, GraftConfigError}
 import graft.core.StageContext
-import graft.operators.{DedupLinesOp, RedactOp, RepetitionOp, UrlNormalizeOp}
+import graft.operators.{DedupLinesOp, RedactOp, RepetitionOp, TextNormalizeOp, UrlNormalizeOp}
 
 /** text.redact + text.repetition — corpus-cleaning extensions. */
 class TextCleaningSpec extends SparkSpec {
@@ -161,5 +161,23 @@ class TextCleaningSpec extends SparkSpec {
   test("url.normalize: lowercase=false preserves case; non-tracking params survive") {
     assert(norm("https://Example.com/Path?id=1&q=Foo", "lowercase" -> false) ===
       "Example.com/Path?id=1&q=Foo")
+  }
+
+  // --------------------------------------------------------- text.normalize
+
+  private def tnorm(s: String, cfg: (String, Any)*): String =
+    TextNormalizeOp(StageContext.one(spark, Seq(Tuple1(s)).toDF("text"),
+      Cfg.of(cfg: _*))).select("text").as[String].head()
+
+  test("text.normalize: NFC composition, accent strip, lowercase") {
+    // combining acute (e + U+0301) composes to é under NFC
+    assert(tnorm("Café") === "Café")
+    assert(tnorm("CAFÉ Ñandú", "strip_accents" -> true) === "CAFE Nandu")
+    assert(tnorm("CAFÉ Über", "strip_accents" -> true, "lowercase" -> true) === "cafe uber")
+    // ß æ œ ø are letters, not accented forms — never stripped
+    assert(tnorm("ß æ œ ø", "strip_accents" -> true) === "ß æ œ ø")
+    // NFKC folds compatibility forms (ﬁ ligature, fullwidth digits)
+    assert(tnorm("ﬁle １２", "form" -> "nfkc") === "file 12")
+    intercept[GraftConfigError](tnorm("x", "form" -> "bogus"))
   }
 }
