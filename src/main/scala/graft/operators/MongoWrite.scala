@@ -58,9 +58,19 @@ object MongoUpdateCompiler {
     F.coalesce(MongoQuery.compileFilter(filterDoc), F.lit(false))
 
   /** Apply an update document ({$set: {...}, $inc: {...}, ...}) to the
-    * rows where `matched` holds; all rows are kept. */
-  def applyUpdate(df: DataFrame, matched: Column, update: JsObj): DataFrame = {
-    update.fields.foldLeft(df) { case (cur, (op, spec)) =>
+    * rows where `matched` holds; all rows are kept.
+    *
+    * The predicate is MATERIALIZED into a helper column first: `matched`
+    * is an unresolved column expression, and the per-field withColumn
+    * rewrites would otherwise re-resolve it against already-updated
+    * values when an update op touches a column the filter references
+    * ({qty: {$lte: 0}} + {$set: {qty: 5, status: "restocked"}} must
+    * restock the status of the SAME rows whose qty it just reset). */
+  def applyUpdate(df: DataFrame, matchedExpr: Column, update: JsObj): DataFrame = {
+    val flag = "__graft_matched"
+    val base = df.withColumn(flag, matchedExpr)
+    val matched = F.col(flag)
+    update.fields.foldLeft(base) { case (cur, (op, spec)) =>
       op match {
         case "$set" =>
           opFields(op, spec).foldLeft(cur) { case (d, (f, v)) =>
@@ -105,7 +115,7 @@ object MongoUpdateCompiler {
           err("$currentDate is non-deterministic and unsupported; $set an explicit timestamp")
         case other => err(s"unsupported update operator '$other'")
       }
-    }
+    }.drop(flag)
   }
 
   /** Replace matched rows wholesale with `replacement`; the `idCol`

@@ -24,6 +24,19 @@ class MongoWriteSpec extends SparkSpec {
     df.select("_id", "cat", "price", "tag").as[(Long, String, Double, String)]
       .collect().sortBy(_._1).toSeq
 
+  test("update ops keep matching on ORIGINAL values when the filter column is updated") {
+    // {price<=10} selects _id 1; $set resets price AND flags tag — both
+    // must apply to the same original matches (regression: the second
+    // withColumn used to re-resolve the predicate against the new price)
+    val out = run(MongoUpdateManyOp,
+      "query" -> """{"price": {"$lte": 10}}""",
+      "update" -> """{"$set": {"price": 999.0, "tag": "was-cheap"}}""")
+    assert(rows(out) === Seq(
+      (1L, "a", 999.0, "was-cheap"), (2L, "b", 20.0, "y"),
+      (3L, "a", 30.0, "z"), (4L, "c", 40.0, "w")))
+    assert(!out.columns.contains("__graft_matched"))
+  }
+
   test("updateMany $set/$inc only touch matching rows") {
     val out = run(MongoUpdateManyOp,
       "query" -> """{"cat": "a"}""",

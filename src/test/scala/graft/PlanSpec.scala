@@ -66,4 +66,34 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(1500))
   }
+
+  test("dedup.lines: anti-join removal, no cartesian, bounded exchanges") {
+    val p = plan("dedup_lines")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), "dedup.lines plans a cartesian")
+    // line-frequency agg + reassembly + removal join: the collection
+    // itself is never exchanged more than these
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 4, p.take(3000))
+  }
+
+  test("mongodb updateOne: the min-key probe broadcasts, never SMJ/cartesian") {
+    val p = plan("mongo_update_one")
+    assert(!p.contains("SortMergeJoin"), "first-match probe degenerated to SMJ:\n" + p.take(2000))
+    assert(!p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000)) // 1-row agg side joins via broadcast
+  }
+
+  test("mongodb updateMany/deleteMany are pure narrow rewrites (zero exchange)") {
+    for (q <- Seq("mongo_update_many", "mongo_delete_many")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles a pure rewrite:\n" + p.take(2000))
+    }
+  }
+
+  test("url.normalize and text.normalize stay pure projections (zero exchange)") {
+    for (q <- Seq("url_normalize", "text_normalize")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q shuffles a projection:\n" + p.take(2000))
+    }
+  }
 }
