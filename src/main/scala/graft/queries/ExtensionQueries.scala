@@ -546,6 +546,28 @@ object ExtensionQueries {
         .select("doc_id", "clean")
     },
 
+    // ---- BPE: tokenize.bpe with the 2-rule table {t+a→ta, ta+b→tab} has
+    // a closed-form token count — every literal 'ta' fires merge 1 and
+    // every literal 'tab' additionally fires merge 2 (no other rule
+    // consumes t/a/b), so n_tokens = word_chars − #ta − #tab, all three
+    // countable in SQL (non-overlapping counts via replace-length
+    // deltas). bpe.train correctness is spec-pinned (BpeSpec reproduces
+    // the Sennrich hand example); here it is rows-only.
+    QueryDef("bpe_tokenize",
+      """SELECT doc_id, CAST(
+        |  len(regexp_replace(text, '\s+', '', 'g'))
+        |  - (len(text) - len(replace(text, 'ta', ''))) / 2
+        |  - (len(text) - len(replace(text, 'tab', ''))) / 3
+        |AS BIGINT) AS n_tokens FROM documents""".stripMargin) { (s, d) =>
+      BpeTokenizeOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "merges" -> Seq("t a", "ta b"))))
+        .select("doc_id", "n_tokens")
+    },
+    QueryDef.noOracle("bpe_train") { (s, d) =>
+      BpeTrainOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "num_merges" -> 32, "top_words" -> 10000)))
+    },
+
     // ---- text.normalize: unicode canonicalization. The fixture plants a
     // Latin-Extended suffix where java.text.Normalizer (NFC + NFD-strip-
     // marks) and DuckDB's ICU nfc_normalize/strip_accents agree character
