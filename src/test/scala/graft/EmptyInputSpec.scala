@@ -123,4 +123,45 @@ class EmptyInputSpec extends SparkSpec {
     assert(out(0).getString(0) === """{"a":2}""")
     assert(out(1).isNullAt(0))
   }
+
+  test("mongodb writes on empty collections: updates no-op, inserts seed, upsert fires") {
+    val empty = Seq.empty[(Long, String, Double)].toDF("_id", "cat", "price")
+    assert(MongoUpdateManyOp(StageContext.one(spark, empty, Cfg.of(
+      "query" -> """{"cat": "a"}""", "update" -> """{"$set": {"cat": "b"}}"""))).count() === 0L)
+    assert(MongoDeleteManyOp(StageContext.one(spark, empty, Cfg.of(
+      "query" -> "{}"))).count() === 0L)
+    assert(MongoUpdateOneOp(StageContext.one(spark, empty, Cfg.of(
+      "query" -> """{"cat": "a"}""", "update" -> """{"$set": {"price": 1}}"""))).count() === 0L)
+    val upserted = MongoUpdateOneOp(StageContext.one(spark, empty, Cfg.of(
+      "query" -> """{"cat": "a"}""", "update" -> """{"$set": {"price": 2.5}}""",
+      "upsert" -> true)))
+    assert(upserted.count() === 1L)
+    assert(MongoInsertManyOp(StageContext.one(spark, empty, Cfg.of(
+      "documents" -> """[{"_id": 1, "cat": "x"}]"""))).count() === 1L)
+  }
+
+  test("dedup.lines and the normalizers on empty and null-text inputs") {
+    assert(DedupLinesOp(StageContext.one(spark, emptyDocs,
+      Cfg.of("id_column" -> "doc_id"))).count() === 0L)
+    assert(DedupLinesOp(StageContext.one(spark, oneDoc,
+      Cfg.of("id_column" -> "doc_id"))).select("text").as[String].head() === "hello world")
+    val withNull = Seq((1L, "x"), (2L, null)).toDF("doc_id", "text")
+    // null text explodes to nothing → reassembles as "" (documented husk)
+    val cleaned = DedupLinesOp(StageContext.one(spark, withNull, Cfg.of("id_column" -> "doc_id")))
+    assert(cleaned.count() === 2L)
+    assert(UrlNormalizeOp(StageContext.one(spark, emptyDocs,
+      Cfg.of("column" -> "text"))).count() === 0L)
+    val nulled = TextNormalizeOp(StageContext.one(spark, withNull, Cfg.of()))
+      .orderBy("doc_id").select("text").collect()
+    assert(nulled(1).isNullAt(0))
+  }
+
+  test("BPE on empty corpora and empty strings") {
+    assert(BpeTrainOp(StageContext.one(spark, emptyDocs, Cfg.of())).count() === 0L)
+    val out = BpeTokenizeOp(StageContext.one(spark,
+      Seq((1L, ""), (2L, null)).toDF("doc_id", "text"),
+      Cfg.of("merges" -> Seq("a b"))))
+      .orderBy("doc_id").select("n_tokens").as[Long].collect()
+    assert(out.toSeq === Seq(0L, 0L))
+  }
 }
