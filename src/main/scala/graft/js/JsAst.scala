@@ -21,9 +21,12 @@ import scala.collection.mutable
   *   - regex: /pattern/flags literals + new RegExp(p, f), compiled to
   *     java.util.regex; g/i/m/s flags; test/exec and the regex-aware
   *     string methods (replace/replaceAll/match/matchAll/search/split)
+  *   - destructuring in declarations and for-of binders: object/array
+  *     patterns, nesting, renames, defaults, holes, ...rest
   * Deliberately out of scope (clear parse/runtime errors, documented in
-  * COVERAGE.md): classes, generators/async, destructuring, labels,
-  * getters/setters, prototypes, stateful regex exec (lastIndex).
+  * COVERAGE.md): classes, generators/async, destructuring in function
+  * params / assignment positions, labels, getters/setters, prototypes,
+  * stateful regex exec (lastIndex).
   */
 object JsTok {
   sealed trait Token { def pos: Int }
@@ -240,9 +243,24 @@ final case class EIndex(obj: Expr, idx: Expr, optional: Boolean) extends Expr
 final case class ECall(callee: Expr, args: Vector[Expr], optional: Boolean) extends Expr
 final case class ENew(callee: Expr, args: Vector[Expr]) extends Expr
 
+/** Destructuring binding pattern (declarations and for-of binders).
+  * Patterns nest: `const {a: {b}, c: [d] = []} = x`. */
+sealed trait Pat
+final case class PIdent(name: String) extends Pat
+/** entries: (propertyKey, target pattern, default); rest: `...name`. */
+final case class PObj(entries: Vector[(String, Pat, Option[Expr])], rest: Option[String]) extends Pat
+/** items: None = hole (`[a, , b]`); rest: `...name`. */
+final case class PArr(items: Vector[Option[(Pat, Option[Expr])]], rest: Option[String]) extends Pat
+
 sealed trait Stmt
 final case class SExpr(e: Expr) extends Stmt
 final case class SDecl(kind: String, decls: Vector[(String, Option[Expr])]) extends Stmt
+/** One destructuring declarator: `const {a, b} = init`. */
+final case class SDeclPat(kind: String, pat: Pat, init: Expr) extends Stmt
+/** Statement sequence WITHOUT a new scope (mixed declarator lists). */
+final case class SSeq(stmts: Vector[Stmt]) extends Stmt
+/** for (const [k, v] of iter) — pattern-binding loop. */
+final case class SForOfPat(decl: String, pat: Pat, iter: Expr, body: Vector[Stmt]) extends Stmt
 final case class SFunc(name: String, params: Vector[String], body: Vector[Stmt]) extends Stmt
 final case class SReturn(e: Option[Expr]) extends Stmt
 final case class SIf(c: Expr, t: Vector[Stmt], f: Vector[Stmt]) extends Stmt
@@ -395,15 +413,70 @@ final class JsParser(toks: Vector[JsTok.Token]) {
 
   private def declStatement(): Stmt = {
     val kind = advance().asInstanceOf[TKw].name
-    val decls = Vector.newBuilder[(String, Option[Expr])]
+    val stmts = Vector.newBuilder[Stmt]
+    val plain = Vector.newBuilder[(String, Option[Expr])]
+    var sawPattern = false
     var more = true
     while (more) {
-      val name = ident()
-      val init = if (tryPunct("=")) Some(assignExpr()) else None
-      decls += ((name, init))
+      if (isPunct("{") || isPunct("[")) {
+        sawPattern = true
+        val p = pattern()
+        if (!tryPunct("=")) fail("destructuring declaration requires an initializer")
+        stmts += SDeclPat(kind, p, assignExpr())
+      } else {
+        val name = ident()
+        val init = if (tryPunct("=")) Some(assignExpr()) else None
+        plain += ((name, init))
+        stmts += SDecl(kind, Vector((name, init)))
+      }
       more = tryPunct(",")
     }
-    SDecl(kind, decls.result())
+    if (!sawPattern) SDecl(kind, plain.result())
+    else {
+      val all = stmts.result()
+      if (all.size == 1) all.head else SSeq(all)
+    }
+  }
+
+  /** Parse a binding pattern: identifier, {…}, or […]. */
+  private def pattern(): Pat = peek match {
+    case TPunct("{", _) =>
+      advance()
+      val entries = Vector.newBuilder[(String, Pat, Option[Expr])]
+      var rest: Option[String] = None
+      var more = !isPunct("}")
+      while (more) {
+        if (tryPunct("...")) {
+          rest = Some(ident())
+          more = false
+        } else {
+          val key = memberName()
+          val target: Pat = if (tryPunct(":")) pattern() else PIdent(key)
+          val dflt = if (tryPunct("=")) Some(assignExpr()) else None
+          entries += ((key, target, dflt))
+          more = tryPunct(",") && !isPunct("}")
+        }
+      }
+      eatPunct("}")
+      PObj(entries.result(), rest)
+    case TPunct("[", _) =>
+      advance()
+      val items = Vector.newBuilder[Option[(Pat, Option[Expr])]]
+      var rest: Option[String] = None
+      var more = !isPunct("]")
+      while (more) {
+        if (isPunct(",")) { items += None; advance(); more = !isPunct("]") } // hole
+        else if (tryPunct("...")) { rest = Some(ident()); more = false }
+        else {
+          val target = pattern()
+          val dflt = if (tryPunct("=")) Some(assignExpr()) else None
+          items += Some((target, dflt))
+          more = tryPunct(",") && !isPunct("]")
+        }
+      }
+      eatPunct("]")
+      PArr(items.result(), rest)
+    case _ => PIdent(ident())
   }
 
   private def forStatement(): Stmt = {
@@ -418,6 +491,12 @@ final class JsParser(toks: Vector[JsTok.Token]) {
             advance(); advance()
             val iter = expression(); eatPunct(")")
             return SForOf(k, name, iter, bodyOrBlock(), keys = io == "in")
+          case (TPunct("{" | "[", _), _) =>
+            val p = pattern()
+            if (isKw("in")) fail("for...in requires a plain identifier binder")
+            eatKw("of")
+            val iter = expression(); eatPunct(")")
+            return SForOfPat(k, p, iter, bodyOrBlock())
           case _ => pos = save
         }
       case _ =>

@@ -61,6 +61,17 @@ final class JsInterp(script: String) {
         env.define(name, init.map(eval(_, env)).getOrElse(JsUndefined))
       }
       SigNone
+    case SDeclPat(_, pat, init) =>
+      destructure(pat, eval(init, env), env)
+      SigNone
+    case SSeq(stmts) => // declarator sequence — same scope, no new env
+      var i = 0
+      while (i < stmts.length) {
+        val sig = execOne(stmts(i), env)
+        if (sig != SigNone) return sig
+        i += 1
+      }
+      SigNone
     case SReturn(e) => SigReturn(e.map(eval(_, env)).getOrElse(JsUndefined))
     case SIf(c, t, f) =>
       if (truthy(eval(c, env))) exec(t, env.child) else exec(f, env.child)
@@ -116,6 +127,26 @@ final class JsInterp(script: String) {
       while (sig == SigNone && it.hasNext) {
         val iterEnv = env.child
         iterEnv.define(name, it.next())
+        exec(body, iterEnv) match {
+          case SigBreak     => sig = SigBreak
+          case r: SigReturn => sig = r
+          case _            =>
+        }
+      }
+      if (sig.isInstanceOf[SigReturn]) sig else SigNone
+    case SForOfPat(_, pat, iterExpr, body) =>
+      val iterable = eval(iterExpr, env)
+      val items: Seq[JsVal] = iterable match {
+        case a: JsArr   => a.items.toSeq
+        case JsStr(str) => str.map(ch => JsStr(ch.toString))
+        case _: JsObj   => throw new JsError("for...of over a plain object — use Object.entries")
+        case other      => throw new JsError(s"value is not iterable: ${toStr(other)}")
+      }
+      var sig: Signal = SigNone
+      val it = items.iterator
+      while (sig == SigNone && it.hasNext) {
+        val iterEnv = env.child
+        destructure(pat, it.next(), iterEnv)
         exec(body, iterEnv) match {
           case SigBreak     => sig = SigBreak
           case r: SigReturn => sig = r
@@ -337,6 +368,52 @@ final class JsInterp(script: String) {
   }
 
   /** Evaluate an lvalue expression for its current value (for +=, ++). */
+  /** Bind a destructuring pattern against a value (declaration / for-of
+    * binder semantics): object patterns read properties (missing →
+    * undefined → default), array patterns index (holes skip, `...rest`
+    * collects the tail). Destructuring null/undefined throws, per JS. */
+  private def destructure(pat: Pat, v: JsVal, env: Env): Unit = pat match {
+    case PIdent(name) => env.define(name, v)
+    case PObj(entries, rest) =>
+      if (v == JsNull || v == JsUndefined)
+        throw new JsError(s"cannot destructure ${toStr(v)}")
+      def prop(key: String): JsVal = v match {
+        case o: JsObj => o.fields.getOrElse(key, JsUndefined)
+        case _        => Builtins.member(v, key, this).getOrElse(JsUndefined) match {
+          case _: JsNative => JsUndefined // don't bind builtin methods via patterns
+          case other       => other
+        }
+      }
+      entries.foreach { case (key, target, dflt) =>
+        val raw = prop(key)
+        val bound = if (raw == JsUndefined) dflt.map(eval(_, env)).getOrElse(JsUndefined) else raw
+        destructure(target, bound, env)
+      }
+      rest.foreach { r =>
+        val taken = entries.map(_._1).toSet
+        val rem = v match {
+          case o: JsObj => JsObj(o.fields.toSeq.filterNot { case (k, _) => taken(k) }: _*)
+          case _        => JsObj.empty
+        }
+        env.define(r, rem)
+      }
+    case PArr(items, rest) =>
+      val seq: Seq[JsVal] = v match {
+        case a: JsArr   => a.items.toSeq
+        case JsStr(s)   => s.map(c => JsStr(c.toString))
+        case JsNull | JsUndefined => throw new JsError(s"cannot destructure ${toStr(v)}")
+        case other      => throw new JsError(s"value is not iterable: ${toStr(other)}")
+      }
+      items.zipWithIndex.foreach {
+        case (Some((target, dflt)), i) =>
+          val raw = seq.lift(i).getOrElse(JsUndefined)
+          val bound = if (raw == JsUndefined) dflt.map(eval(_, env)).getOrElse(JsUndefined) else raw
+          destructure(target, bound, env)
+        case (None, _) => // hole
+      }
+      rest.foreach(r => env.define(r, JsArr.of(seq.drop(items.length))))
+  }
+
   private def evalRef(target: Expr, env: Env): JsVal = eval(target, env)
 
   /** "0", "15", … — a canonical non-negative array index (no leading +,

@@ -301,6 +301,44 @@ class JsInterpSpec extends AnyFunSuite {
     assert(e.getMessage.contains("flag"))
   }
 
+  test("destructuring declarations: object/array patterns, renames, defaults, rest") {
+    assert(run("""function transform(row) {
+      const { a, b: bee, missing = 9 } = row;
+      return { a: a, bee: bee, missing: missing };
+    }""", """{"a": 1, "b": 2}""") === """{"a":1,"bee":2,"missing":9}""")
+    assert(run("""function transform(row) {
+      const [x, , z = 7, ...rest] = row.arr;
+      return { x: x, z: z, rest: rest };
+    }""", """{"arr": [10, 20]}""") === """{"x":10,"z":7,"rest":[]}""")
+    assert(run("""function transform(row) {
+      let { u: { v }, w: [first] = [5] } = row;
+      const { a, ...others } = row;
+      return { v: v, first: first, others: Object.keys(others) };
+    }""", """{"u": {"v": 3}, "a": 1, "b": 2, "c": 3}""") ===
+      """{"v":3,"first":5,"others":["u","b","c"]}""")
+    // mixed declarator list keeps plain declarators in the same scope
+    assert(expr("(() => { const n = 1, { m } = { m: 2 }; return n + m; })()") === """{"v":3}""")
+  }
+
+  test("for-of destructuring over entries and nested arrays") {
+    assert(run("""function transform(row) {
+      var out = {};
+      for (const [k, v] of Object.entries(row)) out[k.toUpperCase()] = v * 2;
+      return out;
+    }""", """{"a": 1, "b": 2}""") === """{"A":2,"B":4}""")
+    assert(run("""function transform(row) {
+      let sum = 0;
+      for (const { x, y = 10 } of row.pts) sum += x + y;
+      return { sum: sum };
+    }""", """{"pts": [{"x": 1, "y": 2}, {"x": 3}]}""") === """{"sum":16}""")
+  }
+
+  test("destructuring null/undefined throws a named error") {
+    val e = intercept[JsError](run(
+      "function transform(row) { const { a } = row.nope; return { a: a }; }"))
+    assert(e.getMessage.contains("destructure"))
+  }
+
   test("script without transform function is rejected") {
     val e = intercept[JsError](new JsInterp("var x = 10;"))
     assert(e.getMessage.contains("transform"))
