@@ -386,3 +386,107 @@ object TextNormalizeOp extends Stage {
     ctx.primary.withColumn(out, fn(ctx.primary(col)))
   }
 }
+
+/** quality.gopher — the Gopher quality-filter rule set (Rae et al. 2021,
+  * §A.1.1), the published rules production corpus pipelines start from:
+  *
+  *   word count in [min_words, max_words]        (50, 100000)
+  *   mean word length in [min/max_mean_word_len] (3, 10)
+  *   symbol-to-word ratio (# and ...) <=          max_symbol_ratio (0.1)
+  *   bullet-started line fraction <=              max_bullet_frac (0.9)
+  *   ellipsis-ended line fraction <=              max_ellipsis_frac (0.3)
+  *   fraction of words with an alphabetic char >= min_alpha_frac (0.8)
+  *   distinct Gopher stopwords present >=         min_stopwords (2)
+  *                (the, be, to, of, and, that, have, with)
+  *
+  * Emits the metric columns plus a `keep` boolean; mode=filter drops
+  * failing rows instead. One single-pass UDF per document (the
+  * RepetitionOp pattern — no explode/shuffle, metrics are unrounded
+  * integer-ratio doubles for bit-exact oracle parity); the threshold
+  * comparisons stay codegen'd Column expressions. Word = \s+-split
+  * non-empty token, both here and in the oracle's string_split_regex.
+  */
+object GopherQualityOp extends Stage {
+  val name = "quality.gopher"
+  val kind = StageKind.Transform
+
+  val stopwords: Seq[String] = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private val outType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("symbol_ratio", DoubleType, nullable = false),
+    StructField("bullet_frac", DoubleType, nullable = false),
+    StructField("ellipsis_frac", DoubleType, nullable = false),
+    StructField("alpha_frac", DoubleType, nullable = false),
+    StructField("n_stopwords", LongType, nullable = false)))
+
+  /** Count non-overlapping occurrences of `sub` (replace-delta parity). */
+  private def countSub(s: String, sub: String): Long = {
+    var n = 0L; var i = s.indexOf(sub)
+    while (i >= 0) { n += 1; i = s.indexOf(sub, i + sub.length) }
+    n
+  }
+
+  def metrics(text: String): Row = {
+    if (text == null) return Row(0L, 0.0, 0.0, 0.0, 0.0, 0.0, 0L)
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    val nWords = words.length.toLong
+    val wordChars = words.map(_.length.toLong).sum
+    val meanLen = if (nWords == 0) 0.0 else wordChars.toDouble / nWords
+    val symbols = countSub(text, "#") + countSub(text, "...")
+    val symbolRatio = if (nWords == 0) 0.0 else symbols.toDouble / nWords
+    val lines = text.split("\n", -1)
+    val nLines = lines.length
+    var bullets = 0L; var ellipsis = 0L
+    lines.foreach { l =>
+      val t = l.dropWhile(c => c == ' ' || c == '\t')
+      if (t.nonEmpty && (t.charAt(0) == '-' || t.charAt(0) == '*' || t.charAt(0) == '•')) bullets += 1
+      if (l.endsWith("...")) ellipsis += 1
+    }
+    val alphaWords = words.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))).toLong
+    val alphaFrac = if (nWords == 0) 0.0 else alphaWords.toDouble / nWords
+    val lower = new java.util.HashSet[String]()
+    words.foreach(w => lower.add(w.toLowerCase(java.util.Locale.ROOT)))
+    val nStop = stopwords.count(lower.contains).toLong
+    Row(nWords, meanLen, symbolRatio, bullets.toDouble / nLines, ellipsis.toDouble / nLines,
+      alphaFrac, nStop)
+  }
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val col = cfg.strOr("column", "text")
+    val prefix = cfg.strOr("prefix", "")
+    val mode = cfg.strOr("mode", "annotate") match {
+      case ok @ ("annotate" | "filter") => ok
+      case other => throw new GraftConfigError(s"quality.gopher mode must be annotate|filter, got '$other'")
+    }
+    val minWords = cfg.longOr("min_words", 50L)
+    val maxWords = cfg.longOr("max_words", 100000L)
+    val minMean = cfg.doubleOr("min_mean_word_len", 3.0)
+    val maxMean = cfg.doubleOr("max_mean_word_len", 10.0)
+    val maxSymbol = cfg.doubleOr("max_symbol_ratio", 0.1)
+    val maxBullet = cfg.doubleOr("max_bullet_frac", 0.9)
+    val maxEllipsis = cfg.doubleOr("max_ellipsis_frac", 0.3)
+    val minAlpha = cfg.doubleOr("min_alpha_frac", 0.8)
+    val minStop = cfg.longOr("min_stopwords", 2L)
+
+    val fn = F.udf(new org.apache.spark.sql.api.java.UDF1[String, Row] {
+      override def call(s: String): Row = metrics(s)
+    }, outType)
+    val df = ctx.primary
+    val withM = outType.fields.foldLeft(df.withColumn("_gq", fn(df(col)))) { (d, f) =>
+      d.withColumn(prefix + f.name, F.col(s"_gq.${f.name}"))
+    }.drop("_gq")
+    def c(n: String) = F.col(prefix + n)
+    val keep = c("n_words").between(minWords, maxWords) &&
+      c("mean_word_len").between(minMean, maxMean) &&
+      c("symbol_ratio") <= maxSymbol &&
+      c("bullet_frac") <= maxBullet &&
+      c("ellipsis_frac") <= maxEllipsis &&
+      c("alpha_frac") >= minAlpha &&
+      c("n_stopwords") >= minStop
+    if (mode == "filter") withM.filter(keep)
+    else withM.withColumn(prefix + "keep", keep)
+  }
+}

@@ -546,6 +546,59 @@ object ExtensionQueries {
         .select("doc_id", "clean")
     },
 
+    // ---- quality.gopher: the published Gopher rule set, metrics AND the
+    // keep verdict both stated in SQL. The fixture plants three doc
+    // classes: +4 stopwords (passes), a symbol flood (fails the ratio),
+    // bullet/ellipsis lines (exercises the line metrics). Word = \s+-split
+    // non-empty token in BOTH engines; ratios are unrounded integer-ratio
+    // doubles (RepetitionOp discipline).
+    QueryDef("quality_gopher",
+      """WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN ' and that have with'
+        |      WHEN 1 THEN ' ### ## #... ... ...'
+        |      ELSE chr(10) || '- item one' || chr(10) || '- item two...' END AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, t,
+        |    list_filter(string_split_regex(trim(t), '\s+'), w -> len(w) > 0) AS words,
+        |    string_split(t, chr(10)) AS lines
+        |  FROM p),
+        |x AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    CASE WHEN len(words) = 0 THEN 0.0
+        |         ELSE CAST(len(regexp_replace(t, '\s+', '', 'g')) AS DOUBLE) / len(words) END AS mean_word_len,
+        |    CASE WHEN len(words) = 0 THEN 0.0
+        |         ELSE CAST((len(t) - len(replace(t, '#', '')))
+        |              + (len(t) - len(replace(t, '...', ''))) / 3 AS DOUBLE) / len(words) END AS symbol_ratio,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^[ \t]*[-*•]'))) AS DOUBLE) / len(lines) AS bullet_frac,
+        |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE) / len(lines) AS ellipsis_frac,
+        |    CASE WHEN len(words) = 0 THEN 0.0
+        |         ELSE CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE) / len(words) END AS alpha_frac,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(list_transform(words, w -> lower(w)), s))) AS BIGINT) AS n_stopwords
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+        |  ellipsis_frac, alpha_frac, n_stopwords,
+        |  (n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3 AND 10
+        |   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+        |   AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+        |   AND n_stopwords >= 1) AS keep
+        |FROM x""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val planted = docs.withColumn("t",
+        F.concat(F.col("text"),
+          F.when(F.col("doc_id") % 3 === 0, F.lit(" and that have with"))
+            .when(F.col("doc_id") % 3 === 1, F.lit(" ### ## #... ... ..."))
+            .otherwise(F.lit("\n- item one\n- item two..."))))
+      GopherQualityOp(StageContext.one(s, planted, Cfg.of(
+        "column" -> "t", "min_words" -> 20, "min_stopwords" -> 1)))
+        .select("doc_id", "n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+          "ellipsis_frac", "alpha_frac", "n_stopwords", "keep")
+    },
+
     // ---- BPE: tokenize.bpe with the 2-rule table {t+a→ta, ta+b→tab} has
     // a closed-form token count — every literal 'ta' fires merge 1 and
     // every literal 'tab' additionally fires merge 2 (no other rule

@@ -169,6 +169,47 @@ class TextCleaningSpec extends SparkSpec {
     TextNormalizeOp(StageContext.one(spark, Seq(Tuple1(s)).toDF("text"),
       Cfg.of(cfg: _*))).select("text").as[String].head()
 
+  // --------------------------------------------------------- quality.gopher
+
+  test("quality.gopher metrics on a hand-computed fixture") {
+    // words: "The cat and the hat ###" → 6 words, 18 chars → mean 3.0
+    // symbols: 3 '#' → 3/6; stopwords present: the, and → 2
+    val m = graft.operators.GopherQualityOp.metrics("The cat and the hat ###")
+    assert(m.getLong(0) === 6L)
+    assert(m.getDouble(1) === 3.0)
+    assert(m.getDouble(2) === 3.0 / 6)
+    assert(m.getDouble(5) === 5.0 / 6) // '###' has no letter
+    assert(m.getLong(6) === 2L)
+    // lines: bullet + ellipsis fractions
+    val l = graft.operators.GopherQualityOp.metrics("  - point\nplain\nwait...")
+    assert(l.getDouble(3) === 1.0 / 3)
+    assert(l.getDouble(4) === 1.0 / 3)
+    // ellipsis counts as one symbol ('...'), non-overlapping
+    val e = graft.operators.GopherQualityOp.metrics("a......")
+    assert(e.getDouble(2) === 2.0 / 1)
+    // null/empty text → all-zero metrics
+    assert(graft.operators.GopherQualityOp.metrics(null).getLong(0) === 0L)
+    assert(graft.operators.GopherQualityOp.metrics("   ").getLong(0) === 0L)
+  }
+
+  test("quality.gopher: keep verdict, filter mode, prefix") {
+    val docs = Seq(
+      (1L, "the data and the facts that we have kept with care for years"), // passes
+      (2L, "x y z"),                                                        // too few words
+      (3L, "### the ### and ### that ### have ### with ### more ### tags")  // symbol flood
+    ).toDF("doc_id", "text")
+    val cfg = Cfg.of("min_words" -> 5, "min_stopwords" -> 2)
+    val out = graft.operators.GopherQualityOp(StageContext.one(spark, docs, cfg))
+    val keep = out.select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(keep === Map(1L -> true, 2L -> false, 3L -> false))
+    val filtered = graft.operators.GopherQualityOp(StageContext.one(spark, docs,
+      Cfg.of("min_words" -> 5, "min_stopwords" -> 2, "mode" -> "filter")))
+    assert(filtered.select("doc_id").as[Long].collect().toSeq === Seq(1L))
+    val prefixed = graft.operators.GopherQualityOp(StageContext.one(spark, docs,
+      Cfg.of("prefix" -> "gq_")))
+    assert(prefixed.columns.contains("gq_keep") && prefixed.columns.contains("gq_n_words"))
+  }
+
   test("text.normalize: NFC composition, accent strip, lowercase") {
     // combining acute (e + U+0301) composes to é under NFC
     assert(tnorm("Café") === "Café")
