@@ -21,12 +21,13 @@ import scala.collection.mutable
   *   - regex: /pattern/flags literals + new RegExp(p, f), compiled to
   *     java.util.regex; g/i/m/s flags; test/exec and the regex-aware
   *     string methods (replace/replaceAll/match/matchAll/search/split)
-  *   - destructuring in declarations and for-of binders: object/array
-  *     patterns, nesting, renames, defaults, holes, ...rest
+  *   - destructuring in declarations, for-of binders AND function
+  *     params: object/array patterns, nesting, renames, defaults,
+  *     holes, ...rest; default + rest parameters
   * Deliberately out of scope (clear parse/runtime errors, documented in
-  * COVERAGE.md): classes, generators/async, destructuring in function
-  * params / assignment positions, labels, getters/setters, prototypes,
-  * stateful regex exec (lastIndex).
+  * COVERAGE.md): classes, generators/async, assignment-position
+  * destructuring, labels, getters/setters, prototypes, stateful regex
+  * exec (lastIndex).
   */
 object JsTok {
   sealed trait Token { def pos: Int }
@@ -231,7 +232,11 @@ final case class EIdent(name: String) extends Expr
 final case class EArr(items: Vector[Expr], spreads: Set[Int]) extends Expr
 /** key is either a literal name or (for computed keys) an Expr. */
 final case class EObjLit(entries: Vector[(Either[String, Expr], Expr)], spreads: Vector[Expr], order: Vector[Either[Int, Int]]) extends Expr
-final case class EFunc(params: Vector[String], body: Vector[Stmt], name: String) extends Expr
+/** Function parameter: binding pattern + optional default + rest flag
+  * (`...rest` must be last and a plain identifier). */
+final case class Param(pat: Pat, default: Option[Expr], rest: Boolean)
+
+final case class EFunc(params: Vector[Param], body: Vector[Stmt], name: String) extends Expr
 final case class EUn(op: String, e: Expr) extends Expr
 final case class EUpdate(op: String, target: Expr, prefix: Boolean) extends Expr
 final case class EBin(op: String, l: Expr, r: Expr) extends Expr
@@ -261,7 +266,7 @@ final case class SDeclPat(kind: String, pat: Pat, init: Expr) extends Stmt
 final case class SSeq(stmts: Vector[Stmt]) extends Stmt
 /** for (const [k, v] of iter) — pattern-binding loop. */
 final case class SForOfPat(decl: String, pat: Pat, iter: Expr, body: Vector[Stmt]) extends Stmt
-final case class SFunc(name: String, params: Vector[String], body: Vector[Stmt]) extends Stmt
+final case class SFunc(name: String, params: Vector[Param], body: Vector[Stmt]) extends Stmt
 final case class SReturn(e: Option[Expr]) extends Stmt
 final case class SIf(c: Expr, t: Vector[Stmt], f: Vector[Stmt]) extends Stmt
 final case class SWhile(c: Expr, body: Vector[Stmt]) extends Stmt
@@ -516,12 +521,22 @@ final class JsParser(toks: Vector[JsTok.Token]) {
     SFor(init, cond, update, bodyOrBlock())
   }
 
-  private def paramList(): Vector[String] = {
+  private def paramList(): Vector[Param] = {
     eatPunct("(")
-    val ps = Vector.newBuilder[String]
+    val ps = Vector.newBuilder[Param]
     if (!isPunct(")")) {
       var more = true
-      while (more) { ps += ident(); more = tryPunct(",") }
+      while (more) {
+        if (tryPunct("...")) {
+          ps += Param(PIdent(ident()), None, rest = true)
+          more = false // rest must be last
+        } else {
+          val pat = pattern()
+          val dflt = if (tryPunct("=")) Some(assignExpr()) else None
+          ps += Param(pat, dflt, rest = false)
+          more = tryPunct(",")
+        }
+      }
     }
     eatPunct(")")
     ps.result()
@@ -540,15 +555,19 @@ final class JsParser(toks: Vector[JsTok.Token]) {
     peek match {
       case TIdent(name, _) if punct2("=>") =>
         advance(); advance()
-        return EFunc(Vector(name), arrowBody(), "<arrow>")
+        return EFunc(Vector(Param(PIdent(name), None, rest = false)), arrowBody(), "<arrow>")
       case TPunct("(", _) =>
+        // attempt a full param list (patterns/defaults/rest included); a
+        // parenthesized expression fails the parse or lacks the '=>'
         val save = pos
-        tryArrowParams() match {
-          case Some(params) if isPunct("=>") =>
+        try {
+          val params = paramList()
+          if (isPunct("=>")) {
             advance()
             return EFunc(params, arrowBody(), "<arrow>")
-          case _ => pos = save
-        }
+          }
+          pos = save
+        } catch { case _: JsError => pos = save }
       case _ =>
     }
     val lhs = conditional()
@@ -565,24 +584,6 @@ final class JsParser(toks: Vector[JsTok.Token]) {
   }
 
   private def punct2(s: String): Boolean = peek2 match { case TPunct(x, _) => x == s; case _ => false }
-
-  private def tryArrowParams(): Option[Vector[String]] = {
-    // at '('; succeed only if contents are a plain comma-separated ident list
-    advance()
-    val ps = Vector.newBuilder[String]
-    if (tryPunct(")")) return Some(ps.result())
-    var more = true
-    while (more) {
-      peek match {
-        case TIdent(n, _) => advance(); ps += n
-        case _ => return None
-      }
-      if (tryPunct(",")) more = true
-      else if (tryPunct(")")) more = false
-      else return None
-    }
-    Some(ps.result())
-  }
 
   private def arrowBody(): Vector[Stmt] =
     if (isPunct("{")) block()

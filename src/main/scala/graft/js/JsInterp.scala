@@ -504,8 +504,14 @@ final class JsInterp(script: String) {
   def call(fn: JsVal, thisv: JsVal, args: Seq[JsVal]): JsVal = fn match {
     case JsFunc(params, body, closure, name) =>
       val frame = closure.child
-      params.zipWithIndex.foreach { case (p, i) =>
-        frame.define(p, if (i < args.length) args(i) else JsUndefined)
+      params.zipWithIndex.foreach { case (Param(pat, dflt, rest), i) =>
+        if (rest) destructure(pat, JsArr.of(args.drop(i)), frame)
+        else {
+          val raw = if (i < args.length) args(i) else JsUndefined
+          // defaults eval in the frame, so they may reference earlier params
+          val v = if (raw == JsUndefined) dflt.map(eval(_, frame)).getOrElse(JsUndefined) else raw
+          destructure(pat, v, frame)
+        }
       }
       frame.define("arguments", JsArr.of(args))
       exec(body, frame) match {

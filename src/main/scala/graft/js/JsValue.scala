@@ -28,7 +28,7 @@ final case class JsStr(s: String) extends JsVal
 final class JsObj(val fields: mutable.LinkedHashMap[String, JsVal]) extends JsVal
 final class JsArr(val items: mutable.ArrayBuffer[JsVal]) extends JsVal
 /** User function (declaration, expression, or arrow). */
-final case class JsFunc(params: Vector[String], body: Vector[Stmt],
+final case class JsFunc(params: Vector[Param], body: Vector[Stmt],
                         closure: Env, name: String) extends JsVal
 /** Built-in; `thisv` is bound at member lookup (e.g. `"a,b".split`). */
 final case class JsNative(name: String, fn: (JsVal, Seq[JsVal]) => JsVal) extends JsVal

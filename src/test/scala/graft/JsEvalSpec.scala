@@ -333,6 +333,22 @@ class JsInterpSpec extends AnyFunSuite {
     }""", """{"pts": [{"x": 1, "y": 2}, {"x": 3}]}""") === """{"sum":16}""")
   }
 
+  test("function params: patterns, defaults, rest") {
+    assert(run("""function transform(row) {
+      const pick = ({ a, b = 5 }) => a + b;
+      const add = (x, y = x * 2) => x + y;        // default sees earlier param
+      function tally(first, ...rest) { return first + rest.length; }
+      return { p: pick(row), q: pick({ a: 1, b: 2 }), r: add(3), s: tally(10, 1, 2, 3) };
+    }""", """{"a": 4}""") === """{"p":9,"q":3,"r":9,"s":13}""")
+    // array-pattern params in callbacks over entries
+    assert(run("""function transform(row) {
+      return { keys: Object.entries(row).map(([k, v]) => k + v).join("|") };
+    }""", """{"a": 1, "b": 2}""") === """{"keys":"a1|b2"}""")
+    // parenthesized expressions still parse as expressions
+    assert(expr("(1 + 2) * 3") === """{"v":9}""")
+    assert(expr("((x => x + 1))(4)") === """{"v":5}""")
+  }
+
   test("destructuring null/undefined throws a named error") {
     val e = intercept[JsError](run(
       "function transform(row) { const { a } = row.nope; return { a: a }; }"))
