@@ -56,7 +56,7 @@ object Registry {
     DedupExactOp, DedupMinHashOp, DedupSimHashOp, DedupNgramOp, DedupEmbeddingOp,
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
     RedactOp, RepetitionOp, PackOp, HtmlStripOp, DedupLinesOp, UrlNormalizeOp,
-    TextNormalizeOp, BpeTrainOp, BpeTokenizeOp, GopherQualityOp,
+    TextNormalizeOp, BpeTrainOp, BpeTokenizeOp, GopherQualityOp, LineFilterOp,
     KnnBruteForceOp, KnnLshOp, KnnIvfOp, IndexBuildOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
     graft.multimodal.ImageDecodeOp, graft.multimodal.AudioDecodeOp,

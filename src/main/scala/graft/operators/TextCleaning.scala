@@ -490,3 +490,46 @@ object GopherQualityOp extends Stage {
     else withM.withColumn(prefix + "keep", keep)
   }
 }
+
+/** filter.lines — line-level corpus filtering inside each document (the
+  * C4 line rules, Raffel et al. 2020 §2.2): keep only lines with at
+  * least `min_words` words, optionally only lines ending in terminal
+  * punctuation (. ! ? "), and drop lines matching any `drop_patterns`
+  * regex (the "javascript"/cookie-notice rule). Complements dedup.lines
+  * (corpus-frequency) with per-line structural rules — no shuffle at
+  * all, one single-pass UDF per document.
+  *
+  * Contract pinned for the oracle: word = \s+-split non-empty token of
+  * the trimmed line; terminal check looks at the trimmed line's last
+  * char; drop_patterns use find-anywhere semantics in the
+  * java.util.regex ∩ RE2 dialect.
+  */
+object LineFilterOp extends Stage {
+  val name = "filter.lines"
+  val kind = StageKind.Transform
+
+  private val terminal = Set('.', '!', '?', '"')
+
+  def clean(text: String, minWords: Int, requireTerminal: Boolean,
+            dropPatterns: Seq[java.util.regex.Pattern]): String = {
+    if (text == null) return null
+    text.split("\n", -1).filter { l =>
+      val trimmed = l.trim
+      val words = trimmed.split("\\s+").count(_.nonEmpty)
+      words >= minWords &&
+        (!requireTerminal || (trimmed.nonEmpty && terminal.contains(trimmed.last))) &&
+        !dropPatterns.exists(_.matcher(l).find())
+    }.mkString("\n")
+  }
+
+  def apply(ctx: StageContext): DataFrame = {
+    val col = ctx.cfg.strOr("column", "text")
+    val out = ctx.cfg.strOr("output_column", col)
+    val minWords = ctx.cfg.longOr("min_words", 0L).toInt
+    val requireTerminal = ctx.cfg.boolOr("require_terminal_punct", false)
+    val patterns = ctx.cfg.strListOr("drop_patterns", Vector.empty)
+      .map(java.util.regex.Pattern.compile)
+    val fn = F.udf((s: String) => clean(s, minWords, requireTerminal, patterns))
+    ctx.primary.withColumn(out, fn(ctx.primary(col)))
+  }
+}

@@ -546,6 +546,28 @@ object ExtensionQueries {
         .select("doc_id", "clean")
     },
 
+    // ---- filter.lines: C4 line rules. Plant 4 line classes per doc —
+    // a fixed passing sentence, the doc text with a terminal period
+    // (varies per doc), a drop_patterns hit, and a too-short line.
+    QueryDef("filter_lines",
+      """SELECT doc_id, array_to_string(list_filter(
+        |  string_split('A good line is here.' || chr(10) || text || '.' ||
+        |    chr(10) || 'Subscribe for more.' || chr(10) || 'short', chr(10)),
+        |  l -> len(list_filter(string_split_regex(trim(l), '\s+'), w -> len(w) > 0)) >= 3
+        |       AND regexp_matches(trim(l), '[.!?"]$')
+        |       AND NOT regexp_matches(l, '(?i)subscribe')), chr(10)) AS clean
+        |FROM documents""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val planted = docs.withColumn("t",
+        F.concat(F.lit("A good line is here.\n"), F.col("text"), F.lit(".\n"),
+          F.lit("Subscribe for more.\nshort")))
+      LineFilterOp(StageContext.one(s, planted, Cfg.of(
+        "column" -> "t", "output_column" -> "clean",
+        "min_words" -> 3, "require_terminal_punct" -> true,
+        "drop_patterns" -> Seq("(?i)subscribe"))))
+        .select("doc_id", "clean")
+    },
+
     // ---- quality.gopher: the published Gopher rule set, metrics AND the
     // keep verdict both stated in SQL. The fixture plants three doc
     // classes: +4 stopwords (passes), a symbol flood (fails the ratio),

@@ -169,6 +169,27 @@ class TextCleaningSpec extends SparkSpec {
     TextNormalizeOp(StageContext.one(spark, Seq(Tuple1(s)).toDF("text"),
       Cfg.of(cfg: _*))).select("text").as[String].head()
 
+  // ----------------------------------------------------------- filter.lines
+
+  test("filter.lines: min words, terminal punctuation, drop patterns") {
+    import graft.operators.LineFilterOp
+    def fl(text: String, cfg: (String, Any)*): String =
+      LineFilterOp(StageContext.one(spark, Seq(Tuple1(text)).toDF("text"),
+        Cfg.of(cfg: _*))).select("text").as[String].head()
+    val doc = "Good sentence stays here.\nno punct line\nSubscribe to win!\nshort.\n  ok end? "
+    assert(fl(doc, "min_words" -> 3, "require_terminal_punct" -> true,
+      "drop_patterns" -> Seq("(?i)subscribe")) === "Good sentence stays here.")
+    // terminal check trims trailing whitespace; quote counts as terminal
+    assert(fl("he said \"done\"\nnope", "require_terminal_punct" -> true) === "he said \"done\"")
+    // min_words only
+    assert(fl("a b c\nd e", "min_words" -> 3) === "a b c")
+    // no rules = identity; null passes through
+    assert(fl(doc) === doc)
+    val n = LineFilterOp(StageContext.one(spark,
+      Seq((1L, null: String)).toDF("id", "text"), Cfg.of()))
+    assert(n.select("text").head().isNullAt(0))
+  }
+
   // --------------------------------------------------------- quality.gopher
 
   test("quality.gopher metrics on a hand-computed fixture") {
