@@ -79,3 +79,28 @@ object SplitOp extends Stage {
     }
   }
 }
+
+/** shuffle.apply — DETERMINISTIC global shuffle, the final step of a
+  * training-data pipeline (corpora must be well-mixed before sequence
+  * packing/sharding, and the shuffle must be reproducible from a seed).
+  * Orders by xxhash64(seed, key columns) with the key columns as
+  * tiebreak, so the permutation is a pure function of (seed, data):
+  * re-runs, partition layouts and cluster sizes all produce the same
+  * order. One range-partitioned sort shuffle — the scale-correct way to
+  * shuffle 100 TB (never sample-into-memory, never rand() which breaks
+  * retry determinism: a recomputed task would re-draw).
+  */
+object ShuffleOp extends Stage {
+  val name = "shuffle.apply"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val df = ctx.primary
+    val seed = ctx.cfg.longOr("seed", 42L)
+    val cols = ctx.cfg.strListOr("columns", df.columns.toVector)
+    cols.filterNot(df.columns.contains).foreach(c =>
+      throw new GraftConfigError(s"shuffle.apply: unknown column '$c'"))
+    val keyCols = cols.map(df(_))
+    df.orderBy((F.xxhash64(F.lit(seed) +: keyCols: _*) +: keyCols): _*)
+  }
+}

@@ -546,6 +546,15 @@ object ExtensionQueries {
         .select("doc_id", "clean")
     },
 
+    // ---- shuffle.apply is a pure deterministic permutation — content is
+    // identity (the checker sorts rows), determinism is spec-pinned
+    QueryDef("shuffle_docs",
+      "SELECT doc_id, source, n_chars FROM documents") { (s, d) =>
+      ShuffleOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "seed" -> 7, "columns" -> Seq("doc_id"))))
+        .select("doc_id", "source", "n_chars")
+    },
+
     // ---- filter.lines: C4 line rules. Plant 4 line classes per doc —
     // a fixed passing sentence, the doc text with a terminal period
     // (varies per doc), a drop_patterns hit, and a too-short line.

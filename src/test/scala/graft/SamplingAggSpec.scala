@@ -1,4 +1,5 @@
 package graft
+// (shuffle determinism tests live at the bottom of this spec)
 
 import org.apache.spark.sql.{functions => F}
 import graft.config.{Cfg, GraftConfigError}
@@ -76,6 +77,24 @@ class SamplingAggSpec extends SparkSpec {
       // ids per class are an arithmetic sequence; exact median is the
       // 250th/251st element ±accuracy slack
       assert(math.abs(r.getAs[Long]("p50") - 1000L) <= 16L)
+    }
+  }
+
+  test("shuffle.apply: deterministic permutation, seed-sensitive, content-preserving") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => (i, s"row$i")).toDF("id", "v")
+    def order(seed: Long, parts: Int): Seq[Long] =
+      graft.operators.ShuffleOp(graft.core.StageContext.one(spark, df.repartition(parts),
+        graft.config.Cfg.of("seed" -> seed, "columns" -> Seq("id"))))
+        .select("id").as[Long].collect().toSeq
+    val a = order(7, 4)
+    assert(a === order(7, 9), "same seed must give the same order across partition layouts")
+    assert(a.sorted === (1L to 200L), "shuffle must preserve content")
+    assert(a !== (1L to 200L).toSeq, "shuffle must actually permute")
+    assert(a !== order(8, 4), "different seeds must permute differently")
+    intercept[graft.config.GraftConfigError] {
+      graft.operators.ShuffleOp(graft.core.StageContext.one(spark, df,
+        graft.config.Cfg.of("columns" -> Seq("nope"))))
     }
   }
 }
