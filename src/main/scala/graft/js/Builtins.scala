@@ -252,15 +252,13 @@ object Builtins {
     case "split" => JsNative(name, (_, as) => as.headOption match {
       case None | Some(JsUndefined) => JsArr(JsStr(s))
       case Some(re: JsRegex) =>
-        val limit = as.lift(1).map(toNumber(_).toInt).getOrElse(Int.MaxValue)
-        JsArr.of(regexSplit(s, re).take(limit))
+        JsArr.of(regexSplit(s, re).take(splitLimit(as)))
       case Some(sep0) =>
         val sep = toStr(sep0)
-        val limit = as.lift(1).map(toNumber(_).toInt).getOrElse(Int.MaxValue)
         val parts =
           if (sep.isEmpty) s.map(_.toString)
           else splitLiteral(s, sep)
-        JsArr.of(parts.take(limit).map(JsStr(_)))
+        JsArr.of(parts.take(splitLimit(as)).map(JsStr(_)))
     })
     case "slice" => JsNative(name, (_, as) => {
       val (from, until) = sliceRange(s.length, as)
@@ -311,14 +309,31 @@ object Builtins {
           case Some(f @ (_: JsFunc | _: JsNative)) => // fn replacement, literal pattern
             val rep = toStr(interp.call(f, JsUndefined, Seq(JsStr(pat), JsNum(i), JsStr(s))))
             JsStr(s.substring(0, i) + rep + s.substring(i + pat.length))
-          case repV => JsStr(s.substring(0, i) + str(Seq(repV.getOrElse(JsUndefined)), 0) + s.substring(i + pat.length))
+          case repV => // JS GetSubstitution applies to string patterns too
+            JsStr(s.substring(0, i) +
+              expandLiteralReplacement(str(Seq(repV.getOrElse(JsUndefined)), 0), pat, i, s) +
+              s.substring(i + pat.length))
         }
     })
     case "replaceAll" => JsNative(name, (_, as) => as.headOption match {
       case Some(re: JsRegex) =>
         if (!re.global) throw new JsError("String.replaceAll requires a /g regex")
         JsStr(regexReplace(s, re, as.lift(1).getOrElse(JsUndefined), all = true, interp))
-      case _ => JsStr(s.replace(str(as, 0), str(as, 1)))
+      case _ =>
+        val pat = str(as, 0); val rep = str(as, 1)
+        if (rep.indexOf('$') < 0 || pat.isEmpty) JsStr(s.replace(pat, rep))
+        else { // $-substitution per occurrence (JS GetSubstitution)
+          val b = new java.lang.StringBuilder
+          var last = 0
+          var i = s.indexOf(pat)
+          while (i >= 0) {
+            b.append(s, last, i).append(expandLiteralReplacement(rep, pat, i, s))
+            last = i + pat.length
+            i = s.indexOf(pat, last)
+          }
+          b.append(s, last, s.length)
+          JsStr(b.toString)
+        }
     })
     case "toString"   => JsNative(name, (_, _) => JsStr(s))
     case "localeCompare" => JsNative(name, (_, as) => JsNum(Integer.signum(s.compareTo(str(as, 0))).toDouble))
@@ -411,6 +426,27 @@ object Builtins {
     b.toString
   }
 
+  /** $-substitution for literal (string) patterns: $$ $& $` $' (no
+    * capture groups exist); unknown $-sequences stay literal, per JS. */
+  private def expandLiteralReplacement(rep: String, matched: String, at: Int, input: String): String = {
+    if (rep.indexOf('$') < 0) return rep
+    val b = new java.lang.StringBuilder
+    var i = 0
+    while (i < rep.length) {
+      val c = rep.charAt(i)
+      if (c == '$' && i + 1 < rep.length) {
+        rep.charAt(i + 1) match {
+          case '$'  => b.append('$'); i += 2
+          case '&'  => b.append(matched); i += 2
+          case '`'  => b.append(input, 0, at); i += 2
+          case '\'' => b.append(input, at + matched.length, input.length); i += 2
+          case _    => b.append(c); i += 1
+        }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
+
   /** Expand a JS replacement template against the current match. */
   private def expandReplacement(rep: String, m: java.util.regex.Matcher, input: String, b: java.lang.StringBuilder): Unit = {
     var i = 0
@@ -496,6 +532,16 @@ object Builtins {
     })
     case "toString" => JsNative("RegExp.toString", (_, _) => JsStr(s"/${r.source}/${r.flags}"))
     case other => throw new JsError(s"unsupported RegExp member '.$other'")
+  }
+
+  /** JS split-limit coercion (ToUint32): absent/undefined → no limit,
+    * negative wraps to a huge unsigned (→ effectively no limit), NaN → 0. */
+  private def splitLimit(as: Seq[JsVal]): Int = as.lift(1) match {
+    case None | Some(JsUndefined) => Int.MaxValue
+    case Some(v) =>
+      val n = toNumber(v)
+      if (n.isNaN) 0
+      else Math.min(n.toLong & 0xFFFFFFFFL, Int.MaxValue.toLong).toInt
   }
 
   /** JS String.split with a literal separator ("a,,b".split(",") keeps the

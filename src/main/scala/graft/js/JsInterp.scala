@@ -379,10 +379,14 @@ final class JsInterp(script: String) {
         throw new JsError(s"cannot destructure ${toStr(v)}")
       def prop(key: String): JsVal = v match {
         case o: JsObj => o.fields.getOrElse(key, JsUndefined)
-        case _        => Builtins.member(v, key, this).getOrElse(JsUndefined) match {
-          case _: JsNative => JsUndefined // don't bind builtin methods via patterns
-          case other       => other
-        }
+        case _ => // primitives: unknown members bind undefined (→ default),
+          // and builtin member lookups that THROW for unknown names
+          // (strings) must not escape a destructuring
+          (try Builtins.member(v, key, this).getOrElse(JsUndefined)
+           catch { case _: JsError => JsUndefined }) match {
+            case _: JsNative => JsUndefined // don't bind builtin methods via patterns
+            case other       => other
+          }
       }
       entries.foreach { case (key, target, dflt) =>
         val raw = prop(key)

@@ -188,8 +188,16 @@ object BpeTokenizeOp extends Stage {
           }
         }
       case _ if ctx.inputs.size >= 2 =>
-        ctx.input(1).select("rank", "left", "right").as[(Long, String, String)]
-          .collect().sortBy(_._1).map(t => (t._2, t._3)).toSeq
+        // merge tables are vocab-sized; cap the driver collect loudly
+        // (the json.write driver_limit pattern)
+        val cap = ctx.cfg.longOr("max_merges", 100000L).toInt
+        val rows = ctx.input(1).select("rank", "left", "right")
+          .as[(Long, String, String)].limit(cap + 1).collect()
+        if (rows.length > cap)
+          throw new GraftConfigError(
+            s"tokenize.bpe: merges input exceeds max_merges=$cap rows; " +
+            "raise max_merges only if the table really is a merge list")
+        rows.sortBy(_._1).map(t => (t._2, t._3)).toSeq
       case _ => throw new GraftConfigError(
         "tokenize.bpe needs merges = [\"l r\", ...] or a second input frame (bpe.train output)")
     }

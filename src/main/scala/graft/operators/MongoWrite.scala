@@ -185,8 +185,10 @@ object MongoUpdateCompiler {
     coll.unionByName(docsFrame(ctx, docs, coll), allowMissingColumns = true)
 
   /** The document an upsert inserts when nothing matched: equality fields
-    * from the filter + $set/$setOnInsert fields from the update (Mongo's
-    * documented upsert composition). */
+    * from the filter, then every update operator applied to that base doc
+    * (Mongo's documented upsert composition): $set/$setOnInsert write
+    * values, $inc seeds the increment, $mul seeds 0, $min/$max seed the
+    * operand, $rename moves an equality field. */
   def upsertDoc(filter: JsObj, update: JsObj): JsObj = {
     val out = JsObj.empty
     filter.fields.foreach {
@@ -195,11 +197,22 @@ object MongoUpdateCompiler {
         o.fields.get("$eq").foreach(v => out.fields.update(k, v))
       case (k, v) => out.fields.update(k, v)
     }
-    Seq("$set", "$setOnInsert").foreach { op =>
-      update.fields.get(op).foreach {
-        case o: JsObj => o.fields.foreach { case (k, v) => out.fields.update(k, v) }
-        case _        =>
-      }
+    update.fields.foreach {
+      case ("$set" | "$setOnInsert", o: JsObj) =>
+        o.fields.foreach { case (k, v) => out.fields.update(k, v) }
+      case ("$inc", o: JsObj) => // missing field + $inc n → n
+        o.fields.foreach { case (k, v) => out.fields.update(k, v) }
+      case ("$mul", o: JsObj) => // missing field + $mul → 0
+        o.fields.foreach { case (k, _) => out.fields.update(k, JsNum(0)) }
+      case ("$min" | "$max", o: JsObj) => // missing field takes the operand
+        o.fields.foreach { case (k, v) => out.fields.update(k, v) }
+      case ("$rename", o: JsObj) =>
+        o.fields.foreach {
+          case (from, JsStr(to)) =>
+            out.fields.remove(from).foreach(v => out.fields.update(to, v))
+          case _ =>
+        }
+      case _ => // $unset on a missing field is a no-op
     }
     out
   }
@@ -359,6 +372,10 @@ object MongoBulkWriteOp extends MongoWriteStage("mongodb.bulkWrite") {
         case _              => err(s"$op requires a 'filter' document")
       }
       def upsert = s.fields.get("upsert").contains(JsBool(true))
+      // an upsert op runs an existence probe NOW; persist the accumulated
+      // lineage first or the probe re-reads and re-rewrites the whole
+      // chain from the source files (and so would the next probe)
+      def probed: DataFrame = { if (upsert) cur.persist(); cur }
       op match {
         case "insertOne" => insertDocs(ctx, cur, Seq(field("document")))
         case "insertMany" => s.fields.get("documents") match {
@@ -369,7 +386,7 @@ object MongoBulkWriteOp extends MongoWriteStage("mongodb.bulkWrite") {
           val filter = filterOf
           val update = field("update")
           val matched = matchedCol(filter)
-          if (upsert && !anyMatch(cur, matched))
+          if (upsert && !anyMatch(probed, matched))
             insertDocs(ctx, cur, Seq(upsertDoc(filter, update)))
           else if (op == "updateMany") applyUpdate(cur, matched, update)
           else {
@@ -384,7 +401,7 @@ object MongoBulkWriteOp extends MongoWriteStage("mongodb.bulkWrite") {
           val filter = filterOf
           val replacement = field("replacement")
           val matched = matchedCol(filter)
-          if (upsert && !anyMatch(cur, matched))
+          if (upsert && !anyMatch(probed, matched))
             insertDocs(ctx, cur, Seq(upsertDoc(filter, JsObj("$set" -> replacement))))
           else {
             val (joined, first) = restrictToFirst(cur, matched, ord, name)

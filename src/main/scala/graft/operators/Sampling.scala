@@ -101,6 +101,12 @@ object ShuffleOp extends Stage {
     cols.filterNot(df.columns.contains).foreach(c =>
       throw new GraftConfigError(s"shuffle.apply: unknown column '$c'"))
     val keyCols = cols.map(df(_))
-    df.orderBy((F.xxhash64(F.lit(seed) +: keyCols: _*) +: keyCols): _*)
+    // tiebreak through the REMAINING columns too: with a non-unique key
+    // subset, (hash, keys) alone leaves ties whose relative order would
+    // depend on the partition layout — the full-row tiebreak makes the
+    // permutation observably deterministic (fully identical rows may
+    // still swap, which no downstream consumer can distinguish)
+    val rest = df.columns.filterNot(cols.contains).map(df(_)).toSeq
+    df.orderBy((F.xxhash64(F.lit(seed) +: keyCols: _*) +: (keyCols ++ rest)): _*)
   }
 }

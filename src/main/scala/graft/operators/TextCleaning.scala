@@ -242,8 +242,14 @@ object RepetitionOp extends Stage {
   * counts; the removal join is LEFT ANTI against only the FREQUENT lines
   * (a tiny fraction of distinct lines — AQE broadcasts it when it fits);
   * reassembly is one shuffle on the doc id. No driver-side collection
-  * anywhere. Lines shorter than `min_chars` are exempt (structure like
-  * blank lines would otherwise be removed everywhere).
+  * anywhere. Lines shorter than `min_chars` (default 1) are exempt —
+  * the empty line repeats across every multi-paragraph document and
+  * must not be treated as boilerplate.
+  *
+  * `id_column` MUST be unique per document: duplicate ids would merge
+  * their lines in the groupBy reassembly (interleaved by position) and
+  * write the garbled result onto every duplicate row. Run dedup.exact
+  * on the id first if uniqueness is not guaranteed.
   *
   * Documents whose every line is boilerplate come back as "" (the row
   * SURVIVES — pair with filter.apply length > 0 to drop husks, mirroring
@@ -262,8 +268,12 @@ object DedupLinesOp extends Stage {
       throw new GraftPlanError(
         s"dedup.lines: id_column '$id' not found (needed to reassemble documents); " +
         s"available: ${df.columns.mkString(", ")}")
+    if (out == id)
+      throw new GraftConfigError(s"dedup.lines: output_column cannot be the id column '$id'")
     val delim = ctx.cfg.strOr("delimiter", "\n")
-    val minChars = ctx.cfg.longOr("min_chars", 0L).toInt
+    // default 1: the empty line repeats in every multi-paragraph doc and
+    // must NOT count as boilerplate, or blank-line structure vanishes
+    val minChars = ctx.cfg.longOr("min_chars", 1L).toInt
     val countMode = ctx.cfg.strOr("count_mode", "docs")
     val threshold = countMode match {
       case "docs" => ctx.cfg.longOr("min_docs", 2L)
@@ -289,7 +299,7 @@ object DedupLinesOp extends Stage {
     val joined = df.join(rebuilt, Seq(id), "left")
       .withColumn("__graft_clean", F.coalesce(F.col("__graft_clean"), F.lit("")))
     if (out == textCol) joined.withColumn(textCol, F.col("__graft_clean")).drop("__graft_clean")
-    else joined.withColumnRenamed("__graft_clean", out)
+    else joined.drop(out).withColumnRenamed("__graft_clean", out) // overwrite, never duplicate
   }
 }
 

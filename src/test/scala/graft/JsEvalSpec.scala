@@ -349,6 +349,25 @@ class JsInterpSpec extends AnyFunSuite {
     assert(expr("((x => x + 1))(4)") === """{"v":5}""")
   }
 
+  test("review fixes: split limit coercion, literal $-substitution, primitive patterns") {
+    // negative limit wraps to huge (no limit); NaN → 0; undefined → no limit
+    assert(expr(""""a,b,c".split(/,/, -1)""") === """{"v":["a","b","c"]}""")
+    assert(expr(""""a,b".split(",", undefined)""") === """{"v":["a","b"]}""")
+    assert(expr(""""a,b".split(",", 0/0)""") === """{"v":[]}""")
+    assert(expr(""""a,b,c".split(",", 2)""") === """{"v":["a","b"]}""")
+    // $-refs apply to string patterns too (GetSubstitution)
+    assert(expr(""""abc".replace("b", "[$&]")""") === """{"v":"a[b]c"}""")
+    assert(expr(""""abc".replace("b", "$`|$'")""") === """{"v":"aa|cc"}""")
+    assert(expr(""""x".replace("x", "$$")""") === """{"v":"$"}""")
+    assert(expr(""""aba".replaceAll("a", "<$&>")""") === """{"v":"<a>b<a>"}""")
+    assert(expr(""""aba".replaceAll("a", "_")""") === """{"v":"_b_"}""")
+    // object-pattern destructuring of a primitive binds defaults, not throws
+    assert(run("""function transform(row) {
+      const { foo = 1, length } = row.s;
+      return { foo: foo, length: length };
+    }""", """{"s": "hi"}""") === """{"foo":1,"length":2}""")
+  }
+
   test("destructuring null/undefined throws a named error") {
     val e = intercept[JsError](run(
       "function transform(row) { const { a } = row.nope; return { a: a }; }"))

@@ -125,6 +125,16 @@ class MongoWriteSpec extends SparkSpec {
     assert(added === ((9L, 99.5, "new")))
   }
 
+  test("upsert seeds arithmetic operators on the inserted doc ($inc/$mul/$min/$max)") {
+    val out = run(MongoUpdateManyOp,
+      "query" -> """{"cat": "zz"}""",
+      "update" -> """{"$inc": {"price": 5}, "$mul": {"qty": 3}, "$max": {"score": 9}}""",
+      "upsert" -> true)
+    val added = out.filter(F.col("cat") === "zz")
+      .select("price", "qty", "score").as[(Double, Long, Long)].head()
+    assert(added === ((5.0, 0L, 9L))) // $inc seeds n, $mul seeds 0, $max seeds operand
+  }
+
   test("upsert=false (default) leaves the collection unchanged on no match") {
     val out = run(MongoUpdateOneOp,
       "query" -> """{"cat": "zz"}""",

@@ -97,4 +97,15 @@ class SamplingAggSpec extends SparkSpec {
         graft.config.Cfg.of("columns" -> Seq("nope"))))
     }
   }
+
+  test("shuffle.apply: non-unique key columns stay deterministic (full-row tiebreak)") {
+    import spark.implicits._
+    val df = (1L to 120L).map(i => (i % 5, i)).toDF("grp", "id")
+    def order(parts: Int): Seq[Long] =
+      graft.operators.ShuffleOp(graft.core.StageContext.one(spark, df.repartition(parts),
+        graft.config.Cfg.of("seed" -> 3, "columns" -> Seq("grp"))))
+        .select("id").as[Long].collect().toSeq
+    assert(order(2) === order(11),
+      "rows tied on (hash, grp) must order by the remaining columns, not partition layout")
+  }
 }

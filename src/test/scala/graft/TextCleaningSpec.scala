@@ -124,6 +124,21 @@ class TextCleaningSpec extends SparkSpec {
     assert(cleanLines(docs, "count_mode" -> "rows")(1L) === "keep")
   }
 
+  test("dedup.lines: blank lines never count as boilerplate by default") {
+    val docs = Seq((1L, "one\n\nalpha"), (2L, "two\n\nbeta"), (3L, "three\n\ngamma"))
+    val out = cleanLines(docs)
+    assert(out(1L) === "one\n\nalpha", "paragraph structure must survive")
+    // output_column overwrites an existing column instead of duplicating it
+    val df = Seq((1L, "a\nb", "old"), (2L, "a\nc", "old")).toDF("doc_id", "text", "clean")
+    val res = DedupLinesOp(StageContext.one(spark, df, Cfg.of(
+      "id_column" -> "doc_id", "output_column" -> "clean")))
+    assert(res.columns.count(_ == "clean") === 1)
+    intercept[GraftConfigError] {
+      DedupLinesOp(StageContext.one(spark, df, Cfg.of(
+        "id_column" -> "doc_id", "output_column" -> "doc_id")))
+    }
+  }
+
   test("dedup.lines: min_chars exempts short structural lines; empty docs survive as \"\"") {
     val docs = Seq((1L, "--\nbody one"), (2L, "--\nbody two"), (3L, "same\nsame2"), (4L, "same\nsame2"))
     val out = cleanLines(docs, "min_chars" -> 3)
