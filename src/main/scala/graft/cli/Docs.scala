@@ -91,13 +91,22 @@ object Docs {
     "binary.meta" -> "binary column metadata (magic, hash, size) - column",
     "image.decode" -> "decode PNG/JPEG/BMP/GIF via javax.imageio - column, resize=[w,h] adds a thumb column",
     "audio.decode" -> "parse WAV/AIFF/AU PCM via javax.sound - column; adds sample_rate/channels/frames/duration",
-    "media.features" -> "feature extraction - column, feature_dim, kind=auto|image|audio|stub (image: tiny-image grayscale; audio: windowed RMS; video/unknown: labeled stub)")
+    "media.features" -> "feature extraction - column, feature_dim, kind=auto|image|audio|stub (image: tiny-image grayscale; audio: windowed RMS; video/unknown: labeled stub)",
+    // round-3 corpus operators
+    "dedup.lines" -> "remove lines repeated across >= min_docs documents - column, id_column (unique!), min_docs|min_count, count_mode=docs|rows, min_chars, delimiter",
+    "url.normalize" -> "canonicalize URLs (fragment/tracking strip, scheme/www drop) - column, output_column, lowercase",
+    "text.normalize" -> "unicode normalize - column, form=nfc|nfd|nfkc|nfkd, strip_accents, lowercase",
+    "quality.gopher" -> "Gopher quality rules - column, mode=annotate|filter, min/max_words, min/max_mean_word_len, max_symbol_ratio, max_bullet_frac, max_ellipsis_frac, min_alpha_frac, min_stopwords",
+    "filter.lines" -> "C4 line rules inside each doc - column, min_words, require_terminal_punct, drop_patterns",
+    "shuffle.apply" -> "deterministic seeded corpus shuffle - seed, columns (hash keys; full-row tiebreak)",
+    "bpe.train" -> "learn BPE merges (Sennrich) - column, num_merges, top_words, sample_fraction, lowercase; emits (rank,left,right)",
+    "tokenize.bpe" -> "apply BPE merges - column, merges=[\"l r\",...] or second input frame, count_column, tokens_column, max_merges")
 
   def describe(fn: String): String =
     entries.get(fn).getOrElse {
       if (Set("mongodb.find", "mongodb.findOne", "mongodb.aggregate")(fn))
         "Mongo query/pipeline compiled to Catalyst - path (extended-JSON dump) or input frame; query/projection/sort/limit/skip or pipeline; uri-only mode needs mongo-spark-connector"
-      else if (fn.startsWith("mongodb.")) "MongoDB write-op slot - validates config; execution needs mongo-spark-connector (absent offline)"
+      else if (fn.startsWith("mongodb.")) "Mongo write op compiled to Catalyst rewrites - query/update/replacement/documents/operations, order_by (for *One), upsert; collection = path dump or input frame; uri-only mode needs mongo-spark-connector"
       else if (fn.startsWith("kafka.")) "Kafka connector slot - validates config; execution needs spark-sql-kafka (absent offline)"
       else if (fn == "excel.read") "read .xlsx (native OOXML, no POI) - path, sheet (name|index), has_headers"
       else if (fn == "excel.write") "write .xlsx (native OOXML, driver-side) - path, sheet, write_headers, driver_limit"
