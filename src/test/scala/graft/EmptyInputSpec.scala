@@ -156,6 +156,15 @@ class EmptyInputSpec extends SparkSpec {
     assert(nulled(1).isNullAt(0))
   }
 
+  test("quality.gopher, filter.lines and shuffle.apply on empty frames") {
+    assert(GopherQualityOp(StageContext.one(spark, emptyDocs, Cfg.of())).count() === 0L)
+    assert(GopherQualityOp(StageContext.one(spark, emptyDocs,
+      Cfg.of("mode" -> "filter"))).count() === 0L)
+    assert(LineFilterOp(StageContext.one(spark, emptyDocs,
+      Cfg.of("min_words" -> 1))).count() === 0L)
+    assert(ShuffleOp(StageContext.one(spark, emptyDocs, Cfg.of("seed" -> 1))).count() === 0L)
+  }
+
   test("BPE on empty corpora and empty strings") {
     assert(BpeTrainOp(StageContext.one(spark, emptyDocs, Cfg.of())).count() === 0L)
     val out = BpeTokenizeOp(StageContext.one(spark,
