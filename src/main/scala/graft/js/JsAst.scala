@@ -24,10 +24,19 @@ import scala.collection.mutable
   *   - destructuring in declarations, for-of binders AND function
   *     params: object/array patterns, nesting, renames, defaults,
   *     holes, ...rest; default + rest parameters
+  *   - assignment-position destructuring: `[a, b] = [b, a]`,
+  *     `({x, y: p.q = 3, ...rest} = obj)` — targets may be identifiers,
+  *     members, indexes, or nested patterns (object form needs parens in
+  *     statement position, as in real JS)
+  *   - classes: declarations with constructor, instance methods, instance
+  *     fields, static methods/fields, `extends` + `super(...)` /
+  *     `super.m(...)`, `this` (lexical in arrows), `instanceof`. Methods
+  *     resolve through the class, so Object.keys/JSON.stringify over an
+  *     instance see own data fields only, like real prototypes.
   * Deliberately out of scope (clear parse/runtime errors, documented in
-  * COVERAGE.md): classes, generators/async, assignment-position
-  * destructuring, labels, getters/setters, prototypes, stateful regex
-  * exec (lastIndex).
+  * COVERAGE.md): generators/async, labels, getters/setters, class
+  * expressions, raw prototype manipulation, stateful regex exec
+  * (lastIndex).
   */
 object JsTok {
   sealed trait Token { def pos: Int }
@@ -46,7 +55,8 @@ object JsTok {
     "function", "return", "var", "let", "const", "if", "else", "for",
     "while", "do", "break", "continue", "new", "true", "false", "null",
     "undefined", "typeof", "in", "of", "throw",
-    "try", "catch", "finally", "switch", "case", "default")
+    "try", "catch", "finally", "switch", "case", "default",
+    "class", "extends", "super", "instanceof")
 }
 
 object JsLexer {
@@ -247,6 +257,12 @@ final case class EMember(obj: Expr, name: String, optional: Boolean) extends Exp
 final case class EIndex(obj: Expr, idx: Expr, optional: Boolean) extends Expr
 final case class ECall(callee: Expr, args: Vector[Expr], optional: Boolean) extends Expr
 final case class ENew(callee: Expr, args: Vector[Expr]) extends Expr
+/** `super` — valid only as a call (`super(...)`) or member base
+  * (`super.m`); resolved against the running method's home class. */
+case object ESuper extends Expr
+/** Object-literal shorthand-with-default `{a = 1}` — legal only when the
+  * literal is consumed as a destructuring-assignment pattern. */
+final case class EShorthandDefault(name: String, dflt: Expr) extends Expr
 
 /** Destructuring binding pattern (declarations and for-of binders).
   * Patterns nest: `const {a: {b}, c: [d] = []} = x`. */
@@ -281,6 +297,15 @@ final case class STry(body: Vector[Stmt], catchParam: Option[String],
                       catchBody: Option[Vector[Stmt]], finallyBody: Vector[Stmt]) extends Stmt
 /** cases: (test, body); None test = default. Fall-through per JS. */
 final case class SSwitch(scrutinee: Expr, cases: Vector[(Option[Expr], Vector[Stmt])]) extends Stmt
+/** One class member: method or field, instance or static. Exactly one of
+  * `method` / `fieldInit`-shaped payloads is set per kind. */
+final case class ClassMethod(name: String, params: Vector[Param], body: Vector[Stmt], static: Boolean)
+final case class ClassField(name: String, init: Option[Expr], static: Boolean)
+/** `class Name [extends Parent] { ... }` (declaration position only). */
+final case class SClass(name: String, parentE: Option[Expr],
+                        ctor: Option[(Vector[Param], Vector[Stmt])],
+                        methods: Vector[ClassMethod],
+                        fields: Vector[ClassField]) extends Stmt
 
 object JsParser {
   import JsTok._
@@ -361,6 +386,7 @@ final class JsParser(toks: Vector[JsTok.Token]) {
       val name = ident()
       val params = paramList()
       SFunc(name, params, block())
+    case TKw("class", _) => classDecl()
     case TKw("return", _) =>
       advance()
       if (isPunct(";") || isPunct("}") || atEof) SReturn(None) else SReturn(Some(expression()))
@@ -484,6 +510,51 @@ final class JsParser(toks: Vector[JsTok.Token]) {
     case _ => PIdent(ident())
   }
 
+  /** `class Name [extends Expr] { constructor/methods/fields }`. A leading
+    * `static` marks the member static unless it IS the member name
+    * (`static() {}`, `static = 1`). */
+  private def classDecl(): Stmt = {
+    eatKw("class")
+    val name = ident()
+    val parentE = if (isKw("extends")) { advance(); Some(postfix()) } else None
+    eatPunct("{")
+    var ctor: Option[(Vector[Param], Vector[Stmt])] = None
+    val methods = Vector.newBuilder[ClassMethod]
+    val fields = Vector.newBuilder[ClassField]
+    while (!isPunct("}") && !atEof) {
+      if (!tryPunct(";")) {
+        val static = peek match {
+          case TIdent("static", _) => peek2 match {
+            case TPunct("(" | "=" | ";" | "}", _) => false
+            case _ => advance(); true
+          }
+          case _ => false
+        }
+        peek match {
+          case TIdent("get" | "set", _) if (peek2 match {
+            case TPunct("(" | "=" | ";" | "}", _) => false; case _ => true
+          }) => fail("getters/setters are not supported in js.eval classes")
+          case _ =>
+        }
+        val mname = memberName()
+        if (isPunct("(")) {
+          val params = paramList()
+          val body = block()
+          if (mname == "constructor" && !static) {
+            if (ctor.isDefined) fail("duplicate constructor")
+            ctor = Some((params, body))
+          } else methods += ClassMethod(mname, params, body, static)
+        } else {
+          val init = if (tryPunct("=")) Some(assignExpr()) else None
+          fields += ClassField(mname, init, static)
+        }
+        eatSemi()
+      }
+    }
+    eatPunct("}")
+    SClass(name, parentE, ctor, methods.result(), fields.result())
+  }
+
   private def forStatement(): Stmt = {
     eatKw("for"); eatPunct("(")
     // for (const x of iter) / for (const k in obj)
@@ -577,6 +648,10 @@ final class JsParser(toks: Vector[JsTok.Token]) {
           case _: EIdent | _: EMember | _: EIndex =>
             advance()
             EAssign(op, lhs, assignExpr())
+          // assignment-position destructuring: [a, b] = …, ({x} = …)
+          case (_: EArr | _: EObjLit) if op == "=" =>
+            advance()
+            EAssign("=", lhs, assignExpr())
           case _ => fail(s"invalid assignment target before '$op'")
         }
       case _ => lhs
@@ -628,6 +703,7 @@ final class JsParser(toks: Vector[JsTok.Token]) {
     while (more) peek match {
       case TPunct(op @ ("<" | "<=" | ">" | ">="), _) => advance(); l = EBin(op, l, additive())
       case TKw("in", _) => advance(); l = EBin("in", l, additive())
+      case TKw("instanceof", _) => advance(); l = EBin("instanceof", l, additive())
       case _ => more = false
     }
     l
@@ -744,6 +820,9 @@ final class JsParser(toks: Vector[JsTok.Token]) {
       val name = peek match { case TIdent(n, _) => advance(); n; case _ => "<anonymous>" }
       val params = paramList()
       EFunc(params, block(), name)
+    case TKw("super", _) => advance(); ESuper
+    case TKw("class", _) =>
+      fail("class expressions are not supported — declare the class as a statement")
     case TIdent(n, _) => advance(); EIdent(n)
     case TPunct("(", _) =>
       advance()
@@ -797,6 +876,11 @@ final class JsParser(toks: Vector[JsTok.Token]) {
             else if (isPunct("(")) { // method shorthand
               val params = paramList()
               EFunc(params, block(), key.left.getOrElse("<method>"))
+            } else if (isPunct("=")) key match {
+              // shorthand default { a = 1 } — only legal when this literal
+              // is consumed as a destructuring-assignment pattern
+              case Left(n)  => advance(); EShorthandDefault(n, assignExpr())
+              case Right(_) => fail("computed key requires a value")
             } else key match { // shorthand { a }
               case Left(n) => EIdent(n)
               case Right(_) => fail("computed key requires a value")

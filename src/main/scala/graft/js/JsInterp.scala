@@ -205,6 +205,73 @@ final class JsInterp(script: String) {
           case other        => other // continue propagates to the enclosing loop
         }
       }
+    case SClass(name, parentE, ctorDef, methodDefs, fieldDefs) =>
+      val parent = parentE.map { pe =>
+        eval(pe, env) match {
+          case c: JsClass => c
+          case other => throw new JsError(
+            s"class $name extends a non-class value (${typeOf(other)})")
+        }
+      }
+      val cls = new JsClass(
+        name, parent, ctorDef,
+        methodDefs.filterNot(_.static).map(m => m.name -> ((m.params, m.body))).toMap,
+        mutable.LinkedHashMap.empty,
+        fieldDefs.filterNot(_.static).map(f => f.name -> f.init),
+        env)
+      // define before statics evaluate so they can reference the class
+      env.define(name, cls)
+      methodDefs.filter(_.static).foreach { m =>
+        cls.statics(m.name) = JsFunc(m.params, m.body, env, m.name, cls)
+      }
+      fieldDefs.filter(_.static).foreach { f =>
+        val frame = env.child
+        frame.define("this", cls)
+        cls.statics(f.name) = f.init.map(eval(_, frame)).getOrElse(JsUndefined)
+      }
+      SigNone
+  }
+
+  /** `new C(args)`: fresh instance, field initializers parent-first (each
+    * with `this` bound), then the nearest constructor in the chain.
+    * `super(...)` inside a derived constructor runs the parent constructor
+    * body on the same instance (fields are already initialized — a derived
+    * constructor that never calls super() skips the parent body; real JS
+    * would throw there, we stay permissive). */
+  private def instantiate(cls: JsClass, args: Seq[JsVal]): JsObj = {
+    val obj = new JsObj(mutable.LinkedHashMap.empty, cls)
+    def initFields(c: JsClass): Unit = {
+      c.parent.foreach(initFields)
+      c.fieldInits.foreach { case (n, init) =>
+        val frame = c.closure.child
+        frame.define("this", obj)
+        frame.define("<home>", c)
+        obj.fields(n) = init.map(eval(_, frame)).getOrElse(JsUndefined)
+      }
+    }
+    initFields(cls)
+    cls.findCtor.foreach { case (h, (ps, body)) =>
+      call(JsFunc(ps, body, h.closure, "constructor", h), obj, args)
+    }
+    obj
+  }
+
+  /** The class whose method body is currently executing (anchors `super`). */
+  private def homeClass(env: Env): JsClass = env.lookup("<home>") match {
+    case Some(c: JsClass) => c
+    case _ => throw new JsError("'super' is only valid inside a class method")
+  }
+
+  private def thisVal(env: Env): JsVal = env.lookup("this").getOrElse(JsUndefined)
+
+  /** Resolve `super.name` to the parent-chain method as a callable. */
+  private def superMember(name: String, env: Env): JsFunc = {
+    val parent = homeClass(env).parent.getOrElse(
+      throw new JsError("'super' used in a class without an extends clause"))
+    parent.findMethod(name) match {
+      case Some((h, (ps, body))) => JsFunc(ps, body, h.closure, name, h)
+      case None => throw new JsError(s"super.$name is not defined")
+    }
   }
 
   // ------------------------------------------------------------ evaluation
@@ -288,8 +355,17 @@ final class JsInterp(script: String) {
       val v =
         if (op == "=") eval(value, env)
         else binopValues(op.dropRight(1), evalRef(target, env), eval(value, env))
-      assignTo(target, v, env)
+      target match {
+        case _: EArr | _: EObjLit => destructureAssign(target, v, env)
+        case _                    => assignTo(target, v, env)
+      }
       v
+    case ESuper =>
+      throw new JsError("'super' is only valid as super(...) or super.method(...)")
+    case EShorthandDefault(name, _) =>
+      throw new JsError(
+        s"shorthand default '{ $name = … }' is only valid as a destructuring-assignment target")
+    case EMember(ESuper, name, _) => superMember(name, env)
     case EMember(objE, name, optional) =>
       val obj = eval(objE, env)
       if (optional && (obj == JsNull || obj == JsUndefined)) JsUndefined
@@ -311,13 +387,24 @@ final class JsInterp(script: String) {
           case (JsStr(s), JsNum(d)) =>
             val i = d.toInt
             if (i >= 0 && i < s.length) JsStr(s.charAt(i).toString) else JsUndefined
-          case (o: JsObj, k) => o.fields.getOrElse(toStr(k), JsUndefined)
+          case (o: JsObj, k) =>
+            val key = toStr(k)
+            if (o.klass != null && !o.fields.contains(key)) member(o, key, objE)
+            else o.fields.getOrElse(key, JsUndefined)
           case (other, k)    => member(other, toStr(k), objE)
         }
       }
     case ECall(calleeE, argEs, optional) =>
       // method calls need `this` binding from the member base
       val (fn, thisv) = calleeE match {
+        case ESuper => // super(args): the parent constructor on this instance
+          val parent = homeClass(env).parent.getOrElse(
+            throw new JsError("super(...) requires an extends clause"))
+          val ctorFn = parent.findCtor
+            .map { case (h, (ps, body)) => JsFunc(ps, body, h.closure, "constructor", h): JsVal }
+            .getOrElse(JsNative("constructor", (_, _) => JsUndefined))
+          (ctorFn, thisVal(env))
+        case EMember(ESuper, name, _) => (superMember(name, env), thisVal(env))
         case EMember(objE, name, opt) =>
           val obj = eval(objE, env)
           if (opt && (obj == JsNull || obj == JsUndefined)) (JsUndefined, JsUndefined)
@@ -362,8 +449,20 @@ final class JsInterp(script: String) {
         }
         case EIdent("Set") | EIdent("Map") =>
           throw new JsError("Set/Map are not supported in js.eval — use objects/arrays")
-        case other => // `new f(...)` on a user function: plain call (no prototypes)
-          call(eval(other, env), JsObj.empty, args)
+        case other =>
+          eval(other, env) match {
+            case cls: JsClass => instantiate(cls, args)
+            case f: JsFunc => // constructor-function pattern: fresh `this`,
+              // returned unless the body returns an object itself
+              val obj = JsObj.empty
+              call(f, obj, args) match {
+                case o: JsObj => o
+                case a: JsArr => a
+                case _        => obj
+              }
+            case n: JsNative => n.fn(JsObj.empty, args)
+            case v => throw new JsError(s"${toStr(v)} is not a constructor")
+          }
       }
   }
 
@@ -377,19 +476,8 @@ final class JsInterp(script: String) {
     case PObj(entries, rest) =>
       if (v == JsNull || v == JsUndefined)
         throw new JsError(s"cannot destructure ${toStr(v)}")
-      def prop(key: String): JsVal = v match {
-        case o: JsObj => o.fields.getOrElse(key, JsUndefined)
-        case _ => // primitives: unknown members bind undefined (→ default),
-          // and builtin member lookups that THROW for unknown names
-          // (strings) must not escape a destructuring
-          (try Builtins.member(v, key, this).getOrElse(JsUndefined)
-           catch { case _: JsError => JsUndefined }) match {
-            case _: JsNative => JsUndefined // don't bind builtin methods via patterns
-            case other       => other
-          }
-      }
       entries.foreach { case (key, target, dflt) =>
-        val raw = prop(key)
+        val raw = patternProp(v, key)
         val bound = if (raw == JsUndefined) dflt.map(eval(_, env)).getOrElse(JsUndefined) else raw
         destructure(target, bound, env)
       }
@@ -416,6 +504,83 @@ final class JsInterp(script: String) {
         case (None, _) => // hole
       }
       rest.foreach(r => env.define(r, JsArr.of(seq.drop(items.length))))
+  }
+
+  /** Property read for pattern binding: object fields, or primitive builtin
+    * data members — never builtin methods, and lookups that THROW for
+    * unknown names (strings) must not escape a destructuring. */
+  private def patternProp(v: JsVal, key: String): JsVal = v match {
+    case o: JsObj => o.fields.getOrElse(key, JsUndefined)
+    case _ =>
+      (try Builtins.member(v, key, this).getOrElse(JsUndefined)
+       catch { case _: JsError => JsUndefined }) match {
+        case _: JsNative => JsUndefined
+        case other       => other
+      }
+  }
+
+  /** Assignment-position destructuring: the `=` target parsed as an
+    * array/object literal; reinterpret it as a pattern whose leaves are
+    * lvalues (identifier/member/index) or nested patterns. Array form:
+    * `[a, b.c, ...rest] = xs`, defaults via `[a = 1] = xs`. Object form:
+    * `({x, y: t.u = 2, ...rest} = o)`. */
+  private def destructureAssign(target: Expr, v: JsVal, env: Env): Unit = target match {
+    case EArr(items, spreads) =>
+      val seq: Seq[JsVal] = v match {
+        case a: JsArr   => a.items.toSeq
+        case JsStr(s)   => s.map(c => JsStr(c.toString))
+        case JsNull | JsUndefined => throw new JsError(s"cannot destructure ${toStr(v)}")
+        case other      => throw new JsError(s"value is not iterable: ${toStr(other)}")
+      }
+      items.zipWithIndex.foreach { case (item, i) =>
+        if (spreads(i)) {
+          if (i != items.length - 1)
+            throw new JsError("rest element must be last in a destructuring assignment")
+          assignPatternLeaf(item, JsArr.of(seq.drop(i)), env)
+        } else item match {
+          case EAssign("=", t, dflt) =>
+            val raw = seq.lift(i).getOrElse(JsUndefined)
+            assignPatternLeaf(t, if (raw == JsUndefined) eval(dflt, env) else raw, env)
+          case t =>
+            assignPatternLeaf(t, seq.lift(i).getOrElse(JsUndefined), env)
+        }
+      }
+    case EObjLit(entries, spreadExprs, order) =>
+      if (v == JsNull || v == JsUndefined)
+        throw new JsError(s"cannot destructure ${toStr(v)}")
+      val taken = mutable.Set.empty[String]
+      order.zipWithIndex.foreach {
+        case (Left(i), _) =>
+          val (k, vExpr) = entries(i)
+          val key = k match {
+            case Left(nm)  => nm
+            case Right(ke) => toStr(eval(ke, env))
+          }
+          taken += key
+          val raw = patternProp(v, key)
+          vExpr match {
+            case EShorthandDefault(nm, dflt) =>
+              assignPatternLeaf(EIdent(nm), if (raw == JsUndefined) eval(dflt, env) else raw, env)
+            case EAssign("=", t, dflt) =>
+              assignPatternLeaf(t, if (raw == JsUndefined) eval(dflt, env) else raw, env)
+            case t => assignPatternLeaf(t, raw, env)
+          }
+        case (Right(i), pos) =>
+          if (pos != order.length - 1)
+            throw new JsError("rest element must be last in a destructuring assignment")
+          val rem = v match {
+            case o: JsObj => JsObj(o.fields.toSeq.filterNot { case (k, _) => taken(k) }: _*)
+            case _        => JsObj.empty
+          }
+          assignPatternLeaf(spreadExprs(i), rem, env)
+      }
+    case other => assignTo(other, v, env)
+  }
+
+  private def assignPatternLeaf(t: Expr, v: JsVal, env: Env): Unit = t match {
+    case _: EArr | _: EObjLit => destructureAssign(t, v, env)
+    case _: EIdent | _: EMember | _: EIndex => assignTo(t, v, env)
+    case _ => throw new JsError("invalid destructuring-assignment target")
   }
 
   private def evalRef(target: Expr, env: Env): JsVal = eval(target, env)
@@ -466,6 +631,17 @@ final class JsInterp(script: String) {
         case other    => throw new JsError(s"'in' on ${typeOf(other)}")
       }
     }
+    if (op == "instanceof") {
+      val lv = eval(lE, env)
+      return eval(rE, env) match {
+        case c: JsClass => lv match {
+          case o: JsObj if o.klass != null => JsBool(o.klass.isSubclassOf(c))
+          case _                           => JsBool(false)
+        }
+        case other => throw new JsError(
+          s"right-hand side of instanceof must be a class (got ${typeOf(other)})")
+      }
+    }
     binopValues(op, eval(lE, env), eval(rE, env))
   }
 
@@ -506,8 +682,14 @@ final class JsInterp(script: String) {
   }
 
   def call(fn: JsVal, thisv: JsVal, args: Seq[JsVal]): JsVal = fn match {
-    case JsFunc(params, body, closure, name) =>
+    case f @ JsFunc(params, body, closure, _, home) =>
       val frame = closure.child
+      // arrows keep the lexical `this`/`super`; everything else rebinds.
+      // "<home>" can't collide with user identifiers ('<' can't lex).
+      if (!f.isArrow) {
+        frame.define("this", thisv)
+        if (home != null) frame.define("<home>", home)
+      }
       params.zipWithIndex.foreach { case (Param(pat, dflt, rest), i) =>
         if (rest) destructure(pat, JsArr.of(args.drop(i)), frame)
         else {
@@ -527,13 +709,24 @@ final class JsInterp(script: String) {
     case other          => throw new JsError(s"${toStr(other)} is not a function")
   }
 
-  private def member(obj: JsVal, name: String, objE: Expr): JsVal =
-    Builtins.member(obj, name, this).getOrElse {
-      obj match {
-        case JsNull | JsUndefined =>
-          val where = objE match { case EIdent(n) => s" of $n"; case _ => "" }
-          throw new JsError(s"cannot read property '$name'$where (value is ${toStr(obj)})")
-        case _ => JsUndefined
+  private def member(obj: JsVal, name: String, objE: Expr): JsVal = obj match {
+    // class instance: own fields shadow, then the method chain, then the
+    // generic object builtins (hasOwnProperty)
+    case o: JsObj if o.klass != null && !o.fields.contains(name) =>
+      o.klass.findMethod(name) match {
+        case Some((h, (ps, body))) => JsFunc(ps, body, h.closure, name, h)
+        case None => Builtins.member(obj, name, this).getOrElse(JsUndefined)
       }
-    }
+    case c: JsClass =>
+      c.findStatic(name).getOrElse(if (name == "name") JsStr(c.name) else JsUndefined)
+    case _ =>
+      Builtins.member(obj, name, this).getOrElse {
+        obj match {
+          case JsNull | JsUndefined =>
+            val where = objE match { case EIdent(n) => s" of $n"; case _ => "" }
+            throw new JsError(s"cannot read property '$name'$where (value is ${toStr(obj)})")
+          case _ => JsUndefined
+        }
+      }
+  }
 }

@@ -24,12 +24,44 @@ final case class JsBool(b: Boolean) extends JsVal
 final case class JsNum(d: Double) extends JsVal
 final case class JsStr(s: String) extends JsVal
 /** Mutable, insertion-ordered — JS object semantics; order drives output
-  * column order. */
-final class JsObj(val fields: mutable.LinkedHashMap[String, JsVal]) extends JsVal
+  * column order. `klass` is non-null for class instances: methods resolve
+  * through it (not through `fields`), so Object.keys / JSON.stringify see
+  * own data properties only — real prototype behavior without a prototype
+  * chain. */
+final class JsObj(val fields: mutable.LinkedHashMap[String, JsVal],
+                  val klass: JsClass = null) extends JsVal
 final class JsArr(val items: mutable.ArrayBuffer[JsVal]) extends JsVal
-/** User function (declaration, expression, or arrow). */
+/** User function (declaration, expression, arrow, or class method).
+  * `home` (class methods/constructors only) anchors `super` resolution. */
 final case class JsFunc(params: Vector[Param], body: Vector[Stmt],
-                        closure: Env, name: String) extends JsVal
+                        closure: Env, name: String,
+                        home: JsClass = null) extends JsVal {
+  /** Arrows never rebind `this` (lexical). The sentinel can't collide with
+    * user functions: '<' can't appear in an identifier. */
+  def isArrow: Boolean = name == "<arrow>"
+}
+
+/** A `class` declaration. Instance methods live on the class (resolved via
+  * [[JsObj.klass]]); statics are ordinary properties of the class value.
+  * Methods are stored as raw (params, body) and wrapped into [[JsFunc]]s
+  * (with `home` = the OWNING class, for `super`) at lookup time. */
+final class JsClass(val name: String,
+                    val parent: Option[JsClass],
+                    val ctor: Option[(Vector[Param], Vector[Stmt])],
+                    val methods: Map[String, (Vector[Param], Vector[Stmt])],
+                    val statics: mutable.LinkedHashMap[String, JsVal],
+                    val fieldInits: Vector[(String, Option[Expr])],
+                    val closure: Env) extends JsVal {
+  /** Nearest definition walking up the parent chain, with its owning class. */
+  def findMethod(n: String): Option[(JsClass, (Vector[Param], Vector[Stmt]))] =
+    methods.get(n).map((this, _)).orElse(parent.flatMap(_.findMethod(n)))
+  def findCtor: Option[(JsClass, (Vector[Param], Vector[Stmt]))] =
+    ctor.map((this, _)).orElse(parent.flatMap(_.findCtor))
+  def findStatic(n: String): Option[JsVal] =
+    statics.get(n).orElse(parent.flatMap(_.findStatic(n)))
+  def isSubclassOf(c: JsClass): Boolean =
+    (this eq c) || parent.exists(_.isSubclassOf(c))
+}
 /** Built-in; `thisv` is bound at member lookup (e.g. `"a,b".split`). */
 final case class JsNative(name: String, fn: (JsVal, Seq[JsVal]) => JsVal) extends JsVal
 /** `new Date(...)` — epoch millis, UTC accessors. */
@@ -115,6 +147,7 @@ object JsVal {
     case a: JsArr     => a.items.map(i => if (i == JsNull || i == JsUndefined) "" else toStr(i)).mkString(",")
     case _: JsObj     => "[object Object]"
     case f: JsFunc    => s"function ${f.name}() { ... }"
+    case c: JsClass   => s"class ${c.name} { ... }"
     case n: JsNative  => s"function ${n.name}() { [native code] }"
     case JsDate(ms)   => isoString(ms)
     case r: JsRegex   => s"/${r.source}/${r.flags}"
@@ -142,7 +175,7 @@ object JsVal {
     case _: JsBool              => "boolean"
     case _: JsNum               => "number"
     case _: JsStr               => "string"
-    case _: JsFunc | _: JsNative => "function"
+    case _: JsFunc | _: JsNative | _: JsClass => "function"
     case _                      => "object"
   }
 
@@ -289,7 +322,7 @@ object JsVal {
       a.items.foreach { item =>
         if (!first) b.append(','); first = false
         item match {
-          case _: JsFunc | _: JsNative | JsUndefined => b.append("null")
+          case _: JsFunc | _: JsNative | _: JsClass | JsUndefined => b.append("null")
           case x => writeJson(x, b)
         }
       }
@@ -299,14 +332,14 @@ object JsVal {
       var first = true
       o.fields.foreach { case (k, value) =>
         value match {
-          case _: JsFunc | _: JsNative | JsUndefined => // dropped
+          case _: JsFunc | _: JsNative | _: JsClass | JsUndefined => // dropped
           case x =>
             if (!first) b.append(','); first = false
             writeJsonString(k, b); b.append(':'); writeJson(x, b)
         }
       }
       b.append('}')
-    case _: JsFunc | _: JsNative => b.append("null")
+    case _: JsFunc | _: JsNative | _: JsClass => b.append("null")
   }
 
   private def writeJsonString(s: String, b: java.lang.StringBuilder): Unit = {

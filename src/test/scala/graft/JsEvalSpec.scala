@@ -385,7 +385,7 @@ class JsInterpSpec extends AnyFunSuite {
   }
 
   test("unsupported features fail loudly, not silently") {
-    intercept[JsError](new JsInterp("class A {}; function transform(r) { return r; }"))
+    intercept[JsError](new JsInterp("function* gen() {}; function transform(r) { return r; }"))
     intercept[JsError](run("function transform(r) { return { v: new Set() }; }"))
     // match with a string arg coerces to a regex per JS (regex support)
     assert(run("function transform(r) { return { v: 'x'.match('x') }; }") === """{"v":["x"]}""")
@@ -497,6 +497,173 @@ class JsInterpSpec extends AnyFunSuite {
     val r2 = JsVal.stringify(interp.callTransform(JsVal.parseJson("""{"n": 2}""")))
     assert(r1 === """{"n":2,"calls":1}""")
     assert(r2 === """{"n":4,"calls":2}""") // top-level state persists, parsed once
+  }
+
+  // ------------------------------------------- assignment destructuring
+
+  test("array destructuring assignment: swap, defaults, rest, member targets") {
+    assert(run(
+      """function transform(row) {
+        |  let a = 1, b = 2;
+        |  [a, b] = [b, a];
+        |  let [c = 10, d = 20] = [undefined, 7]; // declaration form still works
+        |  let e, f;
+        |  [e = 99, f = 98] = [5];
+        |  let head, tail;
+        |  [head, ...tail] = [1, 2, 3, 4];
+        |  const o = { arr: [0, 0] };
+        |  [o.x, o.arr[1]] = ['mx', 'ix'];
+        |  return { a, b, c, d, e, f, head, tail, ox: o.x, oa: o.arr };
+        |}""".stripMargin) ===
+      """{"a":2,"b":1,"c":10,"d":7,"e":5,"f":98,"head":1,"tail":[2,3,4],"ox":"mx","oa":[0,"ix"]}""")
+  }
+
+  test("object destructuring assignment: parens form, rename, default, rest, nesting") {
+    assert(run(
+      """function transform(row) {
+        |  let x, y, z, rest, deep;
+        |  ({ x, y: z = 42, ...rest } = { x: 1, w: 2, q: 3 });
+        |  ({ a: { b: deep } } = { a: { b: 'inner' } });
+        |  const t = {};
+        |  ({ p: t.prop = 'dflt' } = {});
+        |  let [m, { n }] = [[7, { n: 8 }]][0] ? [7, { n: 8 }] : [];
+        |  return { x, z, rest, deep, tprop: t.prop, m, n };
+        |}""".stripMargin) ===
+      """{"x":1,"z":42,"rest":{"w":2,"q":3},"deep":"inner","tprop":"dflt","m":7,"n":8}""")
+  }
+
+  test("destructuring assignment error cases stay loud") {
+    val e1 = intercept[JsError](run(
+      "function transform(row) { let a; [a] = null; return {}; }"))
+    assert(e1.getMessage.contains("cannot destructure"))
+    val e2 = intercept[JsError](run(
+      "function transform(row) { let a, b; [...a, b] = [1, 2]; return {}; }"))
+    assert(e2.getMessage.contains("rest element must be last"))
+    // shorthand default outside a pattern is rejected, not silently assigned
+    val e3 = intercept[JsError](run(
+      "function transform(row) { const o = { a = 1 }; return o; }"))
+    assert(e3.getMessage.contains("destructuring"))
+  }
+
+  // ------------------------------------------------------------- classes
+
+  test("class with constructor, fields, methods and this") {
+    assert(run(
+      """class Doc {
+        |  views = 0;
+        |  constructor(title, body) {
+        |    this.title = title;
+        |    this.body = body;
+        |  }
+        |  wordCount() { return this.body.split(/\s+/).filter(w => w.length > 0).length; }
+        |  summary(n = 2) { return this.title + ': ' + this.body.split(' ').slice(0, n).join(' '); }
+        |}
+        |function transform(row) {
+        |  const d = new Doc(row.title, row.body);
+        |  d.views++;
+        |  return { wc: d.wordCount(), sum: d.summary(), views: d.views,
+        |           keys: Object.keys(d), json: JSON.stringify(d) };
+        |}""".stripMargin,
+      """{"title": "T", "body": "alpha beta gamma"}""") ===
+      """{"wc":3,"sum":"T: alpha beta","views":1,"keys":["views","title","body"],""" +
+      """"json":"{\"views\":1,\"title\":\"T\",\"body\":\"alpha beta gamma\"}"}""")
+  }
+
+  test("class inheritance: extends, super(...), super.m(...), instanceof") {
+    assert(run(
+      """class Animal {
+        |  constructor(name) { this.name = name; }
+        |  speak() { return this.name + ' makes a sound'; }
+        |  legs() { return 4; }
+        |}
+        |class Dog extends Animal {
+        |  constructor(name) { super(name); this.kind = 'dog'; }
+        |  speak() { return super.speak() + ' (woof)'; }
+        |}
+        |function transform(row) {
+        |  const d = new Dog('Rex');
+        |  const a = new Animal('Generic');
+        |  return { s: d.speak(), legs: d.legs(), name: d.name, kind: d.kind,
+        |           dIsAnimal: d instanceof Animal, dIsDog: d instanceof Dog,
+        |           aIsDog: a instanceof Dog, plainIsDog: ({}) instanceof Dog };
+        |}""".stripMargin) ===
+      """{"s":"Rex makes a sound (woof)","legs":4,"name":"Rex","kind":"dog",""" +
+      """"dIsAnimal":true,"dIsDog":true,"aIsDog":false,"plainIsDog":false}""")
+  }
+
+  test("static methods and fields; class name; methods named like modifiers") {
+    assert(run(
+      """class MathUtil {
+        |  static twoPi = 2 * Math.PI;
+        |  static double(x) { return x * 2; }
+        |  static() { return 'instance method literally named static'; }
+        |}
+        |class Child extends MathUtil {}
+        |function transform(row) {
+        |  const m = new MathUtil();
+        |  return { d: MathUtil.double(21), pi2: Math.round(MathUtil.twoPi * 100) / 100,
+        |           inherited: Child.double(3), nm: MathUtil.name, s: m.static() };
+        |}""".stripMargin) ===
+      """{"d":42,"pi2":6.28,"inherited":6,"nm":"MathUtil","s":"instance method literally named static"}""")
+  }
+
+  test("arrows capture lexical this; extracted methods lose it, like JS") {
+    assert(run(
+      """class Counter {
+        |  n = 0;
+        |  bump3() {
+        |    [1, 2, 3].forEach(() => { this.n++; });
+        |    return this.n;
+        |  }
+        |}
+        |function transform(row) {
+        |  const c = new Counter();
+        |  return { n: c.bump3() };
+        |}""".stripMargin) === """{"n":3}""")
+    val e = intercept[JsError](run(
+      """class A { m() { return this.x; } }
+        |function transform(row) {
+        |  const a = new A(); a.x = 1;
+        |  const f = a.m;
+        |  return { v: f() };
+        |}""".stripMargin))
+    assert(e.getMessage.contains("undefined"))
+  }
+
+  test("class field initializers may call methods; derived fields see super chain") {
+    assert(run(
+      """class Base {
+        |  base = 'b';
+        |  tag() { return 'base'; }
+        |}
+        |class Derived extends Base {
+        |  label = this.tag() + '!';
+        |}
+        |function transform(row) {
+        |  const d = new Derived();
+        |  return { label: d.label, base: d.base };
+        |}""".stripMargin) === """{"label":"base!","base":"b"}""")
+  }
+
+  test("constructor-function pattern via new f() binds this and returns the instance") {
+    assert(run(
+      """function Point(x, y) { this.x = x; this.y = y; }
+        |function transform(row) {
+        |  const p = new Point(3, 4);
+        |  return { x: p.x, y: p.y, dist: Math.sqrt(p.x * p.x + p.y * p.y) };
+        |}""".stripMargin) === """{"x":3,"y":4,"dist":5}""")
+  }
+
+  test("class declarations stay out of JSON output; unsupported class forms error clearly") {
+    val e1 = intercept[JsError](new JsInterp(
+      "const C = class { m() {} }; function transform(row) { return {}; }"))
+    assert(e1.getMessage.contains("class expressions"))
+    val e2 = intercept[JsError](new JsInterp(
+      "class G { get x() { return 1; } } function transform(row) { return {}; }"))
+    assert(e2.getMessage.contains("getters/setters"))
+    val e3 = intercept[JsError](run(
+      "class A {} function transform(row) { return { v: 1 instanceof 2 }; }"))
+    assert(e3.getMessage.contains("instanceof"))
   }
 }
 
