@@ -98,6 +98,7 @@ object Docs {
     "text.normalize" -> "unicode normalize - column, form=nfc|nfd|nfkc|nfkd, strip_accents, lowercase",
     "quality.gopher" -> "Gopher quality rules - column, mode=annotate|filter, min/max_words, min/max_mean_word_len, max_symbol_ratio, max_bullet_frac, max_ellipsis_frac, min_alpha_frac, min_stopwords",
     "filter.lines" -> "C4 line rules inside each doc - column, min_words, require_terminal_punct, drop_patterns",
+    "quality.perplexity" -> "unigram-LM perplexity score (CCNet-style) - column, id_column, smoothing, mode=annotate|filter, max_perplexity; optional 2nd input = training corpus",
     "shuffle.apply" -> "deterministic seeded corpus shuffle - seed, columns (hash keys; full-row tiebreak)",
     "bpe.train" -> "learn BPE merges (Sennrich) - column, num_merges, top_words, sample_fraction, lowercase; emits (rank,left,right)",
     "tokenize.bpe" -> "apply BPE merges - column, merges=[\"l r\",...] or second input frame, count_column, tokens_column, max_merges")

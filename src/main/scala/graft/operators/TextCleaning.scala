@@ -543,3 +543,100 @@ object LineFilterOp extends Stage {
     ctx.primary.withColumn(out, fn(ctx.primary(col)))
   }
 }
+
+/** quality.perplexity — unigram language-model perplexity scoring, the
+  * CCNet-style quality signal (Wenzek et al. 2020 rank documents by LM
+  * perplexity; low = fluent prose, high = gibberish/boilerplate). A full
+  * KenLM doesn't ship in this image, so the model is the classic add-alpha
+  * unigram LM: p(w) = (c(w) + a) / (N + a*V) with counts from the training
+  * corpus (the optional SECOND input; defaults to the scored corpus
+  * itself, OOV words get c = 0).
+  *
+  * Scale shape (the 100 TB lens): explode is narrow; the word-frequency
+  * table is one shuffle with map-side partial aggregation (vocabulary-
+  * sized result, then its grand totals are a 1-row cross-joined
+  * broadcast); scoring is a key-key join on the word (AQE broadcasts the
+  * vocab side when it fits) and one shuffle back on the doc id. No
+  * driver-side collection, no per-query retraining loop.
+  *
+  * Cross-engine float discipline: the per-word log-prob is quantized to
+  * BIGINT tenths-of-milli-nats BEFORE the per-document sum, so the
+  * aggregate is order-independent and exact — a raw DOUBLE sum over
+  * shuffled partitions would round differently per run and per engine.
+  * The derived doubles (`avg_nll`, `perplexity`) are computed from that
+  * exact integer, so both engines see bit-identical inputs.
+  *
+  * Outputs appended: `ppl_words` (scored token count), `avg_nll`
+  * (mean negative log-likelihood, nats/word), `perplexity`
+  * (exp(avg_nll)); docs with no tokens carry NULLs. mode=filter keeps
+  * rows with perplexity <= max_perplexity (NULL-token docs drop, like a
+  * real perplexity filter would).
+  */
+object PerplexityOp extends Stage {
+  val name = "quality.perplexity"
+  val kind = StageKind.Transform
+
+  /** quantization: 1e4 steps/nat — coarse enough that a 1-2 ulp ln()
+    * difference between JVM and C math libraries can't flip a bucket,
+    * fine enough that per-word rounding error (<= 5e-5 nat) is invisible
+    * in a per-doc mean. */
+  private val Q = 10000.0
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val df = ctx.primary
+    val textCol = cfg.strOr("column", "text")
+    val id = cfg.strOr("id_column", "doc_id")
+    if (!df.columns.contains(id))
+      throw new GraftPlanError(
+        s"quality.perplexity: id_column '$id' not found (needed to attach scores); " +
+        s"available: ${df.columns.mkString(", ")}")
+    val alpha = cfg.doubleOr("smoothing", 0.5)
+    if (alpha <= 0.0)
+      throw new GraftConfigError(s"quality.perplexity smoothing must be > 0, got $alpha")
+    val mode = cfg.strOr("mode", "annotate") match {
+      case ok @ ("annotate" | "filter") => ok
+      case other => throw new GraftConfigError(
+        s"quality.perplexity mode must be annotate|filter, got '$other'")
+    }
+    val maxPpl = cfg.doubleOr("max_perplexity", 10000.0)
+    val trainDf = if (ctx.inputs.size >= 2) ctx.input(1) else df
+    if (!trainDf.columns.contains(textCol))
+      throw new GraftPlanError(
+        s"quality.perplexity: training input lacks text column '$textCol'")
+
+    val words = df.select(F.col(id), F.explode(Shingles.tokens(F.col(textCol))).alias("__w"))
+    val trainWords =
+      if (trainDf eq df) words.select("__w")
+      else trainDf.select(F.explode(Shingles.tokens(F.col(textCol))).alias("__w"))
+    val freq = trainWords.groupBy("__w")
+      .agg(F.count(F.lit(1)).cast("double").alias("__c"))
+    val stats = freq.agg(
+      F.sum("__c").alias("__n"),
+      F.count(F.lit(1)).cast("double").alias("__v"))
+
+    val p = (F.coalesce(F.col("__c"), F.lit(0.0)) + F.lit(alpha)) /
+      (F.col("__n") + F.lit(alpha) * F.col("__v"))
+    val perDoc = words
+      .join(freq, Seq("__w"), "left") // left: OOV vs a separate training corpus
+      .crossJoin(F.broadcast(stats))
+      .select(F.col(id), F.round(F.log(p) * Q, 0).cast("long").alias("__lpq"))
+      .groupBy(id)
+      .agg(F.count(F.lit(1)).alias("ppl_words"), F.sum("__lpq").alias("__slp"))
+
+    // avg_nll stays UNROUNDED: it is a ratio of exact integers, so the
+    // IEEE divisions are bit-identical across engines, while round()ing
+    // would hit exact .5 decimal boundaries (quantized rationals land on
+    // them often) where Spark's BigDecimal-round and DuckDB's decimal-
+    // format-round disagree. perplexity = exp(...) differs by ~1 ulp
+    // across libm implementations, so THAT one is rounded (3 digits —
+    // boundary coincidence odds ~1e-10/doc).
+    val nll = -(F.col("__slp").cast("double") / Q) / F.col("ppl_words")
+    val out = df.join(perDoc, Seq(id), "left")
+      .withColumn("avg_nll", nll)
+      .withColumn("perplexity", F.round(F.exp(nll), 3))
+      .drop("__slp")
+    if (mode == "filter") out.filter(F.col("perplexity") <= maxPpl)
+    else out
+  }
+}

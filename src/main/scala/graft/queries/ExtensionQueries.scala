@@ -630,6 +630,32 @@ object ExtensionQueries {
           "ellipsis_frac", "alpha_frac", "n_stopwords", "keep")
     },
 
+    // ---- quality.perplexity: the whole add-alpha unigram LM is SQL, so
+    // the oracle restates it end to end: tokenize → corpus frequencies →
+    // grand totals → per-word log-prob QUANTIZED to BIGINT (sum order
+    // then can't produce cross-engine float drift) → per-doc mean nll +
+    // perplexity derived from the exact integer sum.
+    QueryDef("quality_perplexity",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, CAST(count(*) AS DOUBLE) AS c FROM toks GROUP BY w),
+        |stats AS (SELECT sum(c) AS n, CAST(count(*) AS DOUBLE) AS v FROM freq),
+        |lp AS (
+        |  SELECT t.doc_id,
+        |    CAST(round(ln((f.c + 0.5) / (s.n + 0.5 * s.v)) * 10000, 0) AS BIGINT) AS lpq
+        |  FROM toks t JOIN freq f USING (w) CROSS JOIN stats s),
+        |doc AS (
+        |  SELECT doc_id, count(*) AS ppl_words, CAST(sum(lpq) AS BIGINT) AS slp
+        |  FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id, doc.ppl_words,
+        |  -(CAST(doc.slp AS DOUBLE) / 10000.0) / doc.ppl_words AS avg_nll,
+        |  round(exp(-(CAST(doc.slp AS DOUBLE) / 10000.0) / doc.ppl_words), 3) AS perplexity
+        |FROM documents d LEFT JOIN doc ON d.doc_id = doc.doc_id""".stripMargin) { (s, d) =>
+      PerplexityOp(StageContext.one(s, t(s, d, "documents"), Cfg.of()))
+        .select("doc_id", "ppl_words", "avg_nll", "perplexity")
+    },
+
     // ---- BPE: tokenize.bpe with the 2-rule table {t+a→ta, ta+b→tab} has
     // a closed-form token count — every literal 'ta' fires merge 1 and
     // every literal 'tab' additionally fires merge 2 (no other rule

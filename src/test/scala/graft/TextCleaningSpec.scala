@@ -1,8 +1,8 @@
 package graft
 
 import graft.config.{Cfg, GraftConfigError}
-import graft.core.StageContext
-import graft.operators.{DedupLinesOp, RedactOp, RepetitionOp, TextNormalizeOp, UrlNormalizeOp}
+import graft.core.{GraftPlanError, StageContext}
+import graft.operators.{DedupLinesOp, PerplexityOp, RedactOp, RepetitionOp, TextNormalizeOp, UrlNormalizeOp}
 
 /** text.redact + text.repetition — corpus-cleaning extensions. */
 class TextCleaningSpec extends SparkSpec {
@@ -256,5 +256,44 @@ class TextCleaningSpec extends SparkSpec {
     // NFKC folds compatibility forms (ﬁ ligature, fullwidth digits)
     assert(tnorm("ﬁle １２", "form" -> "nfkc") === "file 12")
     intercept[GraftConfigError](tnorm("x", "form" -> "bogus"))
+  }
+
+  test("quality.perplexity: hand-checked unigram LM on a 3-doc corpus") {
+    // corpus: "a a b" / "a b" / "a c" → counts a=4, b=2, c=1; N=7, V=3
+    // alpha=0.5: p(a)=4.5/8.5, p(b)=2.5/8.5, p(c)=1.5/8.5
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = PerplexityOp(StageContext.one(spark, docs, Cfg.of()))
+      .orderBy("doc_id").collect()
+    def q(x: Double) = Math.round(Math.log(x) * 10000).toDouble / 10000
+    val (pa, pb, pc) = (4.5 / 8.5, 2.5 / 8.5, 1.5 / 8.5)
+    val exp1 = -(q(pa) + q(pa) + q(pb)) / 3
+    val exp3 = -(q(pa) + q(pc)) / 2
+    assert(out.map(_.getAs[Long]("ppl_words")).toSeq === Seq(3L, 2L, 2L))
+    assert(Math.abs(out(0).getAs[Double]("avg_nll") - exp1) < 1e-9)
+    assert(Math.abs(out(2).getAs[Double]("avg_nll") - exp3) < 1e-9)
+    // rarer words → higher perplexity; doc 3 (has the rarest word) ranks worst
+    val ppl = out.map(_.getAs[Double]("perplexity"))
+    assert(ppl(2) > ppl(1) && ppl(1) > ppl(0))
+    assert(Math.abs(ppl(0) - Math.round(Math.exp(exp1) * 1000) / 1000.0) < 1e-9)
+  }
+
+  test("quality.perplexity: separate training corpus, OOV smoothing, filter mode") {
+    val train = Seq(Tuple1("the cat sat"), Tuple1("the dog sat")).toDF("text")
+    val score = Seq((1L, "the cat"), (2L, "zebra quux")).toDF("doc_id", "text")
+    val ctx = StageContext(spark,
+      Seq("score" -> score, "train" -> train), Cfg.of())
+    val out = PerplexityOp(ctx).orderBy("doc_id").collect()
+    // OOV doc must score much worse than the in-vocab doc
+    assert(out(1).getAs[Double]("perplexity") > out(0).getAs[Double]("perplexity") * 2)
+    // filter mode keeps only low-perplexity rows (threshold between the two)
+    val cut = (out(0).getAs[Double]("perplexity") + out(1).getAs[Double]("perplexity")) / 2
+    val kept = PerplexityOp(StageContext(spark,
+      Seq("score" -> score, "train" -> train),
+      Cfg.of("mode" -> "filter", "max_perplexity" -> cut))).collect()
+    assert(kept.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L))
+    intercept[GraftPlanError](PerplexityOp(StageContext.one(
+      spark, score.drop("doc_id"), Cfg.of())))
+    intercept[GraftConfigError](PerplexityOp(StageContext.one(
+      spark, score, Cfg.of("smoothing" -> 0.0))))
   }
 }
