@@ -36,7 +36,7 @@ object Registry {
     CountWindowOp, AggregateStreamOp, TimeWindowOp, SessionWindowOp,
     StreamDedupOp, StatefulAggOp,
     FileStreamSource, RateStreamSource, StdinStreamSource, StreamWriteSink,
-    // connectors (reference §2.6-2.7; kafka stays an offline gap, see Connectors.scala)
+    // connectors (reference §2.6-2.7; all native — file-backed offline modes)
     KafkaConsumeSource, KafkaProduceSink, MongoFindSource, MongoFindOneSource,
     MongoAggregateSource, MongoToObjectIdOp, MongoNormalizeOp, JsEvalOp,
     MongoInsertOneOp, MongoInsertManyOp, MongoUpdateOneOp, MongoUpdateManyOp,

@@ -7,38 +7,19 @@ import graft.core._
 /** External-system connectors (reference plugins, SURVEY §2.6-2.7).
   *
   * This build environment has zero egress and ships no connector jars
-  * (checked: /opt/spark/jars has no kafka/mongo/POI/JS engine), so these
-  * stages validate their config eagerly — pipelines referencing them parse
-  * and `validate` OFFLINE — and fail at execution time with a precise
-  * description of the jar that enables them. On a real cluster, dropping
-  * the named jar on the classpath makes the marked TODO a ~20-line body
-  * (the Spark API calls are spelled out per stage).
+  * (checked: /opt/spark/jars has no kafka/mongo/POI/JS engine). Every
+  * connector family is nevertheless implemented NATIVELY against the
+  * protocol's file representation (Mongo: extended-JSON dumps; Kafka:
+  * partitioned log segments; Excel: raw OOXML); only the live-server
+  * config shapes (uri/brokers without a file path) raise an error naming
+  * the enabling jar and the exact Spark API — a config flip on a real
+  * cluster, never a rewrite.
   */
-abstract class GapStage(val name: String, val kind: StageKind,
-                        requiredKeys: Seq[String], enabler: String, sparkApi: String) extends Stage {
-  def apply(ctx: StageContext): DataFrame = {
-    requiredKeys.foreach(ctx.cfg.str) // config contract still enforced
-    throw new GraftPlanError(
-      s"$name requires $enabler on the classpath (not available in this " +
-      s"offline build). Spark-native implementation: $sparkApi")
-  }
-}
 
-/** kafka.consume — reference plugins/conveyor-plugin-kafka lib.rs:34-203:
-  * bounded batch read of `max_messages` from a topic. */
-object KafkaConsumeSource extends GapStage("kafka.consume", StageKind.Source,
-  Seq("brokers", "topic"),
-  "spark-sql-kafka-0-10 (org.apache.spark:spark-sql-kafka-0-10_2.13)",
-  """spark.read.format("kafka").option("kafka.bootstrap.servers", brokers)
-    |.option("subscribe", topic).option("endingOffsets", "latest").load()
-    |.selectExpr("CAST(key AS STRING)", "CAST(value AS STRING)", "timestamp")""".stripMargin)
-
-/** kafka.produce — reference lib.rs:205-295. */
-object KafkaProduceSink extends GapStage("kafka.produce", StageKind.Sink,
-  Seq("brokers", "topic"),
-  "spark-sql-kafka-0-10",
-  """df.selectExpr("to_json(struct(*)) AS value").write.format("kafka")
-    |.option("kafka.bootstrap.servers", brokers).option("topic", topic).save()""".stripMargin)
+// kafka.consume / kafka.produce are implemented natively in Kafka.scala
+// against file-backed topic logs (partitioned segments + group offsets);
+// live-broker mode (brokers without path) still raises the gap error
+// naming spark-sql-kafka-0-10.
 
 // mongodb.find / mongodb.findOne / mongodb.aggregate are implemented
 // natively in MongoQuery.scala: the Mongo query language compiles to

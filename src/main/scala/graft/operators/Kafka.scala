@@ -1,0 +1,269 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.StructType
+import graft.config._
+import graft.core._
+import graft.js.{JsNum, JsObj, JsVal}
+
+/** Native file-backed Kafka: the same treatment the Mongo family got.
+  *
+  * The reference's kafka plugin (reference plugins/conveyor-plugin-kafka/
+  * src/lib.rs:34-295) is a BOUNDED BATCH consumer/producer: consume reads up
+  * to `max_messages` from a topic with group offsets (earliest reset,
+  * auto-commit), merging `_kafka_key/_kafka_partition/_kafka_offset/
+  * _kafka_timestamp` metadata into each JSON-parsed payload (non-JSON
+  * payloads wrap as `_kafka_payload`); produce serializes each record as
+  * JSON and keys it from `key_field` (lib.rs:243-252).
+  *
+  * Those SEMANTICS need a log, not a broker. Offline mode (`path = <dir>`)
+  * runs them against a file-backed topic log; `brokers` without `path`
+  * still raises the gap error naming spark-sql-kafka-0-10 (live mode is a
+  * config flip, the query surface is identical). Log layout mirrors
+  * Kafka's partitioned segments AND Spark's partition discovery:
+  *
+  *   <path>/<topic>/partition=<p>/part-*.txt   one JSON record per line:
+  *     {"offset": n, "timestamp": ms?, "key": "..."?, "value": "<payload>"}
+  *   <path>/_consumer_offsets/<group>__<topic>.json   {"<p>": nextOffset}
+  *
+  * Scale shape: the consume scan is a schema'd json read with the group
+  * filter pushed down; `max_messages` bounds via TakeOrderedAndProject
+  * (distributed top-k, no global sort) and `max_messages = 0` switches to
+  * the unbounded backlog scan (pure filter, the 100 TB path). Produce
+  * shuffles once BY KAFKA PARTITION — parallelism = partition count,
+  * which is exactly Kafka's own write model. The only driver-side data is
+  * the per-partition offset frontier (≤ #partitions rows).
+  */
+object KafkaLog {
+  val Schema: StructType =
+    StructType.fromDDL("offset LONG, timestamp LONG, key STRING, value STRING")
+  val MetaCols = Seq("_kafka_key", "_kafka_partition", "_kafka_offset", "_kafka_timestamp", "_kafka_payload")
+
+  def topicDir(root: String, topic: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, topic)
+
+  /** Read the whole topic log; `partition INT` comes from dir discovery. */
+  def read(spark: SparkSession, root: String, topic: String): DataFrame = {
+    val dir = topicDir(root, topic)
+    if (!java.nio.file.Files.isDirectory(dir))
+      throw new GraftPlanError(s"kafka.consume: topic '$topic' not found under $root " +
+        s"(expected ${dir}/partition=N/ segment files)")
+    spark.read.schema(Schema.add("partition", "int"))
+      .option("basePath", dir.toString).json(dir.toString)
+  }
+
+  private def offsetsFile(root: String, group: String, topic: String): java.nio.file.Path =
+    java.nio.file.Paths.get(root, "_consumer_offsets", s"${group}__${topic}.json")
+
+  /** Committed next-offsets per partition; missing file = earliest (empty). */
+  def committed(root: String, group: String, topic: String): Map[Int, Long] = {
+    val f = offsetsFile(root, group, topic)
+    if (!java.nio.file.Files.isRegularFile(f)) return Map.empty
+    JsVal.parseJson(new String(java.nio.file.Files.readAllBytes(f),
+      java.nio.charset.StandardCharsets.UTF_8)) match {
+      case o: JsObj => o.fields.map {
+        case (p, JsNum(next)) => p.toInt -> next.toLong
+        case (p, other) => throw new GraftPlanError(s"kafka offsets file $f: partition $p has non-numeric offset")
+      }.toMap
+      case _ => throw new GraftPlanError(s"kafka offsets file $f is not a JSON object")
+    }
+  }
+
+  /** Atomically commit next-offsets (merge with any prior commit). */
+  def commit(root: String, group: String, topic: String, next: Map[Int, Long]): Unit = {
+    val merged = committed(root, group, topic) ++ next
+    val f = offsetsFile(root, group, topic)
+    java.nio.file.Files.createDirectories(f.getParent)
+    val body = merged.toSeq.sortBy(_._1)
+      .map { case (p, o) => s""""$p": $o""" }.mkString("{", ", ", "}")
+    val tmp = java.nio.file.Files.createTempFile(f.getParent, ".commit", ".json")
+    java.nio.file.Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp, f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Existing per-partition end offsets (next offset to assign), driver-tiny. */
+  def endOffsets(spark: SparkSession, root: String, topic: String): Map[Int, Long] =
+    if (!java.nio.file.Files.isDirectory(topicDir(root, topic))) Map.empty
+    else read(spark, root, topic)
+      .groupBy("partition").agg(F.max("offset").as("m"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
+}
+
+/** kafka.consume — bounded batch read with group offsets
+  * (reference lib.rs:34-203). Config: `path` (offline log root; `brokers`
+  * alone raises the jar gap), `topic`, `group_id` (all required — matching
+  * the reference contract), `max_messages` = 1000 (0 = whole backlog),
+  * `value_format` = json|raw, optional `schema` DDL for the payload
+  * (single-pass read; otherwise one bounded inference job over the batch),
+  * `commit` = true (the reference hard-codes enable.auto.commit).
+  * `timeout_ms` is accepted and ignored offline (there is no broker to
+  * wait on — the backlog IS the topic).
+  *
+  * Batch order is pinned to (offset, partition) — Kafka's cross-partition
+  * interleaving is nondeterministic, a bounded REPRODUCIBLE read needs a
+  * total order, and this one preserves Kafka's per-partition contract.
+  */
+object KafkaConsumeSource extends Stage {
+  val name = "kafka.consume"
+  val kind = StageKind.Source
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val root = cfg.strOpt("path").getOrElse {
+      cfg.str("brokers"); cfg.str("topic"); cfg.str("group_id")
+      throw new GraftPlanError(
+        "kafka.consume: live-broker mode requires spark-sql-kafka-0-10 " +
+        "(org.apache.spark:spark-sql-kafka-0-10_2.13) on the classpath — not in this " +
+        "offline build. Offline mode available TODAY: path = <file-backed log root> " +
+        "(kafka.produce writes it). Live Spark API: spark.read.format(\"kafka\")" +
+        ".option(\"kafka.bootstrap.servers\", brokers).option(\"subscribe\", topic).load()")
+    }
+    val topic = cfg.str("topic")
+    val group = cfg.str("group_id")
+    val maxMessages = cfg.longOr("max_messages", 1000L)
+    val doCommit = cfg.boolOr("commit", true)
+
+    val log = KafkaLog.read(ctx.spark, root, topic)
+    val from = KafkaLog.committed(root, group, topic)
+    val newer =
+      if (from.isEmpty) log // earliest reset
+      else {
+        // tiny per-partition frontier → codegen'd map lookup, no join
+        val lookup = F.map(from.toSeq.sortBy(_._1)
+          .flatMap { case (p, o) => Seq(F.lit(p), F.lit(o)) }: _*)
+        log.filter(F.col("offset") >= F.coalesce(
+          F.element_at(lookup, F.col("partition")), F.lit(0L)))
+      }
+    val batch =
+      if (maxMessages <= 0) newer
+      else newer.orderBy(F.col("offset"), F.col("partition")).limit(maxMessages.toInt)
+
+    val result = cfg.strOr("value_format", "json") match {
+      case "raw"  => wrap(batch, parsed = None)
+      case "json" =>
+        val schema = cfg.strOpt("schema").map(StructType.fromDDL).getOrElse {
+          import ctx.spark.implicits._
+          // bounded inference job: ≤ max_messages short strings
+          ctx.spark.read.json(batch.select("value").as[String]).schema
+        }
+        val payloadFields = schema.fieldNames.toSeq
+          .filterNot(f => KafkaLog.MetaCols.contains(f) || f == "_corrupt_record")
+        if (payloadFields.isEmpty) wrap(batch, parsed = None)
+        else {
+          // malformed payloads surface verbatim in _kafka_payload via the
+          // json reader's corrupt-record channel (PERMISSIVE would
+          // otherwise emit an all-null row, indistinguishable from data)
+          val withRaw = StructType(schema.filter(f => payloadFields.contains(f.name)))
+            .add("_kafka_payload", "string")
+          wrap(batch.withColumn("__parsed",
+            F.from_json(F.col("value"), withRaw,
+              Map("columnNameOfCorruptRecord" -> "_kafka_payload"))),
+            parsed = Some(payloadFields))
+        }
+      case other => throw new GraftConfigError(s"value_format must be json|raw, got '$other'")
+    }
+
+    if (doCommit) {
+      val frontier = batch.groupBy("partition").agg(F.max("offset").as("m"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
+      if (frontier.nonEmpty) KafkaLog.commit(root, group, topic, frontier)
+    }
+    result
+  }
+
+  /** Assemble payload columns + kafka metadata, mirroring the reference's
+    * per-record map inserts (lib.rs:122-173): parsed JSON-object fields when
+    * available, `_kafka_payload` carrying any row that did not parse. */
+  private def wrap(batch: DataFrame, parsed: Option[Seq[String]]): DataFrame = {
+    val meta = Seq(
+      F.col("key").as("_kafka_key"),
+      F.col("partition").as("_kafka_partition"),
+      F.col("offset").as("_kafka_offset"),
+      F.col("timestamp").as("_kafka_timestamp"))
+    parsed match {
+      case None => batch.select(F.col("value").as("_kafka_payload") +: meta: _*)
+      case Some(fields) =>
+        val payload = fields.map(f => F.col("__parsed").getField(f).as(f))
+        val raw = F.col("__parsed").getField("_kafka_payload").as("_kafka_payload")
+        batch.select(payload ++ Seq(raw) ++ meta: _*)
+    }
+  }
+}
+
+/** kafka.produce — append records to a topic (reference lib.rs:205-295).
+  * Config: `path` (offline log root; `brokers` alone raises the jar gap),
+  * `topic`, optional `key_field` (value stringified — the reference only
+  * keys STRING fields, lib.rs:245-249; stringifying is the useful superset
+  * and is documented as such), `num_partitions` = existing topic's count,
+  * else 1, optional `timestamp_field` (epoch millis; default none — broker
+  * append time is nondeterministic and reproducibility wins offline).
+  *
+  * Deterministic routing: keyed records go to murmur3(key) mod N (Kafka
+  * semantics, different hash constant); keyless records hash the payload
+  * instead of Kafka's sticky round-robin — round-robin depends on batch
+  * boundaries, and a deterministic log is worth the documented deviation.
+  * Offsets are dense per partition, continuing from the existing end
+  * frontier; within one produce batch, rows order by (payload, key) —
+  * concurrent-producer interleaving is arbitrary in Kafka anyway, so the
+  * tie-break only pins reproducibility.
+  */
+object KafkaProduceSink extends Stage {
+  val name = "kafka.produce"
+  val kind = StageKind.Sink
+
+  def apply(ctx: StageContext): DataFrame = {
+    val df = ctx.primary
+    val cfg = ctx.cfg
+    val root = cfg.strOpt("path").getOrElse {
+      cfg.str("brokers"); cfg.str("topic")
+      throw new GraftPlanError(
+        "kafka.produce: live-broker mode requires spark-sql-kafka-0-10 on the classpath — " +
+        "not in this offline build. Offline mode available TODAY: path = <file-backed log " +
+        "root>. Live Spark API: df.selectExpr(\"to_json(struct(*)) AS value\")" +
+        ".write.format(\"kafka\").option(\"kafka.bootstrap.servers\", brokers)" +
+        ".option(\"topic\", topic).save()")
+    }
+    val topic = cfg.str("topic")
+    val existing = KafkaLog.endOffsets(ctx.spark, root, topic)
+    val nParts = cfg.longOpt("num_partitions").map(_.toInt)
+      .orElse(if (existing.nonEmpty) Some(existing.keys.max + 1) else None)
+      .getOrElse(1)
+    if (existing.nonEmpty && existing.keys.max + 1 > nParts)
+      throw new GraftConfigError(s"kafka.produce: topic '$topic' already has " +
+        s"${existing.keys.max + 1} partitions; num_partitions=$nParts cannot shrink it")
+
+    val payload = F.to_json(F.struct(df.columns.map(F.col).toIndexedSeq: _*))
+    val key = cfg.strOpt("key_field") match {
+      case Some(f) => F.col(f).cast("string")
+      case None    => F.lit(null).cast("string")
+    }
+    val ts = cfg.strOpt("timestamp_field") match {
+      case Some(f) => F.col(f).cast("long")
+      case None    => F.lit(null).cast("long")
+    }
+    val routed = df.select(payload.as("value"), key.as("key"), ts.as("timestamp"))
+      .withColumn("partition",
+        F.pmod(F.when(F.col("key").isNotNull, F.hash(F.col("key")))
+          .otherwise(F.hash(F.col("value"))), F.lit(nParts)).cast("int"))
+
+    val base = F.coalesce(
+      if (existing.isEmpty) F.lit(0L)
+      else F.element_at(F.map(existing.toSeq.sortBy(_._1)
+        .flatMap { case (p, o) => Seq(F.lit(p), F.lit(o)) }: _*), F.col("partition")),
+      F.lit(0L))
+    val withOffsets = routed.withColumn("offset",
+      base + F.row_number().over(
+        Window.partitionBy("partition").orderBy("value", "key")).cast("long") - 1L)
+
+    val dir = KafkaLog.topicDir(root, topic)
+    java.nio.file.Files.createDirectories(dir)
+    withOffsets
+      .select(F.to_json(F.struct(F.col("offset"), F.col("timestamp"),
+        F.col("key"), F.col("value"))).as("line"), F.col("partition"))
+      .write.partitionBy("partition").mode("append").text(dir.toString)
+    df
+  }
+}

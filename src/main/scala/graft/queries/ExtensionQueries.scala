@@ -861,6 +861,55 @@ object ExtensionQueries {
         "n" -> 16, "by" -> Seq("l_suppkey"))))
       rp.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
+    },
+
+    // ---- kafka round-trip over the file-backed log: produce an orders
+    // slice (single partition, status-keyed), consume it back with a fresh
+    // group and a declared schema. The payload column is zero-padded so
+    // the produce offset order (payload-lexicographic) equals numeric
+    // orderkey order — the oracle then states offsets as a row_number,
+    // checking values, keys, AND log positions.
+    QueryDef("kafka_roundtrip",
+      """SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS okey,
+        |  o_orderstatus AS status, o_orderstatus AS _kafka_key,
+        |  0 AS _kafka_partition,
+        |  row_number() OVER (ORDER BY o_orderkey) - 1 AS _kafka_offset
+        |FROM orders WHERE o_orderkey < 2000""".stripMargin) { (s, d) =>
+      val slice = t(s, d, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(F.lpad(F.col("o_orderkey").cast("string"), 10, "0").as("okey"),
+          F.col("o_orderstatus").as("status"))
+      val root = java.nio.file.Files.createTempDirectory("graft_kafka").toString
+      KafkaProduceSink(StageContext.one(s, slice, Cfg.of(
+        "path" -> root, "topic" -> "orders", "key_field" -> "status")))
+      KafkaConsumeSource(StageContext(s, Seq.empty, Cfg.of(
+        "path" -> root, "topic" -> "orders", "group_id" -> "gate",
+        "max_messages" -> 0L, "schema" -> "okey STRING, status STRING")))
+        .select(F.col("okey"), F.col("status"), F.col("_kafka_key"),
+          F.col("_kafka_partition").cast("int").as("_kafka_partition"),
+          F.col("_kafka_offset"))
+    },
+
+    // ---- kafka multi-partition: murmur3 routing is engine-defined, so
+    // the oracle checks the payload values and keys round-trip intact
+    // through a 4-partition log; per-partition offset density and routing
+    // determinism are pinned in KafkaSpec.
+    QueryDef("kafka_partitioned",
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  o_orderpriority AS _kafka_key
+        |FROM orders WHERE o_orderkey < 4000""".stripMargin) { (s, d) =>
+      val slice = t(s, d, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val root = java.nio.file.Files.createTempDirectory("graft_kafka").toString
+      KafkaProduceSink(StageContext.one(s, slice, Cfg.of(
+        "path" -> root, "topic" -> "orders", "key_field" -> "o_orderpriority",
+        "num_partitions" -> 4L)))
+      KafkaConsumeSource(StageContext(s, Seq.empty, Cfg.of(
+        "path" -> root, "topic" -> "orders", "group_id" -> "gate",
+        "max_messages" -> 0L,
+        "schema" -> "o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE")))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", "_kafka_key")
     }
   )
 }

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.config.{Cfg, GraftConfigError}
+import graft.core.{GraftPlanError, StageContext}
+import graft.operators.{KafkaConsumeSource, KafkaLog, KafkaProduceSink}
+
+/** File-backed kafka.consume / kafka.produce: roundtrip parsing, group
+  * offset commit/resume, deterministic partition routing, per-partition
+  * offset density, non-JSON payload wrapping, and the live-broker gap. */
+class KafkaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_kafka").toString
+
+  private def produce(root: String, cfg: (String, Any)*): Unit =
+    KafkaProduceSink(StageContext.one(spark, salesDf,
+      Cfg.of(Seq("path" -> root, "topic" -> "sales") ++ cfg: _*)))
+
+  private def consume(root: String, cfg: (String, Any)*) =
+    KafkaConsumeSource(StageContext(spark, Seq.empty,
+      Cfg.of(Seq("path" -> root, "topic" -> "sales", "group_id" -> "g1") ++ cfg: _*)))
+
+  test("produce → consume round-trips values with kafka metadata merged in") {
+    val root = freshRoot()
+    produce(root, "key_field" -> "name")
+    val got = consume(root)
+    assert(got.columns.sorted.toSeq === Seq("_kafka_key", "_kafka_offset",
+      "_kafka_partition", "_kafka_payload", "_kafka_timestamp", "id", "name", "value"))
+    val rows = got.orderBy("id")
+      .select("id", "name", "value", "_kafka_key", "_kafka_partition", "_kafka_offset")
+      .as[(Long, String, Long, String, Int, Long)].collect()
+    assert(rows.map(r => (r._1, r._2, r._3)) ===
+      Array((1L, "Alice", 100L), (2L, "Bob", 200L), (3L, "Charlie", 150L)))
+    // key mirrors key_field; single partition (default) numbers offsets densely
+    assert(rows.forall(r => r._4 == r._2 && r._5 == 0))
+    assert(rows.map(_._6).sorted === Array(0L, 1L, 2L))
+    // payload parsed fine → no raw fallback
+    assert(got.filter(F.col("_kafka_payload").isNotNull).count() === 0)
+  }
+
+  test("group offsets: auto-commit resumes where the last consume stopped") {
+    val root = freshRoot()
+    produce(root)
+    val first = consume(root, "max_messages" -> 2L)
+    assert(first.count() === 2)
+    val second = consume(root)
+    assert(second.count() === 1)
+    // the batch order contract is (offset, partition) ascending
+    assert(second.select("_kafka_offset").as[Long].head() === 2L)
+    assert(consume(root).count() === 0)
+    // a different group still sees the full backlog
+    assert(consume(root, "group_id" -> "g2").count() === 3)
+  }
+
+  test("commit=false leaves the group frontier untouched") {
+    val root = freshRoot()
+    produce(root)
+    assert(consume(root, "commit" -> false).count() === 3)
+    assert(consume(root).count() === 3)
+  }
+
+  test("keyed routing is deterministic; offsets continue across produces") {
+    val root = freshRoot()
+    produce(root, "key_field" -> "name", "num_partitions" -> 4L)
+    produce(root, "key_field" -> "name")
+    val got = consume(root, "max_messages" -> 0L)
+    assert(got.count() === 6)
+    // same key → same partition on both produces
+    val byKey = got.groupBy("_kafka_key")
+      .agg(F.countDistinct("_kafka_partition").as("nparts"),
+           F.count(F.lit(1)).as("n"))
+      .as[(String, Long, Long)].collect()
+    assert(byKey.forall { case (_, nparts, n) => nparts == 1L && n == 2L })
+    // offsets dense per partition: 0..count-1
+    val dense = got.groupBy("_kafka_partition")
+      .agg(F.min("_kafka_offset").as("lo"), F.max("_kafka_offset").as("hi"),
+           F.count(F.lit(1)).as("n"))
+      .as[(Int, Long, Long, Long)].collect()
+    assert(dense.forall { case (_, lo, hi, n) => lo == 0L && hi == n - 1 })
+  }
+
+  test("non-JSON payloads wrap as _kafka_payload; JSON rows keep fields") {
+    val root = freshRoot()
+    val dir = java.nio.file.Paths.get(root, "sales", "partition=0")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("seg.txt"), java.util.Arrays.asList(
+      """{"offset": 0, "key": "a", "value": "{\"id\": 1, \"name\": \"Alice\"}"}""",
+      """{"offset": 1, "value": "plain text, not json"}"""))
+    val got = consume(root).orderBy("_kafka_offset")
+      .select("id", "name", "_kafka_payload", "_kafka_key")
+      .as[(Option[Long], Option[String], Option[String], Option[String])].collect()
+    assert(got === Array(
+      (Some(1L), Some("Alice"), None, Some("a")),
+      (None, None, Some("plain text, not json"), None)))
+  }
+
+  test("value_format=raw and an explicit schema DDL both skip inference") {
+    val root = freshRoot()
+    produce(root)
+    val raw = consume(root, "commit" -> false, "value_format" -> "raw")
+    assert(raw.columns.contains("_kafka_payload") && !raw.columns.contains("id"))
+    assert(raw.count() === 3)
+    val typed = consume(root, "commit" -> false,
+      "schema" -> "id LONG, name STRING, value LONG")
+    assert(typed.select(F.sum("value")).as[Long].head() === 450L)
+  }
+
+  test("max_messages=0 reads the whole backlog without a top-k") {
+    val root = freshRoot()
+    produce(root)
+    val plan = consume(root, "commit" -> false, "max_messages" -> 0L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrdered"))
+  }
+
+  test("live-broker config raises the gap error naming the jar") {
+    val eC = intercept[GraftPlanError] {
+      KafkaConsumeSource(StageContext(spark, Seq.empty, Cfg.of(
+        "brokers" -> "k:9092", "topic" -> "t", "group_id" -> "g")))
+    }
+    assert(eC.getMessage.contains("spark-sql-kafka-0-10"))
+    val eP = intercept[GraftPlanError] {
+      KafkaProduceSink(StageContext.one(spark, salesDf, Cfg.of(
+        "brokers" -> "k:9092", "topic" -> "t")))
+    }
+    assert(eP.getMessage.contains("spark-sql-kafka-0-10"))
+  }
+
+  test("consume of a missing topic and partition shrink both fail loud") {
+    val root = freshRoot()
+    val e = intercept[GraftPlanError] { consume(root) }
+    assert(e.getMessage.contains("topic 'sales' not found"))
+    produce(root, "num_partitions" -> 4L, "key_field" -> "name")
+    val e2 = intercept[GraftConfigError] { produce(root, "num_partitions" -> 2L) }
+    assert(e2.getMessage.contains("cannot shrink"))
+  }
+
+  test("timestamp_field lands in _kafka_timestamp") {
+    val root = freshRoot()
+    KafkaProduceSink(StageContext.one(spark,
+      salesDf.withColumn("ts_ms", F.col("id") * 1000L),
+      Cfg.of("path" -> root, "topic" -> "sales", "timestamp_field" -> "ts_ms")))
+    val got = consume(root).orderBy("id")
+      .select("_kafka_timestamp").as[Long].collect()
+    assert(got === Array(1000L, 2000L, 3000L))
+  }
+}

@@ -133,9 +133,10 @@ class StreamingSpec extends SparkSpec {
   test("stream.write rejects batch input; gap connectors raise actionable errors") {
     intercept[GraftPlanError](StreamWriteSink(StageContext.one(spark, salesDf, Cfg.empty)))
     val e = intercept[GraftPlanError](graft.operators.KafkaConsumeSource(
-      StageContext(spark, Seq.empty, Cfg.of("brokers" -> "b:9092", "topic" -> "t"), "k")))
+      StageContext(spark, Seq.empty,
+        Cfg.of("brokers" -> "b:9092", "topic" -> "t", "group_id" -> "g"), "k")))
     assert(e.getMessage.contains("spark-sql-kafka"))
-    // config contract enforced even for gap stages
+    // config contract enforced even in live-broker (jar-gapped) mode
     intercept[graft.config.GraftConfigError](graft.operators.KafkaConsumeSource(
       StageContext(spark, Seq.empty, Cfg.of("topic" -> "t"), "k")))
   }
