@@ -37,7 +37,8 @@ object Registry {
     StreamDedupOp, StatefulAggOp,
     FileStreamSource, RateStreamSource, StdinStreamSource, StreamWriteSink,
     // connectors (reference §2.6-2.7; all native — file-backed offline modes)
-    KafkaConsumeSource, KafkaProduceSink, MongoFindSource, MongoFindOneSource,
+    KafkaConsumeSource, KafkaProduceSink, KafkaStreamSource,
+    MongoFindSource, MongoFindOneSource,
     MongoAggregateSource, MongoToObjectIdOp, MongoNormalizeOp, JsEvalOp,
     MongoInsertOneOp, MongoInsertManyOp, MongoUpdateOneOp, MongoUpdateManyOp,
     MongoDeleteOneOp, MongoDeleteManyOp, MongoReplaceOneOp, MongoReplaceManyOp,

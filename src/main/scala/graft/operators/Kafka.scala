@@ -90,6 +90,48 @@ object KafkaLog {
     else read(spark, root, topic)
       .groupBy("partition").agg(F.max("offset").as("m"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
+
+  /** Turn raw log rows into the consumer-facing shape: payload columns +
+    * kafka metadata, mirroring the reference's per-record map inserts
+    * (lib.rs:122-173). `infer` supplies a payload schema only when the
+    * config declares none (batch mode runs it over the bounded batch;
+    * streaming bootstraps from the backlog). */
+  def assemble(batch: DataFrame, cfg: Cfg)(infer: => StructType): DataFrame =
+    cfg.strOr("value_format", "json") match {
+      case "raw"  => wrap(batch, parsed = None)
+      case "json" =>
+        val schema = cfg.strOpt("schema").map(StructType.fromDDL).getOrElse(infer)
+        val payloadFields = schema.fieldNames.toSeq
+          .filterNot(f => MetaCols.contains(f) || f == "_corrupt_record")
+        if (payloadFields.isEmpty) wrap(batch, parsed = None)
+        else {
+          // malformed payloads surface verbatim in _kafka_payload via the
+          // json reader's corrupt-record channel (PERMISSIVE would
+          // otherwise emit an all-null row, indistinguishable from data)
+          val withRaw = StructType(schema.filter(f => payloadFields.contains(f.name)))
+            .add("_kafka_payload", "string")
+          wrap(batch.withColumn("__parsed",
+            F.from_json(F.col("value"), withRaw,
+              Map("columnNameOfCorruptRecord" -> "_kafka_payload"))),
+            parsed = Some(payloadFields))
+        }
+      case other => throw new GraftConfigError(s"value_format must be json|raw, got '$other'")
+    }
+
+  private def wrap(batch: DataFrame, parsed: Option[Seq[String]]): DataFrame = {
+    val meta = Seq(
+      F.col("key").as("_kafka_key"),
+      F.col("partition").as("_kafka_partition"),
+      F.col("offset").as("_kafka_offset"),
+      F.col("timestamp").as("_kafka_timestamp"))
+    parsed match {
+      case None => batch.select(F.col("value").as("_kafka_payload") +: meta: _*)
+      case Some(fields) =>
+        val payload = fields.map(f => F.col("__parsed").getField(f).as(f))
+        val raw = F.col("__parsed").getField("_kafka_payload").as("_kafka_payload")
+        batch.select(payload ++ Seq(raw) ++ meta: _*)
+    }
+  }
 }
 
 /** kafka.consume — bounded batch read with group offsets
@@ -141,29 +183,10 @@ object KafkaConsumeSource extends Stage {
       if (maxMessages <= 0) newer
       else newer.orderBy(F.col("offset"), F.col("partition")).limit(maxMessages.toInt)
 
-    val result = cfg.strOr("value_format", "json") match {
-      case "raw"  => wrap(batch, parsed = None)
-      case "json" =>
-        val schema = cfg.strOpt("schema").map(StructType.fromDDL).getOrElse {
-          import ctx.spark.implicits._
-          // bounded inference job: ≤ max_messages short strings
-          ctx.spark.read.json(batch.select("value").as[String]).schema
-        }
-        val payloadFields = schema.fieldNames.toSeq
-          .filterNot(f => KafkaLog.MetaCols.contains(f) || f == "_corrupt_record")
-        if (payloadFields.isEmpty) wrap(batch, parsed = None)
-        else {
-          // malformed payloads surface verbatim in _kafka_payload via the
-          // json reader's corrupt-record channel (PERMISSIVE would
-          // otherwise emit an all-null row, indistinguishable from data)
-          val withRaw = StructType(schema.filter(f => payloadFields.contains(f.name)))
-            .add("_kafka_payload", "string")
-          wrap(batch.withColumn("__parsed",
-            F.from_json(F.col("value"), withRaw,
-              Map("columnNameOfCorruptRecord" -> "_kafka_payload"))),
-            parsed = Some(payloadFields))
-        }
-      case other => throw new GraftConfigError(s"value_format must be json|raw, got '$other'")
+    val result = KafkaLog.assemble(batch, cfg) {
+      import ctx.spark.implicits._
+      // bounded inference job: ≤ max_messages short strings
+      ctx.spark.read.json(batch.select("value").as[String]).schema
     }
 
     if (doCommit) {
@@ -173,22 +196,44 @@ object KafkaConsumeSource extends Stage {
     }
     result
   }
+}
 
-  /** Assemble payload columns + kafka metadata, mirroring the reference's
-    * per-record map inserts (lib.rs:122-173): parsed JSON-object fields when
-    * available, `_kafka_payload` carrying any row that did not parse. */
-  private def wrap(batch: DataFrame, parsed: Option[Seq[String]]): DataFrame = {
-    val meta = Seq(
-      F.col("key").as("_kafka_key"),
-      F.col("partition").as("_kafka_partition"),
-      F.col("offset").as("_kafka_offset"),
-      F.col("timestamp").as("_kafka_timestamp"))
-    parsed match {
-      case None => batch.select(F.col("value").as("_kafka_payload") +: meta: _*)
-      case Some(fields) =>
-        val payload = fields.map(f => F.col("__parsed").getField(f).as(f))
-        val raw = F.col("__parsed").getField("_kafka_payload").as("_kafka_payload")
-        batch.select(payload ++ Seq(raw) ++ meta: _*)
+/** kafka.stream — the UNbounded upgrade of kafka.consume: a Structured
+  * Streaming read of the same file-backed topic log (new segment files
+  * arrive exactly-once per trigger; checkpoints replace group offsets —
+  * this is readStream over the log, which is also precisely what the real
+  * kafka connector is). Config: `path`, `topic`, `schema` DDL recommended
+  * (absent = one bootstrap inference over the current backlog),
+  * `value_format` = json|raw, `max_files_per_trigger` = 10. Downstream
+  * composes with window/aggregate/stream.write like any other stream.
+  */
+object KafkaStreamSource extends Stage {
+  val name = "kafka.stream"
+  val kind = StageKind.Source
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val root = cfg.strOpt("path").getOrElse {
+      cfg.str("brokers"); cfg.str("topic")
+      throw new GraftPlanError(
+        "kafka.stream: live-broker mode requires spark-sql-kafka-0-10 on the classpath — " +
+        "not in this offline build. Offline mode available TODAY: path = <file-backed log " +
+        "root>. Live Spark API: spark.readStream.format(\"kafka\")" +
+        ".option(\"kafka.bootstrap.servers\", brokers).option(\"subscribe\", topic).load()")
+    }
+    val topic = cfg.str("topic")
+    val dir = KafkaLog.topicDir(root, topic)
+    if (!java.nio.file.Files.isDirectory(dir))
+      throw new GraftPlanError(s"kafka.stream: topic '$topic' not found under $root")
+    val stream = ctx.spark.readStream
+      .schema(KafkaLog.Schema.add("partition", "int"))
+      .option("basePath", dir.toString)
+      .option("maxFilesPerTrigger", cfg.longOr("max_files_per_trigger", 10L))
+      .json(dir.toString)
+    KafkaLog.assemble(stream, cfg) {
+      import ctx.spark.implicits._
+      ctx.spark.read.json(
+        KafkaLog.read(ctx.spark, root, topic).select("value").as[String]).schema
     }
   }
 }

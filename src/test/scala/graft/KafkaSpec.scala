@@ -137,6 +137,28 @@ class KafkaSpec extends SparkSpec {
     assert(e2.getMessage.contains("cannot shrink"))
   }
 
+  test("kafka.stream reads the log as a stream; new produces arrive exactly-once") {
+    val root = freshRoot()
+    produce(root, "key_field" -> "name")
+    val src = graft.operators.KafkaStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> root, "topic" -> "sales",
+      "schema" -> "id LONG, name STRING, value LONG")))
+    assert(src.isStreaming)
+    assert(src.columns.contains("id") && src.columns.contains("_kafka_offset"))
+    val q = src.writeStream.outputMode("append").format("memory")
+      .queryName("kafka_stream_out").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM kafka_stream_out").head().getLong(0) === 3L)
+      KafkaProduceSink(StageContext.one(spark,
+        spark.range(10, 12).selectExpr("id", "'X' AS name", "id * 10 AS value"),
+        Cfg.of("path" -> root, "topic" -> "sales", "key_field" -> "name")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM kafka_stream_out").head().getLong(0) === 5L)
+      assert(spark.sql("SELECT sum(id) FROM kafka_stream_out").head().getLong(0) === 27L)
+    } finally q.stop()
+  }
+
   test("timestamp_field lands in _kafka_timestamp") {
     val root = freshRoot()
     KafkaProduceSink(StageContext.one(spark,
