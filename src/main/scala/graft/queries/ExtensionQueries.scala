@@ -863,6 +863,36 @@ object ExtensionQueries {
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("qty"))
     },
 
+    // ---- decontaminate.ngram at the GPT-3 parameters (13-gram collision
+    // vs the benchmark split): the oracle restates the whole rule — the
+    // planted near-dup pairs straddle the %10 split, so 6 docs really
+    // are contaminated. Counts are over DISTINCT grams per doc on both
+    // sides (shingleHashes emits a distinct set; the whole-doc gram for
+    // short docs matches the CASE arm).
+    QueryDef("decontaminate_ngram",
+      """WITH toks AS (SELECT doc_id, """ + duckToks + """ AS w FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(w) < 13 THEN [array_to_string(w, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(w) - 12),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6],
+        |                        w[i+7], w[i+8], w[i+9], w[i+10], w[i+11], w[i+12]))) END AS s
+        |  FROM toks),
+        |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+        |tg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0),
+        |m AS (SELECT tg.doc_id, count(*) AS nm FROM tg JOIN bg ON tg.g = bg.g GROUP BY 1)
+        |SELECT s.doc_id, len(s.s) AS n_ngrams, COALESCE(m.nm, 0) AS n_matched_ngrams,
+        |  COALESCE(m.nm, 0) >= 1 AS contaminated
+        |FROM sh s LEFT JOIN m ON s.doc_id = m.doc_id
+        |WHERE s.doc_id % 10 <> 0""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      DecontaminateOp(StageContext(s, Seq(
+        "train" -> docs.filter(F.col("doc_id") % 10 =!= 0),
+        "bench" -> docs.filter(F.col("doc_id") % 10 === 0)), Cfg.of(
+        "id_column" -> "doc_id", "column" -> "text", "n" -> 13,
+        "mode" -> "annotate")))
+        .select(F.col("doc_id"), F.col("n_ngrams").cast("long"),
+          F.col("n_matched_ngrams"), F.col("contaminated"))
+    },
+
     // ---- kafka round-trip over the file-backed log: produce an orders
     // slice (single partition, status-keyed), consume it back with a fresh
     // group and a declared schema. The payload column is zero-padded so
