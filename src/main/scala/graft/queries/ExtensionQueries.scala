@@ -120,6 +120,18 @@ object ExtensionQueries {
         "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
         "k" -> 10, "nlist" -> 16, "nprobe" -> 4, "seed" -> 11)))
     },
+    // nprobe = nlist probes every cell → IVF must return EXACTLY the
+    // brute-force answer (same oracle), upgrading the IVF code path from
+    // rows-only to oracle-checked; the pruned-probe variants above stay
+    // rows-only (recall depends on the engine's quantizer).
+    QueryDef("knn_ivf_exhaustive",
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      KnnIvfOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
+        "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "k" -> 10, "nlist" -> 16, "nprobe" -> 16, "seed" -> 11)))
+    },
     // prebuilt-index probe (the 100 TB path): the index is built ONCE per
     // sf dir (first invocation) into /tmp and reused — in Bench's min-of-2
     // the second rep therefore measures the pure partition-pruned probe.
