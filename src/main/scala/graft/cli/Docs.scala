@@ -101,14 +101,18 @@ object Docs {
     "quality.perplexity" -> "unigram-LM perplexity score (CCNet-style) - column, id_column, smoothing, mode=annotate|filter, max_perplexity; optional 2nd input = training corpus",
     "shuffle.apply" -> "deterministic seeded corpus shuffle - seed, columns (hash keys; full-row tiebreak)",
     "bpe.train" -> "learn BPE merges (Sennrich) - column, num_merges, top_words, sample_fraction, lowercase; emits (rank,left,right)",
-    "tokenize.bpe" -> "apply BPE merges - column, merges=[\"l r\",...] or second input frame, count_column, tokens_column, max_merges")
+    "tokenize.bpe" -> "apply BPE merges - column, merges=[\"l r\",...] or second input frame, count_column, tokens_column, max_merges",
+    "decontaminate.ngram" -> "exact n-gram collision vs a benchmark table (GPT-3 13-gram / PaLM fraction) - two inputs; column, id_column, n, mode=annotate|filter|semi, min_matches|max_overlap",
+    // kafka (file-backed log offline; brokers-only raises the jar gap)
+    "kafka.consume" -> "bounded batch read with group offsets - path (log root)|brokers, topic, group_id, max_messages (0=backlog), schema, value_format=json|raw, commit",
+    "kafka.produce" -> "append records to a topic - path|brokers, topic, key_field, num_partitions, timestamp_field; deterministic key routing, dense per-partition offsets",
+    "kafka.stream" -> "Structured Streaming over the topic log - path, topic, schema, max_files_per_trigger; checkpoints replace group offsets")
 
   def describe(fn: String): String =
     entries.get(fn).getOrElse {
       if (Set("mongodb.find", "mongodb.findOne", "mongodb.aggregate")(fn))
         "Mongo query/pipeline compiled to Catalyst - path (extended-JSON dump) or input frame; query/projection/sort/limit/skip or pipeline; uri-only mode needs mongo-spark-connector"
       else if (fn.startsWith("mongodb.")) "Mongo write op compiled to Catalyst rewrites - query/update/replacement/documents/operations, order_by (for *One), upsert; collection = path dump or input frame; uri-only mode needs mongo-spark-connector"
-      else if (fn.startsWith("kafka.")) "Kafka connector slot - validates config; execution needs spark-sql-kafka (absent offline)"
       else if (fn == "excel.read") "read .xlsx (native OOXML, no POI) - path, sheet (name|index), has_headers"
       else if (fn == "excel.write") "write .xlsx (native OOXML, driver-side) - path, sheet, write_headers, driver_limit"
       else if (fn.startsWith("http.")) "driver-side HTTP source/sink - url, body, headers, mock_response"
