@@ -52,6 +52,7 @@ object Registry {
     // multi-input extensions (SURVEY §2.8)
     JoinOp, UnionOp, IntersectOp, ExceptOp, WindowFnOp, PivotOp,
     AsofJoinOp, RangeJoinOp, CubeOp, SimilarJoinOp, DecontaminateOp,
+    ImportanceSampleOp,
     // row-level transforms (reference §2.5)
     EncryptOp, DecryptOp, HttpFetchOp, AiGenerateOp,
     // training-data extensions

@@ -905,6 +905,45 @@ object ExtensionQueries {
           F.col("n_matched_ngrams"), F.col("contaminated"))
     },
 
+    // ---- sample.importance (DSIR): the full scoring pipeline restated
+    // in SQL — md5-prefix feature bucketing (the operator hashes with
+    // md5 precisely so the oracle can), add-alpha bucket distributions
+    // on both corpora, and the quantized per-bucket log-ratio summed per
+    // doc as exact integers (no float-order drift on either engine).
+    QueryDef("importance_weights",
+      ("""WITH rawd AS (SELECT * FROM documents WHERE doc_id % 10 <> 0),
+        |tgt AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+        |rt AS (SELECT doc_id, """ + duckToks + """ AS w FROM rawd),
+        |tt AS (SELECT """ + duckToks + """ AS w FROM tgt),
+        |rg AS (SELECT doc_id, substr(md5(g), 1, 4) AS b FROM (
+        |  SELECT doc_id, unnest(list_concat(w,
+        |    CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
+        |      i -> concat_ws(' ', w[i], w[i+1])) ELSE []::VARCHAR[] END)) AS g FROM rt)),
+        |tg AS (SELECT substr(md5(g), 1, 4) AS b FROM (
+        |  SELECT unnest(list_concat(w,
+        |    CASE WHEN len(w) >= 2 THEN list_transform(generate_series(1, len(w) - 1),
+        |      i -> concat_ws(' ', w[i], w[i+1])) ELSE []::VARCHAR[] END)) AS g FROM tt)),
+        |cr AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM rg GROUP BY 1),
+        |ct AS (SELECT b, CAST(count(*) AS DOUBLE) AS c FROM tg GROUP BY 1),
+        |w8 AS (SELECT COALESCE(cr.b, ct.b) AS b, COALESCE(cr.c, 0) AS cr,
+        |         COALESCE(ct.c, 0) AS ct FROM cr FULL OUTER JOIN ct ON cr.b = ct.b),
+        |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM w8),
+        |lr AS (SELECT b, CAST(round((ln((ct + 0.5) / (nt + 0.5 * 65536))
+        |  - ln((cr + 0.5) / (nr + 0.5 * 65536))) * 10000, 0) AS BIGINT) AS lrq
+        |  FROM w8, tot),
+        |pd AS (SELECT rg.doc_id, count(*) AS n_features, sum(lr.lrq) AS slrq
+        |  FROM rg JOIN lr ON rg.b = lr.b GROUP BY 1)
+        |SELECT d.doc_id, pd.n_features,
+        |  CAST(pd.slrq AS DOUBLE) / 10000 AS log_importance
+        |FROM rawd d JOIN pd ON d.doc_id = pd.doc_id""").stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      ImportanceSampleOp(StageContext(s, Seq(
+        "raw" -> docs.filter(F.col("doc_id") % 10 =!= 0),
+        "target" -> docs.filter(F.col("doc_id") % 10 === 0)), Cfg.of(
+        "id_column" -> "doc_id", "column" -> "text", "mode" -> "annotate")))
+        .select("doc_id", "n_features", "log_importance")
+    },
+
     // ---- kafka round-trip over the file-backed log: produce an orders
     // slice (single partition, status-keyed), consume it back with a fresh
     // group and a declared schema. The payload column is zero-padded so
