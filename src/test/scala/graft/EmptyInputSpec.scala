@@ -165,6 +165,40 @@ class EmptyInputSpec extends SparkSpec {
     assert(ShuffleOp(StageContext.one(spark, emptyDocs, Cfg.of("seed" -> 1))).count() === 0L)
   }
 
+  test("decontaminate.ngram and sample.importance on empty/null frames") {
+    val bench = Seq((100L, "alpha beta")).toDF("doc_id", "text")
+    // empty train → empty out; empty benchmark → nothing contaminated
+    assert(DecontaminateOp(StageContext(spark, Seq("t" -> emptyDocs, "b" -> bench),
+      Cfg.of("n" -> 2L))).count() === 0L)
+    val vsEmpty = DecontaminateOp(StageContext(spark, Seq("t" -> oneDoc, "b" -> emptyDocs),
+      Cfg.of("n" -> 2L)))
+    assert(vsEmpty.count() === 1L)
+    assert(vsEmpty.select("contaminated").as[Boolean].head() === false)
+    // null text hashes as no grams on the bench side; train nulls survive
+    val withNull = Seq((1L, "x y"), (2L, null)).toDF("doc_id", "text")
+    assert(DecontaminateOp(StageContext(spark, Seq("t" -> withNull, "b" -> bench),
+      Cfg.of("n" -> 2L, "mode" -> "filter"))).count() === 2L)
+
+    assert(ImportanceSampleOp(StageContext(spark, Seq("r" -> emptyDocs, "t" -> bench),
+      Cfg.of())).count() === 0L)
+    assert(ImportanceSampleOp(StageContext(spark, Seq("r" -> oneDoc, "t" -> emptyDocs),
+      Cfg.of())).count() === 1L)
+  }
+
+  test("kafka.consume of an exhausted topic stays readable") {
+    val root = java.nio.file.Files.createTempDirectory("graft_kafka_empty").toString
+    KafkaProduceSink(StageContext.one(spark, oneDoc,
+      Cfg.of("path" -> root, "topic" -> "t", "key_field" -> "text")))
+    val first = KafkaConsumeSource(StageContext(spark, Seq.empty,
+      Cfg.of("path" -> root, "topic" -> "t", "group_id" -> "g")))
+    assert(first.count() === 1L)
+    // frontier past the end: empty batch, schema still well-formed
+    val drained = KafkaConsumeSource(StageContext(spark, Seq.empty,
+      Cfg.of("path" -> root, "topic" -> "t", "group_id" -> "g")))
+    assert(drained.count() === 0L)
+    assert(drained.columns.contains("_kafka_offset"))
+  }
+
   test("BPE on empty corpora and empty strings") {
     assert(BpeTrainOp(StageContext.one(spark, emptyDocs, Cfg.of())).count() === 0L)
     val out = BpeTokenizeOp(StageContext.one(spark,
