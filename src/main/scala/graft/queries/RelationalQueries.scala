@@ -238,6 +238,20 @@ object RelationalQueries {
     },
 
     // ---- count-based window + aggregate.stream batch parity ----
+    // the reference's canonical composition (streaming-window-example.toml):
+    // window.apply → aggregate.stream, which picks up window_id implicitly
+    QueryDef("aggstream_tumbling",
+      """SELECT CAST(floor(rn / 200) AS BIGINT) AS window_id,
+        |  round(sum(value), 6) AS total
+        |FROM (SELECT *, row_number() OVER (ORDER BY ts, event_id) - 1 AS rn FROM events)
+        |GROUP BY 1""".stripMargin) { (s, d) =>
+      val win = graft.streaming.CountWindowOp(StageContext.one(s, t(s, d, "events"), Cfg.of(
+        "type" -> "tumbling", "size" -> 200, "order_by" -> Seq("ts", "event_id"))))
+      graft.streaming.AggregateStreamOp(StageContext.one(s, win, Cfg.of(
+        "operation" -> "sum", "value_column" -> "value", "output_column" -> "total")))
+        .select(F.col("window_id"), F.round(F.col("total"), 6).alias("total"))
+    },
+
     QueryDef("window_count_tumbling",
       """SELECT CAST(floor(rn / 100) AS BIGINT) AS window_id,
         |  count(*) AS n_events,
