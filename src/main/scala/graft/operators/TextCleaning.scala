@@ -640,3 +640,52 @@ object PerplexityOp extends Stage {
     else out
   }
 }
+
+/** chunk.text — split each document into token-budget chunks with
+  * overlap: the retrieval/context-window preparation step (one row per
+  * chunk), distinct from `chunk.apply` (row batching into arrays) and
+  * `pack.sequences` (packing docs INTO fixed sequences for training).
+  *
+  * Tokens are whitespace words; chunks re-join with single spaces, so
+  * text is whitespace-normalized but case/punctuation-preserved. Chunk
+  * starts advance by `max_tokens - overlap` and stop once the remaining
+  * tokens are covered (a start is generated while it is <= len - overlap
+  * - 1, so no chunk is a pure suffix of its predecessor); documents
+  * shorter than the budget yield exactly one chunk.
+  *
+  * Pure projection + explode — zero shuffle, order-free, the 100 TB
+  * shape is "as fast as the scan".
+  */
+object ChunkTextOp extends Stage {
+  val name = "chunk.text"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val df = ctx.primary
+    val col = cfg.strOr("column", "text")
+    val out = cfg.strOr("output_column", "chunk")
+    val maxTokens = cfg.long("max_tokens").toInt
+    if (maxTokens < 1)
+      throw new GraftConfigError(s"chunk.text: max_tokens must be >= 1, got $maxTokens")
+    val overlap = cfg.longOr("overlap", 0L).toInt
+    if (overlap < 0 || overlap >= maxTokens)
+      throw new GraftConfigError(
+        s"chunk.text: overlap must be in [0, max_tokens), got $overlap of $maxTokens")
+    val step = maxTokens - overlap
+
+    val toks = F.split(F.trim(F.col(col)), "\\s+")
+    val starts = F.sequence(F.lit(0),
+      F.greatest(F.size(toks) - overlap - 1, F.lit(0)), F.lit(step))
+    // null text → null array → posexplode emits nothing (no chunks)
+    val chunks = F.when(F.col(col).isNotNull,
+      F.transform(starts, s => F.slice(toks, s + 1, F.lit(maxTokens))))
+    df.withColumn("__chunks", chunks)
+      .select(df.columns.map(F.col) :+
+        F.posexplode(F.col("__chunks")).as(Seq("chunk_id", "__c")): _*)
+      .withColumn(out, F.concat_ws(" ", F.col("__c")))
+      .withColumn("n_chunk_tokens", F.size(F.col("__c")).cast("long"))
+      .withColumn("chunk_id", F.col("chunk_id").cast("long"))
+      .drop("__c", "__chunks")
+  }
+}

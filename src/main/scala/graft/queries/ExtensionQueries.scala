@@ -905,6 +905,27 @@ object ExtensionQueries {
           F.col("n_matched_ngrams"), F.col("contaminated"))
     },
 
+    // ---- chunk.text: token-budget chunking with overlap — the start
+    // arithmetic (advance by max-overlap, stop at len-overlap-1, one
+    // chunk for short docs) restates verbatim in SQL. Splits on raw
+    // whitespace (NOT lowercased), so the oracle split differs from
+    // duckToks deliberately.
+    QueryDef("chunk_text",
+      """WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |  FROM documents),
+        |st AS (SELECT doc_id, w,
+        |  unnest(generate_series(0, greatest(len(w) - 8 - 1, 0), 32)) AS s,
+        |  CAST(unnest(generate_series(0, CAST(floor(greatest(len(w) - 8 - 1, 0) / 32.0) AS BIGINT))) AS BIGINT) AS chunk_id
+        |  FROM toks)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(w[s + 1 : s + 40], ' ') AS chunk,
+        |  CAST(least(40, len(w) - s) AS BIGINT) AS n_chunk_tokens
+        |FROM st""".stripMargin) { (s, d) =>
+      ChunkTextOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "max_tokens" -> 40L, "overlap" -> 8L)))
+        .select("doc_id", "chunk_id", "chunk", "n_chunk_tokens")
+    },
+
     // ---- sample.importance (DSIR): the full scoring pipeline restated
     // in SQL — md5-prefix feature bucketing (the operator hashes with
     // md5 precisely so the oracle can), add-alpha bucket distributions

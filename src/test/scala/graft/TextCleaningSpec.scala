@@ -2,7 +2,7 @@ package graft
 
 import graft.config.{Cfg, GraftConfigError}
 import graft.core.{GraftPlanError, StageContext}
-import graft.operators.{DedupLinesOp, PerplexityOp, RedactOp, RepetitionOp, TextNormalizeOp, UrlNormalizeOp}
+import graft.operators.{ChunkTextOp, DedupLinesOp, PerplexityOp, RedactOp, RepetitionOp, TextNormalizeOp, UrlNormalizeOp}
 
 /** text.redact + text.repetition — corpus-cleaning extensions. */
 class TextCleaningSpec extends SparkSpec {
@@ -295,5 +295,35 @@ class TextCleaningSpec extends SparkSpec {
       spark, score.drop("doc_id"), Cfg.of())))
     intercept[GraftConfigError](PerplexityOp(StageContext.one(
       spark, score, Cfg.of("smoothing" -> 0.0))))
+  }
+
+  test("chunk.text: budget, overlap, suffix suppression, short docs") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), // 10 tokens
+      (2L, "short doc"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = ChunkTextOp(StageContext.one(spark, docs, Cfg.of(
+      "max_tokens" -> 8L, "overlap" -> 4L)))
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "chunk", "n_chunk_tokens")
+      .as[(Long, Long, String, Long)].collect()
+    assert(got === Array(
+      // starts advance by 4 and stop at len-overlap-1=5 → starts 0, 4
+      (1L, 0L, "t1 t2 t3 t4 t5 t6 t7 t8", 8L),
+      (1L, 1L, "t5 t6 t7 t8 t9 t10", 6L),
+      (2L, 0L, "short doc", 2L),
+      (3L, 0L, "", 1L))) // empty text = one empty-token chunk (split semantics)
+    // overlap tokens really repeat across consecutive chunks
+    assert(got(1)._3.startsWith("t5 t6 t7 t8"))
+    // null text yields no chunks; whitespace normalizes, case survives
+    val edge = ChunkTextOp(StageContext.one(spark,
+      Seq((1L, "A  B\t C"), (2L, null)).toDF("doc_id", "text"),
+      Cfg.of("max_tokens" -> 2L)))
+    assert(edge.count() === 2L)
+    assert(edge.orderBy("chunk_id").select("chunk").as[String].collect() ===
+      Array("A B", "C"))
+    intercept[GraftConfigError](ChunkTextOp(StageContext.one(spark, docs,
+      Cfg.of("max_tokens" -> 4L, "overlap" -> 4L))))
   }
 }
