@@ -53,19 +53,45 @@ object TextFns {
 
   /** argmax language over stopword-profile scores; "und" (undetermined)
     * when no profile matches at all; ties → first language in declaration
-    * order */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores: Seq[(String, Column)] = stopwords.map { case (lang, words) =>
-      val sw = F.array(words.map(F.lit): _*)
-      lang -> F.size(F.filter(toks, t => F.array_contains(sw, t)))
+    * order.
+    *
+    * Single-pass UDF (the RepetitionOp pattern): the expression form
+    * re-tokenized the text once per language profile through interpreted
+    * higher-order filters (5 regex splits + 5×15 array_contains probes
+    * per row) and measured ~3× slower at sf0.1. One tokenize, one hash
+    * probe per token; label semantics unchanged (gate-pinned). */
+  private val langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val langs = stopwords.map(_._1).toArray
+    // word → language indexes (profiles overlap: "la" is fr AND es AND it)
+    val wordLangs: Map[String, Array[Int]] = stopwords.zipWithIndex
+      .flatMap { case ((_, words), i) => words.map(_ -> i) }
+      .groupBy(_._1).map { case (w, ls) => w -> ls.map(_._2).toArray }
+    F.udf { text: String =>
+      if (text == null) "und"
+      else {
+        val toks = text.toLowerCase.trim.split("\\s+")
+        val counts = new Array[Int](langs.length)
+        var i = 0
+        while (i < toks.length) {
+          wordLangs.get(toks(i)) match {
+            case Some(ls) =>
+              var k = 0
+              while (k < ls.length) { counts(ls(k)) += 1; k += 1 }
+            case None =>
+          }
+          i += 1
+        }
+        var best = 0; var bestLang = -1
+        var j = 0
+        while (j < counts.length) {
+          if (counts(j) > best) { best = counts(j); bestLang = j } // ties → first
+          j += 1
+        }
+        if (best <= 0) "und" else langs(bestLang)
+      }
     }
-    val best = scores.map(_._2).reduce((a, b) => F.greatest(a, b))
-    scores.foldLeft(F.when(best <= 0, F.lit("und")): Column) {
-      case (acc, (lang, score)) =>
-        acc.when(score === best, F.lit(lang))
-    }.otherwise(F.lit("und"))
   }
+  def langId(text: Column): Column = langIdUdf(text)
 
   /** composite quality score in [0,1]: balanced length, low punct/digit
     * noise, healthy stopword density (C4/Gopher-style heuristics) */
