@@ -429,3 +429,55 @@ object LimitOp extends Stage {
     }
   }
 }
+
+/** profile.apply — one-pass column profiling: the reporting companion to
+  * validate.schema's assertions. Output is one row per profiled column:
+  * `column, dtype, n_rows, n_nonnull, n_distinct, min_value, max_value`
+  * (min/max rendered as strings so the schema is column-type-agnostic).
+  *
+  * ONE aggregation job covers every column (4 aggregate buffers per
+  * column in a single pass; exact multi-column count_distinct plans one
+  * Expand). `distinct = approx` swaps in HLL++ sketches — fixed-size
+  * mergeable state, the 100 TB default; `exact` stays available where
+  * the report feeds a correctness decision. The single agg row is
+  * unpivoted driver-free via one generator projection.
+  */
+object ProfileOp extends Stage {
+  val name = "profile.apply"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val df = ctx.primary
+    val cfg = ctx.cfg
+    val cols = cfg.strListOr("columns", df.columns.toVector)
+    cols.find(c => !df.columns.contains(c)).foreach(c =>
+      throw new GraftPlanError(s"profile.apply: column '$c' not found; available: ${df.columns.mkString(", ")}"))
+    val distinctOf: String => Column = cfg.strOr("distinct", "exact") match {
+      case "exact"  => c => F.count_distinct(F.col(c))
+      case "approx" => c => F.approx_count_distinct(c, cfg.doubleOr("rsd", 0.05))
+      case "none"   => _ => F.lit(null).cast("long")
+      case other => throw new GraftConfigError(
+        s"profile.apply distinct must be exact|approx|none, got '$other'")
+    }
+    val aggs = F.count(F.lit(1)).alias("__n") +: cols.flatMap { c => Seq(
+      F.count(F.col(c)).alias(s"__nn_$c"),
+      distinctOf(c).alias(s"__nd_$c"),
+      F.min(F.col(c)).cast("string").alias(s"__min_$c"),
+      F.max(F.col(c)).cast("string").alias(s"__max_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val dtypes = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    // unpivot the single agg row: one struct per column → explode
+    val rows = F.explode(F.array(cols.map { c =>
+      F.struct(
+        F.lit(c).alias("column"),
+        F.lit(dtypes(c)).alias("dtype"),
+        F.col("__n").alias("n_rows"),
+        F.col(s"__nn_$c").alias("n_nonnull"),
+        F.col(s"__nd_$c").cast("long").alias("n_distinct"),
+        F.col(s"__min_$c").alias("min_value"),
+        F.col(s"__max_$c").alias("max_value"))
+    }: _*))
+    one.select(rows.alias("__p")).select("__p.*")
+  }
+}

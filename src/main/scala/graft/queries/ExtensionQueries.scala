@@ -905,6 +905,26 @@ object ExtensionQueries {
           F.col("n_matched_ngrams"), F.col("contaminated"))
     },
 
+    // ---- profile.apply: the per-column report restated as UNION ALL
+    // branches (string-rendered min/max keep one output schema; bigint,
+    // string, double and date all round-trip the cast identically).
+    QueryDef("profile_orders",
+      """SELECT 'o_orderkey' AS "column", 'bigint' AS dtype, count(*) AS n_rows,
+        |  count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        |FROM orders
+        |UNION ALL SELECT 'o_orderstatus', 'string', count(*), count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders
+        |UNION ALL SELECT 'o_totalprice', 'double', count(*), count(o_totalprice),
+        |  count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS VARCHAR),
+        |  CAST(max(o_totalprice) AS VARCHAR) FROM orders
+        |UNION ALL SELECT 'o_orderdate', 'timestamp_ntz', count(*), count(o_orderdate),
+        |  count(DISTINCT o_orderdate), CAST(min(o_orderdate) AS VARCHAR),
+        |  CAST(max(o_orderdate) AS VARCHAR) FROM orders""".stripMargin) { (s, d) =>
+      ProfileOp(StageContext.one(s, t(s, d, "orders"), Cfg.of(
+        "columns" -> Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"))))
+    },
+
     // ---- chunk.text: token-budget chunking with overlap — the start
     // arithmetic (advance by max-overlap, stop at len-overlap-1, one
     // chunk for short docs) restates verbatim in SQL. Splits on raw

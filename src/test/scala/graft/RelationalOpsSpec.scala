@@ -228,4 +228,27 @@ class RelationalOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(top == Seq(2L, 3L)) // value 200, 150
   }
+
+  // ---- profile.apply ----
+  test("profile: one row per column with nulls/distinct/min/max") {
+    import spark.implicits._
+    val df = Seq((1L, "a", Some(2.5)), (2L, "b", None), (3L, "a", Some(-1.0)))
+      .toDF("id", "k", "v")
+    val got = ProfileOp(ctx(df)).orderBy("column")
+      .as[(String, String, Long, Long, Long, String, String)].collect()
+    assert(got === Array(
+      ("id", "bigint", 3L, 3L, 3L, "1", "3"),
+      ("k", "string", 3L, 3L, 2L, "a", "b"),
+      ("v", "double", 3L, 2L, 2L, "-1.0", "2.5")))
+    // column subset + distinct=none
+    val sub = ProfileOp(ctx(df, "columns" -> Seq("k"), "distinct" -> "none")).head()
+    assert(sub.getString(0) === "k" && sub.isNullAt(4))
+    // approx mode returns a sane estimate; unknown column fails loud
+    val approx = ProfileOp(ctx(df, "columns" -> Seq("id"), "distinct" -> "approx")).head()
+    assert(approx.getLong(4) === 3L)
+    intercept[graft.core.GraftPlanError](ProfileOp(ctx(df, "columns" -> Seq("nope"))))
+    // ONE aggregation job: the plan has exactly one pair of agg exchanges
+    val plan = ProfileOp(ctx(df)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "profiling must not self-join")
+  }
 }
