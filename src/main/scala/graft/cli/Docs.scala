@@ -35,6 +35,7 @@ object Docs {
     "json.extract" -> "extract a JSON path from a string column - column, path, output_column",
     "validate.schema" -> "assert declared schema/nullability - schema, mode",
     "profile.apply" -> "one-pass per-column profile (rows/nulls/distinct/min/max) - columns, distinct=exact|approx|none, rsd",
+    "explode.apply" -> "one row per array element (generator) - column (name or SQL expr), into, outer, position_column",
     "repartition.apply" -> "partition layout - mode: hash|range|coalesce, n, by",
     "sample.apply" -> "sampling - fraction, seed, with_replacement | by + fractions (stratified)",
     "split.apply" -> "deterministic hash split - columns, percent, partition: train|test, salt",

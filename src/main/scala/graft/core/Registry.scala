@@ -29,7 +29,7 @@ object Registry {
     CsvSink, JsonSink, StdoutSink, ParquetSink, NoopSink, TableSink,
     // relational transforms (reference §2.3)
     FilterOp, SelectOp, MapOp, GroupByOp, ReduceOp, SortOp, DistinctOp,
-    ChunkOp, JsonExtractOp, ValidateOp, ProfileOp, LimitOp, SampleOp, SplitOp, ShuffleOp,
+    ChunkOp, JsonExtractOp, ValidateOp, ProfileOp, ExplodeOp, LimitOp, SampleOp, SplitOp, ShuffleOp,
     RepartitionOp,
     ZOrderOp,
     // streaming (reference §2.4 + §2.1 unregistered sources + event-time upgrades)

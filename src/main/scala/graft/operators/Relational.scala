@@ -481,3 +481,35 @@ object ProfileOp extends Stage {
     one.select(rows.alias("__p")).select("__p.*")
   }
 }
+
+/** explode.apply — one row per element of an array (or per entry of a
+  * map) column: the generator step a TOML pipeline cannot otherwise
+  * express (`map.apply sql` is a projection — Spark generators must be
+  * planned in a select, not a withColumn). `column` may be any SQL
+  * expression ("split(text, ' ')" works), `into` names the element
+  * column (default = the source column name), `outer = true` keeps rows
+  * whose array is null/empty (null element), `position_column` adds the
+  * element index. Pure Generate node — zero shuffle.
+  */
+object ExplodeOp extends Stage {
+  val name = "explode.apply"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val df = ctx.primary
+    val cfg = ctx.cfg
+    val colExpr = cfg.str("column")
+    val into = cfg.strOr("into", if (df.columns.contains(colExpr)) colExpr else "value")
+    val outer = cfg.boolOr("outer", false)
+    val src = F.expr(colExpr)
+    val others = df.columns.filterNot(_ == into).map(F.col).toSeq
+    cfg.strOpt("position_column") match {
+      case Some(pos) =>
+        val gen = if (outer) F.posexplode_outer(src) else F.posexplode(src)
+        df.select(others :+ gen.as(Seq(pos, into)): _*)
+      case None =>
+        val gen = if (outer) F.explode_outer(src) else F.explode(src)
+        df.select(others :+ gen.alias(into): _*)
+    }
+  }
+}

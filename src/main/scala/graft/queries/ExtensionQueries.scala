@@ -905,6 +905,19 @@ object ExtensionQueries {
           F.col("n_matched_ngrams"), F.col("contaminated"))
     },
 
+    // ---- explode.apply: expression-source generator (split → one row
+    // per word with its index) — unnest WITH ORDINALITY in DuckDB terms.
+    QueryDef("explode_words",
+      """SELECT doc_id, CAST(i - 1 AS INT) AS i, w[i] AS word
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |      WHERE doc_id < 50),
+        |  LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)""".stripMargin) { (s, d) =>
+      ExplodeOp(StageContext.one(s,
+        t(s, d, "documents").filter(F.col("doc_id") < 50).select("doc_id", "text"),
+        Cfg.of("column" -> "split(text, ' ')", "into" -> "word", "position_column" -> "i")))
+        .select("doc_id", "i", "word")
+    },
+
     // ---- profile.apply: the per-column report restated as UNION ALL
     // branches (string-rendered min/max keep one output schema; bigint,
     // string, double and date all round-trip the cast identically).

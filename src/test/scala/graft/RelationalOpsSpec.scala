@@ -251,4 +251,27 @@ class RelationalOpsSpec extends SparkSpec {
     val plan = ProfileOp(ctx(df)).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "profiling must not self-join")
   }
+
+  // ---- explode.apply ----
+  test("explode: expression source, outer mode, position column") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, ""), (3L, null)).toDF("id", "text")
+    // expression source: split on the fly; empty string still yields [""]
+    val got = ExplodeOp(ctx(df, "column" -> "split(text, ' ')", "into" -> "word"))
+      .select("id", "word").as[(Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Array((1L, "a"), (1L, "b"), (2L, "")))
+    // outer keeps the null-array row with a null element
+    val outer = ExplodeOp(ctx(df, "column" -> "split(text, ' ')", "into" -> "word",
+      "outer" -> true))
+    assert(outer.count() === 4L)
+    // position column + default into name for a real array column
+    val arr = df.select(F.col("id"), F.split(F.col("text"), " ").as("toks"))
+    val pos = ExplodeOp(ctx(arr, "column" -> "toks", "position_column" -> "i"))
+      .select("id", "i", "toks").as[(Long, Int, String)].collect().sorted
+    assert(pos === Array((1L, 0, "a"), (1L, 1, "b"), (2L, 0, "")))
+    // generator only — no shuffle in the plan
+    val plan = ExplodeOp(ctx(arr, "column" -> "toks"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }
