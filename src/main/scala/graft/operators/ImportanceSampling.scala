@@ -47,16 +47,49 @@ object ImportanceSampleOp extends Stage {
   private val Q = 10000.0
 
   /** Bag (with multiplicity) of word 1..maxN-gram bucket keys; a doc
-    * contributes n-grams only at sizes it has enough tokens for. */
+    * contributes n-grams only at sizes it has enough tokens for.
+    *
+    * Single-pass UDF (the langId/RepetitionOp lesson): the expression
+    * form (flatten∘transform∘sequence + per-gram concat_ws/md5 casts)
+    * runs interpreted and re-tokenizes per n — measured ~4× slower at
+    * sf0.1. One tokenize, one rolling StringBuilder per n, one digest
+    * per gram; identical bytes → identical buckets (oracle-pinned). */
   def featureBuckets(text: Column, maxN: Int, hexDigits: Int): Column = {
-    val toks = Shingles.tokens(text)
-    val grams = F.flatten(F.array((1 to maxN).map { n =>
-      F.when(F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-          i => F.concat_ws(" ", F.slice(toks, i + 1, F.lit(n)))))
-        .otherwise(F.array().cast("array<string>"))
-    }: _*))
-    F.transform(grams, g => F.substring(F.md5(g.cast("binary")), 1, hexDigits))
+    val hex = "0123456789abcdef".toCharArray
+    val udf = F.udf { t: String =>
+      if (t == null) null
+      else {
+        val toks = t.toLowerCase.trim.split("\\s+")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val out = new scala.collection.mutable.ArrayBuffer[String](toks.length * maxN)
+        val sb = new java.lang.StringBuilder
+        var n = 1
+        while (n <= maxN) {
+          if (toks.length >= n) {
+            var i = 0
+            while (i <= toks.length - n) {
+              sb.setLength(0)
+              var j = 0
+              while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+              md.reset()
+              val digest = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val chars = new Array[Char](hexDigits)
+              var k = 0
+              while (k < hexDigits) {
+                val b = digest(k / 2) & 0xff
+                chars(k) = hex(if (k % 2 == 0) b >>> 4 else b & 0xf)
+                k += 1
+              }
+              out += new String(chars)
+              i += 1
+            }
+          }
+          n += 1
+        }
+        out.toArray
+      }
+    }
+    udf(text)
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -83,8 +116,12 @@ object ImportanceSampleOp extends Stage {
     }
     val buckets = math.pow(16.0, hexDigits)
 
+    // persisted: feeds BOTH the count aggregation and the per-doc scoring
+    // join — without it the tokenize+digest explode runs twice. Narrow
+    // rows (id + d hex chars), MEMORY_AND_DISK spills safely at scale.
     val rawFeat = raw.select(F.col(id).as("__id"),
       F.explode(featureBuckets(F.col(col), maxN, hexDigits)).as("__b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tgtFeat = target.select(
       F.explode(featureBuckets(F.col(col), maxN, hexDigits)).as("__b"))
 
