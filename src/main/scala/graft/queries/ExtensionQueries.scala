@@ -905,6 +905,24 @@ object ExtensionQueries {
           F.col("n_matched_ngrams"), F.col("contaminated"))
     },
 
+    // ---- the full corpus-cleaning pipeline as ONE composed plan: the
+    // shipped example TOML (html.strip → normalize → redact → dedup.lines
+    // → C4 lines → Gopher → repetition → exact + fuzzy decontamination →
+    // js.eval → BPE → packing) compiled end-to-end. Rows-only by design
+    // (the oracle would be the union of ten operator oracles); per-stage
+    // correctness is each operator's own gate — THIS entry measures the
+    // composed end-to-end cost next to the reference's 1-second toy
+    // pipeline (BASELINE.md #4).
+    QueryDef.noOracle("pipeline_corpus_e2e") { (s, d) =>
+      val toml = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/root/repo/examples/corpus-cleaning.toml")),
+        java.nio.charset.StandardCharsets.UTF_8)
+        .replace("/root/testdata/sf0.01", d)
+      val pc = graft.config.PipelineConfig.fromString(toml)
+      new graft.core.DagCompiler(graft.core.Registry.withDefaults)
+        .compilePlans(s, pc)("packed")
+    },
+
     // ---- explode.apply: expression-source generator (split → one row
     // per word with its index) — unnest WITH ORDINALITY in DuckDB terms.
     QueryDef("explode_words",
