@@ -10,6 +10,10 @@ import graft.core.{DagCompiler, Registry}
   */
 object Main {
   def main(args: Array[String]): Unit = args.toList match {
+    // reference: `conveyor run --dry-run` validates without executing
+    case "run" :: path :: rest if rest.contains("--dry-run") =>
+      main(Array("validate", path))
+
     case "run" :: path :: rest =>
       val pc = PipelineConfig.fromFile(path)
       val spark = session(rest)
@@ -63,16 +67,57 @@ object Main {
         println(s"$fn [${st.kind}] - ${Docs.describe(fn)}")
       } else { System.err.println(s"unknown function '$fn'"); sys.exit(1) }
 
+    // reference: `conveyor stage new` scaffolds a starter pipeline
+    // (src/cli/scaffold.rs:5-120, non-interactive defaults)
+    case "scaffold" :: rest =>
+      val out = java.nio.file.Paths.get(rest.headOption.getOrElse("pipeline.toml"))
+      if (java.nio.file.Files.exists(out)) {
+        System.err.println(s"refusing to overwrite existing $out")
+        sys.exit(1)
+      }
+      java.nio.file.Files.write(out, scaffoldTemplate.getBytes("UTF-8"))
+      println(s"wrote $out — edit it, then: graft run $out")
+
     case _ =>
       System.err.println(
         """usage: graft <command>
-          |  run <pipeline.toml>      execute a pipeline
+          |  run <pipeline.toml>      execute a pipeline (--dry-run = validate only)
           |  explain <pipeline.toml>  print each sink's physical plan (no execution)
           |  validate <pipeline.toml> parse + validate config
           |  list                     list registered functions
-          |  info <function>          show function info""".stripMargin)
+          |  info <function>          show function info
+          |  scaffold [out.toml]      write a starter pipeline""".stripMargin)
       sys.exit(2)
   }
+
+  /** Starter pipeline (reference scaffold.rs template, graft spellings). */
+  private[cli] val scaffoldTemplate: String =
+    """# graft pipeline (conveyor-compatible TOML)
+      |[pipeline]
+      |name = "my_pipeline"
+      |version = "1.0.0"
+      |description = "A data processing pipeline"
+      |
+      |[global]
+      |log_level = "info"
+      |
+      |[[stages]]
+      |id = "source"
+      |function = "csv.read"
+      |config = { path = "input.csv", headers = true }
+      |
+      |[[stages]]
+      |id = "filtered"
+      |function = "filter.apply"
+      |inputs = ["source"]
+      |config = { column = "status", operator = "==", value = "active" }
+      |
+      |[[stages]]
+      |id = "out"
+      |function = "stdout.write"
+      |inputs = ["filtered"]
+      |config = { format = "table", limit = 20 }
+      |""".stripMargin
 
   private def session(rest: List[String]): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString)
