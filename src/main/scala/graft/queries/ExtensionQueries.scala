@@ -905,6 +905,23 @@ object ExtensionQueries {
           F.col("n_matched_ngrams"), F.col("contaminated"))
     },
 
+    // ---- join.similar method=embedding, semi mode: the right side is
+    // an exact copy of HALF the corpus (shifted ids), so semi must keep
+    // exactly that half — cosine 1.0 on planted matches, every other
+    // pair far below threshold (planted near-dup pairs sit at >= 0.95,
+    // threshold 0.99 excludes them). Selective, not trivially-all.
+    QueryDef("similar_join_embedding",
+      "SELECT vec_id, label FROM embeddings WHERE vec_id < 250") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val half = emb.filter(F.col("vec_id") < 250)
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+      SimilarJoinOp(StageContext(s, Seq("l" -> emb, "r" -> half), Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "method" -> "embedding", "threshold" -> 0.99,
+        "planes" -> 32, "blocks" -> 4, "seed" -> 7, "mode" -> "semi")))
+        .select("vec_id", "label")
+    },
+
     // ---- the full corpus-cleaning pipeline as ONE composed plan: the
     // shipped example TOML (html.strip → normalize → redact → dedup.lines
     // → C4 lines → Gopher → repetition → exact + fuzzy decontamination →

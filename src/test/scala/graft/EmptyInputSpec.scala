@@ -199,6 +199,16 @@ class EmptyInputSpec extends SparkSpec {
     assert(drained.columns.contains("_kafka_offset"))
   }
 
+  test("profile, explode and chunk.text on empty frames") {
+    val prof = ProfileOp(StageContext.one(spark, emptyDocs, Cfg.of()))
+    assert(prof.count() === 2L) // one report row per column, zero-row stats
+    assert(prof.filter(F.col("n_rows") =!= 0).count() === 0L)
+    assert(ExplodeOp(StageContext.one(spark, emptyDocs,
+      Cfg.of("column" -> "split(text, ' ')", "into" -> "w"))).count() === 0L)
+    assert(ChunkTextOp(StageContext.one(spark, emptyDocs,
+      Cfg.of("max_tokens" -> 8L))).count() === 0L)
+  }
+
   test("BPE on empty corpora and empty strings") {
     assert(BpeTrainOp(StageContext.one(spark, emptyDocs, Cfg.of())).count() === 0L)
     val out = BpeTokenizeOp(StageContext.one(spark,
