@@ -165,4 +165,63 @@ class PropertySpec extends SparkSpec {
       assert(out == expected, s"sample $i width=$width")
     }
   }
+
+  private val textGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(Gen.nonEmptyListOf(
+      Gen.oneOf("the", "cat", "sat", "mat", "dog", "ran", "alpha", "beta"))
+      .map(_.mkString(" ")))
+
+  test("chunk.text reassembly: dropping the overlap prefix rebuilds the doc") {
+    for ((texts, i) <- samples(textGen, 5).zipWithIndex) {
+      val maxT = 2 + i % 4           // budgets 2..5
+      val overlap = i % maxT          // overlaps 0..maxT-1
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val chunks = ChunkTextOp(StageContext.one(spark, df, Cfg.of(
+        "max_tokens" -> maxT.toLong, "overlap" -> overlap.toLong)))
+        .select("doc_id", "chunk_id", "chunk")
+        .as[(Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toList).toMap
+      texts.zipWithIndex.foreach { case (t, j) =>
+        val norm = t.trim.split("\\s+").toList
+        val rebuilt = chunks(j.toLong) match {
+          case head :: tail =>
+            head.split(" ").toList ++ tail.flatMap(_.split(" ").drop(overlap))
+          case Nil => Nil
+        }
+        assert(rebuilt == norm, s"sample $i doc $j budget=$maxT overlap=$overlap")
+      }
+    }
+  }
+
+  test("decontaminate filter + semi partition the corpus; self is all-contaminated") {
+    for ((texts, i) <- samples(textGen, 5).zipWithIndex) {
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val bench = texts.take(1).map(t => (100L, t)).toDF("doc_id", "text")
+      def mode(m: String) = DecontaminateOp(StageContext(spark,
+        Seq("t" -> df, "b" -> bench), Cfg.of("n" -> 2L, "mode" -> m))).count()
+      assert(mode("filter") + mode("semi") == df.count(), s"sample $i")
+      // every doc shares all its grams with itself
+      val self = DecontaminateOp(StageContext(spark, Seq("t" -> df, "b" -> df),
+        Cfg.of("n" -> 2L, "mode" -> "semi")))
+      assert(self.count() == df.count(), s"sample $i self")
+    }
+  }
+
+  test("importance topk is a k-subset of the pool with maximal weights") {
+    for ((texts, i) <- samples(textGen, 5).zipWithIndex) {
+      val df = texts.zipWithIndex.map { case (t, j) => (j.toLong, t) }.toDF("doc_id", "text")
+      val target = texts.takeRight(1).map(t => (500L, t)).toDF("doc_id", "text")
+      val k = 1 + i % 3
+      val ann = ImportanceSampleOp(StageContext(spark,
+        Seq("r" -> df, "t" -> target), Cfg.of("mode" -> "annotate")))
+        .select("doc_id", "log_importance").as[(Long, Double)].collect().toMap
+      val picked = ImportanceSampleOp(StageContext(spark,
+        Seq("r" -> df, "t" -> target), Cfg.of("mode" -> "topk", "k" -> k.toLong)))
+        .select("doc_id").as[Long].collect().toSet
+      assert(picked.size == math.min(k, texts.size), s"sample $i")
+      val worstPicked = picked.map(ann).min
+      val bestSkipped = (ann.keySet -- picked).map(ann).foldLeft(Double.NegativeInfinity)(math.max)
+      assert(worstPicked >= bestSkipped, s"sample $i: topk must dominate")
+    }
+  }
 }
