@@ -254,6 +254,11 @@ object KafkaStreamSource extends Stage {
   * frontier; within one produce batch, rows order by (payload, key) —
   * concurrent-producer interleaving is arbitrary in Kafka anyway, so the
   * tie-break only pins reproducibility.
+  *
+  * Single-writer contract: a real broker serializes concurrent
+  * producers; the file-backed log does not, so two SIMULTANEOUS
+  * produces to one topic race on the offset frontier. One producer per
+  * topic at a time (any number of consumers) is the offline contract.
   */
 object KafkaProduceSink extends Stage {
   val name = "kafka.produce"
