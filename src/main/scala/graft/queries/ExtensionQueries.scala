@@ -905,6 +905,31 @@ object ExtensionQueries {
           F.col("n_matched_ngrams"), F.col("contaminated"))
     },
 
+    // ---- join.similar mode=pairs: the emitted score IS the exact
+    // word-3-shingle Jaccard (verify step), an integer ratio — the
+    // oracle computes the identical quantity per cross-split pair. The
+    // divisions are exact-integer ratios, bit-identical across engines.
+    QueryDef("similar_join_pairs",
+      ("""WITH toks AS (SELECT doc_id, """ + duckToks + """ AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM toks),
+        |l AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+        |r AS (SELECT * FROM sh WHERE doc_id % 10 = 0)
+        |SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |FROM l a JOIN r b ON CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8""").stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      SimilarJoinOp(StageContext(s, Seq(
+        "l" -> docs.filter(F.col("doc_id") % 10 =!= 0),
+        "r" -> docs.filter(F.col("doc_id") % 10 === 0)), Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
+        "threshold" -> 0.8, "mode" -> "pairs")))
+        .select("left_id", "right_id", "jaccard")
+    },
+
     // ---- join.similar method=embedding, semi mode: the right side is
     // an exact copy of HALF the corpus (shifted ids), so semi must keep
     // exactly that half — cosine 1.0 on planted matches, every other
