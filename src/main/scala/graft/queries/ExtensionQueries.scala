@@ -905,6 +905,48 @@ object ExtensionQueries {
           F.col("n_matched_ngrams"), F.col("contaminated"))
     },
 
+    // ---- mongodb.findOne: sort + limit-1 document pick (Mongo
+    // evaluation order: sort before projection), transform mode.
+    QueryDef("mongo_find_one",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 1""".stripMargin) { (s, d) =>
+      MongoFindOneSource(StageContext.one(s, t(s, d, "orders"), Cfg.of(
+        "sort" -> """{"o_totalprice": -1, "o_orderkey": 1}""",
+        "projection" -> """{"o_orderkey": 1, "o_totalprice": 1}""")))
+    },
+
+    // ---- http.get in mock mode: array response → rows (the offline
+    // contract of the driver-side http source family).
+    QueryDef("http_get_mock",
+      """SELECT * FROM (VALUES (1, 'alice', true), (2, 'bob', false))
+        |AS t(id, name, active) ORDER BY id""".stripMargin) { (s, d) =>
+      HttpGetSource(StageContext(s, Seq.empty, Cfg.of(
+        "url" -> "https://api.example.test/users",
+        "mock_response" ->
+          """[{"id": 1, "name": "alice", "active": true},
+            | {"id": 2, "name": "bob", "active": false}]""".stripMargin)))
+        .select("id", "name", "active")
+    },
+
+    // ---- window.rank: the remaining analytic functions (ntile buckets
+    // + cumulative distribution) over a keyed ordering.
+    QueryDef("window_ntile_cume",
+      """SELECT o_custkey, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  cume_dist() OVER w AS cd
+        |FROM orders WHERE o_custkey < 20
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin) { (s, d) =>
+      val base = t(s, d, "orders").filter(F.col("o_custkey") < 20)
+      val win = Cfg.of(
+        "partition_by" -> Seq("o_custkey"),
+        "order_by" -> Seq("o_totalprice", "o_orderkey"))
+      val quart = WindowFnOp(StageContext.one(s, base, Cfg(win.table ++ Cfg.of(
+        "function" -> "ntile", "n" -> 4, "output_column" -> "quartile").table)))
+      WindowFnOp(StageContext.one(s, quart, Cfg(win.table ++ Cfg.of(
+        "function" -> "cume_dist", "output_column" -> "cd").table)))
+        .select("o_custkey", "o_orderkey", "quartile", "cd")
+    },
+
     // ---- join.similar mode=pairs: the emitted score IS the exact
     // word-3-shingle Jaccard (verify step), an integer ratio — the
     // oracle computes the identical quantity per cross-split pair. The
