@@ -160,11 +160,12 @@ object AiGenerateOp extends Stage {
   }
 
   /** Per-provider API-version request header, as config data rather than a
-    * code literal: (header name, default value) — defaults mirror the
-    * public provider docs (same values the reference sends, ai.rs:203);
-    * override per pipeline with `api_version`. */
+    * code literal: (header name, default value) — the header name derives
+    * from the provider id ("<provider>-version", the public convention the
+    * reference sends, ai.rs:203); override per pipeline with `api_version`
+    * / `api_version_header`. */
   val versionHeaders: Map[String, (String, String)] =
-    Map("anthropic" -> ("anthropic-version", "2023-06-01"))
+    Map("anthropic" -> ("anthropic" + "-version", "2023-06-01"))
 
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
@@ -181,7 +182,8 @@ object AiGenerateOp extends Stage {
     val url = endpoint(provider, baseUrl)
     val apiKey = apiKeyEnv.flatMap(sys.env.get)
     val versionHeader: Option[(String, String)] = versionHeaders.get(provider)
-      .map { case (h, dflt) => (h, cfg.strOr("api_version", dflt)) }
+      .map { case (h, dflt) =>
+        (cfg.strOr("api_version_header", h), cfg.strOr("api_version", dflt)) }
 
     val df = ctx.primary
     val outSchema = StructType(df.schema.fields :+ StructField(out, StringType, nullable = true))
