@@ -107,6 +107,7 @@ object Docs {
     "decontaminate.ngram" -> "exact n-gram collision vs a benchmark table (GPT-3 13-gram / PaLM fraction) - two inputs; column, id_column, n, mode=annotate|filter|semi, min_matches|max_overlap",
     "sample.importance" -> "DSIR importance resampling vs a target corpus - two inputs; column, id_column, max_ngram, hex_digits, smoothing, mode=annotate|topk|gumbel, k, seed",
     "chunk.text" -> "split docs into token-budget chunks with overlap (RAG prep, one row per chunk) - column, max_tokens, overlap, output_column",
+    "text.sentences" -> "sentence segmentation (terminator+whitespace split, keeps terminators) - column, terminators, mode=explode|array|count",
     // kafka (file-backed log offline; brokers-only raises the jar gap)
     "kafka.consume" -> "bounded batch read with group offsets - path (log root)|brokers, topic, group_id, max_messages (0=backlog), schema, value_format=json|raw, commit",
     "kafka.produce" -> "append records to a topic - path|brokers, topic, key_field, num_partitions, timestamp_field; deterministic key routing, dense per-partition offsets",

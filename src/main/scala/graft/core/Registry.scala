@@ -60,7 +60,7 @@ object Registry {
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
     RedactOp, RepetitionOp, PackOp, HtmlStripOp, DedupLinesOp, UrlNormalizeOp,
     TextNormalizeOp, BpeTrainOp, BpeTokenizeOp, GopherQualityOp, LineFilterOp,
-    PerplexityOp, ChunkTextOp,
+    PerplexityOp, ChunkTextOp, SentencesOp,
     KnnBruteForceOp, KnnLshOp, KnnIvfOp, IndexBuildOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
     graft.multimodal.ImageDecodeOp, graft.multimodal.AudioDecodeOp,

@@ -689,3 +689,54 @@ object ChunkTextOp extends Stage {
       .drop("__c", "__chunks")
   }
 }
+
+/** text.sentences — sentence segmentation: split on a terminator
+  * ([.!?] by default) followed by whitespace, keeping the terminator
+  * with its sentence. `mode = explode` (default) emits one row per
+  * sentence with a `sentence_id`; `array` appends the sentences as an
+  * array column; `count` appends only `n_sentences`. The classic
+  * preprocessing primitive ahead of sentence-level dedup
+  * (`dedup.lines` on the exploded rows) and sentence-bounded chunking.
+  *
+  * Pattern discipline: RE2 has no lookbehind, so the split is
+  * replace-then-split — `([.!?])\s+` → `$1<SOH>`, then split on the
+  * control char — which both java.util.regex and RE2 execute
+  * identically (the oracle runs the same two steps). Pure projection /
+  * Generate, zero shuffle; null text yields no rows (explode) or null
+  * (array/count).
+  */
+object SentencesOp extends Stage {
+  val name = "text.sentences"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val df = ctx.primary
+    val cfg = ctx.cfg
+    val col = cfg.strOr("column", "text")
+    val terminators = cfg.strOr("terminators", ".!?")
+    if (terminators.isEmpty)
+      throw new GraftConfigError("text.sentences: terminators must be non-empty")
+    // escape for a regex character class
+    val cls = terminators.flatMap {
+      case c @ ('\\' | ']' | '^' | '-' | '[') => s"\\$c"
+      case c => c.toString
+    }
+    val sep = "\u0001" // SOH: never appears in text corpora
+    val marked = F.regexp_replace(F.col(col), s"([$cls])\\s+", "$1" + sep)
+    val arr = F.split(marked, sep)
+    cfg.strOr("mode", "explode") match {
+      case "explode" =>
+        val out = cfg.strOr("output_column", "sentence")
+        df.select(df.columns.map(F.col) :+
+          F.posexplode(arr).as(Seq("sentence_id", out)): _*)
+          .withColumn("sentence_id", F.col("sentence_id").cast("long"))
+      case "array" =>
+        df.withColumn(cfg.strOr("output_column", "sentences"), arr)
+      case "count" =>
+        df.withColumn(cfg.strOr("output_column", "n_sentences"),
+          F.size(arr).cast("long"))
+      case other => throw new GraftConfigError(
+        s"text.sentences mode must be explode|array|count, got '$other'")
+    }
+  }
+}

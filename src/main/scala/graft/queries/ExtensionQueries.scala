@@ -905,6 +905,26 @@ object ExtensionQueries {
           F.col("n_matched_ngrams"), F.col("contaminated"))
     },
 
+    // ---- text.sentences: the corpus has no punctuation, so both engines
+    // synthesize identically-punctuated docs (substr + terminators),
+    // then run the same replace-then-split (RE2 ∩ java.regex — no
+    // lookbehind) and compare sentence rows.
+    QueryDef("text_sentences",
+      """WITH p AS (SELECT doc_id,
+        |  substr(text, 1, 40) || '. ' || substr(text, 41, 40) || '! '
+        |    || substr(text, 81, 100000) || '?' AS text FROM documents),
+        |m AS (SELECT doc_id, string_split(
+        |  regexp_replace(text, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS ss FROM p)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) AS sentence_id, ss[i] AS sentence
+        |FROM m, LATERAL (SELECT unnest(generate_series(1, len(ss))) AS i)""".stripMargin) { (s, d) =>
+      val punct = t(s, d, "documents").select(F.col("doc_id"), F.concat(
+        F.substring(F.col("text"), 1, 40), F.lit(". "),
+        F.substring(F.col("text"), 41, 40), F.lit("! "),
+        F.substring(F.col("text"), 81, 100000), F.lit("?")).as("text"))
+      SentencesOp(StageContext.one(s, punct, Cfg.of()))
+        .select("doc_id", "sentence_id", "sentence")
+    },
+
     // ---- mongodb.findOne: sort + limit-1 document pick (Mongo
     // evaluation order: sort before projection), transform mode.
     QueryDef("mongo_find_one",

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{functions => F}
 import graft.config.{Cfg, GraftConfigError}
 import graft.core.{GraftPlanError, StageContext}
 import graft.operators.{ChunkTextOp, DedupLinesOp, PerplexityOp, RedactOp, RepetitionOp, TextNormalizeOp, UrlNormalizeOp}
@@ -325,5 +326,33 @@ class TextCleaningSpec extends SparkSpec {
       Array("A B", "C"))
     intercept[GraftConfigError](ChunkTextOp(StageContext.one(spark, docs,
       Cfg.of("max_tokens" -> 4L, "overlap" -> 4L))))
+  }
+
+  test("text.sentences: explode/array/count modes, terminator handling") {
+    val docs = Seq(
+      (1L, "First one. Second two!  Third three? tail without end"),
+      (2L, "no terminators at all"),
+      (3L, "Ends cleanly."),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = graft.operators.SentencesOp(StageContext.one(spark, docs, Cfg.of()))
+      .select("doc_id", "sentence_id", "sentence")
+      .as[(Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(got === Array(
+      (1L, 0L, "First one."), (1L, 1L, "Second two!"),
+      (1L, 2L, "Third three?"), (1L, 3L, "tail without end"),
+      (2L, 0L, "no terminators at all"),
+      (3L, 0L, "Ends cleanly."))) // trailing terminator: no empty sentence
+    val counted = graft.operators.SentencesOp(StageContext.one(spark, docs,
+      Cfg.of("mode" -> "count"))).orderBy("doc_id")
+      .select("n_sentences").collect()
+    assert(counted.map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq ===
+      Seq(4L, 1L, 1L, -1L)) // null text → null count
+    val arr = graft.operators.SentencesOp(StageContext.one(spark, docs,
+      Cfg.of("mode" -> "array"))).filter($"doc_id" === 1L)
+      .select(F.size(F.col("sentences"))).head().getInt(0)
+    assert(arr === 4)
+    intercept[GraftConfigError](graft.operators.SentencesOp(
+      StageContext.one(spark, docs, Cfg.of("terminators" -> ""))))
   }
 }
