@@ -69,7 +69,7 @@ object Docs {
     "decrypt.apply" -> "decrypt columns (null per value on failure) - columns, algorithm, key_env",
     // training-data
     "dedup.exact" -> "exact dedup - columns, keep, order_by",
-    "dedup.minhash" -> "near-dedup, word-shingle MinHash LSH - id_column, text_column, threshold, bands, num_hashes; transitive=true for connected-component collapse",
+    "dedup.minhash" -> "near-dedup, word-shingle MinHash LSH - id_column, text_column, threshold, bands, num_hashes; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate (all four families)",
     "dedup.ngram" -> "near-dedup, char n-gram Jaccard - id_column, text_column, threshold, ngram_size",
     "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance",
     "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes; transitive=true for connected-component collapse",

@@ -124,16 +124,53 @@ object ExactCollapse {
   /** df must carry (idCol, keyCol). Returns (representatives, dropped ids
     * as one column `id`). The collapsed frame is persisted: both outputs
     * filter the same one-shuffle window pass, and without the persist each
-    * branch would re-execute the scan + key shuffle. */
-  def apply(df: DataFrame, idCol: String, keyCol: String): (DataFrame, DataFrame) = {
+    * branch would re-execute the scan + key shuffle.
+    *
+    * `rank`: optional survivor key (smaller struct wins lexicographically,
+    * see DedupRank) — the representative becomes the group's BEST member
+    * instead of its min id, so rep-level comparisons downstream are
+    * best-vs-best. */
+  def apply(df: DataFrame, idCol: String, keyCol: String,
+            rank: Option[Column] = None): (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
-    val withRep = df.withColumn("_rep_id", F.min(idCol).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dups = withRep.filter(F.col(idCol) =!= F.col("_rep_id"))
+    val withRep = rank match {
+      case None => df.withColumn("_rep_id", F.min(idCol).over(w))
+      case Some(key) => df
+        .withColumn("_rep_id", F.min(F.struct(key.alias("k"), F.col(idCol).alias("i")))
+          .over(w).getField("i"))
+    }
+    val persisted = withRep.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dups = persisted.filter(F.col(idCol) =!= F.col("_rep_id"))
       .select(F.col(idCol).alias("id"))
-    val reps = withRep.filter(F.col(idCol) === F.col("_rep_id")).drop("_rep_id")
+    val reps = persisted.filter(F.col(idCol) === F.col("_rep_id")).drop("_rep_id")
     (reps, dups)
   }
+}
+
+/** Survivor-policy key for the near-dup families: `keep_by = <numeric
+  * column>` keeps the highest-value duplicate (`keep_best = min` flips
+  * it) instead of the lowest id — "keep the best-quality copy", the
+  * production pick rule. The key is a struct ordered so SMALLER =
+  * SURVIVOR: (±value, id), ties break to the lower id, and when every
+  * value ties the behavior is exactly the default min-id policy. */
+object DedupRank {
+  def keyFor(cfg: graft.config.Cfg, idCol: String): Option[Column] =
+    cfg.strOpt("keep_by").map { c =>
+      val v = F.col(c).cast("double")
+      val oriented = cfg.strOr("keep_best", "max") match {
+        case "max" => -v
+        case "min" => v
+        case other => throw new GraftConfigError(
+          s"keep_best must be max|min, got '$other'")
+      }
+      // nulls always lose: a null key sorts AFTER every real value
+      F.coalesce(oriented, F.lit(Double.MaxValue))
+    }
+
+  /** (id, __rank) frame for pair-level decisions. */
+  def ranks(df: DataFrame, idCol: String, key: Column): DataFrame =
+    df.select(F.col(idCol).alias("id"),
+      F.struct(key.alias("k"), F.col(idCol).alias("i")).alias("__rank"))
 }
 
 /** Final pair → drop-set reduction, shared by every dedup family.
@@ -151,8 +188,62 @@ object ExactCollapse {
   */
 object DedupPairs {
   def dropped(pairs: DataFrame, transitive: Boolean): DataFrame =
-    if (transitive) transitiveDropped(pairs)
-    else pairs.select(F.col("id_b").alias("id")).distinct()
+    dropped(pairs, transitive, None)
+
+  /** `ranks`: optional (id, __rank) survivor keys (DedupRank) — per pair
+    * the LARGER rank drops (pairwise), or the component keeps only its
+    * rank-minimal member (transitive). Absent = the default min-id
+    * policy, byte-identical to before. */
+  def dropped(pairs: DataFrame, transitive: Boolean, ranks: Option[DataFrame]): DataFrame =
+    (transitive, ranks) match {
+      case (true, None)     => transitiveDropped(pairs)
+      case (false, None)    => pairs.select(F.col("id_b").alias("id")).distinct()
+      case (true, Some(r))  => transitiveRankedDropped(pairs, r)
+      case (false, Some(r)) =>
+        pairs
+          .join(r.select(F.col("id").alias("id_a"), F.col("__rank").alias("__ra")), Seq("id_a"))
+          .join(r.select(F.col("id").alias("id_b"), F.col("__rank").alias("__rb")), Seq("id_b"))
+          .select(F.when(F.col("__ra") <= F.col("__rb"), F.col("id_b"))
+            .otherwise(F.col("id_a")).alias("id"))
+          .distinct()
+    }
+
+  /** Connected components with ranked survivors: labels are the rank
+    * structs themselves (min propagates the component's best member);
+    * convergence by changed-row count — rank keys are not numeric, so
+    * the unranked path's monotone checksum does not apply. */
+  private def transitiveRankedDropped(pairs0: DataFrame, ranks: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val pairs = pairs0.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = pairs.unionByName(
+      pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = pairs.select(F.col("id_a").alias("id"))
+      .unionByName(pairs.select(F.col("id_b").alias("id"))).distinct()
+      .join(ranks, Seq("id"))
+      .select(F.col("id"), F.col("__rank").alias("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var done = labels.isEmpty
+    while (!done && iter < 30) {
+      val nbr = edges
+        .join(labels.select(F.col("id").alias("id_b"), F.col("label").alias("_nbl")), Seq("id_b"))
+        .groupBy("id_a").agg(F.min("_nbl").alias("_nbr"))
+        .withColumnRenamed("id_a", "id")
+      val next = labels.join(nbr, Seq("id"), "left")
+        .select(F.col("id"),
+          F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.alias("n")
+        .join(labels.alias("p"), F.col("n.id") === F.col("p.id"))
+        .filter(F.col("n.label") =!= F.col("p.label")).limit(1).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      done = changed == 0
+      iter += 1
+    }
+    labels.filter(F.col("label").getField("i") =!= F.col("id")).select("id")
+  }
 
   def transitiveDropped(pairs0: DataFrame): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -311,8 +402,11 @@ object DedupMinHashOp extends Stage {
 
     // small source files arrive as 1-2 partitions; the signature loop is
     // CPU-bound per row, so spread it across the cluster first
-    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(text).alias("_txt"))
-    val (reps, exactDups) = ExactCollapse(base, "id", "_txt")
+    val rankKey = DedupRank.keyFor(cfg, "id")
+    val base = Parallelize(ctx).select(
+      Seq(F.col(id).alias("id"), F.col(text).alias("_txt")) ++
+        cfg.strOpt("keep_by").map(F.col): _*)
+    val (reps, exactDups) = ExactCollapse(base, "id", "_txt", rankKey)
     val hashed = reps.select(F.col("id"),
         Shingles.shingleHashes(F.col("_txt"), n).alias("shingles"))
       .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed))
@@ -320,7 +414,8 @@ object DedupMinHashOp extends Stage {
 
     exactDups.unionByName(DedupPairs.dropped(
       LshVerify.verifiedPairs(hashed, bands, r, k, threshold),
-      cfg.boolOr("transitive", false))).distinct()
+      cfg.boolOr("transitive", false),
+      rankKey.map(DedupRank.ranks(base, "id", _)))).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -368,8 +463,11 @@ object DedupSimHashOp extends Stage {
     val blocks = maxDist + 1
     val width = 64 / blocks
 
-    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(text).alias("_txt"))
-    val (reps, exactDups) = ExactCollapse(base, "id", "_txt")
+    val rankKey = DedupRank.keyFor(cfg, "id")
+    val base = Parallelize(ctx).select(
+      Seq(F.col(id).alias("id"), F.col(text).alias("_txt")) ++
+        cfg.strOpt("keep_by").map(F.col): _*)
+    val (reps, exactDups) = ExactCollapse(base, "id", "_txt", rankKey)
     val sigs = withSignature(reps, "id", "_txt")
     // block j = bits [j*width, (j+1)*width) (last block takes the remainder)
     val blocked = sigs.select(F.col("id"), F.col("sig"),
@@ -388,7 +486,8 @@ object DedupSimHashOp extends Stage {
       .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= maxDist)
       .select("id_a", "id_b")
     exactDups.unionByName(DedupPairs.dropped(nearPairs,
-      cfg.boolOr("transitive", false))).distinct()
+      cfg.boolOr("transitive", false),
+      rankKey.map(DedupRank.ranks(base, "id", _)))).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -449,15 +548,19 @@ object DedupNgramOp extends Stage {
     val r = cfg.longOr("rows_per_band", 6L).toInt
     val seed = cfg.longOr("seed", 7L)
 
-    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(text).alias("_txt"))
-    val (reps, exactDups) = ExactCollapse(base, "id", "_txt")
+    val rankKey = DedupRank.keyFor(cfg, "id")
+    val base = Parallelize(ctx).select(
+      Seq(F.col(id).alias("id"), F.col(text).alias("_txt")) ++
+        cfg.strOpt("keep_by").map(F.col): _*)
+    val (reps, exactDups) = ExactCollapse(base, "id", "_txt", rankKey)
     val hashed = reps.select(F.col("id"),
       charNgramHashes("_txt", n).alias("shingles"))
       .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), bands * r, seed))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     exactDups.unionByName(DedupPairs.dropped(
       LshVerify.verifiedPairs(hashed, bands, r, bands * r, threshold),
-      cfg.boolOr("transitive", false))).distinct()
+      cfg.boolOr("transitive", false),
+      rankKey.map(DedupRank.ranks(base, "id", _)))).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -536,8 +639,11 @@ object DedupEmbeddingOp extends Stage {
     val expBits = h * (math.acos(math.min(1.0, threshold)) / math.Pi)
     val maxBits = math.ceil(expBits + 4 * math.sqrt(h) / 2).toInt
 
-    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(vecCol).alias("vec"))
-    val (reps, exactDups) = ExactCollapse(base, "id", "vec")
+    val rankKey = DedupRank.keyFor(cfg, "id")
+    val base = Parallelize(ctx).select(
+      Seq(F.col(id).alias("id"), F.col(vecCol).alias("vec")) ++
+        cfg.strOpt("keep_by").map(F.col): _*)
+    val (reps, exactDups) = ExactCollapse(base, "id", "vec", rankKey)
     val sigs = reps
       .withColumn("sig", hyperplaneSig(F.col("vec"), dim, h, seed))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -570,7 +676,8 @@ object DedupEmbeddingOp extends Stage {
       .filter(F.col("cos") >= threshold)
       .select("id_a", "id_b")
     exactDups.unionByName(DedupPairs.dropped(nearPairs,
-      cfg.boolOr("transitive", false))).distinct()
+      cfg.boolOr("transitive", false),
+      rankKey.map(DedupRank.ranks(base, "id", _)))).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {

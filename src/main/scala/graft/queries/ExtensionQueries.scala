@@ -72,6 +72,38 @@ object ExtensionQueries {
         "threshold" -> 0.8, "seed" -> 42)))
     },
 
+    // ---- dedup.minhash keep_by: survivor = highest-quality duplicate.
+    // Copies (ids + 10000) carry the higher quality, so every dup group
+    // — exact copies AND the planted near-dup pairs — must resolve to
+    // the copy side. The oracle states the per-pair rule (the worse of
+    // each matching pair drops; ties → the higher id drops), which is
+    // exactly the pairwise ranked semantics across exact groups too.
+    QueryDef("dedup_minhash_keepby",
+      ("""WITH corpus AS (
+        |  SELECT doc_id, text, 1.0 AS q FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text, 2.0 FROM documents),
+        |toks AS (SELECT doc_id, q, """ + duckToks + """ AS w FROM corpus),
+        |sh AS (SELECT doc_id, q, list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM toks),
+        |pairs AS (SELECT a.doc_id AS ia, a.q AS qa, b.doc_id AS ib, b.q AS qb
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |dropped AS (SELECT CASE WHEN qa > qb OR (qa = qb AND ia < ib)
+        |  THEN ib ELSE ia END AS doc_id FROM pairs)
+        |SELECT c.doc_id, c.text FROM corpus c
+        |WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)""").stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val corpus = docs.select(F.col("doc_id"), F.col("text"), F.lit(1.0).as("q"))
+        .unionByName(docs.select((F.col("doc_id") + 10000).as("doc_id"),
+          F.col("text"), F.lit(2.0).as("q")))
+      DedupMinHashOp(StageContext.one(s, corpus, Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
+        "threshold" -> 0.8, "seed" -> 42, "keep_by" -> "q")))
+        .select("doc_id", "text")
+    },
+
     // ---- dedup.ngram: exact char-5-gram Jaccard criterion in SQL ----
     QueryDef("dedup_ngram",
       """WITH n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS nt FROM documents),
