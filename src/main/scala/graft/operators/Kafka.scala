@@ -1,5 +1,6 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.StructType
@@ -51,6 +52,70 @@ object KafkaLog {
         s"(expected ${dir}/partition=N/ segment files)")
     spark.read.schema(Schema.add("partition", "int"))
       .option("basePath", dir.toString).json(dir.toString)
+  }
+
+  /** Read the topic log SKIPPING segments wholly below the group frontier —
+    * the file-log equivalent of a broker's per-segment offset index. Each
+    * produce writes one segment per kafka partition carrying a dense,
+    * ascending offset range (the offset window sorts within the partition
+    * task), so the segment's first line is its min offset; within a
+    * partition dir, a segment is prunable when the NEXT segment starts at
+    * or below the frontier. The peek is one line per segment on the
+    * driver — the same order of work as the file listing Spark already
+    * does — and turns "re-consume after commit" from a full-log scan into
+    * a tail read. Rows below the frontier inside the surviving boundary
+    * segment still need the residual offset filter. */
+  def readFrom(spark: SparkSession, root: String, topic: String,
+               from: Map[Int, Long]): DataFrame = {
+    val dir = topicDir(root, topic)
+    if (!java.nio.file.Files.isDirectory(dir))
+      throw new GraftPlanError(s"kafka.consume: topic '$topic' not found under $root " +
+        s"(expected ${dir}/partition=N/ segment files)")
+    if (from.isEmpty) return read(spark, root, topic)
+
+    def firstOffset(f: java.nio.file.Path): Option[Long] = {
+      val in = java.nio.file.Files.newBufferedReader(f, java.nio.charset.StandardCharsets.UTF_8)
+      try Option(in.readLine()).flatMap { line =>
+        JsVal.parseJson(line) match {
+          case o: JsObj => o.fields.get("offset").collect { case JsNum(n) => n.toLong }
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+      finally in.close()
+    }
+    val partDirs = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("partition="))
+      .toSeq
+    val kept = partDirs.flatMap { pd =>
+      val p = pd.getFileName.toString.stripPrefix("partition=").toInt
+      val frontier = from.getOrElse(p, 0L)
+      val segs = java.nio.file.Files.list(pd).iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f) && {
+          val n = f.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        }).toSeq
+      if (frontier <= 0L) segs
+      else {
+        // sort by start offset; a segment survives when the next one
+        // starts past the frontier (ranges are dense and non-overlapping
+        // per partition); unparseable segments are never pruned
+        val withStart = segs.map(f => (f, firstOffset(f)))
+        val sorted = withStart.sortBy { case (_, o) => o.getOrElse(Long.MinValue) }
+        sorted.zipWithIndex.collect {
+          case ((f, None), _) => f
+          case ((f, Some(_)), i)
+            if i + 1 >= sorted.length ||
+               sorted(i + 1)._2.forall(_ > frontier) => f
+        }
+      }
+    }
+    val schema = Schema.add("partition", "int")
+    if (kept.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).option("basePath", dir.toString)
+        .json(kept.map(_.toString): _*)
   }
 
   private def offsetsFile(root: String, group: String, topic: String): java.nio.file.Path =
@@ -168,11 +233,12 @@ object KafkaConsumeSource extends Stage {
     val maxMessages = cfg.longOr("max_messages", 1000L)
     val doCommit = cfg.boolOr("commit", true)
 
-    val log = KafkaLog.read(ctx.spark, root, topic)
     val from = KafkaLog.committed(root, group, topic)
+    val log = KafkaLog.readFrom(ctx.spark, root, topic, from)
     val newer =
       if (from.isEmpty) log // earliest reset
       else {
+        // residual filter inside the surviving boundary segments —
         // tiny per-partition frontier → codegen'd map lookup, no join
         val lookup = F.map(from.toSeq.sortBy(_._1)
           .flatMap { case (p, o) => Seq(F.lit(p), F.lit(o)) }: _*)

@@ -137,6 +137,26 @@ class KafkaSpec extends SparkSpec {
     assert(e2.getMessage.contains("cannot shrink"))
   }
 
+  test("committed frontier prunes whole segments from the consume scan") {
+    val root = freshRoot()
+    // three produce batches = three segments in partition 0
+    for (batch <- 0 to 2)
+      KafkaProduceSink(StageContext.one(spark,
+        spark.range(batch * 10, batch * 10 + 10)
+          .selectExpr("id", "concat('u', id) AS name"),
+        Cfg.of("path" -> root, "topic" -> "sales")))
+    // drain the first two segments (20 messages), committing
+    assert(consume(root, "max_messages" -> 20L).count() === 20)
+    val tail = consume(root, "schema" -> "id LONG, name STRING")
+    assert(tail.count() === 10)
+    // only the third segment is read: pruning, not just filtering
+    assert(tail.inputFiles.length === 1,
+      s"expected 1 surviving segment, scanned: ${tail.inputFiles.mkString(", ")}")
+    // a fresh group still scans everything
+    assert(consume(root, "group_id" -> "g2", "max_messages" -> 0L)
+      .inputFiles.length === 3)
+  }
+
   test("kafka.stream reads the log as a stream; new produces arrive exactly-once") {
     val root = freshRoot()
     produce(root, "key_field" -> "name")
