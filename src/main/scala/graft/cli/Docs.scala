@@ -72,7 +72,7 @@ object Docs {
     "dedup.minhash" -> "near-dedup, word-shingle MinHash LSH - id_column, text_column, threshold, bands, num_hashes; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate (all four families)",
     "dedup.ngram" -> "near-dedup, char n-gram Jaccard - id_column, text_column, threshold, ngram_size",
     "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance",
-    "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes; transitive=true for connected-component collapse",
+    "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate",
     "knn.bruteforce" -> "exact cosine top-k - query_id|query_vector, k",
     "knn.lsh" -> "ANN via hyperplane-LSH block buckets - query_id, k, num_planes, blocks; index_path probes a prebuilt lsh index (partition-pruned)",
     "knn.ivf" -> "ANN via IVF coarse quantizer - query_id, k, nprobe; index_path probes a prebuilt index, else nlist/seed/max_train train inline",
