@@ -79,6 +79,26 @@ class DedupKeepBySpec extends SparkSpec {
     assert(emb === Array(2L, 10L))
   }
 
+  test("transitive keep_by matches brute-force argmax over random qualities") {
+    // fixed near-dup clusters, randomized qualities: component survivor
+    // must always be the (max quality, min id) member
+    val clusters = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L), Seq(6L))
+    val texts = Map(
+      1L -> (longA + " a1"), 2L -> (longA + " a2"), 3L -> (longA + " a3"),
+      4L -> (longB + " b1"), 5L -> (longB + " b2"),
+      6L -> "completely different words entirely unrelated content here")
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 5) {
+      val quality = texts.keys.map(id => id -> rnd.nextInt(3).toDouble).toMap
+      val df = texts.toSeq.map { case (id, t) => (id, t, quality(id)) }
+        .toDF("doc_id", "text", "quality")
+      val expected = clusters.map(c =>
+        c.map(id => (-quality(id), id)).min._2).sorted
+      val got = minhash(df, "transitive" -> true, "keep_by" -> "quality")
+      assert(got === expected, s"trial $trial qualities=$quality")
+    }
+  }
+
   test("null quality always loses") {
     val withNull = Seq(
       (1L, longA, Some(5.0)), (2L, longA, None: Option[Double]),
