@@ -459,17 +459,33 @@ object ProfileOp extends Stage {
       case other => throw new GraftConfigError(
         s"profile.apply distinct must be exact|approx|none, got '$other'")
     }
+    // optional exact quantiles (numeric columns only; exact `percentile`
+    // so a report can feed correctness decisions — swap thresholds to
+    // approx via a groupby.apply percentile_approx when 100 TB says so)
+    val quantiles = cfg.arrOpt("quantiles").map(_.map {
+      case CDouble(v) => v
+      case CLong(v)   => v.toDouble
+      case other => throw new GraftConfigError(s"quantiles must be numbers, got ${other.render}")
+    }).getOrElse(Vector.empty)
+    quantiles.find(q => q < 0 || q > 1).foreach(q =>
+      throw new GraftConfigError(s"quantiles must be in [0, 1], got $q"))
+    val numeric = df.schema.fields.map(f => f.name ->
+      f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toMap
+
     val aggs = F.count(F.lit(1)).alias("__n") +: cols.flatMap { c => Seq(
       F.count(F.col(c)).alias(s"__nn_$c"),
       distinctOf(c).alias(s"__nd_$c"),
       F.min(F.col(c)).cast("string").alias(s"__min_$c"),
-      F.max(F.col(c)).cast("string").alias(s"__max_$c"))
+      F.max(F.col(c)).cast("string").alias(s"__max_$c")) ++
+      (if (quantiles.nonEmpty && numeric(c))
+        Seq(F.expr(s"percentile($c, array(${quantiles.mkString(", ")}))").alias(s"__q_$c"))
+      else Seq.empty)
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
     val dtypes = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     // unpivot the single agg row: one struct per column → explode
     val rows = F.explode(F.array(cols.map { c =>
-      F.struct(
+      val base = Seq(
         F.lit(c).alias("column"),
         F.lit(dtypes(c)).alias("dtype"),
         F.col("__n").alias("n_rows"),
@@ -477,6 +493,12 @@ object ProfileOp extends Stage {
         F.col(s"__nd_$c").cast("long").alias("n_distinct"),
         F.col(s"__min_$c").alias("min_value"),
         F.col(s"__max_$c").alias("max_value"))
+      val qs = quantiles.zipWithIndex.map { case (q, i) =>
+        val name = "q" + (q * 100).round
+        (if (numeric(c)) F.col(s"__q_$c").getItem(i) else F.lit(null).cast("double"))
+          .alias(name)
+      }
+      F.struct(base ++ qs: _*)
     }: _*))
     one.select(rows.alias("__p")).select("__p.*")
   }

@@ -1078,18 +1078,21 @@ object ExtensionQueries {
     QueryDef("profile_orders",
       """SELECT 'o_orderkey' AS "column", 'bigint' AS dtype, count(*) AS n_rows,
         |  count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct,
-        |  CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value,
+        |  quantile_cont(o_orderkey, 0.5) AS q50
         |FROM orders
         |UNION ALL SELECT 'o_orderstatus', 'string', count(*), count(o_orderstatus),
-        |  count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus) FROM orders
+        |  count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus),
+        |  NULL FROM orders
         |UNION ALL SELECT 'o_totalprice', 'double', count(*), count(o_totalprice),
         |  count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS VARCHAR),
-        |  CAST(max(o_totalprice) AS VARCHAR) FROM orders
+        |  CAST(max(o_totalprice) AS VARCHAR), quantile_cont(o_totalprice, 0.5) FROM orders
         |UNION ALL SELECT 'o_orderdate', 'timestamp_ntz', count(*), count(o_orderdate),
         |  count(DISTINCT o_orderdate), CAST(min(o_orderdate) AS VARCHAR),
-        |  CAST(max(o_orderdate) AS VARCHAR) FROM orders""".stripMargin) { (s, d) =>
+        |  CAST(max(o_orderdate) AS VARCHAR), NULL FROM orders""".stripMargin) { (s, d) =>
       ProfileOp(StageContext.one(s, t(s, d, "orders"), Cfg.of(
-        "columns" -> Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"))))
+        "columns" -> Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
+        "quantiles" -> Seq(0.5))))
     },
 
     // ---- chunk.text: token-budget chunking with overlap — the start

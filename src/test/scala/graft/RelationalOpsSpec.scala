@@ -250,6 +250,11 @@ class RelationalOpsSpec extends SparkSpec {
     // ONE aggregation job: the plan has exactly one pair of agg exchanges
     val plan = ProfileOp(ctx(df)).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "profiling must not self-join")
+    // exact quantiles on numeric columns, null on strings
+    val q = ProfileOp(ctx(df, "quantiles" -> Seq(0.5))).orderBy("column").collect()
+    assert(q.map(r => Option(r.get(7))).toSeq ===
+      Seq(Some(2.0), None, Some(0.75))) // median id=2, k null, v=(-1+2.5)/2
+    intercept[GraftConfigError](ProfileOp(ctx(df, "quantiles" -> Seq(1.5))))
   }
 
   // ---- explode.apply ----
