@@ -233,7 +233,14 @@ object KafkaConsumeSource extends Stage {
     val maxMessages = cfg.longOr("max_messages", 1000L)
     val doCommit = cfg.boolOr("commit", true)
 
-    val from = KafkaLog.committed(root, group, topic)
+    // starting_offsets=earliest replays from the log start regardless of
+    // the group's commit (the consumer-reset lever); committed = default
+    val from = cfg.strOr("starting_offsets", "committed") match {
+      case "committed" => KafkaLog.committed(root, group, topic)
+      case "earliest"  => Map.empty[Int, Long]
+      case other => throw new GraftConfigError(
+        s"starting_offsets must be committed|earliest, got '$other'")
+    }
     val log = KafkaLog.readFrom(ctx.spark, root, topic, from)
     val newer =
       if (from.isEmpty) log // earliest reset

@@ -207,6 +207,7 @@ class EmptyInputSpec extends SparkSpec {
       Cfg.of("column" -> "split(text, ' ')", "into" -> "w"))).count() === 0L)
     assert(ChunkTextOp(StageContext.one(spark, emptyDocs,
       Cfg.of("max_tokens" -> 8L))).count() === 0L)
+    assert(SentencesOp(StageContext.one(spark, emptyDocs, Cfg.of())).count() === 0L)
   }
 
   test("BPE on empty corpora and empty strings") {

@@ -61,6 +61,17 @@ class KafkaSpec extends SparkSpec {
     assert(consume(root).count() === 3)
   }
 
+  test("starting_offsets=earliest replays past the committed frontier") {
+    val root = freshRoot()
+    produce(root)
+    assert(consume(root).count() === 3) // commits to the end
+    assert(consume(root).count() === 0)
+    assert(consume(root, "starting_offsets" -> "earliest",
+      "commit" -> false).count() === 3)
+    intercept[graft.config.GraftConfigError](
+      consume(root, "starting_offsets" -> "latest"))
+  }
+
   test("keyed routing is deterministic; offsets continue across produces") {
     val root = freshRoot()
     produce(root, "key_field" -> "name", "num_partitions" -> 4L)
