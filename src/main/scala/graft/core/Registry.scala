@@ -51,7 +51,7 @@ object Registry {
     new AliasStage("stdout_stream.write", StreamWriteSink)) ++ Seq(
     // multi-input extensions (SURVEY §2.8)
     JoinOp, UnionOp, IntersectOp, ExceptOp, WindowFnOp, PivotOp,
-    AsofJoinOp, RangeJoinOp, CubeOp, SimilarJoinOp, DecontaminateOp,
+    AsofJoinOp, RangeJoinOp, CubeOp, SimilarJoinOp, DecontaminateOp, MixOp,
     ImportanceSampleOp,
     // row-level transforms (reference §2.5)
     EncryptOp, DecryptOp, HttpFetchOp, AiGenerateOp,

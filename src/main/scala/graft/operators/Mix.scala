@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.config._
+import graft.core._
+
+/** mix.apply — weighted domain mixing: union N corpora with a sampling
+  * weight per input, the dataset-composition step every pre-training
+  * recipe publishes (The Pile's source weights, DoReMi's learned domain
+  * weights). `weights[i]` is the expected number of copies of each row
+  * of input i: 0.3 keeps ~30% of rows, 2.0 repeats every row twice,
+  * 2.5 repeats twice and keeps a further ~50% a third time.
+  *
+  * Determinism: the fractional part is decided by xxhash64(seed, row),
+  * not rand() — the mix is a pure function of (seed, data), stable
+  * across retries, re-runs and partition layouts, and integer weights
+  * are exactly integer copies (which is what makes the oracle able to
+  * state them). `source_column` (default none) tags provenance with
+  * `sources[i]` names or the input index. Inputs union by name;
+  * `allow_missing_columns` fills gaps with nulls.
+  *
+  * Scale shape: per input one filter/explode projection — no shuffle,
+  * no driver collection; upsampling materializes copies only in the
+  * plan (posexplode of a sequence), so a 100× upweight costs writes,
+  * not state.
+  */
+object MixOp extends Stage {
+  val name = "mix.apply"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    if (ctx.inputs.size < 1)
+      throw new GraftPlanError("mix.apply requires at least one input")
+    val weights = cfg.arrOpt("weights").map(_.map {
+      case CDouble(v) => v
+      case CLong(v)   => v.toDouble
+      case other => throw new GraftConfigError(s"weights must be numbers, got ${other.render}")
+    }).getOrElse(Vector.fill(ctx.inputs.size)(1.0))
+    if (weights.size != ctx.inputs.size)
+      throw new GraftConfigError(
+        s"mix.apply: ${weights.size} weights for ${ctx.inputs.size} inputs")
+    weights.find(_ < 0).foreach(w =>
+      throw new GraftConfigError(s"mix.apply: weights must be >= 0, got $w"))
+    val seed = cfg.longOr("seed", 11L)
+    val sourceCol = cfg.strOpt("source_column")
+    val names = cfg.strListOr("sources", Vector.empty)
+    if (names.nonEmpty && names.size != ctx.inputs.size)
+      throw new GraftConfigError(
+        s"mix.apply: ${names.size} source names for ${ctx.inputs.size} inputs")
+    val allowMissing = cfg.boolOr("allow_missing_columns", false)
+
+    val mixed = ctx.inputs.zipWithIndex.map { case ((_, df), i) =>
+      val w = weights(i)
+      val whole = math.floor(w).toLong
+      val frac = w - whole
+      // u in [0,1): stable per (seed, input, row content)
+      val hashArgs = Seq(F.lit(seed), F.lit(i.toLong)) ++ df.columns.map(F.col)
+      val u = F.pmod(F.xxhash64(hashArgs: _*), F.lit(1L << 52)).cast("double") /
+        (1L << 52).toDouble
+      val copies = (F.lit(whole) + F.when(u < frac, 1L).otherwise(0L)).cast("int")
+      val tagged = sourceCol match {
+        case Some(c) => df.withColumn(c,
+          F.lit(if (names.nonEmpty) names(i) else i.toString))
+        case None => df
+      }
+      // n copies via one generator; n = 0 rows vanish (sequence(1,0) = [])
+      tagged
+        .withColumn("__copies", copies)
+        .filter(F.col("__copies") > 0)
+        .withColumn("__copy", F.explode(F.sequence(F.lit(1), F.col("__copies"))))
+        .drop("__copies", "__copy")
+    }
+    mixed.reduce((a, b) => a.unionByName(b, allowMissing))
+  }
+}

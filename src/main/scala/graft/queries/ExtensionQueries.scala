@@ -957,6 +957,21 @@ object ExtensionQueries {
         .select("doc_id", "sentence_id", "sentence")
     },
 
+    // ---- mix.apply with integer weights: exactly-N copies per source
+    // (the deterministic half of domain mixing — fractional sampling is
+    // engine-hash, spec-pinned in MixSpec).
+    QueryDef("mix_weighted",
+      """SELECT doc_id, text, 'wiki' AS src FROM documents WHERE doc_id < 100
+        |UNION ALL SELECT doc_id, text, 'wiki' FROM documents WHERE doc_id < 100
+        |UNION ALL SELECT doc_id, text, 'web' FROM documents WHERE doc_id >= 100""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      MixOp(StageContext(s, Seq(
+        "wiki" -> docs.filter(F.col("doc_id") < 100).select("doc_id", "text"),
+        "web" -> docs.filter(F.col("doc_id") >= 100).select("doc_id", "text")), Cfg.of(
+        "weights" -> Seq(2.0, 1.0), "source_column" -> "src",
+        "sources" -> Seq("wiki", "web"))))
+    },
+
     // ---- mongodb.findOne: sort + limit-1 document pick (Mongo
     // evaluation order: sort before projection), transform mode.
     QueryDef("mongo_find_one",

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.config.{Cfg, GraftConfigError}
+import graft.core.StageContext
+import graft.operators.MixOp
+
+/** mix.apply: integer copies, deterministic fractional sampling, source
+  * tagging, by-name union. */
+class MixSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpusA = (1L to 100L).map(i => (i, s"a$i")).toDF("id", "text")
+  private def corpusB = (1L to 100L).map(i => (i + 1000, s"b$i")).toDF("id", "text")
+
+  private def mix(cfg: (String, Any)*) =
+    MixOp(StageContext(spark, Seq("a" -> corpusA, "b" -> corpusB), Cfg.of(cfg: _*)))
+
+  test("integer weights are exact copy counts; zero drops an input") {
+    val out = mix("weights" -> Seq(2.0, 1.0), "source_column" -> "src",
+      "sources" -> Seq("wiki", "web"))
+    assert(out.filter($"src" === "wiki").count() === 200L)
+    assert(out.filter($"src" === "web").count() === 100L)
+    // every wiki row exactly twice
+    assert(out.filter($"src" === "wiki").groupBy("id").count()
+      .filter($"count" =!= 2).count() === 0L)
+    assert(mix("weights" -> Seq(0.0, 1.0)).count() === 100L)
+  }
+
+  test("fractional weights sample deterministically around the expectation") {
+    def ids(seed: Long) = mix("weights" -> Seq(0.3, 0.0), "seed" -> seed)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids(7L) === ids(7L))
+    val n = ids(7L).size
+    assert(n > 10 && n < 60, s"~30 of 100 expected, got $n")
+    // 2.5 = two full copies + ~half a third
+    val counts = mix("weights" -> Seq(2.5, 0.0))
+      .groupBy("id").count().select("count").as[Long].collect()
+    assert(counts.forall(c => c == 2L || c == 3L))
+    assert(counts.count(_ == 3L) > 10 && counts.count(_ == 3L) < 90)
+  }
+
+  test("missing columns need the explicit flag; weight/name arity checked") {
+    val skinny = Seq((1L, "x")).toDF("id", "text")
+    val extra = Seq((2L, "y", 0.5)).toDF("id", "text", "quality")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      MixOp(StageContext(spark, Seq("a" -> skinny, "b" -> extra), Cfg.of())).count()
+    }
+    val ok = MixOp(StageContext(spark, Seq("a" -> skinny, "b" -> extra),
+      Cfg.of("allow_missing_columns" -> true)))
+    assert(ok.count() === 2L)
+    intercept[GraftConfigError](mix("weights" -> Seq(1.0)))
+    intercept[GraftConfigError](mix("weights" -> Seq(-1.0, 1.0)))
+    intercept[GraftConfigError](mix("sources" -> Seq("only-one")))
+  }
+
+  test("no shuffle in the mixing plan") {
+    val plan = mix("weights" -> Seq(2.0, 0.5)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+}
