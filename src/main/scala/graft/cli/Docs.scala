@@ -110,7 +110,7 @@ object Docs {
     "chunk.text" -> "split docs into token-budget chunks with overlap (RAG prep, one row per chunk) - column, max_tokens, overlap, output_column",
     "text.sentences" -> "sentence segmentation (terminator+whitespace split, keeps terminators) - column, terminators, mode=explode|array|count",
     // kafka (file-backed log offline; brokers-only raises the jar gap)
-    "kafka.consume" -> "bounded batch read with group offsets - path (log root)|brokers, topic, group_id, max_messages (0=backlog), schema, value_format=json|raw, commit, starting_offsets=committed|earliest",
+    "kafka.consume" -> "bounded batch read with group offsets - path (log root)|brokers, topic, group_id, max_messages (0=backlog), schema, value_format=json|raw, commit, starting_offsets=committed|earliest; commit defers to pipeline success (at-least-once), explain never commits",
     "kafka.produce" -> "append records to a topic - path|brokers, topic, key_field, num_partitions, timestamp_field; deterministic key routing, dense per-partition offsets",
     "kafka.stream" -> "Structured Streaming over the topic log - path, topic, schema, max_files_per_trigger; checkpoints replace group offsets")
 

@@ -32,7 +32,12 @@ final class DagCompiler(registry: Registry) {
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     pc.global.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
 
-    val plans = compilePlans(spark, pc)
+    // side effects registered via ctx.deferToSuccess (e.g. kafka.consume's
+    // group-offset commit) queue here and fire only after every sink action
+    // succeeds — a failed pipeline leaves the consumer frontier untouched,
+    // so the next run re-delivers the batch (at-least-once).
+    val deferred = mutable.Buffer[() => Unit]()
+    val plans = compilePlans(spark, pc, defer = action => deferred += action)
 
     // fan-out persistence policy (streaming frames can't persist — their
     // replay is the checkpoint's job, so fan-out on a stream is free)
@@ -80,6 +85,7 @@ final class DagCompiler(registry: Registry) {
           case None => ours.foreach(_.awaitTermination())
         }
       }
+      deferred.foreach(_())
     } finally {
       persisted.values.foreach(_.unpersist(blocking = false))
     }
@@ -95,7 +101,8 @@ final class DagCompiler(registry: Registry) {
     * configs gain `_explain_only = true` and the affected stage documents
     * the placeholder behavior. */
   def compilePlans(spark: SparkSession, pc: PipelineConfig,
-      explainOnly: Boolean = false): Map[String, DataFrame] = {
+      explainOnly: Boolean = false,
+      defer: (() => Unit) => Unit = StageContext.RunNow): Map[String, DataFrame] = {
     val memo = mutable.Map[String, DataFrame]()
     def plan(id: String): DataFrame = memo.getOrElseUpdate(id, {
       val st = pc.stageById(id).getOrElse(throw new GraftPlanError(s"unknown stage '$id'"))
@@ -109,7 +116,7 @@ final class DagCompiler(registry: Registry) {
         val cfg = if (explainOnly)
           graft.config.Cfg(st.config.table + ("_explain_only" -> graft.config.CBool(true)))
         else st.config
-        stage(StageContext(spark, inputDfs, cfg, st.id))
+        stage(StageContext(spark, inputDfs, cfg, st.id, deferToSuccess = defer))
       }
     })
     pc.stages.foreach(st => plan(st.id))

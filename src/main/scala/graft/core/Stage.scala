@@ -41,7 +41,15 @@ final case class StageContext(
     spark: SparkSession,
     inputs: Seq[(String, DataFrame)],
     cfg: Cfg,
-    stageId: String = "anon"
+    stageId: String = "anon",
+    /** Registrar for side effects that must wait for pipeline success —
+      * e.g. kafka.consume's group-offset commit, which would otherwise
+      * mark messages consumed before any sink has durably written them
+      * (at-most-once). Direct stage invocation (tests, SparkEntry) runs
+      * the action immediately, preserving commit-at-apply semantics;
+      * DagCompiler.run substitutes a collector and fires the queue only
+      * after every sink action has succeeded (at-least-once). */
+    deferToSuccess: (() => Unit) => Unit = StageContext.RunNow
 ) {
   def primary: DataFrame = inputs.headOption.map(_._2).getOrElse(
     throw new GraftPlanError(s"stage '$stageId' requires at least one input"))
@@ -54,6 +62,9 @@ final case class StageContext(
 class GraftPlanError(msg: String) extends RuntimeException(msg)
 
 object StageContext {
+  /** Default deferToSuccess: execute immediately (no pipeline around us). */
+  val RunNow: (() => Unit) => Unit = action => action()
+
   /** Convenience for tests / SparkEntry: single anonymous input. */
   def one(spark: SparkSession, df: DataFrame, cfg: Cfg): StageContext =
     StageContext(spark, Seq("in" -> df), cfg)

@@ -209,6 +209,11 @@ object KafkaLog {
   * `timeout_ms` is accepted and ignored offline (there is no broker to
   * wait on — the backlog IS the topic).
   *
+  * Delivery semantics: inside a pipeline run the offset commit is DEFERRED
+  * to pipeline success (at-least-once — a failed sink re-delivers the batch
+  * next run); direct stage invocation commits at apply time. CLI `explain`
+  * never commits and runs zero Spark jobs.
+  *
   * Batch order is pinned to (offset, partition) — Kafka's cross-partition
   * interleaving is nondeterministic, a bounded REPRODUCIBLE read needs a
   * total order, and this one preserves Kafka's per-partition contract.
@@ -231,7 +236,11 @@ object KafkaConsumeSource extends Stage {
     val topic = cfg.str("topic")
     val group = cfg.str("group_id")
     val maxMessages = cfg.longOr("max_messages", 1000L)
-    val doCommit = cfg.boolOr("commit", true)
+    val explainOnly = cfg.boolOr("_explain_only", false)
+    // CLI `explain` must stay read-only AND job-free: no offset commit (it
+    // would advance the group frontier, silently skipping messages on the
+    // next real run), no frontier collect, no schema-inference job.
+    val doCommit = cfg.boolOr("commit", true) && !explainOnly
 
     // starting_offsets=earliest replays from the log start regardless of
     // the group's commit (the consumer-reset lever); committed = default
@@ -252,20 +261,37 @@ object KafkaConsumeSource extends Stage {
         log.filter(F.col("offset") >= F.coalesce(
           F.element_at(lookup, F.col("partition")), F.lit(0L)))
       }
-    val batch =
+    val rawBatch =
       if (maxMessages <= 0) newer
       else newer.orderBy(F.col("offset"), F.col("partition")).limit(maxMessages.toInt)
 
+    // A committing bounded consume pins its batch: the frontier collect and
+    // the downstream read must see the SAME rows, and without persist a
+    // produce landing between the two re-executions could make the rows
+    // delivered diverge from the offsets committed. Bounded by max_messages,
+    // so the footprint is small; the unbounded backlog scan (max_messages=0)
+    // is covered by the single-writer contract instead — persisting 100 TB
+    // to snapshot a frontier would be the wrong trade.
+    val batch =
+      if (doCommit && maxMessages > 0)
+        rawBatch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else rawBatch
+
     val result = KafkaLog.assemble(batch, cfg) {
       import ctx.spark.implicits._
-      // bounded inference job: ≤ max_messages short strings
-      ctx.spark.read.json(batch.select("value").as[String]).schema
+      if (explainOnly) new StructType() // placeholder: raw _kafka_payload shape, zero jobs
+      else ctx.spark.read.json(batch.select("value").as[String]).schema
     }
 
     if (doCommit) {
-      val frontier = batch.groupBy("partition").agg(F.max("offset").as("m"))
-        .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
-      if (frontier.nonEmpty) KafkaLog.commit(root, group, topic, frontier)
+      // Deferred to pipeline success inside a DagCompiler run (a failed
+      // sink must not mark the batch consumed — at-least-once); runs
+      // immediately for direct stage invocation.
+      ctx.deferToSuccess { () =>
+        val frontier = batch.groupBy("partition").agg(F.max("offset").as("m"))
+          .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
+        if (frontier.nonEmpty) KafkaLog.commit(root, group, topic, frontier)
+      }
     }
     result
   }

@@ -158,7 +158,10 @@ class KafkaSpec extends SparkSpec {
         Cfg.of("path" -> root, "topic" -> "sales")))
     // drain the first two segments (20 messages), committing
     assert(consume(root, "max_messages" -> 20L).count() === 20)
-    val tail = consume(root, "schema" -> "id LONG, name STRING")
+    // commit=false: a committing bounded consume persists its batch (the
+    // frontier and the delivered rows must agree), which hides the file
+    // scan from inputFiles — the pruning shape is the same either way
+    val tail = consume(root, "commit" -> false, "schema" -> "id LONG, name STRING")
     assert(tail.count() === 10)
     // only the third segment is read: pruning, not just filtering
     assert(tail.inputFiles.length === 1,
@@ -188,6 +191,60 @@ class KafkaSpec extends SparkSpec {
       assert(spark.sql("SELECT count(*) FROM kafka_stream_out").head().getLong(0) === 5L)
       assert(spark.sql("SELECT sum(id) FROM kafka_stream_out").head().getLong(0) === 27L)
     } finally q.stop()
+  }
+
+  test("CLI explain never advances the group frontier") {
+    val root = freshRoot()
+    produce(root)
+    val toml =
+      s"""[pipeline]
+         |name = "k"
+         |[[stages]]
+         |id = "src"
+         |function = "kafka.consume"
+         |config = { path = "$root", topic = "sales", group_id = "g1" }
+         |[[stages]]
+         |id = "keep"
+         |function = "filter.apply"
+         |inputs = ["src"]
+         |config = { column = "_kafka_offset", operator = ">=", value = 0 }
+         |""".stripMargin
+    val plans = graft.core.DagCompiler.default.compilePlans(spark,
+      graft.config.PipelineConfig.fromString(toml), explainOnly = true)
+    // placeholder shape without a declared schema: raw payload + metadata
+    assert(plans("src").columns.contains("_kafka_payload"))
+    assert(KafkaLog.committed(root, "g1", "sales").isEmpty)
+    // the next REAL consume still sees the whole backlog
+    assert(consume(root).count() === 3)
+  }
+
+  test("pipeline run defers the commit: failed sink re-delivers, success commits") {
+    val root = freshRoot()
+    produce(root)
+    def toml(sinkPath: String) =
+      s"""[pipeline]
+         |name = "k"
+         |[[stages]]
+         |id = "src"
+         |function = "kafka.consume"
+         |config = { path = "$root", topic = "sales", group_id = "g1", schema = "id LONG, name STRING, value LONG" }
+         |[[stages]]
+         |id = "out"
+         |function = "csv.write"
+         |inputs = ["src"]
+         |config = { path = "$sinkPath" }
+         |""".stripMargin
+    intercept[Exception] {
+      graft.core.DagCompiler.default.run(spark,
+        graft.config.PipelineConfig.fromString(toml("/proc/not/writable/x")))
+    }
+    // failed sink → frontier untouched → the batch re-delivers next run
+    assert(KafkaLog.committed(root, "g1", "sales").isEmpty)
+    val ok = java.nio.file.Files.createTempDirectory("graft_kafka_out").resolve("ok")
+    graft.core.DagCompiler.default.run(spark,
+      graft.config.PipelineConfig.fromString(toml(ok.toString)))
+    assert(KafkaLog.committed(root, "g1", "sales").values.sum === 3L)
+    assert(consume(root).count() === 0)
   }
 
   test("timestamp_field lands in _kafka_timestamp") {
