@@ -34,7 +34,7 @@ object Docs {
     "chunk.apply" -> "group rows into fixed-size array chunks - size, order_by",
     "json.extract" -> "extract a JSON path from a string column - column, path, output_column",
     "validate.schema" -> "assert declared schema/nullability - schema, mode",
-    "profile.apply" -> "one-pass per-column profile (rows/nulls/distinct/min/max + exact quantiles) - columns, distinct=exact|approx|none, rsd, quantiles=[0.5,...]",
+    "profile.apply" -> "one-pass per-column profile (rows/nulls/distinct/min/max + quantiles) - columns, distinct=approx(default)|exact|none, rsd, quantiles=[0.5,...], quantiles_accuracy, quantiles_exact (exact paths opt-in: wrong default at scale)",
     "explode.apply" -> "one row per array element (generator) - column (name or SQL expr), into, outer, position_column",
     "repartition.apply" -> "partition layout - mode: hash|range|coalesce, n, by",
     "sample.apply" -> "sampling - fraction, seed, with_replacement | by + fractions (stratified)",

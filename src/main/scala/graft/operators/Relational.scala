@@ -436,15 +436,27 @@ object LimitOp extends Stage {
   * (min/max rendered as strings so the schema is column-type-agnostic).
   *
   * ONE aggregation job covers every column (4 aggregate buffers per
-  * column in a single pass; exact multi-column count_distinct plans one
-  * Expand). `distinct = approx` swaps in HLL++ sketches — fixed-size
-  * mergeable state, the 100 TB default; `exact` stays available where
-  * the report feeds a correctness decision. The single agg row is
-  * unpivoted driver-free via one generator projection.
+  * column in a single pass). Scale-safe DEFAULTS: `distinct = "approx"`
+  * (HLL++ sketches — fixed-size mergeable state; `rsd` tunes the error)
+  * and `quantiles` via percentile_approx (bounded GK sketch per column;
+  * `quantiles_accuracy` tunes it). The exact paths stay available where
+  * the report feeds a correctness decision — `distinct = "exact"` plans
+  * one Expand ×(N+1) over the input, `quantiles_exact = true` buffers
+  * every value of each numeric column in one aggregation buffer — both
+  * are the wrong default at 100 TB, so both are opt-in. The single agg
+  * row is unpivoted driver-free via one generator projection.
   */
 object ProfileOp extends Stage {
   val name = "profile.apply"
   val kind = StageKind.Transform
+
+  /** `0.5 → q50`, `0.125 → q12_5` — keep the full value so nearby
+    * quantiles cannot collide into one duplicate column name. */
+  private[graft] def quantileName(q: Double): String =
+    "q" + (BigDecimal(q.toString) * 100).underlying.stripTrailingZeros
+      .toPlainString.replace("-", "m").replace(".", "_")
+
+  private def quote(c: String): String = "`" + c.replace("`", "``") + "`"
 
   def apply(ctx: StageContext): DataFrame = {
     val df = ctx.primary
@@ -452,16 +464,13 @@ object ProfileOp extends Stage {
     val cols = cfg.strListOr("columns", df.columns.toVector)
     cols.find(c => !df.columns.contains(c)).foreach(c =>
       throw new GraftPlanError(s"profile.apply: column '$c' not found; available: ${df.columns.mkString(", ")}"))
-    val distinctOf: String => Column = cfg.strOr("distinct", "exact") match {
+    val distinctOf: String => Column = cfg.strOr("distinct", "approx") match {
       case "exact"  => c => F.count_distinct(F.col(c))
       case "approx" => c => F.approx_count_distinct(c, cfg.doubleOr("rsd", 0.05))
       case "none"   => _ => F.lit(null).cast("long")
       case other => throw new GraftConfigError(
         s"profile.apply distinct must be exact|approx|none, got '$other'")
     }
-    // optional exact quantiles (numeric columns only; exact `percentile`
-    // so a report can feed correctness decisions — swap thresholds to
-    // approx via a groupby.apply percentile_approx when 100 TB says so)
     val quantiles = cfg.arrOpt("quantiles").map(_.map {
       case CDouble(v) => v
       case CLong(v)   => v.toDouble
@@ -469,16 +478,22 @@ object ProfileOp extends Stage {
     }).getOrElse(Vector.empty)
     quantiles.find(q => q < 0 || q > 1).foreach(q =>
       throw new GraftConfigError(s"quantiles must be in [0, 1], got $q"))
+    val quantilesExact = cfg.boolOr("quantiles_exact", false)
+    val qAccuracy = cfg.longOr("quantiles_accuracy", 10000L)
     val numeric = df.schema.fields.map(f => f.name ->
       f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]).toMap
 
+    def quantileAgg(c: String): Column = {
+      val arr = s"array(${quantiles.mkString(", ")})"
+      if (quantilesExact) F.expr(s"percentile(${quote(c)}, $arr)")
+      else F.expr(s"cast(percentile_approx(${quote(c)}, $arr, $qAccuracy) as array<double>)")
+    }
     val aggs = F.count(F.lit(1)).alias("__n") +: cols.flatMap { c => Seq(
       F.count(F.col(c)).alias(s"__nn_$c"),
       distinctOf(c).alias(s"__nd_$c"),
       F.min(F.col(c)).cast("string").alias(s"__min_$c"),
       F.max(F.col(c)).cast("string").alias(s"__max_$c")) ++
-      (if (quantiles.nonEmpty && numeric(c))
-        Seq(F.expr(s"percentile($c, array(${quantiles.mkString(", ")}))").alias(s"__q_$c"))
+      (if (quantiles.nonEmpty && numeric(c)) Seq(quantileAgg(c).alias(s"__q_$c"))
       else Seq.empty)
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
@@ -494,9 +509,8 @@ object ProfileOp extends Stage {
         F.col(s"__min_$c").alias("min_value"),
         F.col(s"__max_$c").alias("max_value"))
       val qs = quantiles.zipWithIndex.map { case (q, i) =>
-        val name = "q" + (q * 100).round
         (if (numeric(c)) F.col(s"__q_$c").getItem(i) else F.lit(null).cast("double"))
-          .alias(name)
+          .alias(quantileName(q))
       }
       F.struct(base ++ qs: _*)
     }: _*))

@@ -1095,19 +1095,42 @@ object ExtensionQueries {
         |  count(o_orderkey) AS n_nonnull, count(DISTINCT o_orderkey) AS n_distinct,
         |  CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value,
         |  quantile_cont(o_orderkey, 0.5) AS q50
-        |FROM orders
+        |FROM orders WHERE o_orderkey < 60000
         |UNION ALL SELECT 'o_orderstatus', 'string', count(*), count(o_orderstatus),
         |  count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus),
-        |  NULL FROM orders
+        |  NULL FROM orders WHERE o_orderkey < 60000
         |UNION ALL SELECT 'o_totalprice', 'double', count(*), count(o_totalprice),
         |  count(DISTINCT o_totalprice), CAST(min(o_totalprice) AS VARCHAR),
-        |  CAST(max(o_totalprice) AS VARCHAR), quantile_cont(o_totalprice, 0.5) FROM orders
+        |  CAST(max(o_totalprice) AS VARCHAR), quantile_cont(o_totalprice, 0.5) FROM orders WHERE o_orderkey < 60000
         |UNION ALL SELECT 'o_orderdate', 'timestamp_ntz', count(*), count(o_orderdate),
         |  count(DISTINCT o_orderdate), CAST(min(o_orderdate) AS VARCHAR),
-        |  CAST(max(o_orderdate) AS VARCHAR), NULL FROM orders""".stripMargin) { (s, d) =>
-      ProfileOp(StageContext.one(s, t(s, d, "orders"), Cfg.of(
+        |  CAST(max(o_orderdate) AS VARCHAR), NULL FROM orders WHERE o_orderkey < 60000""".stripMargin) { (s, d) =>
+      // exact paths OPT-IN here (the defaults are approx — scale-safe);
+      // this gate pins the exact semantics at sf0.01 where exact is cheap
+      // bounded input (o_orderkey < 60000 ≈ all of sf0.01): the exact path
+      // exists for correctness decisions on bounded slices, and the bench
+      // at sf0.1 should time that contract, not exact-percentile a 10×
+      // table the operator's defaults would never touch
+      ProfileOp(StageContext.one(s,
+        t(s, d, "orders").filter(F.col("o_orderkey") < 60000), Cfg.of(
         "columns" -> Seq("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"),
-        "quantiles" -> Seq(0.5))))
+        "quantiles" -> Seq(0.5), "distinct" -> "exact", "quantiles_exact" -> true)))
+    },
+
+    // ---- profile.apply DEFAULT path (approx distinct + approx quantiles):
+    // the oracle gates every deterministic output column — n_distinct is an
+    // HLL estimate and q50 a GK-sketch value, both engine-defined, so the
+    // gate projects them away; ProfileSpec pins their accuracy instead.
+    QueryDef("profile_defaults",
+      """SELECT 'o_orderkey' AS "column", 'bigint' AS dtype, count(*) AS n_rows,
+        |  count(o_orderkey) AS n_nonnull,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        |FROM orders
+        |UNION ALL SELECT 'o_totalprice', 'double', count(*), count(o_totalprice),
+        |  CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders""".stripMargin) { (s, d) =>
+      ProfileOp(StageContext.one(s, t(s, d, "orders"), Cfg.of(
+        "columns" -> Seq("o_orderkey", "o_totalprice"), "quantiles" -> Seq(0.5))))
+        .select("column", "dtype", "n_rows", "n_nonnull", "min_value", "max_value")
     },
 
     // ---- chunk.text: token-budget chunking with overlap — the start

@@ -250,11 +250,49 @@ class RelationalOpsSpec extends SparkSpec {
     // ONE aggregation job: the plan has exactly one pair of agg exchanges
     val plan = ProfileOp(ctx(df)).queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "profiling must not self-join")
-    // exact quantiles on numeric columns, null on strings
-    val q = ProfileOp(ctx(df, "quantiles" -> Seq(0.5))).orderBy("column").collect()
+    // exact quantiles (opt-in) on numeric columns, null on strings
+    val q = ProfileOp(ctx(df, "quantiles" -> Seq(0.5), "quantiles_exact" -> true))
+      .orderBy("column").collect()
     assert(q.map(r => Option(r.get(7))).toSeq ===
       Seq(Some(2.0), None, Some(0.75))) // median id=2, k null, v=(-1+2.5)/2
     intercept[GraftConfigError](ProfileOp(ctx(df, "quantiles" -> Seq(1.5))))
+  }
+
+  test("profile defaults are scale-safe: approx distinct + sketch quantiles") {
+    import spark.implicits._
+    val df = spark.range(1000).select(F.col("id"), (F.col("id") % 10).as("b"))
+    // default path: HLL distinct (no Expand ×(N+1)), percentile_approx
+    // (bounded sketch — no global per-column value buffering)
+    val prof = ProfileOp(ctx(df.toDF(), "quantiles" -> Seq(0.5, 0.125)))
+    val plan = prof.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Expand"), s"default profile must not plan an Expand:\n$plan")
+    assert(!plan.matches("(?s).*\\bpercentile\\(.*"),
+      s"default profile must use percentile_approx, not exact percentile:\n$plan")
+    assert(plan.contains("approx_count_distinct") || plan.contains("HyperLogLog"))
+    val rows = prof.orderBy("column").collect()
+    // fractional quantile names keep the full value — 0.125 → q12_5, no collision
+    assert(prof.columns.takeRight(2).toSeq === Seq("q50", "q12_5"))
+    // HLL at rsd=0.05 on 1000 distinct: within 15%; median of 0..999 ≈ 500±1
+    val idRow = rows.find(_.getString(0) == "id").get
+    assert(math.abs(idRow.getLong(4) - 1000L) <= 150)
+    assert(math.abs(idRow.getDouble(7) - 499.5) <= 5.0)
+    // exact distinct remains opt-in and exact
+    val exact = ProfileOp(ctx(df.toDF(), "distinct" -> "exact")).orderBy("column").collect()
+    assert(exact.map(_.getLong(4)).toSeq === Seq(10L, 1000L))
+    // quoted identifiers survive the quantile expr (ADVICE: backtick names)
+    val weird = spark.range(10).select(F.col("id").as("odd name"))
+    val wq = ProfileOp(ctx(weird, "quantiles" -> Seq(0.5))).head()
+    assert(wq.getString(0) === "odd name" && !wq.isNullAt(7))
+  }
+
+  test("profile quantile naming: full-value, collision-free") {
+    import graft.operators.ProfileOp.quantileName
+    assert(quantileName(0.5) === "q50")
+    assert(quantileName(0.125) === "q12_5")
+    assert(quantileName(0.13) === "q13")
+    assert(quantileName(0.001) === "q0_1")
+    assert(quantileName(1.0) === "q100")
+    assert(quantileName(0.0) === "q0")
   }
 
   // ---- explode.apply ----
