@@ -19,7 +19,7 @@ object Main {
       val spark = session(rest)
       try {
         val t0 = System.nanoTime()
-        DagCompiler.default.run(spark, pc)
+        new DagCompiler(Registry.forPipeline(pc)).run(spark, pc)
         val dt = (System.nanoTime() - t0) / 1e9
         System.err.println(f"[graft] pipeline '${pc.name}' completed in $dt%.2f s")
       } finally spark.stop()
@@ -33,10 +33,11 @@ object Main {
       val pc = PipelineConfig.fromFile(path)
       val spark = session(rest)
       try {
-        val plans = DagCompiler.default.compilePlans(spark, pc, explainOnly = true)
+        val reg = Registry.forPipeline(pc)
+        val plans = new DagCompiler(reg).compilePlans(spark, pc, explainOnly = true)
         val sinks = pc.stages.filter(s =>
-          Registry.withDefaults.contains(s.function) &&
-            Registry.withDefaults.resolve(s.function).kind == graft.core.StageKind.Sink)
+          reg.contains(s.function) &&
+            reg.resolve(s.function).kind == graft.core.StageKind.Sink)
         val targets = if (sinks.nonEmpty) sinks.flatMap(_.inputs.headOption)
                       else pc.stages.lastOption.map(_.id).toSeq
         targets.distinct.foreach { id =>
@@ -48,7 +49,7 @@ object Main {
 
     case "validate" :: path :: _ =>
       val pc = PipelineConfig.fromFile(path)
-      val reg = Registry.withDefaults
+      val reg = Registry.forPipeline(pc) // also fails loud on broken plugins
       val unknown = pc.stages.filterNot(s => reg.contains(s.function))
       if (unknown.nonEmpty) {
         System.err.println(s"unknown functions: ${unknown.map(_.function).mkString(", ")}")
@@ -57,8 +58,16 @@ object Main {
       DagCompiler.default.toposortCheck(pc) // cycle check, throws GraftPlanError
       println(s"pipeline '${pc.name}': ${pc.stages.size} stages, OK")
 
-    case "list" :: _ =>
-      Registry.withDefaults.names.foreach(println)
+    // `list [pipeline.toml]` — with a pipeline, includes its plugins and
+    // shows per-stage provenance (reference `plugin list`, main.rs:176-183)
+    case "list" :: rest =>
+      val reg = rest.headOption.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        .map(p => Registry.forPipeline(PipelineConfig.fromFile(p)))
+        .getOrElse(Registry.withDefaults)
+      reg.names.foreach { n =>
+        val from = reg.provenance.getOrElse(n, "builtin")
+        println(if (from == "builtin") n else s"$n\t[plugin: $from]")
+      }
 
     case "info" :: fn :: _ =>
       val reg = Registry.withDefaults
@@ -84,7 +93,7 @@ object Main {
           |  run <pipeline.toml>      execute a pipeline (--dry-run = validate only)
           |  explain <pipeline.toml>  print each sink's physical plan (no execution)
           |  validate <pipeline.toml> parse + validate config
-          |  list                     list registered functions
+          |  list [pipeline.toml]     list registered functions (with a pipeline: its plugins + provenance)
           |  info <function>          show function info
           |  scaffold [out.toml]      write a starter pipeline""".stripMargin)
       sys.exit(2)

@@ -39,6 +39,7 @@ final case class GlobalConfig(
     variables: Map[String, String],
     shufflePartitions: Option[Int], // our extension: spark.sql.shuffle.partitions
     sparkConf: Map[String, String], // our extension: [global.spark] → spark.conf.set
+    plugins: Vector[String],        // jar paths / FQCNs of third-party stages (SPI: graft.core.GraftPlugin)
     raw: Cfg)
 
 sealed trait ErrorStrategy
@@ -80,6 +81,7 @@ object PipelineConfig {
       // back to dotted conf names; values render as strings.
       sparkConf = globalRaw.tblOpt("spark")
         .map(c => flattenConf("spark.", c.table)).getOrElse(Map.empty),
+      plugins = globalRaw.strListOr("plugins", Vector.empty).map(resolveEnv),
       raw = globalRaw)
 
     val stages = root.tblArr("stages").map { st =>

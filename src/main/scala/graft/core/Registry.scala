@@ -4,16 +4,35 @@ import graft.config.GraftConfigError
 
 /** name → Stage dispatch, mirroring the reference's ModuleRegistry
   * (src/core/registry.rs:23-42, canonical names src/modules/mod.rs:16-120).
-  * Plugins (FFI/WASM) become ordinary built-ins here — no ABI boundary.
+  * The reference's FFI/WASM operator plugins are built-ins here; RUNTIME
+  * extensibility (third-party stages, reference src/plugin_loader.rs)
+  * arrives through `withPlugins` — ServiceLoader over `global.plugins`
+  * jars/classes (see [[PluginLoader]]) — with per-stage provenance.
   */
-final class Registry(entries: Map[String, Stage]) {
+final class Registry(entries: Map[String, Stage], val provenance: Map[String, String]) {
+  def this(entries: Map[String, Stage]) =
+    this(entries, entries.map { case (k, _) => k -> "builtin" })
   def resolve(function: String): Stage =
     entries.getOrElse(function,
       throw new GraftConfigError(
-        s"unknown function '$function'; available: ${entries.keys.toSeq.sorted.mkString(", ")}"))
+        s"unknown function '$function'; available: ${entries.keys.toSeq.sorted.mkString(", ")}. " +
+        "Third-party stages load via [global] plugins = [\"/path/to/plugin.jar\"|\"com.example.PluginClass\"]"))
   def contains(function: String): Boolean = entries.contains(function)
   def names: Seq[String] = entries.keys.toSeq.sorted
-  def add(stage: Stage): Registry = new Registry(entries + (stage.name -> stage))
+  def add(stage: Stage): Registry = add(stage, "builtin")
+  def add(stage: Stage, from: String): Registry =
+    new Registry(entries + (stage.name -> stage), provenance + (stage.name -> from))
+
+  /** Register `global.plugins` stages. A plugin may not shadow an existing
+    * registration — a pipeline that silently swaps `filter.apply` for
+    * third-party code is a debugging trap, so collisions fail loud. */
+  def withPlugins(specs: Seq[String]): Registry =
+    PluginLoader.load(specs).foldLeft(this) { case (reg, (stage, from)) =>
+      if (reg.contains(stage.name))
+        throw new GraftConfigError(s"plugin stage '${stage.name}' (from $from) collides with " +
+          s"an existing registration (${reg.provenance(stage.name)}); rename the plugin stage")
+      reg.add(stage, from)
+    }
 }
 
 object Registry {
@@ -70,4 +89,9 @@ object Registry {
 
   def withDefaults: Registry =
     new Registry(builtins.map(s => s.name -> s).toMap)
+
+  /** The registry a pipeline config asks for: builtins + its
+    * `[global] plugins = [...]` entries. */
+  def forPipeline(pc: graft.config.PipelineConfig): Registry =
+    withDefaults.withPlugins(pc.global.plugins)
 }

@@ -26,7 +26,7 @@ object SubPipelineOp extends Stage {
       case _ => throw new GraftConfigError("stage.pipeline requires exactly one of 'file' or 'inline'")
     }
     val pc = PipelineConfig.fromString(toml)
-    val compiler = new DagCompiler(Registry.withDefaults)
+    val compiler = new DagCompiler(Registry.forPipeline(pc)) // sub-pipeline's own plugins load too
     val plans = compiler.compilePlans(ctx.spark, pc)
     val outId = cfg.strOpt("output").getOrElse(pc.stages.last.id)
     plans.getOrElse(outId,
