@@ -131,14 +131,18 @@ object KnnLshOp extends Stage {
         val dim = q.length
         val width = h / blocks
         val mask = (1L << width) - 1L
-        // signature of every row (native exprs) + of the query
-        val sigCol = DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed)
+        // signature of every row (one fused-UDF call, materialized in a
+        // projection BEFORE the filter — referencing the UDF column in
+        // `blocks` OR'd predicates would re-evaluate the h×dim dot loop
+        // per predicate inside FilterExec) + of the query
         val qSig = querySig(q, dim, h, seed)
+        val withSig = ctx.primary.withColumn("__sig",
+          DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed))
         val blockMatch = (0 until blocks).map { j =>
           val qBlock = (qSig >>> (j * width)) & mask
-          (F.shiftrightunsigned(sigCol, j * width).bitwiseAND(F.lit(mask)) === F.lit(qBlock))
+          (F.shiftrightunsigned(F.col("__sig"), j * width).bitwiseAND(F.lit(mask)) === F.lit(qBlock))
         }.reduce(_ || _)
-        topk(ctx.primary.filter(blockMatch))
+        topk(withSig.filter(blockMatch).drop("__sig"))
     }
   }
 }
