@@ -39,12 +39,10 @@ final class DagCompiler(registry: Registry) {
     val deferred = mutable.Buffer[() => Unit]()
     val plans = compilePlans(spark, pc, defer = action => deferred += action)
 
-    // fan-out persistence policy (streaming frames can't persist — their
-    // replay is the checkpoint's job, so fan-out on a stream is free)
-    val outDegree = mutable.Map[String, Int]().withDefaultValue(0)
-    pc.stages.foreach(_.inputs.foreach(in => outDegree(in) += 1))
+    // compilePlans already persisted fan-out stages; remember them so the
+    // cache is dropped when the run finishes
+    val outDegree = fanOut(pc)
     val persisted = plans.filter { case (id, df) => outDegree(id) > 1 && !df.isStreaming }
-    persisted.values.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
 
     // execution_mode = "streaming": stream sinks start their query and
     // return immediately (_defer_await); we await them all together below —
@@ -95,14 +93,23 @@ final class DagCompiler(registry: Registry) {
   /** Pure plan composition: transforms/sources compose lazily; sink stages
     * contribute their input plan (pass-through) without side effects.
     *
+    * Fan-out stages (out-degree > 1, non-streaming) persist at
+    * MEMORY_AND_DISK HERE, not in run(): a downstream stage may evaluate
+    * its input EAGERLY at compose time (bpe.train's bounded vocab collect,
+    * index.build), and without the cache already in place that evaluation
+    * plus the final sink action would run the shared upstream chain once
+    * per consumer. persist() is lazy, so plain compositions pay nothing.
+    *
     * `explainOnly = true` (the CLI `explain` command) additionally tells
     * materialization-barrier transforms — stages that execute eagerly at
     * compose time, like index.build — to skip their side effect: stage
     * configs gain `_explain_only = true` and the affected stage documents
-    * the placeholder behavior. */
+    * the placeholder behavior (no persist either — explain shows the raw
+    * plan, not InMemoryRelation wrappers). */
   def compilePlans(spark: SparkSession, pc: PipelineConfig,
       explainOnly: Boolean = false,
       defer: (() => Unit) => Unit = StageContext.RunNow): Map[String, DataFrame] = {
+    val outDegree = fanOut(pc)
     val memo = mutable.Map[String, DataFrame]()
     def plan(id: String): DataFrame = memo.getOrElseUpdate(id, {
       val st = pc.stageById(id).getOrElse(throw new GraftPlanError(s"unknown stage '$id'"))
@@ -116,11 +123,22 @@ final class DagCompiler(registry: Registry) {
         val cfg = if (explainOnly)
           graft.config.Cfg(st.config.table + ("_explain_only" -> graft.config.CBool(true)))
         else st.config
-        stage(StageContext(spark, inputDfs, cfg, st.id, deferToSuccess = defer))
+        val df = stage(StageContext(spark, inputDfs, cfg, st.id, deferToSuccess = defer))
+        if (outDegree(st.id) > 1 && !df.isStreaming && !explainOnly)
+          df.persist(StorageLevel.MEMORY_AND_DISK)
+        df
       }
     })
     pc.stages.foreach(st => plan(st.id))
     memo.toMap
+  }
+
+  /** Static out-degree per stage id (streaming frames never persist —
+    * their replay is the checkpoint's job, so fan-out on a stream is free). */
+  private def fanOut(pc: PipelineConfig): collection.Map[String, Int] = {
+    val outDegree = mutable.Map[String, Int]().withDefaultValue(0)
+    pc.stages.foreach(_.inputs.foreach(in => outDegree(in) += 1))
+    outDegree
   }
 
   /** Kahn toposort for cycle detection (reference dag_executor.rs:117-127). */
