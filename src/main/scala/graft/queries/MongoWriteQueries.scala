@@ -89,6 +89,44 @@ object MongoWriteQueries {
           F.col("o_totalprice").alias("price"), F.col("o_orderpriority").alias("pri"))
     },
 
+    // insertOne: a single config document appends with schema alignment
+    QueryDef("mongo_insert_one",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE o_orderkey < 100
+        |UNION ALL SELECT CAST(900003 AS BIGINT), 'Q', 2.25""".stripMargin) { (s, d) =>
+      val slice = t(s, d, "orders").filter(F.col("o_orderkey") < 100)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      MongoInsertOneOp(StageContext.one(s, slice, Cfg.of(
+        "document" -> """{"o_orderkey": 900003, "o_orderstatus": "Q", "o_totalprice": 2.25}""")))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+
+    // deleteOne: exactly the first match in o_orderkey order disappears
+    QueryDef("mongo_delete_one",
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey =
+        |  (SELECT min(o_orderkey) FROM orders WHERE o_orderstatus = 'F'))""".stripMargin) { (s, d) =>
+      MongoDeleteOneOp(StageContext.one(s, t(s, d, "orders"), Cfg.of(
+        "query" -> """{"o_orderstatus": "F"}""",
+        "order_by" -> "o_orderkey")))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    },
+
+    // replaceMany: EVERY match replaced wholesale, id preserved, rest NULLed
+    QueryDef("mongo_replace_many",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderstatus = 'P' THEN 'RP' ELSE o_orderstatus END AS status,
+        |  CASE WHEN o_orderstatus = 'P' THEN 0.75 ELSE o_totalprice END AS price,
+        |  CASE WHEN o_orderstatus = 'P' THEN NULL ELSE o_orderpriority END AS pri
+        |FROM orders""".stripMargin) { (s, d) =>
+      MongoReplaceManyOp(StageContext.one(s, t(s, d, "orders"), Cfg.of(
+        "query" -> """{"o_orderstatus": "P"}""",
+        "replacement" -> """{"o_orderstatus": "RP", "o_totalprice": 0.75}""",
+        "order_by" -> "o_orderkey")))
+        .select(F.col("o_orderkey"), F.col("o_orderstatus").alias("status"),
+          F.col("o_totalprice").alias("price"), F.col("o_orderpriority").alias("pri"))
+    },
+
     // upsert: no match → the filter's equality fields + $set/$setOnInsert
     // fields are inserted as a new document
     QueryDef("mongo_upsert",
