@@ -56,7 +56,7 @@ object Docs {
     "stdin.stream" -> "stdin as a stream - format: text|jsonl|csv, schema",
     "stream.write" -> "writeStream sink - format: console|memory|parquet|csv|json, output_mode, trigger_ms, timeout_ms",
     "stdout_stream.write" -> "alias of stream.write",
-    "window.apply" -> "count-based windows - type: tumbling|sliding|session, size, slide, gap, order_by",
+    "window.apply" -> "count-based windows - type: tumbling|sliding|session, size, slide, gap, order_by, group_by (streaming: per-key tws state; empty group_by = one implicit key, order_by sorts each micro-batch)",
     "window.time" -> "event-time tumbling/sliding - ts_column, size, slide, watermark, group_by, aggregations",
     "window.session" -> "event-time session windows - ts_column, gap, group_by, aggregations",
     "aggregate.stream" -> "per-window aggregate - operation, value_column, group_by",

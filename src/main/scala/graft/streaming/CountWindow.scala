@@ -28,9 +28,9 @@ import graft.operators.Indexing
   *  - batch: plain partitioned window functions — one shuffle on the keys.
   *  - TRUE STREAMING input: a transformWithState processor keeps each
   *    key's running count (or last-gap/session-id) across micro-batches —
-  *    the reference's record-count semantics, distributed by key. A
-  *    keyless streaming count window is rejected loudly: global record
-  *    order does not exist on a distributed stream (use time windows).
+  *    the reference's record-count semantics, distributed by key. An
+  *    EMPTY group_by on a stream runs keyless: one implicit key = one
+  *    stateful task (see streamingKeyed's ordering caveat).
   *
   * Time-based windows (the Spark-native upgrade) live in TimeWindowOp.
   */
@@ -163,21 +163,58 @@ object CountWindowOp extends Stage {
   /** Streaming + group_by: transformWithState keeps each key's running
     * record count (tumbling/sliding) or (last gap value, session id)
     * across micro-batches. Rows within a key are processed in micro-batch
-    * arrival order — the reference's record-count semantics per key. */
+    * arrival order — the reference's record-count semantics per key.
+    *
+    * KEYLESS streaming (empty group_by): all rows funnel through ONE
+    * implicit key — a single stateful task, which is what a global
+    * record-count window inherently is (the reference's single-threaded
+    * window buffer has exactly this shape, streaming.rs:100-133). Ordering
+    * caveat, documented: rows within a micro-batch arrive in partition
+    * order, which is not deterministic across a distributed source —
+    * declare `order_by` to sort each micro-batch before numbering
+    * (deterministic when the trigger composition is, e.g. a kafka.stream
+    * backlog under max_files_per_trigger); ACROSS batches the running
+    * count follows batch arrival order, which checkpoints make replayable.
+    * The single task is a throughput bottleneck by construction — keyed or
+    * time windows are the scale path; keyless exists for parity with the
+    * reference's global windows. */
   private def streamingKeyed(ctx: StageContext, typ: String, groupBy: Seq[String]): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState, TimerValues, StatefulProcessor}
     val cfg = ctx.cfg
-    if (groupBy.isEmpty)
-      throw new GraftConfigError(
-        "streaming count windows require group_by keys: global record order " +
-        "does not exist on a distributed stream — group by a key, or use " +
-        "time-based windows (window.apply via TimeWindowOp / session time windows)")
     val df = ctx.primary
     val keyIdcs = groupBy.map(df.columns.indexOf(_)).toArray
     keyIdcs.zipWithIndex.foreach { case (i, j) =>
       if (i < 0) throw new GraftConfigError(s"window.apply: unknown group_by column '${groupBy(j)}'")
     }
+    // keyless: per-micro-batch sort by order_by before numbering (arrival
+    // order across source partitions is otherwise nondeterministic)
+    val sortIdcs = cfg.strListOr("order_by", Vector.empty).map { c =>
+      val i = df.columns.indexOf(c)
+      if (i < 0) throw new GraftConfigError(s"window.apply: unknown order_by column '$c'")
+      i
+    }
+    val batchOrder: Iterator[Row] => Iterator[Row] =
+      if (groupBy.nonEmpty || sortIdcs.isEmpty) identity
+      else { it =>
+        val rowOrd: Ordering[Row] = new Ordering[Row] {
+          def compare(a: Row, b: Row): Int = {
+            var c = 0; var k = 0
+            while (c == 0 && k < sortIdcs.length) {
+              val i = sortIdcs(k)
+              c = (a.isNullAt(i), b.isNullAt(i)) match {
+                case (true, true)   => 0
+                case (true, false)  => -1
+                case (false, true)  => 1
+                case _ => a.get(i).asInstanceOf[Comparable[Any]].compareTo(b.get(i))
+              }
+              k += 1
+            }
+            c
+          }
+        }
+        it.toArray.sorted(rowOrd).iterator
+      }
 
     val (prepared, gapIdx) = typ match {
       case "session" =>
@@ -207,7 +244,7 @@ object CountWindowOp extends Stage {
           override def handleInputRows(key: String, rows: Iterator[Row],
               tv: TimerValues): Iterator[Row] = {
             var n = if (st.exists()) st.get() else 0L
-            val out = rows.flatMap { r =>
+            val out = batchOrder(rows).flatMap { r =>
               val i = n; n += 1; st.update(n)
               val lo = math.max(0L, math.ceil((i - size + 1).toDouble / slide).toLong)
               val hi = math.floorDiv(i, slide)
@@ -226,7 +263,7 @@ object CountWindowOp extends Stage {
           override def handleInputRows(key: String, rows: Iterator[Row],
               tv: TimerValues): Iterator[Row] = {
             var state = Option(st.get())
-            rows.map { r =>
+            batchOrder(rows).map { r =>
               val v = r.getDouble(gapIdx)
               val sid = state match {
                 case Some((prev, s)) => if (v - prev > gap) s + 1 else s

@@ -116,7 +116,7 @@ class StatefulSpec extends SparkSpec {
     }
   }
 
-  test("window.apply batch group_by matches per-key window arithmetic; keyless streaming rejected") {
+  test("window.apply batch group_by matches per-key window arithmetic; keyless streaming runs one implicit key") {
     import spark.implicits._
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L)).toDF("user", "seq")
     val win = graft.streaming.CountWindowOp(StageContext.one(spark, df, Cfg.of(
@@ -131,12 +131,31 @@ class StatefulSpec extends SparkSpec {
     val sids = sess.collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("window_id"))).sorted
     assert(sids.toSeq === Seq(("a", 1L, 0L), ("a", 2L, 1L), ("a", 3L, 2L), ("b", 10L, 0L)))
 
+    // keyless streaming: one implicit key, per-batch order_by sort, count
+    // continues across micro-batches (tws needs the RocksDB state store)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
     val sdf = mem.toDF().toDF("user", "n")
-    intercept[graft.config.GraftConfigError] {
-      graft.streaming.CountWindowOp(StageContext.one(spark, sdf, Cfg.of(
-        "type" -> "tumbling", "size" -> 2)))
+    val kw = graft.streaming.CountWindowOp(StageContext.one(spark, sdf, Cfg.of(
+      "type" -> "tumbling", "size" -> 2, "order_by" -> Seq("n"))))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = kw.writeStream.outputMode("append").format("memory")
+        .queryName("cw_keyless").start()
+      try {
+        mem.addData(("c", 3L), ("a", 1L), ("b", 2L)) // batch sorts by n
+        q.processAllAvailable()
+        mem.addData(("d", 4L))                       // 4th record → window 1
+        q.processAllAvailable()
+        val got = spark.sql("SELECT n, window_id FROM cw_keyless ORDER BY n")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got === Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
 

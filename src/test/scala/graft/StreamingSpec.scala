@@ -35,6 +35,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyless streaming count window: kafka.stream → window.apply → aggregate.stream") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_kstream").toString
+    // two produces = two deterministic segments (coalesce(1) → one file each)
+    graft.operators.KafkaProduceSink(StageContext.one(spark,
+      spark.range(0, 5).coalesce(1).selectExpr("id", "concat('u', id) AS name"),
+      Cfg.of("path" -> root, "topic" -> "events")))
+    graft.operators.KafkaProduceSink(StageContext.one(spark,
+      spark.range(5, 10).coalesce(1).selectExpr("id", "concat('u', id) AS name"),
+      Cfg.of("path" -> root, "topic" -> "events")))
+    val src = graft.operators.KafkaStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> root, "topic" -> "events", "schema" -> "id LONG, name STRING"), "src"))
+    // keyless tumbling window over the stream: per-batch sort on the log
+    // offset makes the numbering deterministic for a fixed backlog
+    val win = CountWindowOp(StageContext.one(spark, src, Cfg.of(
+      "type" -> "tumbling", "size" -> 4, "order_by" -> Seq("_kafka_offset"))))
+    val agg = AggregateStreamOp(StageContext.one(spark, win, Cfg.of(
+      "operation" -> "count")))
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = agg.writeStream.outputMode("complete").format("memory")
+        .queryName("kstream_counts").start()
+      try {
+        q.processAllAvailable()
+        val got = spark.sql("SELECT window_id, count FROM kstream_counts ORDER BY window_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(got === Seq((0L, 4L), (1L, 4L), (2L, 2L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None    => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("file.stream source reads files exactly-once as they appear") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
