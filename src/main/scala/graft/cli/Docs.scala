@@ -63,8 +63,8 @@ object Docs {
     "aggregate.stateful" -> "running per-key aggregate - key_column, value_column, operation; engine=mgws|tws (tws = Spark 4 transformWithState, supports state_ttl)",
     "dedup.stream" -> "streaming dedup - columns, watermark_column, delay (bounded state)",
     // enrichment / row-level
-    "http.fetch" -> "per-row HTTP enrichment on executors - url template, concurrency, mock",
-    "ai.generate" -> "LLM enrichment - provider, model, prompt template, output_column, mock",
+    "http.fetch" -> "per-row HTTP enrichment on executors - url template, concurrency (in-flight), rate_limit_per_sec (launch pacing per partition), mock",
+    "ai.generate" -> "LLM enrichment - provider, model, prompt template, output_column, concurrency, rate_limit_per_sec, mock",
     "encrypt.apply" -> "encrypt columns - columns, algorithm: aes128-gcm|aes256-gcm|chacha20, key_env",
     "decrypt.apply" -> "decrypt columns (null per value on failure) - columns, algorithm, key_env",
     // training-data

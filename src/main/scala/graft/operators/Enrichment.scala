@@ -25,6 +25,34 @@ object Template {
   }
 }
 
+/** Per-partition launch pacer for enrichment requests. `concurrency`
+  * bounds how many requests are IN FLIGHT; this bounds how many are
+  * LAUNCHED per second — without it, 1000 executors × fast responses
+  * hammer a real API at whatever rate the semaphore refills. Strict
+  * interval pacing (no burst): request i may launch no earlier than
+  * i/ratePerSec seconds after the first. The bound is per PARTITION —
+  * aggregate cluster rate = partitions × rate_limit_per_sec, which is the
+  * number to budget against a provider's account-level limit.
+  */
+object RequestPacer {
+  def make(ratePerSec: Option[Double]): () => Unit = ratePerSec match {
+    case Some(r) if r > 0 =>
+      val intervalNanos = math.max(1L, (1e9 / r).toLong)
+      new (() => Unit) {
+        private var next = System.nanoTime()
+        def apply(): Unit = {
+          val now = System.nanoTime()
+          if (next > now) {
+            val waitNs = next - now
+            Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
+          }
+          next = math.max(now, next) + intervalNanos
+        }
+      }
+    case _ => () => ()
+  }
+}
+
 /** http.fetch — per-row or batch HTTP enrichment (reference
   * src/modules/transforms/http_fetch.rs:156-599): URL/body are `{{field}}`
   * templates, response body stored into `result_field` (null on error —
@@ -36,6 +64,9 @@ object Template {
   * a semaphore bounding in-flight requests per partition (`concurrency`,
   * default 10). Work distributes across executors; total parallelism =
   * partitions × concurrency, with no driver involvement.
+  * `rate_limit_per_sec` additionally paces LAUNCHES per partition (see
+  * [[RequestPacer]]) — in-flight bounds alone do not cap requests/sec
+  * against a real API when responses are fast and partitions are many.
   *
   * Offline testing: `mock = true` short-circuits the network and returns a
   * deterministic JSON echo of the rendered URL after `mock_latency_ms` —
@@ -54,6 +85,7 @@ object HttpFetchOp extends Stage {
     val headers = cfg.tblOpt("headers").map(_.table.collect { case (k, CStr(v)) => k -> v }).getOrElse(Map.empty)
     val timeoutMs = cfg.longOr("timeout_ms", 30000L)
     val concurrency = cfg.longOr("concurrency", 10L).toInt
+    val rateLimit = cfg.doubleOpt("rate_limit_per_sec")
     val mock = cfg.boolOr("mock", false)
     val mockLatencyMs = cfg.longOr("mock_latency_ms", 0L)
     val mode = cfg.strOr("mode", "per_row")
@@ -83,10 +115,12 @@ object HttpFetchOp extends Stage {
       case "per_row" =>
         df.mapPartitions { rows =>
           val sem = new Semaphore(concurrency)
+          val pace = RequestPacer.make(rateLimit)
           lazy val client = HttpClient.newBuilder()
             .connectTimeout(Duration.ofMillis(timeoutMs)).build()
           val futures = rows.map { row =>
             sem.acquire()
+            pace()
             val url = Template.render(urlTpl, row)
             val fut: CompletableFuture[String] =
               if (mock) CompletableFuture.supplyAsync { () =>
@@ -179,6 +213,7 @@ object AiGenerateOp extends Stage {
     val baseUrl = cfg.strOpt("api_base_url")
     val mock = cfg.boolOr("mock", false)
     val concurrency = cfg.longOr("concurrency", 4L).toInt
+    val rateLimit = cfg.doubleOpt("rate_limit_per_sec")
     val url = endpoint(provider, baseUrl)
     val apiKey = apiKeyEnv.flatMap(sys.env.get)
     val versionHeader: Option[(String, String)] = versionHeaders.get(provider)
@@ -192,9 +227,11 @@ object AiGenerateOp extends Stage {
     df.mapPartitions { rows =>
       lazy val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
       val sem = new Semaphore(concurrency)
+      val pace = RequestPacer.make(rateLimit)
       val futures = rows.map { row =>
         val prompt = Template.render(promptTpl, row)
         sem.acquire()
+        pace()
         val fut: CompletableFuture[String] =
           if (mock) CompletableFuture.completedFuture(s"[mock:$provider/$model] $prompt")
           else try {

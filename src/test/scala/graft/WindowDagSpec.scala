@@ -298,6 +298,28 @@ class DlqConnectorSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dlq/bad/_error.txt")))
   }
 
+  test("rate_limit_per_sec paces enrichment launches (mock mode)") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, s"u$i")).toDF("id", "name").repartition(1)
+    def elapsedMs(body: => Unit): Long = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1000000L
+    }
+    // 10 requests at 20/s = 9 pacing intervals × 50 ms ≥ 450 ms minimum
+    val paced = elapsedMs {
+      graft.operators.HttpFetchOp(graft.core.StageContext.one(spark, df,
+        graft.config.Cfg.of("url" -> "https://x/{{name}}", "mock" -> true,
+          "rate_limit_per_sec" -> 20.0))).collect()
+    }
+    assert(paced >= 400, s"http.fetch paced run took ${paced}ms — pacing not applied")
+    val aiPaced = elapsedMs {
+      graft.operators.AiGenerateOp(graft.core.StageContext.one(spark, df,
+        graft.config.Cfg.of("provider" -> "openai", "model" -> "m",
+          "prompt" -> "p {{name}}", "output_column" -> "resp", "mock" -> true,
+          "rate_limit_per_sec" -> 20.0))).collect()
+    }
+    assert(aiPaced >= 400, s"ai.generate paced run took ${aiPaced}ms — pacing not applied")
+  }
+
   test("http.get source: mock_response json array -> rows, object -> one row") {
     val arr = graft.operators.HttpGetSource(graft.core.StageContext(spark, Seq.empty,
       graft.config.Cfg.of("url" -> "https://x/api",
