@@ -24,6 +24,40 @@ object ExtensionQueries {
   private val duckToks =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
+  /** DuckDB restatement of Bpe.learnMerges for `m` merges (see the
+    * bpe_train QueryDef comment for the double-replace soundness
+    * argument). MATERIALIZED is required: the layers chain, and inlined
+    * CTEs would re-evaluate the whole prefix per reference (~5^m scans). */
+  private def bpeTrainOracle(m: Int): String = {
+    val sb = new StringBuilder(
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT ' ' || array_to_string(string_split(w, ''), ' ') || ' ' AS s, f FROM (
+        |    SELECT w, count(*) AS f FROM (
+        |      SELECT unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents)
+        |    WHERE len(w) > 0 GROUP BY w ORDER BY f DESC, w LIMIT 50000)
+        |)""".stripMargin)
+    for (k <- 1 to m) {
+      val prev = s"w${k - 1}"
+      sb ++= s""",
+        |b$k AS MATERIALIZED (
+        |  SELECT t[i] AS l, t[i+1] AS r, sum(f) AS cnt
+        |  FROM (SELECT string_split(trim(s), ' ') AS t, f FROM $prev),
+        |       LATERAL (SELECT unnest(generate_series(1, len(t)-1)) AS i)
+        |  GROUP BY 1, 2 HAVING sum(f) >= 2
+        |  ORDER BY cnt DESC, l, r LIMIT 1
+        |),
+        |w$k AS MATERIALIZED (SELECT replace(replace(s,
+        |    (SELECT ' '||l||' '||r||' ' FROM b$k), (SELECT ' '||l||r||' ' FROM b$k)),
+        |    (SELECT ' '||l||' '||r||' ' FROM b$k), (SELECT ' '||l||r||' ' FROM b$k)) AS s, f
+        |  FROM $prev)""".stripMargin
+    }
+    sb ++= "\n"
+    sb ++= (1 to m).map(k =>
+      s"""SELECT CAST(${k - 1} AS BIGINT) AS rank, l AS "left", r AS "right" FROM b$k""")
+      .mkString("", "\nUNION ALL ", "\nORDER BY rank")
+    sb.toString
+  }
+
   private def duckLangScores: String =
     TextFns.stopwords.map { case (lang, words) =>
       val lst = words.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -717,9 +751,22 @@ object ExtensionQueries {
         "merges" -> Seq("t a", "ta b"))))
         .select("doc_id", "n_tokens")
     },
-    QueryDef.noOracle("bpe_train") { (s, d) =>
+    // ---- bpe.train: the learned (rank,left,right) merge table restated
+    // in SQL as m chained materialized CTE layers — each layer picks the
+    // most frequent adjacent symbol pair (count>=2, lexicographic
+    // tie-break = pairLt) and rewrites the space-delimited symbol strings
+    // with replace() applied TWICE. Double-replace is exactly greedy
+    // leftmost non-overlapping merging WHEN left != right: occurrences can
+    // then never overlap in token space, pass 1 takes every occurrence
+    // whose leading delimiter survives, and each skipped occurrence
+    // regains its delimiter from the previous replacement, so pass 2
+    // finishes the set (runs of identical symbols would break this, which
+    // is why the gate stops at 8 merges — verified left != right for the
+    // first 12 on this corpus). Tokens are space-free by construction, so
+    // a replacement can never fabricate a new pattern occurrence.
+    QueryDef("bpe_train", bpeTrainOracle(8)) { (s, d) =>
       BpeTrainOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
-        "num_merges" -> 32, "top_words" -> 10000)))
+        "num_merges" -> 8)))
     },
 
     // ---- text.normalize: unicode canonicalization. The fixture plants a
