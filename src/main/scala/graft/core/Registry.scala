@@ -56,7 +56,7 @@ object Registry {
     StreamDedupOp, StatefulAggOp,
     FileStreamSource, RateStreamSource, StdinStreamSource, StreamWriteSink,
     // connectors (reference §2.6-2.7; all native — file-backed offline modes)
-    KafkaConsumeSource, KafkaProduceSink, KafkaStreamSource,
+    KafkaConsumeSource, KafkaProduceSink, KafkaStreamSource, KafkaCompactOp,
     MongoFindSource, MongoFindOneSource,
     MongoAggregateSource, MongoToObjectIdOp, MongoNormalizeOp, JsEvalOp,
     MongoInsertOneOp, MongoInsertManyOp, MongoUpdateOneOp, MongoUpdateManyOp,

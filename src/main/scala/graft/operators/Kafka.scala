@@ -72,17 +72,6 @@ object KafkaLog {
       throw new GraftPlanError(s"kafka.consume: topic '$topic' not found under $root " +
         s"(expected ${dir}/partition=N/ segment files)")
     if (from.isEmpty) return read(spark, root, topic)
-
-    def firstOffset(f: java.nio.file.Path): Option[Long] = {
-      val in = java.nio.file.Files.newBufferedReader(f, java.nio.charset.StandardCharsets.UTF_8)
-      try Option(in.readLine()).flatMap { line =>
-        JsVal.parseJson(line) match {
-          case o: JsObj => o.fields.get("offset").collect { case JsNum(n) => n.toLong }
-          case _ => None
-        }
-      } catch { case scala.util.control.NonFatal(_) => None }
-      finally in.close()
-    }
     val partDirs = java.nio.file.Files.list(dir).iterator().asScala
       .filter(p => java.nio.file.Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("partition="))
@@ -90,11 +79,7 @@ object KafkaLog {
     val kept = partDirs.flatMap { pd =>
       val p = pd.getFileName.toString.stripPrefix("partition=").toInt
       val frontier = from.getOrElse(p, 0L)
-      val segs = java.nio.file.Files.list(pd).iterator().asScala
-        .filter(f => java.nio.file.Files.isRegularFile(f) && {
-          val n = f.getFileName.toString
-          !n.startsWith("_") && !n.startsWith(".")
-        }).toSeq
+      val segs = segments(pd)
       if (frontier <= 0L) segs
       else {
         // sort by start offset; a segment survives when the next one
@@ -117,6 +102,27 @@ object KafkaLog {
       spark.read.schema(schema).option("basePath", dir.toString)
         .json(kept.map(_.toString): _*)
   }
+
+  /** Min offset of a segment = its first line (produce/compact write
+    * segments offset-ascending). One driver-side line peek per segment. */
+  private[operators] def firstOffset(f: java.nio.file.Path): Option[Long] = {
+    val in = java.nio.file.Files.newBufferedReader(f, java.nio.charset.StandardCharsets.UTF_8)
+    try Option(in.readLine()).flatMap { line =>
+      JsVal.parseJson(line) match {
+        case o: JsObj => o.fields.get("offset").collect { case JsNum(n) => n.toLong }
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+    finally in.close()
+  }
+
+  /** Data segment files of one partition dir (skips _SUCCESS/.crc etc.). */
+  private[operators] def segments(pd: java.nio.file.Path): Seq[java.nio.file.Path] =
+    java.nio.file.Files.list(pd).iterator().asScala
+      .filter(f => java.nio.file.Files.isRegularFile(f) && {
+        val n = f.getFileName.toString
+        !n.startsWith("_") && !n.startsWith(".")
+      }).toSeq
 
   private def offsetsFile(root: String, group: String, topic: String): java.nio.file.Path =
     java.nio.file.Paths.get(root, "_consumer_offsets", s"${group}__${topic}.json")
@@ -297,6 +303,66 @@ object KafkaConsumeSource extends Stage {
   }
 }
 
+/** kafka.compact — log compaction for the file-backed topic (the broker
+  * feature `cleanup.policy=compact`): per partition, keep only the
+  * highest-offset record for each key, preserving original offsets (they
+  * become sparse — Kafka's own compaction contract). Keyless records are
+  * dropped, matching Kafka's requirement that compacted topics are keyed.
+  * The rewrite keeps one ascending-offset segment per partition, so
+  * kafka.consume's segment pruning and the produce end-offset frontier
+  * both compose unchanged (pruning only needs non-overlapping ascending
+  * ranges, never density).
+  *
+  * Config: `path`, `topic`. Runs under the same single-writer contract as
+  * produce (no concurrent produce/compact on one topic). The shuffle is
+  * one hash partition on (partition, key) over narrow rows; the rewrite
+  * lands via a temp directory swapped in whole. Returns the compacted raw
+  * log (offset/timestamp/key/value/partition). Skipped under CLI explain.
+  */
+object KafkaCompactOp extends Stage {
+  val name = "kafka.compact"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val root = cfg.str("path")
+    val topic = cfg.str("topic")
+    val spark = ctx.spark
+    if (cfg.boolOr("_explain_only", false)) return KafkaLog.read(spark, root, topic)
+
+    import org.apache.spark.sql.expressions.Window
+    val log = KafkaLog.read(spark, root, topic)
+    val latest = log.filter(F.col("key").isNotNull)
+      .withColumn("__rn", F.row_number().over(
+        Window.partitionBy("partition", "key").orderBy(F.col("offset").desc)))
+      .filter(F.col("__rn") === 1).drop("__rn")
+
+    val dir = KafkaLog.topicDir(root, topic)
+    val tmp = java.nio.file.Paths.get(dir.toString + ".compact.tmp")
+    // one task per kafka partition → one ascending segment per dir
+    latest.repartition(F.col("partition"))
+      .sortWithinPartitions("partition", "offset")
+      .select(F.to_json(F.struct(F.col("offset"), F.col("timestamp"),
+        F.col("key"), F.col("value"))).as("line"), F.col("partition"))
+      .write.partitionBy("partition").mode("overwrite").text(tmp.toString)
+
+    // swap: delete old partition dirs, move compacted ones in
+    def deleteRec(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).iterator().asScala.foreach(deleteRec)
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("partition="))
+      .foreach(deleteRec)
+    java.nio.file.Files.list(tmp).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("partition="))
+      .foreach(p => java.nio.file.Files.move(p, dir.resolve(p.getFileName.toString)))
+    deleteRec(tmp)
+    KafkaLog.read(spark, root, topic)
+  }
+}
+
 /** kafka.stream — the UNbounded upgrade of kafka.consume: a Structured
   * Streaming read of the same file-backed topic log (new segment files
   * arrive exactly-once per trigger; checkpoints replace group offsets —
@@ -413,6 +479,28 @@ object KafkaProduceSink extends Stage {
       .select(F.to_json(F.struct(F.col("offset"), F.col("timestamp"),
         F.col("key"), F.col("value"))).as("line"), F.col("partition"))
       .write.partitionBy("partition").mode("append").text(dir.toString)
+
+    // Kafka's `cleanup.policy=delete` retention, segment-count bounded:
+    // keep the newest N segments per partition, delete older ones. A group
+    // whose committed frontier points into deleted segments resumes at the
+    // earliest retained offset — consume's offset filter already does this
+    // (the deleted offsets simply aren't there to read). Keeps the log
+    // from growing forever under continuous produce.
+    cfg.longOpt("retention_segments").map(_.toInt).foreach { keep =>
+      if (keep < 1) throw new GraftConfigError("retention_segments must be >= 1")
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("partition="))
+        .foreach { pd =>
+          val segs = KafkaLog.segments(pd)
+          if (segs.length > keep) {
+            val sorted = segs.map(f => (f, KafkaLog.firstOffset(f)))
+              .sortBy { case (_, o) => o.getOrElse(Long.MinValue) }
+            sorted.dropRight(keep).foreach { case (f, _) =>
+              java.nio.file.Files.delete(f) }
+          }
+        }
+    }
     df
   }
 }

@@ -247,6 +247,54 @@ class KafkaSpec extends SparkSpec {
     assert(consume(root).count() === 0)
   }
 
+  test("retention_segments keeps only the newest N segments per partition") {
+    val root = freshRoot()
+    for (batch <- 0 to 2)
+      KafkaProduceSink(StageContext.one(spark,
+        spark.range(batch * 10, batch * 10 + 10).coalesce(1)
+          .selectExpr("id", "concat('u', id) AS name"),
+        Cfg.of("path" -> root, "topic" -> "sales", "retention_segments" -> 2L)))
+    // only the newest two 10-row segments survive
+    val got = consume(root, "group_id" -> "fresh", "max_messages" -> 0L,
+      "schema" -> "id LONG, name STRING")
+    assert(got.count() === 20)
+    assert(got.agg(F.min("id"), F.max("id")).head() ===
+      org.apache.spark.sql.Row(10L, 29L))
+    assert(got.inputFiles.length === 2)
+    // offsets continue past deleted segments on the next produce
+    KafkaProduceSink(StageContext.one(spark,
+      spark.range(100, 101).coalesce(1).selectExpr("id", "'x' AS name"),
+      Cfg.of("path" -> root, "topic" -> "sales")))
+    val tail = consume(root, "group_id" -> "fresh2", "max_messages" -> 0L,
+      "schema" -> "id LONG, name STRING").filter(F.col("id") === 100)
+    assert(tail.select("_kafka_offset").as[Long].head() === 30L)
+  }
+
+  test("kafka.compact keeps the highest-offset record per key, offsets sparse") {
+    val root = freshRoot()
+    // two generations of the same keys + one keyless record
+    produce(root, "key_field" -> "name")                       // offsets 0-2
+    KafkaProduceSink(StageContext.one(spark,
+      salesDf.withColumn("value", F.col("value") * 10),
+      Cfg.of("path" -> root, "topic" -> "sales", "key_field" -> "name"))) // 3-5
+    KafkaProduceSink(StageContext.one(spark,
+      spark.range(1).selectExpr("id", "'k' AS name", "id AS value"),
+      Cfg.of("path" -> root, "topic" -> "sales")))             // keyless, 6
+    val compacted = graft.operators.KafkaCompactOp(StageContext(spark, Seq.empty,
+      Cfg.of("path" -> root, "topic" -> "sales"), "c"))
+    // keyless dropped; latest generation survives with ORIGINAL offsets
+    val got = consume(root, "max_messages" -> 0L,
+      "schema" -> "id LONG, name STRING, value LONG")
+    assert(got.count() === 3)
+    assert(got.select(F.sum("value")).as[Long].head() === 4500L) // 1000+2000+1500
+    assert(got.select("_kafka_offset").as[Long].collect().sorted === Array(3L, 4L, 5L))
+    assert(compacted.count() === 3)
+    // produce after compact continues from the preserved end frontier
+    produce(root, "key_field" -> "name")
+    assert(consume(root, "group_id" -> "g2", "max_messages" -> 0L)
+      .select(F.max("_kafka_offset")).as[Long].head() === 8L)
+  }
+
   test("timestamp_field lands in _kafka_timestamp") {
     val root = freshRoot()
     KafkaProduceSink(StageContext.one(spark,
