@@ -105,7 +105,7 @@ object Docs {
     "bpe.train" -> "learn BPE merges (Sennrich) - column, num_merges, top_words, sample_fraction, lowercase; emits (rank,left,right)",
     "tokenize.bpe" -> "apply BPE merges - column, merges=[\"l r\",...] or second input frame, count_column, tokens_column, max_merges",
     "decontaminate.ngram" -> "exact n-gram collision vs a benchmark table (GPT-3 13-gram / PaLM fraction) - two inputs; column, id_column, n, mode=annotate|filter|semi, min_matches|max_overlap",
-    "mix.apply" -> "weighted domain mixing - N inputs; weights (expected copies per row), seed, source_column, sources, allow_missing_columns",
+    "mix.apply" -> "weighted domain mixing - N inputs; weights (expected copies per row), seed, id_column (per-row hash identity; default = row content), source_column (must not collide), sources, allow_missing_columns",
     "sample.importance" -> "DSIR importance resampling vs a target corpus - two inputs; column, id_column, max_ngram, hex_digits, smoothing, mode=annotate|topk|gumbel, k, seed",
     "chunk.text" -> "split docs into token-budget chunks with overlap (RAG prep, one row per chunk) - column, max_tokens, overlap, output_column",
     "text.sentences" -> "sentence segmentation (terminator+whitespace split, keeps terminators) - column, terminators, mode=explode|array|count",

@@ -15,9 +15,13 @@ import graft.core._
   * not rand() — the mix is a pure function of (seed, data), stable
   * across retries, re-runs and partition layouts, and integer weights
   * are exactly integer copies (which is what makes the oracle able to
-  * state them). `source_column` (default none) tags provenance with
-  * `sources[i]` names or the input index. Inputs union by name;
-  * `allow_missing_columns` fills gaps with nulls.
+  * state them). Caveat of content hashing: byte-identical duplicate rows
+  * keep or drop TOGETHER, biasing the realized fraction on duplicate-heavy
+  * corpora — set `id_column` to hash a per-row identity instead (ids
+  * differ, duplicates decide independently; still retry-stable).
+  * `source_column` (default none) tags provenance with `sources[i]` names
+  * or the input index, and refuses to shadow an existing column. Inputs
+  * union by name; `allow_missing_columns` fills gaps with nulls.
   *
   * Scale shape: per input one filter/explode projection — no shuffle,
   * no driver collection; upsampling materializes copies only in the
@@ -49,13 +53,27 @@ object MixOp extends Stage {
       throw new GraftConfigError(
         s"mix.apply: ${names.size} source names for ${ctx.inputs.size} inputs")
     val allowMissing = cfg.boolOr("allow_missing_columns", false)
+    val idCol = cfg.strOpt("id_column")
 
-    val mixed = ctx.inputs.zipWithIndex.map { case ((_, df), i) =>
+    sourceCol.foreach { c =>
+      ctx.inputs.find(_._2.columns.contains(c)).foreach { case (id, _) =>
+        throw new GraftConfigError(
+          s"mix.apply: source_column '$c' already exists in input '$id' — pick another name")
+      }
+    }
+    val mixed = ctx.inputs.zipWithIndex.map { case ((inId, df), i) =>
       val w = weights(i)
       val whole = math.floor(w).toLong
       val frac = w - whole
-      // u in [0,1): stable per (seed, input, row content)
-      val hashArgs = Seq(F.lit(seed), F.lit(i.toLong)) ++ df.columns.map(F.col)
+      idCol.filterNot(df.columns.contains).foreach(c =>
+        throw new GraftConfigError(s"mix.apply: id_column '$c' not found in input '$inId'"))
+      // u in [0,1): stable per (seed, input, id) — or per row CONTENT when
+      // no id_column is given (duplicates then decide together, see above)
+      val hashArgs = Seq(F.lit(seed), F.lit(i.toLong)) ++
+        (idCol match {
+          case Some(c) => Seq(F.col(c))
+          case None    => df.columns.map(F.col).toSeq
+        })
       val u = F.pmod(F.xxhash64(hashArgs: _*), F.lit(1L << 52)).cast("double") /
         (1L << 52).toDouble
       val copies = (F.lit(whole) + F.when(u < frac, 1L).otherwise(0L)).cast("int")

@@ -54,6 +54,28 @@ class MixSpec extends SparkSpec {
     intercept[GraftConfigError](mix("sources" -> Seq("only-one")))
   }
 
+  test("id_column decorrelates duplicate rows; source_column collisions rejected") {
+    // 50 byte-identical copies of one row: content hashing keeps or drops
+    // them as a block; id hashing decides per row
+    val dups = (1L to 50L).map(i => (i, "same text")).toDF("id", "text")
+    val byContent = MixOp(StageContext(spark, Seq("a" -> dups.drop("id")),
+      Cfg.of("weights" -> Seq(0.5)))).count()
+    assert(byContent === 0L || byContent === 50L) // all-or-nothing block
+    val byId = MixOp(StageContext(spark, Seq("a" -> dups),
+      Cfg.of("weights" -> Seq(0.5), "id_column" -> "id"))).count()
+    assert(byId > 10L && byId < 40L, s"~25 of 50 expected, got $byId")
+    // same seed+id → same decision, regardless of content
+    val byId2 = MixOp(StageContext(spark,
+      Seq("a" -> dups.withColumn("text", F.lit("other"))),
+      Cfg.of("weights" -> Seq(0.5), "id_column" -> "id"))).count()
+    assert(byId2 === byId)
+
+    intercept[GraftConfigError](mix("source_column" -> "text"))
+    intercept[GraftConfigError](
+      MixOp(StageContext(spark, Seq("a" -> corpusA),
+        Cfg.of("weights" -> Seq(0.5), "id_column" -> "nope"))))
+  }
+
   test("no shuffle in the mixing plan") {
     val plan = mix("weights" -> Seq(2.0, 0.5)).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
