@@ -1287,6 +1287,61 @@ object ExtensionQueries {
         "max_messages" -> 0L,
         "schema" -> "o_orderkey LONG, o_orderpriority STRING, o_totalprice DOUBLE")))
         .select("o_orderkey", "o_orderpriority", "o_totalprice", "_kafka_key")
+    },
+
+    // ---- kafka.compact: two generations of the same zero-padded keys;
+    // compaction keeps only generation 2, with its ORIGINAL (sparse)
+    // offsets — stated in SQL as count(gen1) + key rank within gen2.
+    QueryDef("kafka_compacted",
+      """SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS okey,
+        |  o_totalprice * 2 AS price,
+        |  lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS _kafka_key,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey < 1000)
+        |    + row_number() OVER (ORDER BY o_orderkey) - 1 AS _kafka_offset
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin) { (s, d) =>
+      def gen(mult: Double) = t(s, d, "orders")
+        .filter(F.col("o_orderkey") < 1000)
+        .select(F.lpad(F.col("o_orderkey").cast("string"), 10, "0").as("okey"),
+          (F.col("o_totalprice") * mult).as("price"))
+      val root = java.nio.file.Files.createTempDirectory("graft_kafka").toString
+      KafkaProduceSink(StageContext.one(s, gen(1.0), Cfg.of(
+        "path" -> root, "topic" -> "orders", "key_field" -> "okey")))
+      KafkaProduceSink(StageContext.one(s, gen(2.0), Cfg.of(
+        "path" -> root, "topic" -> "orders", "key_field" -> "okey")))
+      KafkaCompactOp(StageContext(s, Seq.empty, Cfg.of(
+        "path" -> root, "topic" -> "orders"), "compact"))
+      KafkaConsumeSource(StageContext(s, Seq.empty, Cfg.of(
+        "path" -> root, "topic" -> "orders", "group_id" -> "gate",
+        "max_messages" -> 0L, "schema" -> "okey STRING, price DOUBLE")))
+        .select("okey", "price", "_kafka_key", "_kafka_offset")
+    },
+
+    // ---- retention_segments: three single-segment produces with keep=2 —
+    // the oldest batch vanishes, survivors keep their original offsets
+    // (= batch-1 count + rank within each surviving batch).
+    QueryDef("kafka_retained",
+      """WITH n1 AS (SELECT count(*) AS c FROM orders WHERE o_orderkey < 1000)
+        |SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0') AS okey, o_orderstatus AS status,
+        |  (SELECT c FROM n1) + row_number() OVER (ORDER BY o_orderkey) - 1 AS _kafka_offset
+        |FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+        |UNION ALL
+        |SELECT lpad(CAST(o_orderkey AS VARCHAR), 10, '0'), o_orderstatus,
+        |  (SELECT c FROM n1)
+        |    + (SELECT count(*) FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000)
+        |    + row_number() OVER (ORDER BY o_orderkey) - 1
+        |FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000""".stripMargin) { (s, d) =>
+      def batch(lo: Long, hi: Long) = t(s, d, "orders")
+        .filter(F.col("o_orderkey") >= lo && F.col("o_orderkey") < hi)
+        .select(F.lpad(F.col("o_orderkey").cast("string"), 10, "0").as("okey"),
+          F.col("o_orderstatus").as("status"))
+      val root = java.nio.file.Files.createTempDirectory("graft_kafka").toString
+      for ((lo, hi) <- Seq((0L, 1000L), (1000L, 2000L), (2000L, 3000L)))
+        KafkaProduceSink(StageContext.one(s, batch(lo, hi), Cfg.of(
+          "path" -> root, "topic" -> "orders", "retention_segments" -> 2L)))
+      KafkaConsumeSource(StageContext(s, Seq.empty, Cfg.of(
+        "path" -> root, "topic" -> "orders", "group_id" -> "gate",
+        "max_messages" -> 0L, "schema" -> "okey STRING, status STRING")))
+        .select("okey", "status", "_kafka_offset")
     }
   )
 }
