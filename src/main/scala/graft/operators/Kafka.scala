@@ -256,7 +256,14 @@ object KafkaConsumeSource extends Stage {
       case other => throw new GraftConfigError(
         s"starting_offsets must be committed|earliest, got '$other'")
     }
-    val log = KafkaLog.readFrom(ctx.spark, root, topic, from)
+    // explain of a pipeline whose earlier sink CREATES the topic: the dir
+    // may not exist yet — show an empty-log placeholder instead of failing
+    val log =
+      if (explainOnly && !java.nio.file.Files.isDirectory(KafkaLog.topicDir(root, topic)))
+        ctx.spark.createDataFrame(
+          ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          KafkaLog.Schema.add("partition", "int"))
+      else KafkaLog.readFrom(ctx.spark, root, topic, from)
     val newer =
       if (from.isEmpty) log // earliest reset
       else {
@@ -328,7 +335,14 @@ object KafkaCompactOp extends Stage {
     val root = cfg.str("path")
     val topic = cfg.str("topic")
     val spark = ctx.spark
-    if (cfg.boolOr("_explain_only", false)) return KafkaLog.read(spark, root, topic)
+    if (cfg.boolOr("_explain_only", false)) {
+      // read-only; empty-log placeholder when an earlier sink in the
+      // explained pipeline would have created the topic
+      return if (java.nio.file.Files.isDirectory(KafkaLog.topicDir(root, topic)))
+        KafkaLog.read(spark, root, topic)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        KafkaLog.Schema.add("partition", "int"))
+    }
 
     import org.apache.spark.sql.expressions.Window
     val log = KafkaLog.read(spark, root, topic)

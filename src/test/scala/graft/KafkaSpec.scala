@@ -218,6 +218,38 @@ class KafkaSpec extends SparkSpec {
     assert(consume(root).count() === 3)
   }
 
+  test("explain of a pipeline that CREATES its topic shows placeholders, touches nothing") {
+    val root = freshRoot()
+    val toml =
+      s"""[pipeline]
+         |name = "k"
+         |[[stages]]
+         |id = "src"
+         |function = "inline.data"
+         |config = { jsonl = "{\\"id\\": 1}" }
+         |[[stages]]
+         |id = "produce"
+         |function = "kafka.produce"
+         |inputs = ["src"]
+         |config = { path = "$root", topic = "fresh" }
+         |[[stages]]
+         |id = "consume"
+         |function = "kafka.consume"
+         |config = { path = "$root", topic = "fresh", group_id = "g1" }
+         |[[stages]]
+         |id = "compact"
+         |function = "kafka.compact"
+         |config = { path = "$root", topic = "fresh" }
+         |""".stripMargin
+    val plans = graft.core.DagCompiler.default.compilePlans(spark,
+      graft.config.PipelineConfig.fromString(toml), explainOnly = true)
+    assert(plans("consume").columns.contains("_kafka_payload"))
+    assert(plans("compact").columns.contains("offset"))
+    // nothing created: no topic dir, no offsets
+    assert(!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root, "fresh")))
+    assert(KafkaLog.committed(root, "g1", "fresh").isEmpty)
+  }
+
   test("pipeline run defers the commit: failed sink re-delivers, success commits") {
     val root = freshRoot()
     produce(root)
