@@ -210,6 +210,38 @@ class EmptyInputSpec extends SparkSpec {
     assert(SentencesOp(StageContext.one(spark, emptyDocs, Cfg.of())).count() === 0L)
   }
 
+  test("profile default quantiles and mix id_column on empty frames") {
+    // approx quantiles on zero rows → null per quantile column, no failure
+    val prof = ProfileOp(StageContext.one(spark,
+      Seq.empty[(Long, Double)].toDF("id", "v"), Cfg.of("quantiles" -> Seq(0.5))))
+    assert(prof.count() === 2L)
+    assert(prof.filter(F.col("q50").isNotNull).count() === 0L)
+    // mix with id_column over empty inputs
+    assert(MixOp(StageContext(spark, Seq("a" -> emptyDocs),
+      Cfg.of("weights" -> Seq(0.5), "id_column" -> "doc_id"))).count() === 0L)
+  }
+
+  test("kafka.compact of an all-keyless or empty topic leaves an empty log") {
+    val root = java.nio.file.Files.createTempDirectory("graft_kafka_empty").toString
+    // keyless-only topic: compaction drops everything
+    KafkaProduceSink(StageContext.one(spark,
+      Seq((1L, "a")).toDF("id", "name"), Cfg.of("path" -> root, "topic" -> "t")))
+    val compacted = KafkaCompactOp(StageContext(spark, Seq.empty,
+      Cfg.of("path" -> root, "topic" -> "t"), "c"))
+    assert(compacted.count() === 0L)
+    // compacting the now-empty topic again is a no-op
+    assert(KafkaCompactOp(StageContext(spark, Seq.empty,
+      Cfg.of("path" -> root, "topic" -> "t"), "c")).count() === 0L)
+    // and the next produce restarts offsets from 0 on the emptied log
+    KafkaProduceSink(StageContext.one(spark,
+      Seq((2L, "b")).toDF("id", "name"),
+      Cfg.of("path" -> root, "topic" -> "t", "key_field" -> "name")))
+    val got = KafkaConsumeSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> root, "topic" -> "t", "group_id" -> "g",
+      "max_messages" -> 0L, "schema" -> "id LONG, name STRING")))
+    assert(got.count() === 1L)
+  }
+
   test("BPE on empty corpora and empty strings") {
     assert(BpeTrainOp(StageContext.one(spark, emptyDocs, Cfg.of())).count() === 0L)
     val out = BpeTokenizeOp(StageContext.one(spark,
