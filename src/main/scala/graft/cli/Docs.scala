@@ -71,6 +71,7 @@ object Docs {
     "dedup.exact" -> "exact dedup - columns, keep, order_by",
     "dedup.minhash" -> "near-dedup, word-shingle MinHash LSH - id_column, text_column, threshold, bands, num_hashes; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate (all four families)",
     "dedup.ngram" -> "near-dedup, char n-gram Jaccard - id_column, text_column, threshold, ngram_size",
+    "dedup.substrings" -> "exact substring dedup (Lee et al. 2022 ExactSubstr): remove all but the first occurrence of any min_tokens-token verbatim repeat - column, id_column, min_tokens, stride (content-defined anchor sampling), mode=remove|annotate",
     "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance",
     "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate",
     "knn.bruteforce" -> "exact cosine top-k - query_id|query_vector, k",

@@ -77,7 +77,7 @@ object Registry {
     // training-data extensions
     DedupExactOp, DedupMinHashOp, DedupSimHashOp, DedupNgramOp, DedupEmbeddingOp,
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
-    RedactOp, RepetitionOp, PackOp, HtmlStripOp, DedupLinesOp, UrlNormalizeOp,
+    RedactOp, RepetitionOp, PackOp, HtmlStripOp, DedupLinesOp, SubstringDedupOp, UrlNormalizeOp,
     TextNormalizeOp, BpeTrainOp, BpeTokenizeOp, GopherQualityOp, LineFilterOp,
     PerplexityOp, ChunkTextOp, SentencesOp,
     KnnBruteForceOp, KnnLshOp, KnnIvfOp, IndexBuildOp,

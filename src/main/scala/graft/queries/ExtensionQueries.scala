@@ -624,6 +624,77 @@ object ExtensionQueries {
         .select("doc_id", "clean")
     },
 
+    // ---- dedup.substrings (Lee et al. ExactSubstr): the oracle restates
+    // the whole rule in SQL — every 10-token window keyed by its NUL-joined
+    // content, duplicated groups keep min (doc, start), non-canonical marks
+    // merge per doc via gaps-and-islands (fixed window width → island
+    // coverage = max(s)+n-min(s)). Spark groups by a 64-bit FNV of the
+    // window; the oracle groups by content itself, so a hash collision
+    // would fail the gate (none at this scale).
+    QueryDef("substring_dedup_annotate",
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |wins AS MATERIALIZED (
+        |  SELECT doc_id, i - 1 AS s, array_to_string(list_slice(t, i, i + 9), chr(0)) AS key
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 9)) AS i)),
+        |marked AS MATERIALIZED (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY key ORDER BY doc_id, s) AS rn,
+        |    count(*) OVER (PARTITION BY key) AS cnt
+        |  FROM wins),
+        |marks AS MATERIALIZED (SELECT doc_id, s FROM marked WHERE cnt > 1 AND rn > 1),
+        |isl AS (SELECT doc_id, s,
+        |  CASE WHEN s >= coalesce(max(s + 10) OVER (PARTITION BY doc_id ORDER BY s
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS ni
+        |  FROM marks),
+        |isl2 AS (SELECT doc_id, s, sum(ni) OVER (PARTITION BY doc_id ORDER BY s) AS island FROM isl),
+        |cov AS (SELECT doc_id, sum(mx) AS covered FROM (
+        |  SELECT doc_id, island, max(s) + 10 - min(s) AS mx FROM isl2 GROUP BY 1, 2) GROUP BY 1),
+        |nd AS (SELECT doc_id, count(*) AS n_dup FROM marks GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(nd.n_dup, 0) AS n_dup_spans,
+        |  round(coalesce(CAST(cov.covered AS DOUBLE) / nullif(len(tk.t), 0), 0.0), 6) AS dup_token_frac
+        |FROM documents d
+        |LEFT JOIN toks tk ON tk.doc_id = d.doc_id
+        |LEFT JOIN nd ON nd.doc_id = d.doc_id
+        |LEFT JOIN cov ON cov.doc_id = d.doc_id""".stripMargin) { (s, d) =>
+      SubstringDedupOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "min_tokens" -> 10, "mode" -> "annotate")))
+        .select("doc_id", "n_dup_spans", "dup_token_frac")
+    },
+
+    // ---- dedup.substrings remove mode: tokens not covered by any mark
+    // rebuild with single-space joins (only marked docs are rewritten —
+    // unmarked docs pass through byte-identical, whitespace and all).
+    QueryDef("substring_dedup_remove",
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |wins AS MATERIALIZED (
+        |  SELECT doc_id, i - 1 AS s, array_to_string(list_slice(t, i, i + 9), chr(0)) AS key
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 9)) AS i)),
+        |marked AS MATERIALIZED (
+        |  SELECT doc_id, s,
+        |    row_number() OVER (PARTITION BY key ORDER BY doc_id, s) AS rn,
+        |    count(*) OVER (PARTITION BY key) AS cnt
+        |  FROM wins),
+        |marks AS MATERIALIZED (SELECT doc_id, s FROM marked WHERE cnt > 1 AND rn > 1),
+        |pos AS (SELECT tk.doc_id, i - 1 AS p, t[i] AS tok
+        |        FROM toks tk, LATERAL (SELECT unnest(generate_series(1, len(t))) AS i)),
+        |kept AS (SELECT doc_id, p, tok FROM pos
+        |  WHERE NOT EXISTS (SELECT 1 FROM marks m
+        |    WHERE m.doc_id = pos.doc_id AND pos.p >= m.s AND pos.p < m.s + 10)),
+        |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CASE WHEN d.doc_id IN (SELECT doc_id FROM marks)
+        |       THEN coalesce(r.text, '') ELSE d.text END AS text
+        |FROM documents d LEFT JOIN rebuilt r ON r.doc_id = d.doc_id""".stripMargin) { (s, d) =>
+      SubstringDedupOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "min_tokens" -> 10)))
+        .select("doc_id", "text")
+    },
+
     // ---- shuffle.apply is a pure deterministic permutation — content is
     // identity (the checker sorts rows), determinism is spec-pinned
     QueryDef("shuffle_docs",
