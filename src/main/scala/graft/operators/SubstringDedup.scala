@@ -81,6 +81,13 @@ object SubstringDedupOp extends Stage {
     Seq(col, idCol).foreach(c => if (!df.columns.contains(c))
       throw new GraftPlanError(s"dedup.substrings: column '$c' not found"))
 
+    // the input is referenced twice (window extraction + final join-back):
+    // persist so a composed upstream chain runs once, not per branch —
+    // the same documented trade as ExactCollapse (Dedup.scala); at scale
+    // the persist is corpus-sized but the upstream may be a whole
+    // cleaning pipeline, which would be far costlier to run twice
+    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // one fused pass per row: (start, window hash) pairs; stride > 1
     // samples content-defined anchor positions (see scaladoc)
     val winUdf = F.udf { (text: String) =>
@@ -94,7 +101,7 @@ object SubstringDedupOp extends Stage {
           .map(s => (s, fnv1a(toks, s, n))).toSeq
       }
     }
-    val wins = df
+    val wins = src
       .select(F.col(idCol).alias("__id"), F.explode(winUdf(F.col(col))).alias("__w"))
       .select(F.col("__id"), F.col("__w._1").alias("__start"), F.col("__w._2").alias("__h"))
 
@@ -114,7 +121,7 @@ object SubstringDedupOp extends Stage {
       F.sort_array(F.collect_list(F.col("__start"))).alias("__starts"),
       F.count(F.lit(1)).alias("__n_dup"))
 
-    val joined = df.join(
+    val joined = src.join(
       spans.withColumnRenamed("__id", idCol), Seq(idCol), "left")
 
     mode match {
