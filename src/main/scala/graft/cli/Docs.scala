@@ -113,7 +113,7 @@ object Docs {
     // kafka (file-backed log offline; brokers-only raises the jar gap)
     "kafka.consume" -> "bounded batch read with group offsets - path (log root)|brokers, topic, group_id, max_messages (0=backlog), schema, value_format=json|raw, commit, starting_offsets=committed|earliest; commit defers to pipeline success (at-least-once), explain never commits",
     "kafka.produce" -> "append records to a topic - path|brokers, topic, key_field, num_partitions, timestamp_field, retention_segments (keep newest N per partition); deterministic key routing, dense per-partition offsets",
-    "kafka.compact" -> "log compaction (cleanup.policy=compact): keep highest-offset record per key per partition, offsets preserved sparse, keyless records dropped - path, topic",
+    "kafka.compact" -> "log compaction (cleanup.policy=compact): keep highest-offset record per key per partition, offsets preserved sparse, keyless records dropped - path, topic; materialization barrier: rewrites at compose time, run in its own pipeline or before same-topic consumers",
     "kafka.stream" -> "Structured Streaming over the topic log - path, topic, schema, max_files_per_trigger; checkpoints replace group offsets")
 
   def describe(fn: String): String =

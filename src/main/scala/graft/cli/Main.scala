@@ -61,9 +61,15 @@ object Main {
     // `list [pipeline.toml]` — with a pipeline, includes its plugins and
     // shows per-stage provenance (reference `plugin list`, main.rs:176-183)
     case "list" :: rest =>
-      val reg = rest.headOption.filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-        .map(p => Registry.forPipeline(PipelineConfig.fromFile(p)))
-        .getOrElse(Registry.withDefaults)
+      val reg = rest.headOption match {
+        case Some(p) if !java.nio.file.Files.exists(java.nio.file.Paths.get(p)) =>
+          // fail loud: a typo'd pipeline path must not silently degrade to
+          // a builtin-only listing that hides the user's plugins
+          System.err.println(s"pipeline file not found: $p")
+          sys.exit(1); null
+        case Some(p) => Registry.forPipeline(PipelineConfig.fromFile(p))
+        case None    => Registry.withDefaults
+      }
       reg.names.foreach { n =>
         val from = reg.provenance.getOrElse(n, "builtin")
         println(if (from == "builtin") n else s"$n\t[plugin: $from]")
@@ -148,6 +154,14 @@ object Main {
     // (src/cli/scaffold.rs:5-120, non-interactive defaults)
     case "stage" :: "new" :: rest =>
       main(("scaffold" :: rest).toArray)
+
+    // reference: `conveyor update` (self-update from GitHub releases,
+    // src/main.rs:188-191) — meaningless for a library jar in an offline
+    // build; fail loud with the actual upgrade path instead of silence
+    case "update" :: _ =>
+      System.err.println("graft is a library jar — self-update is not available " +
+        "(rebuild with `sbt package`, or replace the jar on your spark-submit classpath)")
+      sys.exit(1)
 
     case "scaffold" :: rest =>
       val out = java.nio.file.Paths.get(rest.headOption.getOrElse("pipeline.toml"))

@@ -35,8 +35,12 @@ final class DagCompiler(registry: Registry) {
     // side effects registered via ctx.deferToSuccess (e.g. kafka.consume's
     // group-offset commit) queue here and fire only after every sink action
     // succeeds — a failed pipeline leaves the consumer frontier untouched,
-    // so the next run re-delivers the batch (at-least-once).
+    // so the next run re-delivers the batch (at-least-once). Under
+    // error_strategy=continue a swallowed sink failure ALSO suppresses the
+    // queue: the failed sink never durably wrote its rows, and committing
+    // the source frontier anyway would lose them permanently.
     val deferred = mutable.Buffer[() => Unit]()
+    var sinkFailed = false
     val plans = compilePlans(spark, pc, defer = action => deferred += action)
 
     // compilePlans already persisted fan-out stages; remember them so the
@@ -64,7 +68,8 @@ final class DagCompiler(registry: Registry) {
           val cfg = if (streamingMode)
             Cfg(st.config.table + ("_defer_await" -> CBool(true)))
           else st.config
-          runWithStrategy(pc, st.id, inputDfs.headOption.map(_._2)) {
+          runWithStrategy(pc, st.id, inputDfs.headOption.map(_._2),
+            onSwallowedFailure = () => sinkFailed = true) {
             stage(StageContext(spark, inputDfs, cfg, st.id))
           }
         }
@@ -83,7 +88,7 @@ final class DagCompiler(registry: Registry) {
           case None => ours.foreach(_.awaitTermination())
         }
       }
-      deferred.foreach(_())
+      if (!sinkFailed) deferred.foreach(_())
     } finally {
       persisted.values.foreach(_.unpersist(blocking = false))
     }
@@ -165,7 +170,8 @@ final class DagCompiler(registry: Registry) {
     * `<dlq>/<stageId>/` next to an `_error.txt` with the cause —
     * badRecordsPath-style. */
   private def runWithStrategy(pc: PipelineConfig, stageId: String,
-                              input: Option[DataFrame])(action: => Unit): Unit = {
+                              input: Option[DataFrame],
+                              onSwallowedFailure: () => Unit = () => ())(action: => Unit): Unit = {
     def quarantine(e: Exception): Unit =
       pc.errorHandling.deadLetterQueue.foreach { dlq =>
         try {
@@ -186,6 +192,7 @@ final class DagCompiler(registry: Registry) {
           case e: Exception =>
             System.err.println(s"[graft] stage '$stageId' failed (continue): ${e.getMessage}")
             quarantine(e)
+            onSwallowedFailure()
         }
       case ErrorStrategy.Retry(maxRetries, delaySec) =>
         var attempt = 0

@@ -76,13 +76,16 @@ object PluginLoader {
 
   private def loadClass(fqcn: String): Seq[Stage] = {
     // a Scala `object` compiles to <name>$ with a static MODULE$ (the
-    // plain <name> class only carries static forwarders, no constructor)
+    // plain <name> class only carries static forwarders, no constructor).
+    // A MODULE$ that is itself no plugin may just be the COMPANION of a
+    // perfectly valid plugin class — fall through to instantiating the
+    // class in that case instead of rejecting it.
     val scalaObject: Option[Any] =
       try {
         val c = Class.forName(if (fqcn.endsWith("$")) fqcn else fqcn + "$")
         Some(c.getField("MODULE$").get(null))
       } catch { case _: Exception => None }
-    val inst = scalaObject.getOrElse {
+    def fromClass(): Any = {
       val cls =
         try Class.forName(fqcn)
         catch { case _: ClassNotFoundException =>
@@ -94,6 +97,10 @@ object PluginLoader {
         throw new GraftConfigError(s"plugin class '$fqcn' could not be instantiated " +
           s"(needs a public no-arg constructor): $e")
       }
+    }
+    val inst = scalaObject match {
+      case Some(o) if o.isInstanceOf[GraftPlugin] || o.isInstanceOf[Stage] => o
+      case _ => fromClass()
     }
     inst match {
       case p: GraftPlugin => p.stages.asScala.toSeq

@@ -299,11 +299,17 @@ object KafkaConsumeSource extends Stage {
     if (doCommit) {
       // Deferred to pipeline success inside a DagCompiler run (a failed
       // sink must not mark the batch consumed — at-least-once); runs
-      // immediately for direct stage invocation.
+      // immediately for direct stage invocation. In deferred mode the
+      // sinks have already read the batch when this fires, so the pinned
+      // cache can be released right after the frontier collect; in direct
+      // mode downstream consumption happens LATER, so the batch must stay
+      // pinned (bounded by max_messages, evictable).
+      val deferredMode = ctx.deferToSuccess ne StageContext.RunNow
       ctx.deferToSuccess { () =>
         val frontier = batch.groupBy("partition").agg(F.max("offset").as("m"))
           .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
         if (frontier.nonEmpty) KafkaLog.commit(root, group, topic, frontier)
+        if (deferredMode && (batch ne rawBatch)) batch.unpersist(blocking = false)
       }
     }
     result
@@ -325,6 +331,13 @@ object KafkaConsumeSource extends Stage {
   * one hash partition on (partition, key) over narrow rows; the rewrite
   * lands via a temp directory swapped in whole. Returns the compacted raw
   * log (offset/timestamp/key/value/partition). Skipped under CLI explain.
+  *
+  * MATERIALIZATION BARRIER (like index.build): the rewrite executes at
+  * plan-COMPOSE time, replacing the topic's segment files. A kafka.consume
+  * of the same topic composed EARLIER in the same pipeline has already
+  * resolved its file listing and would read deleted paths when its sink
+  * runs — compact a topic in its own pipeline (the maintenance shape), or
+  * order it before any same-topic consumer.
   */
 object KafkaCompactOp extends Stage {
   val name = "kafka.compact"

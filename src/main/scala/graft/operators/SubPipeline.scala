@@ -27,7 +27,12 @@ object SubPipelineOp extends Stage {
     }
     val pc = PipelineConfig.fromString(toml)
     val compiler = new DagCompiler(Registry.forPipeline(pc)) // sub-pipeline's own plugins load too
-    val plans = compiler.compilePlans(ctx.spark, pc)
+    // thread the OUTER pipeline's explain flag and success-deferral hook
+    // through: a kafka.consume inside a sub-pipeline must not commit at
+    // compose time (nor under `graft explain`) any more than a top-level one
+    val plans = compiler.compilePlans(ctx.spark, pc,
+      explainOnly = ctx.cfg.boolOr("_explain_only", false),
+      defer = ctx.deferToSuccess)
     val outId = cfg.strOpt("output").getOrElse(pc.stages.last.id)
     plans.getOrElse(outId,
       throw new GraftConfigError(s"stage.pipeline output '$outId' not found"))

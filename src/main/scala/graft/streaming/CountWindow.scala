@@ -187,15 +187,16 @@ object CountWindowOp extends Stage {
     keyIdcs.zipWithIndex.foreach { case (i, j) =>
       if (i < 0) throw new GraftConfigError(s"window.apply: unknown group_by column '${groupBy(j)}'")
     }
-    // keyless: per-micro-batch sort by order_by before numbering (arrival
-    // order across source partitions is otherwise nondeterministic)
+    // per-micro-batch sort by order_by before numbering — keyless AND
+    // per-key (rows within a key otherwise arrive in nondeterministic
+    // partition order; an order_by the user declared must not be a no-op)
     val sortIdcs = cfg.strListOr("order_by", Vector.empty).map { c =>
       val i = df.columns.indexOf(c)
       if (i < 0) throw new GraftConfigError(s"window.apply: unknown order_by column '$c'")
       i
     }
     val batchOrder: Iterator[Row] => Iterator[Row] =
-      if (groupBy.nonEmpty || sortIdcs.isEmpty) identity
+      if (sortIdcs.isEmpty) identity
       else { it =>
         val rowOrd: Ordering[Row] = new Ordering[Row] {
           def compare(a: Row, b: Row): Int = {

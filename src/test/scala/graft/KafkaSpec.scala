@@ -327,6 +327,66 @@ class KafkaSpec extends SparkSpec {
       .select(F.max("_kafka_offset")).as[Long].head() === 8L)
   }
 
+  test("continue strategy: a swallowed sink failure still suppresses the commit") {
+    val root = freshRoot()
+    produce(root)
+    // the sink fails but continue swallows it — the batch was never
+    // durably written, so the frontier must NOT advance
+    graft.core.DagCompiler.default.run(spark, graft.config.PipelineConfig.fromString(
+      s"""[pipeline]
+         |name = "k"
+         |[error_handling]
+         |strategy = "continue"
+         |[[stages]]
+         |id = "src"
+         |function = "kafka.consume"
+         |config = { path = "$root", topic = "sales", group_id = "g1", schema = "id LONG, name STRING, value LONG" }
+         |[[stages]]
+         |id = "out"
+         |function = "csv.write"
+         |inputs = ["src"]
+         |config = { path = "/proc/not/writable/x" }
+         |""".stripMargin))
+    assert(KafkaLog.committed(root, "g1", "sales").isEmpty)
+    assert(consume(root).count() === 3)
+  }
+
+  test("sub-pipeline kafka.consume inherits explain/deferral from the outer run") {
+    val root = freshRoot()
+    produce(root)
+    val toml =
+      s"""[pipeline]
+         |name = "outer"
+         |[[stages]]
+         |id = "sub"
+         |function = "stage.pipeline"
+         |[stages.config]
+         |inline = '''
+         |[pipeline]
+         |name = "inner"
+         |[[stages]]
+         |id = "src"
+         |function = "kafka.consume"
+         |config = { path = "$root", topic = "sales", group_id = "g1", schema = "id LONG, name STRING, value LONG" }
+         |'''
+         |""".stripMargin
+    // explain: composing the sub-pipeline must not commit
+    graft.core.DagCompiler.default.compilePlans(spark,
+      graft.config.PipelineConfig.fromString(toml), explainOnly = true)
+    assert(KafkaLog.committed(root, "g1", "sales").isEmpty)
+    // a real run with a sink commits once, after success
+    val out = java.nio.file.Files.createTempDirectory("graft_kafka_out").resolve("ok")
+    graft.core.DagCompiler.default.run(spark, graft.config.PipelineConfig.fromString(
+      toml +
+        s"""[[stages]]
+           |id = "sink"
+           |function = "csv.write"
+           |inputs = ["sub"]
+           |config = { path = "$out" }
+           |""".stripMargin))
+    assert(KafkaLog.committed(root, "g1", "sales").values.sum === 3L)
+  }
+
   test("timestamp_field lands in _kafka_timestamp") {
     val root = freshRoot()
     KafkaProduceSink(StageContext.one(spark,
