@@ -99,6 +99,8 @@ object Docs {
     "dedup.lines" -> "remove lines repeated across >= min_docs documents - column, id_column (unique!), min_docs|min_count, count_mode=docs|rows, min_chars, delimiter",
     "url.normalize" -> "canonicalize URLs (fragment/tracking strip, scheme/www drop) - column, output_column, lowercase",
     "text.normalize" -> "unicode normalize - column, form=nfc|nfd|nfkc|nfkd, strip_accents, lowercase",
+    "quality.train" -> "train a wiki-vs-crawl quality classifier (logistic regression over word counts; GPT-3/CCNet-style) - column, label_column (0/1), vocab_size, max_iter, reg_param, elastic_net, lowercase; emits (term, weight) + __intercept__ rows",
+    "quality.score" -> "score docs with a (term, weight) model frame: sigmoid of the quantized word-count dot product - two inputs (docs, model); column, id_column, score_column, mode=annotate|filter, threshold, lowercase",
     "quality.gopher" -> "Gopher quality rules - column, mode=annotate|filter, min/max_words, min/max_mean_word_len, max_symbol_ratio, max_bullet_frac, max_ellipsis_frac, min_alpha_frac, min_stopwords",
     "filter.lines" -> "C4 line rules inside each doc - column, min_words, require_terminal_punct, drop_patterns",
     "quality.perplexity" -> "unigram-LM perplexity score (CCNet-style) - column, id_column, smoothing, mode=annotate|filter, max_perplexity; optional 2nd input = training corpus",

@@ -624,6 +624,47 @@ object ExtensionQueries {
         .select("doc_id", "clean")
     },
 
+    // ---- quality.score: both engines derive the SAME deterministic model
+    // (top-20 corpus terms by frequency, weight = (len-4)*0.1, intercept
+    // -0.2) and the oracle restates the exact scoring rule — per-doc
+    // 1e-6-quantized integer dot product (order-independent) → sigmoid.
+    QueryDef("quality_score",
+      """WITH occ AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+        |    x -> len(x) > 0)) AS term FROM documents),
+        |terms AS (SELECT term, count(*) AS n FROM occ GROUP BY 1
+        |          ORDER BY n DESC, term LIMIT 20),
+        |model AS (SELECT term, (length(term) - 4) * 0.1 AS weight FROM terms
+        |          UNION ALL SELECT '__intercept__', -0.2),
+        |occ2 AS (SELECT doc_id, term FROM occ
+        |         UNION ALL SELECT doc_id, '__intercept__' FROM documents),
+        |z AS (SELECT o.doc_id,
+        |        sum(coalesce(CAST(round(m.weight * 1e6) AS BIGINT), 0)) AS zq
+        |      FROM occ2 o LEFT JOIN model m ON m.term = o.term GROUP BY 1)
+        |SELECT doc_id, round(1.0 / (1.0 + exp(-(zq / 1000000.0))), 6) AS quality_score
+        |FROM z""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val terms = docs.select(F.explode(F.filter(
+          F.split(F.trim(F.col("text")), "\\s+"), w => F.length(w) > 0)).as("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).as("n"))
+        .orderBy(F.col("n").desc, F.col("term")).limit(20)
+        .select(F.col("term"), ((F.length(F.col("term")) - 4) * 0.1).as("weight"))
+      val model = terms.unionByName(
+        s.sql("SELECT '__intercept__' AS term, -0.2 AS weight"))
+      QualityClassifierScoreOp(StageContext(s, Seq("docs" -> docs, "model" -> model),
+        Cfg.of())).select("doc_id", "quality_score")
+    },
+
+    // ---- quality.train: the optimizer's weights are not SQL-expressible
+    // (iterative LBFGS) — rows-only here; QualityClassifierSpec pins
+    // separation, weight signs, and exact scoring semantics instead.
+    QueryDef.noOracle("quality_train") { (s, d) =>
+      val docs = t(s, d, "documents")
+        .withColumn("label", (F.col("source") === "web").cast("int"))
+      QualityClassifierTrainOp(StageContext.one(s, docs, Cfg.of(
+        "label_column" -> "label", "vocab_size" -> 500, "max_iter" -> 20)))
+    },
+
     // ---- dedup.substrings (Lee et al. ExactSubstr): the oracle restates
     // the whole rule in SQL — every 10-token window keyed by its NUL-joined
     // content, duplicated groups keep min (doc, start), non-canonical marks
