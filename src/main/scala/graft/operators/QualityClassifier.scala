@@ -43,7 +43,9 @@ object QualityClassifierTrainOp extends Stage {
     val labelCol = cfg.strOr("label_column", "label")
     val vocabSize = cfg.longOr("vocab_size", 50000L).toInt
     val maxIter = cfg.longOr("max_iter", 50L).toInt
-    val regParam = cfg.doubleOr("reg_param", 0.0)
+    // regularized by default: on (near-)separable data unregularized LR
+    // weights diverge to ±Infinity (no finite maximum-likelihood optimum)
+    val regParam = cfg.doubleOr("reg_param", 1e-3)
     val elasticNet = cfg.doubleOr("elastic_net", 0.0)
     val lowercase = cfg.boolOr("lowercase", false)
     Seq(col, labelCol).foreach(c => if (!df.columns.contains(c))
@@ -69,9 +71,13 @@ object QualityClassifierTrainOp extends Stage {
       .setMaxIter(maxIter).setRegParam(regParam).setElasticNetParam(elasticNet)
     val model = lr.fit(cv.transform(prepared))
 
-    // vocab-sized driver data by construction (the documented cap)
-    val weights = model.coefficients.toArray
-    (cv.vocabulary.zip(weights).toSeq :+ ("__intercept__", model.intercept))
+    // vocab-sized driver data by construction (the documented cap).
+    // sigmoid saturates past |z| ≈ 36: clamp any runaway weight there and
+    // zero NaNs, so the emitted model always scores to finite values
+    def safe(w: Double): Double =
+      if (w.isNaN) 0.0 else math.max(-36.0, math.min(36.0, w))
+    val weights = model.coefficients.toArray.map(safe)
+    (cv.vocabulary.zip(weights).toSeq :+ ("__intercept__", safe(model.intercept)))
       .toDF("term", "weight")
   }
 }
@@ -108,9 +114,13 @@ object QualityClassifierScoreOp extends Stage {
         F.filter(F.coalesce(F.split(F.trim(textCol), "\\s+"), F.array()),
           w => F.length(w) > 0))).alias("term"))
 
-    // 1e-6-quantized integer dot product: order-independent, oracle-exact
+    // 1e-6-quantized integer dot product: order-independent, oracle-exact.
+    // The model frame may come from ANY table: zero NaNs and clamp to
+    // ±1e9 so the quantizing cast can never overflow (ANSI mode throws on
+    // ±Infinity → BIGINT)
     val q = model.select(F.col("term"),
-      F.round(F.col("weight") * 1e6).cast("long").alias("__wq"))
+      F.round(F.greatest(F.least(F.nanvl(F.col("weight"), F.lit(0.0)),
+        F.lit(1e9)), F.lit(-1e9)) * 1e6).cast("long").alias("__wq"))
     val scores = occurrences
       .join(F.broadcast(q), Seq("term"), "left")
       .groupBy("__id")

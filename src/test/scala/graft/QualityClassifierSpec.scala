@@ -75,6 +75,22 @@ class QualityClassifierSpec extends SparkSpec {
       corpus, Cfg.of("label_column" -> "nope"))))
   }
 
+  test("non-finite model weights never crash scoring (ANSI cast guard)") {
+    val model = Seq(("boom", Double.PositiveInfinity), ("nan", Double.NaN),
+      ("__intercept__", Double.NegativeInfinity)).toDF("term", "weight")
+    val docs = Seq((1L, "boom nan x")).toDF("doc_id", "text")
+    val got = QualityClassifierScoreOp(StageContext(spark,
+      Seq("d" -> docs, "m" -> model), Cfg.of()))
+      .select("quality_score").as[Double].head()
+    assert(!got.isNaN && got >= 0.0 && got <= 1.0)
+    // train on perfectly separable two-doc data stays finite (reg default)
+    val tiny = Seq((1L, "aaa", 1), (2L, "bbb", 0)).toDF("doc_id", "text", "label")
+    val m = QualityClassifierTrainOp(StageContext.one(spark, tiny,
+      Cfg.of("label_column" -> "label")))
+      .select("weight").as[Double].collect()
+    assert(m.forall(w => !w.isNaN && !w.isInfinite && math.abs(w) <= 36.0))
+  }
+
   test("score plan broadcasts the model and never shuffles whole documents") {
     val model = Seq(("a", 1.0), ("__intercept__", 0.0)).toDF("term", "weight")
     val docs = (1L to 100L).map(i => (i, s"a b c $i")).toDF("doc_id", "text")
