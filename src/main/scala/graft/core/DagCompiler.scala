@@ -32,6 +32,33 @@ final class DagCompiler(registry: Registry) {
       spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     pc.global.sparkConf.foreach { case (k, v) => spark.conf.set(k, v) }
 
+    // global.timeout_seconds (reference pipeline.rs:93-117): abort the whole
+    // run past the deadline. Enforced only when EXPLICITLY configured — the
+    // reference's silent 300 s default would kill any legitimately long job,
+    // which at 100 TB is every job (documented deviation).
+    pc.global.raw.longOpt("timeout_seconds") match {
+      case None      => runBody(spark, pc)
+      case Some(sec) =>
+        val group = s"graft-${pc.name}-${System.identityHashCode(pc)}"
+        import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
+        val fut = Future {
+          // job group is thread-local: tag inside the worker thread so a
+          // timeout can cancel exactly this pipeline's Spark jobs
+          spark.sparkContext.setJobGroup(group, s"pipeline ${pc.name}", interruptOnCancel = true)
+          try runBody(spark, pc)
+          finally spark.sparkContext.clearJobGroup()
+        }(ExecutionContext.global)
+        try Await.result(fut, scala.concurrent.duration.Duration(sec, "s"))
+        catch { case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(group)
+          throw new GraftPlanError(
+            s"pipeline '${pc.name}' exceeded timeout_seconds = $sec and was cancelled")
+        }
+    }
+  }
+
+  private def runBody(spark: SparkSession, pc: PipelineConfig): Map[String, DataFrame] = {
+
     // side effects registered via ctx.deferToSuccess (e.g. kafka.consume's
     // group-offset commit) queue here and fire only after every sink action
     // succeeds — a failed pipeline leaves the consumer frontier untouched,

@@ -298,6 +298,48 @@ class DlqConnectorSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dlq/bad/_error.txt")))
   }
 
+  test("global timeout_seconds aborts a stuck pipeline; absent = unlimited") {
+    val slow =
+      """[pipeline]
+        |name = "slow"
+        |[global]
+        |timeout_seconds = 2
+        |[[stages]]
+        |id = "src"
+        |function = "inline.data"
+        |config = { jsonl = "{\"u\": \"a\"}\n{\"u\": \"b\"}" }
+        |[[stages]]
+        |id = "fetch"
+        |function = "http.fetch"
+        |inputs = ["src"]
+        |config = { url = "https://x/{{u}}", mock = true, mock_latency_ms = 60000, concurrency = 1 }
+        |[[stages]]
+        |id = "out"
+        |function = "noop.sink"
+        |inputs = ["fetch"]
+        |""".stripMargin
+    val t0 = System.nanoTime()
+    val e = intercept[graft.core.GraftPlanError] {
+      graft.core.DagCompiler.default.run(spark,
+        graft.config.PipelineConfig.fromString(slow))
+    }
+    assert(e.getMessage.contains("timeout_seconds"))
+    assert((System.nanoTime() - t0) / 1e9 < 30, "timeout must fire near the deadline")
+    // a fast pipeline under a generous timeout completes normally
+    val ok = graft.core.DagCompiler.default.run(spark,
+      graft.config.PipelineConfig.fromString(
+        """[pipeline]
+          |name = "fast"
+          |[global]
+          |timeout_seconds = 120
+          |[[stages]]
+          |id = "src"
+          |function = "inline.data"
+          |config = { jsonl = "{\"x\": 1}" }
+          |""".stripMargin))
+    assert(ok("src").count() === 1L)
+  }
+
   test("rate_limit_per_sec paces enrichment launches (mock mode)") {
     import spark.implicits._
     val df = (1 to 10).map(i => (i.toLong, s"u$i")).toDF("id", "name").repartition(1)
