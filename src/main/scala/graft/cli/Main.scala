@@ -155,6 +155,15 @@ object Main {
     case "stage" :: "new" :: rest =>
       main(("scaffold" :: rest).toArray)
 
+    // reference: `conveyor plugin list` / `plugin install` (main.rs:176-183)
+    case "plugin" :: "list" :: rest =>
+      main(("list" :: rest).toArray)
+    case "plugin" :: "install" :: _ =>
+      System.err.println("plugins are not installed globally — add them per pipeline: " +
+        "[global] plugins = [\"/path/to/plugin.jar\"|\"com.example.PluginClass\"] " +
+        "(ServiceLoader discovery of graft.core.GraftPlugin; see README)")
+      sys.exit(1)
+
     // reference: `conveyor update` (self-update from GitHub releases,
     // src/main.rs:188-191) — meaningless for a library jar in an offline
     // build; fail loud with the actual upgrade path instead of silence
@@ -184,6 +193,7 @@ object Main {
           |  stage add <toml> --id X --function F [--inputs a,b] [--config k=v]...
           |                           append a stage (validated before write)
           |  stage new [out.toml]     alias of scaffold
+          |  plugin list [toml]       alias of list (provenance per function)
           |  scaffold [out.toml]      write a starter pipeline""".stripMargin)
       sys.exit(2)
   }
