@@ -61,6 +61,10 @@ object QualityClassifierTrainOp extends Stage {
       (F.col("__label") =!= 0.0 && F.col("__label") =!= 1.0)).limit(1).count()
     if (bad > 0) throw new GraftConfigError(
       s"quality.train: label_column '$labelCol' must be 0/1 with no nulls")
+    val classes = prepared.select("__label").distinct().limit(3).count()
+    if (classes < 2) throw new GraftPlanError(
+      "quality.train: training input needs BOTH label classes (0 and 1) — " +
+      s"got ${if (classes == 0) "an empty frame" else "a single class"}")
 
     val cv = new org.apache.spark.ml.feature.CountVectorizer()
       .setInputCol("__words").setOutputCol("__features")

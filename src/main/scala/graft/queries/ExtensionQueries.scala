@@ -659,8 +659,10 @@ object ExtensionQueries {
     // (iterative LBFGS) — rows-only here; QualityClassifierSpec pins
     // separation, weight signs, and exact scoring semantics instead.
     QueryDef.noOracle("quality_train") { (s, d) =>
+      // sources are src0..src19: call the low half the reference corpus
       val docs = t(s, d, "documents")
-        .withColumn("label", (F.col("source") === "web").cast("int"))
+        .withColumn("label",
+          (F.expr("CAST(substring(source, 4) AS INT)") < 10).cast("int"))
       QualityClassifierTrainOp(StageContext.one(s, docs, Cfg.of(
         "label_column" -> "label", "vocab_size" -> 500, "max_iter" -> 20)))
     },

@@ -91,6 +91,20 @@ class QualityClassifierSpec extends SparkSpec {
     assert(m.forall(w => !w.isNaN && !w.isInfinite && math.abs(w) <= 36.0))
   }
 
+  test("degenerate inputs: empty/one-class training fails loud, empty scoring is empty") {
+    val empty = Seq.empty[(Long, String, Int)].toDF("doc_id", "text", "label")
+    val e1 = intercept[GraftPlanError](QualityClassifierTrainOp(
+      StageContext.one(spark, empty, Cfg.of("label_column" -> "label"))))
+    assert(e1.getMessage.contains("empty frame"))
+    val oneClass = Seq((1L, "a", 1), (2L, "b", 1)).toDF("doc_id", "text", "label")
+    val e2 = intercept[GraftPlanError](QualityClassifierTrainOp(
+      StageContext.one(spark, oneClass, Cfg.of("label_column" -> "label"))))
+    assert(e2.getMessage.contains("single class"))
+    val model = Seq(("a", 1.0), ("__intercept__", 0.0)).toDF("term", "weight")
+    assert(QualityClassifierScoreOp(StageContext(spark,
+      Seq("d" -> empty.drop("label"), "m" -> model), Cfg.of())).count() === 0L)
+  }
+
   test("score plan broadcasts the model and never shuffles whole documents") {
     val model = Seq(("a", 1.0), ("__intercept__", 0.0)).toDF("term", "weight")
     val docs = (1L to 100L).map(i => (i, s"a b c $i")).toDF("doc_id", "text")
