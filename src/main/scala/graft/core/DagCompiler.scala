@@ -40,24 +40,33 @@ final class DagCompiler(registry: Registry) {
       case None      => runBody(spark, pc)
       case Some(sec) =>
         val group = s"graft-${pc.name}-${System.identityHashCode(pc)}"
+        val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
         import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
         val fut = Future {
           // job group is thread-local: tag inside the worker thread so a
           // timeout can cancel exactly this pipeline's Spark jobs
           spark.sparkContext.setJobGroup(group, s"pipeline ${pc.name}", interruptOnCancel = true)
-          try runBody(spark, pc)
+          try runBody(spark, pc, cancelled = cancelled.get _)
           finally spark.sparkContext.clearJobGroup()
         }(ExecutionContext.global)
         try Await.result(fut, scala.concurrent.duration.Duration(sec, "s"))
         catch { case _: TimeoutException =>
-          spark.sparkContext.cancelJobGroup(group)
+          // flag FIRST so the still-running body cannot fire deferred side
+          // effects (offset commits, compact swaps) after we report
+          // cancellation; AndFutureJobs marks the group id cancelled in the
+          // scheduler, so sinks the body submits AFTER this call — and even
+          // a setJobGroup that races past the cancel — are killed too,
+          // where plain cancelJobGroup only reaped jobs active this instant
+          cancelled.set(true)
+          spark.sparkContext.cancelJobGroupAndFutureJobs(group)
           throw new GraftPlanError(
             s"pipeline '${pc.name}' exceeded timeout_seconds = $sec and was cancelled")
         }
     }
   }
 
-  private def runBody(spark: SparkSession, pc: PipelineConfig): Map[String, DataFrame] = {
+  private def runBody(spark: SparkSession, pc: PipelineConfig,
+      cancelled: () => Boolean = () => false): Map[String, DataFrame] = {
 
     // side effects registered via ctx.deferToSuccess (e.g. kafka.consume's
     // group-offset commit) queue here and fire only after every sink action
@@ -65,10 +74,18 @@ final class DagCompiler(registry: Registry) {
     // so the next run re-delivers the batch (at-least-once). Under
     // error_strategy=continue a swallowed sink failure ALSO suppresses the
     // queue: the failed sink never durably wrote its rows, and committing
-    // the source frontier anyway would lose them permanently.
+    // the source frontier anyway would lose them permanently. A timeout
+    // cancellation suppresses it too (`cancelled`): the caller has already
+    // been told the pipeline failed, so firing commits afterwards would
+    // contradict that report.
     val deferred = mutable.Buffer[() => Unit]()
+    // resource releases (cache unpersists) registered via ctx.deferToCleanup
+    // run in the finally below — success, sink failure, timeout, or abort:
+    // a failed run must not leak a pinned batch for the session lifetime
+    val cleanups = mutable.Buffer[() => Unit]()
     var sinkFailed = false
-    val plans = compilePlans(spark, pc, defer = action => deferred += action)
+    val plans = compilePlans(spark, pc, defer = action => deferred += action,
+      cleanup = action => cleanups += action)
 
     // compilePlans already persisted fan-out stages; remember them so the
     // cache is dropped when the run finishes
@@ -115,9 +132,11 @@ final class DagCompiler(registry: Registry) {
           case None => ours.foreach(_.awaitTermination())
         }
       }
-      if (!sinkFailed) deferred.foreach(_())
+      if (!sinkFailed && !cancelled()) deferred.foreach(_())
     } finally {
       persisted.values.foreach(_.unpersist(blocking = false))
+      cleanups.foreach(c => try c() catch { case e: Exception =>
+        System.err.println(s"[graft] cleanup failed: ${e.getMessage}") })
     }
     results.toMap
   }
@@ -140,7 +159,8 @@ final class DagCompiler(registry: Registry) {
     * plan, not InMemoryRelation wrappers). */
   def compilePlans(spark: SparkSession, pc: PipelineConfig,
       explainOnly: Boolean = false,
-      defer: (() => Unit) => Unit = StageContext.RunNow): Map[String, DataFrame] = {
+      defer: (() => Unit) => Unit = StageContext.RunNow,
+      cleanup: (() => Unit) => Unit = StageContext.KeepPinned): Map[String, DataFrame] = {
     val outDegree = fanOut(pc)
     val memo = mutable.Map[String, DataFrame]()
     def plan(id: String): DataFrame = memo.getOrElseUpdate(id, {
@@ -155,7 +175,8 @@ final class DagCompiler(registry: Registry) {
         val cfg = if (explainOnly)
           graft.config.Cfg(st.config.table + ("_explain_only" -> graft.config.CBool(true)))
         else st.config
-        val df = stage(StageContext(spark, inputDfs, cfg, st.id, deferToSuccess = defer))
+        val df = stage(StageContext(spark, inputDfs, cfg, st.id,
+          deferToSuccess = defer, deferToCleanup = cleanup))
         if (outDegree(st.id) > 1 && !df.isStreaming && !explainOnly)
           df.persist(StorageLevel.MEMORY_AND_DISK)
         df

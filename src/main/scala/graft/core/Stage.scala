@@ -49,10 +49,25 @@ final case class StageContext(
       * the action immediately, preserving commit-at-apply semantics;
       * DagCompiler.run substitutes a collector and fires the queue only
       * after every sink action has succeeded (at-least-once). */
-    deferToSuccess: (() => Unit) => Unit = StageContext.RunNow
+    deferToSuccess: (() => Unit) => Unit = StageContext.RunNow,
+    /** Registrar for resource RELEASES (cache unpersists) that must run when
+      * the surrounding pipeline finishes — success OR failure — unlike
+      * deferToSuccess, which a failed/cancelled run suppresses. DagCompiler
+      * drains this queue in its finally block. Outside a pipeline the
+      * default keeps the resource pinned: a directly-invoked stage returns a
+      * plan whose consumption happens later, so releasing eagerly would
+      * recompute the very chain the persist pins (bounded caches only —
+      * stages document their direct-mode footprint). */
+    deferToCleanup: (() => Unit) => Unit = StageContext.KeepPinned
 ) {
   def primary: DataFrame = inputs.headOption.map(_._2).getOrElse(
     throw new GraftPlanError(s"stage '$stageId' requires at least one input"))
+  /** Persist `df` and register its release with deferToCleanup: inside a
+    * pipeline the cache drops when the run finishes (success OR failure);
+    * direct invocation keeps it pinned for the caller's still-lazy result.
+    * NOTE Dataset.persist returns `this`, so callers must never detect
+    * pinning by reference inequality — use this helper. */
+  def pin(df: DataFrame): DataFrame = StageContext.pinWith(deferToCleanup, df)
   def input(i: Int): DataFrame =
     if (i < inputs.size) inputs(i)._2
     else throw new GraftPlanError(s"stage '$stageId' requires ${i + 1} inputs, got ${inputs.size}")
@@ -64,6 +79,19 @@ class GraftPlanError(msg: String) extends RuntimeException(msg)
 object StageContext {
   /** Default deferToSuccess: execute immediately (no pipeline around us). */
   val RunNow: (() => Unit) => Unit = action => action()
+
+  /** Default deferToCleanup: discard — direct invocation keeps caches
+    * pinned for the caller's later consumption of the returned plan. */
+  val KeepPinned: (() => Unit) => Unit = _ => ()
+
+  /** MEMORY_AND_DISK-persist `df` and register its release with `release`
+    * (a StageContext.deferToCleanup, or KeepPinned outside a pipeline) —
+    * for helper objects that persist intermediates without a ctx in scope. */
+  def pinWith(release: (() => Unit) => Unit, df: DataFrame): DataFrame = {
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    release(() => df.unpersist(blocking = false))
+    df
+  }
 
   /** Convenience for tests / SparkEntry: single anonymous input. */
   def one(spark: SparkSession, df: DataFrame, cfg: Cfg): StageContext =

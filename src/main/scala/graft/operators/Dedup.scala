@@ -131,7 +131,8 @@ object ExactCollapse {
     * instead of its min id, so rep-level comparisons downstream are
     * best-vs-best. */
   def apply(df: DataFrame, idCol: String, keyCol: String,
-            rank: Option[Column] = None): (DataFrame, DataFrame) = {
+            rank: Option[Column] = None,
+            release: (() => Unit) => Unit = StageContext.KeepPinned): (DataFrame, DataFrame) = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
     val withRep = rank match {
       case None => df.withColumn("_rep_id", F.min(idCol).over(w))
@@ -139,7 +140,7 @@ object ExactCollapse {
         .withColumn("_rep_id", F.min(F.struct(key.alias("k"), F.col(idCol).alias("i")))
           .over(w).getField("i"))
     }
-    val persisted = withRep.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val persisted = StageContext.pinWith(release, withRep)
     val dups = persisted.filter(F.col(idCol) =!= F.col("_rep_id"))
       .select(F.col(idCol).alias("id"))
     val reps = persisted.filter(F.col(idCol) === F.col("_rep_id")).drop("_rep_id")
@@ -190,15 +191,20 @@ object DedupPairs {
   def dropped(pairs: DataFrame, transitive: Boolean): DataFrame =
     dropped(pairs, transitive, None)
 
+  def dropped(pairs: DataFrame, transitive: Boolean,
+              ranks: Option[DataFrame]): DataFrame =
+    dropped(pairs, transitive, ranks, StageContext.KeepPinned)
+
   /** `ranks`: optional (id, __rank) survivor keys (DedupRank) — per pair
     * the LARGER rank drops (pairwise), or the component keeps only its
     * rank-minimal member (transitive). Absent = the default min-id
     * policy, byte-identical to before. */
-  def dropped(pairs: DataFrame, transitive: Boolean, ranks: Option[DataFrame]): DataFrame =
+  def dropped(pairs: DataFrame, transitive: Boolean, ranks: Option[DataFrame],
+              release: (() => Unit) => Unit): DataFrame =
     (transitive, ranks) match {
-      case (true, None)     => transitiveDropped(pairs)
+      case (true, None)     => transitiveDropped(pairs, release)
       case (false, None)    => pairs.select(F.col("id_b").alias("id")).distinct()
-      case (true, Some(r))  => transitiveRankedDropped(pairs, r)
+      case (true, Some(r))  => transitiveRankedDropped(pairs, r, release)
       case (false, Some(r)) =>
         pairs
           .join(r.select(F.col("id").alias("id_a"), F.col("__rank").alias("__ra")), Seq("id_a"))
@@ -212,17 +218,15 @@ object DedupPairs {
     * structs themselves (min propagates the component's best member);
     * convergence by changed-row count — rank keys are not numeric, so
     * the unranked path's monotone checksum does not apply. */
-  private def transitiveRankedDropped(pairs0: DataFrame, ranks: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val pairs = pairs0.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs.unionByName(
-      pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = pairs.select(F.col("id_a").alias("id"))
+  private def transitiveRankedDropped(pairs0: DataFrame, ranks: DataFrame,
+      release: (() => Unit) => Unit): DataFrame = {
+    val pairs = StageContext.pinWith(release, pairs0.select("id_a", "id_b"))
+    val edges = StageContext.pinWith(release, pairs.unionByName(
+      pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))))
+    var labels = StageContext.pinWith(release, pairs.select(F.col("id_a").alias("id"))
       .unionByName(pairs.select(F.col("id_b").alias("id"))).distinct()
       .join(ranks, Seq("id"))
-      .select(F.col("id"), F.col("__rank").alias("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(F.col("id"), F.col("__rank").alias("label")))
     var iter = 0
     var done = labels.isEmpty
     while (!done && iter < 30) {
@@ -230,10 +234,13 @@ object DedupPairs {
         .join(labels.select(F.col("id").alias("id_b"), F.col("label").alias("_nbl")), Seq("id_b"))
         .groupBy("id_a").agg(F.min("_nbl").alias("_nbr"))
         .withColumnRenamed("id_a", "id")
-      val next = labels.join(nbr, Seq("id"), "left")
+      // pinWith on every generation: loop intermediates release eagerly
+      // below (the registered release then double-unpersists — a no-op),
+      // and the FINAL generation, which the returned plan reads, releases
+      // when the surrounding pipeline finishes
+      val next = StageContext.pinWith(release, labels.join(nbr, Seq("id"), "left")
         .select(F.col("id"),
-          F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias("label")))
       val changed = next.alias("n")
         .join(labels.alias("p"), F.col("n.id") === F.col("p.id"))
         .filter(F.col("n.label") =!= F.col("p.label")).limit(1).count()
@@ -245,16 +252,17 @@ object DedupPairs {
     labels.filter(F.col("label").getField("i") =!= F.col("id")).select("id")
   }
 
-  def transitiveDropped(pairs0: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel
-    val pairs = pairs0.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
-    val edges = pairs.unionByName(
-      pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = pairs.select(F.col("id_a").alias("id"))
+  def transitiveDropped(pairs0: DataFrame): DataFrame =
+    transitiveDropped(pairs0, StageContext.KeepPinned)
+
+  def transitiveDropped(pairs0: DataFrame,
+      release: (() => Unit) => Unit): DataFrame = {
+    val pairs = StageContext.pinWith(release, pairs0.select("id_a", "id_b"))
+    val edges = StageContext.pinWith(release, pairs.unionByName(
+      pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))))
+    var labels = StageContext.pinWith(release, pairs.select(F.col("id_a").alias("id"))
       .unionByName(pairs.select(F.col("id_b").alias("id"))).distinct()
-      .withColumn("label", F.col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("label", F.col("id")))
     def checksum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(F.sum(F.col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
@@ -266,10 +274,9 @@ object DedupPairs {
         .join(labels.select(F.col("id").alias("id_b"), F.col("label").alias("_nbl")), Seq("id_b"))
         .groupBy("id_a").agg(F.min("_nbl").alias("_nbr"))
         .withColumnRenamed("id_a", "id")
-      val next = labels.join(nbr, Seq("id"), "left")
+      val next = StageContext.pinWith(release, labels.join(nbr, Seq("id"), "left")
         .select(F.col("id"),
-          F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+          F.least(F.col("label"), F.coalesce(F.col("_nbr"), F.col("label"))).alias("label")))
       val nextSum = checksum(next)
       labels.unpersist(blocking = false)
       labels = next
@@ -406,16 +413,15 @@ object DedupMinHashOp extends Stage {
     val base = Parallelize(ctx).select(
       Seq(F.col(id).alias("id"), F.col(text).alias("_txt")) ++
         cfg.strOpt("keep_by").map(F.col): _*)
-    val (reps, exactDups) = ExactCollapse(base, "id", "_txt", rankKey)
-    val hashed = reps.select(F.col("id"),
+    val (reps, exactDups) = ExactCollapse(base, "id", "_txt", rankKey, ctx.deferToCleanup)
+    val hashed = ctx.pin(reps.select(F.col("id"),
         Shingles.shingleHashes(F.col("_txt"), n).alias("shingles"))
-      .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed)))
 
     exactDups.unionByName(DedupPairs.dropped(
       LshVerify.verifiedPairs(hashed, bands, r, k, threshold),
       cfg.boolOr("transitive", false),
-      rankKey.map(DedupRank.ranks(base, "id", _)))).distinct()
+      rankKey.map(DedupRank.ranks(base, "id", _)), ctx.deferToCleanup)).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -467,7 +473,7 @@ object DedupSimHashOp extends Stage {
     val base = Parallelize(ctx).select(
       Seq(F.col(id).alias("id"), F.col(text).alias("_txt")) ++
         cfg.strOpt("keep_by").map(F.col): _*)
-    val (reps, exactDups) = ExactCollapse(base, "id", "_txt", rankKey)
+    val (reps, exactDups) = ExactCollapse(base, "id", "_txt", rankKey, ctx.deferToCleanup)
     val sigs = withSignature(reps, "id", "_txt")
     // block j = bits [j*width, (j+1)*width) (last block takes the remainder)
     val blocked = sigs.select(F.col("id"), F.col("sig"),
@@ -487,7 +493,7 @@ object DedupSimHashOp extends Stage {
       .select("id_a", "id_b")
     exactDups.unionByName(DedupPairs.dropped(nearPairs,
       cfg.boolOr("transitive", false),
-      rankKey.map(DedupRank.ranks(base, "id", _)))).distinct()
+      rankKey.map(DedupRank.ranks(base, "id", _)), ctx.deferToCleanup)).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -552,15 +558,14 @@ object DedupNgramOp extends Stage {
     val base = Parallelize(ctx).select(
       Seq(F.col(id).alias("id"), F.col(text).alias("_txt")) ++
         cfg.strOpt("keep_by").map(F.col): _*)
-    val (reps, exactDups) = ExactCollapse(base, "id", "_txt", rankKey)
-    val hashed = reps.select(F.col("id"),
+    val (reps, exactDups) = ExactCollapse(base, "id", "_txt", rankKey, ctx.deferToCleanup)
+    val hashed = ctx.pin(reps.select(F.col("id"),
       charNgramHashes("_txt", n).alias("shingles"))
-      .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), bands * r, seed))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), bands * r, seed)))
     exactDups.unionByName(DedupPairs.dropped(
       LshVerify.verifiedPairs(hashed, bands, r, bands * r, threshold),
       cfg.boolOr("transitive", false),
-      rankKey.map(DedupRank.ranks(base, "id", _)))).distinct()
+      rankKey.map(DedupRank.ranks(base, "id", _)), ctx.deferToCleanup)).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -643,10 +648,9 @@ object DedupEmbeddingOp extends Stage {
     val base = Parallelize(ctx).select(
       Seq(F.col(id).alias("id"), F.col(vecCol).alias("vec")) ++
         cfg.strOpt("keep_by").map(F.col): _*)
-    val (reps, exactDups) = ExactCollapse(base, "id", "vec", rankKey)
-    val sigs = reps
-      .withColumn("sig", hyperplaneSig(F.col("vec"), dim, h, seed))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (reps, exactDups) = ExactCollapse(base, "id", "vec", rankKey, ctx.deferToCleanup)
+    val sigs = ctx.pin(reps
+      .withColumn("sig", hyperplaneSig(F.col("vec"), dim, h, seed)))
     // candidate pairs stay NARROW (ids + 64-bit sigs, no vectors): the
     // bucket self-join and pair dedup shuffle ~24 B/row instead of two
     // full embedding payloads per row
@@ -677,7 +681,7 @@ object DedupEmbeddingOp extends Stage {
       .select("id_a", "id_b")
     exactDups.unionByName(DedupPairs.dropped(nearPairs,
       cfg.boolOr("transitive", false),
-      rankKey.map(DedupRank.ranks(base, "id", _)))).distinct()
+      rankKey.map(DedupRank.ranks(base, "id", _)), ctx.deferToCleanup)).distinct()
   }
 
   def apply(ctx: StageContext): DataFrame = {

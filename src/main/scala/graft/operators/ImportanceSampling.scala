@@ -119,9 +119,8 @@ object ImportanceSampleOp extends Stage {
     // persisted: feeds BOTH the count aggregation and the per-doc scoring
     // join — without it the tokenize+digest explode runs twice. Narrow
     // rows (id + d hex chars), MEMORY_AND_DISK spills safely at scale.
-    val rawFeat = raw.select(F.col(id).as("__id"),
-      F.explode(featureBuckets(F.col(col), maxN, hexDigits)).as("__b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawFeat = ctx.pin(raw.select(F.col(id).as("__id"),
+      F.explode(featureBuckets(F.col(col), maxN, hexDigits)).as("__b")))
     val tgtFeat = target.select(
       F.explode(featureBuckets(F.col(col), maxN, hexDigits)).as("__b"))
 

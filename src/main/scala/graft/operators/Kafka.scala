@@ -285,10 +285,13 @@ object KafkaConsumeSource extends Stage {
     // so the footprint is small; the unbounded backlog scan (max_messages=0)
     // is covered by the single-writer contract instead — persisting 100 TB
     // to snapshot a frontier would be the wrong trade.
-    val batch =
-      if (doCommit && maxMessages > 0)
-        rawBatch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else rawBatch
+    // NOTE: Dataset.persist returns `this`, not a copy — track pinning with
+    // a flag, never by `batch ne rawBatch` (always false). ctx.pin registers
+    // the release with deferToCleanup: inside a pipeline the cache drops in
+    // the run's finally (success, sink failure, or timeout); direct
+    // invocation keeps it pinned for the caller's lazy result.
+    val pinned = doCommit && maxMessages > 0
+    val batch = if (pinned) ctx.pin(rawBatch) else rawBatch
 
     val result = KafkaLog.assemble(batch, cfg) {
       import ctx.spark.implicits._
@@ -297,19 +300,19 @@ object KafkaConsumeSource extends Stage {
     }
 
     if (doCommit) {
-      // Deferred to pipeline success inside a DagCompiler run (a failed
-      // sink must not mark the batch consumed — at-least-once); runs
-      // immediately for direct stage invocation. In deferred mode the
-      // sinks have already read the batch when this fires, so the pinned
-      // cache can be released right after the frontier collect; in direct
-      // mode downstream consumption happens LATER, so the batch must stay
-      // pinned (bounded by max_messages, evictable).
-      val deferredMode = ctx.deferToSuccess ne StageContext.RunNow
+      // Offset commit deferred to pipeline success inside a DagCompiler run
+      // (a failed sink must not mark the batch consumed — at-least-once);
+      // runs immediately for direct stage invocation. The pinned cache is
+      // released SEPARATELY via deferToCleanup, which DagCompiler fires in
+      // its finally block — success, sink failure, or timeout — so a failed
+      // run cannot leak the cache for the session lifetime (coupling the
+      // unpersist to the success-only commit did exactly that). In direct
+      // mode deferToCleanup keeps the batch pinned: downstream consumption
+      // happens later (bounded by max_messages, evictable).
       ctx.deferToSuccess { () =>
         val frontier = batch.groupBy("partition").agg(F.max("offset").as("m"))
           .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
         if (frontier.nonEmpty) KafkaLog.commit(root, group, topic, frontier)
-        if (deferredMode && (batch ne rawBatch)) batch.unpersist(blocking = false)
       }
     }
     result
@@ -358,14 +361,37 @@ object KafkaCompactOp extends Stage {
     }
 
     import org.apache.spark.sql.expressions.Window
+    import java.nio.file.{Files, Path}
+    def deleteRec(p: Path): Unit = {
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.foreach(deleteRec)
+      Files.deleteIfExists(p)
+    }
+    def partDirs(p: Path): List[Path] =
+      if (!Files.isDirectory(p)) Nil
+      else Files.list(p).iterator().asScala
+        .filter(q => q.getFileName.toString.startsWith("partition=")).toList
+
+    val dir = KafkaLog.topicDir(root, topic)
+    val tmp = java.nio.file.Paths.get(dir.toString + ".compact.tmp")
+    val hold = java.nio.file.Paths.get(dir.toString + ".compact.old")
+    // crash recovery BEFORE reading: a held old generation next to a topic
+    // dir with no partition dirs means a previous compact died between swap
+    // steps (1) and (2) below — restore it so this run compacts the real
+    // log; next to a populated topic dir the previous swap already
+    // installed its result, so the hold is garbage
+    if (Files.isDirectory(hold)) {
+      if (partDirs(dir).isEmpty)
+        partDirs(hold).foreach(p => Files.move(p, dir.resolve(p.getFileName.toString)))
+      deleteRec(hold)
+    }
+
     val log = KafkaLog.read(spark, root, topic)
     val latest = log.filter(F.col("key").isNotNull)
       .withColumn("__rn", F.row_number().over(
         Window.partitionBy("partition", "key").orderBy(F.col("offset").desc)))
       .filter(F.col("__rn") === 1).drop("__rn")
 
-    val dir = KafkaLog.topicDir(root, topic)
-    val tmp = java.nio.file.Paths.get(dir.toString + ".compact.tmp")
     // one task per kafka partition → one ascending segment per dir
     latest.repartition(F.col("partition"))
       .sortWithinPartitions("partition", "offset")
@@ -373,19 +399,29 @@ object KafkaCompactOp extends Stage {
         F.col("key"), F.col("value"))).as("line"), F.col("partition"))
       .write.partitionBy("partition").mode("overwrite").text(tmp.toString)
 
-    // swap: delete old partition dirs, move compacted ones in
-    def deleteRec(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).iterator().asScala.foreach(deleteRec)
-      java.nio.file.Files.deleteIfExists(p)
+    // swap, crash-ordered so no window loses both generations: (1) move the
+    // old partition dirs ASIDE into <topic>.compact.old, (2) move the
+    // compacted ones in, (3) delete the held old generation LAST. A crash
+    // between (1) and (2) leaves both generations on disk (.old + .tmp) and
+    // the recovery above restores .old on the next compact; the previous
+    // delete-then-install order destroyed the only copy first.
+    val newParts = partDirs(tmp)
+    val oldParts = partDirs(dir)
+    if (newParts.isEmpty && oldParts.nonEmpty) {
+      // an all-keyless topic compacts to nothing; installing that would
+      // silently delete every record, not just the documented keyless drop —
+      // refuse and leave the log untouched
+      System.err.println(s"[graft] kafka.compact: topic '$topic' has no keyed " +
+        "records; compaction would erase the log — skipped (keyless topics are " +
+        "not compactable, same contract as cleanup.policy=compact)")
+      deleteRec(tmp)
+    } else {
+      Files.createDirectories(hold)
+      oldParts.foreach(p => Files.move(p, hold.resolve(p.getFileName.toString)))
+      newParts.foreach(p => Files.move(p, dir.resolve(p.getFileName.toString)))
+      deleteRec(hold)
+      deleteRec(tmp)
     }
-    java.nio.file.Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("partition="))
-      .foreach(deleteRec)
-    java.nio.file.Files.list(tmp).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("partition="))
-      .foreach(p => java.nio.file.Files.move(p, dir.resolve(p.getFileName.toString)))
-    deleteRec(tmp)
     KafkaLog.read(spark, root, topic)
   }
 }

@@ -374,8 +374,14 @@ object MongoBulkWriteOp extends MongoWriteStage("mongodb.bulkWrite") {
       def upsert = s.fields.get("upsert").contains(JsBool(true))
       // an upsert op runs an existence probe NOW; persist the accumulated
       // lineage first or the probe re-reads and re-rewrites the whole
-      // chain from the source files (and so would the next probe)
-      def probed: DataFrame = { if (upsert) cur.persist(); cur }
+      // chain from the source files (and so would the next probe). Release
+      // when the surrounding pipeline finishes (success or failure);
+      // direct invocation keeps it pinned for the caller's lazy result
+      // (bounded: the collection frame, evictable).
+      def probed: DataFrame = {
+        if (upsert) { cur.persist(); ctx.deferToCleanup(() => cur.unpersist(blocking = false)) }
+        cur
+      }
       op match {
         case "insertOne" => insertDocs(ctx, cur, Seq(field("document")))
         case "insertMany" => s.fields.get("documents") match {

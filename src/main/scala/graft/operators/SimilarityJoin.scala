@@ -61,12 +61,11 @@ object SimilarJoinOp extends Stage {
   /** (representatives (id, key), mapping (orig id → representative id)) —
     * one content-key shuffle, persisted because reps and mapping both
     * filter it. */
-  private def collapse(df: DataFrame, id: String, key: Column)
-      : (DataFrame, DataFrame) = {
+  private def collapse(df: DataFrame, id: String, key: Column,
+      release: (() => Unit) => Unit): (DataFrame, DataFrame) = {
     val keyed = df.select(F.col(id).alias("id"), key.alias("_key"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("_key")
-    val withRep = keyed.withColumn("_rep", F.min("id").over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withRep = StageContext.pinWith(release, keyed.withColumn("_rep", F.min("id").over(w)))
     val reps = withRep.filter(F.col("id") === F.col("_rep")).select("id", "_key")
     val mapping = withRep.select(F.col("id").alias("orig_id"), F.col("_rep").alias("rep_id"))
     (reps, mapping)
@@ -95,11 +94,10 @@ object SimilarJoinOp extends Stage {
     val r = k / bands
 
     def prepare(df: DataFrame, id: String, text: String) = {
-      val (reps, mapping) = collapse(df, id, F.col(text))
-      val hashed = reps.select(F.col("id"),
+      val (reps, mapping) = collapse(df, id, F.col(text), ctx.deferToCleanup)
+      val hashed = ctx.pin(reps.select(F.col("id"),
           Shingles.shingleHashes(F.col("_key"), n).alias("shingles"))
-        .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed)))
       (hashed, mapping)
     }
     val (hl, mapL) = prepare(left, leftId, leftText)
@@ -149,10 +147,9 @@ object SimilarJoinOp extends Stage {
 
     // content key for exact collapse = the vector itself (distinct vectors)
     def prepare(df: DataFrame, id: String, vec: String) = {
-      val (reps, mapping) = collapse(df, id, F.col(vec).cast("array<float>"))
-      val sigged = reps.select(F.col("id"), F.col("_key").alias("vec"))
-        .withColumn("sig", DedupEmbeddingOp.hyperplaneSig(F.col("vec"), dimL, planes, seed))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val (reps, mapping) = collapse(df, id, F.col(vec).cast("array<float>"), ctx.deferToCleanup)
+      val sigged = ctx.pin(reps.select(F.col("id"), F.col("_key").alias("vec"))
+        .withColumn("sig", DedupEmbeddingOp.hyperplaneSig(F.col("vec"), dimL, planes, seed)))
       (sigged, mapping)
     }
     val (sl, mapL) = prepare(left, leftId, leftVec)

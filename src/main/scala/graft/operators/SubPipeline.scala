@@ -27,12 +27,14 @@ object SubPipelineOp extends Stage {
     }
     val pc = PipelineConfig.fromString(toml)
     val compiler = new DagCompiler(Registry.forPipeline(pc)) // sub-pipeline's own plugins load too
-    // thread the OUTER pipeline's explain flag and success-deferral hook
-    // through: a kafka.consume inside a sub-pipeline must not commit at
-    // compose time (nor under `graft explain`) any more than a top-level one
+    // thread the OUTER pipeline's explain flag, success-deferral and cleanup
+    // hooks through: a kafka.consume inside a sub-pipeline must not commit at
+    // compose time (nor under `graft explain`) any more than a top-level one,
+    // and its pinned batch must release when the OUTER run finishes
     val plans = compiler.compilePlans(ctx.spark, pc,
       explainOnly = ctx.cfg.boolOr("_explain_only", false),
-      defer = ctx.deferToSuccess)
+      defer = ctx.deferToSuccess,
+      cleanup = ctx.deferToCleanup)
     val outId = cfg.strOpt("output").getOrElse(pc.stages.last.id)
     plans.getOrElse(outId,
       throw new GraftConfigError(s"stage.pipeline output '$outId' not found"))

@@ -86,12 +86,11 @@ object SubstringDedupOp extends Stage {
     // the same documented trade as ExactCollapse (Dedup.scala); at scale
     // the persist is corpus-sized but the upstream may be a whole
     // cleaning pipeline, which would be far costlier to run twice
-    val src = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // inside a DagCompiler run the cache is releasable once the sinks have
-    // executed; direct invocation keeps it pinned (the caller's result is
+    // inside a DagCompiler run the cache is released in the run's finally —
+    // success OR failure (a success-only deferral leaked it on failed
+    // runs); direct invocation keeps it pinned (the caller's result is
     // still lazy) — bench/gates clear caches between queries
-    if (ctx.deferToSuccess ne StageContext.RunNow)
-      ctx.deferToSuccess(() => src.unpersist(blocking = false))
+    val src = ctx.pin(df)
 
     // one fused pass per row: (start, window hash) pairs; stride > 1
     // samples content-defined anchor positions (see scaladoc)

@@ -193,6 +193,23 @@ object CountWindowOp extends Stage {
     val sortIdcs = cfg.strListOr("order_by", Vector.empty).map { c =>
       val i = df.columns.indexOf(c)
       if (i < 0) throw new GraftConfigError(s"window.apply: unknown order_by column '$c'")
+      // the comparator below relies on the JVM value being Comparable —
+      // true for the atomic scalar types below, false for binary (byte[]
+      // is not Comparable) and for array/map/struct. Reject at plan time;
+      // the alternative is a ClassCastException inside the stateful
+      // processor mid-stream.
+      import org.apache.spark.sql.types._
+      df.schema(i).dataType match {
+        case BooleanType | ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType | StringType | DateType | TimestampType |
+             TimestampNTZType | _: DecimalType => ()
+        case BinaryType => throw new GraftConfigError(
+          s"window.apply: order_by column '$c' is binary — byte arrays have no " +
+          "total order here; hash or hex-encode the column first")
+        case dt => throw new GraftConfigError(
+          s"window.apply: order_by column '$c' has non-orderable type ${dt.simpleString} — " +
+          "order_by requires an atomic, comparable type (string/numeric/timestamp/date/boolean)")
+      }
       i
     }
     val batchOrder: Iterator[Row] => Iterator[Row] =

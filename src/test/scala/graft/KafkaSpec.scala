@@ -4,6 +4,7 @@ import org.apache.spark.sql.{functions => F}
 import graft.config.{Cfg, GraftConfigError}
 import graft.core.{GraftPlanError, StageContext}
 import graft.operators.{KafkaConsumeSource, KafkaLog, KafkaProduceSink}
+import scala.jdk.CollectionConverters._
 
 /** File-backed kafka.consume / kafka.produce: roundtrip parsing, group
   * offset commit/resume, deterministic partition routing, per-partition
@@ -325,6 +326,108 @@ class KafkaSpec extends SparkSpec {
     produce(root, "key_field" -> "name")
     assert(consume(root, "group_id" -> "g2", "max_messages" -> 0L)
       .select(F.max("_kafka_offset")).as[Long].head() === 8L)
+  }
+
+  test("a failed run still releases the pinned consume batch (cleanup hook)") {
+    val root = freshRoot()
+    produce(root)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val good = java.nio.file.Files.createTempDirectory("graft_kafka_ok").resolve("g")
+    // first sink succeeds (materializes the pinned batch cache), second
+    // fails → Stop aborts the run. The unpersist used to be coupled to the
+    // success-only commit deferral, leaking the cache on exactly this path.
+    intercept[Exception] {
+      graft.core.DagCompiler.default.run(spark, graft.config.PipelineConfig.fromString(
+        s"""[pipeline]
+           |name = "k"
+           |[[stages]]
+           |id = "src"
+           |function = "kafka.consume"
+           |config = { path = "$root", topic = "sales", group_id = "g1", schema = "id LONG, name STRING, value LONG" }
+           |[[stages]]
+           |id = "ok"
+           |function = "csv.write"
+           |inputs = ["src"]
+           |config = { path = "$good" }
+           |[[stages]]
+           |id = "bad"
+           |function = "csv.write"
+           |inputs = ["src"]
+           |config = { path = "/proc/not/writable/x" }
+           |""".stripMargin))
+    }
+    (spark.sparkContext.getPersistentRDDs.keySet -- before).foreach { id =>
+      println(s"LEAKED RDD $id: ${spark.sparkContext.getPersistentRDDs(id).toDebugString.linesIterator.take(3).mkString(" | ")}")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "pinned consume batch must unpersist when the run fails")
+    // and at-least-once still holds: no commit happened either
+    assert(KafkaLog.committed(root, "g1", "sales").isEmpty)
+  }
+
+  test("timeout cancellation suppresses the deferred offset commit") {
+    val root = freshRoot()
+    produce(root)
+    val e = intercept[GraftPlanError] {
+      graft.core.DagCompiler.default.run(spark, graft.config.PipelineConfig.fromString(
+        s"""[pipeline]
+           |name = "t"
+           |[global]
+           |timeout_seconds = 2
+           |[[stages]]
+           |id = "src"
+           |function = "kafka.consume"
+           |config = { path = "$root", topic = "sales", group_id = "g1", schema = "id LONG, name STRING, value LONG" }
+           |[[stages]]
+           |id = "fetch"
+           |function = "http.fetch"
+           |inputs = ["src"]
+           |config = { url = "https://x/{{name}}", mock = true, mock_latency_ms = 60000, concurrency = 1 }
+           |[[stages]]
+           |id = "out"
+           |function = "noop.sink"
+           |inputs = ["fetch"]
+           |""".stripMargin))
+    }
+    assert(e.getMessage.contains("timeout_seconds"))
+    // the cancelled background body must not fire the commit afterwards —
+    // cancelJobGroupAndFutureJobs kills jobs it submits from here on, and
+    // the cancelled flag gates deferred.foreach even if the body completes
+    Thread.sleep(1500)
+    assert(KafkaLog.committed(root, "g1", "sales").isEmpty,
+      "timed-out pipeline must not commit the consumer frontier")
+  }
+
+  test("compact refuses an all-keyless topic instead of erasing it") {
+    val root = freshRoot()
+    produce(root) // no key_field → every record keyless
+    val compacted = graft.operators.KafkaCompactOp(StageContext(spark, Seq.empty,
+      Cfg.of("path" -> root, "topic" -> "sales"), "c"))
+    // the log survives untouched (the old behavior installed the empty
+    // compaction, silently deleting every partition dir)
+    assert(compacted.count() === 3)
+    assert(consume(root, "group_id" -> "fresh", "max_messages" -> 0L).count() === 3)
+    val dir = KafkaLog.topicDir(root, "sales")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir.toString + ".compact.tmp")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir.toString + ".compact.old")))
+  }
+
+  test("compact recovers a crashed swap: held old generation is restored") {
+    val root = freshRoot()
+    produce(root, "key_field" -> "name")
+    val dir = KafkaLog.topicDir(root, "sales")
+    val hold = java.nio.file.Paths.get(dir.toString + ".compact.old")
+    // simulate a crash between swap steps (1) and (2): the old generation
+    // was moved aside but nothing was installed
+    java.nio.file.Files.createDirectories(hold)
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("partition="))
+      .foreach(p => java.nio.file.Files.move(p, hold.resolve(p.getFileName.toString)))
+    val compacted = graft.operators.KafkaCompactOp(StageContext(spark, Seq.empty,
+      Cfg.of("path" -> root, "topic" -> "sales"), "c"))
+    assert(compacted.count() === 3, "recovery must restore the held generation")
+    assert(!java.nio.file.Files.isDirectory(hold))
+    assert(consume(root, "group_id" -> "fresh", "max_messages" -> 0L).count() === 3)
   }
 
   test("continue strategy: a swallowed sink failure still suppresses the commit") {

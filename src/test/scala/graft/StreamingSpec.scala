@@ -71,6 +71,27 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming order_by rejects non-orderable column types at plan time") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // binary: byte[] is not Comparable — must fail at config time, not as a
+    // ClassCastException inside the stateful processor mid-stream
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val df = mem.toDF().toDF("id", "blob")
+    val e = intercept[graft.config.GraftConfigError](CountWindowOp(StageContext.one(
+      spark, df, Cfg.of("type" -> "tumbling", "size" -> 2, "order_by" -> Seq("blob")))))
+    assert(e.getMessage.contains("binary"))
+    // arrays (and any nested type) equally rejected
+    val mem2 = MemoryStream[(Long, Seq[Long])]
+    val df2 = mem2.toDF().toDF("id", "xs")
+    val e2 = intercept[graft.config.GraftConfigError](CountWindowOp(StageContext.one(
+      spark, df2, Cfg.of("type" -> "tumbling", "size" -> 2, "order_by" -> Seq("xs")))))
+    assert(e2.getMessage.contains("non-orderable"))
+    // atomic columns still pass plan-time validation
+    CountWindowOp(StageContext.one(spark, df, Cfg.of(
+      "type" -> "tumbling", "size" -> 2, "order_by" -> Seq("id"))))
+  }
+
   test("file.stream source reads files exactly-once as they appear") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
