@@ -107,7 +107,9 @@ object Docs {
     "shuffle.apply" -> "deterministic seeded corpus shuffle - seed, columns (hash keys; full-row tiebreak)",
     "bpe.train" -> "learn BPE merges (Sennrich) - column, num_merges, top_words, sample_fraction, lowercase; emits (rank,left,right)",
     "tokenize.bpe" -> "apply BPE merges - column, merges=[\"l r\",...] or second input frame, count_column, tokens_column, max_merges",
-    "decontaminate.ngram" -> "exact n-gram collision vs a benchmark table (GPT-3 13-gram / PaLM fraction) - two inputs; column, id_column, n, mode=annotate|filter|semi, min_matches|max_overlap",
+    "decontaminate.ngram" -> "exact n-gram collision vs a benchmark table (GPT-3 13-gram / PaLM fraction) - two inputs; column, id_column, n, mode=annotate|filter|semi, min_matches|max_overlap, bloom (broadcast-Bloom prefilter, exact results), bloom_fpp",
+    "topk.approx" -> "bounded-memory heavy hitters (Misra-Gries; exact when per-partition distincts fit capacity) - column, k, capacity, tokenize; emits (term, count, count_max)",
+    "text.compressibility" -> "Deflate compression-ratio quality signal (boilerplate ~0.1, prose ~0.3-0.6, junk ~1) - column, output_column, level",
     "mix.apply" -> "weighted domain mixing - N inputs; weights (expected copies per row), seed, id_column (per-row hash identity; default = row content), source_column (must not collide), sources, allow_missing_columns",
     "sample.importance" -> "DSIR importance resampling vs a target corpus - two inputs; column, id_column, max_ngram, hex_digits, smoothing, mode=annotate|topk|gumbel, k, seed",
     "chunk.text" -> "split docs into token-budget chunks with overlap (RAG prep, one row per chunk) - column, max_tokens, overlap, output_column",

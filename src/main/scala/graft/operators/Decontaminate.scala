@@ -27,6 +27,18 @@ import graft.core._
   * join + one per-doc count, and only the per-doc stats (never the
   * grams) join back to the full rows. No cross join, no driver
   * collection; n-grams are single-pass per document (Shingles UDF).
+  *
+  * `bloom = true`: broadcast-Bloom prefilter for the regime where the
+  * benchmark gram set outgrows the exact-broadcast threshold (a full eval
+  * suite is ~10⁸ grams ≈ 800 MB of raw longs, but ~120 MB as a 1%-FPP
+  * Bloom filter). The filter is built once over the distinct benchmark
+  * grams, broadcast, and applied to the exploded training grams BEFORE
+  * the semi-join — Bloom has no false negatives, and the exact join still
+  * runs on the survivors, so results are BIT-IDENTICAL to bloom = false
+  * (the correctness gate pins both against one oracle); only the shuffle
+  * shrinks, from the full corpus gram stream to the ~FPP-sized candidate
+  * slice. `bloom_fpp` = 0.01. Builds eagerly at plan-compose time
+  * (two jobs over the small side; skipped under CLI explain).
   */
 object DecontaminateOp extends Stage {
   val name = "decontaminate.ngram"
@@ -52,13 +64,33 @@ object DecontaminateOp extends Stage {
     // shingleHashes emits DISTINCT n-gram hashes per document (and the
     // whole-document gram for docs shorter than n tokens — those can
     // still leak a benchmark verbatim)
-    val benchGrams = bench
+    val useBloom = cfg.boolOr("bloom", false) && !cfg.boolOr("_explain_only", false)
+    val bloomFpp = cfg.doubleOr("bloom_fpp", 0.01)
+    if (bloomFpp <= 0.0 || bloomFpp >= 1.0) throw new GraftConfigError(
+      s"decontaminate.ngram: bloom_fpp must be in (0, 1), got $bloomFpp")
+
+    val benchGrams0 = bench
       .select(F.explode(Shingles.shingleHashes(F.col(benchCol), n)).as("__gram"))
       .distinct()
-    val trainGrams = train.select(
+    // bloom mode scans the benchmark grams three times (count, filter
+    // build, exact join) — pin the small side for the duration of the run
+    val benchGrams = if (useBloom) ctx.pin(benchGrams0) else benchGrams0
+    val trainGrams0 = train.select(
       F.col(id).as("__id"),
       F.size(Shingles.shingleHashes(F.col(col), n)).as("n_ngrams"),
       F.explode(Shingles.shingleHashes(F.col(col), n)).as("__gram"))
+    val trainGrams =
+      if (!useBloom) trainGrams0
+      else {
+        val items = benchGrams.count()
+        if (items == 0) trainGrams0
+        else {
+          val bf = benchGrams.stat.bloomFilter("__gram", items, bloomFpp)
+          val bc = ctx.spark.sparkContext.broadcast(bf)
+          val mightContain = F.udf((g: Long) => bc.value.mightContainLong(g))
+          trainGrams0.filter(mightContain(F.col("__gram")))
+        }
+      }
     val perDoc = trainGrams
       .join(benchGrams, Seq("__gram"), "left_semi")
       .groupBy("__id", "n_ngrams")

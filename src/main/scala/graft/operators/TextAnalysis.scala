@@ -179,3 +179,46 @@ object FingerprintOp extends Stage {
       .withColumn("min_shingles", TextFns.minShingleFingerprint(c, n, k))
   }
 }
+
+/** text.compressibility — per-document Deflate compression ratio
+  * (compressed bytes / raw UTF-8 bytes), the corpus-quality signal used
+  * by production cleaning pipelines (e.g. Gopher/MassiveText-style rules
+  * pair repetition metrics with compression cut-offs): boilerplate and
+  * template spam compress far below natural prose, while random or
+  * encoded junk barely compresses at all. Typical keep-band ~0.3–0.9.
+  *
+  * Config: `column` = "text", `output_column` = "compression_ratio",
+  * `level` = 6 (java.util.zip.Deflater 1–9). Null/empty text → null
+  * ratio. Single-pass UDF over raw Deflate (nowrap — no zlib header
+  * constant skewing short docs), zero shuffle, embarrassingly parallel;
+  * rounded to 6 digits. No SQL oracle exists for Deflate output — the
+  * gate is rows-only and the bounds/monotonicity are spec-pinned.
+  */
+object CompressibilityOp extends Stage {
+  val name = "text.compressibility"
+  val kind = StageKind.Transform
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val col = cfg.strOr("column", "text")
+    val out = cfg.strOr("output_column", "compression_ratio")
+    val level = cfg.longOr("level", 6L).toInt
+    if (level < 1 || level > 9)
+      throw new GraftConfigError(s"text.compressibility: level must be 1..9, got $level")
+    val udf = F.udf { (s: String) =>
+      if (s == null || s.isEmpty) None
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(level, true)
+        try {
+          d.setInput(raw); d.finish()
+          val buf = new Array[Byte](8192)
+          var compressed = 0L
+          while (!d.finished()) compressed += d.deflate(buf)
+          Some(BigDecimal(compressed.toDouble / raw.length)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        } finally d.end()
+      }
+    }
+    ctx.primary.withColumn(out, udf(F.col(col)))
+  }
+}

@@ -1456,6 +1456,71 @@ object ExtensionQueries {
         "path" -> root, "topic" -> "orders", "group_id" -> "gate",
         "max_messages" -> 0L, "schema" -> "okey STRING, status STRING")))
         .select("okey", "status", "_kafka_offset")
+    },
+
+    // ---- topk.approx over document tokens: capacity (200k) far exceeds
+    // any partition's distinct-token count at gate scale, so the
+    // Misra-Gries summary never evicts and counts are EXACT — the oracle
+    // restates the whole computation as groupBy + deterministic top-k
+    // (count desc, term asc). count_max restates the documented bound:
+    // count + floor(total_tokens / capacity).
+    QueryDef("topk_tokens",
+      s"""WITH toks AS (SELECT unnest($duckToks) AS term FROM documents WHERE text IS NOT NULL),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+         |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS count FROM toks GROUP BY term)
+         |SELECT term, count, CAST(count + (SELECT n // 200000 FROM tot) AS BIGINT) AS count_max
+         |FROM cnt ORDER BY count DESC, term LIMIT 40""".stripMargin) { (s, d) =>
+      TopKOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "column" -> "text", "tokenize" -> true, "k" -> 40, "capacity" -> 200000)))
+    },
+
+    // ---- topk.approx on a plain (non-tokenized) low-cardinality column:
+    // trivially exact, pins the scalar path + tie-breaking
+    QueryDef("topk_sources",
+      """WITH cnt AS (SELECT source AS term, CAST(count(*) AS BIGINT) AS count
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE source IS NOT NULL)
+        |SELECT term, count, CAST(count + (SELECT n // 1000 FROM tot) AS BIGINT) AS count_max
+        |FROM cnt ORDER BY count DESC, term LIMIT 10""".stripMargin) { (s, d) =>
+      TopKOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "column" -> "source", "k" -> 10, "capacity" -> 1000)))
+    },
+
+    // ---- decontaminate.ngram with the broadcast-Bloom prefilter: Bloom
+    // has no false negatives and the exact semi-join still runs on the
+    // survivors, so the oracle is the SAME full rule as the
+    // decontaminate_ngram gate — bit-identical results, smaller shuffle.
+    QueryDef("decontaminate_bloom",
+      """WITH toks AS (SELECT doc_id, """ + duckToks + """ AS w FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(w) < 13 THEN [array_to_string(w, ' ')]
+        |  ELSE list_distinct(list_transform(generate_series(1, len(w) - 12),
+        |    i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4], w[i+5], w[i+6],
+        |                        w[i+7], w[i+8], w[i+9], w[i+10], w[i+11], w[i+12]))) END AS s
+        |  FROM toks),
+        |bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 10 = 0),
+        |tg AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 10 <> 0),
+        |m AS (SELECT tg.doc_id, count(*) AS nm FROM tg JOIN bg ON tg.g = bg.g GROUP BY 1)
+        |SELECT s.doc_id, len(s.s) AS n_ngrams, COALESCE(m.nm, 0) AS n_matched_ngrams,
+        |  COALESCE(m.nm, 0) >= 1 AS contaminated
+        |FROM sh s LEFT JOIN m ON s.doc_id = m.doc_id
+        |WHERE s.doc_id % 10 <> 0""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      DecontaminateOp(StageContext(s, Seq(
+        "train" -> docs.filter(F.col("doc_id") % 10 =!= 0),
+        "bench" -> docs.filter(F.col("doc_id") % 10 === 0)), Cfg.of(
+        "id_column" -> "doc_id", "column" -> "text", "n" -> 13,
+        "mode" -> "annotate", "bloom" -> true)))
+        .select(F.col("doc_id"), F.col("n_ngrams").cast("long"),
+          F.col("n_matched_ngrams"), F.col("contaminated"))
+    },
+
+    // ---- text.compressibility: Deflate output is not SQL-expressible —
+    // rows-only gate; value bounds/monotonicity are pinned in
+    // TextAnalysisSpec (repetitive << prose << incompressible).
+    QueryDef.noOracle("text_compressibility") { (s, d) =>
+      CompressibilityOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
+        "column" -> "text")))
+        .select("doc_id", "compression_ratio")
     }
   )
 }

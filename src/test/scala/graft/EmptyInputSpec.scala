@@ -221,25 +221,27 @@ class EmptyInputSpec extends SparkSpec {
       Cfg.of("weights" -> Seq(0.5), "id_column" -> "doc_id"))).count() === 0L)
   }
 
-  test("kafka.compact of an all-keyless or empty topic leaves an empty log") {
+  test("kafka.compact refuses an all-keyless topic; the log survives intact") {
     val root = java.nio.file.Files.createTempDirectory("graft_kafka_empty").toString
-    // keyless-only topic: compaction drops everything
+    // keyless-only topic: compacting to nothing would erase the whole log,
+    // not just drop keyless records — the operator refuses and leaves it
     KafkaProduceSink(StageContext.one(spark,
       Seq((1L, "a")).toDF("id", "name"), Cfg.of("path" -> root, "topic" -> "t")))
     val compacted = KafkaCompactOp(StageContext(spark, Seq.empty,
       Cfg.of("path" -> root, "topic" -> "t"), "c"))
-    assert(compacted.count() === 0L)
-    // compacting the now-empty topic again is a no-op
+    assert(compacted.count() === 1L)
+    // refusing twice is stable
     assert(KafkaCompactOp(StageContext(spark, Seq.empty,
-      Cfg.of("path" -> root, "topic" -> "t"), "c")).count() === 0L)
-    // and the next produce restarts offsets from 0 on the emptied log
+      Cfg.of("path" -> root, "topic" -> "t"), "c")).count() === 1L)
+    // offsets continue past the preserved record on the next produce
     KafkaProduceSink(StageContext.one(spark,
       Seq((2L, "b")).toDF("id", "name"),
       Cfg.of("path" -> root, "topic" -> "t", "key_field" -> "name")))
     val got = KafkaConsumeSource(StageContext(spark, Seq.empty, Cfg.of(
       "path" -> root, "topic" -> "t", "group_id" -> "g",
       "max_messages" -> 0L, "schema" -> "id LONG, name STRING")))
-    assert(got.count() === 1L)
+    assert(got.count() === 2L)
+    assert(got.agg(F.max("_kafka_offset")).head().getLong(0) === 1L)
   }
 
   test("BPE on empty corpora and empty strings") {

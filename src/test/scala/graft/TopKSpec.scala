@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.config.{Cfg, GraftConfigError}
+import graft.core.{GraftPlanError, StageContext}
+import graft.operators.{CompressibilityOp, DecontaminateOp, TopKOp}
+
+/** topk.approx (Misra-Gries heavy hitters), the decontaminate Bloom
+  * prefilter, and text.compressibility. */
+class TopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def wordsDf(words: Seq[String]) = words.toDF("w")
+
+  test("exact regime (capacity >= distincts) matches groupBy exactly") {
+    val data = Seq.fill(50)("a") ++ Seq.fill(30)("b") ++ Seq.fill(20)("c") ++
+      Seq.fill(20)("d") ++ Seq.fill(5)("e")
+    val got = TopKOp(StageContext.one(spark, wordsDf(scala.util.Random.shuffle(data)),
+      Cfg.of("column" -> "w", "k" -> 3, "capacity" -> 100)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // N=125, capacity=100 → bound floor(125/100)=1 rides on count_max
+    assert(got.toSeq === Seq(("a", 50L, 51L), ("b", 30L, 31L), ("c", 20L, 21L)))
+  }
+
+  test("ties at the k boundary break deterministically on term asc") {
+    val data = Seq.fill(10)("z") ++ Seq.fill(10)("a") ++ Seq.fill(10)("m") ++ Seq("x")
+    val got = TopKOp(StageContext.one(spark, wordsDf(data),
+      Cfg.of("column" -> "w", "k" -> 2, "capacity" -> 100)))
+      .collect().map(_.getString(0))
+    assert(got.toSeq === Seq("a", "m"))
+  }
+
+  test("approximate regime: MG bounds hold and heavy values are guaranteed") {
+    // one skewed partition: 1000 distinct light values + 3 heavy ones,
+    // capacity 50 forces constant eviction
+    val heavy = Seq.fill(400)("hh1") ++ Seq.fill(300)("hh2") ++ Seq.fill(200)("hh3")
+    val light = (1 to 1000).map(i => s"w$i")
+    val all = scala.util.Random.shuffle(heavy ++ light)
+    val df = wordsDf(all).repartition(1)
+    val truth = all.groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    val n = all.size.toLong
+    val cap = 50
+    val got = TopKOp(StageContext.one(spark, df,
+      Cfg.of("column" -> "w", "k" -> 10, "capacity" -> cap)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every estimate is an underestimate, and count_max bounds the truth
+    got.foreach { case (w, c, cMax) =>
+      assert(c <= truth(w), s"$w overestimated")
+      assert(truth(w) <= cMax, s"$w true count ${truth(w)} above bound $cMax")
+      assert(cMax === c + n / cap)
+    }
+    // classical MG guarantee: true count > N/capacity → must be reported
+    val reported = got.map(_._1).toSet
+    Seq("hh1", "hh2", "hh3").foreach(h =>
+      assert(reported.contains(h), s"heavy hitter $h (true=${truth(h)}, N/cap=${n / cap}) missing"))
+  }
+
+  test("tokenize mode counts whitespace tokens without materializing them") {
+    val docs = Seq("The quick brown fox", "the   QUICK fox", "fox").toDF("text")
+    val got = TopKOp(StageContext.one(spark, docs,
+      Cfg.of("column" -> "text", "tokenize" -> true, "k" -> 2, "capacity" -> 100)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("fox", 3L), ("quick", 2L)))
+  }
+
+  test("nulls are skipped; config errors are loud") {
+    val df = Seq(Some("a"), None, Some("a"), Some("b")).toDF("w")
+    val got = TopKOp(StageContext.one(spark, df,
+      Cfg.of("column" -> "w", "k" -> 5, "capacity" -> 10)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("a", 2L), ("b", 1L)))
+    intercept[GraftConfigError](TopKOp(StageContext.one(spark, df,
+      Cfg.of("column" -> "w", "k" -> 20, "capacity" -> 10))))
+    intercept[GraftPlanError](TopKOp(StageContext.one(spark, df,
+      Cfg.of("column" -> "nope"))))
+  }
+
+  test("decontaminate bloom prefilter is bit-identical to the exact path") {
+    val train = (1L to 60L).map(i =>
+      (i, if (i % 5 == 0) s"the shared leaked benchmark sentence number ${i % 3} repeated verbatim here"
+          else s"unique training document $i with its own words ${i * 7} ${i * 13}"))
+      .toDF("doc_id", "text")
+    val bench = (0L to 2L).map(j =>
+      (100L + j, s"the shared leaked benchmark sentence number $j repeated verbatim here"))
+      .toDF("doc_id", "text")
+    def run(bloom: Boolean) = DecontaminateOp(StageContext(spark, Seq(
+      "train" -> train, "bench" -> bench), Cfg.of(
+      "id_column" -> "doc_id", "column" -> "text", "n" -> 8,
+      "mode" -> "annotate", "bloom" -> bloom)))
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_matched_ngrams"),
+        r.getAs[Boolean]("contaminated")))
+    val exact = run(bloom = false)
+    val bloomed = run(bloom = true)
+    assert(bloomed === exact)
+    assert(exact.count(_._3) === 12, "every 5th doc shares benchmark 8-grams")
+  }
+
+  test("compressibility: boilerplate << prose << incompressible, empty is null") {
+    val rnd = new scala.util.Random(7)
+    val docs = Seq(
+      ("rep", "spam spam spam " * 200),
+      ("prose", "The quick brown fox jumps over the lazy dog while seventeen " +
+        "curious students watched from behind the old wooden fence near the river. " * 8),
+      ("junk", Array.fill(3000)(rnd.nextPrintableChar()).mkString),
+      ("empty", "")).toDF("id", "text")
+    val got = CompressibilityOp(StageContext.one(spark, docs, Cfg.of("column" -> "text")))
+      .collect().map(r => r.getString(0) -> Option(r.getAs[java.lang.Double]("compression_ratio")))
+      .toMap
+    assert(got("empty").isEmpty)
+    val (rep, prose, junk) = (got("rep").get, got("prose").get, got("junk").get)
+    assert(rep < 0.1, s"repetitive text should compress hard, got $rep")
+    assert(rep < prose && prose < junk, s"ordering violated: $rep, $prose, $junk")
+    assert(junk > 0.5, s"random text should barely compress, got $junk")
+  }
+}
