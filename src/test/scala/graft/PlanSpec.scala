@@ -96,4 +96,26 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Exchange"), s"$q shuffles a projection:\n" + p.take(2000))
     }
   }
+
+  test("topk.approx never shuffles the raw stream — summaries only") {
+    val p = plan("topk_tokens")
+    // the only hash exchange carries the per-partition sketch rows into
+    // the merge agg (plus a single-row broadcast for the N bound); the
+    // token stream itself lives and dies inside mapPartitions
+    assert(p.contains("MapPartitions"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1, p.take(3000))
+    assert(!p.contains("CartesianProduct"), "bound join degenerated")
+  }
+
+  test("bloom decontamination filters under the gram semi-join") {
+    val p = plan("decontaminate_bloom")
+    // the broadcast-Bloom UDF prefilter must sit below the LeftSemi join
+    // (candidate slice reaches the join, not the full exploded corpus)
+    val semiAt = p.indexOf("LeftSemi")
+    val bloomAt = p.indexOf("Filter UDF(__gram")
+    assert(semiAt >= 0, p.take(2000))
+    // printed tree is top-down: a child of the join appears LATER
+    assert(bloomAt > semiAt, "Bloom prefilter missing or above the semi-join:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"))
+  }
 }
