@@ -39,7 +39,11 @@ final class DagCompiler(registry: Registry) {
     pc.global.raw.longOpt("timeout_seconds") match {
       case None      => runBody(spark, pc)
       case Some(sec) =>
-        val group = s"graft-${pc.name}-${System.identityHashCode(pc)}"
+        // per-run nonce, NOT a stable hash of pc: cancelJobGroupAndFutureJobs
+        // registers the group id in the scheduler's cancelled set, so a
+        // re-run of the same config object under a reused id would have its
+        // jobs auto-cancelled at submission
+        val group = s"graft-${pc.name}-${java.util.UUID.randomUUID()}"
         val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
         import scala.concurrent.{Await, ExecutionContext, Future, TimeoutException}
         val fut = Future {
@@ -84,27 +88,27 @@ final class DagCompiler(registry: Registry) {
     // a failed run must not leak a pinned batch for the session lifetime
     val cleanups = mutable.Buffer[() => Unit]()
     var sinkFailed = false
-    val plans = compilePlans(spark, pc, defer = action => deferred += action,
-      cleanup = action => cleanups += action)
-
-    // compilePlans already persisted fan-out stages; remember them so the
-    // cache is dropped when the run finishes
-    val outDegree = fanOut(pc)
-    val persisted = plans.filter { case (id, df) => outDegree(id) > 1 && !df.isStreaming }
-
-    // execution_mode = "streaming": stream sinks start their query and
-    // return immediately (_defer_await); we await them all together below —
-    // N concurrent StreamingQueries under one deadline, vs batch mode's
-    // one-sink-at-a-time await inside stream.write itself.
-    val streamingMode = pc.global.executionMode == "streaming"
-    val preExisting = spark.streams.active.map(_.id).toSet
-
-    // actions: run every sink stage (a sink already executed its side
-    // effect lazily inside apply? No — sinks run on invocation, which
-    // happens during compile for sinks. To keep compile pure, sink stages
-    // are deferred: compilePlans wraps them; we trigger here.)
+    // compilePlans runs INSIDE the try: a compose-time failure (config
+    // error in a later stage) after earlier stages persisted caches —
+    // fan-out pins, eagerly-materialized operator pins — must still drain
+    // the cleanups queue, or those caches leak for the session lifetime.
+    // (compilePlans registers its fan-out unpersists in the same queue.)
     val results = mutable.LinkedHashMap[String, DataFrame]()
     try {
+      val plans = compilePlans(spark, pc, defer = action => deferred += action,
+        cleanup = action => cleanups += action)
+
+      // execution_mode = "streaming": stream sinks start their query and
+      // return immediately (_defer_await); we await them all together below —
+      // N concurrent StreamingQueries under one deadline, vs batch mode's
+      // one-sink-at-a-time await inside stream.write itself.
+      val streamingMode = pc.global.executionMode == "streaming"
+      val preExisting = spark.streams.active.map(_.id).toSet
+
+      // actions: run every sink stage (a sink already executed its side
+      // effect lazily inside apply? No — sinks run on invocation, which
+      // happens during compile for sinks. To keep compile pure, sink stages
+      // are deferred: compilePlans wraps them; we trigger here.)
       pc.stages.foreach { st =>
         val stage = registry.resolve(st.function)
         if (stage.kind == StageKind.Sink) {
@@ -134,7 +138,6 @@ final class DagCompiler(registry: Registry) {
       }
       if (!sinkFailed && !cancelled()) deferred.foreach(_())
     } finally {
-      persisted.values.foreach(_.unpersist(blocking = false))
       cleanups.foreach(c => try c() catch { case e: Exception =>
         System.err.println(s"[graft] cleanup failed: ${e.getMessage}") })
     }
@@ -177,8 +180,13 @@ final class DagCompiler(registry: Registry) {
         else st.config
         val df = stage(StageContext(spark, inputDfs, cfg, st.id,
           deferToSuccess = defer, deferToCleanup = cleanup))
-        if (outDegree(st.id) > 1 && !df.isStreaming && !explainOnly)
+        if (outDegree(st.id) > 1 && !df.isStreaming && !explainOnly) {
           df.persist(StorageLevel.MEMORY_AND_DISK)
+          // release registered HERE, not after compilePlans returns: a
+          // compose-time failure in a LATER stage must still drop this
+          // cache when the surrounding run's finally drains the queue
+          cleanup(() => df.unpersist(blocking = false))
+        }
         df
       }
     })

@@ -375,14 +375,21 @@ object KafkaCompactOp extends Stage {
     val dir = KafkaLog.topicDir(root, topic)
     val tmp = java.nio.file.Paths.get(dir.toString + ".compact.tmp")
     val hold = java.nio.file.Paths.get(dir.toString + ".compact.old")
-    // crash recovery BEFORE reading: a held old generation next to a topic
-    // dir with no partition dirs means a previous compact died between swap
-    // steps (1) and (2) below — restore it so this run compacts the real
-    // log; next to a populated topic dir the previous swap already
-    // installed its result, so the hold is garbage
+    // crash recovery BEFORE reading, PER PARTITION: a held partition dir
+    // missing from the topic dir means a previous compact died mid-swap
+    // (between steps (1) and (2) below, or partway through either move
+    // loop) before installing that partition — restore it so this run
+    // compacts the real log. A held partition that IS present in the
+    // topic dir was already replaced by its compacted copy (compaction
+    // only drops records, so a mixed old/new generation stays a
+    // consistent log) — that hold copy is garbage. All-or-nothing
+    // recovery would destroy the moved-aside partitions of a partial
+    // crash; this must stay per-partition.
     if (Files.isDirectory(hold)) {
-      if (partDirs(dir).isEmpty)
-        partDirs(hold).foreach(p => Files.move(p, dir.resolve(p.getFileName.toString)))
+      partDirs(hold).foreach { p =>
+        val target = dir.resolve(p.getFileName.toString)
+        if (!Files.isDirectory(target)) Files.move(p, target)
+      }
       deleteRec(hold)
     }
 

@@ -84,7 +84,11 @@ object TopKOp extends Stage {
         val s = r.getString(0)
         if (s != null) {
           if (!tokenize) offer(s)
-          else s.toLowerCase.trim.replaceAll("\\s+", " ").split(" ").foreach(offer)
+          // skip empty tokens: an empty/whitespace-only doc splits to [""]
+          // and a cleaned corpus full of them would surface "" as a
+          // heavy hitter (TextCleaning's tokenizers filter the same way)
+          else s.toLowerCase.trim.replaceAll("\\s+", " ").split(" ")
+            .foreach(t => if (t.nonEmpty) offer(t))
         }
       }
       val out = scala.collection.mutable.ArrayBuffer[Row](Row(null, n))

@@ -1465,7 +1465,8 @@ object ExtensionQueries {
     // (count desc, term asc). count_max restates the documented bound:
     // count + floor(total_tokens / capacity).
     QueryDef("topk_tokens",
-      s"""WITH toks AS (SELECT unnest($duckToks) AS term FROM documents WHERE text IS NOT NULL),
+      s"""WITH toks0 AS (SELECT unnest($duckToks) AS term FROM documents WHERE text IS NOT NULL),
+         |toks AS (SELECT term FROM toks0 WHERE term <> ''),
          |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
          |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS count FROM toks GROUP BY term)
          |SELECT term, count, CAST(count + (SELECT n // 200000 FROM tot) AS BIGINT) AS count_max

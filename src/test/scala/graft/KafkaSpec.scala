@@ -412,6 +412,67 @@ class KafkaSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir.toString + ".compact.old")))
   }
 
+  test("compact recovers a PARTIAL crashed swap per partition, losing nothing") {
+    val root = freshRoot()
+    // two-partition keyed topic
+    KafkaProduceSink(StageContext.one(spark, salesDf, Cfg.of(
+      "path" -> root, "topic" -> "sales", "key_field" -> "name",
+      "num_partitions" -> 2L)))
+    val dir = KafkaLog.topicDir(root, "sales")
+    val parts = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("partition=")).toList.sortBy(_.toString)
+    assert(parts.size === 2, "fixture needs records in both partitions")
+    // simulate a crash partway through swap step (1): only ONE partition
+    // was moved aside; the other still sits in the topic dir
+    val hold = java.nio.file.Paths.get(dir.toString + ".compact.old")
+    java.nio.file.Files.createDirectories(hold)
+    java.nio.file.Files.move(parts.head, hold.resolve(parts.head.getFileName.toString))
+    val compacted = graft.operators.KafkaCompactOp(StageContext(spark, Seq.empty,
+      Cfg.of("path" -> root, "topic" -> "sales"), "c"))
+    // all-or-nothing recovery would have deleted the held partition here
+    assert(compacted.count() === 3, "per-partition recovery must restore the held partition")
+    assert(!java.nio.file.Files.isDirectory(hold))
+    assert(consume(root, "group_id" -> "fresh", "max_messages" -> 0L).count() === 3)
+  }
+
+  test("a compose-time config error still drains registered cleanups") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_docs")
+    (1L to 20L).map(i => (i, s"some shared words plus unique token u$i here"))
+      .toDF("doc_id", "text").write.parquet(s"$tmp/documents.parquet")
+    // bloom decontaminate materializes its pinned benchmark grams EAGERLY
+    // at compose time (count + filter build); the next stage's unknown
+    // column then fails compose before any sink runs — the pinned cache
+    // must still release in the run's finally
+    val e = intercept[Exception] {
+      graft.core.DagCompiler.default.run(spark, graft.config.PipelineConfig.fromString(
+        s"""[pipeline]
+           |name = "composefail"
+           |[[stages]]
+           |id = "docs"
+           |function = "table.read"
+           |config = { dir = "$tmp", table = "documents" }
+           |[[stages]]
+           |id = "cleaned"
+           |function = "decontaminate.ngram"
+           |inputs = ["docs", "docs"]
+           |config = { column = "text", id_column = "doc_id", n = 3, mode = "filter", bloom = true }
+           |[[stages]]
+           |id = "boom"
+           |function = "filter.apply"
+           |inputs = ["cleaned"]
+           |config = { column = "no_such_column", operator = ">", value = 1 }
+           |[[stages]]
+           |id = "out"
+           |function = "noop.sink"
+           |inputs = ["boom"]
+           |""".stripMargin))
+    }
+    assert(spark.sparkContext.getPersistentRDDs.keySet === before,
+      "compose-time failure leaked a pinned cache")
+  }
+
   test("compact recovers a crashed swap: held old generation is restored") {
     val root = freshRoot()
     produce(root, "key_field" -> "name")

@@ -63,6 +63,16 @@ class TopKSpec extends SparkSpec {
     assert(got.toSeq === Seq(("fox", 3L), ("quick", 2L)))
   }
 
+  test("tokenize skips empty/whitespace-only docs instead of counting \"\"") {
+    // a cleaned corpus full of emptied docs must not surface "" as a
+    // heavy hitter (nor inflate N)
+    val docs = (Seq.fill(50)("") ++ Seq.fill(20)("   ") ++ Seq.fill(3)("word")).toDF("text")
+    val got = TopKOp(StageContext.one(spark, docs,
+      Cfg.of("column" -> "text", "tokenize" -> true, "k" -> 5, "capacity" -> 100)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("word", 3L, 3L)), got.mkString(","))
+  }
+
   test("nulls are skipped; config errors are loud") {
     val df = Seq(Some("a"), None, Some("a"), Some("b")).toDF("w")
     val got = TopKOp(StageContext.one(spark, df,
