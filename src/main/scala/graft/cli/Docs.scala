@@ -69,7 +69,7 @@ object Docs {
     "decrypt.apply" -> "decrypt columns (null per value on failure) - columns, algorithm, key_env",
     // training-data
     "dedup.exact" -> "exact dedup - columns, keep, order_by",
-    "dedup.minhash" -> "near-dedup, word-shingle MinHash LSH - id_column, text_column, threshold, bands, num_hashes; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate (all four families)",
+    "dedup.minhash" -> "near-dedup, word-shingle MinHash LSH - id_column, text_column, threshold, bands, num_hashes; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate (all four families); index_path = dedup a new batch against a persisted minhash index (index_append=true grows it on pipeline success)",
     "dedup.ngram" -> "near-dedup, char n-gram Jaccard - id_column, text_column, threshold, ngram_size",
     "dedup.substrings" -> "exact substring dedup (Lee et al. 2022 ExactSubstr): remove all but the first occurrence of any min_tokens-token verbatim repeat - column, id_column, min_tokens, stride (content-defined anchor sampling), mode=remove|annotate",
     "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance",
@@ -77,7 +77,7 @@ object Docs {
     "knn.bruteforce" -> "exact cosine top-k - query_id|query_vector, k",
     "knn.lsh" -> "ANN via hyperplane-LSH block buckets - query_id, k, num_planes, blocks; index_path probes a prebuilt lsh index (partition-pruned)",
     "knn.ivf" -> "ANN via IVF coarse quantizer - query_id, k, nprobe; index_path probes a prebuilt index, else nlist/seed/max_train train inline",
-    "index.build" -> "persist a vector index - path, type=ivf (cell-partitioned corpus + centroids; nlist, max_train) | lsh ((block,bucket)-partitioned tables; num_planes, blocks), vector_column, seed",
+    "index.build" -> "persist a similarity index - path, type=ivf (cell-partitioned corpus + centroids; nlist, max_train) | lsh ((block,bucket)-partitioned tables; num_planes, blocks) | minhash (text-dedup signature corpus for dedup.minhash index_path; id_column, text_column, shingle_size, num_hashes, bands), vector_column, seed",
     "text.stats" -> "length/punct/word stats - column",
     "text.langid" -> "n-gram/stopword language ID - column, output_column",
     "text.quality" -> "document quality score - column, output_column",
@@ -108,7 +108,8 @@ object Docs {
     "bpe.train" -> "learn BPE merges (Sennrich) - column, num_merges, top_words, sample_fraction, lowercase; emits (rank,left,right)",
     "tokenize.bpe" -> "apply BPE merges - column, merges=[\"l r\",...] or second input frame, count_column, tokens_column, max_merges",
     "decontaminate.ngram" -> "exact n-gram collision vs a benchmark table (GPT-3 13-gram / PaLM fraction) - two inputs; column, id_column, n, mode=annotate|filter|semi, min_matches|max_overlap, bloom (broadcast-Bloom prefilter, exact results), bloom_fpp",
-    "topk.approx" -> "bounded-memory heavy hitters (Misra-Gries; exact when per-partition distincts fit capacity) - column, k, capacity, tokenize; emits (term, count, count_max)",
+    "topk.approx" -> "bounded-memory heavy hitters (Misra-Gries; exact when per-partition distincts fit capacity) - column, k, capacity, tokenize, output=topk|summary; emits (term, count, count_max) or a mergeable (term, count, capacity) summary",
+    "topk.merge" -> "combine persisted topk.approx summaries into a global top-k (incremental corpus audits, no rescans) - N inputs; k; capacities must match",
     "text.compressibility" -> "Deflate compression-ratio quality signal (boilerplate ~0.1, prose ~0.3-0.6, junk ~1) - column, output_column, level",
     "mix.apply" -> "weighted domain mixing - N inputs; weights (expected copies per row), seed, id_column (per-row hash identity; default = row content), source_column (must not collide), sources, allow_missing_columns",
     "sample.importance" -> "DSIR importance resampling vs a target corpus - two inputs; column, id_column, max_ngram, hex_digits, smoothing, mode=annotate|topk|gumbel, k, seed",

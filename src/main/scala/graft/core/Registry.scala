@@ -79,7 +79,7 @@ object Registry {
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
     RedactOp, RepetitionOp, PackOp, HtmlStripOp, DedupLinesOp, SubstringDedupOp, UrlNormalizeOp,
     TextNormalizeOp, BpeTrainOp, BpeTokenizeOp, GopherQualityOp, LineFilterOp,
-    TopKOp, CompressibilityOp,
+    TopKOp, TopKMergeOp, CompressibilityOp,
     PerplexityOp, ChunkTextOp, SentencesOp, QualityClassifierTrainOp, QualityClassifierScoreOp,
     KnnBruteForceOp, KnnLshOp, KnnIvfOp, IndexBuildOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, functions => F}
 import org.apache.spark.sql.types.LongType
 import graft.config._
 import graft.core._
+import scala.jdk.CollectionConverters._
 
 /** Shared text→shingle machinery for the dedup family. Everything is
   * native Spark SQL functions (codegen'd, no UDFs in the hot path):
@@ -323,6 +324,38 @@ object LshVerify {
       .select("id_a", "id_b")
   }
 
+  /** Cross-frame variant: verified near-dup pairs BETWEEN two pre-hashed
+    * frames (both (id, shingles, sig) under the same signature config) —
+    * the incremental-dedup probe shape: `left` = the new batch, `right` =
+    * the persisted corpus index. Same banding/prefilter/verify ladder as
+    * the self-join; candidate rows stay narrow (ids + sigs), shingles
+    * join back by id only for surviving candidates. Returns (id_l, id_r). */
+  def verifiedCrossPairs(left: DataFrame, right: DataFrame,
+      bands: Int, r: Int, k: Int, threshold: Double): DataFrame = {
+    def banded(df: DataFrame, side: String) =
+      df.select(F.col("id").alias(s"id_$side"), F.col("sig").alias(s"sig_$side"),
+        F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
+          b => F.xxhash64(F.concat_ws("_", F.slice(F.col("sig"), b * F.lit(r) + 1, F.lit(r)))))))
+        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+
+    val agreement = F.aggregate(
+      F.zip_with(F.col("sig_l"), F.col("sig_r"), (x, y) => F.when(x === y, 1).otherwise(0)),
+      F.lit(0), (acc, v) => acc + v).cast("double") / k
+
+    val candidates = banded(left, "l").join(banded(right, "r"), Seq("band_idx", "band_hash"))
+      .select("id_l", "id_r", "sig_l", "sig_r")
+      .dropDuplicates("id_l", "id_r")
+      .filter(agreement >= math.max(0.0, threshold - 0.3))
+      .select("id_l", "id_r")
+
+    candidates
+      .join(left.select(F.col("id").alias("id_l"), F.col("shingles").alias("sh_l")), "id_l")
+      .join(right.select(F.col("id").alias("id_r"), F.col("shingles").alias("sh_r")), "id_r")
+      .withColumn("jaccard", jaccardUdf(F.col("sh_l"), F.col("sh_r")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_l", "id_r")
+  }
+
   /** exact Jaccard over (already-distinct) hash arrays — hash-set loop
     * instead of interpreted array_intersect/array_union per pair. */
   val jaccardUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
@@ -426,8 +459,90 @@ object DedupMinHashOp extends Stage {
 
   def apply(ctx: StageContext): DataFrame = {
     val id = ctx.cfg.str("id_column")
-    val dups = duplicateIds(ctx)
+    val dups = ctx.cfg.strOpt("index_path") match {
+      case Some(path) => incrementalDuplicateIds(ctx, path)
+      case None       => duplicateIds(ctx)
+    }
     ctx.primary.join(dups, ctx.primary(id) === dups("id"), "left_anti")
+  }
+
+  /** `index_path` mode — dedup THIS batch against a persisted
+    * `index.build type=minhash` corpus (plus within-batch pairs) without
+    * rescanning or re-hashing old text: the incremental-ingestion shape.
+    * Signature parameters come from the index's meta (a conflicting
+    * explicit config fails loud — mixed parameters would silently miss
+    * every cross match). A batch doc drops when it near-matches ANY
+    * indexed doc (the already-ingested corpus always wins — it cannot be
+    * un-ingested) or any lower-id batch doc (the pairwise rule). With
+    * batch ids above index ids this equals the full-corpus pairwise pass
+    * — the correctness gate pins exactly that equivalence. keep_by /
+    * transitive are batch-internal policies that cannot reach into an
+    * immutable index — rejected loudly rather than half-applied.
+    *
+    * `index_append = true` registers a deferred write (fires only after
+    * the surrounding pipeline's sinks succeed, kafka-commit style) adding
+    * the batch's surviving representatives to `corpus/` — the next batch
+    * then dedups against them too. */
+  private def incrementalDuplicateIds(ctx: StageContext, path: String): DataFrame = {
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val id = cfg.str("id_column")
+    val text = cfg.str("text_column")
+    Seq("keep_by", "transitive").foreach(kk => if (cfg.has(kk))
+      throw new GraftConfigError(s"dedup.minhash: '$kk' is not supported with index_path " +
+        "(the index is immutable — only the pairwise min-id policy is well-defined)"))
+
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val n = meta.getAs[Int]("shingle_size")
+    val k = meta.getAs[Int]("num_hashes")
+    val bands = meta.getAs[Int]("bands")
+    val seed = meta.getAs[Long]("seed")
+    Seq(("shingle_size", n.toLong), ("num_hashes", k.toLong), ("bands", bands.toLong),
+        ("seed", seed)).foreach { case (key, v) =>
+      cfg.longOpt(key).filter(_ != v).foreach(conflicting =>
+        throw new GraftConfigError(s"dedup.minhash: $key = $conflicting conflicts with " +
+          s"the index at $path ($key = $v) — cross matches would silently miss"))
+    }
+    val threshold = cfg.doubleOr("threshold", 0.8)
+    val r = k / bands
+
+    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(text).alias("_txt"))
+    val (reps, exactDups) = ExactCollapse(base, "id", "_txt", None, ctx.deferToCleanup)
+    val hashed = ctx.pin(reps.select(F.col("id"),
+        Shingles.shingleHashes(F.col("_txt"), n).alias("shingles"))
+      .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed)))
+
+    // SNAPSHOT the corpus file list now: parquet dir reads re-list at
+    // execution, so an index_append firing before the result is consumed
+    // (direct mode, or a second sink) would otherwise make the batch
+    // match ITSELF in the index and drop everything
+    val corpusFiles = {
+      val dir = java.nio.file.Paths.get(s"$path/corpus")
+      if (!java.nio.file.Files.isDirectory(dir)) throw new GraftPlanError(
+        s"dedup.minhash: no minhash index at $path — run index.build type=minhash first")
+      val stream = java.nio.file.Files.walk(dir)
+      try stream.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("part-") &&
+          p.getFileName.toString.endsWith(".parquet"))
+        .map(_.toString).toVector
+      finally stream.close()
+    }
+    val index = spark.read.parquet(corpusFiles: _*)
+    val vsIndex = LshVerify.verifiedCrossPairs(hashed, index, bands, r, k, threshold)
+      .select(F.col("id_l").alias("id"))
+    val inBatch = DedupPairs.dropped(
+      LshVerify.verifiedPairs(hashed, bands, r, k, threshold),
+      transitive = false, None, ctx.deferToCleanup)
+    val dropped = exactDups.unionByName(vsIndex).unionByName(inBatch).distinct()
+
+    if (cfg.boolOr("index_append", false) && !cfg.boolOr("_explain_only", false)) {
+      // survivors' representatives join the index only once the pipeline
+      // durably wrote its outputs — a failed run must not grow the index
+      val survivors = ctx.pin(hashed.join(dropped, Seq("id"), "left_anti"))
+      ctx.deferToSuccess(() =>
+        survivors.write.mode("append").parquet(s"$path/corpus"))
+    }
+    dropped
   }
 }
 

@@ -36,12 +36,21 @@ import graft.core._
   * byte-identical to text.tokens' ws_tokens tokenization).
   * Output: k rows (term, count, count_max), count descending, ties by
   * term ascending — deterministic for a fixed input.
+  *
+  * `output = "summary"` emits the mergeable summary itself instead of the
+  * top-k — (term, count, capacity) counter rows plus one null-term marker
+  * row carrying the frame's scanned-value total N — for INCREMENTAL
+  * corpus monitoring: sketch each ingestion batch once, persist the
+  * summaries (parquet.write), and `topk.merge` combines any number of
+  * them into a global top-k without ever rescanning old batches. Merging
+  * summed counters preserves the MG contract (Agarwal PODS'12): the
+  * merged undercount is ≤ floor(ΣN / capacity), the same bound formula.
   */
 object TopKOp extends Stage {
   val name = "topk.approx"
   val kind = StageKind.Transform
 
-  private val SketchSchema = StructType(Seq(
+  private[operators] val SketchSchema = StructType(Seq(
     StructField("__t", StringType, nullable = true),
     StructField("__c", LongType, nullable = false)))
 
@@ -52,6 +61,11 @@ object TopKOp extends Stage {
     val k = cfg.longOr("k", 100L).toInt
     val capacity = cfg.longOr("capacity", math.max(10L * k, 1000L)).toInt
     val tokenize = cfg.boolOr("tokenize", false)
+    val output = cfg.strOr("output", "topk") match {
+      case ok @ ("topk" | "summary") => ok
+      case other => throw new GraftConfigError(
+        s"topk.approx: output must be topk|summary, got '$other'")
+    }
     if (k < 1) throw new GraftConfigError(s"topk.approx: k must be >= 1, got $k")
     if (capacity < k) throw new GraftConfigError(
       s"topk.approx: capacity ($capacity) must be >= k ($k)")
@@ -96,17 +110,84 @@ object TopKOp extends Stage {
       out.iterator
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(SketchSchema))
 
-    // merge: summed sketch counts per term (≤ #partitions × capacity rows),
-    // global N from the marker rows, then the top-k with the bound column
-    val totals = sketches.filter(F.col("__t").isNull)
-      .agg(F.coalesce(F.sum("__c"), F.lit(0L)).as("__n"))
-    val merged = sketches.filter(F.col("__t").isNotNull)
-      .groupBy("__t").agg(F.sum("__c").as("count"))
+    output match {
+      case "summary" =>
+        // mergeable form: pre-combine the per-partition counters (the
+        // summary stays ≤ capacity + 1 rows after the merge agg) and tag
+        // the capacity so topk.merge can reject mismatched sketches
+        val counters = sketches.filter(F.col("__t").isNotNull)
+          .groupBy("__t").agg(F.sum("__c").as("count"))
+          .select(F.col("__t").as("term"), F.col("count"))
+        val marker = sketches.filter(F.col("__t").isNull)
+          .agg(F.coalesce(F.sum("__c"), F.lit(0L)).as("count"))
+          .select(F.lit(null).cast("string").as("term"), F.col("count"))
+        counters.unionByName(marker)
+          .withColumn("capacity", F.lit(capacity.toLong))
+      case _ => TopKMerge.finish(sketches.withColumnRenamed("__t", "term")
+          .withColumnRenamed("__c", "count"), k, capacity)
+    }
+  }
+}
+
+private[operators] object TopKMerge {
+  /** (term, count) rows with null-term N markers → deterministic top-k
+    * with the MG bound column. Shared by topk.approx and topk.merge. */
+  def finish(sketch: DataFrame, k: Int, capacity: Int): DataFrame = {
+    val totals = sketch.filter(F.col("term").isNull)
+      .agg(F.coalesce(F.sum("count"), F.lit(0L)).as("__n"))
+    val merged = sketch.filter(F.col("term").isNotNull)
+      .groupBy("term").agg(F.sum("count").as("count"))
     merged
       .crossJoin(F.broadcast(totals))
-      .select(F.col("__t").as("term"), F.col("count"),
-        (F.col("count") + F.col("__n") / F.lit(capacity.toLong)).cast("long").as("count_max"))
+      .select(F.col("term"), F.col("count"),
+        (F.col("count") + F.floor(F.col("__n") / F.lit(capacity.toLong))).cast("long").as("count_max"))
       .orderBy(F.col("count").desc, F.col("term").asc)
       .limit(k)
+  }
+}
+
+/** topk.merge — combine persisted topk.approx `output = "summary"` frames
+  * (any number of inputs, or one frame holding several batches' rows
+  * unioned/appended in one parquet dir) into the global top-k. Summed MG
+  * counters keep the mergeable-summaries contract: undercount ≤
+  * floor(ΣN / capacity). All summaries must share one capacity —
+  * mismatches fail loud (the bound formula would silently lie).
+  *
+  * The incremental path at 100 TB: each ingestion batch is sketched ONCE
+  * (its raw stream never shuffles), summaries of ≤ capacity+1 rows land
+  * in cheap storage, and the corpus-lifetime vocabulary/domain audit is a
+  * merge over megabytes instead of a rescan over everything.
+  */
+object TopKMergeOp extends Stage {
+  val name = "topk.merge"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val k = cfg.longOr("k", 100L).toInt
+    if (k < 1) throw new GraftConfigError(s"topk.merge: k must be >= 1, got $k")
+    if (ctx.inputs.isEmpty)
+      throw new GraftPlanError("topk.merge requires at least one summary input")
+    val frames = ctx.inputs.map(_._2)
+    frames.foreach { f =>
+      val missing = Seq("term", "count", "capacity").filterNot(f.columns.contains)
+      if (missing.nonEmpty) throw new GraftPlanError(
+        s"topk.merge: input lacks summary columns ${missing.mkString(", ")} — " +
+        "feed topk.approx output = \"summary\" frames")
+    }
+    val all = frames.reduce((a, b) =>
+      a.select("term", "count", "capacity").unionByName(b.select("term", "count", "capacity")))
+    // one tiny eager aggregate over summary rows: uniform capacity or fail
+    // loud. CLI explain stays job-free — plan with a placeholder bound.
+    val capacity =
+      if (cfg.boolOr("_explain_only", false)) 1
+      else {
+        val caps = all.select("capacity").distinct().collect().map(_.getLong(0))
+        if (caps.length != 1) throw new GraftConfigError(
+          s"topk.merge: summaries disagree on capacity (${caps.sorted.mkString(", ")}) — " +
+          "the merged error bound is only valid for one shared capacity")
+        caps.head.toInt
+      }
+    TopKMerge.finish(all.select("term", "count"), k, capacity)
   }
 }

@@ -50,9 +50,46 @@ object IndexBuildOp extends Stage {
     cfg.strOr("type", "ivf") match {
       case "ivf" => buildIvf(ctx)
       case "lsh" => buildLsh(ctx)
-      case other => throw new GraftConfigError(s"index.build type must be ivf|lsh, got '$other'")
+      case "minhash" => buildMinhash(ctx)
+      case other => throw new GraftConfigError(s"index.build type must be ivf|lsh|minhash, got '$other'")
     }
     ctx.primary
+  }
+
+  /** `type = "minhash"` — the text-dedup signature index: one pass hashes
+    * every document once (shingles + MinHash signature, the CPU-heavy
+    * step) and persists the narrow (id, sig, shingles) rows under
+    * `corpus/`, with the signature parameters under `meta/` so probes
+    * regenerate identical hashing. `dedup.minhash index_path = ...` then
+    * dedups NEW batches against the corpus without ever rescanning or
+    * re-hashing old text — the incremental-ingestion path at 100 TB.
+    * Indexes ALL input rows (not survivors of any dedup): a future batch
+    * must match documents that were themselves duplicates, exactly as a
+    * full-corpus pairwise pass would. Bands derive from the signature at
+    * probe time (narrow exprs) instead of being stored ×bands. */
+  private def buildMinhash(ctx: StageContext): Unit = {
+    val cfg = ctx.cfg
+    val path = cfg.str("path")
+    val id = cfg.strOr("id_column", "doc_id")
+    val text = cfg.strOr("text_column", "text")
+    val n = cfg.longOr("shingle_size", 3L).toInt
+    val k = cfg.longOr("num_hashes", 128L).toInt
+    val bands = cfg.longOr("bands", 32L).toInt
+    val seed = cfg.longOr("seed", 42L)
+    val mode = cfg.strOr("mode", "overwrite")
+    if (k % bands != 0) throw new GraftConfigError(
+      s"index.build type=minhash: num_hashes=$k must divide evenly into bands=$bands")
+
+    Parallelize(ctx)
+      .select(F.col(id).alias("id"),
+        Shingles.shingleHashes(F.col(text), n).alias("shingles"))
+      .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed))
+      .write.mode(mode).parquet(s"$path/corpus")
+
+    val spark = ctx.spark
+    import spark.implicits._
+    Seq((n, k, bands, seed)).toDF("shingle_size", "num_hashes", "bands", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   private def buildIvf(ctx: StageContext): Unit = {

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.{DataFrame, functions => F}
 import graft.config.Cfg
 import graft.core.StageContext
 import graft.operators._
@@ -104,6 +104,47 @@ object ExtensionQueries {
         "id_column" -> "doc_id", "text_column" -> "text",
         "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
         "threshold" -> 0.8, "seed" -> 42)))
+    },
+
+    // ---- incremental dedup against a persisted minhash index: batch 1
+    // (all documents) indexed via index.build type=minhash, batch 2 (exact
+    // copies of ids < 50, reversed texts of ids >= 400) deduped with
+    // index_path. With batch-2 ids above every indexed id, "the index
+    // always wins" equals the full-corpus pairwise min-id rule, so the
+    // oracle is one pairwise exact-Jaccard pass over the WHOLE union —
+    // copies drop (Jaccard 1 vs originals), reversed docs survive unless
+    // near-matching each other.
+    QueryDef("dedup_minhash_incremental",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 20000, reverse(text) FROM documents WHERE doc_id >= 400),
+        |toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM corpus),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM toks),
+        |dropped AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        |SELECT c.doc_id, c.text FROM corpus c
+        |WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val batch2 = docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 10000).as("doc_id"), F.col("text"))
+        .unionByName(docs.filter(F.col("doc_id") >= 400)
+          .select((F.col("doc_id") + 20000).as("doc_id"), F.reverse(F.col("text")).as("text")))
+      val idx = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+      IndexBuildOp(StageContext.one(s, docs, Cfg.of(
+        "type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+        "text_column" -> "text", "shingle_size" -> 3, "num_hashes" -> 128,
+        "bands" -> 32, "seed" -> 42)))
+      val d1 = DedupMinHashOp(StageContext.one(s, docs, Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
+        "threshold" -> 0.8, "seed" -> 42)))
+      val d2 = DedupMinHashOp(StageContext.one(s, batch2, Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "threshold" -> 0.8, "index_path" -> idx)))
+      d1.unionByName(d2)
     },
 
     // ---- dedup.minhash keep_by: survivor = highest-quality duplicate.
@@ -1473,6 +1514,26 @@ object ExtensionQueries {
          |FROM cnt ORDER BY count DESC, term LIMIT 40""".stripMargin) { (s, d) =>
       TopKOp(StageContext.one(s, t(s, d, "documents"), Cfg.of(
         "column" -> "text", "tokenize" -> true, "k" -> 40, "capacity" -> 200000)))
+    },
+
+    // ---- incremental sketch+merge path: each corpus half sketched
+    // independently (output=summary), merged into the global top-k — in
+    // the exact regime the merged counts equal the one-pass counts, so
+    // the oracle is the SAME whole-corpus SQL as topk_tokens.
+    QueryDef("topk_merge",
+      s"""WITH toks0 AS (SELECT unnest($duckToks) AS term FROM documents WHERE text IS NOT NULL),
+         |toks AS (SELECT term FROM toks0 WHERE term <> ''),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+         |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS count FROM toks GROUP BY term)
+         |SELECT term, count, CAST(count + (SELECT n // 200000 FROM tot) AS BIGINT) AS count_max
+         |FROM cnt ORDER BY count DESC, term LIMIT 40""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      def sketch(half: DataFrame) = TopKOp(StageContext.one(s, half, Cfg.of(
+        "column" -> "text", "tokenize" -> true, "capacity" -> 200000,
+        "output" -> "summary")))
+      TopKMergeOp(StageContext(s, Seq(
+        "even" -> sketch(docs.filter(F.col("doc_id") % 2 === 0)),
+        "odd" -> sketch(docs.filter(F.col("doc_id") % 2 =!= 0))), Cfg.of("k" -> 40)))
     },
 
     // ---- topk.approx on a plain (non-tokenized) low-cardinality column:

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.config.{Cfg, GraftConfigError}
+import graft.core.StageContext
+import graft.operators.{DedupMinHashOp, IndexBuildOp}
+
+/** index.build type=minhash + dedup.minhash index_path: the incremental
+  * text-dedup path — new batches dedup against a persisted signature
+  * corpus without rescanning it. */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(i: Long, words: String) = (i, words)
+
+  // base corpus: two distinct "topics" of word soup
+  private def corpus1 = Seq(
+    doc(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    doc(2, "one two three four five six seven eight nine ten"),
+    doc(3, "red orange yellow green blue indigo violet pink brown black")
+  ).toDF("doc_id", "text")
+
+  private def buildIndex(path: String): Unit =
+    IndexBuildOp(StageContext.one(spark, corpus1, Cfg.of(
+      "type" -> "minhash", "path" -> path, "id_column" -> "doc_id",
+      "text_column" -> "text", "shingle_size" -> 3, "num_hashes" -> 64,
+      "bands" -> 16, "seed" -> 7)))
+
+  test("new batch drops near-matches of the index, keeps novel docs") {
+    val idx = java.nio.file.Files.createTempDirectory("mh_idx").toString
+    buildIndex(idx)
+    val batch = Seq(
+      doc(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact copy of 1
+      doc(11, "one two three four five six seven eight nine ten eleven"),  // near-dup of 2
+      doc(12, "totally novel words about completely unrelated subject matter entirely"),
+      doc(13, "totally novel words about completely unrelated subject matter entirely") // in-batch dup of 12
+    ).toDF("doc_id", "text")
+    val got = DedupMinHashOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "threshold" -> 0.8, "index_path" -> idx)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(12L))
+  }
+
+  test("index_append grows the corpus: the next batch dedups against survivors") {
+    val idx = java.nio.file.Files.createTempDirectory("mh_idx2").toString
+    buildIndex(idx)
+    val batchA = Seq(
+      doc(20, "fresh unique sentence with its own particular vocabulary choices here")
+    ).toDF("doc_id", "text")
+    // direct invocation: deferToSuccess runs immediately → append happens now
+    val keptA = DedupMinHashOp(StageContext.one(spark, batchA, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "threshold" -> 0.8, "index_path" -> idx, "index_append" -> true)))
+    assert(keptA.count() === 1)
+    val batchB = Seq(
+      doc(30, "fresh unique sentence with its own particular vocabulary choices here"), // dup of 20
+      doc(31, "another brand new document unlike anything indexed so far truly")
+    ).toDF("doc_id", "text")
+    val keptB = DedupMinHashOp(StageContext.one(spark, batchB, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "threshold" -> 0.8, "index_path" -> idx)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptB.toSeq === Seq(31L), "batch A's survivor must be matchable after append")
+  }
+
+  test("conflicting signature params and batch-only policies fail loud") {
+    val idx = java.nio.file.Files.createTempDirectory("mh_idx3").toString
+    buildIndex(idx)
+    val batch = Seq(doc(40, "whatever words")).toDF("doc_id", "text")
+    def run(extra: (String, Any)*) = DedupMinHashOp(StageContext.one(spark, batch,
+      Cfg.of(Seq[(String, Any)]("id_column" -> "doc_id", "text_column" -> "text",
+        "index_path" -> idx) ++ extra: _*)))
+    intercept[GraftConfigError](run("num_hashes" -> 128))
+    intercept[GraftConfigError](run("seed" -> 99))
+    intercept[GraftConfigError](run("keep_by" -> "q"))
+    intercept[GraftConfigError](run("transitive" -> true))
+    // matching explicit params are accepted
+    assert(run("num_hashes" -> 64, "bands" -> 16).count() === 1)
+  }
+}

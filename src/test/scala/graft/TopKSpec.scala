@@ -85,6 +85,33 @@ class TopKSpec extends SparkSpec {
       Cfg.of("column" -> "nope"))))
   }
 
+  test("summary output + topk.merge equals the one-pass top-k (exact regime)") {
+    val batch1 = (Seq.fill(30)("a") ++ Seq.fill(10)("b") ++ Seq.fill(5)("c")).toDF("w")
+    val batch2 = (Seq.fill(5)("a") ++ Seq.fill(25)("b") ++ Seq.fill(8)("d")).toDF("w")
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TopKOp(StageContext.one(spark, df,
+        Cfg.of("column" -> "w", "capacity" -> 100, "output" -> "summary")))
+    // the summary frame round-trips through parquet (the incremental path)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sketch")
+    sketch(batch1).write.parquet(s"$dir/b1")
+    val merged = graft.operators.TopKMergeOp(StageContext(spark, Seq(
+      "b1" -> spark.read.parquet(s"$dir/b1"), "b2" -> sketch(batch2)),
+      Cfg.of("k" -> 3)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // direct one-pass over the union: a=35, b=35, c=5, d=8; N=83, bound 0
+    assert(merged.toSeq === Seq(("a", 35L, 35L), ("b", 35L, 35L), ("d", 8L, 8L)))
+  }
+
+  test("topk.merge rejects mismatched capacities and non-summary frames") {
+    def sk(cap: Int) = graft.operators.TopKOp(StageContext.one(spark,
+      Seq("x", "y").toDF("w"),
+      Cfg.of("column" -> "w", "capacity" -> cap, "output" -> "summary")))
+    intercept[GraftConfigError](graft.operators.TopKMergeOp(StageContext(spark,
+      Seq("a" -> sk(100), "b" -> sk(200)), Cfg.of("k" -> 5))).collect())
+    intercept[GraftPlanError](graft.operators.TopKMergeOp(StageContext(spark,
+      Seq("a" -> Seq("x").toDF("w")), Cfg.of("k" -> 5))))
+  }
+
   test("decontaminate bloom prefilter is bit-identical to the exact path") {
     val train = (1L to 60L).map(i =>
       (i, if (i % 5 == 0) s"the shared leaked benchmark sentence number ${i % 3} repeated verbatim here"
