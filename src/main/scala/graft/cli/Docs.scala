@@ -68,7 +68,7 @@ object Docs {
     "encrypt.apply" -> "encrypt columns - columns, algorithm: aes128-gcm|aes256-gcm|chacha20, key_env",
     "decrypt.apply" -> "decrypt columns (null per value on failure) - columns, algorithm, key_env",
     // training-data
-    "dedup.exact" -> "exact dedup - columns, keep, order_by",
+    "dedup.exact" -> "exact dedup - columns, keep, order_by; index_path = drop rows already in a persisted exact index (index_append=true grows it on pipeline success)",
     "dedup.minhash" -> "near-dedup, word-shingle MinHash LSH - id_column, text_column, threshold, bands, num_hashes; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate (all four families); index_path = dedup a new batch against a persisted minhash index (index_append=true grows it on pipeline success)",
     "dedup.ngram" -> "near-dedup, char n-gram Jaccard - id_column, text_column, threshold, ngram_size",
     "dedup.substrings" -> "exact substring dedup (Lee et al. 2022 ExactSubstr): remove all but the first occurrence of any min_tokens-token verbatim repeat - column, id_column, min_tokens, stride (content-defined anchor sampling), mode=remove|annotate",
@@ -77,7 +77,7 @@ object Docs {
     "knn.bruteforce" -> "exact cosine top-k - query_id|query_vector, k",
     "knn.lsh" -> "ANN via hyperplane-LSH block buckets - query_id, k, num_planes, blocks; index_path probes a prebuilt lsh index (partition-pruned)",
     "knn.ivf" -> "ANN via IVF coarse quantizer - query_id, k, nprobe; index_path probes a prebuilt index, else nlist/seed/max_train train inline",
-    "index.build" -> "persist a similarity index - path, type=ivf (cell-partitioned corpus + centroids; nlist, max_train) | lsh ((block,bucket)-partitioned tables; num_planes, blocks) | minhash (text-dedup signature corpus for dedup.minhash index_path; id_column, text_column, shingle_size, num_hashes, bands), vector_column, seed",
+    "index.build" -> "persist a similarity index - path, type=ivf (cell-partitioned corpus + centroids; nlist, max_train) | lsh ((block,bucket)-partitioned tables; num_planes, blocks) | minhash (text-dedup signature corpus for dedup.minhash index_path; id_column, text_column, shingle_size, num_hashes, bands) | exact (md5 content-key set for dedup.exact index_path; columns), vector_column, seed",
     "text.stats" -> "length/punct/word stats - column",
     "text.langid" -> "n-gram/stopword language ID - column, output_column",
     "text.quality" -> "document quality score - column, output_column",

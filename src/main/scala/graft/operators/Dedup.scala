@@ -390,7 +390,25 @@ object Parallelize {
 object DedupExactOp extends Stage {
   val name = "dedup.exact"
   val kind = StageKind.Transform
+
+  /** 128-bit content key over the dedup columns — md5 (not xxhash64) so
+    * (a) the DuckDB oracle can restate it verbatim and (b) collisions are
+    * out of reach at any corpus size where a 64-bit birthday bound is not
+    * (~4B rows). \\u0001 separates columns, \\u0002 stands in for null —
+    * ("ab","c") and ("a","bc") key differently, null differs from "null". */
+  private[operators] def contentKey(cols: Seq[String]): Column =
+    F.md5(F.concat_ws("\u0001",
+      cols.map(c => F.coalesce(F.col(c).cast("string"), F.lit("\u0002"))): _*).cast("binary"))
+
   def apply(ctx: StageContext): DataFrame = {
+    val batchDeduped = dedupBatch(ctx)
+    ctx.cfg.strOpt("index_path") match {
+      case None       => batchDeduped
+      case Some(path) => incremental(ctx, path, batchDeduped)
+    }
+  }
+
+  private def dedupBatch(ctx: StageContext): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val df = ctx.primary
     val cols = ctx.cfg.strListOr("columns", df.columns.toVector)
@@ -403,6 +421,53 @@ object DedupExactOp extends Stage {
         df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") === 1).drop("_rn")
       case other => throw new GraftConfigError(s"unknown keep '$other'")
     }
+  }
+
+  /** `index_path` — drop batch rows whose content key is already in an
+    * `index.build type=exact` corpus (after the within-batch keep rule):
+    * exact dedup of a new ingestion batch against everything already
+    * ingested, via one anti-join on narrow 128-bit keys — the corpus
+    * text itself is never read again. Same snapshot/append contract as
+    * dedup.minhash index_path: the file list is fixed at plan time, and
+    * `index_append = true` adds the survivors' keys on pipeline success. */
+  private def incremental(ctx: StageContext, path: String, batchDeduped: DataFrame): DataFrame = {
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val cols = cfg.strListOr("columns", ctx.primary.columns.toVector)
+    val metaRow = spark.read.parquet(s"$path/meta").head()
+    val metaCols = metaRow.getSeq[String](metaRow.fieldIndex("columns")).toVector
+    if (metaCols != cols.toVector) throw new GraftConfigError(
+      s"dedup.exact: columns ${cols.mkString(", ")} conflict with the index at $path " +
+      s"(built over ${metaCols.mkString(", ")}) — keys would never match")
+
+    val index = spark.read.parquet(IndexSnapshot.files(s"$path/corpus",
+      s"dedup.exact: no exact-dedup index at $path — run index.build type=exact first"): _*)
+    val keyed = batchDeduped.withColumn("_key", contentKey(cols))
+    val result = keyed
+      .join(index.select(F.col("key").alias("_key")), Seq("_key"), "left_anti")
+
+    if (cfg.boolOr("index_append", false) && !cfg.boolOr("_explain_only", false)) {
+      val survivors = ctx.pin(result.select(F.col("_key").alias("key")).distinct())
+      ctx.deferToSuccess(() =>
+        survivors.write.mode("append").parquet(s"$path/corpus"))
+    }
+    result.drop("_key")
+  }
+}
+
+/** Plan-time snapshot of an index corpus directory: parquet dir reads
+  * re-list at execution, so an `index_append` firing before the result is
+  * consumed would otherwise let a batch match itself. */
+private[operators] object IndexSnapshot {
+  def files(dir: String, missingMsg: String): Vector[String] = {
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.isDirectory(p)) throw new GraftPlanError(missingMsg)
+    val stream = java.nio.file.Files.walk(p)
+    try stream.iterator().asScala
+      .filter(q => q.getFileName.toString.startsWith("part-") &&
+        q.getFileName.toString.endsWith(".parquet"))
+      .map(_.toString).toVector
+    finally stream.close()
   }
 }
 
@@ -516,18 +581,8 @@ object DedupMinHashOp extends Stage {
     // execution, so an index_append firing before the result is consumed
     // (direct mode, or a second sink) would otherwise make the batch
     // match ITSELF in the index and drop everything
-    val corpusFiles = {
-      val dir = java.nio.file.Paths.get(s"$path/corpus")
-      if (!java.nio.file.Files.isDirectory(dir)) throw new GraftPlanError(
-        s"dedup.minhash: no minhash index at $path — run index.build type=minhash first")
-      val stream = java.nio.file.Files.walk(dir)
-      try stream.iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("part-") &&
-          p.getFileName.toString.endsWith(".parquet"))
-        .map(_.toString).toVector
-      finally stream.close()
-    }
-    val index = spark.read.parquet(corpusFiles: _*)
+    val index = spark.read.parquet(IndexSnapshot.files(s"$path/corpus",
+      s"dedup.minhash: no minhash index at $path — run index.build type=minhash first"): _*)
     val vsIndex = LshVerify.verifiedCrossPairs(hashed, index, bands, r, k, threshold)
       .select(F.col("id_l").alias("id"))
     val inBatch = DedupPairs.dropped(

@@ -51,7 +51,8 @@ object IndexBuildOp extends Stage {
       case "ivf" => buildIvf(ctx)
       case "lsh" => buildLsh(ctx)
       case "minhash" => buildMinhash(ctx)
-      case other => throw new GraftConfigError(s"index.build type must be ivf|lsh|minhash, got '$other'")
+      case "exact" => buildExact(ctx)
+      case other => throw new GraftConfigError(s"index.build type must be ivf|lsh|minhash|exact, got '$other'")
     }
     ctx.primary
   }
@@ -121,6 +122,23 @@ object IndexBuildOp extends Stage {
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode(mode).parquet(s"$path/centroids")
+  }
+
+  /** `type = "exact"` — the exact-dedup key set: distinct 128-bit md5
+    * content keys over `columns` (DedupExactOp.contentKey), for
+    * `dedup.exact index_path = ...` — a new batch drops already-ingested
+    * rows via one anti-join on narrow keys, never re-reading old data. */
+  private def buildExact(ctx: StageContext): Unit = {
+    val cfg = ctx.cfg
+    val path = cfg.str("path")
+    val cols = cfg.strListOr("columns", ctx.primary.columns.toVector)
+    val mode = cfg.strOr("mode", "overwrite")
+    ctx.primary.select(DedupExactOp.contentKey(cols).alias("key")).distinct()
+      .write.mode(mode).parquet(s"$path/corpus")
+    val spark = ctx.spark
+    import spark.implicits._
+    Seq(Tuple1(cols)).toDF("columns")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   private def buildLsh(ctx: StageContext): Unit = {

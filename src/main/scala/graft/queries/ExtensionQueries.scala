@@ -106,6 +106,37 @@ object ExtensionQueries {
         "threshold" -> 0.8, "seed" -> 42)))
     },
 
+    // ---- incremental EXACT dedup against a persisted key index: same
+    // equivalence shape as dedup_minhash_incremental — batch ids above
+    // index ids make "index wins" ≡ full-corpus keep-first — with the
+    // oracle one row_number pass over the union. Modified docs carry a
+    // per-row unique suffix, so they survive both engines.
+    QueryDef("dedup_exact_incremental",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 20000, text || ' zq' || CAST(doc_id AS VARCHAR)
+        |    FROM documents WHERE doc_id >= 450)
+        |SELECT doc_id, text FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM corpus)
+        |WHERE rn = 1""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val idx = java.nio.file.Files.createTempDirectory("graft_ex_idx").toString
+      IndexBuildOp(StageContext.one(s, docs, Cfg.of(
+        "type" -> "exact", "path" -> idx, "columns" -> Seq("text"))))
+      val batch2 = docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 10000).as("doc_id"), F.col("text"))
+        .unionByName(docs.filter(F.col("doc_id") >= 450)
+          .select((F.col("doc_id") + 20000).as("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq"), F.col("doc_id").cast("string")).as("text")))
+      val d1 = DedupExactOp(StageContext.one(s, docs, Cfg.of(
+        "columns" -> Seq("text"), "keep" -> "first", "order_by" -> Seq("doc_id"))))
+      val d2 = DedupExactOp(StageContext.one(s, batch2, Cfg.of(
+        "columns" -> Seq("text"), "keep" -> "first", "order_by" -> Seq("doc_id"),
+        "index_path" -> idx)))
+      d1.unionByName(d2)
+    },
+
     // ---- incremental dedup against a persisted minhash index: batch 1
     // (all documents) indexed via index.build type=minhash, batch 2 (exact
     // copies of ids < 50, reversed texts of ids >= 400) deduped with

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{functions => F}
 import graft.config.{Cfg, GraftConfigError}
 import graft.core.StageContext
-import graft.operators.{DedupMinHashOp, IndexBuildOp}
+import graft.operators.{DedupExactOp, DedupMinHashOp, IndexBuildOp}
 
 /** index.build type=minhash + dedup.minhash index_path: the incremental
   * text-dedup path — new batches dedup against a persisted signature
@@ -62,6 +62,29 @@ class IncrementalDedupSpec extends SparkSpec {
       "threshold" -> 0.8, "index_path" -> idx)))
       .select("doc_id").as[Long].collect().sorted
     assert(keptB.toSeq === Seq(31L), "batch A's survivor must be matchable after append")
+  }
+
+  test("dedup.exact index_path: key anti-join, append, column mismatch") {
+    val idx = java.nio.file.Files.createTempDirectory("ex_idx").toString
+    IndexBuildOp(StageContext.one(spark, corpus1, Cfg.of(
+      "type" -> "exact", "path" -> idx, "columns" -> Seq("text"))))
+    val batch = Seq(
+      doc(50, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // in index
+      doc(51, "novel document text here"),
+      doc(52, "novel document text here") // in-batch dup
+    ).toDF("doc_id", "text")
+    val kept = DedupExactOp(StageContext.one(spark, batch, Cfg.of(
+      "columns" -> Seq("text"), "keep" -> "first", "order_by" -> Seq("doc_id"),
+      "index_path" -> idx, "index_append" -> true)))
+    assert(kept.select("doc_id").as[Long].collect().sorted.toSeq === Seq(51L))
+    // append made 51's text part of the corpus for the next batch
+    val next = DedupExactOp(StageContext.one(spark,
+      Seq(doc(60, "novel document text here"), doc(61, "even newer")).toDF("doc_id", "text"),
+      Cfg.of("columns" -> Seq("text"), "keep" -> "any", "index_path" -> idx)))
+    assert(next.select("doc_id").as[Long].collect().toSeq === Seq(61L))
+    // column mismatch fails loud
+    intercept[GraftConfigError](DedupExactOp(StageContext.one(spark, batch, Cfg.of(
+      "columns" -> Seq("doc_id", "text"), "index_path" -> idx))))
   }
 
   test("conflicting signature params and batch-only policies fail loud") {
