@@ -434,14 +434,29 @@ object DedupExactOp extends Stage {
     val cfg = ctx.cfg
     val spark = ctx.spark
     val cols = cfg.strListOr("columns", ctx.primary.columns.toVector)
-    val metaRow = spark.read.parquet(s"$path/meta").head()
-    val metaCols = metaRow.getSeq[String](metaRow.fieldIndex("columns")).toVector
-    if (metaCols != cols.toVector) throw new GraftConfigError(
-      s"dedup.exact: columns ${cols.mkString(", ")} conflict with the index at $path " +
-      s"(built over ${metaCols.mkString(", ")}) — keys would never match")
+    // missing index under CLI explain → empty placeholder (the earlier
+    // skipped index.build barrier would have created it); see minhash
+    val placeholder = cfg.boolOr("_explain_only", false) &&
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+    if (!placeholder) {
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+        throw new GraftPlanError(
+          s"dedup.exact: no exact-dedup index at $path — run index.build type=exact first")
+      val metaRow = spark.read.parquet(s"$path/meta").head()
+      val metaCols = metaRow.getSeq[String](metaRow.fieldIndex("columns")).toVector
+      if (metaCols != cols.toVector) throw new GraftConfigError(
+        s"dedup.exact: columns ${cols.mkString(", ")} conflict with the index at $path " +
+        s"(built over ${metaCols.mkString(", ")}) — keys would never match")
+    }
 
-    val index = spark.read.parquet(IndexSnapshot.files(s"$path/corpus",
-      s"dedup.exact: no exact-dedup index at $path — run index.build type=exact first"): _*)
+    val index =
+      if (placeholder) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key",
+            org.apache.spark.sql.types.StringType))))
+      else spark.read.parquet(IndexSnapshot.files(s"$path/corpus",
+        s"dedup.exact: no exact-dedup index at $path — run index.build type=exact first"): _*)
     val keyed = batchDeduped.withColumn("_key", contentKey(cols))
     val result = keyed
       .join(index.select(F.col("key").alias("_key")), Seq("_key"), "left_anti")
@@ -557,17 +572,33 @@ object DedupMinHashOp extends Stage {
       throw new GraftConfigError(s"dedup.minhash: '$kk' is not supported with index_path " +
         "(the index is immutable — only the pairwise min-id policy is well-defined)"))
 
-    val meta = spark.read.parquet(s"$path/meta").head()
-    val n = meta.getAs[Int]("shingle_size")
-    val k = meta.getAs[Int]("num_hashes")
-    val bands = meta.getAs[Int]("bands")
-    val seed = meta.getAs[Long]("seed")
-    Seq(("shingle_size", n.toLong), ("num_hashes", k.toLong), ("bands", bands.toLong),
-        ("seed", seed)).foreach { case (key, v) =>
-      cfg.longOpt(key).filter(_ != v).foreach(conflicting =>
-        throw new GraftConfigError(s"dedup.minhash: $key = $conflicting conflicts with " +
-          s"the index at $path ($key = $v) — cross matches would silently miss"))
-    }
+    // CLI explain of a pipeline whose EARLIER index.build stage would have
+    // created the index (the barrier is skipped under explain): plan
+    // against an empty placeholder index with config-default parameters
+    // instead of failing — same contract as kafka.consume's missing-topic
+    // placeholder
+    val explainOnly = cfg.boolOr("_explain_only", false)
+    val placeholder = explainOnly &&
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+    val (n, k, bands, seed) =
+      if (placeholder)
+        (cfg.longOr("shingle_size", 3L).toInt, cfg.longOr("num_hashes", 128L).toInt,
+         cfg.longOr("bands", 32L).toInt, cfg.longOr("seed", 42L))
+      else {
+        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+          throw new GraftPlanError(
+            s"dedup.minhash: no minhash index at $path — run index.build type=minhash first")
+        val meta = spark.read.parquet(s"$path/meta").head()
+        val vals = (meta.getAs[Int]("shingle_size"), meta.getAs[Int]("num_hashes"),
+          meta.getAs[Int]("bands"), meta.getAs[Long]("seed"))
+        Seq(("shingle_size", vals._1.toLong), ("num_hashes", vals._2.toLong),
+            ("bands", vals._3.toLong), ("seed", vals._4)).foreach { case (key, v) =>
+          cfg.longOpt(key).filter(_ != v).foreach(conflicting =>
+            throw new GraftConfigError(s"dedup.minhash: $key = $conflicting conflicts with " +
+              s"the index at $path ($key = $v) — cross matches would silently miss"))
+        }
+        vals
+      }
     val threshold = cfg.doubleOr("threshold", 0.8)
     val r = k / bands
 
@@ -581,8 +612,17 @@ object DedupMinHashOp extends Stage {
     // execution, so an index_append firing before the result is consumed
     // (direct mode, or a second sink) would otherwise make the batch
     // match ITSELF in the index and drop everything
-    val index = spark.read.parquet(IndexSnapshot.files(s"$path/corpus",
-      s"dedup.minhash: no minhash index at $path — run index.build type=minhash first"): _*)
+    val index =
+      if (placeholder) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", hashed.schema("id").dataType),
+          org.apache.spark.sql.types.StructField("shingles",
+            org.apache.spark.sql.types.ArrayType(LongType)),
+          org.apache.spark.sql.types.StructField("sig",
+            org.apache.spark.sql.types.ArrayType(LongType)))))
+      else spark.read.parquet(IndexSnapshot.files(s"$path/corpus",
+        s"dedup.minhash: no minhash index at $path — run index.build type=minhash first"): _*)
     val vsIndex = LshVerify.verifiedCrossPairs(hashed, index, bands, r, k, threshold)
       .select(F.col("id_l").alias("id"))
     val inBatch = DedupPairs.dropped(

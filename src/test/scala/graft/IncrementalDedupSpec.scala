@@ -87,6 +87,23 @@ class IncrementalDedupSpec extends SparkSpec {
       "columns" -> Seq("doc_id", "text"), "index_path" -> idx))))
   }
 
+  test("explain plans against a missing index via an empty placeholder") {
+    // the earlier index.build barrier is skipped under explain, so the
+    // index may not exist yet — explain must still produce a plan
+    val ghost = java.nio.file.Files.createTempDirectory("mh_ghost").toString + "/nope"
+    val batch = Seq(doc(70, "anything at all")).toDF("doc_id", "text")
+    def explainCfg(extra: (String, Any)*) = Cfg.of(Seq[(String, Any)](
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "index_path" -> ghost, "_explain_only" -> true) ++ extra: _*)
+    assert(DedupMinHashOp(StageContext.one(spark, batch, explainCfg())).count() === 1)
+    assert(DedupExactOp(StageContext.one(spark, batch,
+      Cfg.of("columns" -> Seq("text"), "index_path" -> ghost, "_explain_only" -> true)))
+      .count() === 1)
+    // a real run against the missing index still fails loud
+    intercept[graft.core.GraftPlanError](DedupMinHashOp(StageContext.one(spark, batch,
+      Cfg.of("id_column" -> "doc_id", "text_column" -> "text", "index_path" -> ghost))))
+  }
+
   test("conflicting signature params and batch-only policies fail loud") {
     val idx = java.nio.file.Files.createTempDirectory("mh_idx3").toString
     buildIndex(idx)
