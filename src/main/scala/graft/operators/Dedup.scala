@@ -290,38 +290,50 @@ object DedupPairs {
 }
 
 object LshVerify {
-  /** input: (id, shingles, sig). Returns verified near-dup PAIRS
-    * (id_a < id_b); reduce with DedupPairs.dropped. */
-  def verifiedPairs(hashed: DataFrame, bands: Int, r: Int, k: Int, threshold: Double): DataFrame = {
-    val sigs = hashed.select(F.col("id"), F.col("sig"))
-    val banded = sigs.select(F.col("id"), F.col("sig"),
+  /** signature-agreement prefilter headroom: a candidate must estimate at
+    * least threshold - this before its shingles are ever touched (>= 4
+    * sigma of the k-sample Jaccard estimator at k >= 32). Shared by the
+    * self-join and cross-join paths — they MUST agree or the
+    * incremental-vs-full-corpus equivalence breaks. */
+  private val PrefilterSlack = 0.3
+
+  /** (band_idx, band_hash, id_<side>, sig_<side>) keys for the LSH bucket
+    * join — one row per (doc, band). */
+  private def bandedKeys(df: DataFrame, bands: Int, r: Int, side: String): DataFrame =
+    df.select(F.col("id").alias(s"id_$side"), F.col("sig").alias(s"sig_$side"),
       F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
         b => F.xxhash64(F.concat_ws("_", F.slice(F.col("sig"), b * F.lit(r) + 1, F.lit(r)))))))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
 
-    val lhs = banded.select(F.col("band_idx"), F.col("band_hash"),
-      F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    val rhs = banded.select(F.col("band_idx"), F.col("band_hash"),
-      F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-
-    val agreement = F.aggregate(
-      F.zip_with(F.col("sig_a"), F.col("sig_b"), (x, y) => F.when(x === y, 1).otherwise(0)),
+  /** unbiased k-sample Jaccard estimate from signature agreement */
+  private def sigAgreement(a: Column, b: Column, k: Int): Column =
+    F.aggregate(F.zip_with(a, b, (x, y) => F.when(x === y, 1).otherwise(0)),
       F.lit(0), (acc, v) => acc + v).cast("double") / k
 
-    val candidates = lhs.join(rhs, Seq("band_idx", "band_hash"))
+  /** exact-Jaccard verify of narrow candidate pairs: shingles re-attach by
+    * id only for candidates that survived the prefilter. */
+  private def verify(candidates: DataFrame, left: DataFrame, right: DataFrame,
+      lId: String, rId: String, threshold: Double): DataFrame =
+    candidates
+      .join(left.select(F.col("id").alias(lId), F.col("shingles").alias("sh_l")), lId)
+      .join(right.select(F.col("id").alias(rId), F.col("shingles").alias("sh_r")), rId)
+      .withColumn("jaccard", jaccardUdf(F.col("sh_l"), F.col("sh_r")))
+      .filter(F.col("jaccard") >= threshold)
+      .select(lId, rId)
+
+  /** input: (id, shingles, sig). Returns verified near-dup PAIRS
+    * (id_a < id_b); reduce with DedupPairs.dropped. */
+  def verifiedPairs(hashed: DataFrame, bands: Int, r: Int, k: Int, threshold: Double): DataFrame = {
+    val sigs = hashed.select(F.col("id"), F.col("sig"))
+    val candidates = bandedKeys(sigs, bands, r, "a")
+      .join(bandedKeys(sigs, bands, r, "b"), Seq("band_idx", "band_hash"))
       .filter(F.col("id_a") < F.col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b")
       .dropDuplicates("id_a", "id_b")
-      .filter(agreement >= math.max(0.0, threshold - 0.3))
+      .filter(sigAgreement(F.col("sig_a"), F.col("sig_b"), k) >=
+        math.max(0.0, threshold - PrefilterSlack))
       .select("id_a", "id_b")
-
-    val shA = hashed.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    val shB = hashed.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    candidates
-      .join(shA, "id_a").join(shB, "id_b")
-      .withColumn("jaccard", jaccardUdf(F.col("sh_a"), F.col("sh_b")))
-      .filter(F.col("jaccard") >= threshold)
-      .select("id_a", "id_b")
+    verify(candidates, hashed, hashed, "id_a", "id_b", threshold)
   }
 
   /** Cross-frame variant: verified near-dup pairs BETWEEN two pre-hashed
@@ -332,28 +344,14 @@ object LshVerify {
     * join back by id only for surviving candidates. Returns (id_l, id_r). */
   def verifiedCrossPairs(left: DataFrame, right: DataFrame,
       bands: Int, r: Int, k: Int, threshold: Double): DataFrame = {
-    def banded(df: DataFrame, side: String) =
-      df.select(F.col("id").alias(s"id_$side"), F.col("sig").alias(s"sig_$side"),
-        F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
-          b => F.xxhash64(F.concat_ws("_", F.slice(F.col("sig"), b * F.lit(r) + 1, F.lit(r)))))))
-        .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
-
-    val agreement = F.aggregate(
-      F.zip_with(F.col("sig_l"), F.col("sig_r"), (x, y) => F.when(x === y, 1).otherwise(0)),
-      F.lit(0), (acc, v) => acc + v).cast("double") / k
-
-    val candidates = banded(left, "l").join(banded(right, "r"), Seq("band_idx", "band_hash"))
+    val candidates = bandedKeys(left, bands, r, "l")
+      .join(bandedKeys(right, bands, r, "r"), Seq("band_idx", "band_hash"))
       .select("id_l", "id_r", "sig_l", "sig_r")
       .dropDuplicates("id_l", "id_r")
-      .filter(agreement >= math.max(0.0, threshold - 0.3))
+      .filter(sigAgreement(F.col("sig_l"), F.col("sig_r"), k) >=
+        math.max(0.0, threshold - PrefilterSlack))
       .select("id_l", "id_r")
-
-    candidates
-      .join(left.select(F.col("id").alias("id_l"), F.col("shingles").alias("sh_l")), "id_l")
-      .join(right.select(F.col("id").alias("id_r"), F.col("shingles").alias("sh_r")), "id_r")
-      .withColumn("jaccard", jaccardUdf(F.col("sh_l"), F.col("sh_r")))
-      .filter(F.col("jaccard") >= threshold)
-      .select("id_l", "id_r")
+    verify(candidates, left, right, "id_l", "id_r", threshold)
   }
 
   /** exact Jaccard over (already-distinct) hash arrays — hash-set loop
@@ -401,10 +399,17 @@ object DedupExactOp extends Stage {
       cols.map(c => F.coalesce(F.col(c).cast("string"), F.lit("\u0002"))): _*).cast("binary"))
 
   def apply(ctx: StageContext): DataFrame = {
-    val batchDeduped = dedupBatch(ctx)
     ctx.cfg.strOpt("index_path") match {
-      case None       => batchDeduped
-      case Some(path) => incremental(ctx, path, batchDeduped)
+      case None       => dedupBatch(ctx)
+      case Some(path) =>
+        // keep=last would pick the batch's newest copy and the index
+        // anti-join would then silently invert that to index-wins — the
+        // half-applied-policy trap dedup.minhash rejects too
+        if (ctx.cfg.strOr("keep", "any") == "last") throw new GraftConfigError(
+          "dedup.exact: keep=last is not supported with index_path — the index " +
+          "(already-ingested rows) always wins, which contradicts keep-the-latest; " +
+          "use keep=first|any")
+        incremental(ctx, path, dedupBatch(ctx))
     }
   }
 
@@ -479,8 +484,16 @@ private[operators] object IndexSnapshot {
     if (!java.nio.file.Files.isDirectory(p)) throw new GraftPlanError(missingMsg)
     val stream = java.nio.file.Files.walk(p)
     try stream.iterator().asScala
-      .filter(q => q.getFileName.toString.startsWith("part-") &&
-        q.getFileName.toString.endsWith(".parquet"))
+      .filter { q =>
+        val name = q.getFileName.toString
+        name.startsWith("part-") && name.endsWith(".parquet") &&
+        // skip Spark's uncommitted output (_temporary attempt dirs from a
+        // crashed append/build) and any other hidden dirs — committed
+        // part files live DIRECTLY under the corpus dir
+        !p.relativize(q).iterator().asScala.exists { seg =>
+          val s = seg.toString; s.startsWith("_") || s.startsWith(".")
+        }
+      }
       .map(_.toString).toVector
     finally stream.close()
   }
@@ -568,9 +581,12 @@ object DedupMinHashOp extends Stage {
     val spark = ctx.spark
     val id = cfg.str("id_column")
     val text = cfg.str("text_column")
-    Seq("keep_by", "transitive").foreach(kk => if (cfg.has(kk))
-      throw new GraftConfigError(s"dedup.minhash: '$kk' is not supported with index_path " +
-        "(the index is immutable — only the pairwise min-id policy is well-defined)"))
+    // value checks, not key-presence: an explicit transitive = false IS
+    // the behavior this mode implements
+    if (cfg.has("keep_by") || cfg.boolOr("transitive", false))
+      throw new GraftConfigError(
+        "dedup.minhash: keep_by / transitive=true are not supported with index_path " +
+        "(the index is immutable — only the pairwise min-id policy is well-defined)")
 
     // CLI explain of a pipeline whose EARLIER index.build stage would have
     // created the index (the barrier is skipped under explain): plan

@@ -110,20 +110,44 @@ object TopKOp extends Stage {
       out.iterator
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(SketchSchema))
 
+    // the sketch frame feeds two branches (counters + the N marker):
+    // pin it or the raw-stream pass runs twice — bounded cache,
+    // ≤ partitions × (capacity + 1) narrow rows
+    val pinned = ctx.pin(sketches.toDF())
+
     output match {
       case "summary" =>
-        // mergeable form: pre-combine the per-partition counters (the
-        // summary stays ≤ capacity + 1 rows after the merge agg) and tag
-        // the capacity so topk.merge can reject mismatched sketches
-        val counters = sketches.filter(F.col("__t").isNotNull)
+        // mergeable form, tagged with the capacity so topk.merge can
+        // reject mismatched sketches
+        val counters = pinned.filter(F.col("__t").isNotNull)
           .groupBy("__t").agg(F.sum("__c").as("count"))
           .select(F.col("__t").as("term"), F.col("count"))
-        val marker = sketches.filter(F.col("__t").isNull)
+        val marker = pinned.filter(F.col("__t").isNull)
           .agg(F.coalesce(F.sum("__c"), F.lit(0L)).as("count"))
           .select(F.lit(null).cast("string").as("term"), F.col("count"))
-        counters.unionByName(marker)
+        // merge-compress (Agarwal PODS'12): the per-partition union can
+        // hold up to partitions × capacity distinct terms — subtract the
+        // (capacity+1)-th largest merged count and drop non-positives, so
+        // the persisted summary is ≤ capacity rows and the per-term
+        // undercount stays inside the N/capacity budget the marker row
+        // carries (MG's bound is N/(capacity+1); ours is the looser
+        // floor(N/capacity), so count_max remains a true upper bound).
+        // One bounded eager job (top capacity+1 counts); skipped under
+        // CLI explain — the uncompressed summary is equally valid.
+        val kth =
+          if (cfg.boolOr("_explain_only", false)) 0L
+          else {
+            val top = counters.orderBy(F.col("count").desc).limit(capacity + 1)
+              .select("count").collect()
+            if (top.length <= capacity) 0L else top.map(_.getLong(0)).min
+          }
+        val compressed =
+          if (kth == 0L) counters
+          else counters.select(F.col("term"), (F.col("count") - kth).as("count"))
+            .filter(F.col("count") > 0)
+        compressed.unionByName(marker)
           .withColumn("capacity", F.lit(capacity.toLong))
-      case _ => TopKMerge.finish(sketches.withColumnRenamed("__t", "term")
+      case _ => TopKMerge.finish(pinned.withColumnRenamed("__t", "term")
           .withColumnRenamed("__c", "count"), k, capacity)
     }
   }
@@ -175,8 +199,12 @@ object TopKMergeOp extends Stage {
         s"topk.merge: input lacks summary columns ${missing.mkString(", ")} — " +
         "feed topk.approx output = \"summary\" frames")
     }
-    val all = frames.reduce((a, b) =>
-      a.select("term", "count", "capacity").unionByName(b.select("term", "count", "capacity")))
+    // pin BEFORE the capacity check: a live (un-persisted) topk.approx
+    // summary input would otherwise run its whole sketch pass once for
+    // the check and again for the merged top-k — bounded cache, summary
+    // rows only
+    val all = ctx.pin(frames.reduce((a, b) =>
+      a.select("term", "count", "capacity").unionByName(b.select("term", "count", "capacity"))))
     // one tiny eager aggregate over summary rows: uniform capacity or fail
     // loud. CLI explain stays job-free — plan with a placeholder bound.
     val capacity =

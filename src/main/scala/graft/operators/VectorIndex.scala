@@ -81,13 +81,27 @@ object IndexBuildOp extends Stage {
     if (k % bands != 0) throw new GraftConfigError(
       s"index.build type=minhash: num_hashes=$k must divide evenly into bands=$bands")
 
+    val spark = ctx.spark
+    // append must extend the EXISTING signature space: silently writing new
+    // meta over an old corpus (or appending differently-hashed rows) would
+    // make every cross match against the old portion miss
+    if (mode == "append" &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
+      val m = spark.read.parquet(s"$path/meta").head()
+      val existing = (m.getAs[Int]("shingle_size"), m.getAs[Int]("num_hashes"),
+        m.getAs[Int]("bands"), m.getAs[Long]("seed"))
+      if (existing != ((n, k, bands, seed))) throw new GraftConfigError(
+        s"index.build type=minhash mode=append: parameters (shingle_size=$n, " +
+        s"num_hashes=$k, bands=$bands, seed=$seed) differ from the existing index " +
+        s"at $path $existing — appending would mix incompatible signatures")
+    }
+
     Parallelize(ctx)
       .select(F.col(id).alias("id"),
         Shingles.shingleHashes(F.col(text), n).alias("shingles"))
       .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed))
       .write.mode(mode).parquet(s"$path/corpus")
 
-    val spark = ctx.spark
     import spark.implicits._
     Seq((n, k, bands, seed)).toDF("shingle_size", "num_hashes", "bands", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -133,9 +147,17 @@ object IndexBuildOp extends Stage {
     val path = cfg.str("path")
     val cols = cfg.strListOr("columns", ctx.primary.columns.toVector)
     val mode = cfg.strOr("mode", "overwrite")
+    val spark = ctx.spark
+    if (mode == "append" &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
+      val m = spark.read.parquet(s"$path/meta").head()
+      val existing = m.getSeq[String](m.fieldIndex("columns")).toVector
+      if (existing != cols.toVector) throw new GraftConfigError(
+        s"index.build type=exact mode=append: columns ${cols.mkString(", ")} differ " +
+        s"from the existing index at $path (${existing.mkString(", ")}) — keys would never match")
+    }
     ctx.primary.select(DedupExactOp.contentKey(cols).alias("key")).distinct()
       .write.mode(mode).parquet(s"$path/corpus")
-    val spark = ctx.spark
     import spark.implicits._
     Seq(Tuple1(cols)).toDF("columns")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
