@@ -877,9 +877,22 @@ object DedupEmbeddingOp extends Stage {
     val (reps, exactDups) = ExactCollapse(base, "id", "vec", rankKey, ctx.deferToCleanup)
     val sigs = ctx.pin(reps
       .withColumn("sig", hyperplaneSig(F.col("vec"), dim, h, seed)))
-    // candidate pairs stay NARROW (ids + 64-bit sigs, no vectors): the
-    // bucket self-join and pair dedup shuffle ~24 B/row instead of two
-    // full embedding payloads per row
+    val nearPairs = selfNearPairs(sigs, blocks, width, maxBits, threshold)
+    exactDups.unionByName(DedupPairs.dropped(nearPairs,
+      cfg.boolOr("transitive", false),
+      rankKey.map(DedupRank.ranks(base, "id", _)), ctx.deferToCleanup)).distinct()
+  }
+
+  /** blocked self-join over (id, vec, sig) reps → verified cosine pairs
+    * (id_a < id_b). Candidate pairs stay NARROW (ids + 64-bit sigs, no
+    * vectors): the bucket self-join and pair dedup shuffle ~24 B/row
+    * instead of two full embedding payloads per row; vectors re-attach
+    * only to surviving candidates — an equi-join on id that AQE turns
+    * into a broadcast when the corpus is small and a plain hash join
+    * keyed on id when it isn't (never force-broadcast the corpus: at
+    * 100 TB the candidate list is the small side). */
+  private def selfNearPairs(sigs: DataFrame, blocks: Int, width: Int,
+      maxBits: Int, threshold: Double): DataFrame = {
     val blocked = sigs.select(F.col("id"), F.col("sig"),
       F.posexplode(F.array((0 until blocks).map { j =>
         F.shiftrightunsigned(F.col("sig"), j * width).bitwiseAND(F.lit((1L << width) - 1L))
@@ -894,25 +907,132 @@ object DedupEmbeddingOp extends Stage {
       .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= maxBits)
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
 
-    // vectors re-attach only to surviving candidates — an equi-join on id
-    // that AQE turns into a broadcast when the corpus is small and a plain
-    // hash join keyed on id when it isn't (never force-broadcast the
-    // corpus: at 100 TB the candidate list is the small side)
     val vecs = sigs.select(F.col("id"), F.col("vec"))
-    val nearPairs = candidates
+    candidates
       .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "v_a"), Seq("id_a"))
       .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "v_b"), Seq("id_b"))
       .withColumn("cos", cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")))
       .filter(F.col("cos") >= threshold)
       .select("id_a", "id_b")
-    exactDups.unionByName(DedupPairs.dropped(nearPairs,
-      cfg.boolOr("transitive", false),
-      rankKey.map(DedupRank.ranks(base, "id", _)), ctx.deferToCleanup)).distinct()
+  }
+
+  /** `index_path` — dedup THIS batch against an `index.build type=lsh`
+    * corpus (plus within-batch pairs): the embedding sibling of
+    * dedup.minhash index_path, completing the incremental-ingestion
+    * triple (exact / minhash / embedding). The batch's block keys join
+    * the (block, bucket)-partitioned index — only colliding buckets are
+    * read — index-side signatures are recomputed ONLY for the rows those
+    * buckets hold (the index stores rows once per block; sigs are
+    * h·dim dot products, cheap next to shipping them ×blocks), the
+    * Hamming prefilter prunes on narrow sigs, and exact cosine verifies
+    * the survivors. Same snapshot / meta-validation / success-deferred
+    * `index_append` / explain-placeholder contract as the minhash path;
+    * keep_by and transitive=true are rejected (index wins, pairwise only).
+    * Appending requires the batch to carry the index's row columns. */
+  private def incrementalDuplicateIds(ctx: StageContext, path: String): DataFrame = {
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val id = cfg.str("id_column")
+    val vecCol = cfg.str("vector_column")
+    if (cfg.has("keep_by") || cfg.boolOr("transitive", false))
+      throw new GraftConfigError(
+        "dedup.embedding: keep_by / transitive=true are not supported with index_path " +
+        "(the index is immutable — only the pairwise min-id policy is well-defined)")
+    val threshold = cfg.doubleOr("threshold", 0.95)
+
+    val explainOnly = cfg.boolOr("_explain_only", false)
+    val placeholder = explainOnly &&
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+    val (h, blocks, seed, dim) =
+      if (placeholder)
+        (cfg.longOr("num_planes", 32L).toInt, cfg.longOr("blocks", 4L).toInt,
+         cfg.longOr("seed", 11L),
+         ctx.primary.select(F.size(F.col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0))
+      else {
+        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+          throw new GraftPlanError(
+            s"dedup.embedding: no lsh index at $path — run index.build type=lsh first")
+        val meta = spark.read.parquet(s"$path/meta").head()
+        val vals = (meta.getAs[Int]("num_planes"), meta.getAs[Int]("blocks"),
+          meta.getAs[Long]("seed"), meta.getAs[Int]("dim"))
+        Seq(("num_planes", vals._1.toLong), ("blocks", vals._2.toLong), ("seed", vals._3))
+          .foreach { case (key, v) =>
+            cfg.longOpt(key).filter(_ != v).foreach(conflicting =>
+              throw new GraftConfigError(s"dedup.embedding: $key = $conflicting conflicts " +
+                s"with the index at $path ($key = $v) — cross matches would silently miss"))
+          }
+        vals
+      }
+    val width = h / blocks
+    val expBits = h * (math.acos(math.min(1.0, threshold)) / math.Pi)
+    val maxBits = math.ceil(expBits + 4 * math.sqrt(h) / 2).toInt
+
+    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(vecCol).alias("vec"))
+    val (reps, exactDups) = ExactCollapse(base, "id", "vec", None, ctx.deferToCleanup)
+    val sigs = ctx.pin(reps.withColumn("sig", hyperplaneSig(F.col("vec"), dim, h, seed)))
+
+    val index =
+      if (placeholder) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(id, ctx.primary.schema(id).dataType),
+          org.apache.spark.sql.types.StructField(vecCol, ctx.primary.schema(vecCol).dataType),
+          org.apache.spark.sql.types.StructField("block", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bucket", LongType))))
+      else spark.read.option("basePath", s"$path/corpus")
+        .parquet(IndexSnapshot.files(s"$path/corpus",
+          s"dedup.embedding: no lsh index at $path — run index.build type=lsh first"): _*)
+
+    val batchBlocked = sigs.select(F.col("id").alias("id_l"), F.col("sig").alias("sig_l"),
+      F.posexplode(F.array((0 until blocks).map { j =>
+        F.shiftrightunsigned(F.col("sig"), j * width).bitwiseAND(F.lit((1L << width) - 1L))
+      }: _*)))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "bucket")
+      .withColumn("block", F.col("block").cast("int"))
+
+    val idxSide = index.select(F.col("block"), F.col("bucket"),
+      F.col(id).alias("id_r"), F.col(vecCol).alias("v_r"))
+      .withColumn("sig_r", hyperplaneSig(F.col("v_r"), dim, h, seed))
+
+    val crossDropped = batchBlocked.join(idxSide, Seq("block", "bucket"))
+      .filter(F.bit_count(F.col("sig_l").bitwiseXOR(F.col("sig_r"))) <= maxBits)
+      .select("id_l", "id_r", "v_r").dropDuplicates("id_l", "id_r")
+      .join(sigs.select(F.col("id").alias("id_l"), F.col("vec").alias("v_l")), Seq("id_l"))
+      .withColumn("cos", cosine(F.col("v_l").cast("array<double>"), F.col("v_r").cast("array<double>")))
+      .filter(F.col("cos") >= threshold)
+      .select(F.col("id_l").alias("id")).distinct()
+
+    val inBatch = DedupPairs.dropped(
+      selfNearPairs(sigs, blocks, width, maxBits, threshold),
+      transitive = false, None, ctx.deferToCleanup)
+    val dropped = exactDups.unionByName(crossDropped).unionByName(inBatch).distinct()
+
+    if (cfg.boolOr("index_append", false) && !explainOnly) {
+      val idxCols = index.columns.filterNot(c => c == "block" || c == "bucket").toVector
+      if (idxCols.sorted != ctx.primary.columns.toVector.sorted) throw new GraftConfigError(
+        s"dedup.embedding index_append: batch columns (${ctx.primary.columns.mkString(", ")}) " +
+        s"must match the index row columns (${idxCols.mkString(", ")})")
+      val survivorRows = ctx.primary.join(dropped,
+        ctx.primary(id) === dropped("id"), "left_anti")
+      val blockedRows = survivorRows
+        .withColumn("_sig", hyperplaneSig(F.col(vecCol), dim, h, seed))
+        .select(F.col("*"), F.posexplode(F.array((0 until blocks).map { j =>
+          F.shiftrightunsigned(F.col("_sig"), j * width).bitwiseAND(F.lit((1L << width) - 1L))
+        }: _*)).as(Seq("block", "bucket")))
+        .drop("_sig")
+      val pinnedAppend = ctx.pin(blockedRows)
+      ctx.deferToSuccess(() =>
+        pinnedAppend.write.mode("append").partitionBy("block", "bucket").parquet(s"$path/corpus"))
+    }
+    dropped
   }
 
   def apply(ctx: StageContext): DataFrame = {
     val id = ctx.cfg.str("id_column")
-    val dups = duplicateIds(ctx)
+    val dups = ctx.cfg.strOpt("index_path") match {
+      case Some(path) => incrementalDuplicateIds(ctx, path)
+      case None       => duplicateIds(ctx)
+    }
     ctx.primary.join(dups, ctx.primary(id) === dups("id"), "left_anti")
   }
 }

@@ -137,6 +137,29 @@ object ExtensionQueries {
       d1.unionByName(d2)
     },
 
+    // ---- incremental EMBEDDING dedup against a persisted lsh index (the
+    // third sibling): copies of every indexed vector drop (cosine 1 vs
+    // the index), negated vectors survive (cosine −1 vs their originals;
+    // pairwise cosines among negations equal the originals', which the
+    // dedup_embedding gate already pins as having no ≥ 0.95 pairs).
+    QueryDef("dedup_embedding_incremental",
+      "SELECT vec_id + 20000 AS vec_id, label FROM embeddings") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+      IndexBuildOp(StageContext.one(s, emb, Cfg.of(
+        "type" -> "lsh", "path" -> idx, "vector_column" -> "embedding",
+        "num_planes" -> 32, "blocks" -> 4, "seed" -> 11)))
+      val batch = emb.select((F.col("vec_id") + 10000).as("vec_id"),
+          F.col("embedding"), F.col("label"))
+        .unionByName(emb.select((F.col("vec_id") + 20000).as("vec_id"),
+          F.transform(F.col("embedding"), x => -x).cast("array<float>").as("embedding"),
+          F.col("label")))
+      DedupEmbeddingOp(StageContext.one(s, batch.select("vec_id", "embedding", "label"), Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "threshold" -> 0.95, "index_path" -> idx)))
+        .select("vec_id", "label")
+    },
+
     // ---- incremental dedup against a persisted minhash index: batch 1
     // (all documents) indexed via index.build type=minhash, batch 2 (exact
     // copies of ids < 50, reversed texts of ids >= 400) deduped with

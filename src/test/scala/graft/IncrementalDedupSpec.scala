@@ -87,6 +87,41 @@ class IncrementalDedupSpec extends SparkSpec {
       "columns" -> Seq("doc_id", "text"), "index_path" -> idx))))
   }
 
+  test("dedup.embedding index_path: drops index matches, append grows the lsh corpus") {
+    import graft.operators.DedupEmbeddingOp
+    val idx = java.nio.file.Files.createTempDirectory("lsh_idx").toString
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (1L, vec(1, 0, 0, 0)), (2L, vec(0, 1, 0, 0)), (3L, vec(0, 0, 1, 0))
+    ).toDF("vec_id", "embedding")
+    IndexBuildOp(StageContext.one(spark, corpus, Cfg.of(
+      "type" -> "lsh", "path" -> idx, "vector_column" -> "embedding",
+      "num_planes" -> 16, "blocks" -> 4, "seed" -> 11)))
+    val batch = Seq(
+      (10L, vec(1, 0, 0, 0)),        // exact copy of 1 → dropped vs index
+      (11L, vec(0.999, 0.04, 0, 0)), // near-dup of 1 → dropped vs index
+      (12L, vec(0, 0, 0, 1)),        // novel direction → kept
+      (13L, vec(0, 0, 0, 1))         // in-batch exact dup of 12 → dropped
+    ).toDF("vec_id", "embedding")
+    val kept = DedupEmbeddingOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "threshold" -> 0.95, "index_path" -> idx, "index_append" -> true)))
+    assert(kept.select("vec_id").as[Long].collect().sorted.toSeq === Seq(12L))
+    // append made 12 part of the corpus: its copy now drops
+    val next = DedupEmbeddingOp(StageContext.one(spark,
+      Seq((20L, vec(0, 0, 0, 1)), (21L, vec(1, 1, 1, 1))).toDF("vec_id", "embedding"),
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+        "threshold" -> 0.95, "index_path" -> idx)))
+    assert(next.select("vec_id").as[Long].collect().toSeq === Seq(21L))
+    // param conflicts and batch-only policies fail loud
+    intercept[GraftConfigError](DedupEmbeddingOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "index_path" -> idx, "num_planes" -> 64))))
+    intercept[GraftConfigError](DedupEmbeddingOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "index_path" -> idx, "keep_by" -> "q"))))
+  }
+
   test("explain plans against a missing index via an empty placeholder") {
     // the earlier index.build barrier is skipped under explain, so the
     // index may not exist yet — explain must still produce a plan
