@@ -826,6 +826,23 @@ object DedupEmbeddingOp extends Stage {
     }
   def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
 
+  /** the `blocks` bucket keys of a signature column — THE block-key
+    * expression: index.build type=lsh, the self-join, the index probe and
+    * index_append must all agree or buckets silently miss. */
+  def blockKeys(sig: Column, blocks: Int, width: Int): Column =
+    F.array((0 until blocks).map { j =>
+      F.shiftrightunsigned(sig, j * width).bitwiseAND(F.lit((1L << width) - 1L))
+    }: _*)
+
+  /** Hamming prefilter bound: a pair at cosine >= threshold differs on an
+    * expected h·acos(cos)/π bits; allow +4σ so recall stays ~1 while a
+    * random pair (expected h/2 differing bits) is almost surely cut
+    * before the exact-cosine verify. */
+  def maxBitsFor(h: Int, threshold: Double): Int = {
+    val expBits = h * (math.acos(math.min(1.0, threshold)) / math.Pi)
+    math.ceil(expBits + 4 * math.sqrt(h) / 2).toInt
+  }
+
   /** h-bit hyperplane signature of a float-array column (seeded, dim known);
     * one pass over the vector computing all h dots. */
   def hyperplaneSig(vec: Column, dim: Int, h: Int, seed: Long): Column = {
@@ -863,12 +880,7 @@ object DedupEmbeddingOp extends Stage {
         .headOption.map(_.getInt(0)).getOrElse(0))   // empty corpus → no-op
     val width = h / blocks
 
-    // Hamming prefilter bound: a pair at cosine >= threshold differs on an
-    // expected h·acos(cos)/π bits; allow +4σ so recall stays ~1 while a
-    // random pair (expected h/2 differing bits) is almost surely cut before
-    // the exact-cosine verify.
-    val expBits = h * (math.acos(math.min(1.0, threshold)) / math.Pi)
-    val maxBits = math.ceil(expBits + 4 * math.sqrt(h) / 2).toInt
+    val maxBits = maxBitsFor(h, threshold)
 
     val rankKey = DedupRank.keyFor(cfg, "id")
     val base = Parallelize(ctx).select(
@@ -894,9 +906,7 @@ object DedupEmbeddingOp extends Stage {
   private def selfNearPairs(sigs: DataFrame, blocks: Int, width: Int,
       maxBits: Int, threshold: Double): DataFrame = {
     val blocked = sigs.select(F.col("id"), F.col("sig"),
-      F.posexplode(F.array((0 until blocks).map { j =>
-        F.shiftrightunsigned(F.col("sig"), j * width).bitwiseAND(F.lit((1L << width) - 1L))
-      }: _*)))
+      F.posexplode(blockKeys(F.col("sig"), blocks, width)))
       .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_val")
 
     val lhs = blocked.select(F.col("block_idx"), F.col("block_val"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -947,7 +957,10 @@ object DedupEmbeddingOp extends Stage {
       if (placeholder)
         (cfg.longOr("num_planes", 32L).toInt, cfg.longOr("blocks", 4L).toInt,
          cfg.longOr("seed", 11L),
-         ctx.primary.select(F.size(F.col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0))
+         // explicit dim wins; only probe the input when it is absent —
+         // explain should not run upstream jobs the config makes avoidable
+         cfg.longOpt("dim").map(_.toInt).getOrElse(
+           ctx.primary.select(F.size(F.col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)))
       else {
         if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
           throw new GraftPlanError(
@@ -955,7 +968,8 @@ object DedupEmbeddingOp extends Stage {
         val meta = spark.read.parquet(s"$path/meta").head()
         val vals = (meta.getAs[Int]("num_planes"), meta.getAs[Int]("blocks"),
           meta.getAs[Long]("seed"), meta.getAs[Int]("dim"))
-        Seq(("num_planes", vals._1.toLong), ("blocks", vals._2.toLong), ("seed", vals._3))
+        Seq(("num_planes", vals._1.toLong), ("blocks", vals._2.toLong), ("seed", vals._3),
+            ("dim", vals._4.toLong))
           .foreach { case (key, v) =>
             cfg.longOpt(key).filter(_ != v).foreach(conflicting =>
               throw new GraftConfigError(s"dedup.embedding: $key = $conflicting conflicts " +
@@ -964,8 +978,7 @@ object DedupEmbeddingOp extends Stage {
         vals
       }
     val width = h / blocks
-    val expBits = h * (math.acos(math.min(1.0, threshold)) / math.Pi)
-    val maxBits = math.ceil(expBits + 4 * math.sqrt(h) / 2).toInt
+    val maxBits = maxBitsFor(h, threshold)
 
     val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(vecCol).alias("vec"))
     val (reps, exactDups) = ExactCollapse(base, "id", "vec", None, ctx.deferToCleanup)
@@ -984,9 +997,7 @@ object DedupEmbeddingOp extends Stage {
           s"dedup.embedding: no lsh index at $path — run index.build type=lsh first"): _*)
 
     val batchBlocked = sigs.select(F.col("id").alias("id_l"), F.col("sig").alias("sig_l"),
-      F.posexplode(F.array((0 until blocks).map { j =>
-        F.shiftrightunsigned(F.col("sig"), j * width).bitwiseAND(F.lit((1L << width) - 1L))
-      }: _*)))
+      F.posexplode(blockKeys(F.col("sig"), blocks, width)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "bucket")
       .withColumn("block", F.col("block").cast("int"))
 
@@ -994,9 +1005,14 @@ object DedupEmbeddingOp extends Stage {
       F.col(id).alias("id_r"), F.col(vecCol).alias("v_r"))
       .withColumn("sig_r", hyperplaneSig(F.col("v_r"), dim, h, seed))
 
+    // dedup on (id_l, id_r, v_r), NOT (id_l, id_r): index.build/append do
+    // not enforce id uniqueness, and collapsing two same-id rows with
+    // DIFFERENT vectors would verify an arbitrary one — every distinct
+    // vector gets its own cosine check (same-vector multi-block repeats
+    // still collapse)
     val crossDropped = batchBlocked.join(idxSide, Seq("block", "bucket"))
       .filter(F.bit_count(F.col("sig_l").bitwiseXOR(F.col("sig_r"))) <= maxBits)
-      .select("id_l", "id_r", "v_r").dropDuplicates("id_l", "id_r")
+      .select("id_l", "id_r", "v_r").dropDuplicates("id_l", "id_r", "v_r")
       .join(sigs.select(F.col("id").alias("id_l"), F.col("vec").alias("v_l")), Seq("id_l"))
       .withColumn("cos", cosine(F.col("v_l").cast("array<double>"), F.col("v_r").cast("array<double>")))
       .filter(F.col("cos") >= threshold)
@@ -1016,9 +1032,8 @@ object DedupEmbeddingOp extends Stage {
         ctx.primary(id) === dropped("id"), "left_anti")
       val blockedRows = survivorRows
         .withColumn("_sig", hyperplaneSig(F.col(vecCol), dim, h, seed))
-        .select(F.col("*"), F.posexplode(F.array((0 until blocks).map { j =>
-          F.shiftrightunsigned(F.col("_sig"), j * width).bitwiseAND(F.lit((1L << width) - 1L))
-        }: _*)).as(Seq("block", "bucket")))
+        .select(F.col("*"), F.posexplode(blockKeys(F.col("_sig"), blocks, width))
+          .as(Seq("block", "bucket")))
         .drop("_sig")
       val pinnedAppend = ctx.pin(blockedRows)
       ctx.deferToSuccess(() =>

@@ -182,11 +182,9 @@ object IndexBuildOp extends Stage {
       case None    => throw new GraftPlanError("index.build type=lsh: empty input, cannot infer dim")
     }
     val sig = DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed)
-    val mask = (1L << width) - 1L
     val exploded = ctx.primary.withColumn("_sig", sig)
-      .select(F.col("*"), F.posexplode(F.array((0 until blocks).map { j =>
-        F.shiftrightunsigned(F.col("_sig"), j * width).bitwiseAND(F.lit(mask))
-      }: _*)).as(Seq("block", "bucket")))
+      .select(F.col("*"), F.posexplode(
+        DedupEmbeddingOp.blockKeys(F.col("_sig"), blocks, width)).as(Seq("block", "bucket")))
       .drop("_sig")
     exploded.write.mode(mode).partitionBy("block", "bucket").parquet(s"$path/corpus")
 

@@ -134,6 +134,11 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(DedupExactOp(StageContext.one(spark, batch,
       Cfg.of("columns" -> Seq("text"), "index_path" -> ghost, "_explain_only" -> true)))
       .count() === 1)
+    val vbatch = Seq((71L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    assert(graft.operators.DedupEmbeddingOp(StageContext.one(spark, vbatch,
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+        "index_path" -> ghost, "_explain_only" -> true, "dim" -> 3)))
+      .count() === 1)
     // a real run against the missing index still fails loud
     intercept[graft.core.GraftPlanError](DedupMinHashOp(StageContext.one(spark, batch,
       Cfg.of("id_column" -> "doc_id", "text_column" -> "text", "index_path" -> ghost))))
