@@ -953,23 +953,24 @@ object DedupEmbeddingOp extends Stage {
     val explainOnly = cfg.boolOr("_explain_only", false)
     val placeholder = explainOnly &&
       !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
-    val (h, blocks, seed, dim) =
+    val (h, blocks, seed, dim, pdirs) =
       if (placeholder)
         (cfg.longOr("num_planes", 32L).toInt, cfg.longOr("blocks", 4L).toInt,
          cfg.longOr("seed", 11L),
          // explicit dim wins; only probe the input when it is absent —
          // explain should not run upstream jobs the config makes avoidable
          cfg.longOpt("dim").map(_.toInt).getOrElse(
-           ctx.primary.select(F.size(F.col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)))
+           ctx.primary.select(F.size(F.col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)),
+         cfg.longOr("partition_dirs", 64L).toInt)
       else {
         if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
           throw new GraftPlanError(
             s"dedup.embedding: no lsh index at $path — run index.build type=lsh first")
         val meta = spark.read.parquet(s"$path/meta").head()
         val vals = (meta.getAs[Int]("num_planes"), meta.getAs[Int]("blocks"),
-          meta.getAs[Long]("seed"), meta.getAs[Int]("dim"))
+          meta.getAs[Long]("seed"), meta.getAs[Int]("dim"), meta.getAs[Int]("pbuckets"))
         Seq(("num_planes", vals._1.toLong), ("blocks", vals._2.toLong), ("seed", vals._3),
-            ("dim", vals._4.toLong))
+            ("dim", vals._4.toLong), ("partition_dirs", vals._5.toLong))
           .foreach { case (key, v) =>
             cfg.longOpt(key).filter(_ != v).foreach(conflicting =>
               throw new GraftConfigError(s"dedup.embedding: $key = $conflicting conflicts " +
@@ -991,29 +992,37 @@ object DedupEmbeddingOp extends Stage {
           org.apache.spark.sql.types.StructField(id, ctx.primary.schema(id).dataType),
           org.apache.spark.sql.types.StructField(vecCol, ctx.primary.schema(vecCol).dataType),
           org.apache.spark.sql.types.StructField("block", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("pbucket", org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("bucket", LongType))))
       else spark.read.option("basePath", s"$path/corpus")
         .parquet(IndexSnapshot.files(s"$path/corpus",
           s"dedup.embedding: no lsh index at $path — run index.build type=lsh first"): _*)
 
+    // the batch side carries its vector THROUGH the bucket join (the batch
+    // is the small side of the incremental shape — vec × blocks rows),
+    // and every joined row is verified directly: no candidate
+    // dropDuplicates (a wide extra shuffle; and deduping (id_l, id_r)
+    // alone would pick an arbitrary vector when an appended index holds
+    // one id twice) and no re-attach joins. A pair colliding in several
+    // blocks recomputes one cosine per collision — cheap next to
+    // shuffling vector payloads again; the only exchange is the bucket
+    // join itself, on the pruned index slice.
     val batchBlocked = sigs.select(F.col("id").alias("id_l"), F.col("sig").alias("sig_l"),
+      F.col("vec").alias("v_l"),
       F.posexplode(blockKeys(F.col("sig"), blocks, width)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "bucket")
       .withColumn("block", F.col("block").cast("int"))
+      .withColumn("pbucket", (F.col("bucket") % pdirs).cast("int"))
 
-    val idxSide = index.select(F.col("block"), F.col("bucket"),
+    val idxSide = index.select(F.col("block"), F.col("pbucket"), F.col("bucket"),
       F.col(id).alias("id_r"), F.col(vecCol).alias("v_r"))
       .withColumn("sig_r", hyperplaneSig(F.col("v_r"), dim, h, seed))
 
-    // dedup on (id_l, id_r, v_r), NOT (id_l, id_r): index.build/append do
-    // not enforce id uniqueness, and collapsing two same-id rows with
-    // DIFFERENT vectors would verify an arbitrary one — every distinct
-    // vector gets its own cosine check (same-vector multi-block repeats
-    // still collapse)
-    val crossDropped = batchBlocked.join(idxSide, Seq("block", "bucket"))
+    // pbucket in the join key is redundant given bucket, but it is the
+    // PARTITION column — dynamic pruning can skip index dirs the batch
+    // never touches
+    val crossDropped = batchBlocked.join(idxSide, Seq("block", "pbucket", "bucket"))
       .filter(F.bit_count(F.col("sig_l").bitwiseXOR(F.col("sig_r"))) <= maxBits)
-      .select("id_l", "id_r", "v_r").dropDuplicates("id_l", "id_r", "v_r")
-      .join(sigs.select(F.col("id").alias("id_l"), F.col("vec").alias("v_l")), Seq("id_l"))
       .withColumn("cos", cosine(F.col("v_l").cast("array<double>"), F.col("v_r").cast("array<double>")))
       .filter(F.col("cos") >= threshold)
       .select(F.col("id_l").alias("id")).distinct()
@@ -1024,7 +1033,8 @@ object DedupEmbeddingOp extends Stage {
     val dropped = exactDups.unionByName(crossDropped).unionByName(inBatch).distinct()
 
     if (cfg.boolOr("index_append", false) && !explainOnly) {
-      val idxCols = index.columns.filterNot(c => c == "block" || c == "bucket").toVector
+      val idxCols = index.columns
+        .filterNot(c => c == "block" || c == "bucket" || c == "pbucket").toVector
       if (idxCols.sorted != ctx.primary.columns.toVector.sorted) throw new GraftConfigError(
         s"dedup.embedding index_append: batch columns (${ctx.primary.columns.mkString(", ")}) " +
         s"must match the index row columns (${idxCols.mkString(", ")})")
@@ -1035,9 +1045,13 @@ object DedupEmbeddingOp extends Stage {
         .select(F.col("*"), F.posexplode(blockKeys(F.col("_sig"), blocks, width))
           .as(Seq("block", "bucket")))
         .drop("_sig")
+        .withColumn("pbucket", (F.col("bucket") % pdirs).cast("int"))
       val pinnedAppend = ctx.pin(blockedRows)
+      // same dir co-location as index.build type=lsh: one appended file
+      // per populated dir, not one per (task × dir)
       ctx.deferToSuccess(() =>
-        pinnedAppend.write.mode("append").partitionBy("block", "bucket").parquet(s"$path/corpus"))
+        pinnedAppend.repartition(F.col("block"), F.col("pbucket"))
+          .write.mode("append").partitionBy("block", "pbucket").parquet(s"$path/corpus"))
     }
     dropped
   }

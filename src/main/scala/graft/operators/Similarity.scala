@@ -117,13 +117,20 @@ object KnnLshOp extends Stage {
         val mask = (1L << width) - 1L
         val qSig = querySig(q, dim, h, seed)
         // one (block, bucket) partition per block → `blocks` partitions read
+        val pd = meta.getAs[Int]("pbuckets")
+        // (block, pbucket) is the partition key — pruned at planning; the
+        // exact bucket equality is a residual data filter inside the
+        // pruned scan (the layout bounds dir count independently of
+        // signature width)
         val probe = (0 until blocks).map { j =>
-          F.col("block") === j && F.col("bucket") === ((qSig >>> (j * width)) & mask)
+          val qb = (qSig >>> (j * width)) & mask
+          F.col("block") === j && F.col("pbucket") === (qb % pd).toInt &&
+            F.col("bucket") === qb
         }.reduce(_ || _)
         topk(spark.read.parquet(s"$path/corpus")
           .filter(probe)
           .dropDuplicates(idCol)   // a candidate can match several blocks
-          .drop("block", "bucket"))
+          .drop("block", "bucket", "pbucket"))
       case None =>
         val h = cfg.longOr("num_planes", 16L).toInt
         val blocks = cfg.longOr("blocks", 4L).toInt

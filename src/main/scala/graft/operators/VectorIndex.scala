@@ -171,26 +171,50 @@ object IndexBuildOp extends Stage {
     val blocks = cfg.longOr("blocks", 4L).toInt
     val seed = cfg.longOr("seed", 11L)
     val mode = cfg.strOr("mode", "overwrite")
+    // partition DIRS per block — decoupled from the bucket space: the
+    // exact bucket is a data column and the dir key is bucket % P, so
+    // signature width buys prefilter selectivity without exploding the
+    // file system (2^width dirs of tiny files at small corpora; millions
+    // of dirs at wide signatures). Probes prune on (block, pbucket) and
+    // the residual bucket equality rides the scan.
+    val pdirs = cfg.longOr("partition_dirs", 64L).toInt
     val width = h / blocks
     if (h % blocks != 0) throw new GraftConfigError("num_planes must be divisible by blocks")
-    if (width > 12) throw new GraftConfigError(
-      s"num_planes/blocks = $width bits → ${1 << width} buckets per block; " +
-      "cap is 12 bits (4096) to bound the partition count — raise blocks or lower num_planes")
+    if (width > 16) throw new GraftConfigError(
+      s"num_planes/blocks = $width bits per block; cap is 16 — raise blocks or lower num_planes")
+    if (pdirs < 1) throw new GraftConfigError("partition_dirs must be >= 1")
 
     val dim = ctx.primary.select(F.size(F.col(vecCol))).head(1).headOption match {
       case Some(r) => r.getInt(0)
       case None    => throw new GraftPlanError("index.build type=lsh: empty input, cannot infer dim")
     }
+    val spark = ctx.spark
+    if (mode == "append" &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
+      val m = spark.read.parquet(s"$path/meta").head()
+      val existing = (m.getAs[Int]("num_planes"), m.getAs[Int]("blocks"),
+        m.getAs[Long]("seed"), m.getAs[Int]("dim"), m.getAs[Int]("pbuckets"))
+      if (existing != ((h, blocks, seed, dim, pdirs))) throw new GraftConfigError(
+        s"index.build type=lsh mode=append: parameters (num_planes=$h, blocks=$blocks, " +
+        s"seed=$seed, dim=$dim, partition_dirs=$pdirs) differ from the existing index " +
+        s"at $path $existing — appending would mix incompatible signatures")
+    }
+
     val sig = DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed)
     val exploded = ctx.primary.withColumn("_sig", sig)
       .select(F.col("*"), F.posexplode(
         DedupEmbeddingOp.blockKeys(F.col("_sig"), blocks, width)).as(Seq("block", "bucket")))
       .drop("_sig")
-    exploded.write.mode(mode).partitionBy("block", "bucket").parquet(s"$path/corpus")
+      .withColumn("pbucket", (F.col("bucket") % pdirs).cast("int"))
+    // co-locate each dir key before the partitioned write: without this
+    // every INPUT partition emits a file into every populated dir —
+    // input_partitions × blocks × pdirs tiny files vs one per dir
+    exploded.repartition(F.col("block"), F.col("pbucket"))
+      .write.mode(mode).partitionBy("block", "pbucket").parquet(s"$path/corpus")
 
-    val spark = ctx.spark
     import spark.implicits._
-    Seq((h, blocks, seed, dim)).toDF("num_planes", "blocks", "seed", "dim")
-      .coalesce(1).write.mode(mode).parquet(s"$path/meta")
+    Seq((h, blocks, seed, dim, pdirs))
+      .toDF("num_planes", "blocks", "seed", "dim", "pbuckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 }

@@ -146,9 +146,12 @@ object ExtensionQueries {
       "SELECT vec_id + 20000 AS vec_id, label FROM embeddings") { (s, d) =>
       val emb = t(s, d, "embeddings")
       val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx").toString
+      // full signature width (strong Hamming prefilter) with gate-scale
+      // dir count: partition_dirs bounds the layout at 4 × 16 = 64 dirs
+      // regardless of the 256-bucket signature space
       IndexBuildOp(StageContext.one(s, emb, Cfg.of(
         "type" -> "lsh", "path" -> idx, "vector_column" -> "embedding",
-        "num_planes" -> 32, "blocks" -> 4, "seed" -> 11)))
+        "num_planes" -> 32, "blocks" -> 4, "seed" -> 11, "partition_dirs" -> 16)))
       val batch = emb.select((F.col("vec_id") + 10000).as("vec_id"),
           F.col("embedding"), F.col("label"))
         .unionByName(emb.select((F.col("vec_id") + 20000).as("vec_id"),
