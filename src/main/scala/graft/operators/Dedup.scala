@@ -967,6 +967,9 @@ object DedupEmbeddingOp extends Stage {
           throw new GraftPlanError(
             s"dedup.embedding: no lsh index at $path — run index.build type=lsh first")
         val meta = spark.read.parquet(s"$path/meta").head()
+        if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
+          s"dedup.embedding: the index at $path predates the (block, pbucket) layout — " +
+          "rebuild it with index.build type=lsh mode=overwrite")
         val vals = (meta.getAs[Int]("num_planes"), meta.getAs[Int]("blocks"),
           meta.getAs[Long]("seed"), meta.getAs[Int]("dim"), meta.getAs[Int]("pbuckets"))
         Seq(("num_planes", vals._1.toLong), ("blocks", vals._2.toLong), ("seed", vals._3),

@@ -63,9 +63,10 @@ object KnnBruteForceOp extends Stage {
   * Two modes:
   *  - `index_path` (the 100 TB path): probe an [[IndexBuildOp]] type=lsh
   *    table. The corpus is stored once per block partitioned by
-  *    (block, bucket); the probe reads exactly `blocks` partitions —
-  *    (block=j AND bucket=qBlock_j) for each j — via parquet partition
-  *    pruning, dedupes candidates on the id, and scores them.
+  *    (block, bucket % partition_dirs) with the exact bucket as a data
+  *    column; the probe prunes to `blocks` partition dirs and applies the
+  *    exact bucket equality inside the pruned scan, dedupes candidates on
+  *    the id, and scores them.
   *  - inline: compute every row's signature in the scan and filter — one
   *    full scan but zero index maintenance.
   */
@@ -109,6 +110,9 @@ object KnnLshOp extends Stage {
             s"knn.lsh: no index at '$path' — run an index.build type=lsh stage first " +
             "(note: the CLI `explain` command never builds indexes)")
         val meta = spark.read.parquet(s"$path/meta").head()
+        if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
+          s"knn.lsh: the index at $path predates the (block, pbucket) layout — " +
+          "rebuild it with index.build type=lsh mode=overwrite")
         val h = meta.getAs[Int]("num_planes")
         val blocks = meta.getAs[Int]("blocks")
         val seed = meta.getAs[Long]("seed")
@@ -116,7 +120,6 @@ object KnnLshOp extends Stage {
         val width = h / blocks
         val mask = (1L << width) - 1L
         val qSig = querySig(q, dim, h, seed)
-        // one (block, bucket) partition per block → `blocks` partitions read
         val pd = meta.getAs[Int]("pbuckets")
         // (block, pbucket) is the partition key — pruned at planning; the
         // exact bucket equality is a residual data filter inside the

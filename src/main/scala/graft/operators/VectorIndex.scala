@@ -23,12 +23,13 @@ import graft.core._
   * `type = "lsh"` — the classic multi-probe LSH table layout: each row's
   * hyperplane signature (num_planes bits, same machinery as
   * dedup.embedding) splits into `blocks` bucket keys and the row is
-  * written once PER BLOCK, partitioned by (block, bucket) — storage
-  * amplification = blocks, probe cost = blocks partitions out of
-  * blocks × 2^(num_planes/blocks). meta/ records (num_planes, blocks,
-  * seed, dim) so probes regenerate the identical planes. `num_planes /
-  * blocks` is capped at 12 bits (4096 buckets/block) to bound the
-  * partition-directory count.
+  * written once PER BLOCK, partitioned by (block, bucket % partition_dirs)
+  * with the exact bucket as a data column — storage amplification =
+  * blocks, dir count bounded by blocks × partition_dirs REGARDLESS of
+  * signature width; probes prune on the partition key and apply the exact
+  * bucket equality as a residual scan filter. meta/ records (num_planes,
+  * blocks, seed, dim, pbuckets) so probes regenerate identical planes
+  * and dir keys.
   *
   * Rebuild = re-run with mode=overwrite (default). Pass-through stage:
   * returns its input, so it composes mid-pipeline like table.write.
@@ -85,6 +86,12 @@ object IndexBuildOp extends Stage {
     // append must extend the EXISTING signature space: silently writing new
     // meta over an old corpus (or appending differently-hashed rows) would
     // make every cross match against the old portion miss
+    if (mode == "append" &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/corpus")) &&
+        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+      throw new GraftConfigError(
+        s"index.build type=minhash mode=append: $path has a corpus but no meta (a crashed " +
+        "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
     if (mode == "append" &&
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
       val m = spark.read.parquet(s"$path/meta").head()
@@ -149,6 +156,12 @@ object IndexBuildOp extends Stage {
     val mode = cfg.strOr("mode", "overwrite")
     val spark = ctx.spark
     if (mode == "append" &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/corpus")) &&
+        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+      throw new GraftConfigError(
+        s"index.build type=exact mode=append: $path has a corpus but no meta (a crashed " +
+        "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
+    if (mode == "append" &&
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
       val m = spark.read.parquet(s"$path/meta").head()
       val existing = m.getSeq[String](m.fieldIndex("columns")).toVector
@@ -180,6 +193,9 @@ object IndexBuildOp extends Stage {
     val pdirs = cfg.longOr("partition_dirs", 64L).toInt
     val width = h / blocks
     if (h % blocks != 0) throw new GraftConfigError("num_planes must be divisible by blocks")
+    if (h > 64) throw new GraftConfigError(
+      s"num_planes = $h exceeds 64: signatures pack into one 64-bit long, and " +
+      "further planes would silently alias (shift amounts wrap mod 64)")
     if (width > 16) throw new GraftConfigError(
       s"num_planes/blocks = $width bits per block; cap is 16 — raise blocks or lower num_planes")
     if (pdirs < 1) throw new GraftConfigError("partition_dirs must be >= 1")
@@ -190,8 +206,17 @@ object IndexBuildOp extends Stage {
     }
     val spark = ctx.spark
     if (mode == "append" &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/corpus")) &&
+        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+      throw new GraftConfigError(
+        s"index.build type=lsh mode=append: $path has a corpus but no meta (a crashed " +
+        "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
+    if (mode == "append" &&
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
       val m = spark.read.parquet(s"$path/meta").head()
+      if (!m.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
+        s"index.build type=lsh mode=append: the index at $path predates the " +
+        "(block, pbucket) layout — rebuild with mode=overwrite")
       val existing = (m.getAs[Int]("num_planes"), m.getAs[Int]("blocks"),
         m.getAs[Long]("seed"), m.getAs[Int]("dim"), m.getAs[Int]("pbuckets"))
       if (existing != ((h, blocks, seed, dim, pdirs))) throw new GraftConfigError(
