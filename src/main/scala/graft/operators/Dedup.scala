@@ -812,8 +812,11 @@ object DedupEmbeddingOp extends Stage {
   val name = "dedup.embedding"
   val kind = StageKind.Transform
 
-  /** tight-loop cosine UDF (double arrays) — per-pair verify cost;
-    * interpreted zip_with/aggregate would pay per-element overhead. */
+  /** tight-loop cosine UDF (double arrays) — kept for spec parity checks;
+    * plan-side verification goes through the codegen'd `cosine_sim`
+    * Catalyst expression instead (identical math: min-length loop,
+    * dot/(|a||b|)), which fuses into WholeStageCodegen and skips the
+    * per-row Seq boxing this UDF pays. */
   val cosineUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     F.udf { (a: Seq[Double], b: Seq[Double]) =>
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -824,7 +827,8 @@ object DedupEmbeddingOp extends Stage {
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-  def cosine(a: Column, b: Column): Column = cosineUdf(a, b)
+  /** callers must GraftFunctions.ensureRegistered the session first */
+  def cosine(a: Column, b: Column): Column = F.call_function("cosine_sim", a, b)
 
   /** the `blocks` bucket keys of a signature column — THE block-key
     * expression: index.build type=lsh, the self-join, the index probe and
@@ -865,6 +869,7 @@ object DedupEmbeddingOp extends Stage {
   }
 
   def duplicateIds(ctx: StageContext): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val cfg = ctx.cfg
     val id = cfg.str("id_column")
     val vecCol = cfg.str("vector_column")
@@ -940,6 +945,7 @@ object DedupEmbeddingOp extends Stage {
     * keep_by and transitive=true are rejected (index wins, pairwise only).
     * Appending requires the batch to carry the index's row columns. */
   private def incrementalDuplicateIds(ctx: StageContext, path: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val cfg = ctx.cfg
     val spark = ctx.spark
     val id = cfg.str("id_column")

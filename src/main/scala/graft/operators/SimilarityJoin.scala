@@ -130,6 +130,7 @@ object SimilarJoinOp extends Stage {
 
   private def embeddingPairs(ctx: StageContext, left: DataFrame, right: DataFrame,
       leftId: String, rightId: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val cfg = ctx.cfg
     val leftVec = cfg.strOr("left_vector", cfg.strOr("vector_column", "embedding"))
     val rightVec = cfg.strOr("right_vector", cfg.strOr("vector_column", "embedding"))
