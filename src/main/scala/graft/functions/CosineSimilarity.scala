@@ -93,6 +93,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "cosine_sim requires exactly 2 arguments")
         CosineSimilarity(args.head, args(1))
+      }),
+    (new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSimilarity].getName, "jaccard_sim"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "jaccard_sim requires exactly 2 arguments")
+        JaccardSimilarity(args.head, args(1))
       }))
 
   /** Library-use path (no spark.sql.extensions conf needed): idempotently

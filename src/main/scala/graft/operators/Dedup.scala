@@ -317,7 +317,7 @@ object LshVerify {
     candidates
       .join(left.select(F.col("id").alias(lId), F.col("shingles").alias("sh_l")), lId)
       .join(right.select(F.col("id").alias(rId), F.col("shingles").alias("sh_r")), rId)
-      .withColumn("jaccard", jaccardUdf(F.col("sh_l"), F.col("sh_r")))
+      .withColumn("jaccard", F.call_function("jaccard_sim", F.col("sh_l"), F.col("sh_r")))
       .filter(F.col("jaccard") >= threshold)
       .select(lId, rId)
 
@@ -522,6 +522,7 @@ object DedupMinHashOp extends Stage {
 
   /** ids to drop (one column `id`) — exposed for tests/metrics. */
   def duplicateIds(ctx: StageContext): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val cfg = ctx.cfg
     val id = cfg.str("id_column")
     val text = cfg.str("text_column")
@@ -577,6 +578,7 @@ object DedupMinHashOp extends Stage {
     * the batch's surviving representatives to `corpus/` — the next batch
     * then dedups against them too. */
   private def incrementalDuplicateIds(ctx: StageContext, path: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val cfg = ctx.cfg
     val spark = ctx.spark
     val id = cfg.str("id_column")
@@ -767,6 +769,7 @@ object DedupNgramOp extends Stage {
   }
 
   def duplicateIds(ctx: StageContext): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val cfg = ctx.cfg
     val id = cfg.str("id_column")
     val text = cfg.str("text_column")

@@ -82,6 +82,7 @@ object SimilarJoinOp extends Stage {
 
   private def minhashPairs(ctx: StageContext, left: DataFrame, right: DataFrame,
       leftId: String, rightId: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val cfg = ctx.cfg
     val leftText = cfg.strOr("left_text", cfg.strOr("text_column", "text"))
     val rightText = cfg.strOr("right_text", cfg.strOr("text_column", "text"))
@@ -121,7 +122,7 @@ object SimilarJoinOp extends Stage {
     val verified = candidates
       .join(hl.select(F.col("id").alias("rep_l"), F.col("shingles").alias("sh_l")), "rep_l")
       .join(hr.select(F.col("id").alias("rep_r"), F.col("shingles").alias("sh_r")), "rep_r")
-      .withColumn("jaccard", LshVerify.jaccardUdf(F.col("sh_l"), F.col("sh_r")))
+      .withColumn("jaccard", F.call_function("jaccard_sim", F.col("sh_l"), F.col("sh_r")))
       .filter(F.col("jaccard") >= threshold)
       .select("rep_l", "rep_r", "jaccard")
 
