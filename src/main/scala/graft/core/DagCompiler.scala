@@ -166,6 +166,10 @@ final class DagCompiler(registry: Registry) {
       cleanup: (() => Unit) => Unit = StageContext.KeepPinned): Map[String, DataFrame] = {
     val outDegree = fanOut(pc)
     val memo = mutable.Map[String, DataFrame]()
+    // one claim set per compile = per pipeline run: single-writer resources
+    // (index_append paths) are claimed at PLAN time, so `explain` rejects a
+    // double-appender pipeline as loudly as `run` does
+    val claims = mutable.Set[String]()
     def plan(id: String): DataFrame = memo.getOrElseUpdate(id, {
       val st = pc.stageById(id).getOrElse(throw new GraftPlanError(s"unknown stage '$id'"))
       val stage = registry.resolve(st.function)
@@ -179,7 +183,7 @@ final class DagCompiler(registry: Registry) {
           graft.config.Cfg(st.config.table + ("_explain_only" -> graft.config.CBool(true)))
         else st.config
         val df = stage(StageContext(spark, inputDfs, cfg, st.id,
-          deferToSuccess = defer, deferToCleanup = cleanup))
+          deferToSuccess = defer, deferToCleanup = cleanup, claims = claims))
         if (outDegree(st.id) > 1 && !df.isStreaming && !explainOnly) {
           df.persist(StorageLevel.MEMORY_AND_DISK)
           // release registered HERE, not after compilePlans returns: a

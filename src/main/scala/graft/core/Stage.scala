@@ -58,8 +58,20 @@ final case class StageContext(
       * plan whose consumption happens later, so releasing eagerly would
       * recompute the very chain the persist pins (bounded caches only —
       * stages document their direct-mode footprint). */
-    deferToCleanup: (() => Unit) => Unit = StageContext.KeepPinned
+    deferToCleanup: (() => Unit) => Unit = StageContext.KeepPinned,
+    /** Per-pipeline-run claim registry for resources that admit exactly ONE
+      * writer per run (e.g. an `index_path` with `index_append = true`:
+      * two appender stages would each snapshot the corpus before the
+      * other's deferred append fires, so neither dedups against the
+      * other's survivors and duplicates silently enter the index).
+      * DagCompiler shares one set across a pipeline's stages; the default
+      * fresh set means directly-invoked stages (tests, SparkEntry) never
+      * conflict — each invocation IS its own run. */
+    claims: scala.collection.mutable.Set[String] = scala.collection.mutable.Set.empty
 ) {
+  /** True the first time `key` is claimed within this run; false when an
+    * earlier stage of the same run already holds it. */
+  def claimOnce(key: String): Boolean = claims.add(key)
   def primary: DataFrame = inputs.headOption.map(_._2).getOrElse(
     throw new GraftPlanError(s"stage '$stageId' requires at least one input"))
   /** Persist `df` and register its release with deferToCleanup: inside a

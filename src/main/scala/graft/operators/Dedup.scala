@@ -390,13 +390,19 @@ object DedupExactOp extends Stage {
   val kind = StageKind.Transform
 
   /** 128-bit content key over the dedup columns — md5 (not xxhash64) so
-    * (a) the DuckDB oracle can restate it verbatim and (b) collisions are
-    * out of reach at any corpus size where a 64-bit birthday bound is not
-    * (~4B rows). \\u0001 separates columns, \\u0002 stands in for null —
-    * ("ab","c") and ("a","bc") key differently, null differs from "null". */
+    * collisions are out of reach at any corpus size where a 64-bit
+    * birthday bound is not (~4B rows). Each column contributes a
+    * FIXED-WIDTH token — 'n' for null, 'v' + md5(value) otherwise — and
+    * the key is the md5 of the token concatenation: no input byte
+    * sequence can shift a column boundary (a separator-join would let
+    * ("x<sep>y","z") alias ("x","y<sep>z")) and no value can impersonate
+    * null (a sentinel would collide with a literal occurrence of
+    * itself). */
   private[operators] def contentKey(cols: Seq[String]): Column =
-    F.md5(F.concat_ws("\u0001",
-      cols.map(c => F.coalesce(F.col(c).cast("string"), F.lit("\u0002"))): _*).cast("binary"))
+    F.md5(F.concat(cols.map { c =>
+      F.when(F.col(c).isNull, F.lit("n"))
+        .otherwise(F.concat(F.lit("v"), F.md5(F.col(c).cast("string").cast("binary"))))
+    }: _*).cast("binary"))
 
   def apply(ctx: StageContext): DataFrame = {
     ctx.cfg.strOpt("index_path") match {
@@ -454,22 +460,26 @@ object DedupExactOp extends Stage {
         s"(built over ${metaCols.mkString(", ")}) — keys would never match")
     }
 
+    val streamTag = cfg.strOpt("_stream_batch_tag")
+    val corpusSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("key",
+        org.apache.spark.sql.types.StringType)))
     val index =
       if (placeholder) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("key",
-            org.apache.spark.sql.types.StringType))))
-      else spark.read.parquet(IndexSnapshot.files(s"$path/corpus",
-        s"dedup.exact: no exact-dedup index at $path — run index.build type=exact first"): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
+      else IndexSnapshot.read(spark, s"$path/corpus",
+        s"dedup.exact: no exact-dedup index at $path — run index.build type=exact first",
+        corpusSchema, excludeDir = streamTag)
     val keyed = batchDeduped.withColumn("_key", contentKey(cols))
     val result = keyed
       .join(index.select(F.col("key").alias("_key")), Seq("_key"), "left_anti")
 
-    if (cfg.boolOr("index_append", false) && !cfg.boolOr("_explain_only", false)) {
-      val survivors = ctx.pin(result.select(F.col("_key").alias("key")).distinct())
-      ctx.deferToSuccess(() =>
-        survivors.write.mode("append").parquet(s"$path/corpus"))
+    if (cfg.boolOr("index_append", false)) {
+      IndexSnapshot.claimAppend(ctx, "dedup.exact", path)
+      if (!cfg.boolOr("_explain_only", false)) {
+        val survivors = ctx.pin(result.select(F.col("_key").alias("key")).distinct())
+        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, s"$path/corpus", streamTag))
+      }
     }
     result.drop("_key")
   }
@@ -479,7 +489,56 @@ object DedupExactOp extends Stage {
   * re-list at execution, so an `index_append` firing before the result is
   * consumed would otherwise let a batch match itself. */
 private[operators] object IndexSnapshot {
-  def files(dir: String, missingMsg: String): Vector[String] = {
+  /** One appender per index per pipeline run: each `index_append` stage
+    * snapshots the corpus file list at plan time and fires its append only
+    * after all sinks succeed, so two appenders in one pipeline would each
+    * miss the other's survivors and both append — duplicates would enter
+    * the index with no warning. Claimed at PLAN time so `explain` rejects
+    * the pipeline too. */
+  def claimAppend(ctx: graft.core.StageContext, op: String, path: String): Unit = {
+    val key = "index_append:" +
+      java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+    if (!ctx.claimOnce(key)) throw new GraftConfigError(
+      s"$op: two stages in one pipeline register index_append = true for the index at " +
+      s"$path — each snapshots the corpus before the other's deferred append fires, so " +
+      "neither batch dedups against the other's survivors and duplicates silently enter " +
+      "the index; run the batches as separate pipeline runs (one appender per index per run)")
+  }
+
+  /** Append `df` to the flat corpus dir. Batch mode (no tag): a plain
+    * parquet append — the success-deferral already guarantees it fires at
+    * most once per run. Streaming mode (tag set): OVERWRITE of
+    * `corpus/<tag>/` — a micro-batch retry re-lands its append
+    * idempotently instead of duplicating it, and the paired `excludeDir`
+    * probe filter keeps the retry from self-matching first. */
+  def append(df: DataFrame, corpusDir: String, streamTag: Option[String]): Unit =
+    streamTag match {
+      case None      => df.write.mode("append").parquet(corpusDir)
+      case Some(tag) => df.write.mode("overwrite").parquet(s"$corpusDir/$tag")
+    }
+
+  /** Snapshot-read the corpus as parquet, treating a part-file-less dir as
+    * an EMPTY index of `emptySchema` (index.build over empty input writes
+    * only _SUCCESS; `spark.read.parquet()` with zero paths would fail with
+    * an unrelated 'unable to infer schema'). `basePath` set = recover the
+    * partition dirs' columns (the lsh layout). */
+  def read(spark: org.apache.spark.sql.SparkSession, dir: String, missingMsg: String,
+           emptySchema: org.apache.spark.sql.types.StructType,
+           basePath: Boolean = false, excludeDir: Option[String] = None): DataFrame = {
+    val fs = files(dir, missingMsg, excludeDir)
+    if (fs.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+    else {
+      val reader = spark.read
+      (if (basePath) reader.option("basePath", dir) else reader).parquet(fs: _*)
+    }
+  }
+
+  /** `excludeDir`: skip part files under a subdirectory with this exact
+    * name — the streaming-ingest retry shape: a re-run micro-batch must
+    * not probe against its OWN failed-attempt append (`corpus/<tag>/`) or
+    * every row would self-match and the retry would emit nothing. */
+  def files(dir: String, missingMsg: String, excludeDir: Option[String] = None): Vector[String] = {
     val p = java.nio.file.Paths.get(dir)
     if (!java.nio.file.Files.isDirectory(p)) throw new GraftPlanError(missingMsg)
     val stream = java.nio.file.Files.walk(p)
@@ -491,7 +550,8 @@ private[operators] object IndexSnapshot {
         // crashed append/build) and any other hidden dirs — committed
         // part files live DIRECTLY under the corpus dir
         !p.relativize(q).iterator().asScala.exists { seg =>
-          val s = seg.toString; s.startsWith("_") || s.startsWith(".")
+          val s = seg.toString
+          s.startsWith("_") || s.startsWith(".") || excludeDir.contains(s)
         }
       }
       .map(_.toString).toVector
@@ -630,17 +690,19 @@ object DedupMinHashOp extends Stage {
     // execution, so an index_append firing before the result is consumed
     // (direct mode, or a second sink) would otherwise make the batch
     // match ITSELF in the index and drop everything
+    val streamTag = cfg.strOpt("_stream_batch_tag")
+    val corpusSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", hashed.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("shingles",
+        org.apache.spark.sql.types.ArrayType(LongType)),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.ArrayType(LongType))))
     val index =
       if (placeholder) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id", hashed.schema("id").dataType),
-          org.apache.spark.sql.types.StructField("shingles",
-            org.apache.spark.sql.types.ArrayType(LongType)),
-          org.apache.spark.sql.types.StructField("sig",
-            org.apache.spark.sql.types.ArrayType(LongType)))))
-      else spark.read.parquet(IndexSnapshot.files(s"$path/corpus",
-        s"dedup.minhash: no minhash index at $path — run index.build type=minhash first"): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
+      else IndexSnapshot.read(spark, s"$path/corpus",
+        s"dedup.minhash: no minhash index at $path — run index.build type=minhash first",
+        corpusSchema, excludeDir = streamTag)
     val vsIndex = LshVerify.verifiedCrossPairs(hashed, index, bands, r, k, threshold)
       .select(F.col("id_l").alias("id"))
     val inBatch = DedupPairs.dropped(
@@ -648,12 +710,14 @@ object DedupMinHashOp extends Stage {
       transitive = false, None, ctx.deferToCleanup)
     val dropped = exactDups.unionByName(vsIndex).unionByName(inBatch).distinct()
 
-    if (cfg.boolOr("index_append", false) && !cfg.boolOr("_explain_only", false)) {
-      // survivors' representatives join the index only once the pipeline
-      // durably wrote its outputs — a failed run must not grow the index
-      val survivors = ctx.pin(hashed.join(dropped, Seq("id"), "left_anti"))
-      ctx.deferToSuccess(() =>
-        survivors.write.mode("append").parquet(s"$path/corpus"))
+    if (cfg.boolOr("index_append", false)) {
+      IndexSnapshot.claimAppend(ctx, "dedup.minhash", path)
+      if (!cfg.boolOr("_explain_only", false)) {
+        // survivors' representatives join the index only once the pipeline
+        // durably wrote its outputs — a failed run must not grow the index
+        val survivors = ctx.pin(hashed.join(dropped, Seq("id"), "left_anti"))
+        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, s"$path/corpus", streamTag))
+      }
     }
     dropped
   }
@@ -990,6 +1054,18 @@ object DedupEmbeddingOp extends Stage {
           }
         vals
       }
+    // the batch's actual vector length must equal the index dim:
+    // hyperplaneSig truncates at min(dim, v.length), so a mismatched
+    // batch would silently compute signatures over a prefix and miss
+    // cross matches instead of failing loud. One-row probe, same as the
+    // non-incremental path's dim inference; skipped under explain (no
+    // upstream jobs) — the probe-vs-meta check then runs at execution.
+    if (!placeholder && !explainOnly)
+      ctx.primary.select(F.size(F.col(vecCol)).as("_sz")).filter(F.col("_sz") >= 0)
+        .head(1).headOption.map(_.getInt(0)).filter(_ != dim).foreach(bd =>
+          throw new GraftConfigError(
+            s"dedup.embedding: batch vectors in '$vecCol' have length $bd but the index " +
+            s"at $path was built with dim = $dim — signatures would silently mismatch"))
     val width = h / blocks
     val maxBits = maxBitsFor(h, threshold)
 
@@ -997,18 +1073,18 @@ object DedupEmbeddingOp extends Stage {
     val (reps, exactDups) = ExactCollapse(base, "id", "vec", None, ctx.deferToCleanup)
     val sigs = ctx.pin(reps.withColumn("sig", hyperplaneSig(F.col("vec"), dim, h, seed)))
 
+    val corpusSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(id, ctx.primary.schema(id).dataType),
+      org.apache.spark.sql.types.StructField(vecCol, ctx.primary.schema(vecCol).dataType),
+      org.apache.spark.sql.types.StructField("block", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("pbucket", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bucket", LongType)))
     val index =
       if (placeholder) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(id, ctx.primary.schema(id).dataType),
-          org.apache.spark.sql.types.StructField(vecCol, ctx.primary.schema(vecCol).dataType),
-          org.apache.spark.sql.types.StructField("block", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("pbucket", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("bucket", LongType))))
-      else spark.read.option("basePath", s"$path/corpus")
-        .parquet(IndexSnapshot.files(s"$path/corpus",
-          s"dedup.embedding: no lsh index at $path — run index.build type=lsh first"): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
+      else IndexSnapshot.read(spark, s"$path/corpus",
+        s"dedup.embedding: no lsh index at $path — run index.build type=lsh first",
+        corpusSchema, basePath = true)
 
     // the batch side carries its vector THROUGH the bucket join (the batch
     // is the small side of the incremental shape — vec × blocks rows),
@@ -1044,6 +1120,7 @@ object DedupEmbeddingOp extends Stage {
       transitive = false, None, ctx.deferToCleanup)
     val dropped = exactDups.unionByName(crossDropped).unionByName(inBatch).distinct()
 
+    if (cfg.boolOr("index_append", false)) IndexSnapshot.claimAppend(ctx, "dedup.embedding", path)
     if (cfg.boolOr("index_append", false) && !explainOnly) {
       val idxCols = index.columns
         .filterNot(c => c == "block" || c == "bucket" || c == "pbucket").toVector

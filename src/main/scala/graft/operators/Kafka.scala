@@ -44,12 +44,50 @@ object KafkaLog {
   def topicDir(root: String, topic: String): java.nio.file.Path =
     java.nio.file.Paths.get(root, topic)
 
+  private[operators] def deleteRec(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator().asScala.foreach(deleteRec)
+    java.nio.file.Files.deleteIfExists(p)
+  }
+
+  private[operators] def partDirs(p: java.nio.file.Path): List[java.nio.file.Path] =
+    if (!java.nio.file.Files.isDirectory(p)) Nil
+    else java.nio.file.Files.list(p).iterator().asScala
+      .filter(q => q.getFileName.toString.startsWith("partition=")).toList
+
+  /** Crash recovery for a kafka.compact that died mid-swap, PER PARTITION:
+    * a `<topic>.compact.old` hold dir whose partition is MISSING from the
+    * topic dir means the crash hit between moving the old generation aside
+    * and installing its compacted copy — restore it. A held partition that
+    * IS present was already replaced (compaction only drops records, so a
+    * mixed old/new generation stays a consistent log) — that hold copy is
+    * garbage. Runs at every read, not just the next compact: between a
+    * mid-swap crash and that compact, readers would otherwise silently
+    * serve a log missing the held-aside partitions, and a backlog consume
+    * could commit offsets against incomplete data. All-or-nothing recovery
+    * would destroy the moved-aside partitions of a partial crash — this
+    * must stay per-partition. Single-writer contract (one compact per
+    * topic at a time) makes the read-side recovery race-free: a hold dir
+    * outside a live compact can only be crash leftovers. */
+  private[operators] def recoverHeldSwap(root: String, topic: String): Unit = {
+    val dir = topicDir(root, topic)
+    val hold = java.nio.file.Paths.get(dir.toString + ".compact.old")
+    if (java.nio.file.Files.isDirectory(hold)) {
+      partDirs(hold).foreach { p =>
+        val target = dir.resolve(p.getFileName.toString)
+        if (!java.nio.file.Files.isDirectory(target)) java.nio.file.Files.move(p, target)
+      }
+      deleteRec(hold)
+    }
+  }
+
   /** Read the whole topic log; `partition INT` comes from dir discovery. */
   def read(spark: SparkSession, root: String, topic: String): DataFrame = {
     val dir = topicDir(root, topic)
     if (!java.nio.file.Files.isDirectory(dir))
       throw new GraftPlanError(s"kafka.consume: topic '$topic' not found under $root " +
         s"(expected ${dir}/partition=N/ segment files)")
+    recoverHeldSwap(root, topic)
     spark.read.schema(Schema.add("partition", "int"))
       .option("basePath", dir.toString).json(dir.toString)
   }
@@ -71,12 +109,13 @@ object KafkaLog {
     if (!java.nio.file.Files.isDirectory(dir))
       throw new GraftPlanError(s"kafka.consume: topic '$topic' not found under $root " +
         s"(expected ${dir}/partition=N/ segment files)")
+    recoverHeldSwap(root, topic)
     if (from.isEmpty) return read(spark, root, topic)
-    val partDirs = java.nio.file.Files.list(dir).iterator().asScala
+    val pds = java.nio.file.Files.list(dir).iterator().asScala
       .filter(p => java.nio.file.Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("partition="))
       .toSeq
-    val kept = partDirs.flatMap { pd =>
+    val kept = pds.flatMap { pd =>
       val p = pd.getFileName.toString.stripPrefix("partition=").toInt
       val frontier = from.getOrElse(p, 0L)
       val segs = segments(pd)
@@ -361,38 +400,14 @@ object KafkaCompactOp extends Stage {
     }
 
     import org.apache.spark.sql.expressions.Window
-    import java.nio.file.{Files, Path}
-    def deleteRec(p: Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.foreach(deleteRec)
-      Files.deleteIfExists(p)
-    }
-    def partDirs(p: Path): List[Path] =
-      if (!Files.isDirectory(p)) Nil
-      else Files.list(p).iterator().asScala
-        .filter(q => q.getFileName.toString.startsWith("partition=")).toList
+    import java.nio.file.Files
+    import KafkaLog.{deleteRec, partDirs}
 
     val dir = KafkaLog.topicDir(root, topic)
     val tmp = java.nio.file.Paths.get(dir.toString + ".compact.tmp")
     val hold = java.nio.file.Paths.get(dir.toString + ".compact.old")
-    // crash recovery BEFORE reading, PER PARTITION: a held partition dir
-    // missing from the topic dir means a previous compact died mid-swap
-    // (between steps (1) and (2) below, or partway through either move
-    // loop) before installing that partition — restore it so this run
-    // compacts the real log. A held partition that IS present in the
-    // topic dir was already replaced by its compacted copy (compaction
-    // only drops records, so a mixed old/new generation stays a
-    // consistent log) — that hold copy is garbage. All-or-nothing
-    // recovery would destroy the moved-aside partitions of a partial
-    // crash; this must stay per-partition.
-    if (Files.isDirectory(hold)) {
-      partDirs(hold).foreach { p =>
-        val target = dir.resolve(p.getFileName.toString)
-        if (!Files.isDirectory(target)) Files.move(p, target)
-      }
-      deleteRec(hold)
-    }
-
+    // crash recovery for a previous compact that died mid-swap happens
+    // inside KafkaLog.read (shared with every reader — see recoverHeldSwap)
     val log = KafkaLog.read(spark, root, topic)
     val latest = log.filter(F.col("key").isNotNull)
       .withColumn("__rn", F.row_number().over(
@@ -460,6 +475,9 @@ object KafkaStreamSource extends Stage {
     val dir = KafkaLog.topicDir(root, topic)
     if (!java.nio.file.Files.isDirectory(dir))
       throw new GraftPlanError(s"kafka.stream: topic '$topic' not found under $root")
+    // a mid-swap compact crash must be repaired before the stream lists
+    // files, or the held-aside partitions never enter the stream
+    KafkaLog.recoverHeldSwap(root, topic)
     val stream = ctx.spark.readStream
       .schema(KafkaLog.Schema.add("partition", "int"))
       .option("basePath", dir.toString)

@@ -158,4 +158,115 @@ class IncrementalDedupSpec extends SparkSpec {
     // matching explicit params are accepted
     assert(run("num_hashes" -> 64, "bands" -> 16).count() === 1)
   }
+
+  test("exact content keys cannot alias across column boundaries or null") {
+    // a separator-join key would make ("x<sep>y","z") collide with
+    // ("x","y<sep>z") and a null sentinel collide with its literal —
+    // both silent false-positive drops; the fixed-width token key must
+    // keep all four distinct
+    val idx = java.nio.file.Files.createTempDirectory("ex_alias").toString
+    val sep = "\u0001"; val sentinel = "\u0002"
+    val indexed = Seq((1L, s"x${sep}y", "z"), (2L, "n", null: String))
+      .toDF("id", "a", "b")
+    IndexBuildOp(StageContext.one(spark, indexed, Cfg.of(
+      "type" -> "exact", "path" -> idx, "columns" -> Seq("a", "b"))))
+    val batch = Seq(
+      (10L, "x", s"y${sep}z"),     // boundary-shift alias of row 1 → must SURVIVE
+      (11L, "n", sentinel),        // literal sentinel vs row 2's null → must SURVIVE
+      (12L, s"x${sep}y", "z"),     // true duplicate of row 1 → must drop
+      (13L, "n", null: String)     // true duplicate of row 2 → must drop
+    ).toDF("id", "a", "b")
+    val kept = DedupExactOp(StageContext.one(spark, batch, Cfg.of(
+      "columns" -> Seq("a", "b"), "index_path" -> idx)))
+    assert(kept.select("id").as[Long].collect().sorted.toSeq === Seq(10L, 11L))
+  }
+
+  test("an index built over empty input reads as an empty index, not a scan error") {
+    // index.build over zero rows may write only _SUCCESS under corpus/ —
+    // the snapshot read must treat that as 'nothing indexed' instead of
+    // failing with spark's unrelated 'unable to infer schema'
+    val idx = java.nio.file.Files.createTempDirectory("ex_empty").toString
+    IndexBuildOp(StageContext.one(spark, corpus1.filter(F.col("doc_id") < 0),
+      Cfg.of("type" -> "exact", "path" -> idx, "columns" -> Seq("text"))))
+    val batch = Seq(doc(80, "first ever document")).toDF("doc_id", "text")
+    val kept = DedupExactOp(StageContext.one(spark, batch, Cfg.of(
+      "columns" -> Seq("text"), "index_path" -> idx)))
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(80L))
+    // same for the minhash corpus
+    val midx = java.nio.file.Files.createTempDirectory("mh_empty").toString
+    IndexBuildOp(StageContext.one(spark, corpus1.filter(F.col("doc_id") < 0), Cfg.of(
+      "type" -> "minhash", "path" -> midx, "id_column" -> "doc_id",
+      "text_column" -> "text", "num_hashes" -> 64, "bands" -> 16, "seed" -> 7)))
+    val mkept = DedupMinHashOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text", "index_path" -> midx)))
+    assert(mkept.select("doc_id").as[Long].collect().toSeq === Seq(80L))
+  }
+
+  test("a batch whose vectors mismatch the index dim fails loud") {
+    import graft.operators.DedupEmbeddingOp
+    val idx = java.nio.file.Files.createTempDirectory("lsh_dim").toString
+    val corpus = Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    IndexBuildOp(StageContext.one(spark, corpus, Cfg.of(
+      "type" -> "lsh", "path" -> idx, "vector_column" -> "embedding",
+      "num_planes" -> 16, "blocks" -> 4, "seed" -> 11)))
+    // hyperplaneSig truncates at min(dim, len): a 3-dim batch vs the 4-dim
+    // index would silently sign over a prefix and miss cross matches
+    val short = Seq((10L, Array(1f, 0f, 0f))).toDF("vec_id", "embedding")
+    val e = intercept[GraftConfigError](DedupEmbeddingOp(StageContext.one(spark, short,
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding", "index_path" -> idx))))
+    assert(e.getMessage.contains("dim"))
+  }
+
+  test("two index_append stages on one index in one pipeline are rejected") {
+    val idx = java.nio.file.Files.createTempDirectory("ex_twice").toString
+    IndexBuildOp(StageContext.one(spark, corpus1, Cfg.of(
+      "type" -> "exact", "path" -> idx, "columns" -> Seq("text"))))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_docs_appender")
+    corpus1.write.parquet(s"$tmp/documents.parquet")
+    // each appender snapshots the corpus at plan time, so neither would see
+    // the other's survivors — the pipeline must fail loud at compile
+    val e = intercept[GraftConfigError] {
+      graft.core.DagCompiler.default.run(spark, graft.config.PipelineConfig.fromString(
+        s"""[pipeline]
+           |name = "doubleappend"
+           |[[stages]]
+           |id = "docs"
+           |function = "table.read"
+           |config = { dir = "$tmp", table = "documents" }
+           |[[stages]]
+           |id = "d1"
+           |function = "dedup.exact"
+           |inputs = ["docs"]
+           |config = { columns = ["text"], index_path = "$idx", index_append = true }
+           |[[stages]]
+           |id = "d2"
+           |function = "dedup.exact"
+           |inputs = ["d1"]
+           |config = { columns = ["text"], index_path = "$idx", index_append = true }
+           |[[stages]]
+           |id = "out"
+           |function = "noop.sink"
+           |inputs = ["d2"]
+           |""".stripMargin))
+    }
+    assert(e.getMessage.contains("index_append"))
+    // a SINGLE appender in a pipeline still runs fine
+    graft.core.DagCompiler.default.run(spark, graft.config.PipelineConfig.fromString(
+      s"""[pipeline]
+         |name = "singleappend"
+         |[[stages]]
+         |id = "docs"
+         |function = "table.read"
+         |config = { dir = "$tmp", table = "documents" }
+         |[[stages]]
+         |id = "d1"
+         |function = "dedup.exact"
+         |inputs = ["docs"]
+         |config = { columns = ["text"], index_path = "$idx", index_append = true }
+         |[[stages]]
+         |id = "out"
+         |function = "noop.sink"
+         |inputs = ["d1"]
+         |""".stripMargin))
+  }
 }

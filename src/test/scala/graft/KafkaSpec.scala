@@ -473,6 +473,23 @@ class KafkaSpec extends SparkSpec {
       "compose-time failure leaked a pinned cache")
   }
 
+  test("a plain read repairs a crashed swap — consumers never see the partial window") {
+    val root = freshRoot()
+    produce(root, "key_field" -> "name")
+    val dir = KafkaLog.topicDir(root, "sales")
+    val hold = java.nio.file.Paths.get(dir.toString + ".compact.old")
+    // crash between swap steps (1) and (2): old generation held aside,
+    // nothing installed — WITHOUT a subsequent compact, a consume (or a
+    // backlog read committing offsets) must still see the full log
+    java.nio.file.Files.createDirectories(hold)
+    java.nio.file.Files.list(dir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("partition="))
+      .foreach(p => java.nio.file.Files.move(p, hold.resolve(p.getFileName.toString)))
+    val got = consume(root, "group_id" -> "reader", "max_messages" -> 0L)
+    assert(got.count() === 3, "read-side recovery must restore the held generation")
+    assert(!java.nio.file.Files.isDirectory(hold))
+  }
+
   test("compact recovers a crashed swap: held old generation is restored") {
     val root = freshRoot()
     produce(root, "key_field" -> "name")
