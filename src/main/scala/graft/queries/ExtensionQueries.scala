@@ -204,6 +204,56 @@ object ExtensionQueries {
       d1.unionByName(d2)
     },
 
+    // ---- stream.ingest batch-parity: the SAME corpus/batch split as
+    // dedup_minhash_incremental, but batch 2 arrives through the real
+    // Structured Streaming path — file.stream (one file per micro-batch)
+    // → stream.ingest foreachBatch probe + per-batch index append,
+    // Trigger.AvailableNow. Copies land in micro-batch 1, reversed texts
+    // in micro-batch 2; no cross-micro-batch near-pairs exist (reversal
+    // destroys shingles), so stream order cannot change the survivor set
+    // and the full-corpus pairwise oracle pins stream ≡ batch exactly.
+    QueryDef("stream_ingest_parity",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 20000, reverse(text) FROM documents WHERE doc_id >= 400),
+        |toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM corpus),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM toks),
+        |dropped AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        |SELECT c.doc_id, c.text FROM corpus c
+        |WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val idx = java.nio.file.Files.createTempDirectory("graft_si_idx").toString
+      IndexBuildOp(StageContext.one(s, docs, Cfg.of(
+        "type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+        "text_column" -> "text", "shingle_size" -> 3, "num_hashes" -> 128,
+        "bands" -> 32, "seed" -> 42)))
+      // two single-file parquet drops, mtime-ordered → two micro-batches
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_si_in").toString
+      docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 10000).as("doc_id"), F.col("text"))
+        .coalesce(1).write.mode("append").parquet(streamDir)
+      Thread.sleep(400) // distinct mtimes pin micro-batch order
+      docs.filter(F.col("doc_id") >= 400)
+        .select((F.col("doc_id") + 20000).as("doc_id"), F.reverse(F.col("text")).as("text"))
+        .coalesce(1).write.mode("append").parquet(streamDir)
+      val stream = graft.streaming.FileStreamSource(StageContext(s, Seq.empty, Cfg.of(
+        "path" -> streamDir, "format" -> "parquet", "max_files_per_trigger" -> 1L)))
+      val out = java.nio.file.Files.createTempDirectory("graft_si_out").toString + "/data"
+      graft.streaming.StreamIngestSink(StageContext.one(s, stream, Cfg.of(
+        "path" -> out, "index_path" -> idx, "dedup" -> "minhash",
+        "trigger" -> "available_now", "id_column" -> "doc_id",
+        "text_column" -> "text", "threshold" -> 0.8)))
+      val d1 = DedupMinHashOp(StageContext.one(s, docs, Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
+        "threshold" -> 0.8, "seed" -> 42)))
+      d1.unionByName(s.read.parquet(out).select("doc_id", "text"))
+    },
+
     // ---- dedup.minhash keep_by: survivor = highest-quality duplicate.
     // Copies (ids + 10000) carry the higher quality, so every dup group
     // — exact copies AND the planted near-dup pairs — must resolve to

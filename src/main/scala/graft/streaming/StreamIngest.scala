@@ -1,0 +1,142 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.streaming.Trigger
+import graft.config._
+import graft.core._
+import graft.operators.{DedupExactOp, DedupMinHashOp}
+
+/** stream.ingest — streaming incremental corpus ingestion: each micro-batch
+  * dedups against a persisted `index.build` corpus (plus within-batch
+  * pairs), survivors land in the output parquet, and their signatures join
+  * the index so LATER micro-batches dedup against them too. This composes
+  * the two batch-mode pieces — `kafka.stream`/`file.stream` and
+  * `dedup.* index_path=… index_append=true` — into one Structured
+  * Streaming pipeline via foreachBatch; the reference has no equivalent
+  * (its streaming stages ship two TODOs, src/core/streaming.rs:100-133).
+  *
+  *   kafka.stream → (transforms) → stream.ingest { index_path, dedup }
+  *
+  * Config: `path` (output parquet root), `index_path` (an existing
+  * `index.build type=exact|minhash` index), `dedup` = minhash (default) |
+  * exact, `checkpoint` (default `<path>/_checkpoint`), `trigger` =
+  * "available_now" (process the current backlog as deterministic
+  * micro-batches, then stop — the batch-parity shape the correctness gate
+  * pins) or `trigger_ms` processing-time, `timeout_ms` bounded run, and
+  * every dedup.* config key passed through (id_column, text_column,
+  * columns, threshold, …). `index_append = false` opts out into
+  * probe-only mode (drop vs the index, never grow it).
+  *
+  * EXACTLY-ONCE without a transaction log, by making the one replayable
+  * step idempotent. Structured Streaming replays at most the last
+  * uncommitted micro-batch, with identical contents (checkpointed file
+  * lists). Per batch, in order:
+  *   1. dedup vs an index snapshot that EXCLUDES this batch's own append
+  *      dir (`_stream_batch_tag` → IndexSnapshot excludeDir): a retry of a
+  *      batch that already appended must not self-match, or it would emit
+  *      nothing and the rows would exist only in the index;
+  *   2. survivors OVERWRITE the output partition `ingest_batch=<id>`
+  *      (dynamic partitionOverwriteMode — only this batch's partition is
+  *      touched): a retry re-lands the same rows instead of duplicating;
+  *   3. the index append OVERWRITES `corpus/<tag>/` (tag =
+  *      sb-<checkpoint-hash>-<batchId>): a retry re-lands the same
+  *      signatures instead of duplicating.
+  * Steps 2 and 3 are each idempotent and step 1 makes their inputs
+  * identical across retries, so any crash point replays to the same final
+  * state. The output carries `ingest_batch` as a provenance column.
+  *
+  * Single-writer contract (same as the kafka log): one streaming query per
+  * index at a time. The per-batch tag embeds a hash of the checkpoint
+  * location, so a NEW checkpoint (= a new query identity reprocessing from
+  * scratch) never overwrites a previous query's appends.
+  *
+  * 100 TB shape: each micro-batch probe is the batch-vs-index anti-join /
+  * banded-LSH cross join of the batch ops — the index is never rescanned
+  * as a whole (minhash candidates shuffle narrow (id, sig) rows on band
+  * keys; exact is one anti-join on 128-bit keys), and state lives in the
+  * index + checkpoint, not executor memory.
+  */
+object StreamIngestSink extends Stage {
+  val name = "stream.ingest"
+  val kind = StageKind.Sink
+
+  /** config keys the sink itself consumes; everything else passes through
+    * to the dedup operator */
+  private val SinkKeys = Set("path", "checkpoint", "dedup", "trigger", "trigger_ms",
+    "timeout_ms", "query_name", "_defer_await", "_explain_only")
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val df = ctx.primary
+    if (!df.isStreaming)
+      throw new GraftPlanError("stream.ingest requires a streaming input " +
+        "(kafka.stream / file.stream); for batch ingestion use dedup.* with index_path directly")
+    val out = cfg.str("path")
+    val indexPath = cfg.str("index_path") // fail loud before the query starts
+    val checkpoint = cfg.strOr("checkpoint", s"$out/_checkpoint")
+    val op: Stage = cfg.strOr("dedup", "minhash") match {
+      case "minhash" => DedupMinHashOp
+      case "exact"   => DedupExactOp
+      case "embedding" => throw new GraftConfigError(
+        "stream.ingest: dedup=embedding is not supported — the lsh corpus is " +
+        "(block, pbucket)-partitioned and per-batch append dirs would break its " +
+        "partition pruning; ingest embeddings in batched pipeline runs instead")
+      case other => throw new GraftConfigError(s"stream.ingest: unknown dedup '$other'")
+    }
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$indexPath/meta")))
+      throw new GraftPlanError(
+        s"stream.ingest: no index at $indexPath — run index.build first")
+    // checkpoint hash namespaces this query's batch tags in the index
+    val tagBase = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(checkpoint.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    }
+    val passThrough = cfg.table -- SinkKeys
+    val stageId = ctx.stageId
+
+    var w = df.writeStream
+      .queryName(cfg.strOr("query_name", s"graft_${stageId}"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val tag = s"sb-$tagBase-$batchId"
+          val deferred = scala.collection.mutable.Buffer[() => Unit]()
+          val cleanups = scala.collection.mutable.Buffer[() => Unit]()
+          try {
+            val batchCfg = Cfg(passThrough ++ Map(
+              "index_append" -> CBool(cfg.boolOr("index_append", true)),
+              "_stream_batch_tag" -> CStr(tag)))
+            val survivors = op(StageContext(batch.sparkSession,
+              Seq("batch" -> batch), batchCfg, stageId,
+              deferToSuccess = a => { deferred += a; () },
+              deferToCleanup = a => { cleanups += a; () }))
+            survivors.withColumn("ingest_batch", F.lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch").parquet(out)
+            // the index grows only after the survivors are durably in the
+            // output — the same commit ordering as the batch pipelines'
+            // success-deferred append
+            deferred.foreach(_())
+          } finally cleanups.foreach(c => try c() catch { case e: Exception =>
+            System.err.println(s"[graft] stream.ingest cleanup failed: ${e.getMessage}") })
+        }
+      }
+    cfg.strOpt("trigger") match {
+      case Some("available_now") => w = w.trigger(Trigger.AvailableNow())
+      case Some(other) => throw new GraftConfigError(
+        s"stream.ingest: unknown trigger '$other' (use 'available_now' or trigger_ms)")
+      case None =>
+        cfg.longOpt("trigger_ms").foreach(ms => w = w.trigger(Trigger.ProcessingTime(ms)))
+    }
+    val q = w.start()
+    if (!cfg.boolOr("_defer_await", false)) {
+      (cfg.longOpt("timeout_ms"), cfg.strOpt("trigger")) match {
+        case (Some(ms), _) => q.awaitTermination(ms); q.stop()
+        case (None, Some("available_now")) => q.awaitTermination()
+        case (None, _) => q.awaitTermination()
+      }
+    }
+    df
+  }
+}

@@ -187,6 +187,97 @@ class StreamingSpec extends SparkSpec {
       "concurrent streaming sinks should finish inside one deadline")
   }
 
+  test("stream.ingest: kafka micro-batches dedup against and grow the index") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ingest_k").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
+    val indexed = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    graft.operators.IndexBuildOp(StageContext.one(spark, indexed, Cfg.of(
+      "type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+      "text_column" -> "text", "num_hashes" -> 64, "bands" -> 16, "seed" -> 7)))
+    val n1 = "brand new streaming document with its own unique vocabulary choices"
+    val n2 = "another different novel text unlike anything else ingested before now"
+    // two produces → two segments → two micro-batches (max_files_per_trigger=1)
+    graft.operators.KafkaProduceSink(StageContext.one(spark, Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // dup of index 1
+      (101L, n1)).toDF("doc_id", "text"),
+      Cfg.of("path" -> root, "topic" -> "docs")))
+    graft.operators.KafkaProduceSink(StageContext.one(spark, Seq(
+      (200L, n1),  // dup of the OTHER micro-batch's survivor — needs the append
+      (201L, n2)).toDF("doc_id", "text"),
+      Cfg.of("path" -> root, "topic" -> "docs")))
+    val stream = graft.operators.KafkaStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> root, "topic" -> "docs",
+      "schema" -> "doc_id LONG, text STRING", "max_files_per_trigger" -> 1L)))
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString + "/data"
+    StreamIngestSink(StageContext.one(spark, stream, Cfg.of(
+      "path" -> out, "index_path" -> idx, "dedup" -> "minhash",
+      "trigger" -> "available_now", "id_column" -> "doc_id",
+      "text_column" -> "text", "threshold" -> 0.8)))
+    val result = spark.read.parquet(out)
+    // the index dup dropped; exactly one copy of each novel text survived
+    // (micro-batch order decides WHICH id — either satisfies the dedup rule)
+    assert(result.count() === 2)
+    assert(result.select("text").as[String].collect().toSet === Set(n1, n2))
+    // provenance: the two survivors came from two different micro-batches
+    assert(result.select("ingest_batch").distinct().count() === 2)
+    // the index grew: a follow-up BATCH dedup drops copies of both survivors
+    val next = graft.operators.DedupMinHashOp(StageContext.one(spark,
+      Seq((300L, n1), (301L, n2), (302L, "still completely fresh material never seen anywhere"))
+        .toDF("doc_id", "text"),
+      Cfg.of("id_column" -> "doc_id", "text_column" -> "text", "index_path" -> idx)))
+    assert(next.select("doc_id").as[Long].collect().toSeq === Seq(302L))
+  }
+
+  test("stream.ingest retry idempotence: a re-run micro-batch re-lands, never duplicates") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_retry_idx").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark,
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"),
+      Cfg.of("type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+        "text_column" -> "text", "num_hashes" -> 64, "bands" -> 16, "seed" -> 7)))
+    val batch = Seq((10L, "fresh words forming a genuinely novel streaming document"))
+      .toDF("doc_id", "text")
+    def runTagged(tag: String) = graft.operators.DedupMinHashOp(StageContext.one(
+      spark, batch, Cfg.of("id_column" -> "doc_id", "text_column" -> "text",
+        "index_path" -> idx, "index_append" -> true, "_stream_batch_tag" -> tag)))
+    // first attempt: survivor lands in corpus/<tag>/
+    assert(runTagged("sb-t-0").count() === 1)
+    // RETRY of the same micro-batch (same tag): the probe excludes the
+    // batch's own failed-attempt append — the doc must NOT self-match —
+    // and the append overwrites rather than duplicates
+    assert(runTagged("sb-t-0").count() === 1, "retry must not self-match its own append")
+    val sigs = spark.read.option("recursiveFileLookup", "true").parquet(s"$idx/corpus")
+    assert(sigs.filter(F.col("id") === 10L).count() === 1,
+      "retry must overwrite its append dir, not duplicate it")
+    // a LATER batch (different tag) sees the append and drops the dup
+    val later = graft.operators.DedupMinHashOp(StageContext.one(spark,
+      Seq((20L, "fresh words forming a genuinely novel streaming document"))
+        .toDF("doc_id", "text"),
+      Cfg.of("id_column" -> "doc_id", "text_column" -> "text",
+        "index_path" -> idx, "_stream_batch_tag" -> "sb-t-1")))
+    assert(later.count() === 0)
+  }
+
+  test("stream.ingest rejects batch input, unknown dedup kinds, and embedding") {
+    intercept[GraftPlanError](StreamIngestSink(StageContext.one(spark, salesDf,
+      Cfg.of("path" -> "/tmp/x", "index_path" -> "/tmp/y"))))
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[String]
+    val sdf = mem.toDF()
+    intercept[graft.config.GraftConfigError](StreamIngestSink(StageContext.one(spark, sdf,
+      Cfg.of("path" -> "/tmp/x", "index_path" -> "/tmp/y", "dedup" -> "embedding"))))
+    intercept[graft.config.GraftConfigError](StreamIngestSink(StageContext.one(spark, sdf,
+      Cfg.of("path" -> "/tmp/x", "index_path" -> "/tmp/y", "dedup" -> "bogus"))))
+    // missing index fails loud before the query starts
+    intercept[GraftPlanError](StreamIngestSink(StageContext.one(spark, sdf,
+      Cfg.of("path" -> "/tmp/x", "index_path" -> "/tmp/definitely_missing_idx"))))
+  }
+
   test("stream.write rejects batch input; gap connectors raise actionable errors") {
     intercept[GraftPlanError](StreamWriteSink(StageContext.one(spark, salesDf, Cfg.empty)))
     val e = intercept[GraftPlanError](graft.operators.KafkaConsumeSource(
