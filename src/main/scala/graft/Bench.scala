@@ -54,11 +54,21 @@ object Bench {
       var t = 0L; gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime)); t
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // probe knobs (driver runs use the defaults): SPARK_GRAFT_BENCH_ONLY =
+    // comma-separated query names, SPARK_GRAFT_BENCH_REPS = rep count —
+    // for attributing a single query's run-to-run variance without paying
+    // for the whole suite
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val repCount = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       // plan-shape warm-up at the smallest SF; limit(8) keeps per-row
       // stages (mock-latency enrichment) from doing real work
       try evalFully(fn(spark, warmDir).limit(8)) catch { case _: Throwable => }
-      val reps = (1 to 2).map { _ =>
+      val reps = (1 to repCount).map { _ =>
         // operators that persist() intermediates (dedup families) hold
         // their cache through the returned plan; drop it, then collect the
         // previous query's heap debt OUTSIDE the timed window

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import graft.config.Cfg
+import graft.core.StageContext
+import graft.operators._
+
+/** Dedup-family scale probe: runs the near-dup operators over synthetic
+  * corpora at increasing sizes and prints one JSON line per (op, n) with
+  * wall time AND the candidate-pair counts that drive the cost — the
+  * direct evidence that the LSH shapes scale ~linearly in corpus size
+  * (an all-pairs shape would grow quadratically in `pairs`).
+  *
+  *   sbt "runMain graft.ScaleProbe 5000 15000 50000"
+  *
+  * Corpus model (seeded, deterministic, generated distributed via
+  * spark.range — no driver materialization): ~100-word docs over a 20k
+  * vocabulary; 5% of docs are near-dup copies of their predecessor with
+  * 3 words swapped (Jaccard ≈ 0.9 — above the 0.8 gate threshold);
+  * embeddings are unit 64-dim gaussians with the same 5% near-copies
+  * (cosine ≈ 0.999). Fixture-shaped, 10× the sf0.1 gate corpus at the
+  * top size. Results land in docs/BENCH_NOTES.md.
+  */
+object ScaleProbe {
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  private def docText(id: Long): String = {
+    // planted near-dup: ids ≡ 19 (mod 20) copy id-1's text with 3 swaps
+    val base = if (id % 20 == 19) id - 1 else id
+    val r = rng(base * 7919L + 17L)
+    val len = 80 + r.nextInt(40)
+    val words = Array.fill(len)("w" + r.nextInt(20000))
+    if (id % 20 == 19) {
+      val m = rng(id * 104729L + 5L)
+      (0 until 3).foreach(_ => words(m.nextInt(len)) = "w" + m.nextInt(20000))
+    }
+    words.mkString(" ")
+  }
+
+  private def docVec(id: Long): Array[Float] = {
+    val base = if (id % 20 == 19) id - 1 else id
+    val r = rng(base * 6271L + 3L)
+    val v = Array.fill(64)(r.nextGaussian())
+    if (id % 20 == 19) {
+      val m = rng(id * 31337L + 1L)
+      (0 until 64).foreach(i => v(i) += 0.02 * m.nextGaussian())
+    }
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / norm).toFloat)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 15000, 50000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val textUdf = F.udf(docText _)
+    val vecUdf = F.udf(docVec _)
+    def docs(n: Int): DataFrame = spark.range(n.toLong)
+      .select(F.col("id").as("doc_id"), textUdf(F.col("id")).as("text"))
+    def vecs(n: Int): DataFrame = spark.range(n.toLong)
+      .select(F.col("id").as("vec_id"), vecUdf(F.col("id")).as("embedding"))
+
+    def timed(body: => Long): (Double, Long) = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val out = body
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+    def report(op: String, n: Int, sec: Double, extras: (String, Long)*): Unit =
+      println((Seq(s""""op":"$op"""", s""""n":$n""", f""""sec":$sec%.2f""") ++
+        extras.map { case (k, v) => s""""$k":$v""" }).mkString("{", ",", "}"))
+
+    sizes.foreach { n =>
+      // materialize the synthetic corpus to parquet first: every probe
+      // then reads the same on-disk table (like the gates), and generation
+      // cost stays out of the timed window
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_scale_$n").toString
+      docs(n).write.parquet(s"$dir/docs")
+      vecs(n).write.parquet(s"$dir/vecs")
+      val d = spark.read.parquet(s"$dir/docs")
+      val v = spark.read.parquet(s"$dir/vecs")
+
+      // dedup.minhash full pass
+      val (mhSec, mhKept) = timed {
+        DedupMinHashOp(StageContext.one(spark, d, Cfg.of(
+          "id_column" -> "doc_id", "text_column" -> "text",
+          "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
+          "threshold" -> 0.8, "seed" -> 42))).count()
+      }
+      // candidate evidence: verified pairs (post-LSH, post-verify) —
+      // linear in planted dups when the banding is selective
+      val hashed = d.select(F.col("doc_id").as("id"),
+          Shingles.shingleHashes(F.col("text"), 3).as("shingles"))
+        .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), 128, 42))
+      val pairs = LshVerify.verifiedPairs(hashed, 32, 4, 128, 0.8).count()
+      report("dedup.minhash", n, mhSec, "survivors" -> mhKept, "verified_pairs" -> pairs)
+
+      // dedup.embedding full pass + bucket-candidate evidence
+      val (embSec, embKept) = timed {
+        DedupEmbeddingOp(StageContext.one(spark, v, Cfg.of(
+          "id_column" -> "vec_id", "vector_column" -> "embedding",
+          "threshold" -> 0.95, "num_planes" -> 32, "blocks" -> 4,
+          "seed" -> 11))).count()
+      }
+      val sigs = v.select(F.col("vec_id").as("id"),
+        DedupEmbeddingOp.hyperplaneSig(F.col("embedding"), 64, 32, 11).as("sig"))
+      val blocked = sigs.select(F.col("id"), F.posexplode(
+          DedupEmbeddingOp.blockKeys(F.col("sig"), 4, 8)))
+        .toDF("id", "block", "bucket")
+      val cands = blocked.as("a").join(blocked.as("b"),
+          F.col("a.block") === F.col("b.block") &&
+          F.col("a.bucket") === F.col("b.bucket") &&
+          F.col("a.id") < F.col("b.id"))
+        .select("a.id", "b.id").distinct().count()
+      report("dedup.embedding", n, embSec, "survivors" -> embKept, "bucket_pairs" -> cands)
+
+      // dedup.substrings (Lee 2022 ExactSubstr) — annotate mode
+      val (ssSec, ssRows) = timed {
+        SubstringDedupOp(StageContext.one(spark, d, Cfg.of(
+          "id_column" -> "doc_id", "column" -> "text",
+          "min_length" -> 50, "mode" -> "annotate"))).count()
+      }
+      report("dedup.substrings", n, ssSec, "rows" -> ssRows)
+
+      // incremental probe: index the corpus once, then dedup a 10% batch
+      // (half copies of indexed docs, half novel) against it
+      val idx = java.nio.file.Files.createTempDirectory(s"graft_scale_idx_$n").toString
+      IndexBuildOp(StageContext.one(spark, d, Cfg.of(
+        "type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+        "text_column" -> "text", "shingle_size" -> 3, "num_hashes" -> 128,
+        "bands" -> 32, "seed" -> 42)))
+      val b = n / 10
+      val batch = spark.range(b.toLong).select(
+        (F.col("id") + (10L * n)).as("doc_id"),
+        // even slots: copy of an indexed doc (id*2 → always < n); odd:
+        // novel text from beyond the corpus id space
+        F.when(F.col("id") % 2 === 0, textUdf(F.col("id") * 2))
+          .otherwise(textUdf(F.col("id") + (20L * n))).as("text"))
+      val (incSec, incKept) = timed {
+        DedupMinHashOp(StageContext.one(spark, batch, Cfg.of(
+          "id_column" -> "doc_id", "text_column" -> "text",
+          "threshold" -> 0.8, "index_path" -> idx))).count()
+      }
+      report("dedup.minhash.incremental", n, incSec, "batch" -> b.toLong, "survivors" -> incKept)
+    }
+    spark.stop()
+  }
+}

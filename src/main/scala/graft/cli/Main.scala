@@ -150,6 +150,101 @@ object Main {
       java.nio.file.Files.write(p, after.getBytes("UTF-8"))
       println(s"added stage '$id' ($fn) to $path — ${pc.stages.size} stages total")
 
+    // reference: `conveyor stage edit` opens an interactive field-editing
+    // loop (src/cli/edit.rs) — non-interactive flags here, same policy as
+    // `stage add`: graft stage edit p.toml <stage-id>
+    //   [--set k=v ...] [--remove k ...] [--set-inputs a,b] [--set-function fn]
+    // The stage's [[stages]] block is regenerated in place (comments
+    // INSIDE that one block are not preserved; the rest of the file is
+    // untouched) and the whole pipeline re-validates before writing.
+    case "stage" :: "edit" :: path :: stageId :: rest =>
+      val p = java.nio.file.Paths.get(path)
+      if (!java.nio.file.Files.exists(p)) {
+        System.err.println(s"pipeline file not found: $path")
+        sys.exit(1)
+      }
+      val before = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val pc0 = PipelineConfig.fromString(before)
+      val st = pc0.stageById(stageId).getOrElse {
+        System.err.println(s"no stage '$stageId' in $path " +
+          s"(stages: ${pc0.stages.map(_.id).mkString(", ")})")
+        sys.exit(1); null
+      }
+      def flag(name: String): Option[String] =
+        rest.dropWhile(_ != s"--$name").drop(1).headOption.filterNot(_.startsWith("--"))
+      val sets = rest.sliding(2).collect {
+        case List("--set", kv) if kv.contains("=") =>
+          val Array(k, v) = kv.split("=", 2); (k, v)
+      }.toSeq
+      val removes = rest.sliding(2).collect { case List("--remove", k) => k }.toSeq
+      if (sets.isEmpty && removes.isEmpty &&
+          flag("set-inputs").isEmpty && flag("set-function").isEmpty) {
+        System.err.println("nothing to edit — pass --set k=v / --remove k " +
+          "/ --set-inputs a,b / --set-function fn")
+        sys.exit(1)
+      }
+      def tomlScalar(v: String): String = v match {
+        case "true" | "false" => v
+        case n if n.matches("-?\\d+") => n
+        case n if n.matches("-?\\d*\\.\\d+") => n
+        case s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }
+      def toToml(v: graft.config.CVal): String = v match {
+        case graft.config.CStr(s) =>
+          "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+        case graft.config.CLong(l)   => l.toString
+        case graft.config.CDouble(d) => d.toString
+        case graft.config.CBool(b)   => b.toString
+        case graft.config.CArr(xs)   => xs.map(toToml).mkString("[", ", ", "]")
+        case graft.config.CTbl(m)    =>
+          m.toSeq.sortBy(_._1).map { case (k, x) => s"$k = ${toToml(x)}" }
+            .mkString("{ ", ", ", " }")
+      }
+      val newFn = flag("set-function").getOrElse(st.function)
+      val newInputs = flag("set-inputs")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toVector).getOrElse(st.inputs)
+      val keptCfg = (st.config.table -- removes -- sets.map(_._1))
+        .toSeq.sortBy(_._1).map { case (k, v) => s"$k = ${toToml(v)}" }
+      val setCfg = sets.map { case (k, v) => s"$k = ${tomlScalar(v)}" }
+      val cfgEntries = keptCfg ++ setCfg
+      val block = new StringBuilder("[[stages]]\n")
+      block ++= s"""id = "$stageId"\n"""
+      block ++= s"""function = "$newFn"\n"""
+      if (newInputs.nonEmpty)
+        block ++= newInputs.map(i => s""""$i"""").mkString("inputs = [", ", ", "]\n")
+      if (cfgEntries.nonEmpty)
+        block ++= cfgEntries.mkString("config = { ", ", ", " }\n")
+      // locate this stage's [[stages]] block in the file text: from its
+      // header line to the next section header (or EOF)
+      val lines = before.split("\n", -1)
+      val headers = lines.indices.filter(i => lines(i).trim == "[[stages]]")
+      val idRe = ("""^\s*id\s*=\s*["']""" + java.util.regex.Pattern.quote(stageId) + """["']\s*(#.*)?$""").r
+      val blockRange = headers.flatMap { h =>
+        val end = lines.indices.drop(h + 1)
+          .find(i => lines(i).trim.startsWith("[")).getOrElse(lines.length)
+        if ((h + 1 until end).exists(i => idRe.matches(lines(i)))) Some((h, end)) else None
+      }.headOption.getOrElse {
+        System.err.println(s"could not locate the [[stages]] block for '$stageId' in $path")
+        sys.exit(1); (0, 0)
+      }
+      val after = (lines.take(blockRange._1) ++ block.toString.split("\n") ++
+        lines.drop(blockRange._2)).mkString("\n")
+      // validate the edited pipeline BEFORE writing anything
+      val pc = try PipelineConfig.fromString(after) catch {
+        case e: Exception =>
+          System.err.println(s"stage edit would break the pipeline: ${e.getMessage}")
+          sys.exit(1); null
+      }
+      val reg = Registry.forPipeline(pc)
+      if (!reg.contains(newFn)) {
+        System.err.println(s"unknown function '$newFn' — see `graft list`")
+        sys.exit(1)
+      }
+      DagCompiler.default.toposortCheck(pc)
+      java.nio.file.Files.write(p, after.getBytes("UTF-8"))
+      println(s"edited stage '$stageId' ($newFn) in $path — " +
+        s"${sets.size} set, ${removes.size} removed")
+
     // reference: `conveyor stage new` scaffolds a starter pipeline
     // (src/cli/scaffold.rs:5-120, non-interactive defaults)
     case "stage" :: "new" :: rest =>
@@ -192,6 +287,8 @@ object Main {
           |  stage describe <fn>      function kind + summary + config keys
           |  stage add <toml> --id X --function F [--inputs a,b] [--config k=v]...
           |                           append a stage (validated before write)
+          |  stage edit <toml> <id> [--set k=v]... [--remove k]... [--set-inputs a,b] [--set-function F]
+          |                           rewrite a stage's fields (validated before write)
           |  stage new [out.toml]     alias of scaffold
           |  plugin list [toml]       alias of list (provenance per function)
           |  scaffold [out.toml]      write a starter pipeline""".stripMargin)

@@ -57,16 +57,21 @@ object KnnBruteForceOp extends Stage {
 
 /** knn.lsh — approximate cosine top-k via random-hyperplane LSH bucketing:
   * candidates share at least one signature block with the query. Same
-  * hyperplane machinery as dedup.embedding. Recall knob: more blocks
-  * (pigeonhole) / fewer planes per block.
+  * hyperplane machinery as dedup.embedding. Recall knobs: more blocks
+  * (pigeonhole) / fewer planes per block, and `probe_hamming` = d —
+  * multi-probe LSH (Lv et al., VLDB'07): each block also probes buckets
+  * within Hamming distance d of the query's bucket, trading a wider scan
+  * for recall WITHOUT growing the index. d = width (= num_planes/blocks)
+  * provably covers every bucket — the exhaustive/debug setting the
+  * knn_lsh_exhaustive gate pins bit-for-bit against brute force.
   *
   * Two modes:
   *  - `index_path` (the 100 TB path): probe an [[IndexBuildOp]] type=lsh
   *    table. The corpus is stored once per block partitioned by
   *    (block, bucket % partition_dirs) with the exact bucket as a data
-  *    column; the probe prunes to `blocks` partition dirs and applies the
-  *    exact bucket equality inside the pruned scan, dedupes candidates on
-  *    the id, and scores them.
+  *    column; the probe prunes to the probed buckets' partition dirs and
+  *    applies the exact bucket predicate inside the pruned scan, dedupes
+  *    candidates on the id, and scores them.
   *  - inline: compute every row's signature in the scan and filter — one
   *    full scan but zero index maintenance.
   */
@@ -84,6 +89,15 @@ object KnnLshOp extends Stage {
       if ((0 until dim).map(j => planes(i)(j) * q(j)).sum >= 0) qSig |= (1L << i)
     qSig
   }
+
+  /** All width-bit buckets within Hamming distance `d` of `qb`, when the
+    * bucket space is enumerable (width ≤ 12 → ≤ 4096 values — an isin the
+    * planner turns into partition pruning); None = let the caller fall
+    * back to a residual bit_count filter. */
+  private def bucketsWithin(qb: Long, width: Int, d: Int): Option[Vector[Long]] =
+    if (width > 12) None
+    else Some((0L until (1L << width))
+      .filter(b => java.lang.Long.bitCount(b ^ qb) <= d).toVector)
 
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
@@ -121,14 +135,30 @@ object KnnLshOp extends Stage {
         val mask = (1L << width) - 1L
         val qSig = querySig(q, dim, h, seed)
         val pd = meta.getAs[Int]("pbuckets")
+        val probeD = cfg.longOr("probe_hamming", 0L).toInt
+        if (probeD < 0 || probeD > width) throw new GraftConfigError(
+          s"knn.lsh: probe_hamming must be in [0, $width] (the block width), got $probeD")
         // (block, pbucket) is the partition key — pruned at planning; the
-        // exact bucket equality is a residual data filter inside the
+        // exact bucket predicate is a residual data filter inside the
         // pruned scan (the layout bounds dir count independently of
-        // signature width)
+        // signature width). Multi-probe widens each block's bucket set to
+        // Hamming ≤ d: enumerable sets become isin (still pruned);
+        // un-enumerable widths fall back to a bit_count residual over the
+        // block's dirs.
         val probe = (0 until blocks).map { j =>
           val qb = (qSig >>> (j * width)) & mask
-          F.col("block") === j && F.col("pbucket") === (qb % pd).toInt &&
-            F.col("bucket") === qb
+          val bucketPred =
+            if (probeD == 0)
+              F.col("pbucket") === (qb % pd).toInt && F.col("bucket") === qb
+            else bucketsWithin(qb, width, probeD) match {
+              case Some(bs) =>
+                val pbs = bs.map(b => (b % pd).toInt).distinct
+                F.col("pbucket").isin(pbs.map(_.asInstanceOf[Any]): _*) &&
+                  F.col("bucket").isin(bs.map(_.asInstanceOf[Any]): _*)
+              case None =>
+                F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb))) <= probeD
+            }
+          F.col("block") === j && bucketPred
         }.reduce(_ || _)
         topk(spark.read.parquet(s"$path/corpus")
           .filter(probe)
@@ -146,11 +176,16 @@ object KnnLshOp extends Stage {
         // `blocks` OR'd predicates would re-evaluate the h×dim dot loop
         // per predicate inside FilterExec) + of the query
         val qSig = querySig(q, dim, h, seed)
+        val probeD = cfg.longOr("probe_hamming", 0L).toInt
+        if (probeD < 0 || probeD > width) throw new GraftConfigError(
+          s"knn.lsh: probe_hamming must be in [0, $width] (the block width), got $probeD")
         val withSig = ctx.primary.withColumn("__sig",
           DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed))
         val blockMatch = (0 until blocks).map { j =>
           val qBlock = (qSig >>> (j * width)) & mask
-          (F.shiftrightunsigned(F.col("__sig"), j * width).bitwiseAND(F.lit(mask)) === F.lit(qBlock))
+          val rowBlock = F.shiftrightunsigned(F.col("__sig"), j * width).bitwiseAND(F.lit(mask))
+          if (probeD == 0) rowBlock === F.lit(qBlock)
+          else F.bit_count(rowBlock.bitwiseXOR(F.lit(qBlock))) <= probeD
         }.reduce(_ || _)
         topk(withSig.filter(blockMatch).drop("__sig"))
     }

@@ -346,6 +346,26 @@ object ExtensionQueries {
         "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
         "k" -> 10, "nlist" -> 16, "nprobe" -> 16, "seed" -> 11)))
     },
+    // multi-probe LSH at probe_hamming = width: every block probes its
+    // ENTIRE bucket space, so the index probe provably covers the whole
+    // corpus and must return EXACTLY the brute-force answer (same oracle)
+    // — upgrades the lsh probe path from rows-only to oracle-checked and
+    // pins the candidate-completeness of the (block, pbucket, bucket)
+    // predicate; the pruned default stays rows-only (recall depends on
+    // the engine's hyperplanes).
+    QueryDef("knn_lsh_exhaustive",
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val idx = java.nio.file.Files.createTempDirectory("graft_lshex_idx").toString
+      IndexBuildOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
+        "type" -> "lsh", "path" -> idx, "vector_column" -> "embedding",
+        "num_planes" -> 32, "blocks" -> 4, "seed" -> 11, "partition_dirs" -> 16)))
+      KnnLshOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
+        "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "k" -> 10, "index_path" -> idx, "probe_hamming" -> 8)))
+    },
+
     // prebuilt-index probe (the 100 TB path): the index is built ONCE per
     // sf dir (first invocation) into /tmp and reused — in Bench's min-of-2
     // the second rep therefore measures the pure partition-pruned probe.
@@ -1641,6 +1661,30 @@ object ExtensionQueries {
       TopKMergeOp(StageContext(s, Seq(
         "even" -> sketch(docs.filter(F.col("doc_id") % 2 === 0)),
         "odd" -> sketch(docs.filter(F.col("doc_id") % 2 =!= 0))), Cfg.of("k" -> 40)))
+    },
+
+    // ---- grouped top-k: an independent exact-regime sketch per source
+    // (capacity >> per-(partition, group) distinct tokens), per-group
+    // error bound from each source's own token total. The oracle restates
+    // the whole per-group computation: window-ranked counts and
+    // count_max = count + floor(N_source / capacity).
+    QueryDef("topk_grouped",
+      s"""WITH toks0 AS (SELECT source, unnest($duckToks) AS term
+         |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+         |toks AS (SELECT source, term FROM toks0 WHERE term <> ''),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY source),
+         |cnt AS (SELECT source, term, CAST(count(*) AS BIGINT) AS count
+         |  FROM toks GROUP BY source, term),
+         |rk AS (SELECT source, term, count, row_number() OVER (
+         |    PARTITION BY source ORDER BY count DESC, term ASC) AS rn FROM cnt)
+         |SELECT r.source, r.term, r.count,
+         |  CAST(r.count + t.n // 200000 AS BIGINT) AS count_max
+         |FROM rk r JOIN tot t ON r.source = t.source
+         |WHERE r.rn <= 5""".stripMargin) { (s, d) =>
+      TopKOp(StageContext.one(s,
+        t(s, d, "documents").filter(F.col("source").isNotNull), Cfg.of(
+          "column" -> "text", "tokenize" -> true, "k" -> 5,
+          "capacity" -> 200000, "group_by" -> "source")))
     },
 
     // ---- topk.approx on a plain (non-tokenized) low-cardinality column:

@@ -53,6 +53,49 @@ class CliSpec extends AnyFunSuite {
     assert(pc.stages.last.config.str("column") === "v")
   }
 
+  test("stage edit rewrites fields in place and revalidates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_edit")
+    val toml = dir.resolve("p.toml")
+    java.nio.file.Files.writeString(toml,
+      """# top comment survives edits
+        |[pipeline]
+        |name = "p"
+        |[[stages]]
+        |id = "src"
+        |function = "inline.data"
+        |config = { jsonl = "{\"v\": 1}" }
+        |[[stages]]
+        |id = "keep"
+        |function = "filter.apply"
+        |inputs = ["src"]
+        |config = { column = "v", operator = ">=", value = 1, junk = "x" }
+        |""".stripMargin)
+    val out = captureOut(graft.cli.Main.main(Array(
+      "stage", "edit", toml.toString, "keep",
+      "--set", "value=5", "--set", "operator=<", "--remove", "junk")))
+    assert(out.contains("edited stage 'keep'"))
+    val written = java.nio.file.Files.readString(toml)
+    assert(written.contains("# top comment survives edits"))
+    val pc = graft.config.PipelineConfig.fromString(written)
+    assert(pc.stages.map(_.id) === Vector("src", "keep"))
+    val keep = pc.stageById("keep").get
+    assert(keep.config.long("value") === 5L)
+    assert(keep.config.str("operator") === "<")
+    assert(keep.config.str("column") === "v", "unedited keys must survive")
+    assert(!keep.config.has("junk"))
+    assert(keep.inputs === Vector("src"), "inputs survive when not edited")
+    // --set-inputs and --set-function rewrite the other fields
+    captureOut(graft.cli.Main.main(Array(
+      "stage", "edit", toml.toString, "keep",
+      "--set-function", "select.apply", "--remove", "operator",
+      "--remove", "value", "--set", "columns=v")))
+    val pc2 = graft.config.PipelineConfig.fromString(java.nio.file.Files.readString(toml))
+    assert(pc2.stageById("keep").get.function === "select.apply")
+    // the edited pipeline still validates end-to-end
+    val reg = graft.core.Registry.withDefaults
+    assert(pc2.stages.forall(s => reg.contains(s.function)))
+  }
+
   test("scaffold template itself validates; stage new is an alias") {
     val pc = graft.config.PipelineConfig.fromString(graft.cli.Main.scaffoldTemplate)
     assert(pc.stages.size === 3)

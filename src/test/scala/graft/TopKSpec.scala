@@ -133,6 +133,62 @@ class TopKSpec extends SparkSpec {
     assert(exact.count(_._3) === 12, "every 5th doc shares benchmark 8-grams")
   }
 
+  test("group_by: independent per-group sketches, per-group bounds and ranking") {
+    val data =
+      Seq.fill(50)(("s1", "a")) ++ Seq.fill(30)(("s1", "b")) ++ Seq.fill(10)(("s1", "c")) ++
+      Seq.fill(5)(("s2", "a")) ++ Seq.fill(40)(("s2", "z")) ++ Seq.fill(20)(("s2", "y"))
+    val df = scala.util.Random.shuffle(data).toDF("src", "w")
+    val got = TopKOp(StageContext.one(spark, df, Cfg.of(
+      "column" -> "w", "group_by" -> "src", "k" -> 2, "capacity" -> 100)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // exact regime; bound uses each group's OWN total (s1: N=90, s2: N=65
+    // → floor(N/100) = 0 for both)
+    assert(got.toSeq === Seq(
+      ("s1", "a", 50L, 50L), ("s1", "b", 30L, 30L),
+      ("s2", "z", 40L, 40L), ("s2", "y", 20L, 20L)))
+    // approximate regime per group: bounds hold within each group alone
+    val heavy = Seq.fill(300)(("g1", "hh")) ++ (1 to 500).map(i => ("g1", s"w$i")) ++
+      Seq.fill(10)(("g2", "only"))
+    val adf = scala.util.Random.shuffle(heavy).toDF("src", "w").repartition(1)
+    val agot = TopKOp(StageContext.one(spark, adf, Cfg.of(
+      "column" -> "w", "group_by" -> "src", "k" -> 3, "capacity" -> 50)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val g1 = agot.filter(_._1 == "g1")
+    assert(g1.map(_._2).contains("hh"), "per-group heavy hitter must be reported")
+    g1.foreach { case (_, w, c, cMax) =>
+      val truth = if (w == "hh") 300L else 1L
+      assert(c <= truth && truth <= cMax, s"group bound violated for $w: $c..$cMax vs $truth")
+      assert(cMax === c + 800L / 50L, "bound must use g1's own N, not the frame total")
+    }
+    // g2 untouched by g1's evictions: tiny group stays exact
+    assert(agot.filter(_._1 == "g2").toSeq === Seq(("g2", "only", 10L, 10L)))
+  }
+
+  test("grouped summaries merge per group; group sets must agree") {
+    val b1 = (Seq.fill(30)(("s1", "a")) ++ Seq.fill(10)(("s2", "x"))).toDF("src", "w")
+    val b2 = (Seq.fill(5)(("s1", "a")) ++ Seq.fill(25)(("s2", "x")) ++
+      Seq.fill(8)(("s2", "q"))).toDF("src", "w")
+    def sketch(df: org.apache.spark.sql.DataFrame) =
+      TopKOp(StageContext.one(spark, df, Cfg.of(
+        "column" -> "w", "group_by" -> "src", "capacity" -> 100, "output" -> "summary")))
+    val merged = graft.operators.TopKMergeOp(StageContext(spark, Seq(
+      "b1" -> sketch(b1), "b2" -> sketch(b2)), Cfg.of("k" -> 2)))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(merged.toSeq === Seq(
+      ("s1", "a", 35L), ("s2", "x", 35L), ("s2", "q", 8L)))
+    // a grouped and an ungrouped summary cannot merge
+    val flat = TopKOp(StageContext.one(spark, b1, Cfg.of(
+      "column" -> "w", "capacity" -> 100, "output" -> "summary")))
+    intercept[GraftPlanError](graft.operators.TopKMergeOp(StageContext(spark, Seq(
+      "g" -> sketch(b2), "f" -> flat), Cfg.of("k" -> 2))))
+    // reserved/overlapping group names fail loud
+    intercept[GraftConfigError](TopKOp(StageContext.one(spark,
+      b1.withColumnRenamed("src", "count"), Cfg.of(
+        "column" -> "w", "group_by" -> "count"))))
+    intercept[GraftConfigError](TopKOp(StageContext.one(spark, b1, Cfg.of(
+      "column" -> "w", "group_by" -> "w"))))
+  }
+
   test("compressibility: boilerplate << prose << incompressible, empty is null") {
     val rnd = new scala.util.Random(7)
     val docs = Seq(

@@ -76,6 +76,34 @@ class VectorIndexSpec extends SparkSpec {
     assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty))
   }
 
+  test("probe_hamming = width covers every bucket and equals brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lshex_spec").toString
+    IndexBuildOp(StageContext.one(spark, emb, Cfg.of(
+      "path" -> dir, "type" -> "lsh", "vector_column" -> "embedding",
+      "num_planes" -> 16, "blocks" -> 4, "seed" -> 11)))
+    def probe(d: Int) = KnnLshOp(StageContext.one(spark, emb, Cfg.of(
+      "query_id" -> 0, "k" -> 10, "index_path" -> dir, "probe_hamming" -> d)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = KnnBruteForceOp(StageContext.one(spark, emb, Cfg.of(
+      "query_id" -> 0, "k" -> 10))).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // d = width (16/4 = 4): every bucket of every block probed → the
+    // candidate set is the whole corpus, the answer is exact
+    assert(probe(4) === brute)
+    // multi-probe recall is monotone in d: each widened probe's result
+    // cosine floor can only improve toward the brute-force floor
+    val floors = (0 to 4).map(d => probe(d).map(_._2).min)
+    assert(floors.zip(floors.tail).forall { case (a, b) => b >= a - 1e-9 })
+    // inline mode agrees with itself at the exhaustive setting too
+    val inlineAll = KnnLshOp(StageContext.one(spark, emb, Cfg.of(
+      "query_id" -> 0, "k" -> 10, "num_planes" -> 16, "blocks" -> 4,
+      "seed" -> 11, "probe_hamming" -> 4)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(inlineAll === brute)
+    // out-of-range d fails loud
+    intercept[graft.config.GraftConfigError](KnnLshOp(StageContext.one(spark, emb,
+      Cfg.of("query_id" -> 0, "k" -> 10, "index_path" -> dir, "probe_hamming" -> 5))))
+  }
+
   test("knn.ivf with no index_path still trains inline (legacy mode)") {
     val out = KnnIvfOp(StageContext.one(spark, emb, Cfg.of(
       "query_id" -> 0, "k" -> 5, "nlist" -> 4, "nprobe" -> 4, "seed" -> 11)))
