@@ -55,7 +55,7 @@ object Registry {
     CountWindowOp, AggregateStreamOp, TimeWindowOp, SessionWindowOp,
     StreamDedupOp, StatefulAggOp,
     FileStreamSource, RateStreamSource, StdinStreamSource, StreamWriteSink,
-    StreamIngestSink,
+    StreamIngestSink, StreamSketchSink,
     // connectors (reference §2.6-2.7; all native — file-backed offline modes)
     KafkaConsumeSource, KafkaProduceSink, KafkaStreamSource, KafkaCompactOp,
     MongoFindSource, MongoFindOneSource,

@@ -265,10 +265,12 @@ object TopKMergeOp extends Stage {
     }
     // any extra columns are the sketches' group_by keys — merge per group.
     // Every input must carry the same group set or the merge is undefined.
-    val groups = frames.head.columns.toSeq
-      .filterNot(Set("term", "count", "capacity").contains)
+    // `ingest_batch` is stream.sketch's provenance partition column, not a
+    // group key — merging across micro-batches is exactly the point.
+    val nonGroup = Set("term", "count", "capacity", "ingest_batch")
+    val groups = frames.head.columns.toSeq.filterNot(nonGroup.contains)
     frames.foreach { f =>
-      val gs = f.columns.toSet -- Set("term", "count", "capacity")
+      val gs = f.columns.toSet -- nonGroup
       if (gs != groups.toSet) throw new GraftPlanError(
         s"topk.merge: summaries disagree on group columns " +
         s"(${groups.mkString(", ")} vs ${gs.toSeq.sorted.mkString(", ")})")

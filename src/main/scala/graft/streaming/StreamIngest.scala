@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.streaming.Trigger
 import graft.config._
 import graft.core._
-import graft.operators.{DedupExactOp, DedupMinHashOp}
+import graft.operators.{DedupExactOp, DedupMinHashOp, TopKOp}
 
 /** stream.ingest — streaming incremental corpus ingestion: each micro-batch
   * dedups against a persisted `index.build` corpus (plus within-batch
@@ -135,6 +135,89 @@ object StreamIngestSink extends Stage {
         case (Some(ms), _) => q.awaitTermination(ms); q.stop()
         case (None, Some("available_now")) => q.awaitTermination()
         case (None, _) => q.awaitTermination()
+      }
+    }
+    df
+  }
+}
+
+/** stream.sketch — running corpus audits over a stream: each micro-batch
+  * is sketched ONCE by `topk.approx output = "summary"` (Misra-Gries,
+  * mergeable — Agarwal PODS'12) and the summary rows land under `path`
+  * partitioned by `ingest_batch`; `topk.merge` over that directory (any
+  * time, any engine instance) yields the running top-k without ever
+  * rescanning old batches — the streaming completion of the
+  * sketch-once/merge-forever path. In the exact regime, merged-streaming
+  * equals the one-pass batch top-k (StreamingSpec pins it).
+  *
+  * Exactly-once like stream.ingest: a replayed micro-batch OVERWRITES its
+  * own `ingest_batch=<id>` partition (dynamic partitionOverwriteMode), so
+  * retries re-land identical summary rows instead of double-counting.
+  * topk.merge treats `ingest_batch` as provenance, never as a group key.
+  *
+  * Config: `path` (summary parquet root), `checkpoint` (default
+  * `<path>/_checkpoint`), `trigger` = "available_now" | `trigger_ms`,
+  * `timeout_ms`, plus topk.approx's keys passed through (`column`,
+  * `tokenize`, `capacity`, `group_by`, …).
+  *
+  * 100 TB shape: the raw stream never shuffles (per-partition sketches),
+  * each micro-batch persists ≤ partitions × groups × (capacity+1) narrow
+  * rows, and the corpus-lifetime audit is a merge over megabytes.
+  */
+object StreamSketchSink extends Stage {
+  val name = "stream.sketch"
+  val kind = StageKind.Sink
+
+  private val SinkKeys = Set("path", "checkpoint", "trigger", "trigger_ms",
+    "timeout_ms", "query_name", "_defer_await", "_explain_only")
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val df = ctx.primary
+    if (!df.isStreaming)
+      throw new GraftPlanError("stream.sketch requires a streaming input; " +
+        "for batch corpora run topk.approx output=\"summary\" directly")
+    val out = cfg.str("path")
+    val checkpoint = cfg.strOr("checkpoint", s"$out/_checkpoint")
+    val passThrough = Cfg((cfg.table -- SinkKeys) +
+      ("output" -> CStr("summary")))
+    // fail loud on bad topk config BEFORE the query starts: dry-plan the
+    // sketch against an empty frame with the stream's schema
+    TopKOp(StageContext(ctx.spark, Seq("probe" -> ctx.spark.createDataFrame(
+      ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)),
+      Cfg(passThrough.table + ("_explain_only" -> CBool(true))), ctx.stageId))
+    val stageId = ctx.stageId
+
+    var w = df.writeStream
+      .queryName(cfg.strOr("query_name", s"graft_${stageId}"))
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val cleanups = scala.collection.mutable.Buffer[() => Unit]()
+          try {
+            val summary = TopKOp(StageContext(batch.sparkSession,
+              Seq("batch" -> batch), passThrough, stageId,
+              deferToCleanup = a => { cleanups += a; () }))
+            summary.withColumn("ingest_batch", F.lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("ingest_batch").parquet(out)
+          } finally cleanups.foreach(c => try c() catch { case e: Exception =>
+            System.err.println(s"[graft] stream.sketch cleanup failed: ${e.getMessage}") })
+        }
+      }
+    cfg.strOpt("trigger") match {
+      case Some("available_now") => w = w.trigger(Trigger.AvailableNow())
+      case Some(other) => throw new GraftConfigError(
+        s"stream.sketch: unknown trigger '$other' (use 'available_now' or trigger_ms)")
+      case None =>
+        cfg.longOpt("trigger_ms").foreach(ms => w = w.trigger(Trigger.ProcessingTime(ms)))
+    }
+    val q = w.start()
+    if (!cfg.boolOr("_defer_await", false)) {
+      cfg.longOpt("timeout_ms") match {
+        case Some(ms) => q.awaitTermination(ms); q.stop()
+        case None     => q.awaitTermination()
       }
     }
     df

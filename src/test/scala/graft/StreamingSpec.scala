@@ -262,6 +262,44 @@ class StreamingSpec extends SparkSpec {
     assert(later.count() === 0)
   }
 
+  test("stream.sketch: merged per-batch summaries equal the one-pass batch top-k") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_sketch_k").toString
+    // two produces → two micro-batches, overlapping vocabularies
+    val b1 = Seq((1L, "alpha alpha beta gamma"), (2L, "alpha beta beta delta"))
+      .toDF("doc_id", "text")
+    val b2 = Seq((3L, "alpha gamma gamma gamma"), (4L, "epsilon beta alpha"))
+      .toDF("doc_id", "text")
+    graft.operators.KafkaProduceSink(StageContext.one(spark, b1,
+      Cfg.of("path" -> root, "topic" -> "docs")))
+    graft.operators.KafkaProduceSink(StageContext.one(spark, b2,
+      Cfg.of("path" -> root, "topic" -> "docs")))
+    val stream = graft.operators.KafkaStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> root, "topic" -> "docs",
+      "schema" -> "doc_id LONG, text STRING", "max_files_per_trigger" -> 1L)))
+    val out = java.nio.file.Files.createTempDirectory("graft_sketch_out").toString + "/sums"
+    StreamSketchSink(StageContext.one(spark, stream, Cfg.of(
+      "path" -> out, "trigger" -> "available_now",
+      "column" -> "text", "tokenize" -> true, "capacity" -> 1000)))
+    val sums = spark.read.parquet(out)
+    assert(sums.select("ingest_batch").distinct().count() === 2,
+      "each micro-batch persists its own summary partition")
+    // merged streaming summaries ≡ one-pass batch top-k (exact regime)
+    val merged = graft.operators.TopKMergeOp(StageContext(spark,
+      Seq("s" -> sums), Cfg.of("k" -> 3)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val onePass = graft.operators.TopKOp(StageContext.one(spark, b1.unionByName(b2),
+      Cfg.of("column" -> "text", "tokenize" -> true, "k" -> 3, "capacity" -> 1000)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(merged.toSeq === onePass.toSeq)
+    assert(merged.head === ("alpha", 6L))
+    // bad sketch config fails before the query starts (plan-time probe)
+    val mem = { implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      MemoryStream[String].toDF() }
+    intercept[GraftPlanError](StreamSketchSink(StageContext.one(spark, mem,
+      Cfg.of("path" -> "/tmp/x", "column" -> "no_such_col"))))
+  }
+
   test("stream.ingest rejects batch input, unknown dedup kinds, and embedding") {
     intercept[GraftPlanError](StreamIngestSink(StageContext.one(spark, salesDf,
       Cfg.of("path" -> "/tmp/x", "index_path" -> "/tmp/y"))))
