@@ -75,9 +75,14 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.types.LongType
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       val ts = raw.schema("ts").dataType match {
         case LongType => timestamp_micros(floor(col("ts") / 1000L).cast("long"))
+        // a µs fixture WITHOUT the isAdjustedToUTC flag decodes as
+        // TIMESTAMP_NTZ under Spark 4's inferTimestampNTZ — normalize to
+        // the FIXTURES.md TimestampType (session tz is UTC everywhere, so
+        // values line up with the oracle's naive read either way)
+        case TimestampNTZType => col("ts").cast(TimestampType)
         case _        => col("ts")
       }
       raw.withColumn("ts", ts)

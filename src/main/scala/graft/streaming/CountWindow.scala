@@ -38,6 +38,17 @@ object CountWindowOp extends Stage {
   val name = "window.apply"
   val kind = StageKind.Transform
 
+  /** The session-gap value as seconds-double. TIMESTAMP_NTZ has no direct
+    * DOUBLE cast in Spark 4 (analysis error), so route it through
+    * TimestampType first — the session timezone is applied consistently
+    * on both lag sides, so gap DIFFERENCES are unaffected. */
+  private def gapValue(df: DataFrame, tsCol: String): org.apache.spark.sql.Column =
+    df.schema.find(_.name == tsCol).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        F.col(tsCol).cast("timestamp").cast("double")
+      case _ => F.col(tsCol).cast("double")
+    }
+
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     val typ = cfg.strOr("type", "tumbling")
@@ -75,7 +86,7 @@ object CountWindowOp extends Stage {
         val gap = cfg.doubleOr("gap", 300.0)
         val tsCol = cfg.strOpt("gap_column").orElse(orderBy.headOption).getOrElse(
           throw new GraftConfigError("session window requires order_by or gap_column"))
-        val prepared = indexed.withColumn("_gapv", F.col(tsCol).cast("double"))
+        val prepared = indexed.withColumn("_gapv", gapValue(indexed, tsCol))
         val outSchema = StructType(ctx.primary.schema.fields :+
           StructField("window_id", LongType, nullable = false))
         graft.operators.TwoPass(prepared, outSchema) { it =>
@@ -148,7 +159,7 @@ object CountWindowOp extends Stage {
         val gap = cfg.doubleOr("gap", 300.0)
         val tsCol = cfg.strOpt("gap_column").orElse(orderBy.headOption).getOrElse(
           throw new GraftConfigError("session window requires order_by or gap_column"))
-        val gv = F.col(tsCol).cast("double")
+        val gv = gapValue(ctx.primary, tsCol)
         val flag = F.when(F.lag(gv, 1).over(w).isNotNull &&
           gv - F.lag(gv, 1).over(w) > gap, 1L).otherwise(0L)
         ctx.primary
@@ -238,7 +249,7 @@ object CountWindowOp extends Stage {
       case "session" =>
         val tsCol = cfg.strOpt("gap_column").getOrElse(
           throw new GraftConfigError("streaming session window requires gap_column"))
-        val p = df.withColumn("_gapv", F.col(tsCol).cast("double"))
+        val p = df.withColumn("_gapv", gapValue(df, tsCol))
         (p, p.columns.length - 1)
       case _ => (df, -1)
     }

@@ -32,6 +32,12 @@ def main():
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noora = 0
+    # a query whose dump FAILED leaves no dir at all — without this check a
+    # plan-time error reads as "141 pass, 0 fail" (it bit: the 2 session-
+    # window queries broke on a fixture type change and the tally hid it)
+    for name in sorted(set(oracle) - set(names)):
+        print(f"MISSING-DUMP   {name} (query failed before writing output — see [verify] stderr)")
+        n_fail += 1
     for name in names:
         files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
         if not files:
