@@ -488,7 +488,7 @@ object DedupExactOp extends Stage {
 /** Plan-time snapshot of an index corpus directory: parquet dir reads
   * re-list at execution, so an `index_append` firing before the result is
   * consumed would otherwise let a batch match itself. */
-private[operators] object IndexSnapshot {
+private[graft] object IndexSnapshot {
   /** One appender per index per pipeline run: each `index_append` stage
     * snapshots the corpus file list at plan time and fires its append only
     * after all sinks succeed, so two appenders in one pipeline would each
@@ -511,11 +511,16 @@ private[operators] object IndexSnapshot {
     * `corpus/<tag>/` — a micro-batch retry re-lands its append
     * idempotently instead of duplicating it, and the paired `excludeDir`
     * probe filter keeps the retry from self-matching first. */
-  def append(df: DataFrame, corpusDir: String, streamTag: Option[String]): Unit =
+  def append(df: DataFrame, corpusDir: String, streamTag: Option[String]): Unit = {
+    // appending into the missing-corpus window of a crashed compact would
+    // fork a fresh corpus that the repair would then discard — repair first
+    val p = java.nio.file.Paths.get(corpusDir)
+    if (p.getParent != null) IndexMaintenance.recoverSwap(p.getParent.toString)
     streamTag match {
       case None      => df.write.mode("append").parquet(corpusDir)
       case Some(tag) => df.write.mode("overwrite").parquet(s"$corpusDir/$tag")
     }
+  }
 
   /** Snapshot-read the corpus as parquet, treating a part-file-less dir as
     * an EMPTY index of `emptySchema` (index.build over empty input writes
@@ -540,6 +545,10 @@ private[operators] object IndexSnapshot {
     * every row would self-match and the retry would emit nothing. */
   def files(dir: String, missingMsg: String, excludeDir: Option[String] = None): Vector[String] = {
     val p = java.nio.file.Paths.get(dir)
+    // a previous index.compact may have died mid-swap — repair before
+    // listing, so no reader observes a missing/partial corpus generation
+    if (p.getFileName != null && p.getFileName.toString == "corpus" && p.getParent != null)
+      IndexMaintenance.recoverSwap(p.getParent.toString)
     if (!java.nio.file.Files.isDirectory(p)) throw new GraftPlanError(missingMsg)
     val stream = java.nio.file.Files.walk(p)
     try stream.iterator().asScala

@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.config._
+import graft.core._
+
+/** Shared crash-swap repair for `index.compact`: the swap holds the old
+  * corpus generation aside as `corpus.compact.old` before installing the
+  * compacted `corpus.compact.tmp`, so a crash at any point leaves at least
+  * one complete generation on disk — and every corpus READER runs this
+  * repair first, so no probe ever observes the partial-swap window (the
+  * same contract kafka.consume/stream got for kafka.compact's mid-swap
+  * crashes). Synchronized: concurrent probes composing in one process must
+  * not race the directory moves.
+  */
+private[graft] object IndexMaintenance {
+  /** Repair a compact that died mid-swap under `<path>/`. Idempotent, two
+    * directory stats in the no-crash common case.
+    *
+    * `cleanTmp` — only index.compact itself passes true: a leftover
+    * `corpus.compact.tmp` with the corpus intact is just a stale artifact
+    * of a crash BEFORE the swap began, but an active compaction's tmp
+    * write looks identical, so readers must leave it alone (the
+    * maintenance contract says compact runs quiesced, but a reader
+    * deleting a writer's half-written tmp turns a contract violation into
+    * data loss).
+    */
+  def recoverSwap(path: String, cleanTmp: Boolean = false): Unit = synchronized {
+    import java.nio.file.{Files, Paths}
+    val corpus = Paths.get(s"$path/corpus")
+    val hold = Paths.get(s"$path/corpus.compact.old")
+    val tmp = Paths.get(s"$path/corpus.compact.tmp")
+    if (Files.isDirectory(hold)) {
+      if (!Files.isDirectory(corpus)) {
+        // died between hold-aside and install. The tmp write commits
+        // BEFORE the swap starts, so if tmp exists it is the complete new
+        // generation — finish the install; tmp missing (external
+        // tampering) falls back to restoring the held old generation.
+        if (Files.isDirectory(tmp)) { Files.move(tmp, corpus); KafkaLog.deleteRec(hold) }
+        else Files.move(hold, corpus)
+      } else {
+        // died after install, before the held generation's delete
+        KafkaLog.deleteRec(hold)
+      }
+    } else if (cleanTmp && Files.isDirectory(tmp)) {
+      KafkaLog.deleteRec(tmp)
+    }
+  }
+}
+
+/** index.compact — physical compaction of an `index.build` index: rewrite
+  * the corpus into few right-sized files, byte-identical rows, then swap
+  * the new generation in crash-safely. Incremental ingestion GROWS an
+  * index one small append at a time — `dedup.* index_append = true` adds a
+  * few part files per pipeline run, and `stream.ingest` adds one
+  * `corpus/sb-<ckpt>-<batch>/` subdir per micro-batch — so after thousands
+  * of batches a probe lists thousands of tiny files: the classic
+  * small-files pathology (listing dominates, every scan task reads a
+  * droplet). Compaction is the missing third verb of the index lifecycle:
+  * build → append per batch → compact when fragmented.
+  *
+  * Layout-aware, driven by the index's own meta:
+  *   - exact / minhash (flat corpus): coalesce to ceil(bytes /
+  *     target_file_mb) files (default 128 MiB — the parquet-friendly
+  *     scan-task size); streaming per-batch subdirs fold into the flat
+  *     generation
+  *   - lsh (block, pbucket) / ivf (cell): one file per partition dir via
+  *     repartition on the partition columns — dir layout, partition
+  *     pruning, and `basePath` column recovery all survive unchanged
+  *
+  * PURELY PHYSICAL: rows pass through exactly (no distinct, no re-keying,
+  * no re-hashing) and `meta/`/`centroids/` are untouched, so probe results
+  * are bit-identical before and after — the spec and the
+  * index_compact_parity gate pin this. A row-count check between the
+  * snapshot and the written tmp aborts the swap on any mismatch (the swap
+  * deletes the old generation; never trade durability for one count scan).
+  *
+  * Crash-safe swap, same discipline as kafka.compact: (1) write
+  * `corpus.compact.tmp` fully, (2) rename `corpus` →
+  * `corpus.compact.old`, (3) rename tmp → `corpus`, (4) delete the held
+  * old generation LAST. Every reader (IndexSnapshot + the knn probes) runs
+  * IndexMaintenance.recoverSwap first, so a crash at any point repairs to
+  * a complete generation before any file listing.
+  *
+  * Maintenance contract (same single-writer rule as the kafka log and
+  * index_append): run compact QUIESCED — no concurrent appender, probe, or
+  * recovering streaming query on the same index. In particular a
+  * stream.ingest query crashed mid-batch may hold an uncommitted
+  * `corpus/sb-…` append; compacting before it replays folds that append
+  * into the flat generation, and the replay's self-match exclusion
+  * (excludeDir) can no longer see it — resume the stream (or drop its
+  * checkpoint) before compacting.
+  *
+  * MATERIALIZATION BARRIER like index.build: runs eagerly at plan-compose
+  * time and passes its input through, so it composes mid-pipeline; CLI
+  * `explain` skips it (read-only).
+  *
+  * Config: `path` (the index root), `target_file_mb` = 128 (flat layouts).
+  */
+object IndexCompactOp extends Stage {
+  val name = "index.compact"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    if (cfg.boolOr("_explain_only", false)) return ctx.primary
+    val path = cfg.str("path")
+    val targetMb = cfg.longOr("target_file_mb", 128L)
+    if (targetMb < 1) throw new GraftConfigError("index.compact: target_file_mb must be >= 1")
+    val spark = ctx.spark
+    import java.nio.file.{Files, Paths}
+
+    IndexMaintenance.recoverSwap(path, cleanTmp = true)
+
+    // the index family (= corpus layout) from its own metadata
+    val partitionCols: Seq[String] =
+      if (Files.isDirectory(Paths.get(s"$path/meta"))) {
+        val fields = spark.read.parquet(s"$path/meta").schema.fieldNames.toSet
+        if (fields.contains("pbuckets")) Seq("block", "pbucket")            // lsh
+        else if (fields.contains("shingle_size") || fields.contains("columns")) Seq.empty // minhash | exact
+        else throw new GraftPlanError(
+          s"index.compact: unrecognized index meta at $path (fields: ${fields.mkString(", ")})")
+      } else if (Files.isDirectory(Paths.get(s"$path/centroids"))) Seq("cell") // ivf
+      else throw new GraftPlanError(
+        s"index.compact: no index at $path — run index.build first")
+
+    val corpusDir = s"$path/corpus"
+    val files = IndexSnapshot.files(corpusDir,
+      s"index.compact: index at $path has no corpus directory")
+    if (files.isEmpty) return ctx.primary // empty index — nothing to rewrite
+    val bytes = files.map(f => Files.size(Paths.get(f))).sum
+
+    val reader = spark.read
+    val corpus = (if (partitionCols.nonEmpty) reader.option("basePath", corpusDir)
+                  else reader).parquet(files: _*)
+
+    val tmp = Paths.get(s"$path/corpus.compact.tmp")
+    if (partitionCols.nonEmpty)
+      corpus.repartition(partitionCols.map(F.col): _*)
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
+    else {
+      val targetBytes = targetMb * 1024L * 1024L
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      corpus.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    }
+
+    // refuse to install a generation that lost (or invented) rows: the
+    // swap deletes the old corpus, so this is the last cheap moment to
+    // notice a rewrite bug before it becomes data loss
+    val before = corpus.count()
+    val after = spark.read.parquet(tmp.toString).count()
+    if (before != after) {
+      KafkaLog.deleteRec(tmp)
+      throw new GraftPlanError(
+        s"index.compact: rewrite row count mismatch at $path ($before before, $after " +
+        "after) — compacted generation discarded, index left untouched")
+    }
+
+    val hold = Paths.get(s"$path/corpus.compact.old")
+    Files.move(Paths.get(corpusDir), hold)
+    Files.move(tmp, Paths.get(corpusDir))
+    KafkaLog.deleteRec(hold)
+
+    val newFiles = IndexSnapshot.files(corpusDir, s"index.compact: $corpusDir vanished")
+    System.err.println(s"[graft] index.compact: $path — ${files.size} files " +
+      s"(${bytes / 1048576} MiB) → ${newFiles.size} files")
+    ctx.primary
+  }
+}

@@ -123,6 +123,7 @@ object KnnLshOp extends Stage {
           throw new GraftPlanError(
             s"knn.lsh: no index at '$path' — run an index.build type=lsh stage first " +
             "(note: the CLI `explain` command never builds indexes)")
+        IndexMaintenance.recoverSwap(path) // repair a mid-swap compact crash
         val meta = spark.read.parquet(s"$path/meta").head()
         if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
           s"knn.lsh: the index at $path predates the (block, pbucket) layout — " +
@@ -237,6 +238,7 @@ object KnnIvfOp extends Stage {
           throw new GraftPlanError(
             s"knn.ivf: no index at '$path' — run an index.build stage first " +
             "(note: the CLI `explain` command never builds indexes)")
+        IndexMaintenance.recoverSwap(path) // repair a mid-swap compact crash
         val cents = spark.read.parquet(s"$path/centroids")
           .select("cell", "centroid").collect()
           .map(r => (r.getInt(0), Vectors.dense(r.getSeq[Double](1).toArray)))

@@ -48,6 +48,10 @@ object IndexBuildOp extends Stage {
     // shown is the pass-through input; the probe stage will list whatever
     // index already exists on disk, or fail loudly when run for real)
     if (cfg.boolOr("_explain_only", false)) return ctx.primary
+    // a previous index.compact may have died mid-swap: repair before any
+    // meta validation or corpus write (an append into the missing-corpus
+    // window would fork a generation the repair would discard)
+    cfg.strOpt("path").foreach(p => IndexMaintenance.recoverSwap(p))
     cfg.strOr("type", "ivf") match {
       case "ivf" => buildIvf(ctx)
       case "lsh" => buildLsh(ctx)

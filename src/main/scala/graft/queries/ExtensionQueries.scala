@@ -204,6 +204,48 @@ object ExtensionQueries {
       d1.unionByName(d2)
     },
 
+    // ---- index.compact parity: the SAME corpus/batch/oracle as
+    // dedup_minhash_incremental, but the index is built FRAGMENTED (two
+    // halves, build + mode=append) and compacted before the probe —
+    // compaction is purely physical, so the probe's survivors must
+    // hash-match the single-build path's oracle exactly.
+    QueryDef("index_compact_parity",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 20000, reverse(text) FROM documents WHERE doc_id >= 400),
+        |toks AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM corpus),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM toks),
+        |dropped AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        |SELECT c.doc_id, c.text FROM corpus c
+        |WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val batch2 = docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 10000).as("doc_id"), F.col("text"))
+        .unionByName(docs.filter(F.col("doc_id") >= 400)
+          .select((F.col("doc_id") + 20000).as("doc_id"), F.reverse(F.col("text")).as("text")))
+      val idx = java.nio.file.Files.createTempDirectory("graft_ic_idx").toString
+      val mhCfg = Seq[(String, Any)]("type" -> "minhash", "path" -> idx,
+        "id_column" -> "doc_id", "text_column" -> "text", "shingle_size" -> 3,
+        "num_hashes" -> 128, "bands" -> 32, "seed" -> 42)
+      IndexBuildOp(StageContext.one(s, docs.filter(F.col("doc_id") % 2 === 0),
+        Cfg.of(mhCfg: _*)))
+      IndexBuildOp(StageContext.one(s, docs.filter(F.col("doc_id") % 2 =!= 0),
+        Cfg.of((mhCfg :+ ("mode" -> "append")): _*)))
+      IndexCompactOp(StageContext.one(s, docs, Cfg.of("path" -> idx)))
+      val d1 = DedupMinHashOp(StageContext.one(s, docs, Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
+        "threshold" -> 0.8, "seed" -> 42)))
+      val d2 = DedupMinHashOp(StageContext.one(s, batch2, Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "threshold" -> 0.8, "index_path" -> idx)))
+      d1.unionByName(d2)
+    },
+
     // ---- stream.ingest batch-parity: the SAME corpus/batch split as
     // dedup_minhash_incremental, but batch 2 arrives through the real
     // Structured Streaming path — file.stream (one file per micro-batch)
@@ -1661,6 +1703,38 @@ object ExtensionQueries {
       TopKMergeOp(StageContext(s, Seq(
         "even" -> sketch(docs.filter(F.col("doc_id") % 2 === 0)),
         "odd" -> sketch(docs.filter(F.col("doc_id") % 2 =!= 0))), Cfg.of("k" -> 40)))
+    },
+
+    // ---- stream.sketch batch-parity: the SAME exact-regime top-k as
+    // topk_tokens, but the corpus arrives through the real Structured
+    // Streaming path — file.stream (one parquet file per micro-batch) →
+    // stream.sketch (per-micro-batch Misra-Gries summaries persisted
+    // under ingest_batch partitions) → topk.merge over the summary dir.
+    // Merge is order- and batching-independent, and in the exact regime
+    // merged-streaming ≡ one-pass batch, so the oracle is the identical
+    // whole-corpus SQL.
+    QueryDef("stream_sketch_parity",
+      s"""WITH toks0 AS (SELECT unnest($duckToks) AS term FROM documents WHERE text IS NOT NULL),
+         |toks AS (SELECT term FROM toks0 WHERE term <> ''),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+         |cnt AS (SELECT term, CAST(count(*) AS BIGINT) AS count FROM toks GROUP BY term)
+         |SELECT term, count, CAST(count + (SELECT n // 200000 FROM tot) AS BIGINT) AS count_max
+         |FROM cnt ORDER BY count DESC, term LIMIT 40""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_sk_in").toString
+      docs.filter(F.col("doc_id") % 2 === 0)
+        .coalesce(1).write.mode("append").parquet(streamDir)
+      Thread.sleep(400) // distinct mtimes → two micro-batches
+      docs.filter(F.col("doc_id") % 2 =!= 0)
+        .coalesce(1).write.mode("append").parquet(streamDir)
+      val stream = graft.streaming.FileStreamSource(StageContext(s, Seq.empty, Cfg.of(
+        "path" -> streamDir, "format" -> "parquet", "max_files_per_trigger" -> 1L)))
+      val sums = java.nio.file.Files.createTempDirectory("graft_sk_out").toString + "/sums"
+      graft.streaming.StreamSketchSink(StageContext.one(s, stream, Cfg.of(
+        "path" -> sums, "trigger" -> "available_now",
+        "column" -> "text", "tokenize" -> true, "capacity" -> 200000)))
+      TopKMergeOp(StageContext(s, Seq("sums" -> s.read.parquet(sums)),
+        Cfg.of("k" -> 40)))
     },
 
     // ---- grouped top-k: an independent exact-regime sketch per source

@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.config.{Cfg, GraftConfigError}
+import graft.core.{GraftPlanError, StageContext}
+import graft.operators.{DedupEmbeddingOp, DedupMinHashOp, IndexBuildOp, IndexCompactOp,
+  IndexSnapshot, IndexMaintenance}
+
+/** index.compact: the physical rewrite must be invisible to probes (same
+  * survivors, bit-identical semantics), shrink the file count that
+  * incremental appends fragment, and survive a crash at any point of the
+  * swap — readers repair a half-finished swap before listing. */
+class IndexCompactSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "one two three four five six seven eight nine ten"),
+    (3L, "red orange yellow green blue indigo violet pink brown black")
+  ).toDF("doc_id", "text")
+
+  private def buildMinhash(path: String): Unit =
+    IndexBuildOp(StageContext.one(spark, corpus, Cfg.of(
+      "type" -> "minhash", "path" -> path, "id_column" -> "doc_id",
+      "text_column" -> "text", "shingle_size" -> 3, "num_hashes" -> 64,
+      "bands" -> 16, "seed" -> 7)))
+
+  private def compact(path: String, extra: (String, Any)*): Unit =
+    IndexCompactOp(StageContext.one(spark, corpus,
+      Cfg.of((Seq[(String, Any)]("path" -> path) ++ extra): _*)))
+
+  private def corpusFiles(path: String): Vector[String] =
+    IndexSnapshot.files(s"$path/corpus", "no corpus")
+
+  test("minhash: appends fragment, compact coalesces, probes see identical survivors") {
+    val idx = java.nio.file.Files.createTempDirectory("ic_mh").toString
+    buildMinhash(idx)
+    // fragment the corpus: three batch appends + two streaming-tag dirs
+    (0 until 3).foreach { i =>
+      val b = Seq((100L + i, s"fresh unique sentence number $i with its own vocabulary here"))
+        .toDF("doc_id", "text")
+      DedupMinHashOp(StageContext.one(spark, b, Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "threshold" -> 0.8, "index_path" -> idx, "index_append" -> true)))
+        .count()
+    }
+    val sigs = spark.read.parquet(corpusFiles(idx): _*)
+    IndexSnapshot.append(sigs.filter(F.col("id") === 1L), s"$idx/corpus", Some("sb-ff-0"))
+    IndexSnapshot.append(sigs.filter(F.col("id") === 2L), s"$idx/corpus", Some("sb-ff-1"))
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$idx/corpus/sb-ff-0")))
+
+    val before = corpusFiles(idx)
+    val rowsBefore = spark.read.parquet(before: _*)
+      .select("id").as[Long].collect().sorted.toSeq
+    val batch = Seq(
+      (200L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // copy of 1
+      (201L, "fresh unique sentence number 2 with its own vocabulary here"), // copy of append
+      (202L, "genuinely new words never indexed under any generation at all")
+    ).toDF("doc_id", "text")
+    def probe() = DedupMinHashOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "threshold" -> 0.8, "index_path" -> idx)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val survivorsBefore = probe()
+    assert(survivorsBefore === Seq(202L))
+
+    compact(idx)
+    val after = corpusFiles(idx)
+    assert(after.size < before.size, s"${before.size} files must shrink, got ${after.size}")
+    assert(after.size === 1, "gate-scale corpus fits one 128 MiB target file")
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$idx/corpus/sb-ff-0")),
+      "streaming per-batch dirs fold into the flat generation")
+    val rowsAfter = spark.read.parquet(after: _*)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(rowsAfter === rowsBefore, "compaction is purely physical — exact same rows")
+    assert(probe() === survivorsBefore, "probe results identical across compaction")
+    // meta untouched → params still validate
+    assert(spark.read.parquet(s"$idx/meta").head().getAs[Int]("num_hashes") === 64)
+  }
+
+  test("lsh: partition layout survives, embedding probe identical across compaction") {
+    val idx = java.nio.file.Files.createTempDirectory("ic_lsh").toString
+    val vecs = (0 until 40).map { i =>
+      val r = new scala.util.Random(i * 31L + 7)
+      val v = Array.fill(16)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    IndexBuildOp(StageContext.one(spark, vecs, Cfg.of(
+      "type" -> "lsh", "path" -> idx, "vector_column" -> "embedding",
+      "num_planes" -> 16, "blocks" -> 4, "seed" -> 11, "partition_dirs" -> 8)))
+    // fragment: one appended batch (novel vectors)
+    val novel = (100 until 110).map { i =>
+      val r = new scala.util.Random(i * 53L + 1)
+      val v = Array.fill(16)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    DedupEmbeddingOp(StageContext.one(spark, novel, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "threshold" -> 0.95, "index_path" -> idx, "index_append" -> true))).count()
+
+    val before = corpusFiles(idx)
+    // batch: exact copies of one indexed and one appended vector + a novel one
+    val batch = vecs.filter(F.col("vec_id") === 3L)
+      .select((F.col("vec_id") + 1000L).as("vec_id"), F.col("embedding"))
+      .unionByName(novel.filter(F.col("vec_id") === 105L)
+        .select((F.col("vec_id") + 1000L).as("vec_id"), F.col("embedding")))
+      .unionByName(Seq((2000L, {
+        // seed must avoid the index generators' seed spaces (i*31+7 for the
+        // build, i*53+1 for the append) — 999 = 32*31+7 made this vector an
+        // exact copy of indexed vec 32, which the probe correctly dropped
+        val r = new scala.util.Random(424242L)
+        val v = Array.fill(16)(r.nextGaussian().toFloat)
+        val n = math.sqrt(v.map(x => x * x).sum).toFloat
+        v.map(_ / n)
+      })).toDF("vec_id", "embedding"))
+    def probe() = DedupEmbeddingOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "threshold" -> 0.95, "index_path" -> idx)))
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    val survivorsBefore = probe()
+    assert(survivorsBefore === Seq(2000L))
+
+    compact(idx)
+    val after = corpusFiles(idx)
+    assert(after.size < before.size)
+    assert(after.forall(_.contains("block=")), "partition dirs survive")
+    assert(after.forall(_.contains("pbucket=")))
+    assert(probe() === survivorsBefore, "pruned probe identical across compaction")
+  }
+
+  test("crash recovery: every mid-swap state repairs to a complete generation") {
+    import java.nio.file.{Files, Paths}
+    val idx = java.nio.file.Files.createTempDirectory("ic_crash").toString
+    buildMinhash(idx)
+    val rows = spark.read.parquet(corpusFiles(idx): _*)
+      .select("id").as[Long].collect().sorted.toSeq
+
+    // state 1: died between hold-aside and install (corpus missing,
+    // .old = old gen, .tmp = complete new gen) → install completes
+    val corpusP = Paths.get(s"$idx/corpus")
+    spark.read.parquet(corpusFiles(idx): _*).write.parquet(s"$idx/corpus.compact.tmp")
+    Files.move(corpusP, Paths.get(s"$idx/corpus.compact.old"))
+    val recovered = corpusFiles(idx) // listing repairs first
+    assert(spark.read.parquet(recovered: _*)
+      .select("id").as[Long].collect().sorted.toSeq === rows)
+    assert(!Files.isDirectory(Paths.get(s"$idx/corpus.compact.old")))
+    assert(!Files.isDirectory(Paths.get(s"$idx/corpus.compact.tmp")))
+
+    // state 2: died after install, before the held delete → held gen drops
+    Files.createDirectories(Paths.get(s"$idx/corpus.compact.old"))
+    Files.writeString(Paths.get(s"$idx/corpus.compact.old/stale"), "x")
+    assert(corpusFiles(idx).nonEmpty)
+    assert(!Files.isDirectory(Paths.get(s"$idx/corpus.compact.old")))
+
+    // state 3: died before the swap began (corpus intact, stale .tmp) —
+    // readers must NOT touch the tmp (it is indistinguishable from an
+    // active compaction's half-written output); only compact cleans it
+    Files.createDirectories(Paths.get(s"$idx/corpus.compact.tmp"))
+    Files.writeString(Paths.get(s"$idx/corpus.compact.tmp/stale"), "x")
+    corpusFiles(idx)
+    assert(Files.isDirectory(Paths.get(s"$idx/corpus.compact.tmp")),
+      "a reader leaves tmp alone")
+    compact(idx)
+    assert(!Files.isDirectory(Paths.get(s"$idx/corpus.compact.tmp")),
+      "compact itself cleans the stale tmp")
+    assert(spark.read.parquet(corpusFiles(idx): _*)
+      .select("id").as[Long].collect().sorted.toSeq === rows)
+  }
+
+  test("rejections: missing index, bad target, empty corpus no-op") {
+    intercept[GraftPlanError](compact(
+      java.nio.file.Files.createTempDirectory("ic_none").toString))
+    val idx = java.nio.file.Files.createTempDirectory("ic_badcfg").toString
+    buildMinhash(idx)
+    intercept[GraftConfigError](compact(idx, "target_file_mb" -> 0))
+    // empty index (build over empty input): compact is a clean no-op
+    val empty = java.nio.file.Files.createTempDirectory("ic_empty").toString
+    IndexBuildOp(StageContext.one(spark, corpus.filter(F.lit(false)), Cfg.of(
+      "type" -> "exact", "path" -> empty, "columns" -> Seq("text"))))
+    compact(empty)
+  }
+}

@@ -292,7 +292,7 @@ class StreamingSpec extends SparkSpec {
       Cfg.of("column" -> "text", "tokenize" -> true, "k" -> 3, "capacity" -> 1000)))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(merged.toSeq === onePass.toSeq)
-    assert(merged.head === ("alpha", 6L))
+    assert(merged.head === ("alpha", 5L))
     // bad sketch config fails before the query starts (plan-time probe)
     val mem = { implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       MemoryStream[String].toDF() }
