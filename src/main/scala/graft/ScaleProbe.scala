@@ -73,11 +73,12 @@ object ScaleProbe {
       val out = body
       ((System.nanoTime() - t0) / 1e9, out)
     }
+    var quiet = false
     def report(op: String, n: Int, sec: Double, extras: (String, Long)*): Unit =
-      println((Seq(s""""op":"$op"""", s""""n":$n""", f""""sec":$sec%.2f""") ++
+      if (!quiet) println((Seq(s""""op":"$op"""", s""""n":$n""", f""""sec":$sec%.2f""") ++
         extras.map { case (k, v) => s""""$k":$v""" }).mkString("{", ",", "}"))
 
-    sizes.foreach { n =>
+    def run(n: Int): Unit = {
       // materialize the synthetic corpus to parquet first: every probe
       // then reads the same on-disk table (like the gates), and generation
       // cost stays out of the timed window
@@ -125,7 +126,7 @@ object ScaleProbe {
       val (ssSec, ssRows) = timed {
         SubstringDedupOp(StageContext.one(spark, d, Cfg.of(
           "id_column" -> "doc_id", "column" -> "text",
-          "min_length" -> 50, "mode" -> "annotate"))).count()
+          "min_tokens" -> 50, "mode" -> "annotate"))).count()
       }
       report("dedup.substrings", n, ssSec, "rows" -> ssRows)
 
@@ -149,7 +150,27 @@ object ScaleProbe {
           "threshold" -> 0.8, "index_path" -> idx))).count()
       }
       report("dedup.minhash.incremental", n, incSec, "batch" -> b.toLong, "survivors" -> incKept)
+
+      // embedding incremental probe: lsh index over the corpus vectors,
+      // batch = same 10% copy/novel mix probed via index_path
+      val idxE = java.nio.file.Files.createTempDirectory(s"graft_scale_eidx_$n").toString
+      IndexBuildOp(StageContext.one(spark, v, Cfg.of(
+        "type" -> "lsh", "path" -> idxE, "vector_column" -> "embedding",
+        "num_planes" -> 32, "blocks" -> 4, "seed" -> 11, "partition_dirs" -> 64)))
+      val vbatch = spark.range(b.toLong).select(
+        (F.col("id") + (10L * n)).as("vec_id"),
+        F.when(F.col("id") % 2 === 0, vecUdf(F.col("id") * 2))
+          .otherwise(vecUdf(F.col("id") + (20L * n))).as("embedding"))
+      val (eincSec, eincKept) = timed {
+        DedupEmbeddingOp(StageContext.one(spark, vbatch, Cfg.of(
+          "id_column" -> "vec_id", "vector_column" -> "embedding",
+          "threshold" -> 0.95, "index_path" -> idxE))).count()
+      }
+      report("dedup.embedding.incremental", n, eincSec, "batch" -> b.toLong, "survivors" -> eincKept)
     }
+
+    quiet = true; run(500); quiet = false // warm pass: codegen/plan caches, output discarded
+    sizes.foreach(run)
     spark.stop()
   }
 }
