@@ -122,6 +122,25 @@ object ScaleProbe {
         .select("a.id", "b.id").distinct().count()
       report("dedup.embedding", n, embSec, "survivors" -> embKept, "bucket_pairs" -> cands)
 
+      // dedup.embedding blocking=bands — the corpus-scale blocking
+      // (banded LSH, BENCH_NOTES r6): candidate reduction 2^band_planes
+      // per band instead of the pigeonhole's recall-capped 2^8
+      val (bndSec, bndKept) = timed {
+        DedupEmbeddingOp(StageContext.one(spark, v, Cfg.of(
+          "id_column" -> "vec_id", "vector_column" -> "embedding",
+          "threshold" -> 0.95, "blocking" -> "bands",
+          "bands" -> 16, "band_planes" -> 16, "seed" -> 11))).count()
+      }
+      val bsigs = v.select(F.col("vec_id").as("id"), F.posexplode(
+          DedupEmbeddingOp.bandSignatures(F.col("embedding"), 64, 16, 16, 11)))
+        .toDF("id", "band", "bucket")
+      val bcands = bsigs.as("a").join(bsigs.as("b"),
+          F.col("a.band") === F.col("b.band") &&
+          F.col("a.bucket") === F.col("b.bucket") &&
+          F.col("a.id") < F.col("b.id"))
+        .select("a.id", "b.id").distinct().count()
+      report("dedup.embedding.bands", n, bndSec, "survivors" -> bndKept, "bucket_pairs" -> bcands)
+
       // dedup.substrings (Lee 2022 ExactSubstr) — annotate mode
       val (ssSec, ssRows) = timed {
         SubstringDedupOp(StageContext.one(spark, d, Cfg.of(

@@ -881,8 +881,19 @@ object DedupNgramOp extends Stage {
   * (training-data extension). Candidates via random-hyperplane LSH (h
   * seeded hyperplanes → h-bit signature → bucket join on signature
   * prefix-blocks, pigeonhole like simhash); verify exact cosine ≥
-  * threshold; drop higher id. Dot products are native
-  * aggregate(zip_with(...)) — no UDF.
+  * threshold; drop higher id.
+  *
+  * Two blocking schemes: the default `pigeonhole` guarantees recall
+  * within the Hamming prefilter bound but its block width is capped at
+  * ~π/angle bits by that guarantee, so bucket candidates are N²/2^width
+  * with a CONSTANT reduction — fine at fixture scale, quadratic at
+  * corpus scale (measured: 22.8M bucket pairs at 50k random docs,
+  * BENCH_NOTES r6). `blocking = "bands"` switches to banded LSH
+  * (`bands` independent `band_planes`-bit signatures, candidate on exact
+  * band agreement — the minhash-banding shape): random collisions fall
+  * as 2^-band_planes per band, a free knob (≈ log2 corpus size), at the
+  * price of probabilistic recall 1-(1-p^r)^b for borderline pairs
+  * (p = 1-acos(cos)/π; ~1 for exact/near-exact copies).
   */
 object DedupEmbeddingOp extends Stage {
   val name = "dedup.embedding"
@@ -944,6 +955,43 @@ object DedupEmbeddingOp extends Stage {
     udf(vec.cast("array<float>"))
   }
 
+  /** `bands` independent r-bit hyperplane signatures (one pass over the
+    * vector computing all bands·r dots) — the banded-LSH blocking for
+    * `blocking = "bands"`: each band is its own r-plane signature, a
+    * candidate needs ONE band to agree EXACTLY. Unlike the pigeonhole
+    * blocks (which slice a single h-bit sig and are capped at
+    * ~π/angle useful bits per block by the exact-block recall guarantee),
+    * band width r is a free knob: random-pair collisions fall as 2^-r per
+    * band, so r ≈ log2(corpus size) keeps the candidate set linear at any
+    * scale. Recall is probabilistic — 1-(1-p^r)^bands with
+    * p = 1-acos(cos)/π — ~1 for exact/near-exact copies and tunable via
+    * `bands` for borderline pairs. */
+  def bandSignatures(vec: Column, dim: Int, bands: Int, r: Int, seed: Long): Column = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands * r, dim)(rnd.nextGaussian())
+    val udf = F.udf { v: Seq[Float] =>
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var sig = 0L
+        var i = 0
+        while (i < r) {
+          var dot = 0.0
+          var j = 0
+          val n = math.min(dim, v.length)
+          val p = planes(b * r + i)
+          while (j < n) { dot += p(j) * v(j); j += 1 }
+          if (dot >= 0) sig |= (1L << i)
+          i += 1
+        }
+        out(b) = sig
+        b += 1
+      }
+      out
+    }
+    udf(vec.cast("array<float>"))
+  }
+
   def duplicateIds(ctx: StageContext): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val cfg = ctx.cfg
@@ -968,9 +1016,29 @@ object DedupEmbeddingOp extends Stage {
       Seq(F.col(id).alias("id"), F.col(vecCol).alias("vec")) ++
         cfg.strOpt("keep_by").map(F.col): _*)
     val (reps, exactDups) = ExactCollapse(base, "id", "vec", rankKey, ctx.deferToCleanup)
-    val sigs = ctx.pin(reps
-      .withColumn("sig", hyperplaneSig(F.col("vec"), dim, h, seed)))
-    val nearPairs = selfNearPairs(sigs, blocks, width, maxBits, threshold)
+    val nearPairs = cfg.strOr("blocking", "pigeonhole") match {
+      case "pigeonhole" =>
+        val sigs = ctx.pin(reps
+          .withColumn("sig", hyperplaneSig(F.col("vec"), dim, h, seed)))
+        selfNearPairs(sigs, blocks, width, maxBits, threshold)
+      case "bands" =>
+        // the 100 TB blocking (see ScaleProbe / BENCH_NOTES r6): pigeonhole
+        // candidates are N²/2^width with width CAPPED by the recall
+        // guarantee, so at corpus scale buckets go quadratic; banded LSH
+        // trades the guarantee for a free-width knob (random collisions
+        // 2^-r per band; pick band_planes ≈ log2 corpus size)
+        val bands = cfg.longOr("bands", 16L).toInt
+        val r = cfg.longOr("band_planes", 16L).toInt
+        if (bands < 1) throw new GraftConfigError(
+          s"dedup.embedding: bands must be >= 1, got $bands")
+        if (r < 1 || r > 63) throw new GraftConfigError(
+          s"dedup.embedding: band_planes must be in [1, 63], got $r")
+        val sigs = ctx.pin(reps
+          .withColumn("bsig", bandSignatures(F.col("vec"), dim, bands, r, seed)))
+        bandedSelfNearPairs(sigs, threshold)
+      case other => throw new GraftConfigError(
+        s"dedup.embedding: blocking must be pigeonhole|bands, got '$other'")
+    }
     exactDups.unionByName(DedupPairs.dropped(nearPairs,
       cfg.boolOr("transitive", false),
       rankKey.map(DedupRank.ranks(base, "id", _)), ctx.deferToCleanup)).distinct()
@@ -997,15 +1065,36 @@ object DedupEmbeddingOp extends Stage {
       // cheap codegen'd signature-agreement prefilter before any shuffle
       .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= maxBits)
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    verifyCosine(candidates, sigs.select(F.col("id"), F.col("vec")), threshold)
+  }
 
-    val vecs = sigs.select(F.col("id"), F.col("vec"))
+  /** banded-LSH self-join over (id, vec, bsig) reps → verified cosine
+    * pairs (id_a < id_b). Same narrow-candidate discipline as
+    * selfNearPairs; no Hamming prefilter (exact band agreement IS the
+    * filter — candidates are sparse by construction at any corpus size),
+    * exact cosine verifies every candidate. */
+  private def bandedSelfNearPairs(sigs: DataFrame, threshold: Double): DataFrame = {
+    val blocked = sigs.select(F.col("id"), F.posexplode(F.col("bsig")))
+      .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_val")
+    val lhs = blocked.select(F.col("band_idx"), F.col("band_val"), F.col("id").alias("id_a"))
+    val rhs = blocked.select(F.col("band_idx"), F.col("band_val"), F.col("id").alias("id_b"))
+    val candidates = lhs.join(rhs, Seq("band_idx", "band_val"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    verifyCosine(candidates, sigs.select(F.col("id"), F.col("vec")), threshold)
+  }
+
+  /** exact-cosine verify of narrow (id_a, id_b) candidates: vectors
+    * re-attach by id only for surviving candidates (AQE broadcasts the
+    * candidate list when small; never force-broadcast the corpus). */
+  private def verifyCosine(candidates: DataFrame, vecs: DataFrame,
+      threshold: Double): DataFrame =
     candidates
       .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("vec", "v_a"), Seq("id_a"))
       .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("vec", "v_b"), Seq("id_b"))
       .withColumn("cos", cosine(F.col("v_a").cast("array<double>"), F.col("v_b").cast("array<double>")))
       .filter(F.col("cos") >= threshold)
       .select("id_a", "id_b")
-  }
 
   /** `index_path` — dedup THIS batch against an `index.build type=lsh`
     * corpus (plus within-batch pairs): the embedding sibling of
@@ -1030,6 +1119,11 @@ object DedupEmbeddingOp extends Stage {
       throw new GraftConfigError(
         "dedup.embedding: keep_by / transitive=true are not supported with index_path " +
         "(the index is immutable — only the pairwise min-id policy is well-defined)")
+    if (cfg.strOr("blocking", "pigeonhole") != "pigeonhole")
+      throw new GraftConfigError(
+        "dedup.embedding: blocking=bands is not supported with index_path — the " +
+        "index.build type=lsh corpus is pigeonhole-partitioned; probe it with the " +
+        "default blocking, or use blocking=bands for whole-corpus self-dedup")
     val threshold = cfg.doubleOr("threshold", 0.95)
 
     val explainOnly = cfg.boolOr("_explain_only", false)

@@ -18,7 +18,10 @@ import graft.core._
   *    buckets — the two corpora are never cross-joined), signature-
   *    agreement prefilter, exact-Jaccard verify at `threshold`.
   *  - `embedding` (vectors): hyperplane signatures, pigeonhole block
-  *    join, exact-cosine verify.
+  *    join, exact-cosine verify. `blocking = "bands"` switches to banded
+  *    LSH (independent `bands` × `band_planes`-bit signatures, candidate
+  *    on exact band agreement) — the corpus-scale blocking, see
+  *    dedup.embedding.
   *
   * Scale shape mirrors the dedup family (same helpers): each side is
   * exact-collapsed to distinct-content representatives first, so g
@@ -147,19 +150,35 @@ object SimilarJoinOp extends Stage {
     if (dimL != dimR)
       throw new GraftConfigError(s"embedding dims differ: left $dimL vs right $dimR")
 
+    val banded = cfg.strOr("blocking", "pigeonhole") match {
+      case "pigeonhole" => false
+      case "bands"      => true
+      case other => throw new GraftConfigError(
+        s"join.similar: blocking must be pigeonhole|bands, got '$other'")
+    }
+    val nBands = cfg.longOr("bands", 16L).toInt
+    val bandR = cfg.longOr("band_planes", 16L).toInt
+    if (banded && (bandR < 1 || bandR > 63)) throw new GraftConfigError(
+      s"join.similar: band_planes must be in [1, 63], got $bandR")
+
     // content key for exact collapse = the vector itself (distinct vectors)
     def prepare(df: DataFrame, id: String, vec: String) = {
       val (reps, mapping) = collapse(df, id, F.col(vec).cast("array<float>"), ctx.deferToCleanup)
-      val sigged = ctx.pin(reps.select(F.col("id"), F.col("_key").alias("vec"))
-        .withColumn("sig", DedupEmbeddingOp.hyperplaneSig(F.col("vec"), dimL, planes, seed)))
+      val keyed = reps.select(F.col("id"), F.col("_key").alias("vec"))
+      val sigged = ctx.pin(
+        if (banded) keyed.withColumn("bsig",
+          DedupEmbeddingOp.bandSignatures(F.col("vec"), dimL, nBands, bandR, seed))
+        else keyed.withColumn("sig",
+          DedupEmbeddingOp.hyperplaneSig(F.col("vec"), dimL, planes, seed)))
       (sigged, mapping)
     }
     val (sl, mapL) = prepare(left, leftId, leftVec)
     val (sr, mapR) = prepare(right, rightId, rightVec)
 
     def blocked(sigged: DataFrame, side: String) =
-      sigged.select(F.col("id").alias(s"rep_$side"), F.col("sig").alias(s"sig_$side"),
-        F.posexplode(F.array((0 until blocks).map(b =>
+      sigged.select(F.col("id").alias(s"rep_$side"),
+        if (banded) F.posexplode(F.col("bsig"))
+        else F.posexplode(F.array((0 until blocks).map(b =>
           F.shiftrightunsigned(F.col("sig"), b * bits)
             .bitwiseAND(F.lit((1L << bits) - 1))): _*)))
         .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_val")

@@ -363,6 +363,24 @@ object ExtensionQueries {
         .select("vec_id", "label")
     },
 
+    // ---- blocking=bands: the corpus-scale blocking (banded LSH — see
+    // BENCH_NOTES r6) on the SAME corpus/oracle as dedup_embedding: the
+    // planted duplicates are EXACT copies, so every band agrees and
+    // banded recall is deterministically 1; chance band collisions among
+    // the real vectors (max cosine 0.51) are removed by the exact-cosine
+    // verify — the result must match the pigeonhole gate bit-for-bit.
+    QueryDef("dedup_embedding_bands",
+      "SELECT vec_id, label FROM embeddings") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val copies = emb.withColumn("vec_id", F.col("vec_id") + 10000)
+      val corpus = emb.unionByName(copies)
+      DedupEmbeddingOp(StageContext.one(s, corpus, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "threshold" -> 0.95, "blocking" -> "bands",
+        "bands" -> 16, "band_planes" -> 16, "seed" -> 11)))
+        .select("vec_id", "label")
+    },
+
     // ---- similarity search ----
     QueryDef("knn_bruteforce",
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -123,6 +123,36 @@ class DedupSpec extends SparkSpec {
     assert(out.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 3L))
   }
 
+  test("dedup.embedding blocking=bands: same drops, banded candidates, rejections") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.999f, 0.01f, 0.0f, 0.0f)),  // ~same direction as 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)))     // exact copy of 2
+      .toDF("vec_id", "embedding")
+    def run(extra: (String, Any)*) =
+      DedupEmbeddingOp(StageContext.one(spark, vecs, Cfg.of(
+        (Seq[(String, Any)]("id_column" -> "vec_id", "vector_column" -> "embedding",
+          "threshold" -> 0.99, "blocking" -> "bands", "seed" -> 3) ++ extra): _*)))
+        .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    // near-exact pair (0,1) and exact pair (2,4): p^r per band ≈ 1 for
+    // both, so banded recall matches pigeonhole here
+    assert(run() === Seq(0L, 2L, 3L))
+    // keep_by / transitive plumbing is shared with pigeonhole
+    assert(run("transitive" -> true) === Seq(0L, 2L, 3L))
+    // rejections: bad blocking name, band_planes out of range, and
+    // bands blocking against a pigeonhole-partitioned index
+    intercept[graft.config.GraftConfigError] { run("blocking" -> "nope") }
+    intercept[graft.config.GraftConfigError] { run("band_planes" -> 64) }
+    intercept[graft.config.GraftConfigError] { run("bands" -> 0) }
+    intercept[graft.config.GraftConfigError] {
+      DedupEmbeddingOp(StageContext.one(spark, vecs, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "blocking" -> "bands", "index_path" -> "/tmp/no_such_index")))
+    }
+  }
+
   test("transitive=true collapses chained near-dups to one representative") {
     // chain: v1 ~ v3 and v2 ~ v3 but v1 !~ v2 (15° / 15° / 30° apart,
     // threshold 0.95: cos15°=0.966 ≥ t, cos30°=0.866 < t)
