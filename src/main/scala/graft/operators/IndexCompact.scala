@@ -46,6 +46,22 @@ private[graft] object IndexMaintenance {
       KafkaLog.deleteRec(tmp)
     }
   }
+
+  /** (family name, corpus partition columns) of the index at `path`, from
+    * its own metadata — shared by index.compact and index.stats. */
+  def layout(spark: org.apache.spark.sql.SparkSession, path: String,
+      op: String): (String, Seq[String]) = {
+    import java.nio.file.{Files, Paths}
+    if (Files.isDirectory(Paths.get(s"$path/meta"))) {
+      val fields = spark.read.parquet(s"$path/meta").schema.fieldNames.toSet
+      if (fields.contains("pbuckets")) ("lsh", Seq("block", "pbucket"))
+      else if (fields.contains("shingle_size")) ("minhash", Seq.empty)
+      else if (fields.contains("columns")) ("exact", Seq.empty)
+      else throw new GraftPlanError(
+        s"$op: unrecognized index meta at $path (fields: ${fields.mkString(", ")})")
+    } else if (Files.isDirectory(Paths.get(s"$path/centroids"))) ("ivf", Seq("cell"))
+    else throw new GraftPlanError(s"$op: no index at $path — run index.build first")
+  }
 }
 
 /** index.compact — physical compaction of an `index.build` index: rewrite
@@ -113,16 +129,7 @@ object IndexCompactOp extends Stage {
     IndexMaintenance.recoverSwap(path, cleanTmp = true)
 
     // the index family (= corpus layout) from its own metadata
-    val partitionCols: Seq[String] =
-      if (Files.isDirectory(Paths.get(s"$path/meta"))) {
-        val fields = spark.read.parquet(s"$path/meta").schema.fieldNames.toSet
-        if (fields.contains("pbuckets")) Seq("block", "pbucket")            // lsh
-        else if (fields.contains("shingle_size") || fields.contains("columns")) Seq.empty // minhash | exact
-        else throw new GraftPlanError(
-          s"index.compact: unrecognized index meta at $path (fields: ${fields.mkString(", ")})")
-      } else if (Files.isDirectory(Paths.get(s"$path/centroids"))) Seq("cell") // ivf
-      else throw new GraftPlanError(
-        s"index.compact: no index at $path — run index.build first")
+    val (_, partitionCols) = IndexMaintenance.layout(spark, path, "index.compact")
 
     val corpusDir = s"$path/corpus"
     val files = IndexSnapshot.files(corpusDir,
@@ -165,5 +172,67 @@ object IndexCompactOp extends Stage {
     System.err.println(s"[graft] index.compact: $path — ${files.size} files " +
       s"(${bytes / 1048576} MiB) → ${newFiles.size} files")
     ctx.primary
+  }
+}
+
+/** index.stats — fragmentation / health report for an `index.build`
+  * index: the read-only companion of `index.compact` that answers "should
+  * I compact yet?". One output row:
+  *
+  *   path, index_type (exact|minhash|lsh|ivf), rows, files, bytes,
+  *   mean_file_kb, stream_append_dirs (corpus/sb-* micro-batch dirs from
+  *   stream.ingest), partition_dirs (populated (block,pbucket)/cell dirs;
+  *   0 for flat layouts)
+  *
+  * `rows` is a parquet-metadata count over the corpus snapshot (footers
+  * only — no data scan); everything else is directory listing. Safe to
+  * run any time (repairs a crashed compact swap first, like every other
+  * corpus reader); wire `files` / `mean_file_kb` into a maintenance
+  * pipeline's filter to trigger `index.compact` conditionally.
+  *
+  * MATERIALIZATION SEMANTICS: a plain transform — the stats frame IS the
+  * output (unlike index.compact, which passes its input through).
+  */
+object IndexStatsOp extends Stage {
+  val name = "index.stats"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val path = cfg.str("path")
+    val spark = ctx.spark
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+
+    if (cfg.boolOr("_explain_only", false))
+      return Seq.empty[(String, String, Long, Long, Long, Double, Long, Long)]
+        .toDF("path", "index_type", "rows", "files", "bytes", "mean_file_kb",
+          "stream_append_dirs", "partition_dirs")
+
+    IndexMaintenance.recoverSwap(path)
+    val (family, partitionCols) = IndexMaintenance.layout(spark, path, "index.stats")
+    val corpusDir = s"$path/corpus"
+    val files = IndexSnapshot.files(corpusDir,
+      s"index.stats: index at $path has no corpus directory")
+    val bytes = files.map(f => Files.size(Paths.get(f))).sum
+    val corpusP = Paths.get(corpusDir)
+    import scala.jdk.CollectionConverters._
+    // one dir per stream.ingest micro-batch (the per-batch idempotent
+    // append target) — the lsh/ivf partition dirs are key=value segments
+    val appendDirs = files.map(f => corpusP.relativize(Paths.get(f)))
+      .flatMap(rel => Option(rel.getParent).toSeq
+        .flatMap(_.iterator().asScala.map(_.toString)))
+      .filterNot(_.contains("=")).distinct.size.toLong
+    val partDirs =
+      if (partitionCols.isEmpty) 0L
+      else files.map(f => Paths.get(f).getParent.toString).distinct.size.toLong
+    val rows =
+      if (files.isEmpty) 0L
+      else spark.read.parquet(files: _*).count() // parquet footer count
+    val meanKb = if (files.isEmpty) 0.0
+      else math.round(bytes / 1024.0 / files.size * 10) / 10.0
+    Seq((path, family, rows, files.size.toLong, bytes, meanKb, appendDirs, partDirs))
+      .toDF("path", "index_type", "rows", "files", "bytes", "mean_file_kb",
+        "stream_append_dirs", "partition_dirs")
   }
 }

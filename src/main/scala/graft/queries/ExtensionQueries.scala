@@ -246,6 +246,22 @@ object ExtensionQueries {
       d1.unionByName(d2)
     },
 
+    // ---- index.stats: fragmentation report (file counts / dir layout —
+    // filesystem facts, not SQL-expressible → rows-only; exactness pinned
+    // in IndexCompactSpec against known build+append layouts) ----
+    QueryDef.noOracle("index_stats") { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val idx = java.nio.file.Files.createTempDirectory("graft_is_idx").toString
+      val mhCfg = Seq[(String, Any)]("type" -> "minhash", "path" -> idx,
+        "id_column" -> "doc_id", "text_column" -> "text", "shingle_size" -> 3,
+        "num_hashes" -> 128, "bands" -> 32, "seed" -> 42)
+      IndexBuildOp(StageContext.one(s, docs.filter(F.col("doc_id") % 2 === 0),
+        Cfg.of(mhCfg: _*)))
+      IndexBuildOp(StageContext.one(s, docs.filter(F.col("doc_id") % 2 =!= 0),
+        Cfg.of((mhCfg :+ ("mode" -> "append")): _*)))
+      IndexStatsOp(StageContext.one(s, docs, Cfg.of("path" -> idx)))
+    },
+
     // ---- stream.ingest batch-parity: the SAME corpus/batch split as
     // dedup_minhash_incremental, but batch 2 arrives through the real
     // Structured Streaming path — file.stream (one file per micro-batch)

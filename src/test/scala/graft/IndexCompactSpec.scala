@@ -4,7 +4,7 @@ import org.apache.spark.sql.{functions => F}
 import graft.config.{Cfg, GraftConfigError}
 import graft.core.{GraftPlanError, StageContext}
 import graft.operators.{DedupEmbeddingOp, DedupMinHashOp, IndexBuildOp, IndexCompactOp,
-  IndexSnapshot, IndexMaintenance}
+  IndexSnapshot, IndexMaintenance, IndexStatsOp}
 
 /** index.compact: the physical rewrite must be invisible to probes (same
   * survivors, bit-identical semantics), shrink the file count that
@@ -169,6 +169,48 @@ class IndexCompactSpec extends SparkSpec {
       "compact itself cleans the stale tmp")
     assert(spark.read.parquet(corpusFiles(idx): _*)
       .select("id").as[Long].collect().sorted.toSeq === rows)
+  }
+
+  test("index.stats reports fragmentation before/after compact") {
+    val idx = java.nio.file.Files.createTempDirectory("ic_stats").toString
+    buildMinhash(idx)
+    // fragment: one batch append + one streaming-tag dir
+    DedupMinHashOp(StageContext.one(spark,
+      Seq((300L, "completely novel appended sentence with unique words")).toDF("doc_id", "text"),
+      Cfg.of("id_column" -> "doc_id", "text_column" -> "text",
+        "threshold" -> 0.8, "index_path" -> idx, "index_append" -> true))).count()
+    val sigs = spark.read.parquet(corpusFiles(idx): _*)
+    IndexSnapshot.append(sigs.filter(F.col("id") === 1L), s"$idx/corpus", Some("sb-aa-0"))
+
+    def stats() = IndexStatsOp(StageContext.one(spark, corpus,
+      Cfg.of("path" -> idx))).head()
+    val before = stats()
+    assert(before.getAs[String]("index_type") === "minhash")
+    assert(before.getAs[Long]("rows") === 5L) // 3 built + 1 appended + 1 stream row
+    assert(before.getAs[Long]("files") === corpusFiles(idx).size.toLong)
+    assert(before.getAs[Long]("stream_append_dirs") === 1L)
+    assert(before.getAs[Long]("partition_dirs") === 0L)
+    assert(before.getAs[Long]("bytes") > 0L)
+
+    compact(idx)
+    val after = stats()
+    assert(after.getAs[Long]("files") === 1L)
+    assert(after.getAs[Long]("rows") === 5L, "compaction is physical only")
+    assert(after.getAs[Long]("stream_append_dirs") === 0L)
+
+    // lsh layout: partition_dirs populated, family reported
+    val lsh = java.nio.file.Files.createTempDirectory("ic_stats_lsh").toString
+    val vecs = (0 until 8).map(i => (i.toLong, Array.fill(8)(i * 0.1f + 0.3f)))
+      .toDF("vec_id", "embedding")
+    IndexBuildOp(StageContext.one(spark, vecs, Cfg.of(
+      "type" -> "lsh", "path" -> lsh, "vector_column" -> "embedding",
+      "num_planes" -> 16, "blocks" -> 4, "seed" -> 11, "partition_dirs" -> 4)))
+    val ls = IndexStatsOp(StageContext.one(spark, corpus, Cfg.of("path" -> lsh))).head()
+    assert(ls.getAs[String]("index_type") === "lsh")
+    assert(ls.getAs[Long]("partition_dirs") > 0L)
+    // missing index fails loud
+    intercept[GraftPlanError](IndexStatsOp(StageContext.one(spark, corpus, Cfg.of(
+      "path" -> java.nio.file.Files.createTempDirectory("ic_stats_none").toString))))
   }
 
   test("rejections: missing index, bad target, empty corpus no-op") {
