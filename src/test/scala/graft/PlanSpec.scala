@@ -46,7 +46,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no similarity operator ever plans a cartesian/nested-loop join") {
-    for (q <- Seq("dedup_embedding", "dedup_minhash", "dedup_ngram", "knn_lsh")) {
+    for (q <- Seq("dedup_embedding", "dedup_embedding_bands", "dedup_minhash",
+                  "dedup_ngram", "knn_lsh")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")

@@ -82,6 +82,23 @@ class SimilarityJoinSpec extends SparkSpec {
     assert(anti.select("id").as[Long].collect().toSeq === Seq(2L))
   }
 
+  test("embedding method with blocking=bands: same matches, loud rejections") {
+    def vec(base: Double, jitter: Double) =
+      Array.tabulate(8)(i => (base + (if (i == 0) jitter else 0.0) + i).toFloat)
+    val l = Seq((1L, vec(1.0, 0.0)), (2L, Array.fill(8)(-1.0f))).toDF("id", "emb")
+    val r = Seq((10L, vec(1.0, 0.01))).toDF("id", "emb")
+    val pairs = run(l, r,
+      "method" -> "embedding", "vector_column" -> "emb", "threshold" -> 0.99,
+      "blocking" -> "bands", "bands" -> 16, "band_planes" -> 12, "seed" -> 5)
+      .collect().map(x => (x.getAs[Long]("left_id"), x.getAs[Long]("right_id")))
+    assert(pairs.toSet === Set((1L, 10L)))
+    intercept[GraftConfigError](run(l, r,
+      "method" -> "embedding", "vector_column" -> "emb", "blocking" -> "rings"))
+    intercept[GraftConfigError](run(l, r,
+      "method" -> "embedding", "vector_column" -> "emb",
+      "blocking" -> "bands", "band_planes" -> 0))
+  }
+
   test("config validation is loud") {
     intercept[GraftConfigError](run(corpus, benchmark,
       "id_column" -> "doc_id", "mode" -> "full"))
