@@ -276,6 +276,82 @@ object Main {
       java.nio.file.Files.write(out, scaffoldTemplate.getBytes("UTF-8"))
       println(s"wrote $out — edit it, then: graft run $out")
 
+    // reference: `conveyor build` — an interactive TUI loop that walks
+    // function choice → stage id → inputs → per-param config per stage and
+    // saves the assembled pipeline (src/cli/interactive_builder.rs). Same
+    // capability, scriptable (no TTY in this environment): the whole
+    // pipeline arrives as repeated --stage groups and is VALIDATED (parse,
+    // function registry, DAG shape) before anything is written.
+    //   graft build out.toml --name my_pipe \
+    //     --stage id=src function=csv.read config.path=/data/in.csv \
+    //     --stage id=keep function=filter.apply inputs=src \
+    //             config.column=age config.operator=gt config.value=30 \
+    //     --stage id=out function=json.write inputs=keep config.path=/out
+    // `--dry-run` prints the TOML instead of writing; `--force` overwrites.
+    case "build" :: path :: rest =>
+      val dryRun = rest.contains("--dry-run")
+      val out = java.nio.file.Paths.get(path)
+      if (!dryRun && !rest.contains("--force") && java.nio.file.Files.exists(out)) {
+        System.err.println(s"refusing to overwrite existing $path (use --force)")
+        sys.exit(1)
+      }
+      val name = rest.dropWhile(_ != "--name").drop(1).headOption
+        .filterNot(_.startsWith("--")).getOrElse(
+          out.getFileName.toString.stripSuffix(".toml"))
+      // split into --stage groups; each group is the k=v tokens up to the
+      // next flag (any other --flag ends the group)
+      val groups = {
+        val b = scala.collection.mutable.Buffer[scala.collection.mutable.Buffer[String]]()
+        var cur: scala.collection.mutable.Buffer[String] = null
+        rest.foreach {
+          case "--stage" => cur = scala.collection.mutable.Buffer(); b += cur
+          case t if cur != null && t.contains("=") && !t.startsWith("--") => cur += t
+          case _ => cur = null
+        }
+        b.toList.map(_.toList).filter(_.nonEmpty)
+      }
+      if (groups.isEmpty) {
+        System.err.println("build needs at least one --stage id=... function=... group")
+        sys.exit(1)
+      }
+      def tomlValue(v: String): String = v match {
+        case "true" | "false" => v
+        case n if n.matches("-?\\d+") => n
+        case n if n.matches("-?\\d*\\.\\d+") => n
+        case s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      }
+      val sb = new StringBuilder
+      sb ++= s"""[pipeline]\nname = "$name"\n"""
+      groups.foreach { g =>
+        val kvs = g.map { t => val Array(k, v) = t.split("=", 2); (k, v) }
+        val m = kvs.toMap
+        val id = m.getOrElse("id", { System.err.println(s"--stage group missing id= (${g.mkString(" ")})"); sys.exit(1); "" })
+        val fn = m.getOrElse("function", { System.err.println(s"stage '$id' missing function="); sys.exit(1); "" })
+        sb ++= s"""\n[[stages]]\nid = "$id"\nfunction = "$fn"\n"""
+        m.get("inputs").map(_.split(",").map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty)
+          .foreach(is => sb ++= is.map(i => s""""$i"""").mkString("inputs = [", ", ", "]\n"))
+        val cfg = kvs.collect { case (k, v) if k.startsWith("config.") => (k.drop(7), v) }
+        if (cfg.nonEmpty)
+          sb ++= cfg.map { case (k, v) => s"$k = ${tomlValue(v)}" }
+            .mkString("config = { ", ", ", " }\n")
+      }
+      val toml = sb.toString
+      val pc = try PipelineConfig.fromString(toml) catch {
+        case e: Exception =>
+          System.err.println(s"built pipeline does not validate: ${e.getMessage}")
+          sys.exit(1); null
+      }
+      val reg = Registry.forPipeline(pc)
+      pc.stages.map(_.function).distinct.filterNot(reg.contains).foreach { fn =>
+        System.err.println(s"unknown function '$fn' — see `graft list`")
+        sys.exit(1)
+      }
+      if (dryRun) print(toml)
+      else {
+        java.nio.file.Files.write(out, toml.getBytes("UTF-8"))
+        println(s"built $path — ${pc.stages.size} stages, validated; run: graft run $path")
+      }
+
     case _ =>
       System.err.println(
         """usage: graft <command>
@@ -290,6 +366,8 @@ object Main {
           |  stage edit <toml> <id> [--set k=v]... [--remove k]... [--set-inputs a,b] [--set-function F]
           |                           rewrite a stage's fields (validated before write)
           |  stage new [out.toml]     alias of scaffold
+          |  build <out.toml> [--name N] [--dry-run|--force] --stage id=X function=F [inputs=a,b] [config.k=v]... [--stage ...]...
+          |                           assemble a whole validated pipeline from flags
           |  plugin list [toml]       alias of list (provenance per function)
           |  scaffold [out.toml]      write a starter pipeline""".stripMargin)
       sys.exit(2)

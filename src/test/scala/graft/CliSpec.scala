@@ -102,4 +102,30 @@ class CliSpec extends AnyFunSuite {
     val reg = graft.core.Registry.withDefaults
     assert(pc.stages.forall(s => reg.contains(s.function)))
   }
+
+  test("build assembles a whole validated pipeline from --stage groups") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_build")
+    val toml = dir.resolve("built.toml")
+    val out = captureOut(graft.cli.Main.main(Array(
+      "build", toml.toString, "--name", "built_pipe",
+      "--stage", "id=src", "function=inline.data", "config.jsonl={\"v\": 1}",
+      "--stage", "id=keep", "function=filter.apply", "inputs=src",
+      "config.column=v", "config.operator=gte", "config.value=1",
+      "--stage", "id=out", "function=noop.sink", "inputs=keep")))
+    assert(out.contains("3 stages"))
+    val pc = graft.config.PipelineConfig.fromString(
+      java.nio.file.Files.readString(toml))
+    assert(pc.name === "built_pipe")
+    assert(pc.stages.map(_.id) === Seq("src", "keep", "out"))
+    assert(pc.stages(1).inputs === Seq("src"))
+    // typed config values survive the TOML round-trip
+    assert(pc.stages(1).config.longOpt("value").contains(1L))
+    assert(pc.stages(1).config.strOpt("operator").contains("gte"))
+    // --dry-run prints the TOML and writes nothing
+    val dry = captureOut(graft.cli.Main.main(Array(
+      "build", dir.resolve("x.toml").toString, "--dry-run",
+      "--stage", "id=s", "function=inline.data", "config.jsonl={}")))
+    assert(dry.contains("[pipeline]") && dry.contains("function = \"inline.data\""))
+    assert(!java.nio.file.Files.exists(dir.resolve("x.toml")))
+  }
 }
