@@ -762,13 +762,37 @@ object DedupSimHashOp extends Stage {
   def withSignature(df: DataFrame, id: String, text: String): DataFrame =
     df.select(F.col(id).alias("id"), simhashUdf(Shingles.tokens(F.col(text))).alias("sig"))
 
+  /** pigeonhole (block_idx, block_val) explode of (id, sig) rows —
+    * blocks = maxDist+1, so two sigs within hamming maxDist share at
+    * least one exact block. Shared by the self-join and the index probe
+    * (block j = bits [j·width, (j+1)·width), last block takes the
+    * remainder). */
+  private def blockedSigs(sigs: DataFrame, maxDist: Int, side: String): DataFrame = {
+    val blocks = maxDist + 1
+    val width = 64 / blocks
+    sigs.select(F.col("id").alias(s"id_$side"), F.col("sig").alias(s"sig_$side"),
+      F.posexplode(F.array((0 until blocks).map { j =>
+        val w = if (j == blocks - 1) 64 - j * width else width
+        F.shiftrightunsigned(F.col("sig"), j * width)
+          .bitwiseAND(F.lit(if (w == 64) -1L else (1L << w) - 1L))
+      }: _*)))
+      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_val")
+  }
+
+  /** verified near-dup pairs (id_a < id_b) of one (id, sig) frame */
+  private def selfNearPairs(sigs: DataFrame, maxDist: Int): DataFrame =
+    blockedSigs(sigs, maxDist, "a").join(blockedSigs(sigs, maxDist, "b"),
+        Seq("block_idx", "block_val"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= maxDist)
+      .select("id_a", "id_b")
+
   def duplicateIds(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     val id = cfg.str("id_column")
     val text = cfg.str("text_column")
     val maxDist = cfg.longOr("max_distance", 3L).toInt
-    val blocks = maxDist + 1
-    val width = 64 / blocks
 
     val rankKey = DedupRank.keyFor(cfg, "id")
     val base = Parallelize(ctx).select(
@@ -776,30 +800,80 @@ object DedupSimHashOp extends Stage {
         cfg.strOpt("keep_by").map(F.col): _*)
     val (reps, exactDups) = ExactCollapse(base, "id", "_txt", rankKey, ctx.deferToCleanup)
     val sigs = withSignature(reps, "id", "_txt")
-    // block j = bits [j*width, (j+1)*width) (last block takes the remainder)
-    val blocked = sigs.select(F.col("id"), F.col("sig"),
-      F.posexplode(F.array((0 until blocks).map { j =>
-        val w = if (j == blocks - 1) 64 - j * width else width
-        F.shiftrightunsigned(F.col("sig"), j * width)
-          .bitwiseAND(F.lit(if (w == 64) -1L else (1L << w) - 1L))
-      }: _*)))
-      .withColumnRenamed("pos", "block_idx").withColumnRenamed("col", "block_val")
-
-    val lhs = blocked.select(F.col("block_idx"), F.col("block_val"), F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    val rhs = blocked.select(F.col("block_idx"), F.col("block_val"), F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    val nearPairs = lhs.join(rhs, Seq("block_idx", "block_val"))
-      .filter(F.col("id_a") < F.col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= maxDist)
-      .select("id_a", "id_b")
-    exactDups.unionByName(DedupPairs.dropped(nearPairs,
+    exactDups.unionByName(DedupPairs.dropped(selfNearPairs(sigs, maxDist),
       cfg.boolOr("transitive", false),
       rankKey.map(DedupRank.ranks(base, "id", _)), ctx.deferToCleanup)).distinct()
   }
 
+  /** `index_path` — dedup THIS batch against an `index.build type=simhash`
+    * corpus (plus within-batch pairs): the hamming sibling of the
+    * incremental family — same contract (plan-time corpus snapshot,
+    * success-deferred index_append, streaming batch-tag exclusion).
+    * The signature has no tunable parameters, so there is no param
+    * conflict to reject; `max_distance` is a probe-time knob and may
+    * differ per batch. Candidates come from the pigeonhole cross join
+    * on narrow (id, 64-bit sig) rows — the index is never rescanned. */
+  private def incrementalDuplicateIds(ctx: StageContext, path: String): DataFrame = {
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val id = cfg.str("id_column")
+    val text = cfg.str("text_column")
+    if (cfg.has("keep_by") || cfg.boolOr("transitive", false))
+      throw new GraftConfigError(
+        "dedup.simhash: keep_by / transitive=true are not supported with index_path " +
+        "(the index is immutable — only the pairwise min-id policy is well-defined)")
+    val maxDist = cfg.longOr("max_distance", 3L).toInt
+    val explainOnly = cfg.boolOr("_explain_only", false)
+    val placeholder = explainOnly &&
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+    if (!placeholder) {
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+        throw new GraftPlanError(
+          s"dedup.simhash: no simhash index at $path — run index.build type=simhash first")
+      val meta = spark.read.parquet(s"$path/meta").head()
+      if (!meta.schema.fieldNames.contains("simhash")) throw new GraftConfigError(
+        s"dedup.simhash: the index at $path is not a simhash index — probe it with the " +
+        "matching dedup family")
+    }
+
+    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(text).alias("_txt"))
+    val (reps, exactDups) = ExactCollapse(base, "id", "_txt", None, ctx.deferToCleanup)
+    val sigs = ctx.pin(withSignature(reps, "id", "_txt"))
+
+    val streamTag = cfg.strOpt("_stream_batch_tag")
+    val corpusSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", sigs.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("sig", LongType)))
+    val index =
+      if (placeholder) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
+      else IndexSnapshot.read(spark, s"$path/corpus",
+        s"dedup.simhash: no simhash index at $path — run index.build type=simhash first",
+        corpusSchema, excludeDir = streamTag)
+    val vsIndex = blockedSigs(sigs, maxDist, "l")
+      .join(blockedSigs(index, maxDist, "r"), Seq("block_idx", "block_val"))
+      .filter(F.bit_count(F.col("sig_l").bitwiseXOR(F.col("sig_r"))) <= maxDist)
+      .select(F.col("id_l").alias("id")).distinct()
+    val inBatch = DedupPairs.dropped(selfNearPairs(sigs, maxDist),
+      transitive = false, None, ctx.deferToCleanup)
+    val dropped = exactDups.unionByName(vsIndex).unionByName(inBatch).distinct()
+
+    if (cfg.boolOr("index_append", false)) {
+      IndexSnapshot.claimAppend(ctx, "dedup.simhash", path)
+      if (!explainOnly) {
+        val survivors = ctx.pin(sigs.join(dropped, Seq("id"), "left_anti"))
+        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, s"$path/corpus", streamTag))
+      }
+    }
+    dropped
+  }
+
   def apply(ctx: StageContext): DataFrame = {
     val id = ctx.cfg.str("id_column")
-    val dups = duplicateIds(ctx)
+    val dups = ctx.cfg.strOpt("index_path") match {
+      case Some(path) => incrementalDuplicateIds(ctx, path)
+      case None       => duplicateIds(ctx)
+    }
     ctx.primary.join(dups, ctx.primary(id) === dups("id"), "left_anti")
   }
 }
@@ -870,9 +944,93 @@ object DedupNgramOp extends Stage {
       rankKey.map(DedupRank.ranks(base, "id", _)), ctx.deferToCleanup)).distinct()
   }
 
+  /** `index_path` — dedup THIS batch against an `index.build type=ngram`
+    * corpus (plus within-batch pairs): the char-gram sibling of
+    * dedup.minhash index_path — identical contract (plan-time corpus
+    * snapshot, param-conflict rejection, success-deferred index_append,
+    * streaming batch-tag exclusion), same narrow banded cross join via
+    * LshVerify.verifiedCrossPairs; only the shingle function and the
+    * (bands × rows_per_band) signature space differ. */
+  private def incrementalDuplicateIds(ctx: StageContext, path: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val id = cfg.str("id_column")
+    val text = cfg.str("text_column")
+    if (cfg.has("keep_by") || cfg.boolOr("transitive", false))
+      throw new GraftConfigError(
+        "dedup.ngram: keep_by / transitive=true are not supported with index_path " +
+        "(the index is immutable — only the pairwise min-id policy is well-defined)")
+    val explainOnly = cfg.boolOr("_explain_only", false)
+    val placeholder = explainOnly &&
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+    val (n, bands, r, seed) =
+      if (placeholder)
+        (cfg.longOr("ngram_size", 5L).toInt, cfg.longOr("bands", 8L).toInt,
+         cfg.longOr("rows_per_band", 6L).toInt, cfg.longOr("seed", 7L))
+      else {
+        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+          throw new GraftPlanError(
+            s"dedup.ngram: no ngram index at $path — run index.build type=ngram first")
+        val meta = spark.read.parquet(s"$path/meta").head()
+        if (!meta.schema.fieldNames.contains("ngram_size")) throw new GraftConfigError(
+          s"dedup.ngram: the index at $path is not an ngram index — probe it with the " +
+          "matching dedup family")
+        val vals = (meta.getAs[Int]("ngram_size"), meta.getAs[Int]("bands"),
+          meta.getAs[Int]("rows_per_band"), meta.getAs[Long]("seed"))
+        Seq(("ngram_size", vals._1.toLong), ("bands", vals._2.toLong),
+            ("rows_per_band", vals._3.toLong), ("seed", vals._4)).foreach { case (key, v) =>
+          cfg.longOpt(key).filter(_ != v).foreach(conflicting =>
+            throw new GraftConfigError(s"dedup.ngram: $key = $conflicting conflicts with " +
+              s"the index at $path ($key = $v) — cross matches would silently miss"))
+        }
+        vals
+      }
+    val threshold = cfg.doubleOr("threshold", 0.7)
+    val k = bands * r
+
+    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(text).alias("_txt"))
+    val (reps, exactDups) = ExactCollapse(base, "id", "_txt", None, ctx.deferToCleanup)
+    val hashed = ctx.pin(reps.select(F.col("id"),
+        charNgramHashes("_txt", n).alias("shingles"))
+      .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed)))
+
+    val streamTag = cfg.strOpt("_stream_batch_tag")
+    val corpusSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", hashed.schema("id").dataType),
+      org.apache.spark.sql.types.StructField("shingles",
+        org.apache.spark.sql.types.ArrayType(LongType)),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.ArrayType(LongType))))
+    val index =
+      if (placeholder) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
+      else IndexSnapshot.read(spark, s"$path/corpus",
+        s"dedup.ngram: no ngram index at $path — run index.build type=ngram first",
+        corpusSchema, excludeDir = streamTag)
+    val vsIndex = LshVerify.verifiedCrossPairs(hashed, index, bands, r, k, threshold)
+      .select(F.col("id_l").alias("id"))
+    val inBatch = DedupPairs.dropped(
+      LshVerify.verifiedPairs(hashed, bands, r, k, threshold),
+      transitive = false, None, ctx.deferToCleanup)
+    val dropped = exactDups.unionByName(vsIndex).unionByName(inBatch).distinct()
+
+    if (cfg.boolOr("index_append", false)) {
+      IndexSnapshot.claimAppend(ctx, "dedup.ngram", path)
+      if (!explainOnly) {
+        val survivors = ctx.pin(hashed.join(dropped, Seq("id"), "left_anti"))
+        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, s"$path/corpus", streamTag))
+      }
+    }
+    dropped
+  }
+
   def apply(ctx: StageContext): DataFrame = {
     val id = ctx.cfg.str("id_column")
-    val dups = duplicateIds(ctx)
+    val dups = ctx.cfg.strOpt("index_path") match {
+      case Some(path) => incrementalDuplicateIds(ctx, path)
+      case None       => duplicateIds(ctx)
+    }
     ctx.primary.join(dups, ctx.primary(id) === dups("id"), "left_anti")
   }
 }

@@ -55,7 +55,9 @@ private[graft] object IndexMaintenance {
     if (Files.isDirectory(Paths.get(s"$path/meta"))) {
       val fields = spark.read.parquet(s"$path/meta").schema.fieldNames.toSet
       if (fields.contains("pbuckets")) ("lsh", Seq("block", "pbucket"))
+      else if (fields.contains("ngram_size")) ("ngram", Seq.empty)
       else if (fields.contains("shingle_size")) ("minhash", Seq.empty)
+      else if (fields.contains("simhash")) ("simhash", Seq.empty)
       else if (fields.contains("columns")) ("exact", Seq.empty)
       else throw new GraftPlanError(
         s"$op: unrecognized index meta at $path (fields: ${fields.mkString(", ")})")

@@ -56,6 +56,8 @@ object IndexBuildOp extends Stage {
       case "ivf" => buildIvf(ctx)
       case "lsh" => buildLsh(ctx)
       case "minhash" => buildMinhash(ctx)
+      case "ngram" => buildNgram(ctx)
+      case "simhash" => buildSimhash(ctx)
       case "exact" => buildExact(ctx)
       case other => throw new GraftConfigError(s"index.build type must be ivf|lsh|minhash|exact, got '$other'")
     }
@@ -153,6 +155,71 @@ object IndexBuildOp extends Stage {
     * content keys over `columns` (DedupExactOp.contentKey), for
     * `dedup.exact index_path = ...` — a new batch drops already-ingested
     * rows via one anti-join on narrow keys, never re-reading old data. */
+  /** char-n-gram minhash index (the dedup.ngram signature space): same
+    * flat (id, shingles, sig) corpus as type=minhash, but shingles are
+    * character n-gram hashes and the signature width is bands ×
+    * rows_per_band — meta records (ngram_size, bands, rows_per_band,
+    * seed) so probes regenerate identical signatures. */
+  private def buildNgram(ctx: StageContext): Unit = {
+    val cfg = ctx.cfg
+    val path = cfg.str("path")
+    val id = cfg.strOr("id_column", "doc_id")
+    val text = cfg.strOr("text_column", "text")
+    val n = cfg.longOr("ngram_size", 5L).toInt
+    val bands = cfg.longOr("bands", 8L).toInt
+    val r = cfg.longOr("rows_per_band", 6L).toInt
+    val seed = cfg.longOr("seed", 7L)
+    val mode = cfg.strOr("mode", "overwrite")
+    val spark = ctx.spark
+    if (mode == "append" &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/corpus")) &&
+        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+      throw new GraftConfigError(
+        s"index.build type=ngram mode=append: $path has a corpus but no meta (a crashed " +
+        "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
+    if (mode == "append" &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
+      val m = spark.read.parquet(s"$path/meta").head()
+      val existing = (m.getAs[Int]("ngram_size"), m.getAs[Int]("bands"),
+        m.getAs[Int]("rows_per_band"), m.getAs[Long]("seed"))
+      if (existing != ((n, bands, r, seed))) throw new GraftConfigError(
+        s"index.build type=ngram mode=append: parameters (ngram_size=$n, bands=$bands, " +
+        s"rows_per_band=$r, seed=$seed) differ from the existing index at $path " +
+        s"$existing — appending would mix incompatible signatures")
+    }
+    Parallelize(ctx)
+      .select(F.col(id).alias("id"),
+        DedupNgramOp.charNgramHashes(text, n).alias("shingles"))
+      .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), bands * r, seed))
+      .write.mode(mode).parquet(s"$path/corpus")
+    import spark.implicits._
+    Seq((n, bands, r, seed)).toDF("ngram_size", "bands", "rows_per_band", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** simhash index: flat (id, sig) 64-bit signatures — the signature has
+    * no tunable parameters (FNV token hashes, fixed 64 bits), so meta is
+    * just the family marker; max_distance is a PROBE-time knob. */
+  private def buildSimhash(ctx: StageContext): Unit = {
+    val cfg = ctx.cfg
+    val path = cfg.str("path")
+    val id = cfg.strOr("id_column", "doc_id")
+    val text = cfg.strOr("text_column", "text")
+    val mode = cfg.strOr("mode", "overwrite")
+    val spark = ctx.spark
+    if (mode == "append" &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/corpus")) &&
+        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+      throw new GraftConfigError(
+        s"index.build type=simhash mode=append: $path has a corpus but no meta (a crashed " +
+        "earlier build?) — rebuild with mode=overwrite")
+    DedupSimHashOp.withSignature(Parallelize(ctx), id, text)
+      .write.mode(mode).parquet(s"$path/corpus")
+    import spark.implicits._
+    Seq(Tuple1(true)).toDF("simhash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   private def buildExact(ctx: StageContext): Unit = {
     val cfg = ctx.cfg
     val path = cfg.str("path")

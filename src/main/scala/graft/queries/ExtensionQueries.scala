@@ -137,6 +137,63 @@ object ExtensionQueries {
       d1.unionByName(d2)
     },
 
+    // ---- incremental NGRAM dedup against a persisted ngram index: the
+    // char-gram sibling of dedup_minhash_incremental — same corpus/batch
+    // construction, same full-corpus equivalence (batch-2 ids all exceed
+    // batch-1 ids, so "index wins" ≡ one pairwise exact-Jaccard pass over
+    // the union), oracle = the dedup_ngram criterion over the union.
+    QueryDef("dedup_ngram_incremental",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 50
+        |  UNION ALL SELECT doc_id + 20000, reverse(text) FROM documents WHERE doc_id >= 400),
+        |n AS (SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS nt FROM corpus),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |        generate_series(1, greatest(1, length(nt) - 4)),
+        |        i -> substring(nt, i, 5))) AS s FROM n),
+        |dropped AS (SELECT DISTINCT b.doc_id FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        |SELECT c.doc_id, c.text FROM corpus c
+        |WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val batch2 = docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 10000).as("doc_id"), F.col("text"))
+        .unionByName(docs.filter(F.col("doc_id") >= 400)
+          .select((F.col("doc_id") + 20000).as("doc_id"), F.reverse(F.col("text")).as("text")))
+      val idx = java.nio.file.Files.createTempDirectory("graft_ng_idx").toString
+      IndexBuildOp(StageContext.one(s, docs, Cfg.of(
+        "type" -> "ngram", "path" -> idx, "id_column" -> "doc_id",
+        "text_column" -> "text", "ngram_size" -> 5, "bands" -> 8,
+        "rows_per_band" -> 6, "seed" -> 7)))
+      val d1 = DedupNgramOp(StageContext.one(s, docs, Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "ngram_size" -> 5, "bands" -> 8, "rows_per_band" -> 6,
+        "threshold" -> 0.8, "seed" -> 7)))
+      val d2 = DedupNgramOp(StageContext.one(s, batch2, Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "threshold" -> 0.8, "index_path" -> idx)))
+      d1.unionByName(d2)
+    },
+
+    // ---- incremental SIMHASH dedup (custom 64-bit hamming criterion —
+    // not SQL-expressible → rows-only; exactness pinned in
+    // IncrementalDedupSpec against hand-built batches) ----
+    QueryDef.noOracle("dedup_simhash_incremental") { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val idx = java.nio.file.Files.createTempDirectory("graft_sh_idx").toString
+      IndexBuildOp(StageContext.one(s, docs, Cfg.of(
+        "type" -> "simhash", "path" -> idx, "id_column" -> "doc_id",
+        "text_column" -> "text")))
+      val batch2 = docs.filter(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 10000).as("doc_id"), F.col("text"))
+        .unionByName(docs.filter(F.col("doc_id") >= 400)
+          .select((F.col("doc_id") + 20000).as("doc_id"), F.reverse(F.col("text")).as("text")))
+      DedupSimHashOp(StageContext.one(s, batch2, Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "max_distance" -> 3, "index_path" -> idx)))
+    },
+
     // ---- incremental EMBEDDING dedup against a persisted lsh index (the
     // third sibling): copies of every indexed vector drop (cosine 1 vs
     // the index), negated vectors survive (cosine −1 vs their originals;

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.streaming.Trigger
 import graft.config._
 import graft.core._
-import graft.operators.{DedupExactOp, DedupMinHashOp, TopKOp}
+import graft.operators.{DedupExactOp, DedupMinHashOp, DedupNgramOp, DedupSimHashOp, TopKOp}
 
 /** stream.ingest — streaming incremental corpus ingestion: each micro-batch
   * dedups against a persisted `index.build` corpus (plus within-batch
@@ -18,8 +18,9 @@ import graft.operators.{DedupExactOp, DedupMinHashOp, TopKOp}
   *   kafka.stream → (transforms) → stream.ingest { index_path, dedup }
   *
   * Config: `path` (output parquet root), `index_path` (an existing
-  * `index.build type=exact|minhash` index), `dedup` = minhash (default) |
-  * exact, `checkpoint` (default `<path>/_checkpoint`), `trigger` =
+  * `index.build type=exact|minhash|ngram|simhash` index), `dedup` =
+  * minhash (default) | exact | ngram | simhash,
+  * `checkpoint` (default `<path>/_checkpoint`), `trigger` =
   * "available_now" (process the current backlog as deterministic
   * micro-batches, then stop — the batch-parity shape the correctness gate
   * pins) or `trigger_ms` processing-time, `timeout_ms` bounded run, and
@@ -77,6 +78,8 @@ object StreamIngestSink extends Stage {
     val op: Stage = cfg.strOr("dedup", "minhash") match {
       case "minhash" => DedupMinHashOp
       case "exact"   => DedupExactOp
+      case "ngram"   => DedupNgramOp
+      case "simhash" => DedupSimHashOp
       case "embedding" => throw new GraftConfigError(
         "stream.ingest: dedup=embedding is not supported — the lsh corpus is " +
         "(block, pbucket)-partitioned and per-batch append dirs would break its " +

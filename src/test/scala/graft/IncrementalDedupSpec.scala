@@ -269,4 +269,74 @@ class IncrementalDedupSpec extends SparkSpec {
          |inputs = ["d1"]
          |""".stripMargin))
   }
+
+  test("dedup.ngram index_path: drops index matches, append, param conflict") {
+    import graft.operators.DedupNgramOp
+    val idx = java.nio.file.Files.createTempDirectory("ng_idx").toString
+    IndexBuildOp(StageContext.one(spark, corpus1, Cfg.of(
+      "type" -> "ngram", "path" -> idx, "id_column" -> "doc_id",
+      "text_column" -> "text", "ngram_size" -> 5, "bands" -> 8,
+      "rows_per_band" -> 6, "seed" -> 7)))
+    val batch = Seq(
+      doc(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // copy of 1
+      doc(11, "totally novel characters about another unrelated topic entirely"),
+      doc(12, "totally novel characters about another unrelated topic entirely") // in-batch dup
+    ).toDF("doc_id", "text")
+    val got = DedupNgramOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "threshold" -> 0.8, "index_path" -> idx, "index_append" -> true)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(11L))
+    // the survivor joined the index: a re-send drops
+    val again = DedupNgramOp(StageContext.one(spark, Seq(
+      doc(20, "totally novel characters about another unrelated topic entirely"))
+      .toDF("doc_id", "text"), Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "threshold" -> 0.8, "index_path" -> idx)))
+    assert(again.count() === 0)
+    // conflicting signature params and index-family mismatch fail loud
+    intercept[GraftConfigError](DedupNgramOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "ngram_size" -> 4, "index_path" -> idx))))
+    intercept[GraftConfigError](DedupNgramOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "keep_by" -> "text", "index_path" -> idx))))
+    // probing a MINHASH index with dedup.ngram is a family mismatch
+    val mh = java.nio.file.Files.createTempDirectory("ng_mismatch").toString
+    buildIndex(mh)
+    intercept[GraftConfigError](DedupNgramOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text", "index_path" -> mh))))
+  }
+
+  test("dedup.simhash index_path: hamming probe, append, family mismatch") {
+    import graft.operators.DedupSimHashOp
+    val idx = java.nio.file.Files.createTempDirectory("sh_idx").toString
+    IndexBuildOp(StageContext.one(spark, corpus1, Cfg.of(
+      "type" -> "simhash", "path" -> idx, "id_column" -> "doc_id",
+      "text_column" -> "text")))
+    val batch = Seq(
+      doc(10, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // copy of 1 (hamming 0)
+      doc(11, "completely different vocabulary nothing shared with index documents whatsoever"),
+      doc(12, "completely different vocabulary nothing shared with index documents whatsoever") // in-batch dup
+    ).toDF("doc_id", "text")
+    val got = DedupSimHashOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "max_distance" -> 3, "index_path" -> idx, "index_append" -> true)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq === Seq(11L))
+    // appended survivor is now in the corpus
+    val again = DedupSimHashOp(StageContext.one(spark, Seq(
+      doc(20, "completely different vocabulary nothing shared with index documents whatsoever"))
+      .toDF("doc_id", "text"), Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text", "index_path" -> idx)))
+    assert(again.count() === 0)
+    // family mismatch + batch-only policies fail loud
+    val mh = java.nio.file.Files.createTempDirectory("sh_mismatch").toString
+    buildIndex(mh)
+    intercept[GraftConfigError](DedupSimHashOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text", "index_path" -> mh))))
+    intercept[GraftConfigError](DedupSimHashOp(StageContext.one(spark, batch, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text",
+      "transitive" -> true, "index_path" -> idx))))
+  }
 }

@@ -224,4 +224,56 @@ class PropertySpec extends SparkSpec {
       assert(worstPicked >= bestSkipped, s"sample $i: topk must dominate")
     }
   }
+
+  test("cosine_sim expression matches the reference UDF on arbitrary vectors") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val vecGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(-10.0, 10.0)),
+      Gen.nonEmptyListOf(Gen.choose(-10.0, 10.0)))
+      // zero-norm vectors divide by zero in both implementations — the
+      // property pins equality on the defined domain
+      .suchThat { case (a, b) => a.exists(_ != 0.0) && b.exists(_ != 0.0) }
+    for (((a, b), i) <- samples(vecGen, 20).zipWithIndex) {
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(
+        org.apache.spark.sql.functions.call_function("cosine_sim",
+          org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")).alias("e"),
+        DedupEmbeddingOp.cosineUdf(
+          org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")).alias("u")).head()
+      assert(math.abs(got.getDouble(0) - got.getDouble(1)) < 1e-12,
+        s"sample $i: expression ${got.getDouble(0)} != udf ${got.getDouble(1)}")
+    }
+  }
+
+  test("jaccard_sim expression matches exact set arithmetic on arbitrary arrays") {
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val arrGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(0L, 30L)),
+      Gen.nonEmptyListOf(Gen.choose(0L, 30L)))
+    for (((a, b), i) <- samples(arrGen, 20).zipWithIndex) {
+      val df = Seq((a, b)).toDF("a", "b")
+      val got = df.select(
+        org.apache.spark.sql.functions.call_function("jaccard_sim",
+          org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")).alias("j")).head().getDouble(0)
+      val (sa, sb) = (a.toSet, b.toSet)
+      val want = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(got - want) < 1e-12, s"sample $i: $got != $want")
+    }
+  }
+
+  test("banded signatures: identity recall — a vector collides with itself in every band") {
+    val vGen = Gen.listOfN(16, Gen.choose(-5.0, 5.0)).map(_.map(_.toFloat))
+    for ((v, i) <- samples(vGen, 10).zipWithIndex) {
+      val df = Seq((1L, v.toArray), (2L, v.toArray)).toDF("id", "vec")
+      val sigs = df.select(org.apache.spark.sql.functions.col("id"),
+        DedupEmbeddingOp.bandSignatures(
+          org.apache.spark.sql.functions.col("vec"), 16, 8, 12, 99L).alias("bsig"))
+        .collect().map(r => r.getSeq[Long](1))
+      assert(sigs(0) === sigs(1), s"sample $i: identical vectors must share every band")
+      assert(sigs(0).length === 8)
+    }
+  }
 }

@@ -232,6 +232,42 @@ class StreamingSpec extends SparkSpec {
     assert(next.select("doc_id").as[Long].collect().toSeq === Seq(302L))
   }
 
+  test("stream.ingest dedup=ngram/simhash: the other text families stream too") {
+    import spark.implicits._
+    for ((family, buildCfg) <- Seq(
+        ("ngram", Seq[(String, Any)]("ngram_size" -> 5, "bands" -> 8,
+          "rows_per_band" -> 6, "seed" -> 7)),
+        ("simhash", Seq.empty[(String, Any)]))) {
+      val streamDir = java.nio.file.Files.createTempDirectory(s"graft_ing_$family").toString
+      val idx = java.nio.file.Files.createTempDirectory(s"graft_ingidx_$family").toString
+      val indexed = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      ).toDF("doc_id", "text")
+      graft.operators.IndexBuildOp(StageContext.one(spark, indexed, Cfg.of(
+        (Seq[(String, Any)]("type" -> family, "path" -> idx,
+          "id_column" -> "doc_id", "text_column" -> "text") ++ buildCfg): _*)))
+      val novel = "wholly new streaming words never in the index at all"
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+          (101L, novel)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(streamDir)
+      val stream = FileStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+        "path" -> streamDir, "format" -> "parquet")))
+      val out = java.nio.file.Files.createTempDirectory(s"graft_ingout_$family").toString + "/data"
+      StreamIngestSink(StageContext.one(spark, stream, Cfg.of(
+        "path" -> out, "index_path" -> idx, "dedup" -> family,
+        "trigger" -> "available_now", "id_column" -> "doc_id",
+        "text_column" -> "text", "threshold" -> 0.8)))
+      val result = spark.read.parquet(out)
+      assert(result.select("doc_id").as[Long].collect().toSeq === Seq(101L),
+        s"$family: the index dup drops, the novel doc survives")
+      // the survivor's signature joined the index
+      val next = graft.core.Registry.withDefaults.resolve(s"dedup.$family")(
+        StageContext.one(spark, Seq((300L, novel)).toDF("doc_id", "text"),
+          Cfg.of("id_column" -> "doc_id", "text_column" -> "text", "index_path" -> idx)))
+      assert(next.count() === 0, s"$family: the appended survivor dedups the next batch")
+    }
+  }
+
   test("stream.ingest retry idempotence: a re-run micro-batch re-lands, never duplicates") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft_retry_idx").toString
