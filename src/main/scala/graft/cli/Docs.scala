@@ -70,14 +70,18 @@ object Docs {
     // training-data
     "dedup.exact" -> "exact dedup - columns, keep, order_by; index_path = drop rows already in a persisted exact index (index_append=true grows it on pipeline success)",
     "dedup.minhash" -> "near-dedup, word-shingle MinHash LSH - id_column, text_column, threshold, bands, num_hashes; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate (all four families); index_path = dedup a new batch against a persisted minhash index (index_append=true grows it on pipeline success)",
-    "dedup.ngram" -> "near-dedup, char n-gram Jaccard - id_column, text_column, threshold, ngram_size",
+    "dedup.ngram" -> "near-dedup, char n-gram Jaccard - id_column, text_column, threshold, ngram_size; index_path = dedup a new batch against a persisted ngram index (index_append=true grows it)",
     "dedup.substrings" -> "exact substring dedup (Lee et al. 2022 ExactSubstr): remove all but the first occurrence of any min_tokens-token verbatim repeat - column, id_column, min_tokens, stride (content-defined anchor sampling), mode=remove|annotate",
-    "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance",
-    "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate; index_path = dedup a new batch against a persisted lsh index (index_append=true grows it on pipeline success)",
+    "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance; index_path = dedup a new batch against a persisted simhash index (index_append=true grows it)",
+    "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes; blocking=bands (bands, band_planes) = banded LSH, the corpus-scale blocking; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate; index_path = dedup a new batch against a persisted lsh index (index_append=true grows it on pipeline success)",
     "knn.bruteforce" -> "exact cosine top-k - query_id|query_vector, k",
     "knn.lsh" -> "ANN via hyperplane-LSH block buckets - query_id, k, num_planes, blocks; index_path probes a prebuilt lsh index (partition-pruned)",
     "knn.ivf" -> "ANN via IVF coarse quantizer - query_id, k, nprobe; index_path probes a prebuilt index, else nlist/seed/max_train train inline",
-    "index.build" -> "persist a similarity index - path, type=ivf (cell-partitioned corpus + centroids; nlist, max_train) | lsh ((block,bucket)-partitioned tables; num_planes, blocks) | minhash (text-dedup signature corpus for dedup.minhash index_path; id_column, text_column, shingle_size, num_hashes, bands) | exact (md5 content-key set for dedup.exact index_path; columns), vector_column, seed",
+    "index.build" -> "persist a similarity index - path, type=ivf (cell-partitioned corpus + centroids; nlist, max_train) | lsh ((block,bucket)-partitioned tables; num_planes, blocks) | minhash (text-dedup signature corpus for dedup.minhash index_path; id_column, text_column, shingle_size, num_hashes, bands) | ngram (char-gram signature corpus for dedup.ngram index_path; ngram_size, bands, rows_per_band) | simhash (64-bit sigs for dedup.simhash index_path) | exact (md5 content-key set for dedup.exact index_path; columns), vector_column, seed, mode=overwrite|append",
+    "index.compact" -> "rewrite a fragmented index corpus into right-sized files (crash-safe swap, rows byte-identical, meta untouched) - path, target_file_mb=128; run quiesced (no concurrent appender/probe/recovering stream)",
+    "index.stats" -> "one-row index fragmentation report (index_type, rows, files, bytes, mean_file_kb, stream_append_dirs, partition_dirs) - path; the read-only companion of index.compact",
+    "stream.ingest" -> "streaming incremental corpus ingestion (foreachBatch) - path, index_path, dedup=minhash|exact|ngram|simhash, checkpoint, trigger=available_now|trigger_ms, index_append; exactly-once via per-batch idempotent output/append",
+    "stream.sketch" -> "streaming corpus audits - per-micro-batch topk.approx summaries persisted under ingest_batch partitions; path, column, tokenize, capacity, group_by; merge with topk.merge",
     "text.stats" -> "length/punct/word stats - column",
     "text.langid" -> "n-gram/stopword language ID - column, output_column",
     "text.quality" -> "document quality score - column, output_column",
