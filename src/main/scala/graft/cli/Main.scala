@@ -121,12 +121,6 @@ object Main {
           val Array(k, v) = kv.split("=", 2)
           (k, v)
       }.toSeq
-      def tomlValue(v: String): String = v match {
-        case "true" | "false" => v
-        case n if n.matches("-?\\d+") => n
-        case n if n.matches("-?\\d*\\.\\d+") => n
-        case s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      }
       val block = new StringBuilder("\n[[stages]]\n")
       block ++= s"""id = "$id"\n"""
       block ++= s"""function = "$fn"\n"""
@@ -183,12 +177,6 @@ object Main {
           "/ --set-inputs a,b / --set-function fn")
         sys.exit(1)
       }
-      def tomlScalar(v: String): String = v match {
-        case "true" | "false" => v
-        case n if n.matches("-?\\d+") => n
-        case n if n.matches("-?\\d*\\.\\d+") => n
-        case s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      }
       def toToml(v: graft.config.CVal): String = v match {
         case graft.config.CStr(s) =>
           "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -205,7 +193,7 @@ object Main {
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toVector).getOrElse(st.inputs)
       val keptCfg = (st.config.table -- removes -- sets.map(_._1))
         .toSeq.sortBy(_._1).map { case (k, v) => s"$k = ${toToml(v)}" }
-      val setCfg = sets.map { case (k, v) => s"$k = ${tomlScalar(v)}" }
+      val setCfg = sets.map { case (k, v) => s"$k = ${tomlValue(v)}" }
       val cfgEntries = keptCfg ++ setCfg
       val block = new StringBuilder("[[stages]]\n")
       block ++= s"""id = "$stageId"\n"""
@@ -298,27 +286,32 @@ object Main {
       val name = rest.dropWhile(_ != "--name").drop(1).headOption
         .filterNot(_.startsWith("--")).getOrElse(
           out.getFileName.toString.stripSuffix(".toml"))
-      // split into --stage groups; each group is the k=v tokens up to the
-      // next flag (any other --flag ends the group)
+      // split into --stage groups; every token must be accounted for — a
+      // stray token (typo'd k=v, misplaced flag value) must fail loud, not
+      // silently drop config from a pipeline that then "validates"
       val groups = {
         val b = scala.collection.mutable.Buffer[scala.collection.mutable.Buffer[String]]()
         var cur: scala.collection.mutable.Buffer[String] = null
-        rest.foreach {
-          case "--stage" => cur = scala.collection.mutable.Buffer(); b += cur
-          case t if cur != null && t.contains("=") && !t.startsWith("--") => cur += t
-          case _ => cur = null
+        var skipNext = false
+        rest.zipWithIndex.foreach { case (t, i) =>
+          if (skipNext) skipNext = false
+          else t match {
+            case "--stage" => cur = scala.collection.mutable.Buffer(); b += cur
+            case "--name" => cur = null; skipNext = true
+            case "--dry-run" | "--force" => cur = null
+            case kv if cur != null && kv.contains("=") && !kv.startsWith("--") => cur += kv
+            case other =>
+              System.err.println(s"build: unexpected token '$other' at position $i — " +
+                "stage fields must be k=v (id=…, function=…, inputs=a,b, config.k=v) " +
+                "inside a --stage group; flags are --name <n>, --dry-run, --force")
+              sys.exit(1)
+          }
         }
         b.toList.map(_.toList).filter(_.nonEmpty)
       }
       if (groups.isEmpty) {
         System.err.println("build needs at least one --stage id=... function=... group")
         sys.exit(1)
-      }
-      def tomlValue(v: String): String = v match {
-        case "true" | "false" => v
-        case n if n.matches("-?\\d+") => n
-        case n if n.matches("-?\\d*\\.\\d+") => n
-        case s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       }
       val sb = new StringBuilder
       sb ++= s"""[pipeline]\nname = "$name"\n"""
@@ -371,6 +364,19 @@ object Main {
           |  plugin list [toml]       alias of list (provenance per function)
           |  scaffold [out.toml]      write a starter pipeline""".stripMargin)
       sys.exit(2)
+  }
+
+  /** render a CLI string value as a TOML scalar: bools and numbers pass
+    * through (a bare leading-dot float is normalized — ".5" is invalid
+    * TOML), everything else renders as an escaped string. Shared by
+    * `stage add`, `stage edit`, and `build`. */
+  private def tomlValue(v: String): String = v match {
+    case "true" | "false" => v
+    case n if n.matches("-?\\d+") => n
+    case n if n.matches("-?\\d+\\.\\d+") => n
+    case n if n.matches("-?\\.\\d+") =>
+      (if (n.startsWith("-")) "-0" + n.drop(1) else "0" + n)
+    case s => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
   }
 
   /** Starter pipeline (reference scaffold.rs template, graft spellings). */

@@ -181,7 +181,8 @@ object IndexCompactOp extends Stage {
   * index: the read-only companion of `index.compact` that answers "should
   * I compact yet?". One output row:
   *
-  *   path, index_type (exact|minhash|lsh|ivf), rows, files, bytes,
+  *   path, index_type (exact|minhash|ngram|simhash|lsh|ivf), rows, files,
+  *   bytes,
   *   mean_file_kb, stream_append_dirs (corpus/sb-* micro-batch dirs from
   *   stream.ingest), partition_dirs (populated (block,pbucket)/cell dirs;
   *   0 for flat layouts)

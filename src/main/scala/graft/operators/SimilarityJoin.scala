@@ -142,24 +142,27 @@ object SimilarJoinOp extends Stage {
     val planes = cfg.longOr("planes", 32L).toInt
     val blocks = cfg.longOr("blocks", 4L).toInt
     val seed = cfg.longOr("seed", 42L)
-    if (planes % blocks != 0)
-      throw new GraftConfigError(s"planes=$planes must divide evenly into blocks=$blocks")
-    val bits = planes / blocks
-    val dimL = vecDim(left, leftVec)
-    val dimR = vecDim(right, rightVec)
-    if (dimL != dimR)
-      throw new GraftConfigError(s"embedding dims differ: left $dimL vs right $dimR")
-
     val banded = cfg.strOr("blocking", "pigeonhole") match {
       case "pigeonhole" => false
       case "bands"      => true
       case other => throw new GraftConfigError(
         s"join.similar: blocking must be pigeonhole|bands, got '$other'")
     }
+    // planes/blocks only shape the pigeonhole layout; a leftover pigeonhole
+    // value must not reject a banded config that never uses it
+    if (!banded && planes % blocks != 0)
+      throw new GraftConfigError(s"planes=$planes must divide evenly into blocks=$blocks")
+    val bits = if (banded) 0 else planes / blocks
     val nBands = cfg.longOr("bands", 16L).toInt
     val bandR = cfg.longOr("band_planes", 16L).toInt
+    if (banded && nBands < 1) throw new GraftConfigError(
+      s"join.similar: bands must be >= 1, got $nBands")
     if (banded && (bandR < 1 || bandR > 63)) throw new GraftConfigError(
       s"join.similar: band_planes must be in [1, 63], got $bandR")
+    val dimL = vecDim(left, leftVec)
+    val dimR = vecDim(right, rightVec)
+    if (dimL != dimR)
+      throw new GraftConfigError(s"embedding dims differ: left $dimL vs right $dimR")
 
     // content key for exact collapse = the vector itself (distinct vectors)
     def prepare(df: DataFrame, id: String, vec: String) = {

@@ -59,7 +59,8 @@ object IndexBuildOp extends Stage {
       case "ngram" => buildNgram(ctx)
       case "simhash" => buildSimhash(ctx)
       case "exact" => buildExact(ctx)
-      case other => throw new GraftConfigError(s"index.build type must be ivf|lsh|minhash|exact, got '$other'")
+      case other => throw new GraftConfigError(
+        s"index.build type must be ivf|lsh|minhash|ngram|simhash|exact, got '$other'")
     }
     ctx.primary
   }

@@ -437,15 +437,22 @@ object ExtensionQueries {
     },
 
     // ---- blocking=bands: the corpus-scale blocking (banded LSH — see
-    // BENCH_NOTES r6) on the SAME corpus/oracle as dedup_embedding: the
-    // planted duplicates are EXACT copies, so every band agrees and
-    // banded recall is deterministically 1; chance band collisions among
-    // the real vectors (max cosine 0.51) are removed by the exact-cosine
-    // verify — the result must match the pigeonhole gate bit-for-bit.
+    // BENCH_NOTES r6) on the dedup_embedding corpus shape, but the
+    // planted duplicates are the originals SCALED ×2: cosine is exactly 1
+    // (drops under the oracle) yet the vectors are not byte-identical, so
+    // ExactCollapse canNOT remove them — every copy must be recalled
+    // THROUGH the banded join itself. Recall is still deterministic, not
+    // probabilistic: positive scaling preserves every hyperplane sign, so
+    // a copy's band signatures equal its original's in all bands. Chance
+    // collisions among the real vectors (max cosine 0.51) are removed by
+    // the exact-cosine verify. A broken bandSignatures (sigs that differ
+    // for scaled pairs) fails this gate; the pigeonhole gate would not
+    // notice.
     QueryDef("dedup_embedding_bands",
       "SELECT vec_id, label FROM embeddings") { (s, d) =>
       val emb = t(s, d, "embeddings")
       val copies = emb.withColumn("vec_id", F.col("vec_id") + 10000)
+        .withColumn("embedding", F.transform(F.col("embedding"), x => x * F.lit(2.0f)))
       val corpus = emb.unionByName(copies)
       DedupEmbeddingOp(StageContext.one(s, corpus, Cfg.of(
         "id_column" -> "vec_id", "vector_column" -> "embedding",

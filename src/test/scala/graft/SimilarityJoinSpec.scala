@@ -97,6 +97,16 @@ class SimilarityJoinSpec extends SparkSpec {
     intercept[GraftConfigError](run(l, r,
       "method" -> "embedding", "vector_column" -> "emb",
       "blocking" -> "bands", "band_planes" -> 0))
+    intercept[GraftConfigError](run(l, r,
+      "method" -> "embedding", "vector_column" -> "emb",
+      "blocking" -> "bands", "bands" -> 0))
+    // a leftover pigeonhole planes value (not divisible by blocks) must
+    // not reject the banded path, which never uses it
+    val viaLeftover = run(l, r,
+      "method" -> "embedding", "vector_column" -> "emb", "threshold" -> 0.99,
+      "blocking" -> "bands", "planes" -> 30, "seed" -> 5)
+      .collect().map(x => (x.getAs[Long]("left_id"), x.getAs[Long]("right_id")))
+    assert(viaLeftover.toSet === Set((1L, 10L)))
   }
 
   test("config validation is loud") {
