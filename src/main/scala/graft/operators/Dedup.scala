@@ -1161,6 +1161,11 @@ object DedupEmbeddingOp extends Stage {
     val threshold = cfg.doubleOr("threshold", 0.95)
     val h = cfg.longOr("num_planes", 32L).toInt
     val blocks = cfg.longOr("blocks", 4L).toInt
+    // same loud check as index.build type=lsh / dedup.minhash: a
+    // non-divisible width would silently ignore the trailing plane bits
+    if (cfg.strOr("blocking", "pigeonhole") == "pigeonhole" && h % blocks != 0)
+      throw new GraftConfigError(
+        s"dedup.embedding: num_planes=$h must divide evenly into blocks=$blocks")
     val seed = cfg.longOr("seed", 11L)
     val dim = cfg.longOpt("dim").map(_.toInt).getOrElse(
       ctx.primary.select(F.size(F.col(vecCol))).head(1)

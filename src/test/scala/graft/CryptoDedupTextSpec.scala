@@ -144,6 +144,14 @@ class DedupSpec extends SparkSpec {
     // rejections: bad blocking name, band_planes out of range, and
     // bands blocking against a pigeonhole-partitioned index
     intercept[graft.config.GraftConfigError] { run("blocking" -> "nope") }
+    // pigeonhole rejects a non-divisible width loudly (trailing plane
+    // bits would silently be ignored); bands never uses num_planes/blocks
+    intercept[graft.config.GraftConfigError] {
+      DedupEmbeddingOp(StageContext.one(spark, vecs, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "num_planes" -> 30, "blocks" -> 4)))
+    }
+    assert(run("num_planes" -> 30, "blocks" -> 4) === Seq(0L, 2L, 3L))
     intercept[graft.config.GraftConfigError] { run("band_planes" -> 64) }
     intercept[graft.config.GraftConfigError] { run("bands" -> 0) }
     intercept[graft.config.GraftConfigError] {
