@@ -82,7 +82,7 @@ object Registry {
     TextNormalizeOp, BpeTrainOp, BpeTokenizeOp, GopherQualityOp, LineFilterOp,
     TopKOp, TopKMergeOp, CompressibilityOp,
     PerplexityOp, ChunkTextOp, SentencesOp, QualityClassifierTrainOp, QualityClassifierScoreOp,
-    KnnBruteForceOp, KnnLshOp, KnnIvfOp, IndexBuildOp, IndexCompactOp, IndexStatsOp,
+    KnnBruteForceOp, KnnJoinOp, KnnLshOp, KnnIvfOp, IndexBuildOp, IndexCompactOp, IndexStatsOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
     graft.multimodal.ImageDecodeOp, graft.multimodal.AudioDecodeOp,
     // composition

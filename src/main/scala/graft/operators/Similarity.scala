@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, functions => F}
+import org.apache.spark.sql.{Column, DataFrame, Row, functions => F}
 import graft.config._
 import graft.core._
 
@@ -52,6 +52,119 @@ object KnnBruteForceOp extends Stage {
       .select(F.col(idCol), F.col("cosine"))
       .orderBy(F.col("cosine").desc, F.col(idCol).asc)
       .limit(k)
+  }
+}
+
+/** knn.join — BATCH ANN: for EVERY row of the query table, the top-k
+  * nearest corpus vectors by cosine (retrieval evaluation, kNN candidate
+  * mining, cluster assignment — the batch workload the single-query
+  * knn.* probes don't cover). Two-input stage: queries = input 0,
+  * corpus = input 1. Output: (query_id, corpus_id, cosine, rank).
+  *
+  * Scale shape: the QUERY side broadcasts (the small side by assumption
+  * — thousands of probes vs a corpus of billions); the corpus streams
+  * through one BroadcastNestedLoopJoin into the codegen'd `cosine_sim`,
+  * and a per-partition bounded k-HEAP per query keeps only the local
+  * top-k BEFORE the only exchange — shuffle bytes are |Q|·partitions·k
+  * narrow rows, never the |Q|×|C| pair stream (the map-side-combine
+  * shape collect_list cannot give). A final per-query row_number over
+  * the merged heap rows yields the exact batch-brute-force answer: the
+  * heap orders by the SAME (rounded cosine desc, corpus_id asc) key as
+  * the final window, so rounding ties resolve identically in both
+  * passes. `broadcast = "none"` opts out for a large query side (plain
+  * cross join — let AQE plan it).
+  *
+  * Config: left_id/right_id (default id_column, default vec_id),
+  * left_vector/right_vector (default vector_column, default embedding),
+  * k, broadcast = queries|none. Rows with null id or vector are skipped.
+  */
+object KnnJoinOp extends Stage {
+  val name = "knn.join"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
+    val cfg = ctx.cfg
+    val queries = ctx.input(0)
+    val corpus = ctx.input(1)
+    val qId = cfg.strOr("left_id", cfg.strOr("id_column", "vec_id"))
+    val cId = cfg.strOr("right_id", cfg.strOr("id_column", "vec_id"))
+    val qVec = cfg.strOr("left_vector", cfg.strOr("vector_column", "embedding"))
+    val cVec = cfg.strOr("right_vector", cfg.strOr("vector_column", "embedding"))
+    val k = cfg.longOr("k", 10L).toInt
+    if (k < 1) throw new GraftConfigError(s"knn.join: k must be >= 1, got $k")
+    Seq((queries, qId, "left"), (queries, qVec, "left"),
+        (corpus, cId, "right"), (corpus, cVec, "right")).foreach { case (df, c, side) =>
+      if (!df.columns.contains(c))
+        throw new GraftPlanError(s"knn.join: $side column '$c' not found")
+    }
+    // the heap must total-order corpus ids exactly like the final window's
+    // natural ascending order — atomic Comparable types only (the
+    // window.apply orderability contract)
+    import org.apache.spark.sql.types._
+    corpus.schema(cId).dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType | DateType | TimestampType |
+           TimestampNTZType | _: DecimalType => ()
+      case dt => throw new GraftConfigError(
+        s"knn.join: right id column '$cId' has non-orderable type ${dt.simpleString}")
+    }
+
+    val qSide = queries
+      .filter(F.col(qId).isNotNull && F.col(qVec).isNotNull)
+      .select(F.col(qId).alias("query_id"), F.col(qVec).cast("array<double>").alias("_qv"))
+    val cSide = corpus
+      .filter(F.col(cId).isNotNull && F.col(cVec).isNotNull)
+      .select(F.col(cId).alias("corpus_id"), F.col(cVec).cast("array<double>").alias("_cv"))
+    val qHinted = cfg.strOr("broadcast", "queries") match {
+      case "queries" => F.broadcast(qSide)
+      case "none"    => qSide
+      case other => throw new GraftConfigError(
+        s"knn.join: broadcast must be queries|none, got '$other'")
+    }
+    val pairs = cSide.crossJoin(qHinted)
+      .select(F.col("query_id"), F.col("corpus_id"),
+        F.round(F.call_function("cosine_sim", F.col("_qv"), F.col("_cv")), 6)
+          .alias("cosine"))
+      .filter(F.col("cosine").isNotNull)
+
+    val outSchema = StructType(Seq(
+      StructField("query_id", queries.schema(qId).dataType),
+      StructField("corpus_id", corpus.schema(cId).dataType),
+      StructField("cosine", DoubleType)))
+    @inline def idLt(a: Any, b: Any): Boolean =
+      a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    val partial = pairs.mapPartitions { it =>
+      // one bounded min-heap per query: the ROOT is the worst kept entry
+      // (lowest cosine; among equal cosines the LARGEST corpus id, so
+      // eviction prefers the ids the final ascending tie-break keeps)
+      val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[(Double, Any)]]()
+      val cmp = new java.util.Comparator[(Double, Any)] {
+        def compare(a: (Double, Any), b: (Double, Any)): Int = {
+          val c = java.lang.Double.compare(a._1, b._1)
+          if (c != 0) c else (if (idLt(a._2, b._2)) 1 else if (idLt(b._2, a._2)) -1 else 0)
+        }
+      }
+      it.foreach { r =>
+        val q = r.get(0); val cid = r.get(1); val cos = r.getDouble(2)
+        var pq = heaps.get(q)
+        if (pq == null) { pq = new java.util.PriorityQueue(k, cmp); heaps.put(q, pq) }
+        if (pq.size < k) pq.add((cos, cid))
+        else {
+          val worst = pq.peek()
+          if (cos > worst._1 || (cos == worst._1 && idLt(cid, worst._2))) {
+            pq.poll(); pq.add((cos, cid))
+          }
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer[Row]()
+      heaps.forEach((q, pq) => pq.forEach { case (cos, cid) => out += Row(q, cid, cos) })
+      out.iterator
+    }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("corpus_id").asc)
+    partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
   }
 }
 

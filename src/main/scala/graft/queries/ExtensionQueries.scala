@@ -469,6 +469,27 @@ object ExtensionQueries {
       KnnBruteForceOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
         "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 10)))
     },
+    // ---- knn.join: batch ANN — top-k per query ROW (not one query
+    // vector). Exact brute-force semantics restated in SQL: the bounded
+    // per-partition heap + final window must equal a full cross join
+    // ranked per query, including rounded-cosine ties (both sides break
+    // them by corpus id ascending).
+    QueryDef("knn_join_bruteforce",
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM q CROSS JOIN embeddings c),
+        |ranked AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
+        |  FROM pairs)
+        |SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 7""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      KnnJoinOp(StageContext(s, Seq(
+        "q" -> emb.filter(F.col("vec_id") < 5), "c" -> emb),
+        Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 7)))
+    },
+
     QueryDef.noOracle("knn_ivf") { (s, d) =>
       KnnIvfOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
         "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.execution.FileSourceScanExec
 import graft.config.Cfg
 import graft.core.StageContext
-import graft.operators.{IndexBuildOp, KnnBruteForceOp, KnnIvfOp, KnnLshOp}
+import graft.operators.{IndexBuildOp, KnnBruteForceOp, KnnIvfOp, KnnJoinOp, KnnLshOp}
 
 /** index.build + knn.ivf index_path: exactness at nprobe=nlist and real
   * parquet partition pruning on the probe scan. */
@@ -109,5 +109,53 @@ class VectorIndexSpec extends SparkSpec {
       "query_id" -> 0, "k" -> 5, "nlist" -> 4, "nprobe" -> 4, "seed" -> 11)))
       .collect()
     assert(out.length === 5 && out.head.getLong(0) === 0L)
+  }
+
+  test("knn.join: per-query top-k equals per-query brute force; bounded heap shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val corpus = (0 until 50).map { i =>
+      val r = new scala.util.Random(i * 131L + 3)
+      val v = Array.fill(8)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(F.col("vec_id") < 3)
+    val out = KnnJoinOp(graft.core.StageContext(spark, Seq(
+      "q" -> queries, "c" -> corpus),
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 5)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(out.length === 15, "3 queries x k=5")
+    // per query: ranks are 1..5, descending cosine, self is rank 1 (cos 1)
+    for (q <- 0L until 3L) {
+      val mine = out.filter(_._1 == q).sortBy(_._4)
+      assert(mine.map(_._4).toSeq === Seq(1, 2, 3, 4, 5))
+      assert(mine.head._2 === q && mine.head._3 === 1.0)
+      assert(mine.map(_._3).toSeq === mine.map(_._3).sortBy(-(_: Double)).toSeq)
+      // equals the single-query operator's answer on the same corpus
+      val single = KnnBruteForceOp(graft.core.StageContext.one(spark, corpus, Cfg.of(
+        "query_id" -> q, "id_column" -> "vec_id",
+        "vector_column" -> "embedding", "k" -> 5)))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(mine.map(m => (m._2, m._3)).toSeq === single)
+    }
+    // rejections: k < 1, unknown broadcast mode, missing column
+    intercept[graft.config.GraftConfigError](KnnJoinOp(graft.core.StageContext(spark,
+      Seq("q" -> queries, "c" -> corpus),
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 0))))
+    intercept[graft.config.GraftConfigError](KnnJoinOp(graft.core.StageContext(spark,
+      Seq("q" -> queries, "c" -> corpus),
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+        "broadcast" -> "corpus"))))
+    intercept[graft.core.GraftPlanError](KnnJoinOp(graft.core.StageContext(spark,
+      Seq("q" -> queries, "c" -> corpus),
+      Cfg.of("id_column" -> "nope", "vector_column" -> "embedding"))))
+    // plan shape: the query side broadcasts (BNLJ), no sort-merge join
+    val plan = KnnJoinOp(graft.core.StageContext(spark, Seq(
+      "q" -> queries, "c" -> corpus),
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 5)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 }
