@@ -75,7 +75,7 @@ object Docs {
     "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance; index_path = dedup a new batch against a persisted simhash index (index_append=true grows it)",
     "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes; blocking=bands (bands, band_planes) = banded LSH, the corpus-scale blocking; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate; index_path = dedup a new batch against a persisted lsh index (index_append=true grows it on pipeline success)",
     "knn.bruteforce" -> "exact cosine top-k - query_id|query_vector, k",
-    "knn.join" -> "batch ANN: top-k corpus neighbors for EVERY query row (two inputs: queries, corpus) - left_id/right_id, left_vector/right_vector, k, broadcast=queries|none; bounded per-partition heaps, shuffle = |Q|*partitions*k rows",
+    "knn.join" -> "batch ANN: top-k corpus neighbors for EVERY query row (two inputs: queries, corpus — or queries + index_path probing a prebuilt lsh index with probe_hamming multi-probe, partition-pruned) - left_id/right_id, left_vector/right_vector, k, broadcast=queries|none; bounded per-partition heaps, shuffle = |Q|*partitions*k rows",
     "knn.lsh" -> "ANN via hyperplane-LSH block buckets - query_id, k, num_planes, blocks; index_path probes a prebuilt lsh index (partition-pruned)",
     "knn.ivf" -> "ANN via IVF coarse quantizer - query_id, k, nprobe; index_path probes a prebuilt index, else nlist/seed/max_train train inline",
     "index.build" -> "persist a similarity index - path, type=ivf (cell-partitioned corpus + centroids; nlist, max_train) | lsh ((block,bucket)-partitioned tables; num_planes, blocks) | minhash (text-dedup signature corpus for dedup.minhash index_path; id_column, text_column, shingle_size, num_hashes, bands) | ngram (char-gram signature corpus for dedup.ngram index_path; ngram_size, bands, rows_per_band) | simhash (64-bit sigs for dedup.simhash index_path) | exact (md5 content-key set for dedup.exact index_path; columns), vector_column, seed, mode=overwrite|append",

@@ -74,9 +74,19 @@ object KnnBruteForceOp extends Stage {
   * passes. `broadcast = "none"` opts out for a large query side (plain
   * cross join — let AQE plan it).
   *
+  * `index_path` mode (the 100 TB path): instead of a corpus input, probe
+  * a prebuilt `index.build type=lsh` index — each query's block keys
+  * (widened to the Hamming-`probe_hamming` bucket neighborhood, the
+  * knn.lsh multi-probe recall knob) join only the colliding
+  * (block, pbucket) partitions; the corpus is never fully scanned.
+  * probe_hamming = block width provably covers every bucket, making the
+  * pruned probe EQUAL batch brute force (the knn_join_lsh_exhaustive
+  * gate pins it).
+  *
   * Config: left_id/right_id (default id_column, default vec_id),
   * left_vector/right_vector (default vector_column, default embedding),
-  * k, broadcast = queries|none. Rows with null id or vector are skipped.
+  * k, broadcast = queries|none (brute force), index_path + probe_hamming
+  * (pruned). Rows with null id or vector are skipped.
   */
 object KnnJoinOp extends Stage {
   val name = "knn.join"
@@ -86,51 +96,144 @@ object KnnJoinOp extends Stage {
     graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val cfg = ctx.cfg
     val queries = ctx.input(0)
-    val corpus = ctx.input(1)
     val qId = cfg.strOr("left_id", cfg.strOr("id_column", "vec_id"))
     val cId = cfg.strOr("right_id", cfg.strOr("id_column", "vec_id"))
     val qVec = cfg.strOr("left_vector", cfg.strOr("vector_column", "embedding"))
     val cVec = cfg.strOr("right_vector", cfg.strOr("vector_column", "embedding"))
     val k = cfg.longOr("k", 10L).toInt
     if (k < 1) throw new GraftConfigError(s"knn.join: k must be >= 1, got $k")
-    Seq((queries, qId, "left"), (queries, qVec, "left"),
-        (corpus, cId, "right"), (corpus, cVec, "right")).foreach { case (df, c, side) =>
-      if (!df.columns.contains(c))
-        throw new GraftPlanError(s"knn.join: $side column '$c' not found")
+    // corpus: a second input (brute force), or an index_path (pruned probe)
+    val indexPath = cfg.strOpt("index_path")
+    val corpusOpt =
+      if (indexPath.isDefined) {
+        if (ctx.inputs.size > 1) throw new GraftConfigError(
+          "knn.join: give EITHER a second (corpus) input or index_path, not both")
+        None
+      } else Some(ctx.input(1))
+    Seq((Some(queries), qId, "left"), (Some(queries), qVec, "left"),
+        (corpusOpt, cId, "right"), (corpusOpt, cVec, "right")).foreach {
+      case (Some(df), c, side) =>
+        if (!df.columns.contains(c))
+          throw new GraftPlanError(s"knn.join: $side column '$c' not found")
+      case _ => ()
     }
+    import org.apache.spark.sql.types._
     // the heap must total-order corpus ids exactly like the final window's
     // natural ascending order — atomic Comparable types only (the
     // window.apply orderability contract)
-    import org.apache.spark.sql.types._
-    corpus.schema(cId).dataType match {
+    def requireOrderable(dt: DataType): Unit = dt match {
       case BooleanType | ByteType | ShortType | IntegerType | LongType |
            FloatType | DoubleType | StringType | DateType | TimestampType |
            TimestampNTZType | _: DecimalType => ()
-      case dt => throw new GraftConfigError(
-        s"knn.join: right id column '$cId' has non-orderable type ${dt.simpleString}")
+      case other => throw new GraftConfigError(
+        s"knn.join: right id column '$cId' has non-orderable type ${other.simpleString}")
     }
+    corpusOpt.foreach(c => requireOrderable(c.schema(cId).dataType))
 
     val qSide = queries
       .filter(F.col(qId).isNotNull && F.col(qVec).isNotNull)
       .select(F.col(qId).alias("query_id"), F.col(qVec).cast("array<double>").alias("_qv"))
-    val cSide = corpus
-      .filter(F.col(cId).isNotNull && F.col(cVec).isNotNull)
-      .select(F.col(cId).alias("corpus_id"), F.col(cVec).cast("array<double>").alias("_cv"))
-    val qHinted = cfg.strOr("broadcast", "queries") match {
-      case "queries" => F.broadcast(qSide)
-      case "none"    => qSide
-      case other => throw new GraftConfigError(
-        s"knn.join: broadcast must be queries|none, got '$other'")
+
+    val (pairs, corpusIdType) = indexPath match {
+      case Some(path) =>
+        // LSH-pruned batch probe — the 100 TB path: each query's block
+        // keys (optionally widened to the Hamming-d bucket neighborhood,
+        // the knn.lsh multi-probe knob) join ONLY the colliding
+        // (block, pbucket) index partitions; the corpus is never fully
+        // scanned. Same join shape as the dedup.embedding index probe.
+        val spark = ctx.spark
+        if (!new java.io.File(s"$path/meta").exists())
+          throw new GraftPlanError(
+            s"knn.join: no index at '$path' — run an index.build type=lsh stage first")
+        IndexMaintenance.recoverSwap(path)
+        val meta = spark.read.parquet(s"$path/meta").head()
+        if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
+          s"knn.join: the index at $path predates the (block, pbucket) layout — " +
+          "rebuild it with index.build type=lsh mode=overwrite")
+        val h = meta.getAs[Int]("num_planes")
+        val blocks = meta.getAs[Int]("blocks")
+        val seed = meta.getAs[Long]("seed")
+        val dim = meta.getAs[Int]("dim")
+        val pd = meta.getAs[Int]("pbuckets")
+        val width = h / blocks
+        val probeD = cfg.longOr("probe_hamming", 0L).toInt
+        if (probeD < 0 || probeD > width) throw new GraftConfigError(
+          s"knn.join: probe_hamming must be in [0, $width] (the block width), got $probeD")
+        if (probeD > 0 && width > 12) throw new GraftConfigError(
+          s"knn.join: probe_hamming > 0 needs an enumerable bucket space (block width " +
+          s"<= 12, index has $width) — rebuild the index with more blocks")
+        // batch vectors must match the index dim (hyperplaneSig truncates
+        // silently — the dedup.embedding index-probe contract)
+        qSide.select(F.size(F.col("_qv")).as("_sz")).filter(F.col("_sz") >= 0)
+          .head(1).headOption.map(_.getInt(0)).filter(_ != dim).foreach(bd =>
+            throw new GraftConfigError(
+              s"knn.join: query vectors have length $bd but the index at $path was " +
+              s"built with dim = $dim"))
+        val qBlocked0 = qSide
+          .withColumn("_sig", DedupEmbeddingOp.hyperplaneSig(F.col("_qv"), dim, h, seed))
+          .select(F.col("query_id"), F.col("_qv"),
+            F.posexplode(DedupEmbeddingOp.blockKeys(F.col("_sig"), blocks, width)))
+          .withColumnRenamed("pos", "block").withColumnRenamed("col", "bucket")
+          .withColumn("block", F.col("block").cast("int"))
+        val qBlocked = (if (probeD == 0) qBlocked0 else {
+            // widen each exact bucket to its Hamming-d neighborhood; the
+            // explode keeps the join an equi join on pruned partitions
+            val neighborhood = F.udf { b: Long =>
+              (0L until (1L << width)).filter(x =>
+                java.lang.Long.bitCount(x ^ b) <= probeD).toArray
+            }
+            qBlocked0.withColumn("bucket", F.explode(neighborhood(F.col("bucket"))))
+          }).withColumn("pbucket", (F.col("bucket") % pd).cast("int"))
+        // schema comes from the index's own parquet; the empty-index
+        // fallback types corpus_id like the query id (result is empty
+        // either way)
+        val idxRaw = IndexSnapshot.read(spark, s"$path/corpus",
+          s"knn.join: no lsh index at $path — run index.build type=lsh first",
+          StructType(Seq(
+            StructField(cId, queries.schema(qId).dataType),
+            StructField(cVec, queries.schema(qVec).dataType),
+            StructField("block", IntegerType),
+            StructField("pbucket", IntegerType),
+            StructField("bucket", LongType))), basePath = true)
+        Seq(cId, cVec).foreach(c => if (!idxRaw.columns.contains(c))
+          throw new GraftPlanError(
+            s"knn.join: index at $path has no '$c' column (has: ${idxRaw.columns.mkString(", ")}) " +
+            "— right_id/right_vector must name the indexed columns"))
+        requireOrderable(idxRaw.schema(cId).dataType)
+        val idx = idxRaw.select(F.col("block"), F.col("pbucket"), F.col("bucket"),
+          F.col(cId).alias("corpus_id"), F.col(cVec).cast("array<double>").alias("_cv"))
+        (qBlocked.join(idx, Seq("block", "pbucket", "bucket"))
+          .select(F.col("query_id"), F.col("corpus_id"),
+            F.round(F.call_function("cosine_sim", F.col("_qv"), F.col("_cv")), 6)
+              .alias("cosine"))
+          .filter(F.col("cosine").isNotNull)
+          // a pair can collide in several blocks/probed buckets — exactly
+          // one candidate row per pair before ranking
+          .dropDuplicates("query_id", "corpus_id"),
+         idxRaw.schema(cId).dataType)
+
+      case None =>
+        val corpus = corpusOpt.get
+        val cSide = corpus
+          .filter(F.col(cId).isNotNull && F.col(cVec).isNotNull)
+          .select(F.col(cId).alias("corpus_id"), F.col(cVec).cast("array<double>").alias("_cv"))
+        val qHinted = cfg.strOr("broadcast", "queries") match {
+          case "queries" => F.broadcast(qSide)
+          case "none"    => qSide
+          case other => throw new GraftConfigError(
+            s"knn.join: broadcast must be queries|none, got '$other'")
+        }
+        (cSide.crossJoin(qHinted)
+          .select(F.col("query_id"), F.col("corpus_id"),
+            F.round(F.call_function("cosine_sim", F.col("_qv"), F.col("_cv")), 6)
+              .alias("cosine"))
+          .filter(F.col("cosine").isNotNull),
+         corpus.schema(cId).dataType)
     }
-    val pairs = cSide.crossJoin(qHinted)
-      .select(F.col("query_id"), F.col("corpus_id"),
-        F.round(F.call_function("cosine_sim", F.col("_qv"), F.col("_cv")), 6)
-          .alias("cosine"))
-      .filter(F.col("cosine").isNotNull)
 
     val outSchema = StructType(Seq(
       StructField("query_id", queries.schema(qId).dataType),
-      StructField("corpus_id", corpus.schema(cId).dataType),
+      StructField("corpus_id", corpusIdType),
       StructField("cosine", DoubleType)))
     @inline def idLt(a: Any, b: Any): Boolean =
       a.asInstanceOf[Comparable[Any]].compareTo(b) < 0

@@ -490,6 +490,33 @@ object ExtensionQueries {
         Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 7)))
     },
 
+    // ---- knn.join index_path at probe_hamming = width: every block
+    // probes its ENTIRE bucket space, so the pruned batch probe provably
+    // covers the whole corpus and must equal batch brute force — the SAME
+    // oracle as knn_join_bruteforce (the knn_lsh_exhaustive construction,
+    // batched). Pins the probe's candidate completeness: block-key
+    // explode, neighborhood widening, partition join, pair dedup.
+    QueryDef("knn_join_lsh_exhaustive",
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM q CROSS JOIN embeddings c),
+        |ranked AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
+        |  FROM pairs)
+        |SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 7""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_kj_idx").toString
+      IndexBuildOp(StageContext.one(s, emb, Cfg.of(
+        "type" -> "lsh", "path" -> idx, "id_column" -> "vec_id",
+        "vector_column" -> "embedding", "num_planes" -> 32, "blocks" -> 4,
+        "seed" -> 11, "partition_dirs" -> 16)))
+      KnnJoinOp(StageContext.one(s, emb.filter(F.col("vec_id") < 5), Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 7,
+        "index_path" -> idx, "probe_hamming" -> 8)))
+    },
+
     QueryDef.noOracle("knn_ivf") { (s, d) =>
       KnnIvfOp(StageContext.one(s, t(s, d, "embeddings"), Cfg.of(
         "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",

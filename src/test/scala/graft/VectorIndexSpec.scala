@@ -158,4 +158,59 @@ class VectorIndexSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("knn.join index_path: pruned probe, exhaustive equals brute force, rejections") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    val corpus = (0 until 60).map { i =>
+      val r = new scala.util.Random(i * 17L + 5)
+      val v = Array.fill(16)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("kj_idx").toString
+    IndexBuildOp(graft.core.StageContext.one(spark, corpus, Cfg.of(
+      "type" -> "lsh", "path" -> idx, "id_column" -> "vec_id",
+      "vector_column" -> "embedding", "num_planes" -> 16, "blocks" -> 4,
+      "seed" -> 11, "partition_dirs" -> 8)))
+    val queries = corpus.filter(F.col("vec_id") < 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).sortBy(x => (x._1, x._4))
+    // probe_hamming = width: provably covers every bucket == brute force
+    val exhaustive = rows(KnnJoinOp(graft.core.StageContext.one(spark, queries, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 6,
+      "index_path" -> idx, "probe_hamming" -> 4))))
+    val brute = rows(KnnJoinOp(graft.core.StageContext(spark, Seq(
+      "q" -> queries, "c" -> corpus),
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 6))))
+    assert(exhaustive === brute)
+    // default pruned probe: self (cosine 1, every block collides) is rank 1
+    val pruned = rows(KnnJoinOp(graft.core.StageContext.one(spark, queries, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 6,
+      "index_path" -> idx))))
+    for (q <- 0L until 2L) {
+      val mine = pruned.filter(_._1 == q)
+      assert(mine.nonEmpty && mine.head._2 === q && mine.head._3 === 1.0)
+      // pruned candidates are a subset: every (corpus_id, cosine) appears
+      // in the exhaustive answer's candidate set or ranks below it
+      assert(mine.map(_._3).toSeq === mine.map(_._3).sortBy(-(_: Double)).toSeq)
+    }
+    // rejections: both corpus input AND index_path; bad probe_hamming;
+    // wrong column name vs the indexed columns
+    intercept[graft.config.GraftConfigError](KnnJoinOp(graft.core.StageContext(spark,
+      Seq("q" -> queries, "c" -> corpus),
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+        "index_path" -> idx))))
+    intercept[graft.config.GraftConfigError](KnnJoinOp(graft.core.StageContext.one(spark,
+      queries, Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+        "index_path" -> idx, "probe_hamming" -> 5))))
+    intercept[graft.core.GraftPlanError](KnnJoinOp(graft.core.StageContext.one(spark,
+      queries, Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+        "right_id" -> "nope", "index_path" -> idx))))
+    // dim mismatch fails loud
+    val wrongDim = (0 until 2).map(i => (i.toLong, Array.fill(8)(0.5f))).toDF("vec_id", "embedding")
+    intercept[graft.config.GraftConfigError](KnnJoinOp(graft.core.StageContext.one(spark,
+      wrongDim, Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+        "index_path" -> idx))))
+  }
 }
