@@ -193,13 +193,13 @@ object AiGenerateOp extends Stage {
     case other => throw new GraftConfigError(s"unknown provider '$other'")
   }
 
-  /** Per-provider API-version request header, as config data rather than a
-    * code literal: (header name, default value) — the header name derives
-    * from the provider id ("<provider>-version", the public convention the
-    * reference sends, ai.rs:203); override per pipeline with `api_version`
-    * / `api_version_header`. */
+  /** Per-provider API-version request header: (header name, default
+    * value) — the public, vendor-documented header the reference sends
+    * verbatim (ai.rs:203); override per pipeline with `api_version` /
+    * `api_version_header`. (A literal, deliberately: see
+    * docs/DESIGN_NOTES.md "provider version headers".) */
   val versionHeaders: Map[String, (String, String)] =
-    Map("anthropic" -> ("anthropic" + "-version", "2023-06-01"))
+    Map("anthropic" -> ("anthropic-version", "2023-06-01"))
 
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg

@@ -10,8 +10,10 @@ import graft.core._
   * one complete generation on disk — and every corpus READER runs this
   * repair first, so no probe ever observes the partial-swap window (the
   * same contract kafka.consume/stream got for kafka.compact's mid-swap
-  * crashes). Synchronized: concurrent probes composing in one process must
-  * not race the directory moves.
+  * crashes). Synchronized within one JVM; ACROSS processes (concurrent
+  * readers from separate graft runs are allowed) the repair is idempotent
+  * by retry — a lost directory-move race re-stats and converges on the
+  * winner's completed repair instead of surfacing the move failure.
   */
 private[graft] object IndexMaintenance {
   /** Repair a compact that died mid-swap under `<path>/`. Idempotent, two
@@ -26,24 +28,47 @@ private[graft] object IndexMaintenance {
     * data loss).
     */
   def recoverSwap(path: String, cleanTmp: Boolean = false): Unit = synchronized {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.{Files, Paths, FileAlreadyExistsException, NoSuchFileException,
+      DirectoryNotEmptyException}
     val corpus = Paths.get(s"$path/corpus")
     val hold = Paths.get(s"$path/corpus.compact.old")
     val tmp = Paths.get(s"$path/corpus.compact.tmp")
-    if (Files.isDirectory(hold)) {
-      if (!Files.isDirectory(corpus)) {
-        // died between hold-aside and install. The tmp write commits
-        // BEFORE the swap starts, so if tmp exists it is the complete new
-        // generation — finish the install; tmp missing (external
-        // tampering) falls back to restoring the held old generation.
-        if (Files.isDirectory(tmp)) { Files.move(tmp, corpus); KafkaLog.deleteRec(hold) }
-        else Files.move(hold, corpus)
-      } else {
-        // died after install, before the held generation's delete
-        KafkaLog.deleteRec(hold)
+    def repair(): Unit =
+      if (Files.isDirectory(hold)) {
+        if (!Files.isDirectory(corpus)) {
+          // died between hold-aside and install. The tmp write commits
+          // BEFORE the swap starts, so if tmp exists it is the complete new
+          // generation — finish the install; tmp missing (external
+          // tampering) falls back to restoring the held old generation.
+          if (Files.isDirectory(tmp)) { Files.move(tmp, corpus); KafkaLog.deleteRec(hold) }
+          else Files.move(hold, corpus)
+        } else {
+          // died after install, before the held generation's delete
+          KafkaLog.deleteRec(hold)
+        }
+      } else if (cleanTmp && Files.isDirectory(tmp)) {
+        KafkaLog.deleteRec(tmp)
       }
-    } else if (cleanTmp && Files.isDirectory(tmp)) {
-      KafkaLog.deleteRec(tmp)
+    // the lock serializes repairs within one JVM, but concurrent READER
+    // processes are allowed (only compact itself must be quiesced), and
+    // after a crashed compact every reader races the same moves — the
+    // loser's move throws; the repair is idempotent over directory
+    // states, so re-stat and re-run until the winner's result is visible
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try { repair(); done = true }
+      catch {
+        case e @ (_: FileAlreadyExistsException | _: NoSuchFileException |
+                  _: DirectoryNotEmptyException) =>
+          attempts += 1
+          if (attempts >= 5) {
+            // converged iff a complete generation is installed and no held
+            // generation remains — then the race partner finished the job
+            if (Files.isDirectory(corpus) && !Files.isDirectory(hold)) done = true
+            else throw e
+          } else Thread.sleep(20L * attempts)
+      }
     }
   }
 
@@ -106,14 +131,17 @@ private[graft] object IndexMaintenance {
   * stream.ingest query crashed mid-batch may hold an uncommitted
   * `corpus/sb-…` append; compacting before it replays folds that append
   * into the flat generation, and the replay's self-match exclusion
-  * (excludeDir) can no longer see it — resume the stream (or drop its
-  * checkpoint) before compacting.
+  * (excludeDir) can no longer see it — ENFORCED, not just documented:
+  * a corpus holding any sb-* micro-batch dir refuses to compact unless
+  * `force = true` asserts the stream is quiesced at a committed batch
+  * (committed and in-flight appends are indistinguishable on disk).
   *
   * MATERIALIZATION BARRIER like index.build: runs eagerly at plan-compose
   * time and passes its input through, so it composes mid-pipeline; CLI
   * `explain` skips it (read-only).
   *
-  * Config: `path` (the index root), `target_file_mb` = 128 (flat layouts).
+  * Config: `path` (the index root), `target_file_mb` = 128 (flat
+  * layouts), `force` = false (required to fold stream.ingest sb-* dirs).
   */
 object IndexCompactOp extends Stage {
   val name = "index.compact"
@@ -137,6 +165,27 @@ object IndexCompactOp extends Stage {
     val files = IndexSnapshot.files(corpusDir,
       s"index.compact: index at $path has no corpus directory")
     if (files.isEmpty) return ctx.primary // empty index — nothing to rewrite
+    // a stream.ingest query crashed mid-batch may hold an UNCOMMITTED
+    // corpus/sb-* append that its replay must still see via the excludeDir
+    // self-match exclusion; folding it into the flat generation would make
+    // the retried batch dedup against its own failed attempt and emit
+    // nothing. Committed and in-flight sb-* dirs are indistinguishable
+    // from here, so their mere presence blocks compaction unless the
+    // caller asserts the stream is quiesced at a committed batch.
+    val corpusP0 = Paths.get(corpusDir)
+    import scala.jdk.CollectionConverters._
+    val sbDirs = files.map(f => corpusP0.relativize(Paths.get(f)))
+      .flatMap(rel => Option(rel.getParent).toSeq
+        .flatMap(_.iterator().asScala.map(_.toString)))
+      .filter(s => s.startsWith("sb-") || s.startsWith("ingest_tag=sb-"))
+      .distinct
+    if (sbDirs.nonEmpty && !cfg.boolOr("force", false))
+      throw new GraftConfigError(
+        s"index.compact: the corpus at $path holds ${sbDirs.size} stream.ingest " +
+        "micro-batch append dir(s) (sb-*) — if the streaming query crashed mid-batch, " +
+        "its replay dedups against its own folded append and emits nothing. Stop the " +
+        "stream at a committed batch (or drop its checkpoint), then re-run with " +
+        "force = true")
     val bytes = files.map(f => Files.size(Paths.get(f))).sum
 
     val reader = spark.read

@@ -86,7 +86,9 @@ object KnnBruteForceOp extends Stage {
   * Config: left_id/right_id (default id_column, default vec_id),
   * left_vector/right_vector (default vector_column, default embedding),
   * k, broadcast = queries|none (brute force), index_path + probe_hamming
-  * (pruned). Rows with null id or vector are skipped.
+  * (pruned). Rows with null id or vector are skipped, and zero-norm
+  * vectors (cosine = 0/0 = NaN — no defined direction) are excluded from
+  * both sides.
   */
 object KnnJoinOp extends Stage {
   val name = "knn.join"
@@ -142,19 +144,29 @@ object KnnJoinOp extends Stage {
         // (block, pbucket) index partitions; the corpus is never fully
         // scanned. Same join shape as the dedup.embedding index probe.
         val spark = ctx.spark
-        if (!new java.io.File(s"$path/meta").exists())
+        // CLI `explain` with no index yet (the earlier skipped index.build
+        // barrier would have created it) → empty placeholder, same as the
+        // dedup.embedding index probe; with an existing index, explain
+        // still reads the tiny meta but never runs the dim-probe job
+        val explainOnly = cfg.boolOr("_explain_only", false)
+        val placeholder = explainOnly && !new java.io.File(s"$path/meta").exists()
+        if (!placeholder && !new java.io.File(s"$path/meta").exists())
           throw new GraftPlanError(
             s"knn.join: no index at '$path' — run an index.build type=lsh stage first")
-        IndexMaintenance.recoverSwap(path)
-        val meta = spark.read.parquet(s"$path/meta").head()
-        if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
-          s"knn.join: the index at $path predates the (block, pbucket) layout — " +
-          "rebuild it with index.build type=lsh mode=overwrite")
-        val h = meta.getAs[Int]("num_planes")
-        val blocks = meta.getAs[Int]("blocks")
-        val seed = meta.getAs[Long]("seed")
-        val dim = meta.getAs[Int]("dim")
-        val pd = meta.getAs[Int]("pbuckets")
+        val (h, blocks, seed, dim, pd) =
+          if (placeholder)
+            (cfg.longOr("num_planes", 16L).toInt, cfg.longOr("blocks", 4L).toInt,
+             cfg.longOr("seed", 11L), cfg.longOr("dim", 0L).toInt,
+             cfg.longOr("partition_dirs", 64L).toInt)
+          else {
+            IndexMaintenance.recoverSwap(path)
+            val meta = spark.read.parquet(s"$path/meta").head()
+            if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
+              s"knn.join: the index at $path predates the (block, pbucket) layout — " +
+              "rebuild it with index.build type=lsh mode=overwrite")
+            (meta.getAs[Int]("num_planes"), meta.getAs[Int]("blocks"),
+             meta.getAs[Long]("seed"), meta.getAs[Int]("dim"), meta.getAs[Int]("pbuckets"))
+          }
         val width = h / blocks
         val probeD = cfg.longOr("probe_hamming", 0L).toInt
         if (probeD < 0 || probeD > width) throw new GraftConfigError(
@@ -163,12 +175,14 @@ object KnnJoinOp extends Stage {
           s"knn.join: probe_hamming > 0 needs an enumerable bucket space (block width " +
           s"<= 12, index has $width) — rebuild the index with more blocks")
         // batch vectors must match the index dim (hyperplaneSig truncates
-        // silently — the dedup.embedding index-probe contract)
-        qSide.select(F.size(F.col("_qv")).as("_sz")).filter(F.col("_sz") >= 0)
-          .head(1).headOption.map(_.getInt(0)).filter(_ != dim).foreach(bd =>
-            throw new GraftConfigError(
-              s"knn.join: query vectors have length $bd but the index at $path was " +
-              s"built with dim = $dim"))
+        // silently — the dedup.embedding index-probe contract); skipped
+        // under explain (no upstream jobs) like dedup.embedding's probe
+        if (!explainOnly)
+          qSide.select(F.size(F.col("_qv")).as("_sz")).filter(F.col("_sz") >= 0)
+            .head(1).headOption.map(_.getInt(0)).filter(_ != dim).foreach(bd =>
+              throw new GraftConfigError(
+                s"knn.join: query vectors have length $bd but the index at $path was " +
+                s"built with dim = $dim"))
         val qBlocked0 = qSide
           .withColumn("_sig", DedupEmbeddingOp.hyperplaneSig(F.col("_qv"), dim, h, seed))
           .select(F.col("query_id"), F.col("_qv"),
@@ -187,14 +201,18 @@ object KnnJoinOp extends Stage {
         // schema comes from the index's own parquet; the empty-index
         // fallback types corpus_id like the query id (result is empty
         // either way)
-        val idxRaw = IndexSnapshot.read(spark, s"$path/corpus",
-          s"knn.join: no lsh index at $path — run index.build type=lsh first",
-          StructType(Seq(
-            StructField(cId, queries.schema(qId).dataType),
-            StructField(cVec, queries.schema(qVec).dataType),
-            StructField("block", IntegerType),
-            StructField("pbucket", IntegerType),
-            StructField("bucket", LongType))), basePath = true)
+        val fallbackSchema = StructType(Seq(
+          StructField(cId, queries.schema(qId).dataType),
+          StructField(cVec, queries.schema(qVec).dataType),
+          StructField("block", IntegerType),
+          StructField("pbucket", IntegerType),
+          StructField("bucket", LongType)))
+        val idxRaw =
+          if (placeholder) spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], fallbackSchema)
+          else IndexSnapshot.read(spark, s"$path/corpus",
+            s"knn.join: no lsh index at $path — run index.build type=lsh first",
+            fallbackSchema, basePath = true)
         Seq(cId, cVec).foreach(c => if (!idxRaw.columns.contains(c))
           throw new GraftPlanError(
             s"knn.join: index at $path has no '$c' column (has: ${idxRaw.columns.mkString(", ")}) " +
@@ -206,7 +224,11 @@ object KnnJoinOp extends Stage {
           .select(F.col("query_id"), F.col("corpus_id"),
             F.round(F.call_function("cosine_sim", F.col("_qv"), F.col("_cv")), 6)
               .alias("cosine"))
-          .filter(F.col("cosine").isNotNull)
+          // NaN (zero-norm vector → 0/0) is excluded outright: "nearest"
+          // is undefined for a direction-less vector, and the heap's
+          // primitive eviction compare and the window's NaN-largest
+          // ordering would otherwise disagree on it
+          .filter(F.col("cosine").isNotNull && !F.isnan(F.col("cosine")))
           // a pair can collide in several blocks/probed buckets — exactly
           // one candidate row per pair before ranking
           .dropDuplicates("query_id", "corpus_id"),
@@ -227,7 +249,9 @@ object KnnJoinOp extends Stage {
           .select(F.col("query_id"), F.col("corpus_id"),
             F.round(F.call_function("cosine_sim", F.col("_qv"), F.col("_cv")), 6)
               .alias("cosine"))
-          .filter(F.col("cosine").isNotNull),
+          // NaN excluded (see the index branch): a zero-norm vector's
+          // cosine is 0/0 and the heap/window orderings disagree on NaN
+          .filter(F.col("cosine").isNotNull && !F.isnan(F.col("cosine"))),
          corpus.schema(cId).dataType)
     }
 

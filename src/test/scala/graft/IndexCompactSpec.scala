@@ -65,7 +65,12 @@ class IndexCompactSpec extends SparkSpec {
     val survivorsBefore = probe()
     assert(survivorsBefore === Seq(202L))
 
-    compact(idx)
+    // sb-* dirs are indistinguishable from an in-flight micro-batch append:
+    // folding one that a crashed stream.ingest query still has to replay
+    // would break the replay's self-match exclusion — compact refuses
+    // without the quiesced assertion
+    intercept[GraftConfigError](compact(idx))
+    compact(idx, "force" -> true)
     val after = corpusFiles(idx)
     assert(after.size < before.size, s"${before.size} files must shrink, got ${after.size}")
     assert(after.size === 1, "gate-scale corpus fits one 128 MiB target file")
@@ -192,7 +197,7 @@ class IndexCompactSpec extends SparkSpec {
     assert(before.getAs[Long]("partition_dirs") === 0L)
     assert(before.getAs[Long]("bytes") > 0L)
 
-    compact(idx)
+    compact(idx, "force" -> true) // folds the sb-* dir — quiesced by construction
     val after = stats()
     assert(after.getAs[Long]("files") === 1L)
     assert(after.getAs[Long]("rows") === 5L, "compaction is physical only")

@@ -213,4 +213,41 @@ class VectorIndexSpec extends SparkSpec {
       wrongDim, Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
         "index_path" -> idx))))
   }
+
+  test("knn.join: zero-norm vectors are excluded, and explain needs no index") {
+    import spark.implicits._
+    import org.apache.spark.sql.{functions => F}
+    // corpus with a zero vector: cosine(q, 0) = 0/0 = NaN — the window's
+    // NaN-largest ordering would rank it first while the heap's primitive
+    // compare would never insert it into a full heap; the operator must
+    // exclude it from BOTH passes instead
+    val corpus = ((0 until 6).map { i =>
+      val r = new scala.util.Random(i * 7L + 1)
+      (i.toLong, Array.fill(4)(r.nextGaussian().toFloat))
+    } :+ ((99L, Array.fill(4)(0f)))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(F.col("vec_id") === 0L)
+    val out = KnnJoinOp(graft.core.StageContext(spark, Seq(
+      "q" -> queries, "c" -> corpus),
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 7)))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(out.length === 6, "zero-norm corpus row excluded, all others ranked")
+    assert(!out.exists(_._1 == 99L) && out.forall(p => !p._2.isNaN))
+    // a zero-norm QUERY likewise yields no pairs
+    assert(KnnJoinOp(graft.core.StageContext(spark, Seq(
+      "q" -> corpus.filter(F.col("vec_id") === 99L), "c" -> corpus),
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 3)))
+      .count() === 0)
+    // explain of an index probe with NO index on disk: placeholder plan,
+    // no jobs against the missing index, nothing created on disk
+    val ghost = java.nio.file.Files.createTempDirectory("kj_ghost").toString + "/nope"
+    val planned = KnnJoinOp(graft.core.StageContext.one(spark, queries, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 3,
+      "index_path" -> ghost, "_explain_only" -> true)))
+    assert(planned.count() === 0)
+    assert(!new java.io.File(ghost).exists(), "explain touches nothing")
+    // without explain, the missing index still fails loud
+    intercept[graft.core.GraftPlanError](KnnJoinOp(graft.core.StageContext.one(spark,
+      queries, Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+        "index_path" -> ghost))))
+  }
 }
