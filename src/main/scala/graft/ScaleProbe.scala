@@ -186,6 +186,66 @@ object ScaleProbe {
           "threshold" -> 0.95, "index_path" -> idxE))).count()
       }
       report("dedup.embedding.incremental", n, eincSec, "batch" -> b.toLong, "survivors" -> eincKept)
+
+      // BANDED incremental probe (r7 — the two flagship scale features
+      // composed): bands index over the corpus, same 10% batch probed via
+      // index_path. cross_pairs = the (band, bsig) join cardinality — the
+      // direct candidate evidence that the banded probe stays ~linear in
+      // batch size (2^band_planes reduction per band, vs the pigeonhole
+      // probe's recall-capped 2^8)
+      val idxB = java.nio.file.Files.createTempDirectory(s"graft_scale_bidx_$n").toString
+      IndexBuildOp(StageContext.one(spark, v, Cfg.of(
+        "type" -> "lsh", "blocking" -> "bands", "path" -> idxB,
+        "vector_column" -> "embedding", "bands" -> 16, "band_planes" -> 16,
+        "seed" -> 11, "partition_dirs" -> 64)))
+      val (bincSec, bincKept) = timed {
+        DedupEmbeddingOp(StageContext.one(spark, vbatch, Cfg.of(
+          "id_column" -> "vec_id", "vector_column" -> "embedding",
+          "threshold" -> 0.95, "index_path" -> idxB))).count()
+      }
+      val batchBsigs = vbatch.select(F.col("vec_id").as("id"), F.posexplode(
+          DedupEmbeddingOp.bandSignatures(F.col("embedding"), 64, 16, 16, 11)))
+        .toDF("id", "band", "bucket")
+      val bcross = batchBsigs.as("a").join(bsigs.as("b"),
+          F.col("a.band") === F.col("b.band") &&
+          F.col("a.bucket") === F.col("b.bucket")).count()
+      report("dedup.embedding.bands.incremental", n, bincSec,
+        "batch" -> b.toLong, "survivors" -> bincKept, "cross_pairs" -> bcross)
+
+      // knn.join (r7 probe): 500 queries × n corpus — brute force vs the
+      // index-pruned probe at probe_hamming 0/1/2. candidate_pairs = the
+      // (block, bucket) join cardinality, the evidence behind "the corpus
+      // is never fully scanned": brute force always scores 500·n pairs,
+      // the pruned probe scores only bucket collisions
+      val q500 = v.filter(F.col("vec_id") < 500)
+      val (kjbSec, kjbRows) = timed {
+        KnnJoinOp(StageContext(spark, Seq("q" -> q500, "c" -> v), Cfg.of(
+          "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 10))).count()
+      }
+      report("knn.join.bruteforce", n, kjbSec,
+        "queries" -> 500L, "scored_pairs" -> 500L * n, "rows" -> kjbRows)
+      for (dH <- Seq(0, 1, 2)) {
+        val (s, rws) = timed {
+          KnnJoinOp(StageContext.one(spark, q500, Cfg.of(
+            "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 10,
+            "index_path" -> idxE, "probe_hamming" -> dH))).count()
+        }
+        val qb0 = q500.select(F.col("vec_id").as("qid"), F.posexplode(
+            DedupEmbeddingOp.blockKeys(
+              DedupEmbeddingOp.hyperplaneSig(F.col("embedding"), 64, 32, 11), 4, 8)))
+          .toDF("qid", "block", "bucket")
+        val qb = if (dH == 0) qb0 else {
+          val neighborhood = F.udf { x: Long =>
+            (0L until 256L).filter(y => java.lang.Long.bitCount(y ^ x) <= dH).toArray
+          }
+          qb0.withColumn("bucket", F.explode(neighborhood(F.col("bucket"))))
+        }
+        val cand = qb.as("a").join(blocked.as("b"),
+            F.col("a.block") === F.col("b.block") &&
+            F.col("a.bucket") === F.col("b.bucket")).count()
+        report("knn.join.lsh", n, s,
+          "probe_hamming" -> dH.toLong, "candidate_pairs" -> cand, "rows" -> rws)
+      }
     }
 
     quiet = true; run(500); quiet = false // warm pass: codegen/plan caches, output discarded

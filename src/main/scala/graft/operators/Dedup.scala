@@ -1273,20 +1273,176 @@ object DedupEmbeddingOp extends Stage {
     * keep_by and transitive=true are rejected (index wins, pairwise only).
     * Appending requires the batch to carry the index's row columns. */
   private def incrementalDuplicateIds(ctx: StageContext, path: String): DataFrame = {
+    val cfg = ctx.cfg
+    if (cfg.has("keep_by") || cfg.boolOr("transitive", false))
+      throw new GraftConfigError(
+        "dedup.embedding: keep_by / transitive=true are not supported with index_path " +
+        "(the index is immutable — only the pairwise min-id policy is well-defined)")
+    // the index's own meta decides the probe blocking: a `band_planes`
+    // field marks the banded layout (index.build type=lsh blocking=bands),
+    // anything else is the pigeonhole (block, pbucket) layout. An explicit
+    // `blocking` key that contradicts the layout fails loud instead of
+    // silently probing with mismatched signatures.
+    val explainOnly = cfg.boolOr("_explain_only", false)
+    val metaExists =
+      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+    if (!metaExists && !explainOnly)
+      throw new GraftPlanError(
+        s"dedup.embedding: no lsh index at $path — run index.build type=lsh first")
+    val bandsLayout =
+      if (!metaExists) cfg.strOr("blocking", "pigeonhole") == "bands" // explain placeholder
+      else ctx.spark.read.parquet(s"$path/meta").schema.fieldNames.contains("band_planes")
+    cfg.strOpt("blocking").foreach { b =>
+      val layoutName = if (bandsLayout) "bands" else "pigeonhole"
+      if (metaExists && b != layoutName) throw new GraftConfigError(
+        s"dedup.embedding: blocking = $b conflicts with the index at $path, which is " +
+        s"$layoutName-partitioned — the index layout decides the probe blocking")
+    }
+    if (bandsLayout) incrementalBandedIds(ctx, path)
+    else incrementalPigeonholeIds(ctx, path)
+  }
+
+  /** Banded incremental probe — the composition of the two flagship scale
+    * features: `blocking=bands` (candidate reduction 2^band_planes per
+    * band, the corpus-scale knob) probing an `index.build type=lsh
+    * blocking=bands` corpus (probe-don't-rescan, the corpus-lifetime
+    * knob). The batch's band signatures join ONLY the colliding
+    * (band, pband) index partitions on exact band agreement — no Hamming
+    * prefilter needed, band equality IS the filter — and exact cosine
+    * verifies every candidate. Streaming (`_stream_batch_tag` set): the
+    * index snapshot excludes this batch's own `ingest_tag=<tag>` partition
+    * dirs (retry self-match exclusion) and the append lands via dynamic
+    * partition overwrite of exactly those dirs — idempotent, which is what
+    * makes dedup=embedding streamable where the flat append-dir layouts
+    * are not. */
+  private def incrementalBandedIds(ctx: StageContext, path: String): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val cfg = ctx.cfg
     val spark = ctx.spark
     val id = cfg.str("id_column")
     val vecCol = cfg.str("vector_column")
-    if (cfg.has("keep_by") || cfg.boolOr("transitive", false))
+    val threshold = cfg.doubleOr("threshold", 0.95)
+    val explainOnly = cfg.boolOr("_explain_only", false)
+    val placeholder = explainOnly &&
+      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+    val streamTag = cfg.strOpt("_stream_batch_tag")
+    val (bands, r, seed, dim, pdirs) =
+      if (placeholder)
+        (cfg.longOr("bands", 16L).toInt, cfg.longOr("band_planes", 16L).toInt,
+         cfg.longOr("seed", 11L),
+         cfg.longOpt("dim").map(_.toInt).getOrElse(
+           ctx.primary.select(F.size(F.col(vecCol))).head(1)
+             .headOption.map(_.getInt(0)).getOrElse(0)),
+         cfg.longOr("partition_dirs", 64L).toInt)
+      else {
+        val meta = spark.read.parquet(s"$path/meta").head()
+        val vals = (meta.getAs[Int]("bands"), meta.getAs[Int]("band_planes"),
+          meta.getAs[Long]("seed"), meta.getAs[Int]("dim"), meta.getAs[Int]("pbuckets"))
+        Seq(("bands", vals._1.toLong), ("band_planes", vals._2.toLong), ("seed", vals._3),
+            ("dim", vals._4.toLong), ("partition_dirs", vals._5.toLong))
+          .foreach { case (key, v) =>
+            cfg.longOpt(key).filter(_ != v).foreach(conflicting =>
+              throw new GraftConfigError(s"dedup.embedding: $key = $conflicting conflicts " +
+                s"with the index at $path ($key = $v) — cross matches would silently miss"))
+          }
+        vals
+      }
+    // batch-dim-vs-index-dim loud failure, same contract as the pigeonhole
+    // probe (bandSignatures truncates at min(dim, v.length)); skipped under
+    // explain (no upstream jobs)
+    if (!placeholder && !explainOnly)
+      ctx.primary.select(F.size(F.col(vecCol)).as("_sz")).filter(F.col("_sz") >= 0)
+        .head(1).headOption.map(_.getInt(0)).filter(_ != dim).foreach(bd =>
+          throw new GraftConfigError(
+            s"dedup.embedding: batch vectors in '$vecCol' have length $bd but the index " +
+            s"at $path was built with dim = $dim — signatures would silently mismatch"))
+
+    val base = Parallelize(ctx).select(F.col(id).alias("id"), F.col(vecCol).alias("vec"))
+    val (reps, exactDups) = ExactCollapse(base, "id", "vec", None, ctx.deferToCleanup)
+    val sigs = ctx.pin(reps
+      .withColumn("bsig", bandSignatures(F.col("vec"), dim, bands, r, seed)))
+
+    val corpusSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(id, ctx.primary.schema(id).dataType),
+      org.apache.spark.sql.types.StructField(vecCol, ctx.primary.schema(vecCol).dataType),
+      org.apache.spark.sql.types.StructField("bsig", LongType),
+      org.apache.spark.sql.types.StructField("band", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("pband", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("ingest_tag", org.apache.spark.sql.types.StringType)))
+    val index =
+      if (placeholder) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
+      else IndexSnapshot.read(spark, s"$path/corpus",
+        s"dedup.embedding: no lsh index at $path — run index.build type=lsh first",
+        corpusSchema, basePath = true,
+        excludeDir = streamTag.map(tg => s"ingest_tag=$tg"))
+
+    // same narrow-shape discipline as the pigeonhole probe: the batch (the
+    // small side) carries its vector through the band join, every joined
+    // row verifies directly — no candidate dedup shuffle, no re-attach
+    // joins; a pair colliding in several bands recomputes one cosine per
+    // collision. pband in the join key is redundant given bsig, but it is
+    // the PARTITION column — pruning skips index dirs the batch never hits.
+    val batchBlocked = sigs.select(F.col("id").alias("id_l"), F.col("vec").alias("v_l"),
+        F.posexplode(F.col("bsig")).as(Seq("band", "bsig")))
+      .withColumn("band", F.col("band").cast("int"))
+      .withColumn("pband", (F.col("bsig") % pdirs).cast("int"))
+    val idxSide = index.select(F.col("band"), F.col("pband"), F.col("bsig"),
+      F.col(id).alias("id_r"), F.col(vecCol).alias("v_r"))
+    val crossDropped = batchBlocked.join(idxSide, Seq("band", "pband", "bsig"))
+      .withColumn("cos", cosine(F.col("v_l").cast("array<double>"), F.col("v_r").cast("array<double>")))
+      .filter(F.col("cos") >= threshold)
+      .select(F.col("id_l").alias("id")).distinct()
+
+    val inBatch = DedupPairs.dropped(bandedSelfNearPairs(sigs, threshold),
+      transitive = false, None, ctx.deferToCleanup)
+    val dropped = exactDups.unionByName(crossDropped).unionByName(inBatch).distinct()
+
+    if (cfg.boolOr("index_append", false)) IndexSnapshot.claimAppend(ctx, "dedup.embedding", path)
+    if (cfg.boolOr("index_append", false) && !explainOnly) {
+      val idxCols = index.columns
+        .filterNot(c => c == "band" || c == "pband" || c == "bsig" || c == "ingest_tag")
+        .toVector
+      if (idxCols.sorted != ctx.primary.columns.toVector.sorted) throw new GraftConfigError(
+        s"dedup.embedding index_append: batch columns (${ctx.primary.columns.mkString(", ")}) " +
+        s"must match the index row columns (${idxCols.mkString(", ")})")
+      val survivorRows = ctx.primary.join(dropped,
+        ctx.primary(id) === dropped("id"), "left_anti")
+      val blockedRows = survivorRows
+        .withColumn("_bsig", bandSignatures(F.col(vecCol), dim, bands, r, seed))
+        .select(F.col("*"), F.posexplode(F.col("_bsig")).as(Seq("band", "bsig")))
+        .drop("_bsig")
+        .withColumn("band", F.col("band").cast("int"))
+        .withColumn("pband", (F.col("bsig") % pdirs).cast("int"))
+        .withColumn("ingest_tag", F.lit(streamTag.getOrElse("base")))
+      val pinnedAppend = ctx.pin(blockedRows)
+      // batch: plain append (at-most-once via success deferral); streaming:
+      // dynamic partition OVERWRITE of this batch's own (band, pband, tag)
+      // dirs — a replayed micro-batch re-lands identical rows idempotently
+      ctx.deferToSuccess { () =>
+        IndexMaintenance.recoverSwap(path)
+        val co = pinnedAppend.repartition(F.col("band"), F.col("pband"))
+        val w = streamTag match {
+          case None    => co.write.mode("append")
+          case Some(_) => co.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        }
+        w.partitionBy("band", "pband", "ingest_tag").parquet(s"$path/corpus")
+      }
+    }
+    dropped
+  }
+
+  private def incrementalPigeonholeIds(ctx: StageContext, path: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val id = cfg.str("id_column")
+    val vecCol = cfg.str("vector_column")
+    if (cfg.strOpt("_stream_batch_tag").isDefined)
       throw new GraftConfigError(
-        "dedup.embedding: keep_by / transitive=true are not supported with index_path " +
-        "(the index is immutable — only the pairwise min-id policy is well-defined)")
-    if (cfg.strOr("blocking", "pigeonhole") != "pigeonhole")
-      throw new GraftConfigError(
-        "dedup.embedding: blocking=bands is not supported with index_path — the " +
-        "index.build type=lsh corpus is pigeonhole-partitioned; probe it with the " +
-        "default blocking, or use blocking=bands for whole-corpus self-dedup")
+        "dedup.embedding: streaming ingestion needs a bands-partitioned index " +
+        "(index.build type=lsh blocking=bands) — the pigeonhole layout has no " +
+        "per-batch idempotent append target")
     val threshold = cfg.doubleOr("threshold", 0.95)
 
     val explainOnly = cfg.boolOr("_explain_only", false)

@@ -79,7 +79,8 @@ private[graft] object IndexMaintenance {
     import java.nio.file.{Files, Paths}
     if (Files.isDirectory(Paths.get(s"$path/meta"))) {
       val fields = spark.read.parquet(s"$path/meta").schema.fieldNames.toSet
-      if (fields.contains("pbuckets")) ("lsh", Seq("block", "pbucket"))
+      if (fields.contains("band_planes")) ("lsh", Seq("band", "pband", "ingest_tag"))
+      else if (fields.contains("pbuckets")) ("lsh", Seq("block", "pbucket"))
       else if (fields.contains("ngram_size")) ("ngram", Seq.empty)
       else if (fields.contains("shingle_size")) ("minhash", Seq.empty)
       else if (fields.contains("simhash")) ("simhash", Seq.empty)
@@ -189,8 +190,17 @@ object IndexCompactOp extends Stage {
     val bytes = files.map(f => Files.size(Paths.get(f))).sum
 
     val reader = spark.read
-    val corpus = (if (partitionCols.nonEmpty) reader.option("basePath", corpusDir)
-                  else reader).parquet(files: _*)
+    val corpus0 = (if (partitionCols.nonEmpty) reader.option("basePath", corpusDir)
+                   else reader).parquet(files: _*)
+    // bands layout: fold every ingest_tag into "base" — the tag is layout
+    // provenance (which micro-batch appended the row), never probed, and a
+    // long-running stream mints one (band, pband, tag) dir per populated
+    // band per micro-batch; folding restores the bands × pdirs dir bound.
+    // Probe results are unchanged (probes join on (band, pband, bsig) and
+    // read the tag only for streaming self-exclusion, which the force-flag
+    // quiesce contract already rules out here).
+    val corpus = if (partitionCols.contains("ingest_tag"))
+      corpus0.withColumn("ingest_tag", F.lit("base")) else corpus0
 
     val tmp = Paths.get(s"$path/corpus.compact.tmp")
     if (partitionCols.nonEmpty)
@@ -220,6 +230,11 @@ object IndexCompactOp extends Stage {
     KafkaLog.deleteRec(hold)
 
     val newFiles = IndexSnapshot.files(corpusDir, s"index.compact: $corpusDir vanished")
+    // record the compacted generation's file list so index.stats can
+    // report appends_since_compact (files beyond this generation) — the
+    // "should I compact again yet?" signal
+    val rel = newFiles.map(f => Paths.get(corpusDir).relativize(Paths.get(f)).toString)
+    Files.write(Paths.get(s"$path/compact.gen"), rel.mkString("\n").getBytes("UTF-8"))
     System.err.println(s"[graft] index.compact: $path — ${files.size} files " +
       s"(${bytes / 1048576} MiB) → ${newFiles.size} files")
     ctx.primary
@@ -257,9 +272,9 @@ object IndexStatsOp extends Stage {
     import spark.implicits._
 
     if (cfg.boolOr("_explain_only", false))
-      return Seq.empty[(String, String, Long, Long, Long, Double, Long, Long)]
+      return Seq.empty[(String, String, Long, Long, Long, Double, Long, Long, Long)]
         .toDF("path", "index_type", "rows", "files", "bytes", "mean_file_kb",
-          "stream_append_dirs", "partition_dirs")
+          "stream_append_dirs", "partition_dirs", "appends_since_compact")
 
     IndexMaintenance.recoverSwap(path)
     val (family, partitionCols) = IndexMaintenance.layout(spark, path, "index.stats")
@@ -274,7 +289,10 @@ object IndexStatsOp extends Stage {
     val appendDirs = files.map(f => corpusP.relativize(Paths.get(f)))
       .flatMap(rel => Option(rel.getParent).toSeq
         .flatMap(_.iterator().asScala.map(_.toString)))
-      .filterNot(_.contains("=")).distinct.size.toLong
+      // flat layouts: bare sb-* subdirs; bands layout: ingest_tag=sb-*
+      // partition dirs (counted once per tag, not once per (band, pband))
+      .filter(s => !s.contains("=") || s.startsWith("ingest_tag=sb-"))
+      .distinct.size.toLong
     val partDirs =
       if (partitionCols.isEmpty) 0L
       else files.map(f => Paths.get(f).getParent.toString).distinct.size.toLong
@@ -283,8 +301,21 @@ object IndexStatsOp extends Stage {
       else spark.read.parquet(files: _*).count() // parquet footer count
     val meanKb = if (files.isEmpty) 0.0
       else math.round(bytes / 1024.0 / files.size * 10) / 10.0
-    Seq((path, family, rows, files.size.toLong, bytes, meanKb, appendDirs, partDirs))
+    // files beyond the last compacted generation (index.compact records
+    // its generation's file list in compact.gen) — the direct "appends
+    // since last compact" trigger signal; never compacted → every file
+    val gen = Paths.get(s"$path/compact.gen")
+    val sinceCompact =
+      if (!Files.exists(gen)) files.size.toLong
+      else {
+        val compacted = new String(Files.readAllBytes(gen), "UTF-8")
+          .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+        files.count(f =>
+          !compacted.contains(corpusP.relativize(Paths.get(f)).toString)).toLong
+      }
+    Seq((path, family, rows, files.size.toLong, bytes, meanKb, appendDirs, partDirs,
+        sinceCompact))
       .toDF("path", "index_type", "rows", "files", "bytes", "mean_file_kb",
-        "stream_append_dirs", "partition_dirs")
+        "stream_append_dirs", "partition_dirs", "appends_since_compact")
   }
 }

@@ -94,6 +94,39 @@ object KnnJoinOp extends Stage {
   val name = "knn.join"
   val kind = StageKind.Transform
 
+  import org.apache.spark.sql.types._
+
+  // the heap must total-order corpus ids exactly like the final window's
+  // natural ascending order — atomic Comparable types only (the
+  // window.apply orderability contract)
+  private def requireOrderable(cId: String, dt: DataType): Unit = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | DateType | TimestampType |
+         TimestampNTZType | _: DecimalType => ()
+    case other => throw new GraftConfigError(
+      s"knn.join: right id column '$cId' has non-orderable type ${other.simpleString}")
+  }
+
+  // NaN (zero-norm vector → 0/0) is excluded outright: "nearest" is
+  // undefined for a direction-less vector, and the heap's primitive
+  // eviction compare and the window's NaN-largest ordering would
+  // otherwise disagree on it
+  private def scored(joined: DataFrame): DataFrame = joined
+    .select(F.col("query_id"), F.col("corpus_id"),
+      F.round(F.call_function("cosine_sim", F.col("_qv"), F.col("_cv")), 6)
+        .alias("cosine"))
+    .filter(F.col("cosine").isNotNull && !F.isnan(F.col("cosine")))
+
+  /** batch vectors must match the index dim (the signature UDFs truncate
+    * silently — the dedup.embedding index-probe contract); skipped under
+    * explain (no upstream jobs) */
+  private def checkQueryDim(qSide: DataFrame, path: String, dim: Int): Unit =
+    qSide.select(F.size(F.col("_qv")).as("_sz")).filter(F.col("_sz") >= 0)
+      .head(1).headOption.map(_.getInt(0)).filter(_ != dim).foreach(bd =>
+        throw new GraftConfigError(
+          s"knn.join: query vectors have length $bd but the index at $path was " +
+          s"built with dim = $dim"))
+
   def apply(ctx: StageContext): DataFrame = {
     graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
     val cfg = ctx.cfg
@@ -119,18 +152,7 @@ object KnnJoinOp extends Stage {
           throw new GraftPlanError(s"knn.join: $side column '$c' not found")
       case _ => ()
     }
-    import org.apache.spark.sql.types._
-    // the heap must total-order corpus ids exactly like the final window's
-    // natural ascending order — atomic Comparable types only (the
-    // window.apply orderability contract)
-    def requireOrderable(dt: DataType): Unit = dt match {
-      case BooleanType | ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType | StringType | DateType | TimestampType |
-           TimestampNTZType | _: DecimalType => ()
-      case other => throw new GraftConfigError(
-        s"knn.join: right id column '$cId' has non-orderable type ${other.simpleString}")
-    }
-    corpusOpt.foreach(c => requireOrderable(c.schema(cId).dataType))
+    corpusOpt.foreach(c => requireOrderable(cId, c.schema(cId).dataType))
 
     val qSide = queries
       .filter(F.col(qId).isNotNull && F.col(qVec).isNotNull)
@@ -138,101 +160,46 @@ object KnnJoinOp extends Stage {
 
     val (pairs, corpusIdType) = indexPath match {
       case Some(path) =>
-        // LSH-pruned batch probe — the 100 TB path: each query's block
-        // keys (optionally widened to the Hamming-d bucket neighborhood,
-        // the knn.lsh multi-probe knob) join ONLY the colliding
-        // (block, pbucket) index partitions; the corpus is never fully
-        // scanned. Same join shape as the dedup.embedding index probe.
-        val spark = ctx.spark
-        // CLI `explain` with no index yet (the earlier skipped index.build
-        // barrier would have created it) → empty placeholder, same as the
+        // index-pruned batch probe — the 100 TB path. Three layouts, each
+        // detected from the index's own metadata: lsh pigeonhole
+        // (block, pbucket), lsh bands (band, pband, ingest_tag), ivf
+        // (cell). CLI `explain` with no index yet (the earlier skipped
+        // index.build barrier would have created it) → empty placeholder
+        // typed by `index_type`/`blocking`, same contract as the
         // dedup.embedding index probe; with an existing index, explain
-        // still reads the tiny meta but never runs the dim-probe job
+        // still reads the tiny meta but never runs query-side jobs.
         val explainOnly = cfg.boolOr("_explain_only", false)
-        val placeholder = explainOnly && !new java.io.File(s"$path/meta").exists()
-        if (!placeholder && !new java.io.File(s"$path/meta").exists())
+        val hasMeta = new java.io.File(s"$path/meta").exists()
+        val hasCentroids = new java.io.File(s"$path/centroids").exists()
+        val placeholder = explainOnly && !hasMeta && !hasCentroids
+        if (!placeholder && !hasMeta && !hasCentroids)
           throw new GraftPlanError(
-            s"knn.join: no index at '$path' — run an index.build type=lsh stage first")
-        val (h, blocks, seed, dim, pd) =
-          if (placeholder)
-            (cfg.longOr("num_planes", 16L).toInt, cfg.longOr("blocks", 4L).toInt,
-             cfg.longOr("seed", 11L), cfg.longOr("dim", 0L).toInt,
-             cfg.longOr("partition_dirs", 64L).toInt)
-          else {
-            IndexMaintenance.recoverSwap(path)
-            val meta = spark.read.parquet(s"$path/meta").head()
-            if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
-              s"knn.join: the index at $path predates the (block, pbucket) layout — " +
-              "rebuild it with index.build type=lsh mode=overwrite")
-            (meta.getAs[Int]("num_planes"), meta.getAs[Int]("blocks"),
-             meta.getAs[Long]("seed"), meta.getAs[Int]("dim"), meta.getAs[Int]("pbuckets"))
+            s"knn.join: no index at '$path' — run an index.build stage first")
+        val family =
+          if (placeholder) cfg.strOr("index_type", "lsh") match {
+            case "ivf" => "ivf"
+            case "lsh" =>
+              if (cfg.strOr("blocking", "pigeonhole") == "bands") "lsh_bands" else "lsh_pigeonhole"
+            case other => throw new GraftConfigError(
+              s"knn.join: index_type must be lsh|ivf, got '$other'")
           }
-        val width = h / blocks
-        val probeD = cfg.longOr("probe_hamming", 0L).toInt
-        if (probeD < 0 || probeD > width) throw new GraftConfigError(
-          s"knn.join: probe_hamming must be in [0, $width] (the block width), got $probeD")
-        if (probeD > 0 && width > 12) throw new GraftConfigError(
-          s"knn.join: probe_hamming > 0 needs an enumerable bucket space (block width " +
-          s"<= 12, index has $width) — rebuild the index with more blocks")
-        // batch vectors must match the index dim (hyperplaneSig truncates
-        // silently — the dedup.embedding index-probe contract); skipped
-        // under explain (no upstream jobs) like dedup.embedding's probe
-        if (!explainOnly)
-          qSide.select(F.size(F.col("_qv")).as("_sz")).filter(F.col("_sz") >= 0)
-            .head(1).headOption.map(_.getInt(0)).filter(_ != dim).foreach(bd =>
-              throw new GraftConfigError(
-                s"knn.join: query vectors have length $bd but the index at $path was " +
-                s"built with dim = $dim"))
-        val qBlocked0 = qSide
-          .withColumn("_sig", DedupEmbeddingOp.hyperplaneSig(F.col("_qv"), dim, h, seed))
-          .select(F.col("query_id"), F.col("_qv"),
-            F.posexplode(DedupEmbeddingOp.blockKeys(F.col("_sig"), blocks, width)))
-          .withColumnRenamed("pos", "block").withColumnRenamed("col", "bucket")
-          .withColumn("block", F.col("block").cast("int"))
-        val qBlocked = (if (probeD == 0) qBlocked0 else {
-            // widen each exact bucket to its Hamming-d neighborhood; the
-            // explode keeps the join an equi join on pruned partitions
-            val neighborhood = F.udf { b: Long =>
-              (0L until (1L << width)).filter(x =>
-                java.lang.Long.bitCount(x ^ b) <= probeD).toArray
-            }
-            qBlocked0.withColumn("bucket", F.explode(neighborhood(F.col("bucket"))))
-          }).withColumn("pbucket", (F.col("bucket") % pd).cast("int"))
-        // schema comes from the index's own parquet; the empty-index
-        // fallback types corpus_id like the query id (result is empty
-        // either way)
-        val fallbackSchema = StructType(Seq(
-          StructField(cId, queries.schema(qId).dataType),
-          StructField(cVec, queries.schema(qVec).dataType),
-          StructField("block", IntegerType),
-          StructField("pbucket", IntegerType),
-          StructField("bucket", LongType)))
-        val idxRaw =
-          if (placeholder) spark.createDataFrame(
-            spark.sparkContext.emptyRDD[Row], fallbackSchema)
-          else IndexSnapshot.read(spark, s"$path/corpus",
-            s"knn.join: no lsh index at $path — run index.build type=lsh first",
-            fallbackSchema, basePath = true)
-        Seq(cId, cVec).foreach(c => if (!idxRaw.columns.contains(c))
-          throw new GraftPlanError(
-            s"knn.join: index at $path has no '$c' column (has: ${idxRaw.columns.mkString(", ")}) " +
-            "— right_id/right_vector must name the indexed columns"))
-        requireOrderable(idxRaw.schema(cId).dataType)
-        val idx = idxRaw.select(F.col("block"), F.col("pbucket"), F.col("bucket"),
-          F.col(cId).alias("corpus_id"), F.col(cVec).cast("array<double>").alias("_cv"))
-        (qBlocked.join(idx, Seq("block", "pbucket", "bucket"))
-          .select(F.col("query_id"), F.col("corpus_id"),
-            F.round(F.call_function("cosine_sim", F.col("_qv"), F.col("_cv")), 6)
-              .alias("cosine"))
-          // NaN (zero-norm vector → 0/0) is excluded outright: "nearest"
-          // is undefined for a direction-less vector, and the heap's
-          // primitive eviction compare and the window's NaN-largest
-          // ordering would otherwise disagree on it
-          .filter(F.col("cosine").isNotNull && !F.isnan(F.col("cosine")))
-          // a pair can collide in several blocks/probed buckets — exactly
-          // one candidate row per pair before ranking
-          .dropDuplicates("query_id", "corpus_id"),
-         idxRaw.schema(cId).dataType)
+          else IndexMaintenance.layout(ctx.spark, path, "knn.join") match {
+            case ("lsh", cols) => if (cols.contains("band")) "lsh_bands" else "lsh_pigeonhole"
+            case ("ivf", _)    => "ivf"
+            case (fam, _) => throw new GraftConfigError(
+              s"knn.join: the index at $path is a $fam text index, not a vector index")
+          }
+        family match {
+          case "lsh_pigeonhole" =>
+            lshPigeonholePairs(ctx, path, placeholder, explainOnly, qSide, queries,
+              qId, qVec, cId, cVec)
+          case "lsh_bands" =>
+            lshBandsPairs(ctx, path, placeholder, explainOnly, qSide, queries,
+              qId, qVec, cId, cVec)
+          case "ivf" =>
+            ivfPairs(ctx, path, placeholder, explainOnly, qSide, queries,
+              qId, qVec, cId, cVec)
+        }
 
       case None =>
         val corpus = corpusOpt.get
@@ -293,6 +260,217 @@ object KnnJoinOp extends Stage {
       .partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("corpus_id").asc)
     partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
   }
+
+  /** LSH pigeonhole probe: each query's block keys (optionally widened to
+    * the Hamming-`probe_hamming` bucket neighborhood, the knn.lsh
+    * multi-probe knob) join ONLY the colliding (block, pbucket) index
+    * partitions; the corpus is never fully scanned. Same join shape as
+    * the dedup.embedding index probe. */
+  private def lshPigeonholePairs(ctx: StageContext, path: String, placeholder: Boolean,
+      explainOnly: Boolean, qSide: DataFrame, queries: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String): (DataFrame, DataType) = {
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val (h, blocks, seed, dim, pd) =
+      if (placeholder)
+        (cfg.longOr("num_planes", 16L).toInt, cfg.longOr("blocks", 4L).toInt,
+         cfg.longOr("seed", 11L), cfg.longOr("dim", 0L).toInt,
+         cfg.longOr("partition_dirs", 64L).toInt)
+      else {
+        val meta = spark.read.parquet(s"$path/meta").head()
+        if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
+          s"knn.join: the index at $path predates the (block, pbucket) layout — " +
+          "rebuild it with index.build type=lsh mode=overwrite")
+        (meta.getAs[Int]("num_planes"), meta.getAs[Int]("blocks"),
+         meta.getAs[Long]("seed"), meta.getAs[Int]("dim"), meta.getAs[Int]("pbuckets"))
+      }
+    val width = h / blocks
+    val probeD = cfg.longOr("probe_hamming", 0L).toInt
+    if (probeD < 0 || probeD > width) throw new GraftConfigError(
+      s"knn.join: probe_hamming must be in [0, $width] (the block width), got $probeD")
+    if (probeD > 0 && width > 12) throw new GraftConfigError(
+      s"knn.join: probe_hamming > 0 needs an enumerable bucket space (block width " +
+      s"<= 12, index has $width) — rebuild the index with more blocks")
+    if (!explainOnly) checkQueryDim(qSide, path, dim)
+    val qBlocked0 = qSide
+      .withColumn("_sig", DedupEmbeddingOp.hyperplaneSig(F.col("_qv"), dim, h, seed))
+      .select(F.col("query_id"), F.col("_qv"),
+        F.posexplode(DedupEmbeddingOp.blockKeys(F.col("_sig"), blocks, width)))
+      .withColumnRenamed("pos", "block").withColumnRenamed("col", "bucket")
+      .withColumn("block", F.col("block").cast("int"))
+    val qBlocked = (if (probeD == 0) qBlocked0 else {
+        // widen each exact bucket to its Hamming-d neighborhood; the
+        // explode keeps the join an equi join on pruned partitions
+        val neighborhood = F.udf { b: Long =>
+          (0L until (1L << width)).filter(x =>
+            java.lang.Long.bitCount(x ^ b) <= probeD).toArray
+        }
+        qBlocked0.withColumn("bucket", F.explode(neighborhood(F.col("bucket"))))
+      }).withColumn("pbucket", (F.col("bucket") % pd).cast("int"))
+    // schema comes from the index's own parquet; the empty-index
+    // fallback types corpus_id like the query id (result is empty
+    // either way)
+    val fallbackSchema = StructType(Seq(
+      StructField(cId, queries.schema(qId).dataType),
+      StructField(cVec, queries.schema(qVec).dataType),
+      StructField("block", IntegerType),
+      StructField("pbucket", IntegerType),
+      StructField("bucket", LongType)))
+    val idxRaw =
+      if (placeholder) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], fallbackSchema)
+      else IndexSnapshot.read(spark, s"$path/corpus",
+        s"knn.join: no lsh index at $path — run index.build type=lsh first",
+        fallbackSchema, basePath = true)
+    Seq(cId, cVec).foreach(c => if (!idxRaw.columns.contains(c))
+      throw new GraftPlanError(
+        s"knn.join: index at $path has no '$c' column (has: ${idxRaw.columns.mkString(", ")}) " +
+        "— right_id/right_vector must name the indexed columns"))
+    requireOrderable(cId, idxRaw.schema(cId).dataType)
+    val idx = idxRaw.select(F.col("block"), F.col("pbucket"), F.col("bucket"),
+      F.col(cId).alias("corpus_id"), F.col(cVec).cast("array<double>").alias("_cv"))
+    (scored(qBlocked.join(idx, Seq("block", "pbucket", "bucket")))
+      // a pair can collide in several blocks/probed buckets — exactly
+      // one candidate row per pair before ranking
+      .dropDuplicates("query_id", "corpus_id"),
+     idxRaw.schema(cId).dataType)
+  }
+
+  /** Banded-LSH probe (index.build type=lsh blocking=bands): each query's
+    * `bands` band signatures join the colliding (band, pband) index
+    * partitions on exact band agreement — candidate reduction is
+    * 2^band_planes per band, the free corpus-scale knob. `probe_hamming`
+    * widens each band signature to its Hamming-d neighborhood
+    * (enumerable band widths only); d = band_planes provably covers every
+    * bucket of every band, and since the banded layout stores each row
+    * once PER BAND, one fully-probed band already spans the whole corpus
+    * — the exhaustive-parity pin mirrors the pigeonhole gate. */
+  private def lshBandsPairs(ctx: StageContext, path: String, placeholder: Boolean,
+      explainOnly: Boolean, qSide: DataFrame, queries: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String): (DataFrame, DataType) = {
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val (bands, r, seed, dim, pd) =
+      if (placeholder)
+        (cfg.longOr("bands", 16L).toInt, cfg.longOr("band_planes", 16L).toInt,
+         cfg.longOr("seed", 11L), cfg.longOr("dim", 0L).toInt,
+         cfg.longOr("partition_dirs", 64L).toInt)
+      else {
+        val meta = spark.read.parquet(s"$path/meta").head()
+        (meta.getAs[Int]("bands"), meta.getAs[Int]("band_planes"),
+         meta.getAs[Long]("seed"), meta.getAs[Int]("dim"), meta.getAs[Int]("pbuckets"))
+      }
+    val probeD = cfg.longOr("probe_hamming", 0L).toInt
+    if (probeD < 0 || probeD > r) throw new GraftConfigError(
+      s"knn.join: probe_hamming must be in [0, $r] (band_planes), got $probeD")
+    if (probeD > 0 && r > 12) throw new GraftConfigError(
+      s"knn.join: probe_hamming > 0 needs an enumerable band space (band_planes " +
+      s"<= 12, index has $r) — rebuild the index with narrower bands")
+    if (!explainOnly) checkQueryDim(qSide, path, dim)
+    val qBlocked0 = qSide
+      .withColumn("_bsig",
+        DedupEmbeddingOp.bandSignatures(F.col("_qv"), dim, bands, r, seed))
+      .select(F.col("query_id"), F.col("_qv"),
+        F.posexplode(F.col("_bsig")).as(Seq("band", "bsig")))
+      .withColumn("band", F.col("band").cast("int"))
+    val qBlocked = (if (probeD == 0) qBlocked0 else {
+        val neighborhood = F.udf { b: Long =>
+          (0L until (1L << r)).filter(x =>
+            java.lang.Long.bitCount(x ^ b) <= probeD).toArray
+        }
+        qBlocked0.withColumn("bsig", F.explode(neighborhood(F.col("bsig"))))
+      }).withColumn("pband", (F.col("bsig") % pd).cast("int"))
+    val fallbackSchema = StructType(Seq(
+      StructField(cId, queries.schema(qId).dataType),
+      StructField(cVec, queries.schema(qVec).dataType),
+      StructField("bsig", LongType),
+      StructField("band", IntegerType),
+      StructField("pband", IntegerType),
+      StructField("ingest_tag", StringType)))
+    val idxRaw =
+      if (placeholder) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], fallbackSchema)
+      else IndexSnapshot.read(spark, s"$path/corpus",
+        s"knn.join: no lsh index at $path — run index.build type=lsh first",
+        fallbackSchema, basePath = true)
+    Seq(cId, cVec).foreach(c => if (!idxRaw.columns.contains(c))
+      throw new GraftPlanError(
+        s"knn.join: index at $path has no '$c' column (has: ${idxRaw.columns.mkString(", ")}) " +
+        "— right_id/right_vector must name the indexed columns"))
+    requireOrderable(cId, idxRaw.schema(cId).dataType)
+    val idx = idxRaw.select(F.col("band"), F.col("pband"), F.col("bsig"),
+      F.col(cId).alias("corpus_id"), F.col(cVec).cast("array<double>").alias("_cv"))
+    (scored(qBlocked.join(idx, Seq("band", "pband", "bsig")))
+      // the layout stores each row once per band — dedup multi-band hits
+      .dropDuplicates("query_id", "corpus_id"),
+     idxRaw.schema(cId).dataType)
+  }
+
+  /** IVF probe (index.build type=ivf): each query ranks the nlist
+    * centroids (broadcast into one UDF — nlist rows, tiny) and explodes
+    * to its `nprobe` nearest cells; the distinct probed cells become a
+    * STATIC `cell IN (...)` partition filter on the cell-partitioned
+    * corpus (visible as PartitionFilters in the scan — nprobe/nlist of
+    * the bytes are read), then the cell equi-join scores only the pruned
+    * slice. nprobe = nlist probes every cell ≡ batch brute force (the
+    * knn_join_ivf_exhaustive gate). Each corpus row lives in exactly one
+    * cell and a query probes distinct cells, so no pair dedup is needed. */
+  private def ivfPairs(ctx: StageContext, path: String, placeholder: Boolean,
+      explainOnly: Boolean, qSide: DataFrame, queries: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String): (DataFrame, DataType) = {
+    import org.apache.spark.ml.linalg.Vectors
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val nprobe0 = cfg.longOr("nprobe", 4L).toInt
+    if (nprobe0 < 1) throw new GraftConfigError(
+      s"knn.join: nprobe must be >= 1, got $nprobe0")
+    if (placeholder) {
+      // empty probe typed like the query side — the plan shape without
+      // touching (or requiring) the index
+      val emptySchema = StructType(Seq(
+        StructField("query_id", queries.schema(qId).dataType),
+        StructField("corpus_id", queries.schema(qId).dataType),
+        StructField("cosine", DoubleType)))
+      return (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], emptySchema),
+        queries.schema(qId).dataType)
+    }
+    IndexMaintenance.recoverSwap(path) // repair a mid-swap compact crash
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cell", "centroid").collect()
+      .map(row => (row.getInt(0), row.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    if (!explainOnly) checkQueryDim(qSide, path, dim)
+    val nprobe = math.min(nprobe0, cents.length)
+    val centIds = cents.map(_._1)
+    val centVecs = cents.map(c => Vectors.dense(c._2))
+    // same cell-ranking metric as the index's KMeans assignment (euclidean)
+    val nearestCells = F.udf { v: Seq[Double] =>
+      val qv = Vectors.dense(v.toArray)
+      centVecs.zipWithIndex
+        .map { case (c, i) => (Vectors.sqdist(c, qv), centIds(i)) }
+        .sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val qCells = qSide.withColumn("cell", F.explode(nearestCells(F.col("_qv"))))
+    val corpus0 = spark.read.parquet(s"$path/corpus")
+    Seq(cId, cVec).foreach(c => if (!corpus0.columns.contains(c))
+      throw new GraftPlanError(
+        s"knn.join: index at $path has no '$c' column (has: ${corpus0.columns.mkString(", ")}) " +
+        "— right_id/right_vector must name the indexed columns"))
+    requireOrderable(cId, corpus0.schema(cId).dataType)
+    // distinct probed cells (≤ nlist values, one small query-side job —
+    // skipped under explain) → static partition pruning on the scan
+    val probed: Seq[Int] =
+      if (explainOnly) Seq.empty
+      else qCells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val corpusF =
+      if (probed.isEmpty && !explainOnly) corpus0.filter(F.lit(false)) // no queries
+      else if (explainOnly) corpus0
+      else corpus0.filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+    val idx = corpusF.select(F.col("cell"),
+      F.col(cId).alias("corpus_id"), F.col(cVec).cast("array<double>").alias("_cv"))
+    (scored(qCells.join(idx, Seq("cell"))), corpus0.schema(cId).dataType)
+  }
 }
 
 /** knn.lsh — approximate cosine top-k via random-hyperplane LSH bucketing:
@@ -339,6 +517,29 @@ object KnnLshOp extends Stage {
     else Some((0L until (1L << width))
       .filter(b => java.lang.Long.bitCount(b ^ qb) <= d).toVector)
 
+  /** Query band signatures from the same seeded plane generation as
+    * DedupEmbeddingOp.bandSignatures (band b uses plane rows
+    * [b·r, b·r+r)). */
+  private def queryBandSigs(q: Seq[Double], dim: Int, bands: Int, r: Int,
+      seed: Long): Array[Long] = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(bands * r, dim)(rnd.nextGaussian())
+    Array.tabulate(bands) { b =>
+      var sig = 0L
+      var i = 0
+      while (i < r) {
+        var dot = 0.0
+        var j = 0
+        val p = planes(b * r + i)
+        val n = math.min(dim, q.length)
+        while (j < n) { dot += p(j) * q(j); j += 1 }
+        if (dot >= 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+  }
+
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     val idCol = cfg.strOr("id_column", "vec_id")
@@ -368,6 +569,41 @@ object KnnLshOp extends Stage {
         if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
           s"knn.lsh: the index at $path predates the (block, pbucket) layout — " +
           "rebuild it with index.build type=lsh mode=overwrite")
+        if (meta.schema.fieldNames.contains("band_planes")) {
+          // banded layout (index.build type=lsh blocking=bands): OR over
+          // the query's band signatures — (band, pband) is the partition
+          // key (pruned at planning), the exact band signature rides the
+          // pruned scan as a residual; probe_hamming widens per band
+          // exactly like the pigeonhole multi-probe
+          val bands = meta.getAs[Int]("bands")
+          val r = meta.getAs[Int]("band_planes")
+          val seed = meta.getAs[Long]("seed")
+          val dim = meta.getAs[Int]("dim")
+          val pd = meta.getAs[Int]("pbuckets")
+          val probeD = cfg.longOr("probe_hamming", 0L).toInt
+          if (probeD < 0 || probeD > r) throw new GraftConfigError(
+            s"knn.lsh: probe_hamming must be in [0, $r] (band_planes), got $probeD")
+          val qSigs = queryBandSigs(q, dim, bands, r, seed)
+          val probe = (0 until bands).map { b =>
+            val qb = qSigs(b)
+            val pred =
+              if (probeD == 0)
+                F.col("pband") === (qb % pd).toInt && F.col("bsig") === qb
+              else bucketsWithin(qb, r, probeD) match {
+                case Some(bs) =>
+                  val pbs = bs.map(x => (x % pd).toInt).distinct
+                  F.col("pband").isin(pbs.map(_.asInstanceOf[Any]): _*) &&
+                    F.col("bsig").isin(bs.map(_.asInstanceOf[Any]): _*)
+                case None =>
+                  F.bit_count(F.col("bsig").bitwiseXOR(F.lit(qb))) <= probeD
+              }
+            F.col("band") === b && pred
+          }.reduce(_ || _)
+          return topk(spark.read.parquet(s"$path/corpus")
+            .filter(probe)
+            .dropDuplicates(idCol) // a candidate can match several bands
+            .drop("band", "bsig", "pband", "ingest_tag"))
+        }
         val h = meta.getAs[Int]("num_planes")
         val blocks = meta.getAs[Int]("blocks")
         val seed = meta.getAs[Long]("seed")

@@ -52,6 +52,11 @@ object IndexBuildOp extends Stage {
     // meta validation or corpus write (an append into the missing-corpus
     // window would fork a generation the repair would discard)
     cfg.strOpt("path").foreach(p => IndexMaintenance.recoverSwap(p))
+    // a rebuild invalidates the recorded compacted generation (index.stats
+    // would otherwise count the fresh corpus as zero appends-since-compact)
+    if (cfg.strOr("mode", "overwrite") == "overwrite")
+      cfg.strOpt("path").foreach(p =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$p/compact.gen")))
     cfg.strOr("type", "ivf") match {
       case "ivf" => buildIvf(ctx)
       case "lsh" => buildLsh(ctx)
@@ -248,7 +253,88 @@ object IndexBuildOp extends Stage {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  private def buildLsh(ctx: StageContext): Unit = {
+  private def buildLsh(ctx: StageContext): Unit = ctx.cfg.strOr("blocking", "pigeonhole") match {
+    case "pigeonhole" => buildLshPigeonhole(ctx)
+    case "bands"      => buildLshBands(ctx)
+    case other => throw new GraftConfigError(
+      s"index.build type=lsh: blocking must be pigeonhole|bands, got '$other'")
+  }
+
+  /** `blocking = "bands"` — the banded-LSH corpus layout, composing the two
+    * flagship scale features (corpus-scale blocking × corpus-lifetime
+    * incremental probing): each row's `bands` independent `band_planes`-bit
+    * hyperplane signatures (DedupEmbeddingOp.bandSignatures) write the row
+    * once PER BAND, partitioned by (band, bsig % partition_dirs,
+    * ingest_tag) with the exact band signature as a data column — the same
+    * dir-count-decoupling trick as the pigeonhole layout (partition dirs
+    * bounded by bands × partition_dirs regardless of 2^band_planes), plus a
+    * THIRD partition level `ingest_tag`: batch builds/appends land under
+    * `ingest_tag=base`, and stream.ingest micro-batches land under
+    * `ingest_tag=sb-…` via dynamic partition overwrite — probes still prune
+    * on the leading (band, pband) keys while streaming retries stay
+    * idempotent, which is what lets stream.ingest carry embeddings (the
+    * flat per-batch append dirs of the other families would break banded
+    * partition pruning). meta/ records (bands, band_planes, seed, dim,
+    * pbuckets); probes detect the layout by the `band_planes` field. */
+  private def buildLshBands(ctx: StageContext): Unit = {
+    val cfg = ctx.cfg
+    val path = cfg.str("path")
+    val vecCol = cfg.strOr("vector_column", "embedding")
+    val bands = cfg.longOr("bands", 16L).toInt
+    val r = cfg.longOr("band_planes", 16L).toInt
+    val seed = cfg.longOr("seed", 11L)
+    val mode = cfg.strOr("mode", "overwrite")
+    val pdirs = cfg.longOr("partition_dirs", 64L).toInt
+    if (bands < 1) throw new GraftConfigError(
+      s"index.build type=lsh blocking=bands: bands must be >= 1, got $bands")
+    if (r < 1 || r > 63) throw new GraftConfigError(
+      s"index.build type=lsh blocking=bands: band_planes must be in [1, 63], got $r")
+    if (pdirs < 1) throw new GraftConfigError("partition_dirs must be >= 1")
+
+    val dim = ctx.primary.select(F.size(F.col(vecCol))).head(1).headOption match {
+      case Some(row) => row.getInt(0)
+      case None => throw new GraftPlanError("index.build type=lsh: empty input, cannot infer dim")
+    }
+    val spark = ctx.spark
+    if (mode == "append" &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/corpus")) &&
+        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+      throw new GraftConfigError(
+        s"index.build type=lsh mode=append: $path has a corpus but no meta (a crashed " +
+        "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
+    if (mode == "append" &&
+        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
+      val m = spark.read.parquet(s"$path/meta").head()
+      if (!m.schema.fieldNames.contains("band_planes")) throw new GraftConfigError(
+        s"index.build type=lsh blocking=bands mode=append: the index at $path is " +
+        "pigeonhole-partitioned — appending banded signatures would mix incompatible " +
+        "layouts; rebuild with mode=overwrite")
+      val existing = (m.getAs[Int]("bands"), m.getAs[Int]("band_planes"),
+        m.getAs[Long]("seed"), m.getAs[Int]("dim"), m.getAs[Int]("pbuckets"))
+      if (existing != ((bands, r, seed, dim, pdirs))) throw new GraftConfigError(
+        s"index.build type=lsh blocking=bands mode=append: parameters (bands=$bands, " +
+        s"band_planes=$r, seed=$seed, dim=$dim, partition_dirs=$pdirs) differ from the " +
+        s"existing index at $path $existing — appending would mix incompatible signatures")
+    }
+
+    val bsig = DedupEmbeddingOp.bandSignatures(F.col(vecCol), dim, bands, r, seed)
+    val exploded = ctx.primary.withColumn("_bsig", bsig)
+      .select(F.col("*"), F.posexplode(F.col("_bsig")).as(Seq("band", "bsig")))
+      .drop("_bsig")
+      .withColumn("band", F.col("band").cast("int"))
+      .withColumn("pband", (F.col("bsig") % pdirs).cast("int"))
+      .withColumn("ingest_tag", F.lit("base"))
+    // co-locate each dir key before the partitioned write (see pigeonhole)
+    exploded.repartition(F.col("band"), F.col("pband"))
+      .write.mode(mode).partitionBy("band", "pband", "ingest_tag").parquet(s"$path/corpus")
+
+    import spark.implicits._
+    Seq((bands, r, seed, dim, pdirs))
+      .toDF("bands", "band_planes", "seed", "dim", "pbuckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def buildLshPigeonhole(ctx: StageContext): Unit = {
     val cfg = ctx.cfg
     val path = cfg.str("path")
     val vecCol = cfg.strOr("vector_column", "embedding")
@@ -286,6 +372,9 @@ object IndexBuildOp extends Stage {
     if (mode == "append" &&
         java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
       val m = spark.read.parquet(s"$path/meta").head()
+      if (m.schema.fieldNames.contains("band_planes")) throw new GraftConfigError(
+        s"index.build type=lsh mode=append: the index at $path is bands-partitioned — " +
+        "append with blocking = \"bands\", or rebuild with mode=overwrite")
       if (!m.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
         s"index.build type=lsh mode=append: the index at $path predates the " +
         "(block, pbucket) layout — rebuild with mode=overwrite")

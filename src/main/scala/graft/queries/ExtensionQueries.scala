@@ -220,6 +220,36 @@ object ExtensionQueries {
         .select("vec_id", "label")
     },
 
+    // ---- the r7 flagship composition: banded LSH (the corpus-scale
+    // blocking) × incremental index (the corpus-lifetime path). Same
+    // construction and oracle as dedup_embedding_incremental, but the
+    // index is bands-partitioned (index.build type=lsh blocking=bands)
+    // and the planted duplicates are the originals SCALED ×2 — cosine
+    // exactly 1 but not byte-identical, so ExactCollapse cannot shortcut
+    // them: every cross-drop must travel the banded (band, pband, bsig)
+    // partition join itself. Positive scaling preserves every hyperplane
+    // sign → recall is deterministic; negated vectors (cosine −1 vs their
+    // originals) survive.
+    QueryDef("dedup_embedding_bands_incremental",
+      "SELECT vec_id + 20000 AS vec_id, label FROM embeddings") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_blsh_idx").toString
+      IndexBuildOp(StageContext.one(s, emb, Cfg.of(
+        "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+        "vector_column" -> "embedding", "bands" -> 8, "band_planes" -> 12,
+        "seed" -> 11, "partition_dirs" -> 4)))
+      val batch = emb.select((F.col("vec_id") + 10000).as("vec_id"),
+          F.transform(F.col("embedding"), x => x * F.lit(2.0f)).cast("array<float>").as("embedding"),
+          F.col("label"))
+        .unionByName(emb.select((F.col("vec_id") + 20000).as("vec_id"),
+          F.transform(F.col("embedding"), x => -x).cast("array<float>").as("embedding"),
+          F.col("label")))
+      DedupEmbeddingOp(StageContext.one(s, batch.select("vec_id", "embedding", "label"), Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "threshold" -> 0.95, "index_path" -> idx)))
+        .select("vec_id", "label")
+    },
+
     // ---- incremental dedup against a persisted minhash index: batch 1
     // (all documents) indexed via index.build type=minhash, batch 2 (exact
     // copies of ids < 50, reversed texts of ids >= 400) deduped with
@@ -369,6 +399,49 @@ object ExtensionQueries {
       d1.unionByName(s.read.parquet(out).select("doc_id", "text"))
     },
 
+    // ---- stream.ingest dedup=embedding (r7): the banded-layout index is
+    // what makes embeddings streamable — micro-batch 1 carries scaled
+    // copies of the index (+10000, ×2 — drop THROUGH the banded probe;
+    // ExactCollapse can't shortcut) plus negations of the first half
+    // (+20000, cosine −1, survive and APPEND); micro-batch 2 carries
+    // scaled negations of the first half (+30000, −2v — cosine 1 against
+    // micro-batch 1's APPENDED survivors, so they drop ONLY if the
+    // per-batch index append is visible across micro-batches) plus
+    // negations of the second half (+20000, survive). Survivors = exactly
+    // the +20000 negation of every original — the same full-corpus oracle
+    // as dedup_embedding_incremental, now reached through a real
+    // two-micro-batch Structured Streaming run.
+    QueryDef("stream_ingest_embedding",
+      "SELECT vec_id + 20000 AS vec_id, label FROM embeddings") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val half = emb.agg(F.expr("percentile(vec_id, 0.5)")).head().getDouble(0)
+      val idx = java.nio.file.Files.createTempDirectory("graft_sie_idx").toString
+      IndexBuildOp(StageContext.one(s, emb, Cfg.of(
+        "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+        "vector_column" -> "embedding", "bands" -> 8, "band_planes" -> 12,
+        "seed" -> 11, "partition_dirs" -> 4)))
+      def scaled(df: org.apache.spark.sql.DataFrame, offset: Int, k: Float) =
+        df.select((F.col("vec_id") + offset).as("vec_id"),
+          F.transform(F.col("embedding"), x => x * F.lit(k)).cast("array<float>").as("embedding"),
+          F.col("label"))
+      val streamDir = java.nio.file.Files.createTempDirectory("graft_sie_in").toString
+      scaled(emb, 10000, 2.0f)
+        .unionByName(scaled(emb.filter(F.col("vec_id") < half), 20000, -1.0f))
+        .coalesce(1).write.mode("append").parquet(streamDir)
+      Thread.sleep(400) // distinct mtimes pin micro-batch order
+      scaled(emb.filter(F.col("vec_id") < half), 30000, -2.0f)
+        .unionByName(scaled(emb.filter(F.col("vec_id") >= half), 20000, -1.0f))
+        .coalesce(1).write.mode("append").parquet(streamDir)
+      val stream = graft.streaming.FileStreamSource(StageContext(s, Seq.empty, Cfg.of(
+        "path" -> streamDir, "format" -> "parquet", "max_files_per_trigger" -> 1L)))
+      val out = java.nio.file.Files.createTempDirectory("graft_sie_out").toString + "/data"
+      graft.streaming.StreamIngestSink(StageContext.one(s, stream, Cfg.of(
+        "path" -> out, "index_path" -> idx, "dedup" -> "embedding",
+        "trigger" -> "available_now", "id_column" -> "vec_id",
+        "vector_column" -> "embedding", "threshold" -> 0.95)))
+      s.read.parquet(out).select("vec_id", "label")
+    },
+
     // ---- dedup.minhash keep_by: survivor = highest-quality duplicate.
     // Copies (ids + 10000) carry the higher quality, so every dup group
     // — exact copies AND the planted near-dup pairs — must resolve to
@@ -515,6 +588,59 @@ object ExtensionQueries {
       KnnJoinOp(StageContext.one(s, emb.filter(F.col("vec_id") < 5), Cfg.of(
         "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 7,
         "index_path" -> idx, "probe_hamming" -> 8)))
+    },
+
+    // ---- knn.join against a BANDS index (r7) at probe_hamming =
+    // band_planes: every band probes its entire bucket space, and since
+    // the banded layout stores each row once PER BAND, one fully-probed
+    // band already spans the whole corpus — the pruned probe provably
+    // equals batch brute force (same oracle as knn_join_bruteforce).
+    QueryDef("knn_join_bands_exhaustive",
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM q CROSS JOIN embeddings c),
+        |ranked AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
+        |  FROM pairs)
+        |SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 7""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_kjb_idx").toString
+      IndexBuildOp(StageContext.one(s, emb, Cfg.of(
+        "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "bands" -> 4, "band_planes" -> 8, "seed" -> 11, "partition_dirs" -> 16)))
+      KnnJoinOp(StageContext.one(s, emb.filter(F.col("vec_id") < 5), Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 7,
+        "index_path" -> idx, "probe_hamming" -> 8)))
+    },
+
+    // ---- knn.join against an IVF index (r7) at nprobe = nlist: every
+    // query probes every cell, so the centroid-pruned batch probe must
+    // equal batch brute force (same oracle) — closing the batch-ANN
+    // matrix hole (single-query knn.ivf had an indexed mode; the batch
+    // workload, cluster assignment at scale, now has one too). The
+    // nprobe < nlist default keeps its centroid-pruned partition reads
+    // pinned in BandedIndexSpec.
+    QueryDef("knn_join_ivf_exhaustive",
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM q CROSS JOIN embeddings c),
+        |ranked AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
+        |  FROM pairs)
+        |SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 7""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_kji_idx").toString
+      IndexBuildOp(StageContext.one(s, emb, Cfg.of(
+        "type" -> "ivf", "path" -> idx, "vector_column" -> "embedding",
+        "nlist" -> 16, "seed" -> 11)))
+      KnnJoinOp(StageContext.one(s, emb.filter(F.col("vec_id") < 5), Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 7,
+        "index_path" -> idx, "nprobe" -> 16)))
     },
 
     QueryDef.noOracle("knn_ivf") { (s, d) =>

@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, functions => F}
 import org.apache.spark.sql.streaming.Trigger
 import graft.config._
 import graft.core._
-import graft.operators.{DedupExactOp, DedupMinHashOp, DedupNgramOp, DedupSimHashOp, TopKOp}
+import graft.operators.{DedupEmbeddingOp, DedupExactOp, DedupMinHashOp, DedupNgramOp,
+  DedupSimHashOp, TopKOp}
 
 /** stream.ingest — streaming incremental corpus ingestion: each micro-batch
   * dedups against a persisted `index.build` corpus (plus within-batch
@@ -18,8 +19,10 @@ import graft.operators.{DedupExactOp, DedupMinHashOp, DedupNgramOp, DedupSimHash
   *   kafka.stream → (transforms) → stream.ingest { index_path, dedup }
   *
   * Config: `path` (output parquet root), `index_path` (an existing
-  * `index.build type=exact|minhash|ngram|simhash` index), `dedup` =
-  * minhash (default) | exact | ngram | simhash,
+  * `index.build type=exact|minhash|ngram|simhash|lsh blocking=bands`
+  * index), `dedup` = minhash (default) | exact | ngram | simhash |
+  * embedding (bands-layout lsh index only — its (band, pband, ingest_tag)
+  * partitioning is what gives micro-batches an idempotent append target),
   * `checkpoint` (default `<path>/_checkpoint`), `trigger` =
   * "available_now" (process the current backlog as deterministic
   * micro-batches, then stop — the batch-parity shape the correctness gate
@@ -76,19 +79,29 @@ object StreamIngestSink extends Stage {
     val indexPath = cfg.str("index_path") // fail loud before the query starts
     val checkpoint = cfg.strOr("checkpoint", s"$out/_checkpoint")
     val op: Stage = cfg.strOr("dedup", "minhash") match {
-      case "minhash" => DedupMinHashOp
-      case "exact"   => DedupExactOp
-      case "ngram"   => DedupNgramOp
-      case "simhash" => DedupSimHashOp
-      case "embedding" => throw new GraftConfigError(
-        "stream.ingest: dedup=embedding is not supported — the lsh corpus is " +
-        "(block, pbucket)-partitioned and per-batch append dirs would break its " +
-        "partition pruning; ingest embeddings in batched pipeline runs instead")
+      case "minhash"   => DedupMinHashOp
+      case "exact"     => DedupExactOp
+      case "ngram"     => DedupNgramOp
+      case "simhash"   => DedupSimHashOp
+      case "embedding" => DedupEmbeddingOp // bands-layout index only, checked below
       case other => throw new GraftConfigError(s"stream.ingest: unknown dedup '$other'")
     }
     if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$indexPath/meta")))
       throw new GraftPlanError(
         s"stream.ingest: no index at $indexPath — run index.build first")
+    // dedup=embedding streams only against the BANDED lsh layout: its
+    // (band, pband, ingest_tag) partitioning gives each micro-batch an
+    // idempotent dynamic-overwrite append target that probes still prune
+    // past; the pigeonhole layout has no per-batch append unit, so a
+    // pigeonhole index fails loud here instead of silently rotting
+    if (cfg.strOr("dedup", "minhash") == "embedding" &&
+        !ctx.spark.read.parquet(s"$indexPath/meta").schema.fieldNames.contains("band_planes"))
+      throw new GraftConfigError(
+        s"stream.ingest: dedup=embedding needs a bands-partitioned index — rebuild " +
+        s"the index at $indexPath with index.build type=lsh blocking=bands")
+    // a previous ingest.compact may have died mid-swap on this output —
+    // roll it forward before the stream writes new batch partitions
+    graft.operators.IngestMaintenance.recoverSwap(out)
     // checkpoint hash namespaces this query's batch tags in the index
     val tagBase = {
       val md = java.security.MessageDigest.getInstance("MD5")

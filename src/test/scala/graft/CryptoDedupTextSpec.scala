@@ -154,7 +154,10 @@ class DedupSpec extends SparkSpec {
     assert(run("num_planes" -> 30, "blocks" -> 4) === Seq(0L, 2L, 3L))
     intercept[graft.config.GraftConfigError] { run("band_planes" -> 64) }
     intercept[graft.config.GraftConfigError] { run("bands" -> 0) }
-    intercept[graft.config.GraftConfigError] {
+    // blocking=bands WITH index_path is supported since r7 (the banded
+    // incremental probe — BandedIndexSpec), so a missing index is now the
+    // ordinary loud plan error, not a config rejection
+    intercept[graft.core.GraftPlanError] {
       DedupEmbeddingOp(StageContext.one(spark, vecs, Cfg.of(
         "id_column" -> "vec_id", "vector_column" -> "embedding",
         "blocking" -> "bands", "index_path" -> "/tmp/no_such_index")))

@@ -196,12 +196,24 @@ class IndexCompactSpec extends SparkSpec {
     assert(before.getAs[Long]("stream_append_dirs") === 1L)
     assert(before.getAs[Long]("partition_dirs") === 0L)
     assert(before.getAs[Long]("bytes") > 0L)
+    assert(before.getAs[Long]("appends_since_compact") === before.getAs[Long]("files"),
+      "never compacted → every file counts as an append")
 
     compact(idx, "force" -> true) // folds the sb-* dir — quiesced by construction
     val after = stats()
     assert(after.getAs[Long]("files") === 1L)
     assert(after.getAs[Long]("rows") === 5L, "compaction is physical only")
     assert(after.getAs[Long]("stream_append_dirs") === 0L)
+    assert(after.getAs[Long]("appends_since_compact") === 0L,
+      "freshly compacted → zero appends since")
+    // grow again: only the post-compact files count toward the signal
+    DedupMinHashOp(StageContext.one(spark,
+      Seq((400L, "yet another wholly different appended sentence entirely")).toDF("doc_id", "text"),
+      Cfg.of("id_column" -> "doc_id", "text_column" -> "text",
+        "threshold" -> 0.8, "index_path" -> idx, "index_append" -> true))).count()
+    val grown = stats()
+    assert(grown.getAs[Long]("appends_since_compact") ===
+      grown.getAs[Long]("files") - 1L, "the compacted generation file is excluded")
 
     // lsh layout: partition_dirs populated, family reported
     val lsh = java.nio.file.Files.createTempDirectory("ic_stats_lsh").toString

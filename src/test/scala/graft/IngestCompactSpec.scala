@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.{functions => F}
+import graft.config.{Cfg, GraftConfigError}
+import graft.core.{GraftPlanError, StageContext}
+import graft.operators.{IngestCompactOp, IngestMaintenance}
+
+/** ingest.compact — bounding the stream.ingest output's per-micro-batch
+  * partition count: committed batches fold into `ingest_batch=-1`, the
+  * retry race is excluded via checkpoint commits, and the manifest swap
+  * protocol never exposes a duplicate row at any crash point. */
+class IngestCompactSpec extends SparkSpec {
+  import spark.implicits._
+  import java.nio.file.{Files, Paths}
+
+  private def row(i: Long) = (i, s"doc number $i with some words")
+
+  /** hand-built stream.ingest-shaped output: one parquet dir per batch id
+    * plus a checkpoint commits/ entry per COMMITTED id */
+  private def mkOutput(batches: Seq[(Long, Seq[Long])], committed: Seq[Long]): String = {
+    val root = Files.createTempDirectory("ingc_out").toString
+    batches.foreach { case (id, ids) =>
+      ids.map(row).toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"$root/ingest_batch=$id")
+    }
+    Files.createDirectories(Paths.get(s"$root/_checkpoint/commits"))
+    committed.foreach(id =>
+      Files.write(Paths.get(s"$root/_checkpoint/commits/$id"), "v1".getBytes("UTF-8")))
+    root
+  }
+
+  private def readIds(root: String): Seq[Long] =
+    spark.read.parquet(root).select("doc_id").as[Long].collect().sorted.toSeq
+
+  private def batchDirs(root: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(Paths.get(root))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("ingest_batch=")).toSet
+    finally s.close()
+  }
+
+  test("committed batches fold into ingest_batch=-1; rows identical; re-run is a no-op") {
+    val root = mkOutput(Seq(0L -> Seq(1L, 2L), 1L -> Seq(3L), 2L -> Seq(4L, 5L)),
+      committed = Seq(0L, 1L, 2L))
+    val before = readIds(root)
+    IngestCompactOp(StageContext.one(spark, Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> root)))
+    assert(readIds(root) === before, "folding is purely physical")
+    assert(batchDirs(root) === Set("ingest_batch=-1"))
+    // nothing left to fold — clean no-op, rows untouched
+    IngestCompactOp(StageContext.one(spark, Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> root)))
+    assert(readIds(root) === before)
+    // later batches fold INTO the existing compacted region
+    Seq(row(6L)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/ingest_batch=3")
+    Files.write(Paths.get(s"$root/_checkpoint/commits/3"), "v1".getBytes("UTF-8"))
+    IngestCompactOp(StageContext.one(spark, Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> root)))
+    assert(readIds(root) === (before :+ 6L).sorted)
+    assert(batchDirs(root) === Set("ingest_batch=-1"))
+  }
+
+  test("uncommitted batches and batches above the watermark are left alone") {
+    // batch 2 exists on disk but is NOT committed — a crashed micro-batch
+    // that may replay; folding it would duplicate its rows on retry
+    val root = mkOutput(Seq(0L -> Seq(1L), 1L -> Seq(2L), 2L -> Seq(3L)),
+      committed = Seq(0L, 1L))
+    IngestCompactOp(StageContext.one(spark, Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> root)))
+    assert(batchDirs(root) === Set("ingest_batch=-1", "ingest_batch=2"))
+    assert(readIds(root) === Seq(1L, 2L, 3L))
+
+    val root2 = mkOutput(Seq(0L -> Seq(1L), 1L -> Seq(2L), 2L -> Seq(3L)),
+      committed = Seq(0L, 1L, 2L))
+    IngestCompactOp(StageContext.one(spark, Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> root2, "watermark" -> 1)))
+    assert(batchDirs(root2) === Set("ingest_batch=-1", "ingest_batch=2"))
+    assert(readIds(root2) === Seq(1L, 2L, 3L))
+  }
+
+  test("no checkpoint: explicit watermark AND force required") {
+    val root = Files.createTempDirectory("ingc_nockpt").toString
+    Seq(row(1L)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/ingest_batch=0")
+    Seq(row(2L)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/ingest_batch=1")
+    intercept[GraftConfigError](IngestCompactOp(StageContext.one(spark,
+      Seq(row(0L)).toDF("doc_id", "text"), Cfg.of("path" -> root))))
+    intercept[GraftConfigError](IngestCompactOp(StageContext.one(spark,
+      Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> root, "watermark" -> 1)))) // force still missing
+    IngestCompactOp(StageContext.one(spark, Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> root, "watermark" -> 1, "force" -> true)))
+    assert(batchDirs(root) === Set("ingest_batch=-1"))
+    assert(readIds(root) === Seq(1L, 2L))
+    // missing output root fails loud
+    intercept[GraftPlanError](IngestCompactOp(StageContext.one(spark,
+      Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> (root + "/definitely_missing"), "watermark" -> 1, "force" -> true))))
+  }
+
+  test("crash repair: roll forward after the manifest, roll back before it") {
+    // pre-install crash: tmp generation + manifest written, sources still
+    // in place → recoverSwap must finish the fold
+    val root = mkOutput(Seq(0L -> Seq(1L, 2L), 1L -> Seq(3L)), committed = Seq(0L, 1L))
+    Seq(row(1L), row(2L), row(3L)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$root/_ingest_compact_tmp/data")
+    Files.write(Paths.get(s"$root/_ingest_compact_manifest.json"),
+      "ingest_batch=0\ningest_batch=1".getBytes("UTF-8"))
+    IngestMaintenance.recoverSwap(root)
+    assert(batchDirs(root) === Set("ingest_batch=-1"))
+    assert(readIds(root) === Seq(1L, 2L, 3L))
+    assert(!Files.exists(Paths.get(s"$root/_ingest_compact_manifest.json")))
+    assert(!Files.exists(Paths.get(s"$root/_ingest_compact_tmp")))
+    // post-install crash: manifest still present, tmp consumed, generation
+    // installed → repair must NOT touch the installed generation
+    Files.write(Paths.get(s"$root/_ingest_compact_manifest.json"),
+      "ingest_batch=0\ningest_batch=1".getBytes("UTF-8"))
+    IngestMaintenance.recoverSwap(root)
+    assert(readIds(root) === Seq(1L, 2L, 3L))
+    // pre-manifest crash: a stray tmp with no manifest is discarded and
+    // held-aside dirs (tampering recovery) are restored
+    val root2 = mkOutput(Seq(0L -> Seq(7L)), committed = Seq(0L))
+    Seq(row(9L)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$root2/_ingest_compact_tmp/data")
+    IngestMaintenance.recoverSwap(root2)
+    assert(!Files.exists(Paths.get(s"$root2/_ingest_compact_tmp")))
+    assert(readIds(root2) === Seq(7L))
+  }
+
+  test("end-to-end: a real stream.ingest output compacts against its own checkpoint") {
+    val idx = Files.createTempDirectory("ingc_e2e_idx").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark,
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"),
+      Cfg.of("type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+        "text_column" -> "text", "num_hashes" -> 64, "bands" -> 16, "seed" -> 7)))
+    val streamDir = Files.createTempDirectory("ingc_e2e_in").toString
+    Seq((10L, "one wholly novel streaming sentence of fresh words here"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(streamDir)
+    Thread.sleep(400)
+    Seq((11L, "second entirely different new document with other vocabulary"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(streamDir)
+    val stream = graft.streaming.FileStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> streamDir, "format" -> "parquet", "max_files_per_trigger" -> 1L)))
+    val out = Files.createTempDirectory("ingc_e2e_out").toString + "/data"
+    graft.streaming.StreamIngestSink(StageContext.one(spark, stream, Cfg.of(
+      "path" -> out, "index_path" -> idx, "dedup" -> "minhash",
+      "trigger" -> "available_now", "id_column" -> "doc_id",
+      "text_column" -> "text", "threshold" -> 0.8)))
+    assert(batchDirs(out).size === 2)
+    // the default checkpoint (<path>/_checkpoint) holds both commits —
+    // no explicit watermark or force needed
+    IngestCompactOp(StageContext.one(spark, Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> out)))
+    assert(batchDirs(out) === Set("ingest_batch=-1"))
+    assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
+      === Seq(10L, 11L))
+  }
+}

@@ -336,7 +336,44 @@ class StreamingSpec extends SparkSpec {
       Cfg.of("path" -> "/tmp/x", "column" -> "no_such_col"))))
   }
 
-  test("stream.ingest rejects batch input, unknown dedup kinds, and embedding") {
+  test("stream.sketch group_by: grouped merged-streaming equals grouped one-pass batch") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_gsketch_k").toString
+    // two micro-batches, two groups, overlapping vocabularies per group
+    val b1 = Seq(("web", "alpha alpha beta"), ("web", "alpha gamma"),
+      ("book", "delta delta epsilon")).toDF("src", "text")
+    val b2 = Seq(("web", "beta beta alpha"), ("book", "delta zeta zeta"))
+      .toDF("src", "text")
+    graft.operators.KafkaProduceSink(StageContext.one(spark, b1,
+      Cfg.of("path" -> root, "topic" -> "docs")))
+    graft.operators.KafkaProduceSink(StageContext.one(spark, b2,
+      Cfg.of("path" -> root, "topic" -> "docs")))
+    val stream = graft.operators.KafkaStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> root, "topic" -> "docs",
+      "schema" -> "src STRING, text STRING", "max_files_per_trigger" -> 1L)))
+    val out = java.nio.file.Files.createTempDirectory("graft_gsketch_out").toString + "/sums"
+    StreamSketchSink(StageContext.one(spark, stream, Cfg.of(
+      "path" -> out, "trigger" -> "available_now",
+      "column" -> "text", "tokenize" -> true, "capacity" -> 1000,
+      "group_by" -> "src")))
+    val sums = spark.read.parquet(out)
+    assert(sums.select("ingest_batch").distinct().count() === 2)
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    // grouped merged streaming summaries ≡ grouped one-pass batch top-k
+    val merged = canon(graft.operators.TopKMergeOp(StageContext(spark,
+      Seq("s" -> sums), Cfg.of("k" -> 2)))
+      .select("src", "term", "count").collect())
+    val onePass = canon(graft.operators.TopKOp(StageContext.one(spark, b1.unionByName(b2),
+      Cfg.of("column" -> "text", "tokenize" -> true, "k" -> 2, "capacity" -> 1000,
+        "group_by" -> "src")))
+      .select("src", "term", "count").collect())
+    assert(merged === onePass)
+    assert(merged.contains(("web", "alpha", 4L)) && merged.contains(("book", "delta", 3L)))
+  }
+
+  test("stream.ingest rejects batch input, unknown dedup kinds, and pigeonhole embedding") {
     intercept[GraftPlanError](StreamIngestSink(StageContext.one(spark, salesDf,
       Cfg.of("path" -> "/tmp/x", "index_path" -> "/tmp/y"))))
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
@@ -344,12 +381,98 @@ class StreamingSpec extends SparkSpec {
     val mem = MemoryStream[String]
     val sdf = mem.toDF()
     intercept[graft.config.GraftConfigError](StreamIngestSink(StageContext.one(spark, sdf,
-      Cfg.of("path" -> "/tmp/x", "index_path" -> "/tmp/y", "dedup" -> "embedding"))))
-    intercept[graft.config.GraftConfigError](StreamIngestSink(StageContext.one(spark, sdf,
       Cfg.of("path" -> "/tmp/x", "index_path" -> "/tmp/y", "dedup" -> "bogus"))))
     // missing index fails loud before the query starts
     intercept[GraftPlanError](StreamIngestSink(StageContext.one(spark, sdf,
       Cfg.of("path" -> "/tmp/x", "index_path" -> "/tmp/definitely_missing_idx"))))
+    // dedup=embedding needs the BANDS layout: a pigeonhole lsh index has no
+    // per-batch idempotent append target and fails loud before the query
+    val pigeon = java.nio.file.Files.createTempDirectory("graft_pigeon_idx").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark,
+      Seq((1L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding"),
+      Cfg.of("type" -> "lsh", "path" -> pigeon, "vector_column" -> "embedding",
+        "num_planes" -> 16, "blocks" -> 4, "seed" -> 11)))
+    val e = intercept[graft.config.GraftConfigError](StreamIngestSink(StageContext.one(
+      spark, sdf, Cfg.of("path" -> "/tmp/x", "index_path" -> pigeon,
+        "dedup" -> "embedding"))))
+    assert(e.getMessage.contains("blocking=bands"))
+  }
+
+  test("stream.ingest dedup=embedding: micro-batches dedup against and grow the bands index") {
+    import spark.implicits._
+    def vec(i: Int, scale: Float = 1f): Array[Float] =
+      Array.tabulate(4)(j => if (j == i) scale else 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_emb_idx").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark,
+      Seq((1L, vec(0)), (2L, vec(1))).toDF("vec_id", "embedding"),
+      Cfg.of("type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+        "vector_column" -> "embedding", "bands" -> 4, "band_planes" -> 4,
+        "seed" -> 11, "partition_dirs" -> 8)))
+    // two single-file drops → two micro-batches (max_files_per_trigger=1).
+    // Scaled copies defeat ExactCollapse: every drop goes through the
+    // banded index probe itself.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_emb_in").toString
+    Seq((100L, vec(0, 2f)), (101L, vec(2)))      // dup of index 1 + novel
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(streamDir)
+    Thread.sleep(400) // distinct mtimes pin micro-batch order
+    Seq((200L, vec(2, 3f)), (201L, vec(3)))      // dup of batch-1 SURVIVOR + novel
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(streamDir)
+    val stream = FileStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> streamDir, "format" -> "parquet", "max_files_per_trigger" -> 1L)))
+    val out = java.nio.file.Files.createTempDirectory("graft_emb_out").toString + "/data"
+    StreamIngestSink(StageContext.one(spark, stream, Cfg.of(
+      "path" -> out, "index_path" -> idx, "dedup" -> "embedding",
+      "trigger" -> "available_now", "id_column" -> "vec_id",
+      "vector_column" -> "embedding", "threshold" -> 0.95)))
+    val result = spark.read.parquet(out)
+    // cross-micro-batch dedup REQUIRES batch 1's append to be visible to
+    // batch 2 — 200 must drop against 101's appended signature
+    assert(result.select("vec_id").as[Long].collect().sorted.toSeq === Seq(101L, 201L))
+    assert(result.select("ingest_batch").distinct().count() === 2)
+    // micro-batch appends landed under their own ingest_tag partitions
+    import scala.jdk.CollectionConverters._
+    val tags = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$idx/corpus"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("ingest_tag=")).toSet
+    assert(tags.size === 3 && tags.contains("ingest_tag=base") &&
+      tags.count(_.startsWith("ingest_tag=sb-")) === 2, tags.mkString(", "))
+    // the index grew: a follow-up BATCH dedup drops copies of both survivors
+    val next = graft.operators.DedupEmbeddingOp(StageContext.one(spark,
+      Seq((300L, vec(2, 5f)), (301L, vec(3, 7f)), (302L, Array(1f, 1f, 1f, 1f)))
+        .toDF("vec_id", "embedding"),
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+        "threshold" -> 0.95, "index_path" -> idx)))
+    assert(next.select("vec_id").as[Long].collect().toSeq === Seq(302L))
+  }
+
+  test("stream.ingest embedding retry idempotence: re-run re-lands its tag partitions") {
+    import spark.implicits._
+    def vec(i: Int, scale: Float = 1f): Array[Float] =
+      Array.tabulate(4)(j => if (j == i) scale else 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_emb_retry").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark,
+      Seq((1L, vec(0))).toDF("vec_id", "embedding"),
+      Cfg.of("type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+        "vector_column" -> "embedding", "bands" -> 4, "band_planes" -> 4,
+        "seed" -> 11, "partition_dirs" -> 8)))
+    val batch = Seq((10L, vec(2))).toDF("vec_id", "embedding")
+    def runTagged(tag: String) = graft.operators.DedupEmbeddingOp(StageContext.one(
+      spark, batch, Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+        "threshold" -> 0.95, "index_path" -> idx, "index_append" -> true,
+        "_stream_batch_tag" -> tag)))
+    assert(runTagged("sb-e-0").count() === 1)
+    // retry: the probe excludes the batch's own ingest_tag dirs (no
+    // self-match) and the dynamic overwrite re-lands the same partitions
+    assert(runTagged("sb-e-0").count() === 1, "retry must not self-match its own append")
+    val sigs = spark.read.option("recursiveFileLookup", "true").parquet(s"$idx/corpus")
+    assert(sigs.filter(F.col("vec_id") === 10L).count() === 4L, // once per band, once total
+      "retry must overwrite its tag partitions, not duplicate them")
+    // a LATER batch (different tag) sees the append and drops the dup
+    val later = graft.operators.DedupEmbeddingOp(StageContext.one(spark,
+      Seq((20L, vec(2, 9f))).toDF("vec_id", "embedding"),
+      Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+        "threshold" -> 0.95, "index_path" -> idx, "_stream_batch_tag" -> "sb-e-1")))
+    assert(later.count() === 0)
   }
 
   test("stream.write rejects batch input; gap connectors raise actionable errors") {
