@@ -93,7 +93,7 @@ object Docs {
     "html.strip" -> "strip HTML to clean text - column, decode_entities, collapse_whitespace",
     "text.redact" -> "PII masking (email/url/ssn/credit_card/ip/phone) - column, types, mode=mask|remove, count_column",
     "text.repetition" -> "Gopher repetition metrics (dup_line_frac, dup_line_char_frac, dup_ngram_frac, top_ngram_char_frac) - column, ngram, prefix",
-    "join.similar" -> "similarity join / decontamination - two inputs; method=minhash|embedding, mode=pairs|semi|anti, threshold; anti drops left rows near-matching any right row",
+    "join.similar" -> "similarity join / decontamination - two inputs, or one input + index_path (right side = a prebuilt index.build type=minhash|lsh corpus, params from its meta); method=minhash|embedding, mode=pairs|semi|anti, threshold; anti drops left rows near-matching any right row",
     "zorder.apply" -> "Z-order (Morton) clustering on 2-6 columns for multi-dimensional row-group pruning - columns, bits, partitions, bucketing=width|quantile (quantile = equal-population buckets for skewed columns)",
     "mongodb.normalize" -> "MongoDB extended JSON to plain scalars ($oid/$date/$numberLong/Int/Double) - column, output_column, date_format=millis|iso",
     "mongodb.toObjectId" -> "wrap 24-hex strings as {\"$oid\": ...} - column, output_column",

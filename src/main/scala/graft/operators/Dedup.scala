@@ -343,6 +343,14 @@ object LshVerify {
     * the self-join; candidate rows stay narrow (ids + sigs), shingles
     * join back by id only for surviving candidates. Returns (id_l, id_r). */
   def verifiedCrossPairs(left: DataFrame, right: DataFrame,
+      bands: Int, r: Int, k: Int, threshold: Double): DataFrame =
+    verifiedCrossPairsScored(left, right, bands, r, k, threshold)
+      .select("id_l", "id_r")
+
+  /** As [[verifiedCrossPairs]] but keeps the exact Jaccard — the
+    * join.similar index-probe shape, where the score is part of the
+    * output rather than just the drop criterion. */
+  def verifiedCrossPairsScored(left: DataFrame, right: DataFrame,
       bands: Int, r: Int, k: Int, threshold: Double): DataFrame = {
     val candidates = bandedKeys(left, bands, r, "l")
       .join(bandedKeys(right, bands, r, "r"), Seq("band_idx", "band_hash"))
@@ -351,7 +359,12 @@ object LshVerify {
       .filter(sigAgreement(F.col("sig_l"), F.col("sig_r"), k) >=
         math.max(0.0, threshold - PrefilterSlack))
       .select("id_l", "id_r")
-    verify(candidates, left, right, "id_l", "id_r", threshold)
+    candidates
+      .join(left.select(F.col("id").alias("id_l"), F.col("shingles").alias("sh_l")), "id_l")
+      .join(right.select(F.col("id").alias("id_r"), F.col("shingles").alias("sh_r")), "id_r")
+      .withColumn("jaccard", F.call_function("jaccard_sim", F.col("sh_l"), F.col("sh_r")))
+      .filter(F.col("jaccard") >= threshold)
+      .select("id_l", "id_r", "jaccard")
   }
 
   /** exact Jaccard over (already-distinct) hash arrays — hash-set loop

@@ -23,6 +23,13 @@ import graft.core._
   *    on exact band agreement) — the corpus-scale blocking, see
   *    dedup.embedding.
   *
+  * `index_path` replaces the second input with a PREBUILT index corpus
+  * (`index.build type=minhash` for method=minhash; `type=lsh`, either
+  * layout, for method=embedding): match new rows against everything
+  * already ingested without rescanning or re-hashing it — signature
+  * parameters come from the index meta, conflicts fail loud, and the
+  * banded layout probes only colliding (band, pband) partitions.
+  *
   * Scale shape mirrors the dedup family (same helpers): each side is
   * exact-collapsed to distinct-content representatives first, so g
   * copies of boilerplate on the left × h on the right cost one
@@ -38,18 +45,24 @@ object SimilarJoinOp extends Stage {
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     val left = ctx.input(0)
-    val right = ctx.input(1)
     val mode = cfg.strOr("mode", "pairs") match {
       case ok @ ("pairs" | "semi" | "anti") => ok
       case other => throw new GraftConfigError(s"join.similar mode must be pairs|semi|anti, got '$other'")
     }
     val leftId = cfg.strOr("left_id", cfg.strOr("id_column", "id"))
     val rightId = cfg.strOr("right_id", cfg.strOr("id_column", "id"))
+    // right side: a second input, or a prebuilt index (`index_path`) — the
+    // "match new rows against everything already ingested" probe
+    val indexPath = cfg.strOpt("index_path")
+    if (indexPath.isDefined && ctx.inputs.size > 1) throw new GraftConfigError(
+      "join.similar: give EITHER a second (right) input or index_path, not both")
 
-    val pairs = cfg.strOr("method", "minhash") match {
-      case "minhash"   => minhashPairs(ctx, left, right, leftId, rightId)
-      case "embedding" => embeddingPairs(ctx, left, right, leftId, rightId)
-      case other => throw new GraftConfigError(s"join.similar method must be minhash|embedding, got '$other'")
+    val pairs = (cfg.strOr("method", "minhash"), indexPath) match {
+      case ("minhash", None)      => minhashPairs(ctx, left, ctx.input(1), leftId, rightId)
+      case ("embedding", None)    => embeddingPairs(ctx, left, ctx.input(1), leftId, rightId)
+      case ("minhash", Some(p))   => minhashIndexPairs(ctx, left, leftId, p)
+      case ("embedding", Some(p)) => embeddingIndexPairs(ctx, left, leftId, p)
+      case (other, _) => throw new GraftConfigError(s"join.similar method must be minhash|embedding, got '$other'")
     }
 
     mode match {
@@ -205,5 +218,204 @@ object SimilarJoinOp extends Stage {
     val head = df.select(F.size(F.col(vec))).head()
     if (head.isNullAt(0)) throw new GraftConfigError(s"join.similar: vector column '$vec' is empty")
     head.getInt(0)
+  }
+
+  /** `index_path` (method=minhash): the right side is an `index.build
+    * type=minhash` corpus — match the left rows against everything
+    * already ingested without rescanning or re-hashing it. Signature
+    * parameters come from the index meta (explicit conflicting keys fail
+    * loud); the left side still exact-collapses to representatives and
+    * expands matches back, the index side is used as-is (it stores every
+    * ingested row). Same snapshot/placeholder contract as the
+    * dedup.minhash index probe. */
+  private def minhashIndexPairs(ctx: StageContext, left: DataFrame, leftId: String,
+      path: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val leftText = cfg.strOr("left_text", cfg.strOr("text_column", "text"))
+    val threshold = cfg.doubleOr("threshold", 0.8)
+    val explainOnly = cfg.boolOr("_explain_only", false)
+    val metaExists = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+    val placeholder = explainOnly && !metaExists
+    if (!placeholder && !metaExists) throw new GraftPlanError(
+      s"join.similar: no minhash index at $path — run index.build type=minhash first")
+    val (n, k, bands, seed) =
+      if (placeholder)
+        (cfg.longOr("shingle_size", 3L).toInt, cfg.longOr("num_hashes", 128L).toInt,
+         cfg.longOr("bands", 32L).toInt, cfg.longOr("seed", 42L))
+      else {
+        val meta = spark.read.parquet(s"$path/meta").head()
+        if (!meta.schema.fieldNames.contains("shingle_size")) throw new GraftConfigError(
+          s"join.similar: the index at $path is not a minhash index — " +
+          "method=minhash probes an index.build type=minhash corpus")
+        val vals = (meta.getAs[Int]("shingle_size"), meta.getAs[Int]("num_hashes"),
+          meta.getAs[Int]("bands"), meta.getAs[Long]("seed"))
+        Seq(("shingle_size", vals._1.toLong), ("num_hashes", vals._2.toLong),
+            ("bands", vals._3.toLong), ("seed", vals._4)).foreach { case (key, v) =>
+          cfg.longOpt(key).filter(_ != v).foreach(conflicting =>
+            throw new GraftConfigError(s"join.similar: $key = $conflicting conflicts " +
+              s"with the index at $path ($key = $v) — cross matches would silently miss"))
+        }
+        vals
+      }
+    val r = k / bands
+
+    val (reps, mapping) = collapse(left, leftId, F.col(leftText), ctx.deferToCleanup)
+    val hashed = ctx.pin(reps.select(F.col("id"),
+        Shingles.shingleHashes(F.col("_key"), n).alias("shingles"))
+      .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed)))
+
+    val corpusSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", left.schema(leftId).dataType),
+      org.apache.spark.sql.types.StructField("shingles",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.types.StructField("sig",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+    val index =
+      if (placeholder) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
+      else IndexSnapshot.read(spark, s"$path/corpus",
+        s"join.similar: no minhash index at $path — run index.build type=minhash first",
+        corpusSchema)
+    val scored = LshVerify.verifiedCrossPairsScored(hashed, index, bands, r, k, threshold)
+    scored.join(mapping, scored("id_l") === mapping("rep_id"))
+      .select(F.col("orig_id").alias("left_id"), F.col("id_r").alias("right_id"),
+        F.col("jaccard"))
+  }
+
+  /** `index_path` (method=embedding): the right side is an `index.build
+    * type=lsh` corpus, either layout — pigeonhole (block, pbucket) with
+    * the Hamming prefilter, or bands (band, pband) on exact band
+    * agreement — detected from the index meta, exactly like the
+    * dedup.embedding index probe, but emitting scored PAIRS instead of
+    * dropping ids. `right_id` / `right_vector` name the indexed columns. */
+  private def embeddingIndexPairs(ctx: StageContext, left: DataFrame, leftId: String,
+      path: String): DataFrame = {
+    graft.functions.GraftFunctions.ensureRegistered(ctx.spark)
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val leftVec = cfg.strOr("left_vector", cfg.strOr("vector_column", "embedding"))
+    val rId = cfg.strOr("right_id", cfg.strOr("id_column", "id"))
+    val rVec = cfg.strOr("right_vector", cfg.strOr("vector_column", "embedding"))
+    val threshold = cfg.doubleOr("threshold", 0.9)
+    val explainOnly = cfg.boolOr("_explain_only", false)
+    val metaExists = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+    val placeholder = explainOnly && !metaExists
+    if (!placeholder && !metaExists) throw new GraftPlanError(
+      s"join.similar: no lsh index at $path — run index.build type=lsh first")
+    val bandsLayout =
+      if (placeholder) cfg.strOr("blocking", "pigeonhole") == "bands"
+      else spark.read.parquet(s"$path/meta").schema.fieldNames.contains("band_planes")
+    cfg.strOpt("blocking").foreach { b =>
+      val layoutName = if (bandsLayout) "bands" else "pigeonhole"
+      if (metaExists && b != layoutName) throw new GraftConfigError(
+        s"join.similar: blocking = $b conflicts with the index at $path, which is " +
+        s"$layoutName-partitioned — the index layout decides the probe blocking")
+    }
+    def dimOf: Int = cfg.longOpt("dim").map(_.toInt).getOrElse(vecDim(left, leftVec))
+
+    val (reps, mapping) = collapse(left, leftId, F.col(leftVec).cast("array<float>"),
+      ctx.deferToCleanup)
+    val keyed = reps.select(F.col("id"), F.col("_key").alias("vec"))
+
+    import org.apache.spark.sql.types._
+    def emptyIndex(extra: Seq[StructField]): DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField(rId, left.schema(leftId).dataType),
+        StructField(rVec, left.schema(leftVec).dataType)) ++ extra))
+
+    val pairs =
+      if (bandsLayout) {
+        val (bands, r, seed, dim, pd) =
+          if (placeholder)
+            (cfg.longOr("bands", 16L).toInt, cfg.longOr("band_planes", 16L).toInt,
+             cfg.longOr("seed", 42L), dimOf, cfg.longOr("partition_dirs", 64L).toInt)
+          else {
+            val meta = spark.read.parquet(s"$path/meta").head()
+            val vals = (meta.getAs[Int]("bands"), meta.getAs[Int]("band_planes"),
+              meta.getAs[Long]("seed"), meta.getAs[Int]("dim"), meta.getAs[Int]("pbuckets"))
+            Seq(("bands", vals._1.toLong), ("band_planes", vals._2.toLong), ("seed", vals._3),
+                ("dim", vals._4.toLong), ("partition_dirs", vals._5.toLong))
+              .foreach { case (key, v) =>
+                cfg.longOpt(key).filter(_ != v).foreach(conflicting =>
+                  throw new GraftConfigError(s"join.similar: $key = $conflicting conflicts " +
+                    s"with the index at $path ($key = $v)"))
+              }
+            vals
+          }
+        val sigs = ctx.pin(keyed.withColumn("bsig",
+          DedupEmbeddingOp.bandSignatures(F.col("vec"), dim, bands, r, seed)))
+        val blockedL = sigs.select(F.col("id").alias("id_l"), F.col("vec").alias("v_l"),
+            F.posexplode(F.col("bsig")).as(Seq("band", "bsig")))
+          .withColumn("band", F.col("band").cast("int"))
+          .withColumn("pband", (F.col("bsig") % pd).cast("int"))
+        val index =
+          if (placeholder) emptyIndex(Seq(StructField("bsig", LongType),
+            StructField("band", IntegerType), StructField("pband", IntegerType),
+            StructField("ingest_tag", StringType)))
+          else IndexSnapshot.read(spark, s"$path/corpus",
+            s"join.similar: no lsh index at $path — run index.build type=lsh first",
+            emptyIndex(Seq.empty).schema, basePath = true)
+        val idxSide = index.select(F.col("band"), F.col("pband"), F.col("bsig"),
+          F.col(rId).alias("id_r"), F.col(rVec).alias("v_r"))
+        blockedL.join(idxSide, Seq("band", "pband", "bsig"))
+          .withColumn("cosine", DedupEmbeddingOp.cosine(
+            F.col("v_l").cast("array<double>"), F.col("v_r").cast("array<double>")))
+          .filter(F.col("cosine") >= threshold)
+          .select("id_l", "id_r", "cosine")
+          .dropDuplicates("id_l", "id_r") // one row per pair across band collisions
+      } else {
+        val (h, blocks, seed, dim, pd) =
+          if (placeholder)
+            (cfg.longOr("planes", 32L).toInt, cfg.longOr("blocks", 4L).toInt,
+             cfg.longOr("seed", 42L), dimOf, cfg.longOr("partition_dirs", 64L).toInt)
+          else {
+            val meta = spark.read.parquet(s"$path/meta").head()
+            if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
+              s"join.similar: the index at $path predates the (block, pbucket) layout — " +
+              "rebuild it with index.build type=lsh mode=overwrite")
+            val vals = (meta.getAs[Int]("num_planes"), meta.getAs[Int]("blocks"),
+              meta.getAs[Long]("seed"), meta.getAs[Int]("dim"), meta.getAs[Int]("pbuckets"))
+            Seq(("planes", vals._1.toLong), ("blocks", vals._2.toLong), ("seed", vals._3),
+                ("dim", vals._4.toLong), ("partition_dirs", vals._5.toLong))
+              .foreach { case (key, v) =>
+                cfg.longOpt(key).filter(_ != v).foreach(conflicting =>
+                  throw new GraftConfigError(s"join.similar: $key = $conflicting conflicts " +
+                    s"with the index at $path ($key = $v)"))
+              }
+            vals
+          }
+        val width = h / blocks
+        val maxBits = DedupEmbeddingOp.maxBitsFor(h, threshold)
+        val sigs = ctx.pin(keyed.withColumn("sig",
+          DedupEmbeddingOp.hyperplaneSig(F.col("vec"), dim, h, seed)))
+        val blockedL = sigs.select(F.col("id").alias("id_l"), F.col("sig").alias("sig_l"),
+            F.col("vec").alias("v_l"),
+            F.posexplode(DedupEmbeddingOp.blockKeys(F.col("sig"), blocks, width)))
+          .withColumnRenamed("pos", "block").withColumnRenamed("col", "bucket")
+          .withColumn("block", F.col("block").cast("int"))
+          .withColumn("pbucket", (F.col("bucket") % pd).cast("int"))
+        val index =
+          if (placeholder) emptyIndex(Seq(StructField("block", IntegerType),
+            StructField("pbucket", IntegerType), StructField("bucket", LongType)))
+          else IndexSnapshot.read(spark, s"$path/corpus",
+            s"join.similar: no lsh index at $path — run index.build type=lsh first",
+            emptyIndex(Seq.empty).schema, basePath = true)
+        val idxSide = index.select(F.col("block"), F.col("pbucket"), F.col("bucket"),
+          F.col(rId).alias("id_r"), F.col(rVec).alias("v_r"))
+          .withColumn("sig_r", DedupEmbeddingOp.hyperplaneSig(F.col("v_r"), dim, h, seed))
+        blockedL.join(idxSide, Seq("block", "pbucket", "bucket"))
+          .filter(F.bit_count(F.col("sig_l").bitwiseXOR(F.col("sig_r"))) <= maxBits)
+          .withColumn("cosine", DedupEmbeddingOp.cosine(
+            F.col("v_l").cast("array<double>"), F.col("v_r").cast("array<double>")))
+          .filter(F.col("cosine") >= threshold)
+          .select("id_l", "id_r", "cosine")
+          .dropDuplicates("id_l", "id_r")
+      }
+    pairs.join(mapping, pairs("id_l") === mapping("rep_id"))
+      .select(F.col("orig_id").alias("left_id"), F.col("id_r").alias("right_id"),
+        F.col("cosine"))
   }
 }

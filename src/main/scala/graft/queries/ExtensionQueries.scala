@@ -1023,6 +1023,33 @@ object ExtensionQueries {
         .select("doc_id", "text")
     },
 
+    // ---- join.similar index_path (r7): the same decontamination, but the
+    // benchmark side is a PREBUILT index.build type=minhash corpus — the
+    // "match new rows against everything already ingested" probe. Same
+    // oracle as similar_join_anti: probing the persisted signatures must
+    // equal the two-input join exactly.
+    QueryDef("similar_join_index_anti",
+      """WITH toks AS (SELECT doc_id, """ + duckToks + """ AS w FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(w) - 2),
+        |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s FROM toks),
+        |bench AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+        |hit AS (SELECT DISTINCT a.doc_id FROM sh a JOIN bench b ON a.doc_id <> b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.s, b.s))) >= 0.8)
+        |SELECT d.doc_id, d.text FROM documents d
+        |WHERE d.doc_id % 10 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val idx = java.nio.file.Files.createTempDirectory("graft_sji_idx").toString
+      IndexBuildOp(StageContext.one(s, docs.filter(F.col("doc_id") % 10 === 0), Cfg.of(
+        "type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+        "text_column" -> "text", "shingle_size" -> 3, "num_hashes" -> 128,
+        "bands" -> 32, "seed" -> 42)))
+      SimilarJoinOp(StageContext.one(s, docs.filter(F.col("doc_id") % 10 =!= 0), Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "threshold" -> 0.8, "index_path" -> idx, "mode" -> "anti")))
+        .select("doc_id", "text")
+    },
+
     // ---- html.strip: the documents are plain text, so the query wraps
     // each in a deterministic HTML shell (tags, a script block, entities)
     // and both engines run the identical strip chain.
@@ -1696,6 +1723,30 @@ object ExtensionQueries {
         "id_column" -> "vec_id", "vector_column" -> "embedding",
         "method" -> "embedding", "threshold" -> 0.99,
         "planes" -> 32, "blocks" -> 4, "seed" -> 7, "mode" -> "semi")))
+        .select("vec_id", "label")
+    },
+
+    // ---- join.similar method=embedding index_path (r7): the same
+    // semi-mode construction, but the copied half lives in a PREBUILT
+    // bands-layout lsh index (scaled ×2 so exact-collapse can't shortcut
+    // — every match travels the banded partition join). Same oracle as
+    // similar_join_embedding.
+    QueryDef("similar_join_index_embedding",
+      "SELECT vec_id, label FROM embeddings WHERE vec_id < 250") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val half = emb.filter(F.col("vec_id") < 250)
+        .select((F.col("vec_id") + 100000).as("vec_id"),
+          F.transform(F.col("embedding"), x => x * F.lit(2.0f)).cast("array<float>").as("embedding"),
+          F.col("label"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_sjie_idx").toString
+      IndexBuildOp(StageContext.one(s, half, Cfg.of(
+        "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "bands" -> 8, "band_planes" -> 12, "seed" -> 7, "partition_dirs" -> 4)))
+      SimilarJoinOp(StageContext.one(s, emb, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "method" -> "embedding", "threshold" -> 0.99,
+        "index_path" -> idx, "mode" -> "semi")))
         .select("vec_id", "label")
     },
 

@@ -124,4 +124,79 @@ class SimilarityJoinSpec extends SparkSpec {
       .queryExecution.optimizedPlan.toString.toLowerCase
     assert(!plan.contains("cartesian") && !plan.contains("joinwithoutcondition"))
   }
+  test("index_path minhash: probe equals the two-input join; params from meta") {
+    val idx = java.nio.file.Files.createTempDirectory("sj_mh_idx").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark, benchmark, Cfg.of(
+      "type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+      "text_column" -> "text", "shingle_size" -> 3, "num_hashes" -> 128,
+      "bands" -> 32, "seed" -> 42)))
+    def viaIndex(mode: String) = SimilarJoinOp(StageContext.one(spark, corpus, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text", "threshold" -> 0.8,
+      "index_path" -> idx, "mode" -> mode)))
+    val pairs = viaIndex("pairs").collect()
+      .map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id")))
+    assert(pairs.toSet === Set((1L, 100L), (3L, 100L), (5L, 100L)))
+    val anti = viaIndex("anti").select("doc_id").as[Long].collect().sorted
+    assert(anti.toSeq === Seq(2L, 4L))
+    // conflicting explicit params fail loud instead of silently missing
+    intercept[GraftConfigError](SimilarJoinOp(StageContext.one(spark, corpus, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text", "threshold" -> 0.8,
+      "index_path" -> idx, "num_hashes" -> 64))))
+    // a non-minhash index is rejected with direction
+    val lsh = java.nio.file.Files.createTempDirectory("sj_notmh_idx").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark,
+      Seq((1L, Array(1f, 0f))).toDF("vec_id", "embedding"), Cfg.of(
+        "type" -> "lsh", "path" -> lsh, "vector_column" -> "embedding",
+        "num_planes" -> 16, "blocks" -> 4)))
+    intercept[GraftConfigError](SimilarJoinOp(StageContext.one(spark, corpus, Cfg.of(
+      "id_column" -> "doc_id", "text_column" -> "text", "index_path" -> lsh))))
+  }
+
+  test("index_path embedding: pigeonhole and bands layouts both probe; scores match") {
+    def vec(i: Int, scale: Float = 1f): Array[Float] =
+      Array.tabulate(4)(j => if (j == i) scale else 0f)
+    val corpusV = Seq((100L, vec(0), "a"), (101L, vec(1), "b"), (102L, vec(2), "c"))
+      .toDF("vec_id", "embedding", "label")
+    // left: scaled copy of 100 (cosine 1), novel direction, copy of 102
+    val leftV = Seq((1L, vec(0, 3f)), (2L, vec(3)), (3L, vec(2, 2f)))
+      .toDF("vec_id", "embedding")
+    for (blocking <- Seq("pigeonhole", "bands")) {
+      val idx = java.nio.file.Files.createTempDirectory(s"sj_emb_$blocking").toString
+      val base = Seq[(String, Any)]("type" -> "lsh", "path" -> idx,
+        "id_column" -> "vec_id", "vector_column" -> "embedding", "seed" -> 11)
+      val cfgB = if (blocking == "bands")
+        base ++ Seq[(String, Any)]("blocking" -> "bands", "bands" -> 4,
+          "band_planes" -> 4, "partition_dirs" -> 4)
+      else base ++ Seq[(String, Any)]("num_planes" -> 16, "blocks" -> 4)
+      graft.operators.IndexBuildOp(StageContext.one(spark, corpusV, Cfg.of(cfgB: _*)))
+      val pairs = SimilarJoinOp(StageContext.one(spark, leftV, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "method" -> "embedding", "threshold" -> 0.95, "index_path" -> idx)))
+        .collect().map(r => (r.getAs[Long]("left_id"), r.getAs[Long]("right_id"),
+          r.getAs[Double]("cosine")))
+      assert(pairs.toSet === Set((1L, 100L, 1.0), (3L, 102L, 1.0)),
+        s"$blocking: " + pairs.mkString(", "))
+      // anti mode: only the novel-direction row survives
+      val anti = SimilarJoinOp(StageContext.one(spark, leftV, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "method" -> "embedding", "threshold" -> 0.95, "index_path" -> idx,
+        "mode" -> "anti"))).select("vec_id").as[Long].collect().sorted
+      assert(anti.toSeq === Seq(2L), s"$blocking anti")
+    }
+    // an explicit blocking that contradicts the layout fails loud
+    val idxB = java.nio.file.Files.createTempDirectory("sj_emb_conf").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark, corpusV, Cfg.of(
+      "type" -> "lsh", "blocking" -> "bands", "path" -> idxB,
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "bands" -> 4, "band_planes" -> 4, "seed" -> 11)))
+    intercept[GraftConfigError](SimilarJoinOp(StageContext.one(spark, leftV, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "method" -> "embedding", "blocking" -> "pigeonhole", "index_path" -> idxB))))
+    // index_path plus a second input is ambiguous
+    intercept[GraftConfigError](SimilarJoinOp(StageContext(spark,
+      Seq("l" -> leftV, "r" -> corpusV), Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "method" -> "embedding", "index_path" -> idxB))))
+  }
 }
+
