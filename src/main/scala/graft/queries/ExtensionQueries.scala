@@ -442,6 +442,26 @@ object ExtensionQueries {
       s.read.parquet(out).select("vec_id", "label")
     },
 
+    // ---- ingest.compact (r7): a stream.ingest-shaped output (one
+    // ingest_batch partition per micro-batch, checkpoint commits
+    // recorded) folds into the compacted region — reading the output
+    // afterwards must return every row exactly once (the manifest swap's
+    // no-duplicate/no-loss contract), which the whole-table oracle pins.
+    QueryDef("ingest_compact_roundtrip",
+      "SELECT doc_id, text FROM documents") { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft_ingc").toString
+      import java.nio.file.{Files, Paths}
+      Files.createDirectories(Paths.get(s"$root/_checkpoint/commits"))
+      (0 until 3).foreach { i =>
+        docs.filter(F.col("doc_id") % 3 === i)
+          .coalesce(1).write.parquet(s"$root/ingest_batch=$i")
+        Files.write(Paths.get(s"$root/_checkpoint/commits/$i"), "v1".getBytes("UTF-8"))
+      }
+      IngestCompactOp(StageContext.one(s, docs.limit(1), Cfg.of("path" -> root)))
+      s.read.parquet(root).select("doc_id", "text")
+    },
+
     // ---- dedup.minhash keep_by: survivor = highest-quality duplicate.
     // Copies (ids + 10000) carry the higher quality, so every dup group
     // — exact copies AND the planted near-dup pairs — must resolve to

@@ -120,6 +120,19 @@ class IngestCompactSpec extends SparkSpec {
       "ingest_batch=0\ningest_batch=1".getBytes("UTF-8"))
     IngestMaintenance.recoverSwap(root)
     assert(readIds(root) === Seq(1L, 2L, 3L))
+    // mid-move crash: manifest written, SOME sources already held aside,
+    // install not yet done → repair finishes the holds and installs
+    val root3 = mkOutput(Seq(0L -> Seq(4L), 1L -> Seq(5L)), committed = Seq(0L, 1L))
+    Seq(row(4L), row(5L)).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$root3/_ingest_compact_tmp/data")
+    Files.write(Paths.get(s"$root3/_ingest_compact_manifest.json"),
+      "ingest_batch=0\ningest_batch=1".getBytes("UTF-8"))
+    Files.createDirectories(Paths.get(s"$root3/_ingest_compact_old"))
+    Files.move(Paths.get(s"$root3/ingest_batch=0"),
+      Paths.get(s"$root3/_ingest_compact_old/ingest_batch=0"))
+    IngestMaintenance.recoverSwap(root3)
+    assert(batchDirs(root3) === Set("ingest_batch=-1"))
+    assert(readIds(root3) === Seq(4L, 5L))
     // pre-manifest crash: a stray tmp with no manifest is discarded and
     // held-aside dirs (tampering recovery) are restored
     val root2 = mkOutput(Seq(0L -> Seq(7L)), committed = Seq(0L))
