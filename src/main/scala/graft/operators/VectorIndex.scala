@@ -132,10 +132,19 @@ object IndexBuildOp extends Stage {
     val cfg = ctx.cfg
     val path = cfg.str("path")
     val vecCol = cfg.strOr("vector_column", "embedding")
+    val mode = cfg.strOr("mode", "overwrite")
+    // mode=append must NOT retrain: a second quantizer would append a
+    // second centroid set (duplicate cell ids pointing at different
+    // centers) and assign the new rows inconsistently with the old —
+    // probes would silently lose recall. Appending re-uses the FROZEN
+    // first-build quantizer: assign to the existing centroids, grow only
+    // the cell-partitioned corpus.
+    if (mode == "append") return appendIvf(ctx)
+    if (mode != "overwrite") throw new GraftConfigError(
+      s"index.build: mode must be overwrite|append, got '$mode'")
     val nlist = cfg.longOr("nlist", 16L).toInt
     val seed = cfg.longOr("seed", 11L)
     val maxTrain = cfg.longOr("max_train", 100000L).toInt
-    val mode = cfg.strOr("mode", "overwrite")
 
     val toVec = F.udf { v: Seq[Float] => Vectors.dense(v.map(_.toDouble).toArray) }
     val feat = ctx.primary.withColumn("_features", toVec(F.col(vecCol).cast("array<float>")))
@@ -146,15 +155,65 @@ object IndexBuildOp extends Stage {
       .setFeaturesCol("_features").setPredictionCol("cell")
       .fit(train)
 
+    // co-locate cells before the partitioned write (one file per
+    // populated cell instead of input_partitions × cells droplets)
     km.transform(feat).drop("_features")
-      .write.mode(mode).partitionBy("cell").parquet(s"$path/corpus")
+      .repartition(F.col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
 
     val spark = ctx.spark
     import spark.implicits._
     km.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
-      .coalesce(1).write.mode(mode).parquet(s"$path/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** mode=append for type=ivf: assign new rows to the EXISTING centroids
+    * (broadcast into one UDF — nlist rows) and append to the
+    * cell-partitioned corpus; the quantizer stays frozen at first build,
+    * so old and new rows share one consistent cell space and every probe
+    * (`knn.ivf`, `knn.join`) sees the union. Centroid quality for rows far
+    * from the training distribution is the standard IVF drift trade-off —
+    * rebuild with mode=overwrite to retrain. */
+  private def appendIvf(ctx: StageContext): Unit = {
+    import org.apache.spark.ml.linalg.Vectors
+    val cfg = ctx.cfg
+    val path = cfg.str("path")
+    val vecCol = cfg.strOr("vector_column", "embedding")
+    val spark = ctx.spark
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/centroids")))
+      throw new GraftConfigError(
+        s"index.build type=ivf mode=append: no existing index at $path — the quantizer " +
+        "is frozen at first build (appending re-uses its centroids so cell assignment " +
+        "stays consistent); run mode=overwrite first")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), Vectors.dense(r.getSeq[Double](1).toArray)))
+      .sortBy(_._1)
+    val dim = cents.head._2.size
+    ctx.primary.select(F.size(F.col(vecCol))).head(1).headOption.foreach { r =>
+      if (r.getInt(0) != dim) throw new GraftConfigError(
+        s"index.build type=ivf mode=append: input vectors have length ${r.getInt(0)} " +
+        s"but the index at $path was built with dim = $dim")
+    }
+    val centIds = cents.map(_._1)
+    val centVecs = cents.map(_._2)
+    val assign = F.udf { v: Seq[Float] =>
+      val qv = Vectors.dense(v.map(_.toDouble).toArray)
+      var best = 0
+      var bestD = Double.MaxValue
+      var i = 0
+      while (i < centVecs.length) {
+        val d = Vectors.sqdist(centVecs(i), qv)
+        if (d < bestD) { bestD = d; best = centIds(i) }
+        i += 1
+      }
+      best
+    }
+    ctx.primary.withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
+      .repartition(F.col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
   }
 
   /** `type = "exact"` — the exact-dedup key set: distinct 128-bit md5

@@ -680,6 +680,29 @@ object ExtensionQueries {
         "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
         "k" -> 10, "nlist" -> 16, "nprobe" -> 16, "seed" -> 11)))
     },
+    // ---- type=ivf mode=append (r7): the index is built over HALF the
+    // corpus and the other half APPENDED against the frozen quantizer
+    // (assign-to-existing-centroids — retraining would fork the cell
+    // space). nprobe = nlist over the grown index must equal brute force
+    // over the FULL corpus: pins that appended rows land in probe-visible
+    // cells and the centroid set stayed single-generation.
+    QueryDef("knn_ivf_append_exhaustive",
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfap_idx").toString
+      IndexBuildOp(StageContext.one(s, emb.filter(F.col("vec_id") % 2 === 0), Cfg.of(
+        "type" -> "ivf", "path" -> idx, "vector_column" -> "embedding",
+        "nlist" -> 16, "seed" -> 11)))
+      IndexBuildOp(StageContext.one(s, emb.filter(F.col("vec_id") % 2 =!= 0), Cfg.of(
+        "type" -> "ivf", "path" -> idx, "vector_column" -> "embedding",
+        "mode" -> "append")))
+      KnnIvfOp(StageContext.one(s, emb, Cfg.of(
+        "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "k" -> 10, "nprobe" -> 16, "index_path" -> idx)))
+    },
+
     // multi-probe LSH at probe_hamming = width: every block probes its
     // ENTIRE bucket space, so the index probe provably covers the whole
     // corpus and must return EXACTLY the brute-force answer (same oracle)

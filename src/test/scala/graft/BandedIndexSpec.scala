@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.FileSourceScanExec
 import graft.config.{Cfg, GraftConfigError}
 import graft.core.StageContext
 import graft.operators.{DedupEmbeddingOp, IndexBuildOp, IndexCompactOp, IndexStatsOp,
-  KnnBruteForceOp, KnnJoinOp, KnnLshOp}
+  KnnBruteForceOp, KnnIvfOp, KnnJoinOp, KnnLshOp}
 
 /** index.build type=lsh blocking=bands — the banded corpus layout — and
   * its incremental probes: dedup.embedding index_path, knn.lsh, knn.join.
@@ -224,6 +224,43 @@ class BandedIndexSpec extends SparkSpec {
       .select("query_id", "corpus_id", "cosine")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(selfTop.length === 5 && selfTop.forall(t => t._1 === t._2 && t._3 === 1.0))
+  }
+
+  test("ivf mode=append: frozen quantizer, probe sees the union, rejections loud") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("bl_ivfap").toString
+    IndexBuildOp(StageContext.one(spark, emb.filter(F.col("vec_id") % 2 === 0), Cfg.of(
+      "type" -> "ivf", "path" -> idx, "vector_column" -> "embedding",
+      "nlist" -> 8, "seed" -> 11)))
+    val centsBefore = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    IndexBuildOp(StageContext.one(spark, emb.filter(F.col("vec_id") % 2 =!= 0), Cfg.of(
+      "type" -> "ivf", "path" -> idx, "vector_column" -> "embedding",
+      "mode" -> "append")))
+    // the quantizer is FROZEN: same centroid set, no duplicate cell ids
+    val centsAfter = spark.read.parquet(s"$idx/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(centsAfter === centsBefore)
+    // corpus holds every row exactly once
+    assert(spark.read.parquet(s"$idx/corpus").count() === emb.count())
+    // exhaustive probe over the grown index ≡ brute force over the union
+    val viaIndex = KnnIvfOp(StageContext.one(spark, emb, Cfg.of(
+      "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "k" -> 10, "nprobe" -> 8, "index_path" -> idx)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = KnnBruteForceOp(StageContext.one(spark, emb, Cfg.of(
+      "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "k" -> 10))).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(viaIndex === brute)
+    // append without an existing index / with a mismatched dim fails loud
+    intercept[GraftConfigError](IndexBuildOp(StageContext.one(spark, emb, Cfg.of(
+      "type" -> "ivf", "path" -> (idx + "_missing"), "vector_column" -> "embedding",
+      "mode" -> "append"))))
+    import spark.implicits._
+    intercept[GraftConfigError](IndexBuildOp(StageContext.one(spark,
+      Seq((1L, Array(1f, 2f))).toDF("vec_id", "embedding"), Cfg.of(
+        "type" -> "ivf", "path" -> idx, "vector_column" -> "embedding",
+        "mode" -> "append"))))
   }
 
   test("index.compact folds ingest tags into base; probe results identical") {
