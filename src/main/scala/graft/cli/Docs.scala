@@ -82,6 +82,7 @@ object Docs {
     "index.compact" -> "rewrite a fragmented index corpus into right-sized files (crash-safe swap, rows byte-identical, meta untouched; bands layout folds ingest tags to base) - path, target_file_mb=128; run quiesced (no concurrent appender/probe/recovering stream)",
     "index.stats" -> "one-row index fragmentation report (index_type, rows, files, bytes, mean_file_kb, stream_append_dirs, partition_dirs, appends_since_compact) - path; the read-only companion of index.compact",
     "ingest.compact" -> "fold a stream.ingest OUTPUT's per-micro-batch ingest_batch partitions into one compacted region (ingest_batch=-1) - path, checkpoint, watermark, target_file_mb=128, force; folds only checkpoint-committed batches (replay-race-safe), crash-safe manifest swap",
+    "ingest.stats" -> "one-row stream.ingest output health report (batch_dirs, committed, uncommitted, compacted, files, bytes, mean_file_kb) - path, checkpoint; the read-only companion of ingest.compact",
     "stream.ingest" -> "streaming incremental corpus ingestion (foreachBatch) - path, index_path, dedup=minhash|exact|ngram|simhash|embedding (embedding needs an index.build type=lsh blocking=bands index), checkpoint, trigger=available_now|trigger_ms, index_append; exactly-once via per-batch idempotent output/append",
     "stream.sketch" -> "streaming corpus audits - per-micro-batch topk.approx summaries persisted under ingest_batch partitions; path, column, tokenize, capacity, group_by; merge with topk.merge",
     "text.stats" -> "length/punct/word stats - column",

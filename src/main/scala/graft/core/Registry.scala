@@ -83,7 +83,7 @@ object Registry {
     TopKOp, TopKMergeOp, CompressibilityOp,
     PerplexityOp, ChunkTextOp, SentencesOp, QualityClassifierTrainOp, QualityClassifierScoreOp,
     KnnBruteForceOp, KnnJoinOp, KnnLshOp, KnnIvfOp, IndexBuildOp, IndexCompactOp, IndexStatsOp,
-    IngestCompactOp,
+    IngestCompactOp, IngestStatsOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
     graft.multimodal.ImageDecodeOp, graft.multimodal.AudioDecodeOp,
     // composition

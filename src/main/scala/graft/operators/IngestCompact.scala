@@ -46,7 +46,13 @@ private[graft] object IngestMaintenance {
         if (Files.isDirectory(src)) Files.move(src, old.resolve(n))
       }
       if (Files.isDirectory(tmpData)) {
-        if (Files.isDirectory(target)) Files.move(target, old.resolve("ingest_batch=-1.old"))
+        if (Files.isDirectory(target)) {
+          // a repair that crashed exactly between this hold-aside and the
+          // install can leave a stale held copy; it is already merged
+          // into tmp, so clear it rather than fail the move
+          deleteIfExists(old.resolve("ingest_batch=-1.old"))
+          Files.move(target, old.resolve("ingest_batch=-1.old"))
+        }
         Files.move(tmpData, target)
       }
       deleteIfExists(old)
@@ -199,5 +205,75 @@ object IngestCompactOp extends Stage {
     System.err.println(s"[graft] ingest.compact: $root — folded ${sources.size} " +
       s"partition dir(s) (${bytes / 1048576} MiB) into ingest_batch=-1 ($nOut file(s))")
     ctx.primary
+  }
+}
+
+/** ingest.stats — fragmentation / health report for a `stream.ingest`
+  * OUTPUT: the read-only companion of `ingest.compact` that answers
+  * "should I fold yet?", mirroring index.stats on the index side. One row:
+  *
+  *   path, batch_dirs (live ingest_batch=<id> partitions), committed
+  *   (how many of those the checkpoint has committed — the foldable set),
+  *   uncommitted (dirs a replay may still overwrite — never foldable),
+  *   compacted (1 if an ingest_batch=-1 region exists), files, bytes,
+  *   mean_file_kb
+  *
+  * Directory listing only — no data scan. Runs the crash repair first
+  * like every other maintenance entry point. Config: `path`,
+  * `checkpoint` (default `<path>/_checkpoint`).
+  */
+object IngestStatsOp extends Stage {
+  val name = "ingest.stats"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    import spark.implicits._
+    if (cfg.boolOr("_explain_only", false))
+      return Seq.empty[(String, Long, Long, Long, Long, Long, Long, Double)]
+        .toDF("path", "batch_dirs", "committed", "uncommitted", "compacted",
+          "files", "bytes", "mean_file_kb")
+    val root = cfg.str("path")
+    import java.nio.file.{Files, Paths}
+    IngestMaintenance.recoverSwap(root)
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) throw new GraftPlanError(
+      s"ingest.stats: no ingest output at $root")
+    import scala.jdk.CollectionConverters._
+    val dirStream = Files.list(rootP)
+    val batchDirs = try dirStream.iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("ingest_batch="))
+      .map(_.getFileName.toString).toVector
+    finally dirStream.close()
+    val ids = batchDirs.flatMap(n => n.stripPrefix("ingest_batch=").toLongOption)
+    val live = ids.filter(_ >= 0)
+    val checkpoint = cfg.strOr("checkpoint", s"$root/_checkpoint")
+    val commitsP = Paths.get(s"$checkpoint/commits")
+    val committedIds: Set[Long] =
+      if (!Files.isDirectory(commitsP)) Set.empty
+      else {
+        val s = Files.list(commitsP)
+        try s.iterator().asScala.flatMap(p => p.getFileName.toString.toLongOption).toSet
+        finally s.close()
+      }
+    val walk = Files.walk(rootP)
+    val parts = try walk.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && {
+        val name = p.getFileName.toString
+        name.startsWith("part-") && name.endsWith(".parquet") &&
+        !rootP.relativize(p).iterator().asScala.exists { seg =>
+          val s = seg.toString; s.startsWith("_") || s.startsWith(".")
+        }
+      }).map(p => Files.size(p)).toVector
+    finally walk.close()
+    val bytes = parts.sum
+    val meanKb = if (parts.isEmpty) 0.0
+      else math.round(bytes / 1024.0 / parts.size * 10) / 10.0
+    Seq((root, live.size.toLong, live.count(committedIds.contains).toLong,
+        live.count(id => !committedIds.contains(id)).toLong,
+        (if (ids.contains(-1L)) 1L else 0L), parts.size.toLong, bytes, meanKb))
+      .toDF("path", "batch_dirs", "committed", "uncommitted", "compacted",
+        "files", "bytes", "mean_file_kb")
   }
 }

@@ -75,13 +75,18 @@ object KnnBruteForceOp extends Stage {
   * cross join — let AQE plan it).
   *
   * `index_path` mode (the 100 TB path): instead of a corpus input, probe
-  * a prebuilt `index.build type=lsh` index — each query's block keys
-  * (widened to the Hamming-`probe_hamming` bucket neighborhood, the
-  * knn.lsh multi-probe recall knob) join only the colliding
-  * (block, pbucket) partitions; the corpus is never fully scanned.
-  * probe_hamming = block width provably covers every bucket, making the
-  * pruned probe EQUAL batch brute force (the knn_join_lsh_exhaustive
-  * gate pins it).
+  * a prebuilt `index.build` index — lsh pigeonhole (block, pbucket) with
+  * `probe_hamming` multi-probe widening, lsh bands (band, pband) on
+  * exact band agreement, or ivf (per-query nprobe nearest cells → a
+  * static cell partition filter), detected from the index's own
+  * metadata; the corpus is never fully scanned. Multi-block/multi-band
+  * collisions are scored per collision and collapse inside the bounded
+  * heaps (duplicate (cosine, corpus_id) entries are rejected on insert)
+  * plus one dedup of the |Q|·partitions·k merged heap output — the raw
+  * candidate stream is never pair-dedup-shuffled. The exhaustive
+  * settings (probe_hamming = width / = band_planes, nprobe = nlist)
+  * provably cover the whole corpus and EQUAL batch brute force (the
+  * knn_join_{lsh,bands,ivf}_exhaustive gates pin all three).
   *
   * Config: left_id/right_id (default id_column, default vec_id),
   * left_vector/right_vector (default vector_column, default embedding),
@@ -229,10 +234,17 @@ object KnnJoinOp extends Stage {
     @inline def idLt(a: Any, b: Any): Boolean =
       a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
     val partial = pairs.mapPartitions { it =>
-      // one bounded min-heap per query: the ROOT is the worst kept entry
+      // one bounded ordered set per query: first() is the worst kept entry
       // (lowest cosine; among equal cosines the LARGEST corpus id, so
-      // eviction prefers the ids the final ascending tie-break keeps)
-      val heaps = new java.util.HashMap[Any, java.util.PriorityQueue[(Double, Any)]]()
+      // eviction prefers the ids the final ascending tie-break keeps). A
+      // TreeSet instead of a PriorityQueue so a pair scored twice in one
+      // partition (multi-band/multi-block collisions in the index modes)
+      // collapses on insert — compare == 0 is rejected — and never
+      // displaces a distinct candidate; cross-partition duplicates are
+      // removed on the merged (narrow, |Q|·partitions·k-bounded) heap
+      // output below, NOT with a global pair-dedup exchange of the whole
+      // candidate stream before the heaps (the r6 finding-3 shape).
+      val heaps = new java.util.HashMap[Any, java.util.TreeSet[(Double, Any)]]()
       val cmp = new java.util.Comparator[(Double, Any)] {
         def compare(a: (Double, Any), b: (Double, Any)): Int = {
           val c = java.lang.Double.compare(a._1, b._1)
@@ -241,24 +253,29 @@ object KnnJoinOp extends Stage {
       }
       it.foreach { r =>
         val q = r.get(0); val cid = r.get(1); val cos = r.getDouble(2)
-        var pq = heaps.get(q)
-        if (pq == null) { pq = new java.util.PriorityQueue(k, cmp); heaps.put(q, pq) }
-        if (pq.size < k) pq.add((cos, cid))
+        var ts = heaps.get(q)
+        if (ts == null) { ts = new java.util.TreeSet(cmp); heaps.put(q, ts) }
+        if (ts.size < k) ts.add((cos, cid))
         else {
-          val worst = pq.peek()
-          if (cos > worst._1 || (cos == worst._1 && idLt(cid, worst._2))) {
-            pq.poll(); pq.add((cos, cid))
-          }
+          val worst = ts.first()
+          if (cmp.compare((cos, cid), worst) > 0 && ts.add((cos, cid))) ts.pollFirst()
         }
       }
       val out = scala.collection.mutable.ArrayBuffer[Row]()
-      heaps.forEach((q, pq) => pq.forEach { case (cos, cid) => out += Row(q, cid, cos) })
+      heaps.forEach((q, ts) => ts.forEach { case (cos, cid) => out += Row(q, cid, cos) })
       out.iterator
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("corpus_id").asc)
-    partial.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    // index modes: a pair can reach two partitions' heaps (multi-block
+    // collisions land in different shuffle partitions); its copies carry
+    // the same (cosine, corpus_id), so deduping the bounded heap output —
+    // not the raw candidate stream — is exact and cheap. The brute-force
+    // cross join produces each pair once; no dedup, no extra exchange.
+    val merged = if (indexPath.isDefined) partial.dropDuplicates("query_id", "corpus_id")
+                 else partial
+    merged.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
   }
 
   /** LSH pigeonhole probe: each query's block keys (optionally widened to
@@ -329,10 +346,11 @@ object KnnJoinOp extends Stage {
     requireOrderable(cId, idxRaw.schema(cId).dataType)
     val idx = idxRaw.select(F.col("block"), F.col("pbucket"), F.col("bucket"),
       F.col(cId).alias("corpus_id"), F.col(cVec).cast("array<double>").alias("_cv"))
-    (scored(qBlocked.join(idx, Seq("block", "pbucket", "bucket")))
-      // a pair can collide in several blocks/probed buckets — exactly
-      // one candidate row per pair before ranking
-      .dropDuplicates("query_id", "corpus_id"),
+    // a pair colliding in several blocks/probed buckets is scored per
+    // collision; the duplicates carry identical (cosine, corpus_id) and
+    // collapse inside the bounded heaps + on their merged output — no
+    // pair-dedup exchange of the raw candidate stream
+    (scored(qBlocked.join(idx, Seq("block", "pbucket", "bucket"))),
      idxRaw.schema(cId).dataType)
   }
 
@@ -400,9 +418,10 @@ object KnnJoinOp extends Stage {
     requireOrderable(cId, idxRaw.schema(cId).dataType)
     val idx = idxRaw.select(F.col("band"), F.col("pband"), F.col("bsig"),
       F.col(cId).alias("corpus_id"), F.col(cVec).cast("array<double>").alias("_cv"))
-    (scored(qBlocked.join(idx, Seq("band", "pband", "bsig")))
-      // the layout stores each row once per band — dedup multi-band hits
-      .dropDuplicates("query_id", "corpus_id"),
+    // the layout stores each row once per band — multi-band hits are
+    // scored per collision and collapse inside the bounded heaps (see
+    // the heap pass), never through a candidate-stream dedup exchange
+    (scored(qBlocked.join(idx, Seq("band", "pband", "bsig"))),
      idxRaw.schema(cId).dataType)
   }
 

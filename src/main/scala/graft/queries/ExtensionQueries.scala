@@ -462,6 +462,22 @@ object ExtensionQueries {
       s.read.parquet(root).select("doc_id", "text")
     },
 
+    // ---- ingest.stats: output-lifecycle health counters (filesystem
+    // facts, not SQL-expressible → rows-only; exactness pinned in
+    // IngestCompactSpec against known batch/commit layouts) ----
+    QueryDef.noOracle("ingest_stats") { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val root = java.nio.file.Files.createTempDirectory("graft_ings").toString
+      import java.nio.file.{Files, Paths}
+      Files.createDirectories(Paths.get(s"$root/_checkpoint/commits"))
+      (0 until 2).foreach { i =>
+        docs.filter(F.col("doc_id") % 2 === i)
+          .coalesce(1).write.parquet(s"$root/ingest_batch=$i")
+        Files.write(Paths.get(s"$root/_checkpoint/commits/$i"), "v1".getBytes("UTF-8"))
+      }
+      IngestStatsOp(StageContext.one(s, docs.limit(1), Cfg.of("path" -> root)))
+    },
+
     // ---- dedup.minhash keep_by: survivor = highest-quality duplicate.
     // Copies (ids + 10000) carry the higher quality, so every dup group
     // — exact copies AND the planted near-dup pairs — must resolve to

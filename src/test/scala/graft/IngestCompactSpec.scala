@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{functions => F}
 import graft.config.{Cfg, GraftConfigError}
 import graft.core.{GraftPlanError, StageContext}
-import graft.operators.{IngestCompactOp, IngestMaintenance}
+import graft.operators.{IngestCompactOp, IngestMaintenance, IngestStatsOp}
 
 /** ingest.compact — bounding the stream.ingest output's per-micro-batch
   * partition count: committed batches fold into `ingest_batch=-1`, the
@@ -141,6 +141,29 @@ class IngestCompactSpec extends SparkSpec {
     IngestMaintenance.recoverSwap(root2)
     assert(!Files.exists(Paths.get(s"$root2/_ingest_compact_tmp")))
     assert(readIds(root2) === Seq(7L))
+  }
+
+  test("ingest.stats: batch/commit/compaction counts before and after a fold") {
+    val root = mkOutput(Seq(0L -> Seq(1L), 1L -> Seq(2L), 2L -> Seq(3L)),
+      committed = Seq(0L, 1L))
+    def stats() = IngestStatsOp(StageContext.one(spark,
+      Seq(row(0L)).toDF("doc_id", "text"), Cfg.of("path" -> root))).head()
+    val before = stats()
+    assert(before.getAs[Long]("batch_dirs") === 3L)
+    assert(before.getAs[Long]("committed") === 2L)
+    assert(before.getAs[Long]("uncommitted") === 1L)
+    assert(before.getAs[Long]("compacted") === 0L)
+    assert(before.getAs[Long]("files") === 3L && before.getAs[Long]("bytes") > 0L)
+    IngestCompactOp(StageContext.one(spark, Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> root)))
+    val after = stats()
+    assert(after.getAs[Long]("batch_dirs") === 1L) // the uncommitted survivor
+    assert(after.getAs[Long]("committed") === 0L)
+    assert(after.getAs[Long]("compacted") === 1L)
+    // missing output fails loud
+    intercept[GraftPlanError](IngestStatsOp(StageContext.one(spark,
+      Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> (root + "/missing")))))
   }
 
   test("end-to-end: a real stream.ingest output compacts against its own checkpoint") {
