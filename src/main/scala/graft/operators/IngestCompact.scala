@@ -24,6 +24,33 @@ private[graft] object IngestMaintenance {
   private def deleteIfExists(p: Path): Unit = if (Files.exists(p)) KafkaLog.deleteRec(p)
 
   def recoverSwap(root: String): Unit = synchronized {
+    // the lock serializes repairs within one JVM; across processes (a
+    // stream.ingest start racing a crashed compact's repair from another
+    // graft run) the repair is idempotent over directory states — a lost
+    // move race re-stats and re-runs until the winner's result is
+    // visible, the same contract IndexMaintenance.recoverSwap got in r6
+    import java.nio.file.{FileAlreadyExistsException, NoSuchFileException,
+      DirectoryNotEmptyException}
+    var attempts = 0
+    var done = false
+    while (!done) {
+      try { repairOnce(root); done = true }
+      catch {
+        case e @ (_: FileAlreadyExistsException | _: NoSuchFileException |
+                  _: DirectoryNotEmptyException) =>
+          attempts += 1
+          if (attempts >= 5) {
+            // converged iff no commit marker and no held sources remain
+            val rootP = Paths.get(root)
+            if (!Files.exists(rootP.resolve("_ingest_compact_manifest.json")) &&
+                !Files.isDirectory(rootP.resolve("_ingest_compact_old"))) done = true
+            else throw e
+          } else Thread.sleep(20L * attempts)
+      }
+    }
+  }
+
+  private def repairOnce(root: String): Unit = {
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return
     val manifest = rootP.resolve("_ingest_compact_manifest.json")

@@ -276,4 +276,50 @@ class PropertySpec extends SparkSpec {
       assert(sigs(0).length === 8)
     }
   }
+  test("knn.join exhaustive index probes equal brute force on random corpora") {
+    // seeded random vectors (some duplicated to force multi-collision
+    // pairs — the TreeSet-heap dedup path), three seeds, both lsh
+    // layouts at full probe width: the pruned probe must reproduce batch
+    // brute force exactly, rank-for-rank
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until 60).map { i =>
+        (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat))
+      }
+      // every 5th vector is a scaled copy of its predecessor (cosine 1 —
+      // tie-heavy ranking) to stress duplicate/tie handling
+      val vecs = base.map { case (i, v) =>
+        if (i % 5 == 4) (i, base((i - 1).toInt)._2.map(_ * 2f)) else (i, v)
+      }.toDF("vec_id", "embedding")
+      val queries = vecs.filter(org.apache.spark.sql.functions.col("vec_id") < 4)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("query_id", "corpus_id", "cosine", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val brute = rows(KnnJoinOp(StageContext(spark,
+        Seq("q" -> queries, "c" -> vecs),
+        Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 6))))
+      val bandsIdx = java.nio.file.Files.createTempDirectory(s"prop_kj_b$seed").toString
+      IndexBuildOp(StageContext.one(spark, vecs, Cfg.of(
+        "type" -> "lsh", "blocking" -> "bands", "path" -> bandsIdx,
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "bands" -> 3, "band_planes" -> 4, "seed" -> (100 + seed),
+        "partition_dirs" -> 4)))
+      assert(rows(KnnJoinOp(StageContext.one(spark, queries, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 6,
+        "index_path" -> bandsIdx, "probe_hamming" -> 4)))) === brute,
+        s"bands seed=$seed")
+      val pigIdx = java.nio.file.Files.createTempDirectory(s"prop_kj_p$seed").toString
+      IndexBuildOp(StageContext.one(spark, vecs, Cfg.of(
+        "type" -> "lsh", "path" -> pigIdx,
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "num_planes" -> 12, "blocks" -> 3, "seed" -> (200 + seed),
+        "partition_dirs" -> 4)))
+      assert(rows(KnnJoinOp(StageContext.one(spark, queries, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 6,
+        "index_path" -> pigIdx, "probe_hamming" -> 4)))) === brute,
+        s"pigeonhole seed=$seed")
+    }
+  }
 }
+
