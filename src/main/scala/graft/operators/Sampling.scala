@@ -48,8 +48,31 @@ object SampleOp extends Stage {
           } else explicit
         keyed.stat.sampleBy(key, allKeys, seed).drop(key)
       case None =>
-        df.sample(cfg.boolOr("with_replacement", false),
-          cfg.doubleOr("fraction", 0.1), seed)
+        cfg.longOpt("count") match {
+          case Some(k) =>
+            // EXACT-k uniform sample ("give me exactly 10k eval docs"):
+            // rank every row by a seeded uniform key and keep the k
+            // smallest. Catalyst plans orderBy+limit as
+            // TakeOrderedAndProject — per-partition bounded k-heaps +
+            // one k·partitions merge, never a global sort — so this is
+            // the distributed reservoir shape, not a full shuffle.
+            // Deterministic for a fixed input partitioning (rand(seed)
+            // is seeded per partition); ties on the key are broken by
+            // nothing and never matter (rand collisions are measure-zero
+            // at double precision).
+            if (cfg.has("fraction")) throw new GraftConfigError(
+              "sample.apply: give either 'count' (exact-k) or 'fraction', not both")
+            if (k < 0) throw new GraftConfigError(
+              s"sample.apply: count must be >= 0, got $k")
+            if (cfg.boolOr("with_replacement", false)) throw new GraftConfigError(
+              "sample.apply: count (exact-k) does not support with_replacement")
+            val key = "_sample_rank"
+            df.withColumn(key, F.rand(seed))
+              .orderBy(F.col(key)).limit(k.toInt).drop(key)
+          case None =>
+            df.sample(cfg.boolOr("with_replacement", false),
+              cfg.doubleOr("fraction", 0.1), seed)
+        }
     }
   }
 }

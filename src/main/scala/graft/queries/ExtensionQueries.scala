@@ -442,6 +442,18 @@ object ExtensionQueries {
       s.read.parquet(out).select("vec_id", "label")
     },
 
+    // ---- sample.apply count mode (r7): EXACT-k uniform sampling. The
+    // sampled set is engine-RNG-dependent, but the exactness contract is
+    // not: exactly k rows, all distinct source rows (no replacement) —
+    // both checkable against a constant oracle.
+    QueryDef("sample_exact_count",
+      "SELECT CAST(1000 AS BIGINT) AS n, CAST(1000 AS BIGINT) AS distinct_n") { (s, d) =>
+      val sampled = SampleOp(StageContext.one(s, t(s, d, "orders"), Cfg.of(
+        "count" -> 1000, "seed" -> 7)))
+      sampled.agg(F.count(F.lit(1)).as("n"),
+        F.countDistinct(F.col("o_orderkey")).as("distinct_n"))
+    },
+
     // ---- ingest.compact (r7): a stream.ingest-shaped output (one
     // ingest_batch partition per micro-batch, checkpoint commits
     // recorded) folds into the compacted region — reading the output

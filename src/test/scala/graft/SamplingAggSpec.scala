@@ -108,4 +108,31 @@ class SamplingAggSpec extends SparkSpec {
     assert(order(2) === order(11),
       "rows tied on (hash, grp) must order by the remaining columns, not partition layout")
   }
+  test("sample.apply count: exactly k distinct rows, bounded top-k plan, loud rejections") {
+    val ids = (0L until 5000L).toDF("id")
+    val out = SampleOp(StageContext.one(spark, ids, Cfg.of("count" -> 100, "seed" -> 7)))
+    val got = out.select("id").as[Long].collect()
+    assert(got.length === 100 && got.distinct.length === 100)
+    // deterministic for a fixed input partitioning
+    val again = SampleOp(StageContext.one(spark, ids, Cfg.of("count" -> 100, "seed" -> 7)))
+      .select("id").as[Long].collect()
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+    // a different seed draws a different set
+    val other = SampleOp(StageContext.one(spark, ids, Cfg.of("count" -> 100, "seed" -> 8)))
+      .select("id").as[Long].collect()
+    assert(got.sorted.toSeq !== other.sorted.toSeq)
+    // k >= rows returns everything
+    assert(SampleOp(StageContext.one(spark, ids, Cfg.of("count" -> 9999)))
+      .count() === 5000L)
+    // plan: TakeOrderedAndProject (per-partition heaps), never a global sort
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("TakeOrderedAndProject"), planStr.linesIterator.take(4).mkString("\n"))
+    intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "count" -> 10, "fraction" -> 0.5))))
+    intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "count" -> 10, "with_replacement" -> true))))
+    intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "count" -> -1))))
+  }
 }
+
