@@ -50,6 +50,7 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("frag")) { fragProbe(); return }
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 15000, 50000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -250,6 +251,61 @@ object ScaleProbe {
 
     quiet = true; run(500); quiet = false // warm pass: codegen/plan caches, output discarded
     sizes.foreach(run)
+    spark.stop()
+  }
+
+  /** `sbt "runMain graft.ScaleProbe frag"` — the small-files claim behind
+    * index.compact, measured: build a minhash index, grow it with many
+    * small `index_append` batches (the incremental-ingestion usage
+    * pattern), time the probe against the fragmented corpus, compact,
+    * time the identical probe again. Survivor sets are asserted equal —
+    * compaction is physical — so the delta is pure file-count cost. */
+  private def fragProbe(): Unit = {
+    import graft.operators.{DedupMinHashOp, IndexBuildOp, IndexCompactOp, IndexSnapshot}
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val textUdf = F.udf(docText _)
+    def docs(from: Long, count: Long): DataFrame = spark.range(from, from + count)
+      .select(F.col("id").as("doc_id"), textUdf(F.col("id")).as("text"))
+
+    val idx = java.nio.file.Files.createTempDirectory("graft_frag_idx").toString
+    IndexBuildOp(StageContext.one(spark, docs(0, 20000), Cfg.of(
+      "type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+      "text_column" -> "text", "shingle_size" -> 3, "num_hashes" -> 128,
+      "bands" -> 32, "seed" -> 42)))
+    // 60 small ingestion batches of 50 novel docs each, appended in turn —
+    // a day of hourly incremental runs, compressed
+    (0 until 60).foreach { i =>
+      DedupMinHashOp(StageContext.one(spark, docs(1000000L + i * 50L, 50), Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "threshold" -> 0.8, "index_path" -> idx, "index_append" -> true))).count()
+    }
+    val probeBatch = docs(2000000L, 500)
+      .unionByName(docs(10000, 500).select((F.col("doc_id") + 3000000L).as("doc_id"), F.col("text")))
+    def probe(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val kept = DedupMinHashOp(StageContext.one(spark, probeBatch, Cfg.of(
+        "id_column" -> "doc_id", "text_column" -> "text",
+        "threshold" -> 0.8, "index_path" -> idx))).count()
+      ((System.nanoTime() - t0) / 1e9, kept)
+    }
+    def files(): Int = IndexSnapshot.files(s"$idx/corpus", "frag: no corpus").size
+    val filesBefore = files()
+    val runsBefore = (0 until 3).map(_ => probe())
+    IndexCompactOp(StageContext.one(spark, docs(0, 1), Cfg.of("path" -> idx)))
+    val filesAfter = files()
+    val runsAfter = (0 until 3).map(_ => probe())
+    require(runsBefore.map(_._2).distinct == runsAfter.map(_._2).distinct,
+      "compaction changed probe results")
+    println(f"""{"op":"index.fragmentation","appends":60,"files_before":$filesBefore,""" +
+      f""""sec_before":${runsBefore.map(_._1).min}%.2f,"files_after":$filesAfter,""" +
+      f""""sec_after":${runsAfter.map(_._1).min}%.2f,"survivors":${runsAfter.head._2}}""")
     spark.stop()
   }
 }

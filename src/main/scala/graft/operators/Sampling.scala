@@ -23,6 +23,10 @@ object SampleOp extends Stage {
     val df = ctx.primary
     cfg.strOpt("by") match {
       case Some(stratum) =>
+        if (cfg.has("count")) throw new GraftConfigError(
+          "sample.apply: 'count' (exact-k) does not compose with 'by' — per-stratum " +
+          "exact counts would need a count per stratum; use fractions, or filter to " +
+          "one stratum and sample with count")
         val fr = cfg.tblOpt("fractions").getOrElse(
           throw new GraftConfigError("sample.apply with 'by' requires a 'fractions' table"))
         val dflt = cfg.doubleOr("default_fraction", 0.0)
