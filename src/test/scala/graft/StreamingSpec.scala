@@ -445,6 +445,44 @@ class StreamingSpec extends SparkSpec {
     assert(next.select("vec_id").as[Long].collect().toSeq === Seq(302L))
   }
 
+  test("stream.ingest embedding: a restarted query resumes its checkpoint, not from scratch") {
+    import spark.implicits._
+    def vec(i: Int, scale: Float = 1f): Array[Float] =
+      Array.tabulate(4)(j => if (j == i) scale else 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_emb_resume_idx").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark,
+      Seq((1L, vec(0))).toDF("vec_id", "embedding"),
+      Cfg.of("type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+        "vector_column" -> "embedding", "bands" -> 4, "band_planes" -> 4,
+        "seed" -> 11, "partition_dirs" -> 8)))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_emb_resume_in").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_emb_resume_out").toString + "/data"
+    def runOnce(): Unit = {
+      val stream = FileStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+        "path" -> streamDir, "format" -> "parquet", "max_files_per_trigger" -> 1L)))
+      StreamIngestSink(StageContext.one(spark, stream, Cfg.of(
+        "path" -> out, "index_path" -> idx, "dedup" -> "embedding",
+        "trigger" -> "available_now", "id_column" -> "vec_id",
+        "vector_column" -> "embedding", "threshold" -> 0.95)))
+    }
+    Seq((10L, vec(2))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    runOnce()
+    assert(spark.read.parquet(out).select("vec_id").as[Long].collect().toSeq === Seq(10L))
+    // the query stopped; a later file arrives and the SAME checkpoint
+    // resumes — only the new micro-batch processes, and it must dedup
+    // against the FIRST run's index append (scaled copy of 10 drops)
+    Seq((20L, vec(2, 4f)), (21L, vec(3))).toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("append").parquet(streamDir)
+    runOnce()
+    val rows = spark.read.parquet(out)
+      .select("vec_id", "ingest_batch").collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue)).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(10L, 21L))
+    assert(rows.toMap.apply(21L) > rows.toMap.apply(10L),
+      "the resumed run continues the batch sequence instead of reprocessing batch 0")
+  }
+
   test("stream.ingest embedding retry idempotence: re-run re-lands its tag partitions") {
     import spark.implicits._
     def vec(i: Int, scale: Float = 1f): Array[Float] =
