@@ -176,6 +176,37 @@ class IndexCompactSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq === rows)
   }
 
+  test("ivf: append fragments cells, compact coalesces, knn probe identical") {
+    val idx = java.nio.file.Files.createTempDirectory("ic_ivf").toString
+    def mk(seedBase: Int, from: Int, until: Int) = (from until until).map { i =>
+      val r = new scala.util.Random(i * 31L + seedBase)
+      val v = Array.fill(8)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }.toDF("vec_id", "embedding")
+    IndexBuildOp(StageContext.one(spark, mk(7, 0, 40), Cfg.of(
+      "type" -> "ivf", "path" -> idx, "vector_column" -> "embedding",
+      "nlist" -> 4, "seed" -> 11)))
+    // two frozen-quantizer appends fragment the cell dirs
+    IndexBuildOp(StageContext.one(spark, mk(7, 100, 120), Cfg.of(
+      "type" -> "ivf", "path" -> idx, "vector_column" -> "embedding",
+      "mode" -> "append")))
+    IndexBuildOp(StageContext.one(spark, mk(7, 200, 220), Cfg.of(
+      "type" -> "ivf", "path" -> idx, "vector_column" -> "embedding",
+      "mode" -> "append")))
+    def probe() = graft.operators.KnnIvfOp(StageContext.one(spark, mk(7, 0, 1), Cfg.of(
+      "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "k" -> 10, "nprobe" -> 4, "index_path" -> idx)))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val filesBefore = corpusFiles(idx).size
+    val before = probe()
+    compact(idx)
+    assert(corpusFiles(idx).size < filesBefore, "compaction must reduce file count")
+    assert(probe() === before, "ivf probe identical across compaction")
+    // layout survived: cell dirs still prune (partition columns intact)
+    assert(spark.read.parquet(s"$idx/corpus").columns.contains("cell"))
+  }
+
   test("index.stats reports fragmentation before/after compact") {
     val idx = java.nio.file.Files.createTempDirectory("ic_stats").toString
     buildMinhash(idx)
