@@ -247,6 +247,22 @@ object ScaleProbe {
         report("knn.join.lsh", n, s,
           "probe_hamming" -> dH.toLong, "candidate_pairs" -> cand, "rows" -> rws)
       }
+
+      // bands-index probe (exact band agreement, d=0) — the r7 flagship
+      // layout under the batch-ANN workload, against the SAME bands index
+      // the incremental probe used
+      val (bkjSec, bkjRows) = timed {
+        KnnJoinOp(StageContext.one(spark, q500, Cfg.of(
+          "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 10,
+          "index_path" -> idxB))).count()
+      }
+      val qbB = q500.select(F.col("vec_id").as("qid"), F.posexplode(
+          DedupEmbeddingOp.bandSignatures(F.col("embedding"), 64, 16, 16, 11)))
+        .toDF("qid", "band", "bucket")
+      val candB = qbB.as("a").join(bsigs.as("b"),
+          F.col("a.band") === F.col("b.band") &&
+          F.col("a.bucket") === F.col("b.bucket")).count()
+      report("knn.join.bands", n, bkjSec, "candidate_pairs" -> candB, "rows" -> bkjRows)
     }
 
     quiet = true; run(500); quiet = false // warm pass: codegen/plan caches, output discarded
