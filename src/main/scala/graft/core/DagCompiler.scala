@@ -236,9 +236,8 @@ final class DagCompiler(registry: Registry) {
       pc.errorHandling.deadLetterQueue.foreach { dlq =>
         try {
           input.foreach(_.write.mode("overwrite").parquet(s"$dlq/$stageId"))
-          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dlq/$stageId"))
-          java.nio.file.Files.writeString(
-            java.nio.file.Paths.get(s"$dlq/$stageId/_error.txt"),
+          GraftFs.mkdirs(s"$dlq/$stageId")
+          GraftFs.writeString(s"$dlq/$stageId/_error.txt",
             s"stage: $stageId\nerror: ${e.getMessage}\n")
           System.err.println(s"[graft] stage '$stageId' input quarantined to $dlq/$stageId")
         } catch { case q: Exception =>

@@ -1,0 +1,258 @@
+package graft.core
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** The single filesystem seam for every index / ingest-output / kafka-log
+  * path the engine touches imperatively (existence checks, directory
+  * listings, crash-swap renames, manifest commits). All of it goes through
+  * `org.apache.hadoop.fs.FileSystem`, so an index root can be
+  * `file:/...`, `hdfs://nn/...`, or `s3a://bucket/...` — the same
+  * resolution path Spark's own readers/writers use. Driver-side only:
+  * every caller runs at plan-compose / maintenance time, never inside a
+  * task, so there is no serialization or per-row cost.
+  *
+  * Local bare paths (`/tmp/idx`, `target/idx`) resolve through the
+  * default FS exactly as before — the Hadoop local `FileSystem` wraps
+  * `java.io.File` — so nothing observable changes for single-box runs;
+  * the seam's point is that cluster stores resolve at all.
+  *
+  * RENAME SEMANTICS — the load-bearing design point. The two crash-swap
+  * protocols (IndexMaintenance's corpus-generation swap, and the
+  * hold-aside/install moves of IngestMaintenance's manifest protocol)
+  * assume a directory rename is ATOMIC and O(1): a crashed move leaves the
+  * directory wholly at the source or wholly at the destination, never a
+  * partial copy. That holds on file:, hdfs:, viewfs: and the rename-capable
+  * Azure stores — but NOT on S3-style object stores, where "rename" is an
+  * object-by-object copy + delete: a crash mid-move leaves BOTH a partial
+  * destination and a partial source, states the repair logic would
+  * misread as committed generations. Rather than corrupt quietly,
+  * [[requireAtomicRename]] guards every swap entry point and fails loud on
+  * such schemes, with the alternative spelled out (see
+  * docs/DESIGN_NOTES.md "Object-store commit semantics"). Plain manifest
+  * COMMITS (one small-file PUT) are atomic everywhere and are not guarded.
+  */
+object GraftFs {
+  /** Hadoop conf from the active Spark session when there is one (so
+    * `--conf spark.hadoop.*` fs settings like S3 credentials apply), else
+    * a default conf — same resolution as Spark's own data paths. */
+  def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  def path(s: String): Path = new Path(s)
+
+  def fs(s: String): FileSystem = path(s).getFileSystem(hadoopConf)
+
+  /** Fully-qualified form (scheme + authority resolved against the
+    * default FS) — the canonical identity of a path for claim keys and
+    * for `basePath` options that must match listed file paths. */
+  def qualified(s: String): String = {
+    val p = path(s)
+    p.getFileSystem(hadoopConf).makeQualified(p).toString
+  }
+
+  def isDir(s: String): Boolean = {
+    val p = path(s)
+    val f = p.getFileSystem(hadoopConf)
+    try f.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  def isFile(s: String): Boolean = {
+    val p = path(s)
+    val f = p.getFileSystem(hadoopConf)
+    try f.getFileStatus(p).isFile
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  def exists(s: String): Boolean = {
+    val p = path(s)
+    p.getFileSystem(hadoopConf).exists(p)
+  }
+
+  def mkdirs(s: String): Unit = {
+    val p = path(s)
+    p.getFileSystem(hadoopConf).mkdirs(p)
+  }
+
+  /** Recursive delete; no-op when the path is absent. */
+  def deleteRec(s: String): Unit = {
+    val p = path(s)
+    val f = p.getFileSystem(hadoopConf)
+    if (f.exists(p)) f.delete(p, true)
+  }
+
+  def deleteIfExists(s: String): Unit = {
+    val p = path(s)
+    val f = p.getFileSystem(hadoopConf)
+    if (f.exists(p)) f.delete(p, false)
+  }
+
+  def len(s: String): Long = {
+    val p = path(s)
+    p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+  }
+
+  def mtime(s: String): Long = {
+    val p = path(s)
+    p.getFileSystem(hadoopConf).getFileStatus(p).getModificationTime
+  }
+
+  /** Rename src → dst. Returns false when the FS reports a lost race
+    * (source vanished / destination appeared) instead of throwing — the
+    * swap-repair retry loops re-stat and converge on the winner, mirroring
+    * what they previously did by catching nio's typed exceptions. */
+  def rename(src: String, dst: String): Boolean = {
+    val sp = path(src)
+    val f = sp.getFileSystem(hadoopConf)
+    try f.rename(sp, path(dst))
+    catch {
+      case _: java.io.FileNotFoundException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    }
+  }
+
+  /** Schemes whose FileSystem.rename is an atomic metadata operation —
+    * the property the crash-swap protocols are derived from. Object-store
+    * connectors (s3/s3a/s3n, gs, oss, cos, swift) emulate rename by
+    * copy+delete and are NOT here. */
+  private val atomicRenameSchemes =
+    Set("file", "hdfs", "viewfs", "wasb", "wasbs", "abfs", "abfss", "o3fs", "ofs")
+
+  /** Scheme of a path string without instantiating its FileSystem (an
+    * unknown scheme must still reach the guard's message, not die on
+    * connector lookup); bare paths take the default FS scheme. */
+  private def schemeOf(s: String): String =
+    Option(path(s).toUri.getScheme)
+      .orElse(Option(FileSystem.getDefaultUri(hadoopConf).getScheme))
+      .getOrElse("file")
+
+  def renameIsAtomic(s: String): Boolean =
+    atomicRenameSchemes.contains(schemeOf(s).toLowerCase)
+
+  /** Guard for every rename-based swap protocol entry point: on stores
+    * without atomic rename the protocol's crash states are unrepairable
+    * (partial copies read as committed generations), so fail loud with
+    * the documented alternative instead of corrupting quietly. */
+  def requireAtomicRename(s: String, op: String): Unit =
+    if (!renameIsAtomic(s)) {
+      val scheme = schemeOf(s)
+      throw new GraftPlanError(
+        s"$op: the store at '$s' (scheme '$scheme') has no atomic directory rename — " +
+        "the crash-safe swap protocol cannot commit there (a crashed copy-based " +
+        "rename leaves partial generations the repair would misread). Keep index " +
+        "roots on file:/hdfs:/abfs:-class storage, or distcp a compacted index in " +
+        "as a whole generation; see docs/DESIGN_NOTES.md 'Object-store commit " +
+        "semantics'")
+    }
+
+  /** Child entry names (not paths) of a directory; empty when absent. */
+  def listNames(s: String): Vector[String] = {
+    val p = path(s)
+    val f = p.getFileSystem(hadoopConf)
+    if (!f.exists(p)) Vector.empty
+    else f.listStatus(p).map(_.getPath.getName).toVector
+  }
+
+  /** Child directory names of a directory; empty when absent. */
+  def listDirNames(s: String): Vector[String] = {
+    val p = path(s)
+    val f = p.getFileSystem(hadoopConf)
+    if (!f.exists(p)) Vector.empty
+    else f.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).toVector
+  }
+
+  /** All regular files under `s`, recursively, as (fully-qualified path,
+    * length) pairs. One listFiles call — on HDFS a single namenode-side
+    * recursive iterator, on S3A a flat LIST — instead of per-directory
+    * round trips. */
+  def listFilesRec(s: String): Vector[(String, Long)] = {
+    val p = path(s)
+    val f = p.getFileSystem(hadoopConf)
+    if (!f.exists(p)) Vector.empty
+    else {
+      val it = f.listFiles(p, true)
+      val buf = Vector.newBuilder[(String, Long)]
+      while (it.hasNext) { val st = it.next(); buf += ((st.getPath.toString, st.getLen)) }
+      buf.result()
+    }
+  }
+
+  /** `child` relative to directory `base`, as `/`-separated segments —
+    * both are qualified first so listed (qualified) file paths relativize
+    * against caller-supplied (possibly bare) roots. */
+  def relativize(base: String, child: String): String = {
+    val b = qualified(base).stripSuffix("/")
+    val c = qualified(child)
+    if (c == b) ""
+    else if (c.startsWith(b + "/")) c.substring(b.length + 1)
+    else throw new IllegalArgumentException(s"'$child' is not under '$base'")
+  }
+
+  def readString(s: String): String = {
+    val p = path(s)
+    val f = p.getFileSystem(hadoopConf)
+    val in = f.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** First line of a (possibly large) text file without reading the rest —
+    * the kafka segment-pruning probe. None for an empty file. */
+  def readFirstLine(s: String): Option[String] = {
+    val p = path(s)
+    val f = p.getFileSystem(hadoopConf)
+    val in = f.open(p)
+    try {
+      val r = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+      Option(r.readLine())
+    } finally in.close()
+  }
+
+  /** Plain overwrite write (create(overwrite = true)) — for files whose
+    * content is idempotent to rewrite (tmp stages of committed protocols,
+    * stats caches). Not atomic w.r.t. concurrent readers; use
+    * [[writeStringCommit]] where the write IS a commit point. */
+  def writeString(s: String, content: String): Unit = {
+    val p = path(s)
+    val f = p.getFileSystem(hadoopConf)
+    val out = f.create(p, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Write-then-rename small-file commit: readers see the old content or
+    * the new, never a torn write. On object stores a single-object PUT is
+    * already atomic, so the guard does not apply here — this is the
+    * commit primitive that works EVERYWHERE, which is why the manifest
+    * protocols commit through it rather than through directory renames. */
+  def writeStringCommit(s: String, content: String): Unit = {
+    val p = path(s)
+    val f = p.getFileSystem(hadoopConf)
+    if (!renameIsAtomic(s)) {
+      // object store: one PUT is atomic; a tmp+copy-rename would be weaker
+      writeString(s, content)
+    } else {
+      val tmp = new Path(p.getParent,
+        "." + p.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (f.exists(p)) f.delete(p, false)
+      if (!f.rename(tmp, p)) {
+        f.delete(tmp, false)
+        if (!f.exists(p))
+          throw new java.io.IOException(s"commit rename to $s lost a race and no winner is visible")
+      }
+    }
+  }
+}

@@ -461,9 +461,9 @@ object DedupExactOp extends Stage {
     // missing index under CLI explain → empty placeholder (the earlier
     // skipped index.build barrier would have created it); see minhash
     val placeholder = cfg.boolOr("_explain_only", false) &&
-      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+      !GraftFs.isDir(s"$path/meta")
     if (!placeholder) {
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+      if (!GraftFs.isDir(s"$path/meta"))
         throw new GraftPlanError(
           s"dedup.exact: no exact-dedup index at $path — run index.build type=exact first")
       val metaRow = spark.read.parquet(s"$path/meta").head()
@@ -509,8 +509,7 @@ private[graft] object IndexSnapshot {
     * the index with no warning. Claimed at PLAN time so `explain` rejects
     * the pipeline too. */
   def claimAppend(ctx: graft.core.StageContext, op: String, path: String): Unit = {
-    val key = "index_append:" +
-      java.nio.file.Paths.get(path).toAbsolutePath.normalize.toString
+    val key = "index_append:" + GraftFs.qualified(path)
     if (!ctx.claimOnce(key)) throw new GraftConfigError(
       s"$op: two stages in one pipeline register index_append = true for the index at " +
       s"$path — each snapshots the corpus before the other's deferred append fires, so " +
@@ -527,8 +526,8 @@ private[graft] object IndexSnapshot {
   def append(df: DataFrame, corpusDir: String, streamTag: Option[String]): Unit = {
     // appending into the missing-corpus window of a crashed compact would
     // fork a fresh corpus that the repair would then discard — repair first
-    val p = java.nio.file.Paths.get(corpusDir)
-    if (p.getParent != null) IndexMaintenance.recoverSwap(p.getParent.toString)
+    val parent = GraftFs.path(corpusDir).getParent
+    if (parent != null) IndexMaintenance.recoverSwap(parent.toString)
     streamTag match {
       case None      => df.write.mode("append").parquet(corpusDir)
       case Some(tag) => df.write.mode("overwrite").parquet(s"$corpusDir/$tag")
@@ -548,7 +547,11 @@ private[graft] object IndexSnapshot {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
     else {
       val reader = spark.read
-      (if (basePath) reader.option("basePath", dir) else reader).parquet(fs: _*)
+      // basePath must be qualified the same way as the listed file paths
+      // (which come back fully qualified from the Hadoop listing) or
+      // partition-column recovery misses
+      (if (basePath) reader.option("basePath", GraftFs.qualified(dir)) else reader)
+        .parquet(fs: _*)
     }
   }
 
@@ -556,28 +559,30 @@ private[graft] object IndexSnapshot {
     * name — the streaming-ingest retry shape: a re-run micro-batch must
     * not probe against its OWN failed-attempt append (`corpus/<tag>/`) or
     * every row would self-match and the retry would emit nothing. */
-  def files(dir: String, missingMsg: String, excludeDir: Option[String] = None): Vector[String] = {
-    val p = java.nio.file.Paths.get(dir)
+  def files(dir: String, missingMsg: String, excludeDir: Option[String] = None): Vector[String] =
+    filesWithLen(dir, missingMsg, excludeDir).map(_._1)
+
+  /** Same snapshot listing with file lengths — one recursive Hadoop
+    * listFiles call (a single namenode iterator / object-store LIST, not a
+    * per-directory walk), so fragmentation stats come for free. */
+  def filesWithLen(dir: String, missingMsg: String,
+      excludeDir: Option[String] = None): Vector[(String, Long)] = {
+    val p = GraftFs.path(dir)
     // a previous index.compact may have died mid-swap — repair before
     // listing, so no reader observes a missing/partial corpus generation
-    if (p.getFileName != null && p.getFileName.toString == "corpus" && p.getParent != null)
+    if (p.getName == "corpus" && p.getParent != null)
       IndexMaintenance.recoverSwap(p.getParent.toString)
-    if (!java.nio.file.Files.isDirectory(p)) throw new GraftPlanError(missingMsg)
-    val stream = java.nio.file.Files.walk(p)
-    try stream.iterator().asScala
-      .filter { q =>
-        val name = q.getFileName.toString
-        name.startsWith("part-") && name.endsWith(".parquet") &&
-        // skip Spark's uncommitted output (_temporary attempt dirs from a
-        // crashed append/build) and any other hidden dirs — committed
-        // part files live DIRECTLY under the corpus dir
-        !p.relativize(q).iterator().asScala.exists { seg =>
-          val s = seg.toString
-          s.startsWith("_") || s.startsWith(".") || excludeDir.contains(s)
-        }
+    if (!GraftFs.isDir(dir)) throw new GraftPlanError(missingMsg)
+    GraftFs.listFilesRec(dir).filter { case (f, _) =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      name.startsWith("part-") && name.endsWith(".parquet") &&
+      // skip Spark's uncommitted output (_temporary attempt dirs from a
+      // crashed append/build) and any other hidden dirs — committed
+      // part files live DIRECTLY under the corpus dir
+      !GraftFs.relativize(dir, f).split('/').exists { s =>
+        s.startsWith("_") || s.startsWith(".") || excludeDir.contains(s)
       }
-      .map(_.toString).toVector
-    finally stream.close()
+    }
   }
 }
 
@@ -679,13 +684,13 @@ object DedupMinHashOp extends Stage {
     // placeholder
     val explainOnly = cfg.boolOr("_explain_only", false)
     val placeholder = explainOnly &&
-      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+      !GraftFs.isDir(s"$path/meta")
     val (n, k, bands, seed) =
       if (placeholder)
         (cfg.longOr("shingle_size", 3L).toInt, cfg.longOr("num_hashes", 128L).toInt,
          cfg.longOr("bands", 32L).toInt, cfg.longOr("seed", 42L))
       else {
-        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+        if (!GraftFs.isDir(s"$path/meta"))
           throw new GraftPlanError(
             s"dedup.minhash: no minhash index at $path — run index.build type=minhash first")
         val meta = spark.read.parquet(s"$path/meta").head()
@@ -838,9 +843,9 @@ object DedupSimHashOp extends Stage {
     val maxDist = cfg.longOr("max_distance", 3L).toInt
     val explainOnly = cfg.boolOr("_explain_only", false)
     val placeholder = explainOnly &&
-      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+      !GraftFs.isDir(s"$path/meta")
     if (!placeholder) {
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+      if (!GraftFs.isDir(s"$path/meta"))
         throw new GraftPlanError(
           s"dedup.simhash: no simhash index at $path — run index.build type=simhash first")
       val meta = spark.read.parquet(s"$path/meta").head()
@@ -976,13 +981,13 @@ object DedupNgramOp extends Stage {
         "(the index is immutable — only the pairwise min-id policy is well-defined)")
     val explainOnly = cfg.boolOr("_explain_only", false)
     val placeholder = explainOnly &&
-      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+      !GraftFs.isDir(s"$path/meta")
     val (n, bands, r, seed) =
       if (placeholder)
         (cfg.longOr("ngram_size", 5L).toInt, cfg.longOr("bands", 8L).toInt,
          cfg.longOr("rows_per_band", 6L).toInt, cfg.longOr("seed", 7L))
       else {
-        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+        if (!GraftFs.isDir(s"$path/meta"))
           throw new GraftPlanError(
             s"dedup.ngram: no ngram index at $path — run index.build type=ngram first")
         val meta = spark.read.parquet(s"$path/meta").head()
@@ -1298,7 +1303,7 @@ object DedupEmbeddingOp extends Stage {
     // silently probing with mismatched signatures.
     val explainOnly = cfg.boolOr("_explain_only", false)
     val metaExists =
-      java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+      GraftFs.isDir(s"$path/meta")
     if (!metaExists && !explainOnly)
       throw new GraftPlanError(
         s"dedup.embedding: no lsh index at $path — run index.build type=lsh first")
@@ -1337,7 +1342,7 @@ object DedupEmbeddingOp extends Stage {
     val threshold = cfg.doubleOr("threshold", 0.95)
     val explainOnly = cfg.boolOr("_explain_only", false)
     val placeholder = explainOnly &&
-      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+      !GraftFs.isDir(s"$path/meta")
     val streamTag = cfg.strOpt("_stream_batch_tag")
     val (bands, r, seed, dim, pdirs) =
       if (placeholder)
@@ -1460,7 +1465,7 @@ object DedupEmbeddingOp extends Stage {
 
     val explainOnly = cfg.boolOr("_explain_only", false)
     val placeholder = explainOnly &&
-      !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+      !GraftFs.isDir(s"$path/meta")
     val (h, blocks, seed, dim, pdirs) =
       if (placeholder)
         (cfg.longOr("num_planes", 32L).toInt, cfg.longOr("blocks", 4L).toInt,
@@ -1471,7 +1476,7 @@ object DedupEmbeddingOp extends Stage {
            ctx.primary.select(F.size(F.col(vecCol))).head(1).headOption.map(_.getInt(0)).getOrElse(0)),
          cfg.longOr("partition_dirs", 64L).toInt)
       else {
-        if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+        if (!GraftFs.isDir(s"$path/meta"))
           throw new GraftPlanError(
             s"dedup.embedding: no lsh index at $path — run index.build type=lsh first")
         val meta = spark.read.parquet(s"$path/meta").head()

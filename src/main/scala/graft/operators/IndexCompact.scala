@@ -28,46 +28,54 @@ private[graft] object IndexMaintenance {
     * data loss).
     */
   def recoverSwap(path: String, cleanTmp: Boolean = false): Unit = synchronized {
-    import java.nio.file.{Files, Paths, FileAlreadyExistsException, NoSuchFileException,
-      DirectoryNotEmptyException}
-    val corpus = Paths.get(s"$path/corpus")
-    val hold = Paths.get(s"$path/corpus.compact.old")
-    val tmp = Paths.get(s"$path/corpus.compact.tmp")
-    def repair(): Unit =
-      if (Files.isDirectory(hold)) {
-        if (!Files.isDirectory(corpus)) {
+    val corpus = s"$path/corpus"
+    val hold = s"$path/corpus.compact.old"
+    val tmp = s"$path/corpus.compact.tmp"
+    // true = this attempt's view converged; false = a rename reported a
+    // lost race (source vanished / destination appeared under us)
+    def repair(): Boolean =
+      if (GraftFs.isDir(hold)) {
+        if (!GraftFs.isDir(corpus)) {
           // died between hold-aside and install. The tmp write commits
           // BEFORE the swap starts, so if tmp exists it is the complete new
           // generation — finish the install; tmp missing (external
           // tampering) falls back to restoring the held old generation.
-          if (Files.isDirectory(tmp)) { Files.move(tmp, corpus); KafkaLog.deleteRec(hold) }
-          else Files.move(hold, corpus)
+          if (GraftFs.isDir(tmp)) {
+            if (!GraftFs.rename(tmp, corpus)) false
+            else { GraftFs.deleteRec(hold); true }
+          } else GraftFs.rename(hold, corpus)
         } else {
           // died after install, before the held generation's delete
-          KafkaLog.deleteRec(hold)
+          GraftFs.deleteRec(hold); true
         }
-      } else if (cleanTmp && Files.isDirectory(tmp)) {
-        KafkaLog.deleteRec(tmp)
-      }
+      } else if (cleanTmp && GraftFs.isDir(tmp)) {
+        GraftFs.deleteRec(tmp); true
+      } else true
     // the lock serializes repairs within one JVM, but concurrent READER
     // processes are allowed (only compact itself must be quiesced), and
     // after a crashed compact every reader races the same moves — the
-    // loser's move throws; the repair is idempotent over directory
-    // states, so re-stat and re-run until the winner's result is visible
+    // loser's rename reports failure (Hadoop FS rename returns false on a
+    // vanished source / appeared destination rather than throwing); the
+    // repair is idempotent over directory states, so re-stat and re-run
+    // until the winner's result is visible. A crashed-compact repair can
+    // only exist where compact ran, and compact's entry point guards
+    // atomic-rename capability — so these moves never run on a
+    // copy-rename object store.
     var attempts = 0
     var done = false
     while (!done) {
-      try { repair(); done = true }
-      catch {
-        case e @ (_: FileAlreadyExistsException | _: NoSuchFileException |
-                  _: DirectoryNotEmptyException) =>
-          attempts += 1
-          if (attempts >= 5) {
-            // converged iff a complete generation is installed and no held
-            // generation remains — then the race partner finished the job
-            if (Files.isDirectory(corpus) && !Files.isDirectory(hold)) done = true
-            else throw e
-          } else Thread.sleep(20L * attempts)
+      if (repair()) done = true
+      else {
+        attempts += 1
+        if (attempts >= 5) {
+          // converged iff a complete generation is installed and no held
+          // generation remains — then the race partner finished the job
+          if (GraftFs.isDir(corpus) && !GraftFs.isDir(hold)) done = true
+          else throw new GraftPlanError(
+            s"index maintenance: crash-swap repair at $path did not converge " +
+            s"after $attempts attempts (corpus=${GraftFs.isDir(corpus)}, " +
+            s"held=${GraftFs.isDir(hold)})")
+        } else Thread.sleep(20L * attempts)
       }
     }
   }
@@ -76,8 +84,7 @@ private[graft] object IndexMaintenance {
     * its own metadata — shared by index.compact and index.stats. */
   def layout(spark: org.apache.spark.sql.SparkSession, path: String,
       op: String): (String, Seq[String]) = {
-    import java.nio.file.{Files, Paths}
-    if (Files.isDirectory(Paths.get(s"$path/meta"))) {
+    if (GraftFs.isDir(s"$path/meta")) {
       val fields = spark.read.parquet(s"$path/meta").schema.fieldNames.toSet
       if (fields.contains("band_planes")) ("lsh", Seq("band", "pband", "ingest_tag"))
       else if (fields.contains("pbuckets")) ("lsh", Seq("block", "pbucket"))
@@ -87,7 +94,7 @@ private[graft] object IndexMaintenance {
       else if (fields.contains("columns")) ("exact", Seq.empty)
       else throw new GraftPlanError(
         s"$op: unrecognized index meta at $path (fields: ${fields.mkString(", ")})")
-    } else if (Files.isDirectory(Paths.get(s"$path/centroids"))) ("ivf", Seq("cell"))
+    } else if (GraftFs.isDir(s"$path/centroids")) ("ivf", Seq("cell"))
     else throw new GraftPlanError(s"$op: no index at $path — run index.build first")
   }
 }
@@ -142,7 +149,20 @@ private[graft] object IndexMaintenance {
   * `explain` skips it (read-only).
   *
   * Config: `path` (the index root), `target_file_mb` = 128 (flat
-  * layouts), `force` = false (required to fold stream.ingest sb-* dirs).
+  * layouts), `force` = false (required to fold stream.ingest sb-* dirs),
+  * and optionally `compact_if` — POLICY thresholds so a scheduled
+  * maintenance pipeline compacts only when fragmentation warrants it
+  * (the shape a corpus-lifetime deployment actually runs, instead of
+  * rewriting a healthy corpus every night):
+  *
+  *   compact_if = { mean_file_kb_below = 512, files_above = 1000,
+  *                  appends_since_compact_above = 200 }
+  *
+  * Conditions OR together (any trip ⇒ compact; the table present but no
+  * condition tripped ⇒ loud-logged no-op); the stats come from the same
+  * listing index.stats reports, so the decision costs one directory
+  * listing, no data scan. Omit `compact_if` for today's unconditional
+  * behavior.
   */
 object IndexCompactOp extends Stage {
   val name = "index.compact"
@@ -155,17 +175,49 @@ object IndexCompactOp extends Stage {
     val targetMb = cfg.longOr("target_file_mb", 128L)
     if (targetMb < 1) throw new GraftConfigError("index.compact: target_file_mb must be >= 1")
     val spark = ctx.spark
-    import java.nio.file.{Files, Paths}
 
+    // the swap below is derived from atomic directory rename — refuse up
+    // front on copy-rename object stores instead of corrupting mid-swap
+    GraftFs.requireAtomicRename(path, "index.compact")
     IndexMaintenance.recoverSwap(path, cleanTmp = true)
 
     // the index family (= corpus layout) from its own metadata
     val (_, partitionCols) = IndexMaintenance.layout(spark, path, "index.compact")
 
     val corpusDir = s"$path/corpus"
-    val files = IndexSnapshot.files(corpusDir,
+    val filesLen = IndexSnapshot.filesWithLen(corpusDir,
       s"index.compact: index at $path has no corpus directory")
+    val files = filesLen.map(_._1)
     if (files.isEmpty) return ctx.primary // empty index — nothing to rewrite
+
+    // compact_if policy gate: skip the rewrite when nothing tripped
+    val policySkipped = cfg.tblOpt("compact_if").exists { cond =>
+      val known = Set("mean_file_kb_below", "files_above", "appends_since_compact_above")
+      cond.table.keys.filterNot(known).foreach(k => throw new GraftConfigError(
+        s"index.compact: unknown compact_if condition '$k' (use ${known.mkString(", ")})"))
+      if (cond.table.isEmpty) throw new GraftConfigError(
+        "index.compact: compact_if is present but names no condition")
+      val meanKb = filesLen.map(_._2).sum / 1024.0 / files.size
+      lazy val sinceCompact = {
+        val gen = s"$path/compact.gen"
+        if (!GraftFs.exists(gen)) files.size.toLong
+        else {
+          val compacted = GraftFs.readString(gen)
+            .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
+          files.count(f => !compacted.contains(GraftFs.relativize(corpusDir, f))).toLong
+        }
+      }
+      val tripped =
+        cond.longOpt("mean_file_kb_below").exists(meanKb < _) ||
+        cond.longOpt("files_above").exists(files.size > _) ||
+        cond.longOpt("appends_since_compact_above").exists(sinceCompact > _)
+      if (!tripped)
+        System.err.println(s"[graft] index.compact: $path — compact_if not tripped " +
+          f"(${files.size} files, mean $meanKb%.1f KiB, $sinceCompact appends since " +
+          "compact) — skipped")
+      !tripped
+    }
+    if (policySkipped) return ctx.primary
     // a stream.ingest query crashed mid-batch may hold an UNCOMMITTED
     // corpus/sb-* append that its replay must still see via the excludeDir
     // self-match exclusion; folding it into the flat generation would make
@@ -173,11 +225,8 @@ object IndexCompactOp extends Stage {
     // nothing. Committed and in-flight sb-* dirs are indistinguishable
     // from here, so their mere presence blocks compaction unless the
     // caller asserts the stream is quiesced at a committed batch.
-    val corpusP0 = Paths.get(corpusDir)
-    import scala.jdk.CollectionConverters._
-    val sbDirs = files.map(f => corpusP0.relativize(Paths.get(f)))
-      .flatMap(rel => Option(rel.getParent).toSeq
-        .flatMap(_.iterator().asScala.map(_.toString)))
+    val sbDirs = files.map(f => GraftFs.relativize(corpusDir, f))
+      .flatMap(_.split('/').dropRight(1))
       .filter(s => s.startsWith("sb-") || s.startsWith("ingest_tag=sb-"))
       .distinct
     if (sbDirs.nonEmpty && !cfg.boolOr("force", false))
@@ -187,10 +236,11 @@ object IndexCompactOp extends Stage {
         "its replay dedups against its own folded append and emits nothing. Stop the " +
         "stream at a committed batch (or drop its checkpoint), then re-run with " +
         "force = true")
-    val bytes = files.map(f => Files.size(Paths.get(f))).sum
+    val bytes = filesLen.map(_._2).sum
 
     val reader = spark.read
-    val corpus0 = (if (partitionCols.nonEmpty) reader.option("basePath", corpusDir)
+    val corpus0 = (if (partitionCols.nonEmpty)
+                     reader.option("basePath", GraftFs.qualified(corpusDir))
                    else reader).parquet(files: _*)
     // bands layout: fold every ingest_tag into "base" — the tag is layout
     // provenance (which micro-batch appended the row), never probed, and a
@@ -202,41 +252,54 @@ object IndexCompactOp extends Stage {
     val corpus = if (partitionCols.contains("ingest_tag"))
       corpus0.withColumn("ingest_tag", F.lit("base")) else corpus0
 
-    val tmp = Paths.get(s"$path/corpus.compact.tmp")
+    val tmp = s"$path/corpus.compact.tmp"
     if (partitionCols.nonEmpty)
       corpus.repartition(partitionCols.map(F.col): _*)
-        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp.toString)
+        .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
     else {
       val targetBytes = targetMb * 1024L * 1024L
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      corpus.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+      corpus.repartition(nOut).write.mode("overwrite").parquet(tmp)
     }
 
     // refuse to install a generation that lost (or invented) rows: the
     // swap deletes the old corpus, so this is the last cheap moment to
     // notice a rewrite bug before it becomes data loss
     val before = corpus.count()
-    val after = spark.read.parquet(tmp.toString).count()
+    val after = spark.read.parquet(tmp).count()
     if (before != after) {
-      KafkaLog.deleteRec(tmp)
+      GraftFs.deleteRec(tmp)
       throw new GraftPlanError(
         s"index.compact: rewrite row count mismatch at $path ($before before, $after " +
         "after) — compacted generation discarded, index left untouched")
     }
 
-    val hold = Paths.get(s"$path/corpus.compact.old")
-    Files.move(Paths.get(corpusDir), hold)
-    Files.move(tmp, Paths.get(corpusDir))
-    KafkaLog.deleteRec(hold)
+    // record the compacted generation's file list (for index.stats'
+    // appends_since_compact) BEFORE the swap, from the tmp listing — the
+    // relative part-file names are identical post-install, and writing it
+    // here means a crash between the swap and this write can't leave
+    // stats over-reporting the whole corpus as fresh appends. A crash
+    // between this write and the swap leaves compact.gen naming a
+    // discarded tmp generation — stats then over-report (reads as "never
+    // compacted"), which only triggers an early re-compact, never skips one.
+    val tmpFiles = IndexSnapshot.files(tmp, s"index.compact: $tmp vanished")
+    val rel = tmpFiles.map(f => GraftFs.relativize(tmp, f))
+    GraftFs.writeStringCommit(s"$path/compact.gen", rel.mkString("\n"))
 
-    val newFiles = IndexSnapshot.files(corpusDir, s"index.compact: $corpusDir vanished")
-    // record the compacted generation's file list so index.stats can
-    // report appends_since_compact (files beyond this generation) — the
-    // "should I compact again yet?" signal
-    val rel = newFiles.map(f => Paths.get(corpusDir).relativize(Paths.get(f)).toString)
-    Files.write(Paths.get(s"$path/compact.gen"), rel.mkString("\n").getBytes("UTF-8"))
+    val hold = s"$path/corpus.compact.old"
+    if (!GraftFs.rename(corpusDir, hold))
+      throw new GraftPlanError(
+        s"index.compact: could not hold the corpus generation aside at $path — " +
+        "another maintenance process is racing this compact (compact must run quiesced)")
+    if (!GraftFs.rename(tmp, corpusDir))
+      // recoverable: the next corpus reader's recoverSwap installs tmp
+      throw new GraftPlanError(
+        s"index.compact: install rename lost a race at $path — the next corpus " +
+        "reader repairs the swap; re-run compact quiesced")
+    GraftFs.deleteRec(hold)
+
     System.err.println(s"[graft] index.compact: $path — ${files.size} files " +
-      s"(${bytes / 1048576} MiB) → ${newFiles.size} files")
+      s"(${bytes / 1048576} MiB) → ${tmpFiles.size} files")
     ctx.primary
   }
 }
@@ -268,7 +331,6 @@ object IndexStatsOp extends Stage {
     val cfg = ctx.cfg
     val path = cfg.str("path")
     val spark = ctx.spark
-    import java.nio.file.{Files, Paths}
     import spark.implicits._
 
     if (cfg.boolOr("_explain_only", false))
@@ -279,23 +341,21 @@ object IndexStatsOp extends Stage {
     IndexMaintenance.recoverSwap(path)
     val (family, partitionCols) = IndexMaintenance.layout(spark, path, "index.stats")
     val corpusDir = s"$path/corpus"
-    val files = IndexSnapshot.files(corpusDir,
+    val filesLen = IndexSnapshot.filesWithLen(corpusDir,
       s"index.stats: index at $path has no corpus directory")
-    val bytes = files.map(f => Files.size(Paths.get(f))).sum
-    val corpusP = Paths.get(corpusDir)
-    import scala.jdk.CollectionConverters._
+    val files = filesLen.map(_._1)
+    val bytes = filesLen.map(_._2).sum
     // one dir per stream.ingest micro-batch (the per-batch idempotent
     // append target) — the lsh/ivf partition dirs are key=value segments
-    val appendDirs = files.map(f => corpusP.relativize(Paths.get(f)))
-      .flatMap(rel => Option(rel.getParent).toSeq
-        .flatMap(_.iterator().asScala.map(_.toString)))
+    val appendDirs = files.map(f => GraftFs.relativize(corpusDir, f))
+      .flatMap(_.split('/').dropRight(1))
       // flat layouts: bare sb-* subdirs; bands layout: ingest_tag=sb-*
       // partition dirs (counted once per tag, not once per (band, pband))
       .filter(s => !s.contains("=") || s.startsWith("ingest_tag=sb-"))
       .distinct.size.toLong
     val partDirs =
       if (partitionCols.isEmpty) 0L
-      else files.map(f => Paths.get(f).getParent.toString).distinct.size.toLong
+      else files.map(f => f.substring(0, f.lastIndexOf('/'))).distinct.size.toLong
     val rows =
       if (files.isEmpty) 0L
       else spark.read.parquet(files: _*).count() // parquet footer count
@@ -303,15 +363,18 @@ object IndexStatsOp extends Stage {
       else math.round(bytes / 1024.0 / files.size * 10) / 10.0
     // files beyond the last compacted generation (index.compact records
     // its generation's file list in compact.gen) — the direct "appends
-    // since last compact" trigger signal; never compacted → every file
-    val gen = Paths.get(s"$path/compact.gen")
+    // since last compact" trigger signal; never compacted → every file.
+    // Self-healing heuristic: a compact crashed between its gen-write and
+    // its swap leaves gen naming a discarded generation, which reads here
+    // as "everything is a fresh append" — an early re-compact, never a
+    // skipped one.
+    val gen = s"$path/compact.gen"
     val sinceCompact =
-      if (!Files.exists(gen)) files.size.toLong
+      if (!GraftFs.exists(gen)) files.size.toLong
       else {
-        val compacted = new String(Files.readAllBytes(gen), "UTF-8")
+        val compacted = GraftFs.readString(gen)
           .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
-        files.count(f =>
-          !compacted.contains(corpusP.relativize(Paths.get(f)).toString)).toLong
+        files.count(f => !compacted.contains(GraftFs.relativize(corpusDir, f))).toLong
       }
     Seq((path, family, rows, files.size.toLong, bytes, meanKb, appendDirs, partDirs,
         sinceCompact))

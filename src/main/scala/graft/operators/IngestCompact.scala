@@ -19,45 +19,43 @@ import graft.core._
   * worst transient state is held-aside rows missing until the next repair.
   */
 private[graft] object IngestMaintenance {
-  import java.nio.file.{Files, Paths, Path}
-
-  private def deleteIfExists(p: Path): Unit = if (Files.exists(p)) KafkaLog.deleteRec(p)
 
   def recoverSwap(root: String): Unit = synchronized {
     // the lock serializes repairs within one JVM; across processes (a
     // stream.ingest start racing a crashed compact's repair from another
     // graft run) the repair is idempotent over directory states — a lost
-    // move race re-stats and re-runs until the winner's result is
-    // visible, the same contract IndexMaintenance.recoverSwap got in r6
-    import java.nio.file.{FileAlreadyExistsException, NoSuchFileException,
-      DirectoryNotEmptyException}
+    // rename race (Hadoop FS rename returns false rather than throwing)
+    // re-stats and re-runs until the winner's result is visible, the same
+    // contract IndexMaintenance.recoverSwap got in r6. These dir moves
+    // only exist where ingest.compact ran, whose entry point guards
+    // atomic-rename capability, so they never run on a copy-rename store.
     var attempts = 0
     var done = false
     while (!done) {
-      try { repairOnce(root); done = true }
-      catch {
-        case e @ (_: FileAlreadyExistsException | _: NoSuchFileException |
-                  _: DirectoryNotEmptyException) =>
-          attempts += 1
-          if (attempts >= 5) {
-            // converged iff no commit marker and no held sources remain
-            val rootP = Paths.get(root)
-            if (!Files.exists(rootP.resolve("_ingest_compact_manifest.json")) &&
-                !Files.isDirectory(rootP.resolve("_ingest_compact_old"))) done = true
-            else throw e
-          } else Thread.sleep(20L * attempts)
+      if (repairOnce(root)) done = true
+      else {
+        attempts += 1
+        if (attempts >= 5) {
+          // converged iff no commit marker and no held sources remain
+          if (!GraftFs.exists(s"$root/_ingest_compact_manifest.json") &&
+              !GraftFs.isDir(s"$root/_ingest_compact_old")) done = true
+          else throw new GraftPlanError(
+            s"ingest maintenance: crash-swap repair at $root did not converge " +
+            s"after $attempts attempts")
+        } else Thread.sleep(20L * attempts)
       }
     }
   }
 
-  private def repairOnce(root: String): Unit = {
-    val rootP = Paths.get(root)
-    if (!Files.isDirectory(rootP)) return
-    val manifest = rootP.resolve("_ingest_compact_manifest.json")
-    val tmpData = rootP.resolve("_ingest_compact_tmp").resolve("data")
-    val old = rootP.resolve("_ingest_compact_old")
-    val target = rootP.resolve("ingest_batch=-1")
-    if (Files.exists(manifest)) {
+  /** One repair pass; false = a rename lost a race and the caller should
+    * re-stat and retry. */
+  private def repairOnce(root: String): Boolean = {
+    if (!GraftFs.isDir(root)) return true
+    val manifest = s"$root/_ingest_compact_manifest.json"
+    val tmpData = s"$root/_ingest_compact_tmp/data"
+    val old = s"$root/_ingest_compact_old"
+    val target = s"$root/ingest_batch=-1"
+    if (GraftFs.exists(manifest)) {
       // the manifest is written only after the tmp generation is complete
       // → roll FORWARD: finish holding sources aside, install, clean up.
       // The manifest names only ingest_batch=<id> source dirs, NEVER the
@@ -65,41 +63,40 @@ private[graft] object IngestMaintenance {
       // old folded generation (pre-install — its rows are already merged
       // into tmp) or the freshly installed one (post-install — must not
       // be touched) is decided by whether tmp still exists.
-      val names = new String(Files.readAllBytes(manifest), "UTF-8")
+      val names = GraftFs.readString(manifest)
         .linesIterator.map(_.trim).filter(_.nonEmpty).toVector
-      Files.createDirectories(old)
-      names.foreach { n =>
-        val src = rootP.resolve(n)
-        if (Files.isDirectory(src)) Files.move(src, old.resolve(n))
+      GraftFs.mkdirs(old)
+      for (n <- names) {
+        val src = s"$root/$n"
+        if (GraftFs.isDir(src) && !GraftFs.rename(src, s"$old/$n")) return false
       }
-      if (Files.isDirectory(tmpData)) {
-        if (Files.isDirectory(target)) {
+      if (GraftFs.isDir(tmpData)) {
+        if (GraftFs.isDir(target)) {
           // a repair that crashed exactly between this hold-aside and the
           // install can leave a stale held copy; it is already merged
           // into tmp, so clear it rather than fail the move
-          deleteIfExists(old.resolve("ingest_batch=-1.old"))
-          Files.move(target, old.resolve("ingest_batch=-1.old"))
+          GraftFs.deleteRec(s"$old/ingest_batch=-1.old")
+          if (!GraftFs.rename(target, s"$old/ingest_batch=-1.old")) return false
         }
-        Files.move(tmpData, target)
+        if (!GraftFs.rename(tmpData, target)) return false
       }
-      deleteIfExists(old)
-      Files.deleteIfExists(manifest)
-      deleteIfExists(rootP.resolve("_ingest_compact_tmp"))
+      GraftFs.deleteRec(old)
+      GraftFs.deleteIfExists(manifest)
+      GraftFs.deleteRec(s"$root/_ingest_compact_tmp")
+      true
     } else {
       // crash before the commit point: restore anything held aside (dir
       // names are preserved, so the move back is exact) and discard tmp
-      if (Files.isDirectory(old)) {
-        val stream = Files.list(old)
-        try {
-          import scala.jdk.CollectionConverters._
-          stream.iterator().asScala.foreach { held =>
-            val back = rootP.resolve(held.getFileName.toString)
-            if (!Files.exists(back)) Files.move(held, back)
-          }
-        } finally stream.close()
-        deleteIfExists(old)
+      if (GraftFs.isDir(old)) {
+        for (heldName <- GraftFs.listNames(old)) {
+          val back = s"$root/$heldName"
+          if (!GraftFs.exists(back) && !GraftFs.rename(s"$old/$heldName", back))
+            return false
+        }
+        GraftFs.deleteRec(old)
       }
-      deleteIfExists(rootP.resolve("_ingest_compact_tmp"))
+      GraftFs.deleteRec(s"$root/_ingest_compact_tmp")
+      true
     }
   }
 }
@@ -136,7 +133,18 @@ private[graft] object IngestMaintenance {
   * Config: `path` (the stream.ingest output root), `checkpoint` (default
   * `<path>/_checkpoint`, matching stream.ingest's default), `watermark`
   * (fold ids <= this; default: every committed id), `target_file_mb` = 128,
-  * `force` = false (required when no checkpoint commits exist).
+  * `force` = false (required when no checkpoint commits exist), and
+  * optionally `compact_if` — policy thresholds (OR'd; any trip ⇒ fold)
+  * so a scheduled maintenance stage folds only when the output is
+  * actually fragmenting:
+  *
+  *   compact_if = { mean_file_kb_below = 512, files_above = 1000,
+  *                  batch_dirs_above = 100 }
+  *
+  * `batch_dirs_above` counts the FOLDABLE (committed) batch partitions —
+  * the number this verb can actually reduce. Decision cost is one
+  * directory listing (the same numbers ingest.stats reports); omit
+  * `compact_if` for unconditional folding.
   */
 object IngestCompactOp extends Stage {
   val name = "ingest.compact"
@@ -149,33 +157,26 @@ object IngestCompactOp extends Stage {
     val targetMb = cfg.longOr("target_file_mb", 128L)
     if (targetMb < 1) throw new GraftConfigError("ingest.compact: target_file_mb must be >= 1")
     val spark = ctx.spark
-    import java.nio.file.{Files, Paths}
 
+    // hold-aside/install moves below are derived from atomic directory
+    // rename — refuse up front on copy-rename object stores
+    GraftFs.requireAtomicRename(root, "ingest.compact")
     IngestMaintenance.recoverSwap(root)
-    val rootP = Paths.get(root)
-    if (!Files.isDirectory(rootP)) throw new GraftPlanError(
+    if (!GraftFs.isDir(root)) throw new GraftPlanError(
       s"ingest.compact: no ingest output at $root")
 
     // batch partitions present on disk
-    import scala.jdk.CollectionConverters._
-    val dirStream = Files.list(rootP)
-    val batchDirs = try dirStream.iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("ingest_batch="))
-      .map(_.getFileName.toString).toVector
-    finally dirStream.close()
+    val batchDirs = GraftFs.listDirNames(root).filter(_.startsWith("ingest_batch="))
     val idsOnDisk = batchDirs.flatMap(n => n.stripPrefix("ingest_batch=").toLongOption)
 
     // committed batch ids from the stream's checkpoint — the only ids that
     // can never replay and are therefore safe to fold
     val checkpoint = cfg.strOr("checkpoint", s"$root/_checkpoint")
-    val commitsP = Paths.get(s"$checkpoint/commits")
+    val commitsDir = s"$checkpoint/commits"
     val committed: Option[Set[Long]] =
-      if (Files.isDirectory(commitsP)) {
-        val s = Files.list(commitsP)
-        try Some(s.iterator().asScala
-          .flatMap(p => p.getFileName.toString.toLongOption).toSet)
-        finally s.close()
-      } else None
+      if (GraftFs.isDir(commitsDir))
+        Some(GraftFs.listNames(commitsDir).flatMap(_.toLongOption).toSet)
+      else None
     val watermark = cfg.longOpt("watermark")
     if (committed.isEmpty && (watermark.isEmpty || !cfg.boolOr("force", false)))
       throw new GraftConfigError(
@@ -191,6 +192,34 @@ object IngestCompactOp extends Stage {
         s"(${foldable.size} foldable batch dir(s))")
       return ctx.primary
     }
+
+    // compact_if policy gate: skip the fold when nothing tripped
+    val policySkipped = cfg.tblOpt("compact_if").exists { cond =>
+      val known = Set("mean_file_kb_below", "files_above", "batch_dirs_above")
+      cond.table.keys.filterNot(known).foreach(k => throw new GraftConfigError(
+        s"ingest.compact: unknown compact_if condition '$k' (use ${known.mkString(", ")})"))
+      if (cond.table.isEmpty) throw new GraftConfigError(
+        "ingest.compact: compact_if is present but names no condition")
+      val parts = GraftFs.listFilesRec(root).filter { case (f, _) =>
+        val name = f.substring(f.lastIndexOf('/') + 1)
+        name.startsWith("part-") && name.endsWith(".parquet") &&
+        !GraftFs.relativize(root, f).split('/').exists { s =>
+          s.startsWith("_") || s.startsWith(".")
+        }
+      }
+      val meanKb =
+        if (parts.isEmpty) 0.0 else parts.map(_._2).sum / 1024.0 / parts.size
+      val tripped =
+        cond.longOpt("mean_file_kb_below").exists(meanKb < _) ||
+        cond.longOpt("files_above").exists(parts.size > _) ||
+        cond.longOpt("batch_dirs_above").exists(foldable.size > _)
+      if (!tripped)
+        System.err.println(s"[graft] ingest.compact: $root — compact_if not tripped " +
+          f"(${parts.size} files, mean $meanKb%.1f KiB, ${foldable.size} foldable " +
+          "batch dir(s)) — skipped")
+      !tripped
+    }
+    if (policySkipped) return ctx.primary
     // the old compacted region is re-folded by READING it into the new
     // generation, but it is never listed in the manifest — recoverSwap
     // holds it aside only while the tmp generation exists (pre-install)
@@ -199,13 +228,10 @@ object IngestCompactOp extends Stage {
       (if (hasCompacted) Seq("ingest_batch=-1") else Seq.empty)
 
     val srcPaths = sources.map(n => s"$root/$n")
-    val folded = spark.read.option("basePath", root).parquet(srcPaths: _*)
+    val folded = spark.read.option("basePath", GraftFs.qualified(root))
+      .parquet(srcPaths: _*)
       .drop("ingest_batch")
-    val bytes = sources.flatMap { n =>
-      val walk = Files.walk(rootP.resolve(n))
-      try walk.iterator().asScala.filter(Files.isRegularFile(_)).map(Files.size).toVector
-      finally walk.close()
-    }.sum
+    val bytes = sources.flatMap(n => GraftFs.listFilesRec(s"$root/$n").map(_._2)).sum
     val targetBytes = targetMb * 1024L * 1024L
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
 
@@ -217,16 +243,18 @@ object IngestCompactOp extends Stage {
     val before = folded.count()
     val after = spark.read.parquet(tmpData).count()
     if (before != after) {
-      KafkaLog.deleteRec(Paths.get(s"$root/_ingest_compact_tmp"))
+      GraftFs.deleteRec(s"$root/_ingest_compact_tmp")
       throw new GraftPlanError(
         s"ingest.compact: rewrite row count mismatch at $root ($before before, $after " +
         "after) — compacted generation discarded, output left untouched")
     }
 
     // COMMIT POINT: the manifest names the exact source set; recoverSwap
-    // rolls the rest forward from here no matter where a crash lands
-    Files.write(rootP.resolve("_ingest_compact_manifest.json"),
-      manifestNames.mkString("\n").getBytes("UTF-8"))
+    // rolls the rest forward from here no matter where a crash lands.
+    // Committed via write-then-rename so no reader ever parses a torn
+    // manifest as a shorter source list.
+    GraftFs.writeStringCommit(s"$root/_ingest_compact_manifest.json",
+      manifestNames.mkString("\n"))
     IngestMaintenance.recoverSwap(root)
 
     System.err.println(s"[graft] ingest.compact: $root — folded ${sources.size} " +
@@ -262,38 +290,24 @@ object IngestStatsOp extends Stage {
         .toDF("path", "batch_dirs", "committed", "uncommitted", "compacted",
           "files", "bytes", "mean_file_kb")
     val root = cfg.str("path")
-    import java.nio.file.{Files, Paths}
     IngestMaintenance.recoverSwap(root)
-    val rootP = Paths.get(root)
-    if (!Files.isDirectory(rootP)) throw new GraftPlanError(
+    if (!GraftFs.isDir(root)) throw new GraftPlanError(
       s"ingest.stats: no ingest output at $root")
-    import scala.jdk.CollectionConverters._
-    val dirStream = Files.list(rootP)
-    val batchDirs = try dirStream.iterator().asScala
-      .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("ingest_batch="))
-      .map(_.getFileName.toString).toVector
-    finally dirStream.close()
+    val batchDirs = GraftFs.listDirNames(root).filter(_.startsWith("ingest_batch="))
     val ids = batchDirs.flatMap(n => n.stripPrefix("ingest_batch=").toLongOption)
     val live = ids.filter(_ >= 0)
     val checkpoint = cfg.strOr("checkpoint", s"$root/_checkpoint")
-    val commitsP = Paths.get(s"$checkpoint/commits")
+    val commitsDir = s"$checkpoint/commits"
     val committedIds: Set[Long] =
-      if (!Files.isDirectory(commitsP)) Set.empty
-      else {
-        val s = Files.list(commitsP)
-        try s.iterator().asScala.flatMap(p => p.getFileName.toString.toLongOption).toSet
-        finally s.close()
+      if (!GraftFs.isDir(commitsDir)) Set.empty
+      else GraftFs.listNames(commitsDir).flatMap(_.toLongOption).toSet
+    val parts = GraftFs.listFilesRec(root).filter { case (f, _) =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      name.startsWith("part-") && name.endsWith(".parquet") &&
+      !GraftFs.relativize(root, f).split('/').exists { s =>
+        s.startsWith("_") || s.startsWith(".")
       }
-    val walk = Files.walk(rootP)
-    val parts = try walk.iterator().asScala
-      .filter(p => Files.isRegularFile(p) && {
-        val name = p.getFileName.toString
-        name.startsWith("part-") && name.endsWith(".parquet") &&
-        !rootP.relativize(p).iterator().asScala.exists { seg =>
-          val s = seg.toString; s.startsWith("_") || s.startsWith(".")
-        }
-      }).map(p => Files.size(p)).toVector
-    finally walk.close()
+    }.map(_._2)
     val bytes = parts.sum
     val meanKb = if (parts.isEmpty) 0.0
       else math.round(bytes / 1024.0 / parts.size * 10) / 10.0

@@ -41,19 +41,11 @@ object KafkaLog {
     StructType.fromDDL("offset LONG, timestamp LONG, key STRING, value STRING")
   val MetaCols = Seq("_kafka_key", "_kafka_partition", "_kafka_offset", "_kafka_timestamp", "_kafka_payload")
 
-  def topicDir(root: String, topic: String): java.nio.file.Path =
-    java.nio.file.Paths.get(root, topic)
+  def topicDir(root: String, topic: String): String = s"$root/$topic"
 
-  private[operators] def deleteRec(p: java.nio.file.Path): Unit = {
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).iterator().asScala.foreach(deleteRec)
-    java.nio.file.Files.deleteIfExists(p)
-  }
-
-  private[operators] def partDirs(p: java.nio.file.Path): List[java.nio.file.Path] =
-    if (!java.nio.file.Files.isDirectory(p)) Nil
-    else java.nio.file.Files.list(p).iterator().asScala
-      .filter(q => q.getFileName.toString.startsWith("partition=")).toList
+  /** partition=N child dir NAMES of a topic (or hold) dir. */
+  private[operators] def partDirNames(dir: String): Vector[String] =
+    GraftFs.listDirNames(dir).filter(_.startsWith("partition="))
 
   /** Crash recovery for a kafka.compact that died mid-swap, PER PARTITION:
     * a `<topic>.compact.old` hold dir whose partition is MISSING from the
@@ -71,25 +63,28 @@ object KafkaLog {
     * outside a live compact can only be crash leftovers. */
   private[operators] def recoverHeldSwap(root: String, topic: String): Unit = {
     val dir = topicDir(root, topic)
-    val hold = java.nio.file.Paths.get(dir.toString + ".compact.old")
-    if (java.nio.file.Files.isDirectory(hold)) {
-      partDirs(hold).foreach { p =>
-        val target = dir.resolve(p.getFileName.toString)
-        if (!java.nio.file.Files.isDirectory(target)) java.nio.file.Files.move(p, target)
+    val hold = dir + ".compact.old"
+    if (GraftFs.isDir(hold)) {
+      partDirNames(hold).foreach { name =>
+        val target = s"$dir/$name"
+        // a lost rename race (another reader repairing concurrently) is
+        // converged by the winner; re-stat decides the delete below
+        if (!GraftFs.isDir(target)) GraftFs.rename(s"$hold/$name", target)
       }
-      deleteRec(hold)
+      if (partDirNames(hold).forall(n => GraftFs.isDir(s"$dir/$n")))
+        GraftFs.deleteRec(hold)
     }
   }
 
   /** Read the whole topic log; `partition INT` comes from dir discovery. */
   def read(spark: SparkSession, root: String, topic: String): DataFrame = {
     val dir = topicDir(root, topic)
-    if (!java.nio.file.Files.isDirectory(dir))
+    if (!GraftFs.isDir(dir))
       throw new GraftPlanError(s"kafka.consume: topic '$topic' not found under $root " +
         s"(expected ${dir}/partition=N/ segment files)")
     recoverHeldSwap(root, topic)
     spark.read.schema(Schema.add("partition", "int"))
-      .option("basePath", dir.toString).json(dir.toString)
+      .option("basePath", GraftFs.qualified(dir)).json(dir)
   }
 
   /** Read the topic log SKIPPING segments wholly below the group frontier —
@@ -106,17 +101,14 @@ object KafkaLog {
   def readFrom(spark: SparkSession, root: String, topic: String,
                from: Map[Int, Long]): DataFrame = {
     val dir = topicDir(root, topic)
-    if (!java.nio.file.Files.isDirectory(dir))
+    if (!GraftFs.isDir(dir))
       throw new GraftPlanError(s"kafka.consume: topic '$topic' not found under $root " +
         s"(expected ${dir}/partition=N/ segment files)")
     recoverHeldSwap(root, topic)
     if (from.isEmpty) return read(spark, root, topic)
-    val pds = java.nio.file.Files.list(dir).iterator().asScala
-      .filter(p => java.nio.file.Files.isDirectory(p) &&
-        p.getFileName.toString.startsWith("partition="))
-      .toSeq
-    val kept = pds.flatMap { pd =>
-      val p = pd.getFileName.toString.stripPrefix("partition=").toInt
+    val kept = partDirNames(dir).flatMap { pdName =>
+      val pd = s"$dir/$pdName"
+      val p = pdName.stripPrefix("partition=").toInt
       val frontier = from.getOrElse(p, 0L)
       val segs = segments(pd)
       if (frontier <= 0L) segs
@@ -138,40 +130,35 @@ object KafkaLog {
     if (kept.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      spark.read.schema(schema).option("basePath", dir.toString)
-        .json(kept.map(_.toString): _*)
+      spark.read.schema(schema).option("basePath", GraftFs.qualified(dir))
+        .json(kept: _*)
   }
 
   /** Min offset of a segment = its first line (produce/compact write
     * segments offset-ascending). One driver-side line peek per segment. */
-  private[operators] def firstOffset(f: java.nio.file.Path): Option[Long] = {
-    val in = java.nio.file.Files.newBufferedReader(f, java.nio.charset.StandardCharsets.UTF_8)
-    try Option(in.readLine()).flatMap { line =>
+  private[operators] def firstOffset(f: String): Option[Long] =
+    try GraftFs.readFirstLine(f).flatMap { line =>
       JsVal.parseJson(line) match {
         case o: JsObj => o.fields.get("offset").collect { case JsNum(n) => n.toLong }
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
-    finally in.close()
-  }
 
   /** Data segment files of one partition dir (skips _SUCCESS/.crc etc.). */
-  private[operators] def segments(pd: java.nio.file.Path): Seq[java.nio.file.Path] =
-    java.nio.file.Files.list(pd).iterator().asScala
-      .filter(f => java.nio.file.Files.isRegularFile(f) && {
-        val n = f.getFileName.toString
-        !n.startsWith("_") && !n.startsWith(".")
-      }).toSeq
+  private[operators] def segments(pd: String): Seq[String] =
+    GraftFs.listFilesRec(pd).map(_._1).filter { f =>
+      val n = f.substring(f.lastIndexOf('/') + 1)
+      !n.startsWith("_") && !n.startsWith(".")
+    }
 
-  private def offsetsFile(root: String, group: String, topic: String): java.nio.file.Path =
-    java.nio.file.Paths.get(root, "_consumer_offsets", s"${group}__${topic}.json")
+  private def offsetsFile(root: String, group: String, topic: String): String =
+    s"$root/_consumer_offsets/${group}__${topic}.json"
 
   /** Committed next-offsets per partition; missing file = earliest (empty). */
   def committed(root: String, group: String, topic: String): Map[Int, Long] = {
     val f = offsetsFile(root, group, topic)
-    if (!java.nio.file.Files.isRegularFile(f)) return Map.empty
-    JsVal.parseJson(new String(java.nio.file.Files.readAllBytes(f),
-      java.nio.charset.StandardCharsets.UTF_8)) match {
+    if (!GraftFs.isFile(f)) return Map.empty
+    JsVal.parseJson(GraftFs.readString(f)) match {
       case o: JsObj => o.fields.map {
         case (p, JsNum(next)) => p.toInt -> next.toLong
         case (p, other) => throw new GraftPlanError(s"kafka offsets file $f: partition $p has non-numeric offset")
@@ -180,23 +167,21 @@ object KafkaLog {
     }
   }
 
-  /** Atomically commit next-offsets (merge with any prior commit). */
+  /** Atomically commit next-offsets (merge with any prior commit) — the
+    * write-then-rename commit (a single PUT on object stores), so a reader
+    * sees the old frontier or the new, never a torn file. */
   def commit(root: String, group: String, topic: String, next: Map[Int, Long]): Unit = {
     val merged = committed(root, group, topic) ++ next
     val f = offsetsFile(root, group, topic)
-    java.nio.file.Files.createDirectories(f.getParent)
+    GraftFs.mkdirs(s"$root/_consumer_offsets")
     val body = merged.toSeq.sortBy(_._1)
       .map { case (p, o) => s""""$p": $o""" }.mkString("{", ", ", "}")
-    val tmp = java.nio.file.Files.createTempFile(f.getParent, ".commit", ".json")
-    java.nio.file.Files.write(tmp, body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp, f,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    GraftFs.writeStringCommit(f, body)
   }
 
   /** Existing per-partition end offsets (next offset to assign), driver-tiny. */
   def endOffsets(spark: SparkSession, root: String, topic: String): Map[Int, Long] =
-    if (!java.nio.file.Files.isDirectory(topicDir(root, topic))) Map.empty
+    if (!GraftFs.isDir(topicDir(root, topic))) Map.empty
     else read(spark, root, topic)
       .groupBy("partition").agg(F.max("offset").as("m"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1) + 1L)).toMap
@@ -298,7 +283,7 @@ object KafkaConsumeSource extends Stage {
     // explain of a pipeline whose earlier sink CREATES the topic: the dir
     // may not exist yet — show an empty-log placeholder instead of failing
     val log =
-      if (explainOnly && !java.nio.file.Files.isDirectory(KafkaLog.topicDir(root, topic)))
+      if (explainOnly && !GraftFs.isDir(KafkaLog.topicDir(root, topic)))
         ctx.spark.createDataFrame(
           ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           KafkaLog.Schema.add("partition", "int"))
@@ -393,19 +378,20 @@ object KafkaCompactOp extends Stage {
     if (cfg.boolOr("_explain_only", false)) {
       // read-only; empty-log placeholder when an earlier sink in the
       // explained pipeline would have created the topic
-      return if (java.nio.file.Files.isDirectory(KafkaLog.topicDir(root, topic)))
+      return if (GraftFs.isDir(KafkaLog.topicDir(root, topic)))
         KafkaLog.read(spark, root, topic)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         KafkaLog.Schema.add("partition", "int"))
     }
 
     import org.apache.spark.sql.expressions.Window
-    import java.nio.file.Files
-    import KafkaLog.{deleteRec, partDirs}
 
+    // the per-partition swap below is derived from atomic directory
+    // rename — refuse up front on copy-rename object stores
+    GraftFs.requireAtomicRename(root, "kafka.compact")
     val dir = KafkaLog.topicDir(root, topic)
-    val tmp = java.nio.file.Paths.get(dir.toString + ".compact.tmp")
-    val hold = java.nio.file.Paths.get(dir.toString + ".compact.old")
+    val tmp = dir + ".compact.tmp"
+    val hold = dir + ".compact.old"
     // crash recovery for a previous compact that died mid-swap happens
     // inside KafkaLog.read (shared with every reader — see recoverHeldSwap)
     val log = KafkaLog.read(spark, root, topic)
@@ -419,7 +405,7 @@ object KafkaCompactOp extends Stage {
       .sortWithinPartitions("partition", "offset")
       .select(F.to_json(F.struct(F.col("offset"), F.col("timestamp"),
         F.col("key"), F.col("value"))).as("line"), F.col("partition"))
-      .write.partitionBy("partition").mode("overwrite").text(tmp.toString)
+      .write.partitionBy("partition").mode("overwrite").text(tmp)
 
     // swap, crash-ordered so no window loses both generations: (1) move the
     // old partition dirs ASIDE into <topic>.compact.old, (2) move the
@@ -427,8 +413,8 @@ object KafkaCompactOp extends Stage {
     // between (1) and (2) leaves both generations on disk (.old + .tmp) and
     // the recovery above restores .old on the next compact; the previous
     // delete-then-install order destroyed the only copy first.
-    val newParts = partDirs(tmp)
-    val oldParts = partDirs(dir)
+    val newParts = KafkaLog.partDirNames(tmp)
+    val oldParts = KafkaLog.partDirNames(dir)
     if (newParts.isEmpty && oldParts.nonEmpty) {
       // an all-keyless topic compacts to nothing; installing that would
       // silently delete every record, not just the documented keyless drop —
@@ -436,13 +422,13 @@ object KafkaCompactOp extends Stage {
       System.err.println(s"[graft] kafka.compact: topic '$topic' has no keyed " +
         "records; compaction would erase the log — skipped (keyless topics are " +
         "not compactable, same contract as cleanup.policy=compact)")
-      deleteRec(tmp)
+      GraftFs.deleteRec(tmp)
     } else {
-      Files.createDirectories(hold)
-      oldParts.foreach(p => Files.move(p, hold.resolve(p.getFileName.toString)))
-      newParts.foreach(p => Files.move(p, dir.resolve(p.getFileName.toString)))
-      deleteRec(hold)
-      deleteRec(tmp)
+      GraftFs.mkdirs(hold)
+      oldParts.foreach(n => GraftFs.rename(s"$dir/$n", s"$hold/$n"))
+      newParts.foreach(n => GraftFs.rename(s"$tmp/$n", s"$dir/$n"))
+      GraftFs.deleteRec(hold)
+      GraftFs.deleteRec(tmp)
     }
     KafkaLog.read(spark, root, topic)
   }
@@ -473,16 +459,16 @@ object KafkaStreamSource extends Stage {
     }
     val topic = cfg.str("topic")
     val dir = KafkaLog.topicDir(root, topic)
-    if (!java.nio.file.Files.isDirectory(dir))
+    if (!GraftFs.isDir(dir))
       throw new GraftPlanError(s"kafka.stream: topic '$topic' not found under $root")
     // a mid-swap compact crash must be repaired before the stream lists
     // files, or the held-aside partitions never enter the stream
     KafkaLog.recoverHeldSwap(root, topic)
     val stream = ctx.spark.readStream
       .schema(KafkaLog.Schema.add("partition", "int"))
-      .option("basePath", dir.toString)
+      .option("basePath", GraftFs.qualified(dir))
       .option("maxFilesPerTrigger", cfg.longOr("max_files_per_trigger", 10L))
-      .json(dir.toString)
+      .json(dir)
     KafkaLog.assemble(stream, cfg) {
       import ctx.spark.implicits._
       ctx.spark.read.json(
@@ -562,11 +548,11 @@ object KafkaProduceSink extends Stage {
         Window.partitionBy("partition").orderBy("value", "key")).cast("long") - 1L)
 
     val dir = KafkaLog.topicDir(root, topic)
-    java.nio.file.Files.createDirectories(dir)
+    GraftFs.mkdirs(dir)
     withOffsets
       .select(F.to_json(F.struct(F.col("offset"), F.col("timestamp"),
         F.col("key"), F.col("value"))).as("line"), F.col("partition"))
-      .write.partitionBy("partition").mode("append").text(dir.toString)
+      .write.partitionBy("partition").mode("append").text(dir)
 
     // Kafka's `cleanup.policy=delete` retention, segment-count bounded:
     // keep the newest N segments per partition, delete older ones. A group
@@ -576,18 +562,14 @@ object KafkaProduceSink extends Stage {
     // from growing forever under continuous produce.
     cfg.longOpt("retention_segments").map(_.toInt).foreach { keep =>
       if (keep < 1) throw new GraftConfigError("retention_segments must be >= 1")
-      java.nio.file.Files.list(dir).iterator().asScala
-        .filter(p => java.nio.file.Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith("partition="))
-        .foreach { pd =>
-          val segs = KafkaLog.segments(pd)
-          if (segs.length > keep) {
-            val sorted = segs.map(f => (f, KafkaLog.firstOffset(f)))
-              .sortBy { case (_, o) => o.getOrElse(Long.MinValue) }
-            sorted.dropRight(keep).foreach { case (f, _) =>
-              java.nio.file.Files.delete(f) }
-          }
+      KafkaLog.partDirNames(dir).foreach { pdName =>
+        val segs = KafkaLog.segments(s"$dir/$pdName")
+        if (segs.length > keep) {
+          val sorted = segs.map(f => (f, KafkaLog.firstOffset(f)))
+            .sortBy { case (_, o) => o.getOrElse(Long.MinValue) }
+          sorted.dropRight(keep).foreach { case (f, _) => GraftFs.deleteIfExists(f) }
         }
+      }
     }
     df
   }

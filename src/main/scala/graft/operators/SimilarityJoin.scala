@@ -236,7 +236,7 @@ object SimilarJoinOp extends Stage {
     val leftText = cfg.strOr("left_text", cfg.strOr("text_column", "text"))
     val threshold = cfg.doubleOr("threshold", 0.8)
     val explainOnly = cfg.boolOr("_explain_only", false)
-    val metaExists = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+    val metaExists = GraftFs.isDir(s"$path/meta")
     val placeholder = explainOnly && !metaExists
     if (!placeholder && !metaExists) throw new GraftPlanError(
       s"join.similar: no minhash index at $path — run index.build type=minhash first")
@@ -300,7 +300,7 @@ object SimilarJoinOp extends Stage {
     val rVec = cfg.strOr("right_vector", cfg.strOr("vector_column", "embedding"))
     val threshold = cfg.doubleOr("threshold", 0.9)
     val explainOnly = cfg.boolOr("_explain_only", false)
-    val metaExists = java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))
+    val metaExists = GraftFs.isDir(s"$path/meta")
     val placeholder = explainOnly && !metaExists
     if (!placeholder && !metaExists) throw new GraftPlanError(
       s"join.similar: no lsh index at $path — run index.build type=lsh first")

@@ -4,6 +4,51 @@ import org.apache.spark.sql.{DataFrame, functions => F}
 import graft.config._
 import graft.core._
 
+/** Shared IVF centroid machinery: one loader (with the loud empty-table
+  * check) and one bounded nearest-cells selection, used by the quantizer
+  * append path and every ivf probe (knn.ivf, knn.join mode=ivf). */
+private[operators] object IvfCentroids {
+  import org.apache.spark.ml.linalg.{Vector, Vectors}
+
+  /** (cell, centroid) sorted by cell. An IVF index whose centroids table
+    * is EMPTY is unusable (appends can't assign, probes would silently
+    * degrade to dim = 0) — fail loud instead. */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String,
+      op: String): Array[(Int, Vector)] = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), Vectors.dense(r.getSeq[Double](1).toArray)))
+      .sortBy(_._1)
+    if (cents.isEmpty) throw new GraftConfigError(
+      s"$op: the index at $path has no centroids — rebuild with " +
+      "index.build type=ivf mode=overwrite")
+    cents
+  }
+
+  /** Cell ids of the `nprobe` euclidean-nearest centroids to `q`, nearest
+    * first — bounded insertion selection (O(nlist·nprobe) with nprobe
+    * tiny), not a full nlist sort per query row. Ties keep the
+    * lower-cell-id centroid, matching the stable sort this replaces. */
+  def nearest(cents: Array[(Int, Vector)], q: Vector, nprobe: Int): Array[Int] = {
+    val n = math.min(nprobe, cents.length)
+    val bestD = Array.fill(n)(Double.MaxValue)
+    val bestId = new Array[Int](n)
+    var i = 0
+    while (i < cents.length) {
+      val d = Vectors.sqdist(cents(i)._2, q)
+      if (d < bestD(n - 1)) {
+        var j = n - 1
+        while (j > 0 && bestD(j - 1) > d) {
+          bestD(j) = bestD(j - 1); bestId(j) = bestId(j - 1); j -= 1
+        }
+        bestD(j) = d; bestId(j) = cents(i)._1
+      }
+      i += 1
+    }
+    bestId
+  }
+}
+
 /** index.build — persist a vector index so ANN probes prune I/O instead of
   * scanning the corpus (round-1 review: knn.ivf re-trained its quantizer
   * inside every query — correct, but the index belongs OUTSIDE the query
@@ -56,7 +101,7 @@ object IndexBuildOp extends Stage {
     // would otherwise count the fresh corpus as zero appends-since-compact)
     if (cfg.strOr("mode", "overwrite") == "overwrite")
       cfg.strOpt("path").foreach(p =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s"$p/compact.gen")))
+        GraftFs.deleteIfExists(s"$p/compact.gen"))
     cfg.strOr("type", "ivf") match {
       case "ivf" => buildIvf(ctx)
       case "lsh" => buildLsh(ctx)
@@ -99,13 +144,13 @@ object IndexBuildOp extends Stage {
     // meta over an old corpus (or appending differently-hashed rows) would
     // make every cross match against the old portion miss
     if (mode == "append" &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/corpus")) &&
-        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+        GraftFs.isDir(s"$path/corpus") &&
+        !GraftFs.isDir(s"$path/meta"))
       throw new GraftConfigError(
         s"index.build type=minhash mode=append: $path has a corpus but no meta (a crashed " +
         "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
     if (mode == "append" &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
+        GraftFs.isDir(s"$path/meta")) {
       val m = spark.read.parquet(s"$path/meta").head()
       val existing = (m.getAs[Int]("shingle_size"), m.getAs[Int]("num_hashes"),
         m.getAs[Int]("bands"), m.getAs[Long]("seed"))
@@ -182,34 +227,20 @@ object IndexBuildOp extends Stage {
     val path = cfg.str("path")
     val vecCol = cfg.strOr("vector_column", "embedding")
     val spark = ctx.spark
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/centroids")))
+    if (!GraftFs.isDir(s"$path/centroids"))
       throw new GraftConfigError(
         s"index.build type=ivf mode=append: no existing index at $path — the quantizer " +
         "is frozen at first build (appending re-uses its centroids so cell assignment " +
         "stays consistent); run mode=overwrite first")
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select("cell", "centroid").collect()
-      .map(r => (r.getInt(0), Vectors.dense(r.getSeq[Double](1).toArray)))
-      .sortBy(_._1)
+    val cents = IvfCentroids.load(spark, path, "index.build type=ivf mode=append")
     val dim = cents.head._2.size
     ctx.primary.select(F.size(F.col(vecCol))).head(1).headOption.foreach { r =>
       if (r.getInt(0) != dim) throw new GraftConfigError(
         s"index.build type=ivf mode=append: input vectors have length ${r.getInt(0)} " +
         s"but the index at $path was built with dim = $dim")
     }
-    val centIds = cents.map(_._1)
-    val centVecs = cents.map(_._2)
     val assign = F.udf { v: Seq[Float] =>
-      val qv = Vectors.dense(v.map(_.toDouble).toArray)
-      var best = 0
-      var bestD = Double.MaxValue
-      var i = 0
-      while (i < centVecs.length) {
-        val d = Vectors.sqdist(centVecs(i), qv)
-        if (d < bestD) { bestD = d; best = centIds(i) }
-        i += 1
-      }
-      best
+      IvfCentroids.nearest(cents, Vectors.dense(v.map(_.toDouble).toArray), 1)(0)
     }
     ctx.primary.withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
       .repartition(F.col("cell"))
@@ -237,13 +268,13 @@ object IndexBuildOp extends Stage {
     val mode = cfg.strOr("mode", "overwrite")
     val spark = ctx.spark
     if (mode == "append" &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/corpus")) &&
-        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+        GraftFs.isDir(s"$path/corpus") &&
+        !GraftFs.isDir(s"$path/meta"))
       throw new GraftConfigError(
         s"index.build type=ngram mode=append: $path has a corpus but no meta (a crashed " +
         "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
     if (mode == "append" &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
+        GraftFs.isDir(s"$path/meta")) {
       val m = spark.read.parquet(s"$path/meta").head()
       val existing = (m.getAs[Int]("ngram_size"), m.getAs[Int]("bands"),
         m.getAs[Int]("rows_per_band"), m.getAs[Long]("seed"))
@@ -273,8 +304,8 @@ object IndexBuildOp extends Stage {
     val mode = cfg.strOr("mode", "overwrite")
     val spark = ctx.spark
     if (mode == "append" &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/corpus")) &&
-        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+        GraftFs.isDir(s"$path/corpus") &&
+        !GraftFs.isDir(s"$path/meta"))
       throw new GraftConfigError(
         s"index.build type=simhash mode=append: $path has a corpus but no meta (a crashed " +
         "earlier build?) — rebuild with mode=overwrite")
@@ -292,13 +323,13 @@ object IndexBuildOp extends Stage {
     val mode = cfg.strOr("mode", "overwrite")
     val spark = ctx.spark
     if (mode == "append" &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/corpus")) &&
-        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+        GraftFs.isDir(s"$path/corpus") &&
+        !GraftFs.isDir(s"$path/meta"))
       throw new GraftConfigError(
         s"index.build type=exact mode=append: $path has a corpus but no meta (a crashed " +
         "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
     if (mode == "append" &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
+        GraftFs.isDir(s"$path/meta")) {
       val m = spark.read.parquet(s"$path/meta").head()
       val existing = m.getSeq[String](m.fieldIndex("columns")).toVector
       if (existing != cols.toVector) throw new GraftConfigError(
@@ -356,13 +387,13 @@ object IndexBuildOp extends Stage {
     }
     val spark = ctx.spark
     if (mode == "append" &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/corpus")) &&
-        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+        GraftFs.isDir(s"$path/corpus") &&
+        !GraftFs.isDir(s"$path/meta"))
       throw new GraftConfigError(
         s"index.build type=lsh mode=append: $path has a corpus but no meta (a crashed " +
         "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
     if (mode == "append" &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
+        GraftFs.isDir(s"$path/meta")) {
       val m = spark.read.parquet(s"$path/meta").head()
       if (!m.schema.fieldNames.contains("band_planes")) throw new GraftConfigError(
         s"index.build type=lsh blocking=bands mode=append: the index at $path is " +
@@ -423,13 +454,13 @@ object IndexBuildOp extends Stage {
     }
     val spark = ctx.spark
     if (mode == "append" &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/corpus")) &&
-        !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta")))
+        GraftFs.isDir(s"$path/corpus") &&
+        !GraftFs.isDir(s"$path/meta"))
       throw new GraftConfigError(
         s"index.build type=lsh mode=append: $path has a corpus but no meta (a crashed " +
         "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
     if (mode == "append" &&
-        java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$path/meta"))) {
+        GraftFs.isDir(s"$path/meta")) {
       val m = spark.read.parquet(s"$path/meta").head()
       if (m.schema.fieldNames.contains("band_planes")) throw new GraftConfigError(
         s"index.build type=lsh mode=append: the index at $path is bands-partitioned — " +

@@ -18,8 +18,8 @@ object SinkUtil {
     if (cfg.boolOr("single_file", true)) df.coalesce(1) else df
   def mode(cfg: Cfg): String = cfg.strOr("mode", "overwrite")
   def mkParent(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path).toAbsolutePath.getParent
-    if (p != null) java.nio.file.Files.createDirectories(p)
+    val p = graft.core.GraftFs.path(path).getParent
+    if (p != null) graft.core.GraftFs.mkdirs(p.toString)
   }
 }
 
@@ -67,8 +67,7 @@ object JsonSink extends Stage {
         val body =
           if (pretty) rows.map(r => "  " + prettyJson(r).replace("\n", "\n  ")).mkString("[\n", ",\n", "\n]")
           else rows.mkString("[", ",", "]")
-        java.nio.file.Files.write(java.nio.file.Paths.get(path),
-          body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.core.GraftFs.writeString(path, body)
       case "dataframe" =>
         val limit = cfg.longOr("driver_limit", 1000000L).toInt
         val cols = df.columns
@@ -79,8 +78,7 @@ object JsonSink extends Stage {
           val vs = collected.map(r => scalarJson(r.get(i))).mkString("[", ",", "]")
           "\"" + c + "\":" + vs
         }.mkString("{", ",", "}")
-        java.nio.file.Files.write(java.nio.file.Paths.get(path),
-          colJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.core.GraftFs.writeString(path, colJson)
       case other => throw new GraftConfigError(s"unknown json format '$other'")
     }
     df

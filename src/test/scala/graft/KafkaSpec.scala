@@ -419,7 +419,7 @@ class KafkaSpec extends SparkSpec {
       "path" -> root, "topic" -> "sales", "key_field" -> "name",
       "num_partitions" -> 2L)))
     val dir = KafkaLog.topicDir(root, "sales")
-    val parts = java.nio.file.Files.list(dir).iterator().asScala
+    val parts = java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
       .filter(_.getFileName.toString.startsWith("partition=")).toList.sortBy(_.toString)
     assert(parts.size === 2, "fixture needs records in both partitions")
     // simulate a crash partway through swap step (1): only ONE partition
@@ -482,7 +482,7 @@ class KafkaSpec extends SparkSpec {
     // nothing installed — WITHOUT a subsequent compact, a consume (or a
     // backlog read committing offsets) must still see the full log
     java.nio.file.Files.createDirectories(hold)
-    java.nio.file.Files.list(dir).iterator().asScala
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("partition="))
       .foreach(p => java.nio.file.Files.move(p, hold.resolve(p.getFileName.toString)))
     val got = consume(root, "group_id" -> "reader", "max_messages" -> 0L)
@@ -498,7 +498,7 @@ class KafkaSpec extends SparkSpec {
     // simulate a crash between swap steps (1) and (2): the old generation
     // was moved aside but nothing was installed
     java.nio.file.Files.createDirectories(hold)
-    java.nio.file.Files.list(dir).iterator().asScala
+    java.nio.file.Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
       .filter(p => p.getFileName.toString.startsWith("partition="))
       .foreach(p => java.nio.file.Files.move(p, hold.resolve(p.getFileName.toString)))
     val compacted = graft.operators.KafkaCompactOp(StageContext(spark, Seq.empty,
