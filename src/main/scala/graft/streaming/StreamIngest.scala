@@ -60,6 +60,75 @@ import graft.operators.{DedupEmbeddingOp, DedupExactOp, DedupMinHashOp, DedupNgr
   * keys; exact is one anti-join on 128-bit keys), and state lives in the
   * index + checkpoint, not executor memory.
   */
+/** ENFORCED single-writer lease for a stream.ingest index: a
+  * `<index>/ingest.lease` file holding the writer's identity (checkpoint
+  * location = query identity, query name, host/pid) with its mtime as the
+  * heartbeat. Acquired before the query starts, refreshed every trigger,
+  * released when the query's await completes (pipeline mode: via the
+  * run's cleanup queue, which DagCompiler drains after awaiting all
+  * streaming queries).
+  *
+  * Why enforcement matters (r7 verdict finding 3): two concurrent queries
+  * on one index don't corrupt it — batch tags are checkpoint-namespaced —
+  * but each snapshots the corpus without the other's in-flight appends,
+  * so duplicate survivors pass silently. The lease turns that silent miss
+  * into a loud failure naming the holder. A crashed query's lease ages
+  * out: older than `lease_stale_ms` (default 10 min; any live query
+  * heartbeats every trigger) is reclaimable, and the SAME query identity
+  * (equal checkpoint) always re-acquires its own lease immediately — a
+  * restart-after-crash must not wait out its own heartbeat. */
+private[graft] object IngestLease {
+  val StaleMsDefault = 600000L
+
+  private def leaseFile(indexPath: String) = s"$indexPath/ingest.lease"
+
+  private def identity(): String =
+    s"${java.net.InetAddress.getLocalHost.getHostName}/${ProcessHandle.current().pid()}"
+
+  def acquire(indexPath: String, checkpoint: String, queryName: String,
+      staleMs: Long): Unit = synchronized {
+    val lf = leaseFile(indexPath)
+    if (GraftFs.isFile(lf)) {
+      val held = GraftFs.readString(lf)
+      val heldCkpt = held.linesIterator.find(_.startsWith("checkpoint="))
+        .map(_.stripPrefix("checkpoint=")).getOrElse("")
+      val ageMs = System.currentTimeMillis() - GraftFs.mtime(lf)
+      if (heldCkpt != checkpoint && ageMs < staleMs)
+        throw new GraftPlanError(
+          s"stream.ingest: the index at $indexPath is held by another streaming query " +
+          s"(${held.linesIterator.mkString("; ")}; heartbeat ${ageMs / 1000}s ago) — two " +
+          "concurrent writers would each miss the other's in-flight appends and pass " +
+          "duplicate survivors. Stop that query, or if it crashed, wait out " +
+          s"lease_stale_ms (${staleMs / 1000}s) / delete $lf")
+      // stale, or our own identity restarting → reclaim below
+    }
+    GraftFs.writeStringCommit(lf,
+      s"checkpoint=$checkpoint\nquery=$queryName\nowner=${identity()}")
+  }
+
+  /** Refresh the heartbeat mtime (content is identical — the rewrite is
+    * just the portable way to touch through the FS seam). */
+  def heartbeat(indexPath: String, checkpoint: String, queryName: String): Unit =
+    try GraftFs.writeStringCommit(leaseFile(indexPath),
+      s"checkpoint=$checkpoint\nquery=$queryName\nowner=${identity()}")
+    catch { case e: Exception =>
+      System.err.println(s"[graft] stream.ingest lease heartbeat failed: ${e.getMessage}") }
+
+  /** Release only a lease this query identity still holds — a reclaimed
+    * (stale) lease now belongs to the new holder and must survive. */
+  def release(indexPath: String, checkpoint: String): Unit = synchronized {
+    val lf = leaseFile(indexPath)
+    try {
+      if (GraftFs.isFile(lf)) {
+        val heldCkpt = GraftFs.readString(lf).linesIterator
+          .find(_.startsWith("checkpoint=")).map(_.stripPrefix("checkpoint="))
+        if (heldCkpt.contains(checkpoint)) GraftFs.deleteIfExists(lf)
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[graft] stream.ingest lease release failed: ${e.getMessage}") }
+  }
+}
+
 object StreamIngestSink extends Stage {
   val name = "stream.ingest"
   val kind = StageKind.Sink
@@ -67,7 +136,7 @@ object StreamIngestSink extends Stage {
   /** config keys the sink itself consumes; everything else passes through
     * to the dedup operator */
   private val SinkKeys = Set("path", "checkpoint", "dedup", "trigger", "trigger_ms",
-    "timeout_ms", "query_name", "_defer_await", "_explain_only")
+    "timeout_ms", "query_name", "_defer_await", "_explain_only", "lease_stale_ms")
 
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
@@ -86,7 +155,7 @@ object StreamIngestSink extends Stage {
       case "embedding" => DedupEmbeddingOp // bands-layout index only, checked below
       case other => throw new GraftConfigError(s"stream.ingest: unknown dedup '$other'")
     }
-    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"$indexPath/meta")))
+    if (!GraftFs.isDir(s"$indexPath/meta"))
       throw new GraftPlanError(
         s"stream.ingest: no index at $indexPath — run index.build first")
     // dedup=embedding streams only against the BANDED lsh layout: its
@@ -109,11 +178,26 @@ object StreamIngestSink extends Stage {
     }
     val passThrough = cfg.table -- SinkKeys
     val stageId = ctx.stageId
+    val queryName = cfg.strOr("query_name", s"graft_${stageId}")
+
+    // single-writer ENFORCEMENT: fail loud before the query starts if
+    // another live query holds this index (see IngestLease)
+    val staleMs = cfg.longOr("lease_stale_ms", IngestLease.StaleMsDefault)
+    if (staleMs < 1) throw new GraftConfigError("stream.ingest: lease_stale_ms must be >= 1")
+    IngestLease.acquire(indexPath, checkpoint, queryName, staleMs)
+    // pipeline mode (_defer_await): DagCompiler awaits the query, then
+    // drains cleanups — release there. Direct mode releases in the await
+    // paths below; direct _defer_await callers (the default registrar
+    // discards) rely on same-identity re-acquire + staleness.
+    ctx.deferToCleanup(() => IngestLease.release(indexPath, checkpoint))
 
     var w = df.writeStream
-      .queryName(cfg.strOr("query_name", s"graft_${stageId}"))
+      .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // heartbeat every trigger, empty batches included — an idle
+        // stream must still look alive to other would-be writers
+        IngestLease.heartbeat(indexPath, checkpoint, queryName)
         if (!batch.isEmpty) {
           val tag = s"sb-$tagBase-$batchId"
           val deferred = scala.collection.mutable.Buffer[() => Unit]()
@@ -147,11 +231,13 @@ object StreamIngestSink extends Stage {
     }
     val q = w.start()
     if (!cfg.boolOr("_defer_await", false)) {
-      (cfg.longOpt("timeout_ms"), cfg.strOpt("trigger")) match {
-        case (Some(ms), _) => q.awaitTermination(ms); q.stop()
-        case (None, Some("available_now")) => q.awaitTermination()
-        case (None, _) => q.awaitTermination()
-      }
+      try {
+        (cfg.longOpt("timeout_ms"), cfg.strOpt("trigger")) match {
+          case (Some(ms), _) => q.awaitTermination(ms); q.stop()
+          case (None, Some("available_now")) => q.awaitTermination()
+          case (None, _) => q.awaitTermination()
+        }
+      } finally IngestLease.release(indexPath, checkpoint)
     }
     df
   }

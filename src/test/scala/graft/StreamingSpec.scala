@@ -513,6 +513,52 @@ class StreamingSpec extends SparkSpec {
     assert(later.count() === 0)
   }
 
+  test("stream.ingest single-writer lease: a held index fails loud; stale leases reclaim") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_lease_k").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_lease_idx").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark,
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"),
+      Cfg.of("type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+        "text_column" -> "text", "num_hashes" -> 64, "bands" -> 16, "seed" -> 7)))
+    graft.operators.KafkaProduceSink(StageContext.one(spark,
+      Seq((100L, "fresh streaming text with a unique vocabulary")).toDF("doc_id", "text"),
+      Cfg.of("path" -> root, "topic" -> "docs")))
+    val out = java.nio.file.Files.createTempDirectory("graft_lease_out").toString + "/data"
+    def run(extra: (String, Any)*): Unit = {
+      val stream = graft.operators.KafkaStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+        "path" -> root, "topic" -> "docs", "schema" -> "doc_id LONG, text STRING")))
+      StreamIngestSink(StageContext.one(spark, stream, Cfg.of(Seq[(String, Any)](
+        "path" -> out, "index_path" -> idx, "dedup" -> "minhash",
+        "trigger" -> "available_now", "id_column" -> "doc_id",
+        "text_column" -> "text", "threshold" -> 0.8) ++ extra: _*)))
+    }
+    // another live query (different checkpoint identity) holds the index
+    graft.streaming.IngestLease.acquire(idx, "/other/checkpoint", "other_query",
+      graft.streaming.IngestLease.StaleMsDefault)
+    val e = intercept[GraftPlanError](run())
+    assert(e.getMessage.contains("held by another streaming query"))
+    assert(e.getMessage.contains("other_query"), "error must name the holder")
+    // the refused attempt must not have clobbered the holder's lease
+    assert(graft.core.GraftFs.readString(s"$idx/ingest.lease")
+      .contains("checkpoint=/other/checkpoint"))
+    // a crashed holder: its heartbeat ages past lease_stale_ms → reclaimed
+    Thread.sleep(30)
+    run("lease_stale_ms" -> 10L)
+    assert(spark.read.parquet(out).count() === 1L, "reclaimed run ingested the batch")
+    // the completed run released its own lease on termination
+    assert(!graft.core.GraftFs.exists(s"$idx/ingest.lease"))
+    // same identity restarts instantly regardless of heartbeat age: the
+    // default-stale acquire with the SAME checkpoint must not throw
+    val ckpt = s"$out/_checkpoint"
+    graft.streaming.IngestLease.acquire(idx, ckpt, "restart",
+      graft.streaming.IngestLease.StaleMsDefault)
+    graft.streaming.IngestLease.acquire(idx, ckpt, "restart",
+      graft.streaming.IngestLease.StaleMsDefault)
+    graft.streaming.IngestLease.release(idx, ckpt)
+  }
+
   test("stream.write rejects batch input; gap connectors raise actionable errors") {
     intercept[GraftPlanError](StreamWriteSink(StageContext.one(spark, salesDf, Cfg.empty)))
     val e = intercept[GraftPlanError](graft.operators.KafkaConsumeSource(
