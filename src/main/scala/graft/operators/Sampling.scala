@@ -22,13 +22,51 @@ object SampleOp extends Stage {
     val seed = cfg.longOr("seed", 42L)
     val df = ctx.primary
     cfg.strOpt("by") match {
+      case Some(stratum) if cfg.has("counts") || cfg.has("default_count") || cfg.has("count") =>
+        // STRATIFIED EXACT-k ("exactly 10k eval docs PER LANGUAGE"): rank
+        // rows within each stratum by a seeded uniform key and keep the k
+        // smallest — one window (`row_number` over partitionBy(stratum)),
+        // no driver work, no per-stratum jobs. The shuffle is a single
+        // hash partition on the stratum key; giant strata pay one
+        // per-partition sort, which is the irreducible cost of an exact
+        // per-stratum quota. `counts` maps stratum (string key, like
+        // `fractions`) → k; `default_count` (or bare `count` as the
+        // uniform shorthand) covers unlisted strata, absent = dropped —
+        // mirroring sampleBy's treatment of unlisted strata.
+        if (cfg.has("fractions") || cfg.has("fraction")) throw new GraftConfigError(
+          "sample.apply: give either counts (exact-k per stratum) or fractions, not both")
+        if (cfg.boolOr("with_replacement", false)) throw new GraftConfigError(
+          "sample.apply: counts (exact-k) does not support with_replacement")
+        if (cfg.has("counts") && cfg.has("count")) throw new GraftConfigError(
+          "sample.apply: give either a 'counts' table or a uniform 'count', not both")
+        val perStratum: Map[String, Long] = cfg.tblOpt("counts")
+          .map(t => t.table.keys.map(k => k -> t.longOr(k, 0L)).toMap)
+          .getOrElse(Map.empty)
+        val dflt: Option[Long] = cfg.longOpt("default_count").orElse(cfg.longOpt("count"))
+        (perStratum.values ++ dflt).foreach(k => if (k < 0) throw new GraftConfigError(
+          s"sample.apply: per-stratum count must be >= 0, got $k"))
+        val key = s"_stratum_${stratum}"
+        val rank = "_sample_rank"
+        val rn = "_sample_rn"
+        val kExpr = F.coalesce(
+          (if (perStratum.isEmpty) F.lit(null).cast("long")
+           else F.element_at(
+             F.map(perStratum.toSeq.sortBy(_._1)
+               .flatMap { case (s, k) => Seq(F.lit(s), F.lit(k)) }: _*),
+             F.col(key))) +:
+          dflt.map(d => F.lit(d)).toSeq :+ F.lit(0L): _*)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(F.col(rank))
+        df.withColumn(key, F.col(stratum).cast("string"))
+          .withColumn(rank, F.rand(seed))
+          .withColumn(rn, F.row_number().over(w))
+          .filter(F.col(rn) <= kExpr)
+          .drop(key, rank, rn)
       case Some(stratum) =>
-        if (cfg.has("count")) throw new GraftConfigError(
-          "sample.apply: 'count' (exact-k) does not compose with 'by' — per-stratum " +
-          "exact counts would need a count per stratum; use fractions, or filter to " +
-          "one stratum and sample with count")
         val fr = cfg.tblOpt("fractions").getOrElse(
-          throw new GraftConfigError("sample.apply with 'by' requires a 'fractions' table"))
+          throw new GraftConfigError(
+            "sample.apply with 'by' requires a 'fractions' table (or 'counts'/" +
+            "'default_count' for exact-k per stratum)"))
         val dflt = cfg.doubleOr("default_fraction", 0.0)
         val key = s"_stratum_${stratum}"
         val keyed = df.withColumn(key, F.col(stratum).cast("string"))
@@ -68,6 +106,9 @@ object SampleOp extends Stage {
               "sample.apply: give either 'count' (exact-k) or 'fraction', not both")
             if (k < 0) throw new GraftConfigError(
               s"sample.apply: count must be >= 0, got $k")
+            if (k > Int.MaxValue) throw new GraftConfigError(
+              s"sample.apply: count must be <= ${Int.MaxValue} (limit() takes an " +
+              s"Int), got $k — an exact-k draw that large is a fraction, not a count")
             if (cfg.boolOr("with_replacement", false)) throw new GraftConfigError(
               "sample.apply: count (exact-k) does not support with_replacement")
             val key = "_sample_rank"

@@ -174,8 +174,8 @@ object KnnJoinOp extends Stage {
         // dedup.embedding index probe; with an existing index, explain
         // still reads the tiny meta but never runs query-side jobs.
         val explainOnly = cfg.boolOr("_explain_only", false)
-        val hasMeta = new java.io.File(s"$path/meta").exists()
-        val hasCentroids = new java.io.File(s"$path/centroids").exists()
+        val hasMeta = GraftFs.exists(s"$path/meta")
+        val hasCentroids = GraftFs.exists(s"$path/centroids")
         val placeholder = explainOnly && !hasMeta && !hasCentroids
         if (!placeholder && !hasMeta && !hasCentroids)
           throw new GraftPlanError(
@@ -302,6 +302,10 @@ object KnnJoinOp extends Stage {
          meta.getAs[Long]("seed"), meta.getAs[Int]("dim"), meta.getAs[Int]("pbuckets"))
       }
     val width = h / blocks
+    if (cfg.has("probe_bands")) throw new GraftConfigError(
+      "knn.join: probe_bands applies only to a bands-layout index " +
+      "(index.build type=lsh blocking=bands) — this index uses the pigeonhole " +
+      "layout, whose scan has no ×bands amplification to bound")
     val probeD = cfg.longOr("probe_hamming", 0L).toInt
     if (probeD < 0 || probeD > width) throw new GraftConfigError(
       s"knn.join: probe_hamming must be in [0, $width] (the block width), got $probeD")
@@ -384,13 +388,28 @@ object KnnJoinOp extends Stage {
     if (probeD > 0 && r > 12) throw new GraftConfigError(
       s"knn.join: probe_hamming > 0 needs an enumerable band space (band_planes " +
       s"<= 12, index has $r) — rebuild the index with narrower bands")
+    // probe_bands = j bounds the bands layout's ×bands scan amplification:
+    // the layout stores each row once PER BAND, so probing the first j
+    // bands scans j/bands of the corpus while a near-exact match (band
+    // collision probability ≈ 1 per band) still collides in every probed
+    // band. j = bands (default) = the full probe ≡ the r7 behavior; the
+    // recall trade at j < bands is the per-band miss probability raised
+    // to the jth power instead of the bands-th (BENCH_NOTES r8 table).
+    val probeBands = cfg.longOr("probe_bands", bands.toLong).toInt
+    if (probeBands < 1 || probeBands > bands) throw new GraftConfigError(
+      s"knn.join: probe_bands must be in [1, $bands] (the index's band count), " +
+      s"got $probeBands")
     if (!explainOnly) checkQueryDim(qSide, path, dim)
-    val qBlocked0 = qSide
-      .withColumn("_bsig",
-        DedupEmbeddingOp.bandSignatures(F.col("_qv"), dim, bands, r, seed))
-      .select(F.col("query_id"), F.col("_qv"),
-        F.posexplode(F.col("_bsig")).as(Seq("band", "bsig")))
-      .withColumn("band", F.col("band").cast("int"))
+    val qBlocked0 = {
+      val exploded = qSide
+        .withColumn("_bsig",
+          DedupEmbeddingOp.bandSignatures(F.col("_qv"), dim, bands, r, seed))
+        .select(F.col("query_id"), F.col("_qv"),
+          F.posexplode(F.col("_bsig")).as(Seq("band", "bsig")))
+        .withColumn("band", F.col("band").cast("int"))
+      if (probeBands == bands) exploded
+      else exploded.filter(F.col("band") < probeBands)
+    }
     val qBlocked = (if (probeD == 0) qBlocked0 else {
         val neighborhood = F.udf { b: Long =>
           (0L until (1L << r)).filter(x =>
@@ -416,7 +435,12 @@ object KnnJoinOp extends Stage {
         s"knn.join: index at $path has no '$c' column (has: ${idxRaw.columns.mkString(", ")}) " +
         "— right_id/right_vector must name the indexed columns"))
     requireOrderable(cId, idxRaw.schema(cId).dataType)
-    val idx = idxRaw.select(F.col("band"), F.col("pband"), F.col("bsig"),
+    // probe_bands < bands: a STATIC `band < j` partition filter on the
+    // corpus side — scan cost is bounded at planning time (j/bands of the
+    // partition dirs), not left to runtime join pruning
+    val idxBounded =
+      if (probeBands == bands) idxRaw else idxRaw.filter(F.col("band") < probeBands)
+    val idx = idxBounded.select(F.col("band"), F.col("pband"), F.col("bsig"),
       F.col(cId).alias("corpus_id"), F.col(cVec).cast("array<double>").alias("_cv"))
     // the layout stores each row once per band — multi-band hits are
     // scored per collision and collapse inside the bounded heaps (see
@@ -454,21 +478,14 @@ object KnnJoinOp extends Stage {
         queries.schema(qId).dataType)
     }
     IndexMaintenance.recoverSwap(path) // repair a mid-swap compact crash
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select("cell", "centroid").collect()
-      .map(row => (row.getInt(0), row.getSeq[Double](1).toArray))
-      .sortBy(_._1)
-    val dim = cents.headOption.map(_._2.length).getOrElse(0)
+    val cents = IvfCentroids.load(spark, path, "knn.join mode=ivf")
+    val dim = cents.head._2.size
     if (!explainOnly) checkQueryDim(qSide, path, dim)
     val nprobe = math.min(nprobe0, cents.length)
-    val centIds = cents.map(_._1)
-    val centVecs = cents.map(c => Vectors.dense(c._2))
-    // same cell-ranking metric as the index's KMeans assignment (euclidean)
+    // same cell-ranking metric as the index's KMeans assignment
+    // (euclidean); bounded top-nprobe selection, no per-row nlist sort
     val nearestCells = F.udf { v: Seq[Double] =>
-      val qv = Vectors.dense(v.toArray)
-      centVecs.zipWithIndex
-        .map { case (c, i) => (Vectors.sqdist(c, qv), centIds(i)) }
-        .sortBy(_._1).take(nprobe).map(_._2)
+      IvfCentroids.nearest(cents, Vectors.dense(v.toArray), nprobe).toSeq
     }
     val qCells = qSide.withColumn("cell", F.explode(nearestCells(F.col("_qv"))))
     val corpus0 = spark.read.parquet(s"$path/corpus")
@@ -517,13 +534,18 @@ object KnnLshOp extends Stage {
   val kind = StageKind.Transform
 
   /** Query signature from the same seeded plane generation as
-    * DedupEmbeddingOp.hyperplaneSig. */
+    * DedupEmbeddingOp.hyperplaneSig. The query is rounded through FLOAT
+    * first: indexed signatures are computed after `cast("array<float>")`,
+    * and a near-zero dot computed from the full-double query can flip a
+    * sign bit the float-sourced index signature doesn't have — a stored
+    * vector would then miss its own bucket at probe_hamming = 0. */
   private def querySig(q: Seq[Double], dim: Int, h: Int, seed: Long): Long = {
+    val qf = q.map(v => v.toFloat.toDouble)
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(h, dim)(rnd.nextGaussian())
     var qSig = 0L
     for (i <- 0 until h)
-      if ((0 until dim).map(j => planes(i)(j) * q(j)).sum >= 0) qSig |= (1L << i)
+      if ((0 until dim).map(j => planes(i)(j) * qf(j)).sum >= 0) qSig |= (1L << i)
     qSig
   }
 
@@ -538,9 +560,11 @@ object KnnLshOp extends Stage {
 
   /** Query band signatures from the same seeded plane generation as
     * DedupEmbeddingOp.bandSignatures (band b uses plane rows
-    * [b·r, b·r+r)). */
+    * [b·r, b·r+r)). Query rounded through FLOAT first — same sign-flip
+    * parity argument as querySig. */
   private def queryBandSigs(q: Seq[Double], dim: Int, bands: Int, r: Int,
       seed: Long): Array[Long] = {
+    val qf = q.map(v => v.toFloat.toDouble).toArray
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(bands * r, dim)(rnd.nextGaussian())
     Array.tabulate(bands) { b =>
@@ -550,8 +574,8 @@ object KnnLshOp extends Stage {
         var dot = 0.0
         var j = 0
         val p = planes(b * r + i)
-        val n = math.min(dim, q.length)
-        while (j < n) { dot += p(j) * q(j); j += 1 }
+        val n = math.min(dim, qf.length)
+        while (j < n) { dot += p(j) * qf(j); j += 1 }
         if (dot >= 0) sig |= (1L << i)
         i += 1
       }
@@ -579,7 +603,7 @@ object KnnLshOp extends Stage {
     cfg.strOpt("index_path") match {
       case Some(path) =>
         val spark = ctx.spark
-        if (!new java.io.File(s"$path/meta").exists())
+        if (!GraftFs.exists(s"$path/meta"))
           throw new GraftPlanError(
             s"knn.lsh: no index at '$path' — run an index.build type=lsh stage first " +
             "(note: the CLI `explain` command never builds indexes)")
@@ -602,8 +626,14 @@ object KnnLshOp extends Stage {
           val probeD = cfg.longOr("probe_hamming", 0L).toInt
           if (probeD < 0 || probeD > r) throw new GraftConfigError(
             s"knn.lsh: probe_hamming must be in [0, $r] (band_planes), got $probeD")
+          // bound the ×bands scan amplification: probe only the first j
+          // bands (each band spans the whole corpus once) — see knn.join
+          val probeBands = cfg.longOr("probe_bands", bands.toLong).toInt
+          if (probeBands < 1 || probeBands > bands) throw new GraftConfigError(
+            s"knn.lsh: probe_bands must be in [1, $bands] (the index's band " +
+            s"count), got $probeBands")
           val qSigs = queryBandSigs(q, dim, bands, r, seed)
-          val probe = (0 until bands).map { b =>
+          val probe = (0 until probeBands).map { b =>
             val qb = qSigs(b)
             val pred =
               if (probeD == 0)
@@ -631,6 +661,9 @@ object KnnLshOp extends Stage {
         val mask = (1L << width) - 1L
         val qSig = querySig(q, dim, h, seed)
         val pd = meta.getAs[Int]("pbuckets")
+        if (cfg.has("probe_bands")) throw new GraftConfigError(
+          "knn.lsh: probe_bands applies only to a bands-layout index " +
+          "(index.build type=lsh blocking=bands) — this index uses the pigeonhole layout")
         val probeD = cfg.longOr("probe_hamming", 0L).toInt
         if (probeD < 0 || probeD > width) throw new GraftConfigError(
           s"knn.lsh: probe_hamming must be in [0, $width] (the block width), got $probeD")
@@ -661,6 +694,9 @@ object KnnLshOp extends Stage {
           .dropDuplicates(idCol)   // a candidate can match several blocks
           .drop("block", "bucket", "pbucket"))
       case None =>
+        if (cfg.has("probe_bands")) throw new GraftConfigError(
+          "knn.lsh: probe_bands needs an index_path to a bands-layout index " +
+          "(the inline signature scan has no per-band storage to bound)")
         val h = cfg.longOr("num_planes", 16L).toInt
         val blocks = cfg.longOr("blocks", 4L).toInt
         val seed = cfg.longOr("seed", 11L)
@@ -729,17 +765,14 @@ object KnnIvfOp extends Stage {
     cfg.strOpt("index_path") match {
       case Some(path) =>
         val spark = ctx.spark
-        if (!new java.io.File(s"$path/centroids").exists())
+        if (!GraftFs.exists(s"$path/centroids"))
           throw new GraftPlanError(
             s"knn.ivf: no index at '$path' — run an index.build stage first " +
             "(note: the CLI `explain` command never builds indexes)")
         IndexMaintenance.recoverSwap(path) // repair a mid-swap compact crash
-        val cents = spark.read.parquet(s"$path/centroids")
-          .select("cell", "centroid").collect()
-          .map(r => (r.getInt(0), Vectors.dense(r.getSeq[Double](1).toArray)))
+        val cents = IvfCentroids.load(spark, path, "knn.ivf")
         val nprobe = math.min(nprobe0, cents.length)
-        val probed = cents.sortBy { case (_, c) => Vectors.sqdist(c, qv) }
-          .take(nprobe).map(_._1.toInt)
+        val probed = IvfCentroids.nearest(cents, qv, nprobe)
         topk(spark.read.parquet(s"$path/corpus")
           .filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*)))
       case None =>

@@ -454,6 +454,29 @@ object ExtensionQueries {
         F.countDistinct(F.col("o_orderkey")).as("distinct_n"))
     },
 
+    // ---- sample.apply stratified exact-k (r8): WHICH rows survive is
+    // engine-RNG, but the per-stratum quota contract is deterministic —
+    // each o_orderstatus stratum yields exactly min(k, stratum size) rows
+    // (named quotas for O/F, default_count for the rest) ----
+    QueryDef("sample_stratified_count",
+      "SELECT o_orderstatus, LEAST(COUNT(*), CASE o_orderstatus WHEN 'O' THEN 1000 " +
+      "WHEN 'F' THEN 500 ELSE 100 END) AS n FROM orders GROUP BY o_orderstatus") { (s, d) =>
+      val sampled = SampleOp(StageContext.one(s, t(s, d, "orders"), Cfg.of(
+        "by" -> "o_orderstatus", "seed" -> 7,
+        "counts" -> Map("O" -> 1000L, "F" -> 500L), "default_count" -> 100L)))
+      sampled.groupBy("o_orderstatus").agg(F.count(F.lit(1)).as("n"))
+    },
+
+    // quota >= every stratum size ⇒ the stratified sampler is the
+    // identity — full-table hash equality, pinning that the window
+    // rank/filter machinery drops nothing it shouldn't
+    QueryDef("sample_stratified_identity",
+      "SELECT o_orderkey, o_orderstatus FROM orders") { (s, d) =>
+      SampleOp(StageContext.one(s,
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus"), Cfg.of(
+        "by" -> "o_orderstatus", "seed" -> 7, "default_count" -> 100000000L)))
+    },
+
     // ---- ingest.compact (r7): a stream.ingest-shaped output (one
     // ingest_batch partition per micro-batch, checkpoint commits
     // recorded) folds into the compacted region — reading the output

@@ -197,6 +197,53 @@ class BandedIndexSpec extends SparkSpec {
     assert(selfTop.length === 5 && selfTop.forall(t => t._1 === t._2 && t._3 === 1.0))
   }
 
+  test("probe_bands bounds the bands scan: near-exact hits survive j=1, static band filter, rejections") {
+    val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val idx = java.nio.file.Files.createTempDirectory("bl_pb").toString
+    IndexBuildOp(StageContext.one(spark, emb, Cfg.of(
+      "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "bands" -> 8, "band_planes" -> 4, "seed" -> 11, "partition_dirs" -> 8)))
+    val queries = emb.filter(F.col("vec_id") < 5)
+    // j = 1: an exact match collides in EVERY band, so each query still
+    // finds itself at rank 1 through 1/8 of the amplified corpus
+    val j1 = KnnJoinOp(StageContext.one(spark, queries, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 5,
+      "index_path" -> idx, "probe_bands" -> 1)))
+    val selfTop = j1.filter(F.col("rank") === 1)
+      .select("query_id", "corpus_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(selfTop.length === 5 && selfTop.forall(t => t._1 === t._2 && t._3 === 1.0))
+    // the corpus-side bound is STATIC partition pruning on band < j
+    val scans = corpusScans(j1)
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.exists(
+      _.toString.contains("band"))), "probe_bands must prune band partitions statically")
+    // j = bands ≡ the full probe (the exhaustive-parity gate's shape)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "corpus_id", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    val full = rows(KnnJoinOp(StageContext.one(spark, queries, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 5,
+      "index_path" -> idx, "probe_hamming" -> 4))))
+    val fullJ = rows(KnnJoinOp(StageContext.one(spark, queries, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 5,
+      "index_path" -> idx, "probe_hamming" -> 4, "probe_bands" -> 8))))
+    assert(fullJ === full)
+    // knn.lsh: same knob, same j=1 self-hit property
+    val lsh1 = KnnLshOp(StageContext.one(spark, emb, Cfg.of(
+      "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "k" -> 10, "index_path" -> idx, "probe_bands" -> 1))).collect().head
+    assert(lsh1.getLong(0) === 0L && lsh1.getDouble(1) === 1.0)
+    // out-of-range and wrong-layout uses fail loud
+    intercept[GraftConfigError](KnnJoinOp(StageContext.one(spark, queries, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 5,
+      "index_path" -> idx, "probe_bands" -> 9))))
+    intercept[GraftConfigError](KnnLshOp(StageContext.one(spark, emb, Cfg.of(
+      "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "k" -> 10, "probe_bands" -> 2))))
+  }
+
   test("knn.join ivf probe: nprobe=nlist equals brute force; nprobe<nlist prunes partitions") {
     val emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
     val idx = java.nio.file.Files.createTempDirectory("bl_kj_ivf").toString

@@ -33,6 +33,54 @@ class SamplingAggSpec extends SparkSpec {
     assert(math.abs(byCls.getOrElse(2, 0L) - 450) < 90)   // default 0.9 of 500
   }
 
+  test("sample.apply stratified exact-k: counts table, default_count, determinism") {
+    // ids: 500 rows per class 0..3
+    val out = SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "cls", "seed" -> 5,
+      "counts" -> Map("0" -> 100L, "1" -> 7L),
+      "default_count" -> 3L)))
+    val byCls = out.groupBy("cls").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byCls === Map(0 -> 100L, 1 -> 7L, 2 -> 3L, 3 -> 3L),
+      "exact per-stratum quotas, default for unlisted strata")
+    // sampled rows are distinct source rows
+    assert(out.select("id").distinct().count() === out.count())
+    // deterministic for a fixed input partitioning
+    def again() = SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "cls", "seed" -> 5, "counts" -> Map("0" -> 100L, "1" -> 7L),
+      "default_count" -> 3L))).select("id").as[Long].collect().sorted.toSeq
+    assert(again() === again())
+    // k >= stratum size keeps the whole stratum (the identity the gate pins)
+    val all = SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "cls", "seed" -> 5, "default_count" -> 100000L)))
+    assert(all.count() === 2000L)
+    // no default → unlisted strata are dropped (sampleBy parity)
+    val only0 = SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "cls", "seed" -> 5, "counts" -> Map("0" -> 10L))))
+    assert(only0.select("cls").distinct().as[Int].collect().toSeq === Seq(0))
+    assert(only0.count() === 10L)
+    // bare `count` with `by` = uniform per-stratum quota shorthand
+    val uniform = SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "cls", "seed" -> 5, "count" -> 4L)))
+    assert(uniform.groupBy("cls").count().select("count").as[Long]
+      .collect().toSeq === Seq.fill(4)(4L))
+    // loud rejections
+    intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "cls", "counts" -> Map("0" -> 1L), "fractions" -> Map("0" -> 0.5)))))
+    intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "cls", "counts" -> Map("0" -> 1L), "count" -> 5L))))
+    intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "cls", "counts" -> Map("0" -> -2L)))))
+    intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "cls", "count" -> 5L, "with_replacement" -> true))))
+  }
+
+  test("sample.apply count: > Int.MaxValue rejected loud, not overflowed") {
+    val e = intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "count" -> 3000000000L))))
+    assert(e.getMessage.contains("Int"))
+  }
+
   test("sample.apply stratified: default_fraction over a high-cardinality key fails loud") {
     // `id` has 2000 distinct values; with default_fraction the stratum-key
     // universe must come to the driver, so the bounded collect trips
