@@ -51,6 +51,13 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("frag")) { fragProbe(); return }
+    if (args.headOption.contains("stream")) {
+      streamProbe(args.drop(1).headOption.map(_.toInt).getOrElse(50),
+        args.drop(2).headOption.map(_.toInt)); return
+    }
+    if (args.headOption.contains("probebands")) {
+      probeBandsProbe(args.drop(1).headOption.map(_.toInt).getOrElse(50000)); return
+    }
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 15000, 50000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -267,6 +274,186 @@ object ScaleProbe {
 
     quiet = true; run(500); quiet = false // warm pass: codegen/plan caches, output discarded
     sizes.foreach(run)
+    spark.stop()
+  }
+
+  /** `sbt "runMain graft.ScaleProbe stream [nBatches] [compactEvery]"` —
+    * stream.ingest's corpus-lifetime claim, measured per batch: the
+    * justification for streaming ingestion is that each micro-batch costs
+    * ONE batch-vs-index banded probe (flat in corpus lifetime), not a
+    * rescan — but the gates pin only 2 micro-batches. This drives
+    * ~nBatches available-now batches (one file per trigger) into a
+    * growing bands index and prints each batch's trigger wall from the
+    * StreamingQueryListener, so a drifting per-batch wall exposes probe
+    * cost OR snapshot-listing cost creeping with append count.
+    *
+    * With `compactEvery = K` the probe runs the full MAINTENANCE LOOP a
+    * deployment would: ingest K batches (one available-now run), stop at
+    * the committed batch, index.compact force=true + ingest.compact (both
+    * behind compact_if), resume the same checkpoint. The r8 measurement:
+    * WITHOUT compaction per-batch wall grows ~5× over 50 batches (the
+    * per-tag dir explosion — 1.6k corpus files); with compaction every 10
+    * it stays flat. Results → BENCH_NOTES "r8". */
+  private def streamProbe(nBatches: Int, compactEvery: Option[Int]): Unit = {
+    import graft.streaming.StreamIngestSink
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vecUdf = F.udf(docVec _)
+    def vecs(from: Long, count: Long): DataFrame = spark.range(from, from + count)
+      .select(F.col("id").as("vec_id"), vecUdf(F.col("id")).as("embedding"))
+
+    val idx = java.nio.file.Files.createTempDirectory("graft_sp_idx").toString
+    IndexBuildOp(StageContext.one(spark, vecs(0, 5000), Cfg.of(
+      "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "bands" -> 8, "band_planes" -> 12, "seed" -> 11, "partition_dirs" -> 4)))
+    // incoming: one parquet FILE per future micro-batch — 200 vectors
+    // each, half near-copies of already-ingested ids (planted drops that
+    // exercise the probe join), half novel (index growth)
+    val incoming = java.nio.file.Files.createTempDirectory("graft_sp_in").toString
+    (0 until nBatches).foreach { i =>
+      val from = 1000000L + i * 200L
+      spark.range(from, from + 200L).select(
+        F.col("id").as("vec_id"),
+        F.when(F.col("id") % 2 === 0, vecUdf(F.col("id") % 5000))
+          .otherwise(vecUdf(F.col("id"))).as("embedding"))
+        .coalesce(1).write.parquet(s"$incoming/b$i")
+    }
+    // flatten: file.stream triggers per FILE; give it one dir of files
+    val flat = java.nio.file.Files.createTempDirectory("graft_sp_flat").toString
+    (0 until nBatches).foreach { i =>
+      import scala.jdk.CollectionConverters._
+      val src = java.nio.file.Files.list(java.nio.file.Paths.get(s"$incoming/b$i"))
+      try src.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => java.nio.file.Files.copy(p,
+          java.nio.file.Paths.get(f"$flat/batch-$i%04d.parquet")))
+      finally src.close()
+    }
+    val walls = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      import org.apache.spark.sql.streaming.StreamingQueryListener._
+      def onQueryStarted(e: QueryStartedEvent): Unit = ()
+      def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+      def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        val ms = Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(-1L)
+        if (p.numInputRows > 0) walls.synchronized {
+          walls += ((p.batchId, ms, p.numInputRows))
+        }
+      }
+    }
+    spark.streams.addListener(listener)
+    val staging = flat + ".staging"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(staging))
+    // with compactEvery: stage files in waves — each available-now run
+    // drains only the new wave, then the quiesced maintenance verbs run
+    val wave = compactEvery.getOrElse(nBatches)
+    val flatFiles = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(flat))
+      try s.iterator().asScala.map(_.getFileName.toString).toVector.sorted
+      finally s.close()
+    }
+    if (compactEvery.isDefined) flatFiles.foreach { f =>
+      java.nio.file.Files.move(java.nio.file.Paths.get(s"$flat/$f"),
+        java.nio.file.Paths.get(s"$staging/$f"))
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_sp_out").toString + "/data"
+    val t0 = System.nanoTime()
+    flatFiles.grouped(wave).zipWithIndex.foreach { case (files, w) =>
+      if (compactEvery.isDefined) files.foreach { f =>
+        java.nio.file.Files.move(java.nio.file.Paths.get(s"$staging/$f"),
+          java.nio.file.Paths.get(s"$flat/$f"))
+      }
+      val stream = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", 1).parquet(flat)
+      StreamIngestSink(StageContext.one(spark, stream, Cfg.of(
+        "path" -> out, "index_path" -> idx, "dedup" -> "embedding",
+        "trigger" -> "available_now", "id_column" -> "vec_id",
+        "vector_column" -> "embedding", "threshold" -> 0.95)))
+      compactEvery.foreach { k =>
+        // the stream is quiesced at a committed batch between runs — the
+        // exact contract index.compact's force flag asserts; compact_if
+        // makes both verbs no-ops when fragmentation hasn't accumulated
+        val tc0 = System.nanoTime()
+        IndexCompactOp(StageContext.one(spark, vecs(0, 1), Cfg.of(
+          "path" -> idx, "force" -> true,
+          "compact_if" -> Map("appends_since_compact_above" -> k.toLong))))
+        IngestCompactOp(StageContext.one(spark, vecs(0, 1), Cfg.of(
+          "path" -> out,
+          "compact_if" -> Map("batch_dirs_above" -> 1L))))
+        println(f"""{"op":"stream.ingest.compact","after_wave":$w,""" +
+          f""""sec":${(System.nanoTime() - tc0) / 1e9}%.2f}""")
+      }
+    }
+    val total = (System.nanoTime() - t0) / 1e9
+    spark.streams.removeListener(listener)
+    walls.sortBy(_._1).foreach { case (id, ms, rows) =>
+      println(s"""{"op":"stream.ingest.batch","batch":$id,"ms":$ms,"rows":$rows}""")
+    }
+    val ingested = spark.read.parquet(out).count()
+    val corpusFiles = IndexSnapshot.files(s"$idx/corpus", "stream probe: no corpus").size
+    println(f"""{"op":"stream.ingest.lifetime","batches":${walls.size},""" +
+      f""""total_sec":$total%.1f,"ingested":$ingested,"index_files":$corpusFiles}""")
+    spark.stop()
+  }
+
+  /** `sbt "runMain graft.ScaleProbe probebands [n]"` — the probe_bands
+    * knob, measured: the bands layout amplifies the corpus ×bands, and the
+    * r7 addendum showed the FULL bands probe losing to pigeonhole on wall
+    * despite 22× fewer candidates (scan amplification dominates).
+    * probe_bands = j probes the first j bands only — wall and candidate
+    * pairs should both scale ∝ j while near-exact recall holds (an exact
+    * match collides in every band). Results → BENCH_NOTES "r8". */
+  private def probeBandsProbe(n: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vecUdf = F.udf(docVec _)
+    val dir = java.nio.file.Files.createTempDirectory("graft_pb").toString
+    spark.range(n.toLong)
+      .select(F.col("id").as("vec_id"), vecUdf(F.col("id")).as("embedding"))
+      .write.parquet(s"$dir/vecs")
+    val v = spark.read.parquet(s"$dir/vecs")
+    val bands = 16
+    val idx = s"$dir/idx"
+    IndexBuildOp(StageContext.one(spark, v, Cfg.of(
+      "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "bands" -> bands, "band_planes" -> 16, "seed" -> 11, "partition_dirs" -> 64)))
+    val q500 = v.filter(F.col("vec_id") < 500)
+    // planted near-dups: queries q where q % 20 == 19 have a near-copy at
+    // q-1 — the near-exact workload the bands layout serves; recall@j =
+    // how many of those planted neighbors each bounded probe still finds
+    val planted = (0 until 500).filter(_ % 20 == 19).map(_.toLong).toSet
+    def run(j: Int): Unit = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val res = KnnJoinOp(StageContext.one(spark, q500, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 10,
+        "index_path" -> idx, "probe_bands" -> j)))
+      val found = res.filter(F.col("query_id").isin(planted.toSeq: _*) &&
+          F.col("corpus_id") === F.col("query_id") - 1)
+        .count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"op":"knn.join.probe_bands","n":$n,"probe_bands":$j,""" +
+        f""""sec":$sec%.2f,"planted":${planted.size},"planted_found":$found}""")
+    }
+    run(bands) // warm pass doubles as the full-probe baseline
+    Seq(1, 2, 4, 8, bands).foreach(run)
     spark.stop()
   }
 

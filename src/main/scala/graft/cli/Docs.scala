@@ -37,7 +37,7 @@ object Docs {
     "profile.apply" -> "one-pass per-column profile (rows/nulls/distinct/min/max + quantiles) - columns, distinct=approx(default)|exact|none, rsd, quantiles=[0.5,...], quantiles_accuracy, quantiles_exact (exact paths opt-in: wrong default at scale)",
     "explode.apply" -> "one row per array element (generator) - column (name or SQL expr), into, outer, position_column",
     "repartition.apply" -> "partition layout - mode: hash|range|coalesce, n, by",
-    "sample.apply" -> "sampling - fraction, seed, with_replacement | count (EXACT-k uniform — bounded TakeOrdered plan, no global sort) | by + fractions (stratified)",
+    "sample.apply" -> "sampling - fraction, seed, with_replacement | count (EXACT-k uniform — bounded TakeOrdered plan, no global sort) | by + fractions (stratified) | by + counts/default_count (EXACT-k per stratum — one window rank, no driver work)",
     "split.apply" -> "deterministic hash split - columns, percent, partition: train|test, salt",
     "stage.pipeline" -> "run a nested pipeline as one stage - path or inline stages",
     // multi-input
@@ -75,15 +75,15 @@ object Docs {
     "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance; index_path = dedup a new batch against a persisted simhash index (index_append=true grows it)",
     "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes; blocking=bands (bands, band_planes) = banded LSH, the corpus-scale blocking; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate; index_path = dedup a new batch against a persisted lsh index (index_append=true grows it on pipeline success)",
     "knn.bruteforce" -> "exact cosine top-k - query_id|query_vector, k",
-    "knn.join" -> "batch ANN: top-k corpus neighbors for EVERY query row (two inputs: queries, corpus — or queries + index_path probing a prebuilt lsh pigeonhole/bands index (probe_hamming multi-probe) or ivf index (nprobe centroid pruning); layout auto-detected from the index meta) - left_id/right_id, left_vector/right_vector, k, broadcast=queries|none; bounded per-partition heaps, shuffle = |Q|*partitions*k rows",
-    "knn.lsh" -> "ANN via hyperplane-LSH block buckets - query_id, k, num_planes, blocks; index_path probes a prebuilt lsh index (partition-pruned)",
+    "knn.join" -> "batch ANN: top-k corpus neighbors for EVERY query row (two inputs: queries, corpus — or queries + index_path probing a prebuilt lsh pigeonhole/bands index (probe_hamming multi-probe) or ivf index (nprobe centroid pruning); layout auto-detected from the index meta; probe_bands=j bounds the bands layout's xbands scan to j/bands) - left_id/right_id, left_vector/right_vector, k, broadcast=queries|none; bounded per-partition heaps, shuffle = |Q|*partitions*k rows",
+    "knn.lsh" -> "ANN via hyperplane-LSH block buckets - query_id, k, num_planes, blocks; index_path probes a prebuilt lsh index (partition-pruned; probe_bands=j bounds a bands-layout scan)",
     "knn.ivf" -> "ANN via IVF coarse quantizer - query_id, k, nprobe; index_path probes a prebuilt index, else nlist/seed/max_train train inline",
     "index.build" -> "persist a similarity index - path, type=ivf (cell-partitioned corpus + centroids; nlist, max_train) | lsh ((block,bucket)-partitioned tables; num_planes, blocks; blocking=bands = banded layout (bands, band_planes) partitioned (band, pband, ingest_tag) — the corpus-scale blocking composed with the incremental path, and the layout stream.ingest dedup=embedding requires) | minhash (text-dedup signature corpus for dedup.minhash index_path; id_column, text_column, shingle_size, num_hashes, bands) | ngram (char-gram signature corpus for dedup.ngram index_path; ngram_size, bands, rows_per_band) | simhash (64-bit sigs for dedup.simhash index_path) | exact (md5 content-key set for dedup.exact index_path; columns), vector_column, seed, mode=overwrite|append (ivf append = frozen-quantizer assignment to the existing centroids — never retrains)",
-    "index.compact" -> "rewrite a fragmented index corpus into right-sized files (crash-safe swap, rows byte-identical, meta untouched; bands layout folds ingest tags to base) - path, target_file_mb=128; run quiesced (no concurrent appender/probe/recovering stream)",
+    "index.compact" -> "rewrite a fragmented index corpus into right-sized files (crash-safe swap, rows byte-identical, meta untouched; bands layout folds ingest tags to base) - path, target_file_mb=128, compact_if={mean_file_kb_below,files_above,appends_since_compact_above} (policy gate: compact only when fragmented); run quiesced (no concurrent appender/probe/recovering stream)",
     "index.stats" -> "one-row index fragmentation report (index_type, rows, files, bytes, mean_file_kb, stream_append_dirs, partition_dirs, appends_since_compact) - path; the read-only companion of index.compact",
-    "ingest.compact" -> "fold a stream.ingest OUTPUT's per-micro-batch ingest_batch partitions into one compacted region (ingest_batch=-1) - path, checkpoint, watermark, target_file_mb=128, force; folds only checkpoint-committed batches (replay-race-safe), crash-safe manifest swap",
+    "ingest.compact" -> "fold a stream.ingest OUTPUT's per-micro-batch ingest_batch partitions into one compacted region (ingest_batch=-1) - path, checkpoint, watermark, target_file_mb=128, force, compact_if={mean_file_kb_below,files_above,batch_dirs_above} (policy gate); folds only checkpoint-committed batches (replay-race-safe), crash-safe manifest swap",
     "ingest.stats" -> "one-row stream.ingest output health report (batch_dirs, committed, uncommitted, compacted, files, bytes, mean_file_kb) - path, checkpoint; the read-only companion of ingest.compact",
-    "stream.ingest" -> "streaming incremental corpus ingestion (foreachBatch) - path, index_path, dedup=minhash|exact|ngram|simhash|embedding (embedding needs an index.build type=lsh blocking=bands index), checkpoint, trigger=available_now|trigger_ms, index_append; exactly-once via per-batch idempotent output/append",
+    "stream.ingest" -> "streaming incremental corpus ingestion (foreachBatch) - path, index_path, dedup=minhash|exact|ngram|simhash|embedding (embedding needs an index.build type=lsh blocking=bands index), checkpoint, trigger=available_now|trigger_ms, index_append, lease_stale_ms; exactly-once via per-batch idempotent output/append; ENFORCED single-writer lease per index (second query fails loud, stale leases reclaim)",
     "stream.sketch" -> "streaming corpus audits - per-micro-batch topk.approx summaries persisted under ingest_batch partitions; path, column, tokenize, capacity, group_by; merge with topk.merge",
     "text.stats" -> "length/punct/word stats - column",
     "text.langid" -> "n-gram/stopword language ID - column, output_column",

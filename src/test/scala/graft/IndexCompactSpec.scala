@@ -85,6 +85,32 @@ class IndexCompactSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/meta").head().getAs[Int]("num_hashes") === 64)
   }
 
+  test("compact_if: untripped thresholds skip the rewrite; tripped ones compact") {
+    val idx = java.nio.file.Files.createTempDirectory("ic_pol").toString
+    buildMinhash(idx)
+    // fragment with two appends
+    (0 until 2).foreach { i =>
+      DedupMinHashOp(StageContext.one(spark,
+        Seq((300L + i, s"novel policy sentence number $i with distinct tokens here"))
+          .toDF("doc_id", "text"),
+        Cfg.of("id_column" -> "doc_id", "text_column" -> "text",
+          "threshold" -> 0.8, "index_path" -> idx, "index_append" -> true))).count()
+    }
+    val before = corpusFiles(idx)
+    assert(before.size > 1)
+    // files_above not reached AND gate-scale files are tiny, so with only
+    // a files_above condition nothing trips → untouched
+    compact(idx, "compact_if" -> Map("files_above" -> 1000L))
+    assert(corpusFiles(idx).size === before.size, "untripped compact_if must be a no-op")
+    intercept[GraftConfigError](compact(idx, "compact_if" -> Map("bogus" -> 1L)))
+    // never compacted → appends_since_compact = every file → trips
+    compact(idx, "compact_if" -> Map("appends_since_compact_above" -> 2L))
+    assert(corpusFiles(idx).size === 1, "tripped compact_if must compact")
+    // immediately after a compact, the appends counter is 0 → re-run skips
+    compact(idx, "compact_if" -> Map("appends_since_compact_above" -> 0L))
+    assert(corpusFiles(idx).size === 1)
+  }
+
   test("lsh: partition layout survives, embedding probe identical across compaction") {
     val idx = java.nio.file.Files.createTempDirectory("ic_lsh").toString
     val vecs = (0 until 40).map { i =>

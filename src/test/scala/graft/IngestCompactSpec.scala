@@ -62,6 +62,26 @@ class IngestCompactSpec extends SparkSpec {
     assert(batchDirs(root) === Set("ingest_batch=-1"))
   }
 
+  test("compact_if: below-threshold run is a loud no-op, above-threshold run folds") {
+    val root = mkOutput(Seq(0L -> Seq(1L, 2L), 1L -> Seq(3L), 2L -> Seq(4L, 5L)),
+      committed = Seq(0L, 1L, 2L))
+    def compact(extra: (String, Any)*): Unit =
+      IngestCompactOp(StageContext.one(spark, Seq(row(9L)).toDF("doc_id", "text"),
+        Cfg.of(Seq[(String, Any)]("path" -> root) ++ extra: _*)))
+    // 3 foldable dirs, tiny files: batch_dirs_above=10 does NOT trip → no-op
+    compact("compact_if" -> Map("batch_dirs_above" -> 10L))
+    assert(batchDirs(root) === Set("ingest_batch=0", "ingest_batch=1", "ingest_batch=2"),
+      "untripped compact_if must leave the output untouched")
+    // unknown / empty condition tables fail loud (checked while foldable
+    // work exists — the policy gate sits behind the nothing-to-fold return)
+    intercept[GraftConfigError](compact("compact_if" -> Map("no_such_condition" -> 1L)))
+    intercept[GraftConfigError](compact("compact_if" -> Map.empty[String, Any]))
+    // tiny files DO trip the mean-size threshold → fold happens
+    compact("compact_if" -> Map("batch_dirs_above" -> 10L, "mean_file_kb_below" -> 512L))
+    assert(batchDirs(root) === Set("ingest_batch=-1"))
+    assert(readIds(root) === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("uncommitted batches and batches above the watermark are left alone") {
     // batch 2 exists on disk but is NOT committed — a crashed micro-batch
     // that may replay; folding it would duplicate its rows on retry
