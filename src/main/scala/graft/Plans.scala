@@ -41,7 +41,8 @@ object Plans {
       "dedup_minhash_incremental" -> "incremental dedup against a persisted minhash index: the new batch's banded sigs join the index's (narrow ids+sigs, file list snapshot at plan time), shingles re-attach by id only for surviving candidates — old text is never rescanned or re-hashed",
       "dedup_embedding_bands" -> "banded-LSH embedding dedup (the corpus-scale blocking, BENCH_NOTES r6): band-bucket equi self-join on narrow (band, bucket, id) rows — reduction 2^band_planes per band, a free knob the pigeonhole layout lacks — vectors re-attach by id only for the sparse candidates, exact-cosine verify codegen'd",
       "dedup_embedding_bands_incremental" -> "the r7 composition — banded blocking × incremental index: the batch's band signatures equi-join the bands-partitioned corpus on (band, pband, bsig); (band, pband) are PARTITION columns so the scan prunes to colliding dirs, exact band agreement is the only candidate filter, exact cosine verifies. NOTE (r6 finding 3): index probes verify every band collision instead of pair-deduping first — a pair colliding in c bands costs c codegen'd cosines, which beats an extra shuffle of (id, id) candidates at every scale we measured (ScaleProbe r7); knn.join's index modes follow the same rule since r7 — duplicates collapse inside the bounded per-partition heaps (TreeSet insert) and on the |Q|·partitions·k merged heap output, never via a candidate-stream dedup exchange",
-      "knn_join_ivf_exhaustive" -> "batch ANN against the IVF index: each query explodes to its nprobe nearest cells (centroids broadcast in one UDF), the distinct probed cells become a STATIC cell IN (...) partition filter on the scan (PartitionFilters — nprobe/nlist of the bytes), the cell equi-join scores only the pruned slice, per-partition bounded k-heaps truncate before the single exchange"
+      "knn_join_ivf_exhaustive" -> "batch ANN against the IVF index: each query explodes to its nprobe nearest cells (centroids broadcast in one UDF), the distinct probed cells become a STATIC cell IN (...) partition filter on the scan (PartitionFilters — nprobe/nlist of the bytes), the cell equi-join scores only the pruned slice, per-partition bounded k-heaps truncate before the single exchange",
+      "sample_stratified_count" -> "stratified EXACT-k sampling (r8): one hash exchange on the stratum key, one window sort carrying the seeded rand rank, row_number <= per-stratum quota (counts map broadcast as a literal MAP lookup) — no driver work, no per-stratum jobs; the irreducible cost of an exact per-stratum quota is that single stratum-keyed sort"
     )
 
     val sb = new StringBuilder

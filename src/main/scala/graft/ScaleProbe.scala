@@ -410,9 +410,14 @@ object ScaleProbe {
     * knob, measured: the bands layout amplifies the corpus ×bands, and the
     * r7 addendum showed the FULL bands probe losing to pigeonhole on wall
     * despite 22× fewer candidates (scan amplification dominates).
-    * probe_bands = j probes the first j bands only — wall and candidate
-    * pairs should both scale ∝ j while near-exact recall holds (an exact
-    * match collides in every band). Results → BENCH_NOTES "r8". */
+    * probe_bands = j probes the first j bands only — SCANNED data is
+    * statically bounded at j/bands while near-exact recall follows
+    * 1 − miss^j (a planted 0.9998-cosine pair collides per band with
+    * p ≈ 0.91 at 16 planes). At gate scale the WALL is overhead-dominated
+    * (listing/planning/query-side sigs), so the r8 measurement reports
+    * recall-vs-j plus the static scan bound — the wall win materializes
+    * when the ×bands corpus no longer fits the page cache. Results →
+    * BENCH_NOTES "r8". */
   private def probeBandsProbe(n: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
