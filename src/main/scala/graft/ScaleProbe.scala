@@ -400,7 +400,7 @@ object ScaleProbe {
       println(s"""{"op":"stream.ingest.batch","batch":$id,"ms":$ms,"rows":$rows}""")
     }
     val ingested = spark.read.parquet(out).count()
-    val corpusFiles = IndexSnapshot.files(s"$idx/corpus", "stream probe: no corpus").size
+    val corpusFiles = IndexSnapshot.files(IndexSnapshot.corpusDir(idx), "stream probe: no corpus").size
     println(f"""{"op":"stream.ingest.lifetime","batches":${walls.size},""" +
       f""""total_sec":$total%.1f,"ingested":$ingested,"index_files":$corpusFiles}""")
     spark.stop()
@@ -503,7 +503,7 @@ object ScaleProbe {
         "threshold" -> 0.8, "index_path" -> idx))).count()
       ((System.nanoTime() - t0) / 1e9, kept)
     }
-    def files(): Int = IndexSnapshot.files(s"$idx/corpus", "frag: no corpus").size
+    def files(): Int = IndexSnapshot.files(IndexSnapshot.corpusDir(idx), "frag: no corpus").size
     val filesBefore = files()
     val runsBefore = (0 until 3).map(_ => probe())
     IndexCompactOp(StageContext.one(spark, docs(0, 1), Cfg.of("path" -> idx)))

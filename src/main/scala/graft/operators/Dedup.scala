@@ -480,7 +480,7 @@ object DedupExactOp extends Stage {
     val index =
       if (placeholder) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
-      else IndexSnapshot.read(spark, s"$path/corpus",
+      else IndexSnapshot.read(spark, IndexSnapshot.corpusDir(path),
         s"dedup.exact: no exact-dedup index at $path — run index.build type=exact first",
         corpusSchema, excludeDir = streamTag)
     val keyed = batchDeduped.withColumn("_key", contentKey(cols))
@@ -491,7 +491,7 @@ object DedupExactOp extends Stage {
       IndexSnapshot.claimAppend(ctx, "dedup.exact", path)
       if (!cfg.boolOr("_explain_only", false)) {
         val survivors = ctx.pin(result.select(F.col("_key").alias("key")).distinct())
-        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, s"$path/corpus", streamTag))
+        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, IndexSnapshot.corpusDir(path), streamTag))
       }
     }
     result.drop("_key")
@@ -502,6 +502,33 @@ object DedupExactOp extends Stage {
   * re-list at execution, so an `index_append` firing before the result is
   * consumed would otherwise let a batch match itself. */
 private[graft] object IndexSnapshot {
+  /** Active corpus directory of the index at `root`. Classic layout: the
+    * `corpus` dir. Generation-pointer layout (what `index.compact` commits
+    * on stores WITHOUT atomic rename — see DESIGN_NOTES "Object-store
+    * commit semantics"): `corpus.ptr` names the live `corpus-NNNNNN`
+    * generation, and this resolver is the ONE place every reader, append,
+    * and maintenance verb goes through, so the pointer commit (a single
+    * small-file PUT, atomic everywhere) switches all of them at once. */
+  def corpusDir(root: String): String = {
+    val ptr = s"$root/corpus.ptr"
+    if (GraftFs.isFile(ptr)) {
+      val gen = GraftFs.readString(ptr).trim
+      if (gen.isEmpty || gen.contains('/') || !gen.startsWith("corpus-"))
+        throw new GraftPlanError(
+          s"index at $root: corpus.ptr names '$gen' — not a corpus-NNNNNN generation")
+      s"$root/$gen"
+    } else s"$root/corpus"
+  }
+
+  /** Drop generation-layout state on a mode=overwrite rebuild: the fresh
+    * corpus writes to the classic dir, so a surviving pointer would alias
+    * the new index to a stale generation. */
+  def resetGenerations(root: String): Unit = {
+    GraftFs.deleteIfExists(s"$root/corpus.ptr")
+    GraftFs.listDirNames(root).filter(_.startsWith("corpus-"))
+      .foreach(g => GraftFs.deleteRec(s"$root/$g"))
+  }
+
   /** One appender per index per pipeline run: each `index_append` stage
     * snapshots the corpus file list at plan time and fires its append only
     * after all sinks succeed, so two appenders in one pipeline would each
@@ -727,7 +754,7 @@ object DedupMinHashOp extends Stage {
     val index =
       if (placeholder) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
-      else IndexSnapshot.read(spark, s"$path/corpus",
+      else IndexSnapshot.read(spark, IndexSnapshot.corpusDir(path),
         s"dedup.minhash: no minhash index at $path — run index.build type=minhash first",
         corpusSchema, excludeDir = streamTag)
     val vsIndex = LshVerify.verifiedCrossPairs(hashed, index, bands, r, k, threshold)
@@ -743,7 +770,7 @@ object DedupMinHashOp extends Stage {
         // survivors' representatives join the index only once the pipeline
         // durably wrote its outputs — a failed run must not grow the index
         val survivors = ctx.pin(hashed.join(dropped, Seq("id"), "left_anti"))
-        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, s"$path/corpus", streamTag))
+        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, IndexSnapshot.corpusDir(path), streamTag))
       }
     }
     dropped
@@ -865,7 +892,7 @@ object DedupSimHashOp extends Stage {
     val index =
       if (placeholder) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
-      else IndexSnapshot.read(spark, s"$path/corpus",
+      else IndexSnapshot.read(spark, IndexSnapshot.corpusDir(path),
         s"dedup.simhash: no simhash index at $path — run index.build type=simhash first",
         corpusSchema, excludeDir = streamTag)
     val vsIndex = blockedSigs(sigs, maxDist, "l")
@@ -880,7 +907,7 @@ object DedupSimHashOp extends Stage {
       IndexSnapshot.claimAppend(ctx, "dedup.simhash", path)
       if (!explainOnly) {
         val survivors = ctx.pin(sigs.join(dropped, Seq("id"), "left_anti"))
-        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, s"$path/corpus", streamTag))
+        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, IndexSnapshot.corpusDir(path), streamTag))
       }
     }
     dropped
@@ -1023,7 +1050,7 @@ object DedupNgramOp extends Stage {
     val index =
       if (placeholder) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
-      else IndexSnapshot.read(spark, s"$path/corpus",
+      else IndexSnapshot.read(spark, IndexSnapshot.corpusDir(path),
         s"dedup.ngram: no ngram index at $path — run index.build type=ngram first",
         corpusSchema, excludeDir = streamTag)
     val vsIndex = LshVerify.verifiedCrossPairs(hashed, index, bands, r, k, threshold)
@@ -1037,7 +1064,7 @@ object DedupNgramOp extends Stage {
       IndexSnapshot.claimAppend(ctx, "dedup.ngram", path)
       if (!explainOnly) {
         val survivors = ctx.pin(hashed.join(dropped, Seq("id"), "left_anti"))
-        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, s"$path/corpus", streamTag))
+        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, IndexSnapshot.corpusDir(path), streamTag))
       }
     }
     dropped
@@ -1390,7 +1417,7 @@ object DedupEmbeddingOp extends Stage {
     val index =
       if (placeholder) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
-      else IndexSnapshot.read(spark, s"$path/corpus",
+      else IndexSnapshot.read(spark, IndexSnapshot.corpusDir(path),
         s"dedup.embedding: no lsh index at $path — run index.build type=lsh first",
         corpusSchema, basePath = true,
         excludeDir = streamTag.map(tg => s"ingest_tag=$tg"))
@@ -1444,7 +1471,7 @@ object DedupEmbeddingOp extends Stage {
           case None    => co.write.mode("append")
           case Some(_) => co.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
         }
-        w.partitionBy("band", "pband", "ingest_tag").parquet(s"$path/corpus")
+        w.partitionBy("band", "pband", "ingest_tag").parquet(IndexSnapshot.corpusDir(path))
       }
     }
     dropped
@@ -1522,7 +1549,7 @@ object DedupEmbeddingOp extends Stage {
     val index =
       if (placeholder) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
-      else IndexSnapshot.read(spark, s"$path/corpus",
+      else IndexSnapshot.read(spark, IndexSnapshot.corpusDir(path),
         s"dedup.embedding: no lsh index at $path — run index.build type=lsh first",
         corpusSchema, basePath = true)
 
@@ -1580,7 +1607,7 @@ object DedupEmbeddingOp extends Stage {
       // per populated dir, not one per (task × dir)
       ctx.deferToSuccess(() =>
         pinnedAppend.repartition(F.col("block"), F.col("pbucket"))
-          .write.mode("append").partitionBy("block", "pbucket").parquet(s"$path/corpus"))
+          .write.mode("append").partitionBy("block", "pbucket").parquet(IndexSnapshot.corpusDir(path)))
     }
     dropped
   }

@@ -176,15 +176,44 @@ object IndexCompactOp extends Stage {
     if (targetMb < 1) throw new GraftConfigError("index.compact: target_file_mb must be >= 1")
     val spark = ctx.spark
 
-    // the swap below is derived from atomic directory rename — refuse up
-    // front on copy-rename object stores instead of corrupting mid-swap
-    GraftFs.requireAtomicRename(path, "index.compact")
-    IndexMaintenance.recoverSwap(path, cleanTmp = true)
+    // COMMIT MODE. "swap" (the classic protocol) installs the rewritten
+    // corpus by two directory renames and is only sound where rename is an
+    // atomic metadata op; "generations" writes the rewrite to a fresh
+    // `corpus-NNNNNN` dir and commits by REPLACING the `corpus.ptr`
+    // pointer file — a single small-file PUT, atomic on every store — so
+    // index.compact works on S3-class stores too (see DESIGN_NOTES
+    // "Object-store commit semantics"). auto = generations when the store
+    // lacks atomic rename OR the index is already generational; swap
+    // otherwise (keeps the measured local behavior and its crash-repair
+    // machinery byte-identical).
+    val corpusDir0 = IndexSnapshot.corpusDir(path)
+    val generational = cfg.strOr("layout", "auto") match {
+      case "swap" =>
+        GraftFs.requireAtomicRename(path, "index.compact layout=swap")
+        if (corpusDir0 != s"$path/corpus") throw new GraftConfigError(
+          s"index.compact: the index at $path is generation-pointer committed " +
+          "(corpus.ptr present) — layout=swap cannot apply; use layout=generations or auto")
+        false
+      case "generations" => true
+      case "auto" => corpusDir0 != s"$path/corpus" || !GraftFs.renameIsAtomic(path)
+      case other => throw new GraftConfigError(
+        s"index.compact: layout must be swap|generations|auto, got '$other'")
+    }
+    if (!generational) {
+      IndexMaintenance.recoverSwap(path, cleanTmp = true)
+    } else {
+      // quiesced-maintenance contract ⇒ any corpus-* dir the pointer does
+      // not reference is a crashed rewrite's garbage — collect it now
+      val active = GraftFs.path(corpusDir0).getName
+      GraftFs.listDirNames(path)
+        .filter(g => g.startsWith("corpus-") && g != active)
+        .foreach(g => GraftFs.deleteRec(s"$path/$g"))
+    }
 
     // the index family (= corpus layout) from its own metadata
     val (_, partitionCols) = IndexMaintenance.layout(spark, path, "index.compact")
 
-    val corpusDir = s"$path/corpus"
+    val corpusDir = corpusDir0
     val filesLen = IndexSnapshot.filesWithLen(corpusDir,
       s"index.compact: index at $path has no corpus directory")
     val files = filesLen.map(_._1)
@@ -252,7 +281,19 @@ object IndexCompactOp extends Stage {
     val corpus = if (partitionCols.contains("ingest_tag"))
       corpus0.withColumn("ingest_tag", F.lit("base")) else corpus0
 
-    val tmp = s"$path/corpus.compact.tmp"
+    // generations mode writes the rewrite STRAIGHT to the next
+    // generation dir (a crash leaves an unreferenced dir the next compact
+    // garbage-collects — never a partial active corpus); swap mode stages
+    // it in the .tmp dir the repair protocol knows
+    val tmp =
+      if (!generational) s"$path/corpus.compact.tmp"
+      else {
+        val next = 1L + GraftFs.listDirNames(path)
+          .filter(_.startsWith("corpus-"))
+          .flatMap(_.stripPrefix("corpus-").toLongOption)
+          .foldLeft(0L)(math.max)
+        f"$path/corpus-$next%06d"
+      }
     if (partitionCols.nonEmpty)
       corpus.repartition(partitionCols.map(F.col): _*)
         .write.mode("overwrite").partitionBy(partitionCols: _*).parquet(tmp)
@@ -275,31 +316,43 @@ object IndexCompactOp extends Stage {
     }
 
     // record the compacted generation's file list (for index.stats'
-    // appends_since_compact) BEFORE the swap, from the tmp listing — the
-    // relative part-file names are identical post-install, and writing it
-    // here means a crash between the swap and this write can't leave
-    // stats over-reporting the whole corpus as fresh appends. A crash
-    // between this write and the swap leaves compact.gen naming a
-    // discarded tmp generation — stats then over-report (reads as "never
-    // compacted"), which only triggers an early re-compact, never skips one.
+    // appends_since_compact) BEFORE the commit, from the new generation's
+    // listing — in swap mode the relative part-file names are identical
+    // post-install, and writing it here means a crash between the commit
+    // and this write can't leave stats over-reporting the whole corpus as
+    // fresh appends. A crash between this write and the commit leaves
+    // compact.gen naming a discarded generation — stats then over-report
+    // (reads as "never compacted"), which only triggers an early
+    // re-compact, never skips one.
     val tmpFiles = IndexSnapshot.files(tmp, s"index.compact: $tmp vanished")
     val rel = tmpFiles.map(f => GraftFs.relativize(tmp, f))
     GraftFs.writeStringCommit(s"$path/compact.gen", rel.mkString("\n"))
 
-    val hold = s"$path/corpus.compact.old"
-    if (!GraftFs.rename(corpusDir, hold))
-      throw new GraftPlanError(
-        s"index.compact: could not hold the corpus generation aside at $path — " +
-        "another maintenance process is racing this compact (compact must run quiesced)")
-    if (!GraftFs.rename(tmp, corpusDir))
-      // recoverable: the next corpus reader's recoverSwap installs tmp
-      throw new GraftPlanError(
-        s"index.compact: install rename lost a race at $path — the next corpus " +
-        "reader repairs the swap; re-run compact quiesced")
-    GraftFs.deleteRec(hold)
+    if (!generational) {
+      val hold = s"$path/corpus.compact.old"
+      if (!GraftFs.rename(corpusDir, hold))
+        throw new GraftPlanError(
+          s"index.compact: could not hold the corpus generation aside at $path — " +
+          "another maintenance process is racing this compact (compact must run quiesced)")
+      if (!GraftFs.rename(tmp, corpusDir))
+        // recoverable: the next corpus reader's recoverSwap installs tmp
+        throw new GraftPlanError(
+          s"index.compact: install rename lost a race at $path — the next corpus " +
+          "reader repairs the swap; re-run compact quiesced")
+      GraftFs.deleteRec(hold)
+    } else {
+      // THE commit point: replace the pointer (single small-file PUT —
+      // atomic everywhere); every reader resolves through
+      // IndexSnapshot.corpusDir, so the switch is all-or-nothing. The old
+      // generation is garbage after this line — best-effort delete, with
+      // the next compact's GC as the backstop.
+      GraftFs.writeStringCommit(s"$path/corpus.ptr", GraftFs.path(tmp).getName)
+      GraftFs.deleteRec(corpusDir)
+    }
 
     System.err.println(s"[graft] index.compact: $path — ${files.size} files " +
-      s"(${bytes / 1048576} MiB) → ${tmpFiles.size} files")
+      s"(${bytes / 1048576} MiB) → ${tmpFiles.size} files" +
+      (if (generational) s" [generation ${GraftFs.path(tmp).getName}]" else ""))
     ctx.primary
   }
 }
@@ -340,7 +393,7 @@ object IndexStatsOp extends Stage {
 
     IndexMaintenance.recoverSwap(path)
     val (family, partitionCols) = IndexMaintenance.layout(spark, path, "index.stats")
-    val corpusDir = s"$path/corpus"
+    val corpusDir = IndexSnapshot.corpusDir(path)
     val filesLen = IndexSnapshot.filesWithLen(corpusDir,
       s"index.stats: index at $path has no corpus directory")
     val files = filesLen.map(_._1)

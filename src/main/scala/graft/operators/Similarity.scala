@@ -340,7 +340,7 @@ object KnnJoinOp extends Stage {
     val idxRaw =
       if (placeholder) spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], fallbackSchema)
-      else IndexSnapshot.read(spark, s"$path/corpus",
+      else IndexSnapshot.read(spark, IndexSnapshot.corpusDir(path),
         s"knn.join: no lsh index at $path — run index.build type=lsh first",
         fallbackSchema, basePath = true)
     Seq(cId, cVec).foreach(c => if (!idxRaw.columns.contains(c))
@@ -427,7 +427,7 @@ object KnnJoinOp extends Stage {
     val idxRaw =
       if (placeholder) spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row], fallbackSchema)
-      else IndexSnapshot.read(spark, s"$path/corpus",
+      else IndexSnapshot.read(spark, IndexSnapshot.corpusDir(path),
         s"knn.join: no lsh index at $path — run index.build type=lsh first",
         fallbackSchema, basePath = true)
     Seq(cId, cVec).foreach(c => if (!idxRaw.columns.contains(c))
@@ -488,7 +488,7 @@ object KnnJoinOp extends Stage {
       IvfCentroids.nearest(cents, Vectors.dense(v.toArray), nprobe).toSeq
     }
     val qCells = qSide.withColumn("cell", F.explode(nearestCells(F.col("_qv"))))
-    val corpus0 = spark.read.parquet(s"$path/corpus")
+    val corpus0 = spark.read.parquet(IndexSnapshot.corpusDir(path))
     Seq(cId, cVec).foreach(c => if (!corpus0.columns.contains(c))
       throw new GraftPlanError(
         s"knn.join: index at $path has no '$c' column (has: ${corpus0.columns.mkString(", ")}) " +
@@ -648,7 +648,7 @@ object KnnLshOp extends Stage {
               }
             F.col("band") === b && pred
           }.reduce(_ || _)
-          return topk(spark.read.parquet(s"$path/corpus")
+          return topk(spark.read.parquet(IndexSnapshot.corpusDir(path))
             .filter(probe)
             .dropDuplicates(idCol) // a candidate can match several bands
             .drop("band", "bsig", "pband", "ingest_tag"))
@@ -689,7 +689,7 @@ object KnnLshOp extends Stage {
             }
           F.col("block") === j && bucketPred
         }.reduce(_ || _)
-        topk(spark.read.parquet(s"$path/corpus")
+        topk(spark.read.parquet(IndexSnapshot.corpusDir(path))
           .filter(probe)
           .dropDuplicates(idCol)   // a candidate can match several blocks
           .drop("block", "bucket", "pbucket"))
@@ -773,7 +773,7 @@ object KnnIvfOp extends Stage {
         val cents = IvfCentroids.load(spark, path, "knn.ivf")
         val nprobe = math.min(nprobe0, cents.length)
         val probed = IvfCentroids.nearest(cents, qv, nprobe)
-        topk(spark.read.parquet(s"$path/corpus")
+        topk(spark.read.parquet(IndexSnapshot.corpusDir(path))
           .filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*)))
       case None =>
         import org.apache.spark.ml.clustering.KMeans

@@ -275,7 +275,7 @@ object SimilarJoinOp extends Stage {
     val index =
       if (placeholder) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], corpusSchema)
-      else IndexSnapshot.read(spark, s"$path/corpus",
+      else IndexSnapshot.read(spark, IndexSnapshot.corpusDir(path),
         s"join.similar: no minhash index at $path — run index.build type=minhash first",
         corpusSchema)
     val scored = LshVerify.verifiedCrossPairsScored(hashed, index, bands, r, k, threshold)
@@ -355,7 +355,7 @@ object SimilarJoinOp extends Stage {
           if (placeholder) emptyIndex(Seq(StructField("bsig", LongType),
             StructField("band", IntegerType), StructField("pband", IntegerType),
             StructField("ingest_tag", StringType)))
-          else IndexSnapshot.read(spark, s"$path/corpus",
+          else IndexSnapshot.read(spark, IndexSnapshot.corpusDir(path),
             s"join.similar: no lsh index at $path — run index.build type=lsh first",
             emptyIndex(Seq.empty).schema, basePath = true)
         val idxSide = index.select(F.col("band"), F.col("pband"), F.col("bsig"),
@@ -400,7 +400,7 @@ object SimilarJoinOp extends Stage {
         val index =
           if (placeholder) emptyIndex(Seq(StructField("block", IntegerType),
             StructField("pbucket", IntegerType), StructField("bucket", LongType)))
-          else IndexSnapshot.read(spark, s"$path/corpus",
+          else IndexSnapshot.read(spark, IndexSnapshot.corpusDir(path),
             s"join.similar: no lsh index at $path — run index.build type=lsh first",
             emptyIndex(Seq.empty).schema, basePath = true)
         val idxSide = index.select(F.col("block"), F.col("pbucket"), F.col("bucket"),

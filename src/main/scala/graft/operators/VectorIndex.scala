@@ -99,9 +99,13 @@ object IndexBuildOp extends Stage {
     cfg.strOpt("path").foreach(p => IndexMaintenance.recoverSwap(p))
     // a rebuild invalidates the recorded compacted generation (index.stats
     // would otherwise count the fresh corpus as zero appends-since-compact)
+    // AND any generation-pointer state (the fresh corpus writes to the
+    // classic dir; a surviving pointer would alias it to a stale gen)
     if (cfg.strOr("mode", "overwrite") == "overwrite")
-      cfg.strOpt("path").foreach(p =>
-        GraftFs.deleteIfExists(s"$p/compact.gen"))
+      cfg.strOpt("path").foreach { p =>
+        GraftFs.deleteIfExists(s"$p/compact.gen")
+        IndexSnapshot.resetGenerations(p)
+      }
     cfg.strOr("type", "ivf") match {
       case "ivf" => buildIvf(ctx)
       case "lsh" => buildLsh(ctx)
@@ -144,7 +148,7 @@ object IndexBuildOp extends Stage {
     // meta over an old corpus (or appending differently-hashed rows) would
     // make every cross match against the old portion miss
     if (mode == "append" &&
-        GraftFs.isDir(s"$path/corpus") &&
+        GraftFs.isDir(IndexSnapshot.corpusDir(path)) &&
         !GraftFs.isDir(s"$path/meta"))
       throw new GraftConfigError(
         s"index.build type=minhash mode=append: $path has a corpus but no meta (a crashed " +
@@ -164,7 +168,7 @@ object IndexBuildOp extends Stage {
       .select(F.col(id).alias("id"),
         Shingles.shingleHashes(F.col(text), n).alias("shingles"))
       .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed))
-      .write.mode(mode).parquet(s"$path/corpus")
+      .write.mode(mode).parquet(IndexSnapshot.corpusDir(path))
 
     import spark.implicits._
     Seq((n, k, bands, seed)).toDF("shingle_size", "num_hashes", "bands", "seed")
@@ -204,7 +208,7 @@ object IndexBuildOp extends Stage {
     // populated cell instead of input_partitions × cells droplets)
     km.transform(feat).drop("_features")
       .repartition(F.col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/corpus")
+      .write.mode("overwrite").partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
 
     val spark = ctx.spark
     import spark.implicits._
@@ -244,7 +248,7 @@ object IndexBuildOp extends Stage {
     }
     ctx.primary.withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
       .repartition(F.col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$path/corpus")
+      .write.mode("append").partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
   }
 
   /** `type = "exact"` — the exact-dedup key set: distinct 128-bit md5
@@ -268,7 +272,7 @@ object IndexBuildOp extends Stage {
     val mode = cfg.strOr("mode", "overwrite")
     val spark = ctx.spark
     if (mode == "append" &&
-        GraftFs.isDir(s"$path/corpus") &&
+        GraftFs.isDir(IndexSnapshot.corpusDir(path)) &&
         !GraftFs.isDir(s"$path/meta"))
       throw new GraftConfigError(
         s"index.build type=ngram mode=append: $path has a corpus but no meta (a crashed " +
@@ -287,7 +291,7 @@ object IndexBuildOp extends Stage {
       .select(F.col(id).alias("id"),
         DedupNgramOp.charNgramHashes(text, n).alias("shingles"))
       .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), bands * r, seed))
-      .write.mode(mode).parquet(s"$path/corpus")
+      .write.mode(mode).parquet(IndexSnapshot.corpusDir(path))
     import spark.implicits._
     Seq((n, bands, r, seed)).toDF("ngram_size", "bands", "rows_per_band", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -304,13 +308,13 @@ object IndexBuildOp extends Stage {
     val mode = cfg.strOr("mode", "overwrite")
     val spark = ctx.spark
     if (mode == "append" &&
-        GraftFs.isDir(s"$path/corpus") &&
+        GraftFs.isDir(IndexSnapshot.corpusDir(path)) &&
         !GraftFs.isDir(s"$path/meta"))
       throw new GraftConfigError(
         s"index.build type=simhash mode=append: $path has a corpus but no meta (a crashed " +
         "earlier build?) — rebuild with mode=overwrite")
     DedupSimHashOp.withSignature(Parallelize(ctx), id, text)
-      .write.mode(mode).parquet(s"$path/corpus")
+      .write.mode(mode).parquet(IndexSnapshot.corpusDir(path))
     import spark.implicits._
     Seq(Tuple1(true)).toDF("simhash")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -323,7 +327,7 @@ object IndexBuildOp extends Stage {
     val mode = cfg.strOr("mode", "overwrite")
     val spark = ctx.spark
     if (mode == "append" &&
-        GraftFs.isDir(s"$path/corpus") &&
+        GraftFs.isDir(IndexSnapshot.corpusDir(path)) &&
         !GraftFs.isDir(s"$path/meta"))
       throw new GraftConfigError(
         s"index.build type=exact mode=append: $path has a corpus but no meta (a crashed " +
@@ -337,7 +341,7 @@ object IndexBuildOp extends Stage {
         s"from the existing index at $path (${existing.mkString(", ")}) — keys would never match")
     }
     ctx.primary.select(DedupExactOp.contentKey(cols).alias("key")).distinct()
-      .write.mode(mode).parquet(s"$path/corpus")
+      .write.mode(mode).parquet(IndexSnapshot.corpusDir(path))
     import spark.implicits._
     Seq(Tuple1(cols)).toDF("columns")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -387,7 +391,7 @@ object IndexBuildOp extends Stage {
     }
     val spark = ctx.spark
     if (mode == "append" &&
-        GraftFs.isDir(s"$path/corpus") &&
+        GraftFs.isDir(IndexSnapshot.corpusDir(path)) &&
         !GraftFs.isDir(s"$path/meta"))
       throw new GraftConfigError(
         s"index.build type=lsh mode=append: $path has a corpus but no meta (a crashed " +
@@ -416,7 +420,7 @@ object IndexBuildOp extends Stage {
       .withColumn("ingest_tag", F.lit("base"))
     // co-locate each dir key before the partitioned write (see pigeonhole)
     exploded.repartition(F.col("band"), F.col("pband"))
-      .write.mode(mode).partitionBy("band", "pband", "ingest_tag").parquet(s"$path/corpus")
+      .write.mode(mode).partitionBy("band", "pband", "ingest_tag").parquet(IndexSnapshot.corpusDir(path))
 
     import spark.implicits._
     Seq((bands, r, seed, dim, pdirs))
@@ -454,7 +458,7 @@ object IndexBuildOp extends Stage {
     }
     val spark = ctx.spark
     if (mode == "append" &&
-        GraftFs.isDir(s"$path/corpus") &&
+        GraftFs.isDir(IndexSnapshot.corpusDir(path)) &&
         !GraftFs.isDir(s"$path/meta"))
       throw new GraftConfigError(
         s"index.build type=lsh mode=append: $path has a corpus but no meta (a crashed " +
@@ -486,7 +490,7 @@ object IndexBuildOp extends Stage {
     // every INPUT partition emits a file into every populated dir —
     // input_partitions × blocks × pdirs tiny files vs one per dir
     exploded.repartition(F.col("block"), F.col("pbucket"))
-      .write.mode(mode).partitionBy("block", "pbucket").parquet(s"$path/corpus")
+      .write.mode(mode).partitionBy("block", "pbucket").parquet(IndexSnapshot.corpusDir(path))
 
     import spark.implicits._
     Seq((h, blocks, seed, dim, pdirs))

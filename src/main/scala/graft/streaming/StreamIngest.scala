@@ -194,33 +194,41 @@ object StreamIngestSink extends Stage {
     var w = df.writeStream
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         // heartbeat every trigger, empty batches included — an idle
         // stream must still look alive to other would-be writers
         IngestLease.heartbeat(indexPath, checkpoint, queryName)
-        if (!batch.isEmpty) {
-          val tag = s"sb-$tagBase-$batchId"
-          val deferred = scala.collection.mutable.Buffer[() => Unit]()
-          val cleanups = scala.collection.mutable.Buffer[() => Unit]()
-          try {
-            val batchCfg = Cfg(passThrough ++ Map(
-              "index_append" -> CBool(cfg.boolOr("index_append", true)),
-              "_stream_batch_tag" -> CStr(tag)))
-            val survivors = op(StageContext(batch.sparkSession,
-              Seq("batch" -> batch), batchCfg, stageId,
-              deferToSuccess = a => { deferred += a; () },
-              deferToCleanup = a => { cleanups += a; () }))
-            survivors.withColumn("ingest_batch", F.lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("ingest_batch").parquet(out)
-            // the index grows only after the survivors are durably in the
-            // output — the same commit ordering as the batch pipelines'
-            // success-deferred append
-            deferred.foreach(_())
-          } finally cleanups.foreach(c => try c() catch { case e: Exception =>
-            System.err.println(s"[graft] stream.ingest cleanup failed: ${e.getMessage}") })
-        }
+        // pin the micro-batch ONCE: the per-batch work reads it ~5 times
+        // (emptiness check, dim validation, signature build, survivors
+        // write) and each read re-scans the source files without this —
+        // measured as numInputRows = 5× the file rows in the r8 stream
+        // probe. Bounded by the trigger size, released in the finally.
+        val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!batch.isEmpty) {
+            val tag = s"sb-$tagBase-$batchId"
+            val deferred = scala.collection.mutable.Buffer[() => Unit]()
+            val cleanups = scala.collection.mutable.Buffer[() => Unit]()
+            try {
+              val batchCfg = Cfg(passThrough ++ Map(
+                "index_append" -> CBool(cfg.boolOr("index_append", true)),
+                "_stream_batch_tag" -> CStr(tag)))
+              val survivors = op(StageContext(batch.sparkSession,
+                Seq("batch" -> batch), batchCfg, stageId,
+                deferToSuccess = a => { deferred += a; () },
+                deferToCleanup = a => { cleanups += a; () }))
+              survivors.withColumn("ingest_batch", F.lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch").parquet(out)
+              // the index grows only after the survivors are durably in the
+              // output — the same commit ordering as the batch pipelines'
+              // success-deferred append
+              deferred.foreach(_())
+            } finally cleanups.foreach(c => try c() catch { case e: Exception =>
+              System.err.println(s"[graft] stream.ingest cleanup failed: ${e.getMessage}") })
+          }
+        } finally batch.unpersist()
       }
     cfg.strOpt("trigger") match {
       case Some("available_now") => w = w.trigger(Trigger.AvailableNow())
@@ -293,20 +301,25 @@ object StreamSketchSink extends Stage {
     var w = df.writeStream
       .queryName(cfg.strOr("query_name", s"graft_${stageId}"))
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val cleanups = scala.collection.mutable.Buffer[() => Unit]()
-          try {
-            val summary = TopKOp(StageContext(batch.sparkSession,
-              Seq("batch" -> batch), passThrough, stageId,
-              deferToCleanup = a => { cleanups += a; () }))
-            summary.withColumn("ingest_batch", F.lit(batchId))
-              .write.mode("overwrite")
-              .option("partitionOverwriteMode", "dynamic")
-              .partitionBy("ingest_batch").parquet(out)
-          } finally cleanups.foreach(c => try c() catch { case e: Exception =>
-            System.err.println(s"[graft] stream.sketch cleanup failed: ${e.getMessage}") })
-        }
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // pin once — the emptiness check and the sketch pass would each
+        // re-scan the source files otherwise (see stream.ingest)
+        val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (!batch.isEmpty) {
+            val cleanups = scala.collection.mutable.Buffer[() => Unit]()
+            try {
+              val summary = TopKOp(StageContext(batch.sparkSession,
+                Seq("batch" -> batch), passThrough, stageId,
+                deferToCleanup = a => { cleanups += a; () }))
+              summary.withColumn("ingest_batch", F.lit(batchId))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("ingest_batch").parquet(out)
+            } finally cleanups.foreach(c => try c() catch { case e: Exception =>
+              System.err.println(s"[graft] stream.sketch cleanup failed: ${e.getMessage}") })
+          }
+        } finally batch.unpersist()
       }
     cfg.strOpt("trigger") match {
       case Some("available_now") => w = w.trigger(Trigger.AvailableNow())
