@@ -36,11 +36,27 @@ import org.apache.spark.sql.SparkSession
 object GraftFs {
   /** Hadoop conf from the active Spark session when there is one (so
     * `--conf spark.hadoop.*` fs settings like S3 credentials apply), else
-    * a default conf — same resolution as Spark's own data paths. */
-  def hadoopConf: Configuration =
-    SparkSession.getActiveSession
-      .map(_.sessionState.newHadoopConf())
-      .getOrElse(new Configuration())
+    * a default conf — same resolution as Spark's own data paths.
+    *
+    * CACHED per session instance: `newHadoopConf()` copies the entire
+    * Spark conf into a fresh Configuration on every call (~ms), and path
+    * helpers like [[relativize]] run inside per-file listing loops — the
+    * uncached version measurably regressed every index-lifecycle gate
+    * (index_compact_parity 5.8 → 11.2 s in the r8 bench before this).
+    * The conf is treated as read-only after construction. */
+  @volatile private var cachedConf: (AnyRef, Configuration) = null
+  def hadoopConf: Configuration = {
+    val session = SparkSession.getActiveSession.orNull
+    val c = cachedConf
+    if (c != null && (c._1 eq session)) c._2
+    else {
+      val conf =
+        if (session != null) session.sessionState.newHadoopConf()
+        else new Configuration()
+      cachedConf = (session, conf)
+      conf
+    }
+  }
 
   def path(s: String): Path = new Path(s)
 
@@ -48,10 +64,19 @@ object GraftFs {
 
   /** Fully-qualified form (scheme + authority resolved against the
     * default FS) — the canonical identity of a path for claim keys and
-    * for `basePath` options that must match listed file paths. */
+    * for `basePath` options that must match listed file paths. Last
+    * result memoized: listing loops qualify one constant base repeatedly
+    * (each raw call pays an FS-cache + UGI lookup). */
+  @volatile private var lastQualified: (String, String) = null
   def qualified(s: String): String = {
-    val p = path(s)
-    p.getFileSystem(hadoopConf).makeQualified(p).toString
+    val c = lastQualified
+    if (c != null && c._1 == s) c._2
+    else {
+      val p = path(s)
+      val q = p.getFileSystem(hadoopConf).makeQualified(p).toString
+      lastQualified = (s, q)
+      q
+    }
   }
 
   def isDir(s: String): Boolean = {
@@ -166,18 +191,51 @@ object GraftFs {
   }
 
   /** All regular files under `s`, recursively, as (fully-qualified path,
-    * length) pairs. One listFiles call — on HDFS a single namenode-side
-    * recursive iterator, on S3A a flat LIST — instead of per-directory
-    * round trips. */
+    * length) pairs. On HDFS one namenode-side recursive iterator, on S3A
+    * a flat LIST — instead of per-directory round trips.
+    *
+    * LOCAL FAST PATH: Hadoop's `listFiles(recursive)` on the local FS
+    * materializes a LocatedFileStatus per file, and WITHOUT the native
+    * hadoop library that loads permissions by forking `ls -ld` PER FILE —
+    * measured at ~4.7 ms/file (4.8 s for a 1024-file lsh corpus) vs
+    * ~6 ms TOTAL for a java.nio walk. Every index-probe snapshot lists
+    * through here, so the `file:` scheme walks nio and renders paths in
+    * Hadoop's qualified form (`<qualified base>/<rel>`), byte-identical
+    * to what the Hadoop listing would return. */
   def listFilesRec(s: String): Vector[(String, Long)] = {
-    val p = path(s)
-    val f = p.getFileSystem(hadoopConf)
-    if (!f.exists(p)) Vector.empty
-    else {
-      val it = f.listFiles(p, true)
-      val buf = Vector.newBuilder[(String, Long)]
-      while (it.hasNext) { val st = it.next(); buf += ((st.getPath.toString, st.getLen)) }
-      buf.result()
+    val q = qualified(s)
+    if (q.startsWith("file:")) {
+      val basePath = java.nio.file.Paths.get(q.stripPrefix("file:"))
+      if (!java.nio.file.Files.isDirectory(basePath)) Vector.empty
+      else {
+        val stream = java.nio.file.Files.walk(basePath)
+        try {
+          val buf = Vector.newBuilder[(String, Long)]
+          val it = stream.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            val name = f.getFileName.toString
+            // the Hadoop local FS is a ChecksumFileSystem: its listing
+            // hides the ".<name>.crc" shadow files its writes create —
+            // match that exactly or round-trips see phantom entries
+            if (java.nio.file.Files.isRegularFile(f) &&
+                !(name.startsWith(".") && name.endsWith(".crc")))
+              buf += ((q + "/" + basePath.relativize(f).toString,
+                java.nio.file.Files.size(f)))
+          }
+          buf.result()
+        } finally stream.close()
+      }
+    } else {
+      val p = path(s)
+      val f = p.getFileSystem(hadoopConf)
+      if (!f.exists(p)) Vector.empty
+      else {
+        val it = f.listFiles(p, true)
+        val buf = Vector.newBuilder[(String, Long)]
+        while (it.hasNext) { val st = it.next(); buf += ((st.getPath.toString, st.getLen)) }
+        buf.result()
+      }
     }
   }
 
@@ -186,10 +244,15 @@ object GraftFs {
     * against caller-supplied (possibly bare) roots. */
   def relativize(base: String, child: String): String = {
     val b = qualified(base).stripSuffix("/")
-    val c = qualified(child)
-    if (c == b) ""
-    else if (c.startsWith(b + "/")) c.substring(b.length + 1)
-    else throw new IllegalArgumentException(s"'$child' is not under '$base'")
+    // fast path: listed children come back fully qualified already — a
+    // plain prefix match avoids a second qualification per file
+    if (child.startsWith(b + "/")) child.substring(b.length + 1)
+    else {
+      val c = qualified(child)
+      if (c == b) ""
+      else if (c.startsWith(b + "/")) c.substring(b.length + 1)
+      else throw new IllegalArgumentException(s"'$child' is not under '$base'")
+    }
   }
 
   def readString(s: String): String = {

@@ -90,6 +90,41 @@ class GraftFsSpec extends SparkSpec {
     assert(survivors3 === Seq(21L))
   }
 
+  test("stream.ingest runs end-to-end on scheme-qualified file: paths (index, output, checkpoint, lease)") {
+    import org.apache.spark.sql.{functions => F}
+    val base = tmp("gfs_stream")
+    val idx = s"file:$base/idx"
+    val out = s"file:$base/out"
+    val incoming = s"$base/in" // local staging for the file source
+    val seed = Seq((1L, Array.fill(8)(0.5f)), (2L, Array.fill(8)(-0.5f)))
+      .toDF("vec_id", "embedding")
+    graft.operators.IndexBuildOp(StageContext.one(spark, seed, Cfg.of(
+      "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "bands" -> 4, "band_planes" -> 4, "seed" -> 11, "partition_dirs" -> 2)))
+    // batch: one dup of the seed corpus, one novel vector
+    Seq((10L, Array.fill(8)(0.5f)), (11L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(incoming)
+    val stream = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(incoming)
+    graft.streaming.StreamIngestSink(StageContext.one(spark, stream, Cfg.of(
+      "path" -> out, "index_path" -> idx, "dedup" -> "embedding",
+      "trigger" -> "available_now", "id_column" -> "vec_id",
+      "vector_column" -> "embedding", "threshold" -> 0.95)))
+    val got = spark.read.parquet(out).select("vec_id").as[Long].collect().toSeq
+    assert(got === Seq(11L), "dup dropped against the qualified index, novel survived")
+    // lease lived under the qualified index root and was released
+    assert(!GraftFs.exists(s"$idx/ingest.lease"))
+    // the index grew through the qualified path — a second batch with a
+    // copy of the survivor drops it
+    val batch2 = Seq((20L, Array.tabulate(8)(i => if (i % 2 == 0) 1f else -1f)))
+      .toDF("vec_id", "embedding")
+    val later = graft.operators.DedupEmbeddingOp(StageContext.one(spark, batch2, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "threshold" -> 0.95, "index_path" -> idx)))
+    assert(later.count() === 0)
+  }
+
   test("kafka produce/consume round-trips on a scheme-qualified file: log root") {
     val root = s"file:${tmp("gfs_kafka")}/log"
     val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("name", "v")
