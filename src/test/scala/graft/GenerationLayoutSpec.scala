@@ -90,6 +90,56 @@ class GenerationLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("generation-pointer"))
   }
 
+  test("generational compact preserves partitioned layouts: bands probe + ivf pruning") {
+    import graft.operators.{DedupEmbeddingOp, KnnIvfOp, KnnLshOp}
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed * 31L + 7)
+      val v = Array.fill(16)(r.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val vecs = (0 until 30).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+    // bands layout: probe parity + ingest_tag folding across a pointer commit
+    val bidx = java.nio.file.Files.createTempDirectory("genlay_b").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark, vecs, Cfg.of(
+      "type" -> "lsh", "blocking" -> "bands", "path" -> bidx,
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "bands" -> 8, "band_planes" -> 4, "seed" -> 11, "partition_dirs" -> 4)))
+    val batch = Seq((100L, vec(3)), (101L, vec(999))).toDF("vec_id", "embedding")
+    def bandsProbe(): Seq[Long] =
+      DedupEmbeddingOp(StageContext.one(spark, batch, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "threshold" -> 0.95, "index_path" -> bidx)))
+        .select("vec_id").as[Long].collect().sorted.toSeq
+    val before = bandsProbe()
+    assert(before === Seq(101L), "copy of vec 3 drops, novel survives")
+    IndexCompactOp(StageContext.one(spark, vecs, Cfg.of(
+      "path" -> bidx, "layout" -> "generations")))
+    assert(GraftFs.isFile(s"$bidx/corpus.ptr"))
+    assert(bandsProbe() === before, "banded partition join identical under the generation dir")
+    val lshTop = KnnLshOp(StageContext.one(spark, vecs, Cfg.of(
+      "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "k" -> 5, "index_path" -> bidx))).collect().head
+    assert(lshTop.getLong(0) === 0L && lshTop.getDouble(1) === 1.0)
+
+    // ivf layout: cell partition pruning survives the pointer commit
+    val iidx = java.nio.file.Files.createTempDirectory("genlay_i").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark, vecs, Cfg.of(
+      "type" -> "ivf", "path" -> iidx, "vector_column" -> "embedding",
+      "nlist" -> 4, "seed" -> 11)))
+    def ivfTop(): Seq[(Long, Double)] =
+      KnnIvfOp(StageContext.one(spark, vecs, Cfg.of(
+        "query_id" -> 2, "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "k" -> 5, "nprobe" -> 4, "index_path" -> iidx)))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ivfBefore = ivfTop()
+    IndexCompactOp(StageContext.one(spark, vecs, Cfg.of(
+      "path" -> iidx, "layout" -> "generations")))
+    assert(GraftFs.isFile(s"$iidx/corpus.ptr"))
+    assert(ivfTop() === ivfBefore, "ivf probe identical under the generation dir")
+  }
+
   test("crashed-rewrite garbage generations are collected; overwrite rebuild resets to classic") {
     val idx = java.nio.file.Files.createTempDirectory("genlay_gc").toString
     build(idx)
