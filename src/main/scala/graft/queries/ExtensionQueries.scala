@@ -333,6 +333,56 @@ object ExtensionQueries {
       d1.unionByName(d2)
     },
 
+    // ---- index.compact layout=generations (r8 — the object-store commit
+    // path): build an exact-key index in two halves, compact it TWICE
+    // through the generation-pointer commit (with an index_append between,
+    // so the second generation folds appended files), then probe a batch
+    // of known duplicates + novel rows. Deterministic by construction:
+    // batch texts are distinct (per-text MIN doc_id base) and keep=first
+    // over doc_id pins any residual tie; the oracle is plain key
+    // membership against the whole corpus. Hash-green means the pointer
+    // layout is probe-equivalent to the classic dir under the driver's
+    // own gate, not just in ScalaTest. ----
+    QueryDef("index_compact_generations",
+      """WITH base AS (SELECT text, MIN(doc_id) AS src_id FROM documents
+        |  WHERE doc_id < 200 GROUP BY text),
+        |batch AS (
+        |  SELECT src_id + 50000 AS doc_id, text FROM base
+        |  UNION ALL SELECT src_id + 60000, concat('zz ', text) FROM base)
+        |SELECT MIN(doc_id) AS doc_id, text FROM batch
+        |WHERE text NOT IN (SELECT text FROM documents)
+        |GROUP BY text""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val idx = java.nio.file.Files.createTempDirectory("graft_gen_idx").toString
+      val exCfg = Seq[(String, Any)]("type" -> "exact", "path" -> idx,
+        "columns" -> Seq("text"))
+      IndexBuildOp(StageContext.one(s, docs.filter(F.col("doc_id") % 2 === 0),
+        Cfg.of(exCfg: _*)))
+      IndexBuildOp(StageContext.one(s, docs.filter(F.col("doc_id") % 2 =!= 0),
+        Cfg.of((exCfg :+ ("mode" -> "append")): _*)))
+      IndexCompactOp(StageContext.one(s, docs,
+        Cfg.of("path" -> idx, "layout" -> "generations")))
+      // grow the FIRST generation via the resolver, then fold it into a
+      // second generation — appends must follow the pointer for this to
+      // hash-match (keys 'qq-extra-*' never collide with batch texts)
+      import s.implicits._
+      DedupExactOp(StageContext.one(s,
+        (0 until 5).map(i => (90000L + i, s"qq-extra-$i")).toDF("doc_id", "text"),
+        Cfg.of("columns" -> Seq("text"), "index_path" -> idx,
+          "index_append" -> true))).count()
+      IndexCompactOp(StageContext.one(s, docs,
+        Cfg.of("path" -> idx, "layout" -> "generations")))
+      val base = docs.filter(F.col("doc_id") < 200)
+        .groupBy("text").agg(F.min("doc_id").as("src_id"))
+      val batch = base.select((F.col("src_id") + 50000).as("doc_id"), F.col("text"))
+        .unionByName(base.select((F.col("src_id") + 60000).as("doc_id"),
+          F.concat(F.lit("zz "), F.col("text")).as("text")))
+      DedupExactOp(StageContext.one(s, batch, Cfg.of(
+        "columns" -> Seq("text"), "keep" -> "first", "order_by" -> Seq("doc_id"),
+        "index_path" -> idx)))
+        .select("doc_id", "text")
+    },
+
     // ---- index.stats: fragmentation report (file counts / dir layout —
     // filesystem facts, not SQL-expressible → rows-only; exactness pinned
     // in IndexCompactSpec against known build+append layouts) ----
