@@ -129,14 +129,44 @@ object GraftFs {
   /** Rename src → dst. Returns false when the FS reports a lost race
     * (source vanished / destination appeared) instead of throwing — the
     * swap-repair retry loops re-stat and converge on the winner, mirroring
-    * what they previously did by catching nio's typed exceptions. */
+    * what they previously did by catching nio's typed exceptions.
+    *
+    * DELIVERING that contract takes work Hadoop doesn't do: where nio's
+    * `Files.move` throws `FileAlreadyExistsException` on an existing
+    * destination, `FileSystem.rename` moves src INTO an existing
+    * destination DIRECTORY (as `dst/<srcName>`) and returns TRUE — in the
+    * concurrent crash-swap repair race that would nest the losing
+    * reader's generation inside the winner's installed corpus, and
+    * recursive listings would then silently serve duplicate rows. So:
+    * (1) an existing destination is checked up front (the deterministic
+    * stale-destination case — also covers POSIX rename(2) silently
+    * replacing an existing destination FILE), and (2) after a true
+    * return, `dst/<srcName>` appearing means the destination materialized
+    * inside the race window and Hadoop nested the move — undo it and
+    * report the lost race. The undo test is sound because every caller
+    * moves a tree that never contains a child named after itself
+    * (corpus.compact.tmp/.old, partition=N, ingest_batch=N hold names). */
   def rename(src: String, dst: String): Boolean = {
     val sp = path(src)
+    val dp = path(dst)
     val f = sp.getFileSystem(hadoopConf)
-    try f.rename(sp, path(dst))
-    catch {
-      case _: java.io.FileNotFoundException => false
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+    if (f.exists(dp)) return false
+    val ok =
+      try f.rename(sp, dp)
+      catch {
+        case _: java.io.FileNotFoundException => false
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    if (!ok) return false
+    val nested = new Path(dp, sp.getName)
+    if (!f.exists(nested)) true
+    else {
+      if (!f.rename(nested, sp))
+        throw new java.io.IOException(
+          s"rename $src -> $dst lost a race (destination appeared and the move " +
+          s"nested into it as $nested) and the un-nesting rename failed — " +
+          "resolve the nesting by hand before re-running")
+      false
     }
   }
 
@@ -297,7 +327,19 @@ object GraftFs {
     * the new, never a torn write. On object stores a single-object PUT is
     * already atomic, so the guard does not apply here — this is the
     * commit primitive that works EVERYWHERE, which is why the manifest
-    * protocols commit through it rather than through directory renames. */
+    * protocols commit through it rather than through directory renames.
+    *
+    * The install renames OVER the existing destination without a prior
+    * delete — critical for files whose EXISTENCE is load-bearing: a crash
+    * inside a delete-then-rename window would leave `corpus.ptr` absent
+    * (readers fall back to a corpus dir a prior compact deleted) or a
+    * kafka `_consumer_offsets` file absent (a concurrent `committed()`
+    * reads Map.empty and replays from earliest). On POSIX local stores a
+    * plain rename(2) already replaces an existing file atomically; where
+    * the FileSystem refuses an existing destination (HDFS), the
+    * FileContext `Options.Rename.OVERWRITE` path is the namenode-atomic
+    * equivalent; only if neither applies does the old delete-then-rename
+    * run as a last resort. */
   def writeStringCommit(s: String, content: String): Unit = {
     val p = path(s)
     val f = p.getFileSystem(hadoopConf)
@@ -310,11 +352,69 @@ object GraftFs {
       val out = f.create(tmp, true)
       try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (f.exists(p)) f.delete(p, false)
-      if (!f.rename(tmp, p)) {
-        f.delete(tmp, false)
-        if (!f.exists(p))
-          throw new java.io.IOException(s"commit rename to $s lost a race and no winner is visible")
+      // NOTE: f.rename deliberately raw here (not GraftFs.rename) — this is
+      // the one caller that WANTS replace-existing semantics.
+      val plain = try f.rename(tmp, p) catch { case _: java.io.IOException => false }
+      if (!plain) {
+        val overwritten =
+          try {
+            org.apache.hadoop.fs.FileContext.getFileContext(f.getUri, hadoopConf)
+              .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+            true
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (!overwritten) {
+          // last resort (FS with neither replace-on-rename nor a
+          // FileContext binding): the old delete-then-rename, with its
+          // small absent-destination window and the race convergence check
+          if (f.exists(p)) f.delete(p, false)
+          if (!f.rename(tmp, p)) {
+            f.delete(tmp, false)
+            if (!f.exists(p))
+              throw new java.io.IOException(s"commit rename to $s lost a race and no winner is visible")
+          }
+        }
+      }
+    }
+  }
+
+  /** Atomically create-and-claim a file that must not already exist — the
+    * lease-claim primitive. Returns true iff THIS call created the file;
+    * false when it already existed (or appeared concurrently). Local
+    * paths go through nio `CREATE_NEW` (a real O_EXCL — Hadoop's local
+    * `create(overwrite = false)` is only a check-then-act); HDFS's create
+    * is namenode-atomic. Object-store creates are check-then-act at the
+    * store level — callers on such stores get best-effort mutual
+    * exclusion, same as every S3-based lock. */
+  def createExclusive(s: String, content: String): Boolean = {
+    val q = qualified(s)
+    if (q.startsWith("file:")) {
+      val nioPath = java.nio.file.Paths.get(q.stripPrefix("file:"))
+      if (nioPath.getParent != null) java.nio.file.Files.createDirectories(nioPath.getParent)
+      // a hand-deleted claim file can leave its Hadoop checksum shadow
+      // behind; the nio create below writes no crc, so a stale one would
+      // fail every subsequent Hadoop read of the claimed file
+      if (!java.nio.file.Files.exists(nioPath) && nioPath.getParent != null)
+        java.nio.file.Files.deleteIfExists(
+          nioPath.getParent.resolve("." + nioPath.getFileName.toString + ".crc"))
+      try {
+        java.nio.file.Files.write(nioPath,
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      val p = path(s)
+      val f = p.getFileSystem(hadoopConf)
+      try {
+        val out = f.create(p, false)
+        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.contains("already exists") => false
       }
     }
   }

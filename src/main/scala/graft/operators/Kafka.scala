@@ -425,8 +425,21 @@ object KafkaCompactOp extends Stage {
       GraftFs.deleteRec(tmp)
     } else {
       GraftFs.mkdirs(hold)
-      oldParts.foreach(n => GraftFs.rename(s"$dir/$n", s"$hold/$n"))
-      newParts.foreach(n => GraftFs.rename(s"$tmp/$n", s"$dir/$n"))
+      // every move's result is checked: a failed hold-aside (or a stale
+      // held copy blocking the slot) with the swap continuing would end at
+      // deleteRec(hold) destroying the only copy of a partition that never
+      // moved aside. Abort on the first failure instead — both generations
+      // stay on disk (.old holds what moved, the rest is still live, .tmp
+      // is complete) and recoverHeldSwap converges readers per partition.
+      def swapMove(src: String, dst: String, what: String): Unit =
+        if (!GraftFs.rename(src, dst))
+          throw new GraftPlanError(
+            s"kafka.compact: $what move $src -> $dst failed (concurrent " +
+            "maintenance or stale leftovers at the destination) — swap aborted " +
+            "with both generations intact; readers repair via the held copy, " +
+            "then re-run compact quiesced")
+      oldParts.foreach(n => swapMove(s"$dir/$n", s"$hold/$n", "hold-aside"))
+      newParts.foreach(n => swapMove(s"$tmp/$n", s"$dir/$n", "install"))
       GraftFs.deleteRec(hold)
       GraftFs.deleteRec(tmp)
     }

@@ -48,9 +48,13 @@ object SampleOp extends Stage {
         val key = s"_stratum_${stratum}"
         val rank = "_sample_rank"
         val rn = "_sample_rn"
+        // try_element_at, not element_at: under spark.sql.ansi.enabled a
+        // missing map key makes element_at THROW (MAP_KEY_DOES_NOT_EXIST)
+        // instead of yielding the null this coalesce exists to catch —
+        // the default_count fallback must apply in both modes
         val kExpr = F.coalesce(
           (if (perStratum.isEmpty) F.lit(null).cast("long")
-           else F.element_at(
+           else F.try_element_at(
              F.map(perStratum.toSeq.sortBy(_._1)
                .flatMap { case (s, k) => Seq(F.lit(s), F.lit(k)) }: _*),
              F.col(key))) +:

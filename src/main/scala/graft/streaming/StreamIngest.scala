@@ -85,38 +85,110 @@ private[graft] object IngestLease {
   private def identity(): String =
     s"${java.net.InetAddress.getLocalHost.getHostName}/${ProcessHandle.current().pid()}"
 
+  private def leaseBody(checkpoint: String, queryName: String): String =
+    s"checkpoint=$checkpoint\nquery=$queryName\nowner=${identity()}"
+
+  private def heldCheckpoint(body: String): String =
+    body.linesIterator.find(_.startsWith("checkpoint="))
+      .map(_.stripPrefix("checkpoint=")).getOrElse("")
+
+  /** DRIVER-SIDE heartbeat scheduler, one daemon thread for every lease
+    * this JVM holds. The heartbeat must NOT live inside foreachBatch:
+    * Structured Streaming runs no micro-batch at all (and so never calls
+    * foreachBatch) when a ProcessingTime-trigger stream has no new data,
+    * so an in-batch heartbeat goes silent on an idle stream and the lease
+    * ages past `lease_stale_ms` while its query is still alive — a second
+    * writer could then legitimately reclaim it, recreating exactly the
+    * silent two-writer miss the lease exists to prevent. A scheduled task
+    * per held lease, started at acquire and cancelled at release, beats
+    * at staleMs/3 regardless of data flow. */
+  private lazy val scheduler =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-ingest-lease-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+  private val beats =
+    scala.collection.mutable.Map[String, java.util.concurrent.ScheduledFuture[_]]()
+
+  /** Is a heartbeat task live for this index? (spec observability) */
+  private[graft] def beating(indexPath: String): Boolean =
+    synchronized { beats.contains(indexPath) }
+
+  /** Acquire the single-writer lease, or fail loud naming the live
+    * holder. The claim itself is a create-no-overwrite
+    * ([[GraftFs.createExclusive]] — O_EXCL locally, namenode-atomic on
+    * HDFS; best-effort check-then-act on object stores, like every
+    * S3-style lock), so two simultaneous cold starts cannot both
+    * succeed: the loser's create fails, it re-reads, and it throws
+    * naming the winner. A stale lease (no heartbeat for `staleMs`) or
+    * our own identity restarting (equal checkpoint — a crash restart
+    * must not wait out its own heartbeat) clears the slot and
+    * re-claims. */
   def acquire(indexPath: String, checkpoint: String, queryName: String,
       staleMs: Long): Unit = synchronized {
     val lf = leaseFile(indexPath)
-    if (GraftFs.isFile(lf)) {
-      val held = GraftFs.readString(lf)
-      val heldCkpt = held.linesIterator.find(_.startsWith("checkpoint="))
-        .map(_.stripPrefix("checkpoint=")).getOrElse("")
-      val ageMs = System.currentTimeMillis() - GraftFs.mtime(lf)
-      if (heldCkpt != checkpoint && ageMs < staleMs)
+    val body = leaseBody(checkpoint, queryName)
+    var attempts = 0
+    var claimed = GraftFs.createExclusive(lf, body)
+    while (!claimed) {
+      if (GraftFs.isFile(lf)) {
+        val held = GraftFs.readString(lf)
+        val ageMs = System.currentTimeMillis() - GraftFs.mtime(lf)
+        if (heldCheckpoint(held) != checkpoint && ageMs < staleMs)
+          throw new GraftPlanError(
+            s"stream.ingest: the index at $indexPath is held by another streaming query " +
+            s"(${held.linesIterator.mkString("; ")}; heartbeat ${ageMs / 1000}s ago) — two " +
+            "concurrent writers would each miss the other's in-flight appends and pass " +
+            "duplicate survivors. Stop that query, or if it crashed, wait out " +
+            s"lease_stale_ms (${staleMs / 1000}s) / delete $lf")
+        // stale, or our own identity restarting → clear the slot and re-claim
+        GraftFs.deleteIfExists(lf)
+      }
+      attempts += 1
+      if (attempts >= 5)
         throw new GraftPlanError(
-          s"stream.ingest: the index at $indexPath is held by another streaming query " +
-          s"(${held.linesIterator.mkString("; ")}; heartbeat ${ageMs / 1000}s ago) — two " +
-          "concurrent writers would each miss the other's in-flight appends and pass " +
-          "duplicate survivors. Stop that query, or if it crashed, wait out " +
-          s"lease_stale_ms (${staleMs / 1000}s) / delete $lf")
-      // stale, or our own identity restarting → reclaim below
+          s"stream.ingest: lease claim at $lf did not converge after $attempts attempts — " +
+          "another writer is racing this start")
+      claimed = GraftFs.createExclusive(lf, body)
     }
-    GraftFs.writeStringCommit(lf,
-      s"checkpoint=$checkpoint\nquery=$queryName\nowner=${identity()}")
+    startHeartbeat(indexPath, checkpoint, queryName, staleMs)
   }
 
-  /** Refresh the heartbeat mtime (content is identical — the rewrite is
-    * just the portable way to touch through the FS seam). */
+  private def startHeartbeat(indexPath: String, checkpoint: String,
+      queryName: String, staleMs: Long): Unit = {
+    beats.remove(indexPath).foreach(_.cancel(false))
+    val periodMs = math.max(50L, staleMs / 3)
+    val task: Runnable = () => heartbeat(indexPath, checkpoint, queryName)
+    beats(indexPath) = scheduler.scheduleAtFixedRate(
+      task, periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
+
+  /** Refresh the heartbeat mtime — a plain overwrite, NOT a commit write:
+    * the content is constant, so a torn concurrent read can only make a
+    * competing acquire refuse (safe), never hand the lease over; skipping
+    * the tmp+rename commit dance keeps the beat to one small PUT. If the
+    * file no longer names this query (a stale-aged lease was legitimately
+    * reclaimed while this JVM was suspended), do NOT clobber the new
+    * holder — log and let release/cancel tear the beat down. */
   def heartbeat(indexPath: String, checkpoint: String, queryName: String): Unit =
-    try GraftFs.writeStringCommit(leaseFile(indexPath),
-      s"checkpoint=$checkpoint\nquery=$queryName\nowner=${identity()}")
-    catch { case e: Exception =>
-      System.err.println(s"[graft] stream.ingest lease heartbeat failed: ${e.getMessage}") }
+    synchronized {
+      val lf = leaseFile(indexPath)
+      try {
+        if (GraftFs.isFile(lf) &&
+            heldCheckpoint(GraftFs.readString(lf)) != checkpoint) {
+          System.err.println(s"[graft] stream.ingest lease at $lf no longer names " +
+            s"this query (reclaimed after a stall?) — heartbeat withheld")
+        } else GraftFs.writeString(lf, leaseBody(checkpoint, queryName))
+      } catch { case e: Exception =>
+        System.err.println(s"[graft] stream.ingest lease heartbeat failed: ${e.getMessage}") }
+    }
 
   /** Release only a lease this query identity still holds — a reclaimed
-    * (stale) lease now belongs to the new holder and must survive. */
+    * (stale) lease now belongs to the new holder and must survive. Always
+    * stops the heartbeat task for this index. */
   def release(indexPath: String, checkpoint: String): Unit = synchronized {
+    beats.remove(indexPath).foreach(_.cancel(false))
     val lf = leaseFile(indexPath)
     try {
       if (GraftFs.isFile(lf)) {
@@ -195,9 +267,8 @@ object StreamIngestSink extends Stage {
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        // heartbeat every trigger, empty batches included — an idle
-        // stream must still look alive to other would-be writers
-        IngestLease.heartbeat(indexPath, checkpoint, queryName)
+        // no heartbeat here — the driver-side scheduled beat (IngestLease)
+        // covers live-but-idle streams, which never enter foreachBatch
         // pin the micro-batch ONCE: the per-batch work reads it ~5 times
         // (emptiness check, dim validation, signature build, survivors
         // write) and each read re-scans the source files without this —

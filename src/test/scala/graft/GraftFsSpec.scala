@@ -43,6 +43,58 @@ class GraftFsSpec extends SparkSpec {
     assert(GraftFs.listNames(dir) === Vector("m.json"))
   }
 
+  test("rename refuses an existing destination instead of nesting into it") {
+    val dir = tmp("gfs_ren")
+    // Hadoop's raw FileSystem.rename moves src INTO an existing dst DIR
+    // (dst/<srcName>, returning true) — in the concurrent crash-swap
+    // repair race that nests the losing generation inside the winner's
+    // corpus and listings silently duplicate rows. GraftFs.rename must
+    // report the lost race instead.
+    GraftFs.mkdirs(s"$dir/src")
+    GraftFs.writeString(s"$dir/src/data.txt", "v1")
+    GraftFs.mkdirs(s"$dir/dst")
+    GraftFs.writeString(s"$dir/dst/data.txt", "v2")
+    assert(!GraftFs.rename(s"$dir/src", s"$dir/dst"))
+    assert(GraftFs.readString(s"$dir/src/data.txt") === "v1", "loser's source intact")
+    assert(GraftFs.readString(s"$dir/dst/data.txt") === "v2", "winner's content intact")
+    assert(!GraftFs.exists(s"$dir/dst/src"), "no nested generation")
+    // an existing destination FILE is refused too (POSIX rename(2) would
+    // silently replace it)
+    GraftFs.writeString(s"$dir/f1", "a")
+    GraftFs.writeString(s"$dir/f2", "b")
+    assert(!GraftFs.rename(s"$dir/f1", s"$dir/f2"))
+    assert(GraftFs.readString(s"$dir/f2") === "b")
+    // a normal move still succeeds
+    assert(GraftFs.rename(s"$dir/src", s"$dir/moved"))
+    assert(GraftFs.readString(s"$dir/moved/data.txt") === "v1")
+    assert(!GraftFs.exists(s"$dir/src"))
+  }
+
+  test("createExclusive claims exactly once; the slot reopens after delete") {
+    val dir = tmp("gfs_excl")
+    assert(GraftFs.createExclusive(s"$dir/claim", "me"))
+    assert(!GraftFs.createExclusive(s"$dir/claim", "you"), "second claim loses")
+    assert(GraftFs.readString(s"$dir/claim") === "me", "loser did not clobber the winner")
+    GraftFs.deleteIfExists(s"$dir/claim")
+    assert(GraftFs.createExclusive(s"$dir/claim", "again"))
+    assert(GraftFs.readString(s"$dir/claim") === "again")
+  }
+
+  test("writeStringCommit keeps the destination continuously present across commits") {
+    // the commit installs by rename-OVER-destination (no delete-then-rename
+    // window): locally that is one atomic rename(2); observable here as
+    // content flipping old→new with the file present before and after
+    val dir = tmp("gfs_commit2")
+    val f = s"$dir/corpus.ptr"
+    GraftFs.writeStringCommit(f, "corpus-000001")
+    for (i <- 2 to 6) {
+      GraftFs.writeStringCommit(f, f"corpus-$i%06d")
+      assert(GraftFs.exists(f))
+      assert(GraftFs.readString(f) === f"corpus-$i%06d")
+    }
+    assert(GraftFs.listNames(dir) === Vector("corpus.ptr"), "no tmp litter")
+  }
+
   test("renameIsAtomic: file/hdfs yes, s3a/gs no; guard message names the scheme") {
     assert(GraftFs.renameIsAtomic("/tmp/idx"))
     assert(GraftFs.renameIsAtomic("file:/tmp/idx"))

@@ -559,6 +559,51 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.IngestLease.release(idx, ckpt)
   }
 
+  test("lease heartbeat is driver-side: a live-but-IDLE query holds its lease past lease_stale_ms") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_idle_k").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_idle_idx").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark,
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"),
+      Cfg.of("type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+        "text_column" -> "text", "num_hashes" -> 64, "bands" -> 16, "seed" -> 7)))
+    graft.operators.KafkaProduceSink(StageContext.one(spark,
+      Seq((100L, "fresh streaming text with a unique vocabulary")).toDF("doc_id", "text"),
+      Cfg.of("path" -> root, "topic" -> "docs")))
+    val out = java.nio.file.Files.createTempDirectory("graft_idle_out").toString + "/data"
+    val ckpt = s"$out/_checkpoint"
+    val staleMs = 400L
+    val stream = graft.operators.KafkaStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> root, "topic" -> "docs", "schema" -> "doc_id LONG, text STRING")))
+    StreamIngestSink(StageContext.one(spark, stream, Cfg.of(
+      "path" -> out, "index_path" -> idx, "dedup" -> "minhash",
+      "trigger_ms" -> 50L, "lease_stale_ms" -> staleMs,
+      "id_column" -> "doc_id", "text_column" -> "text", "threshold" -> 0.8,
+      "_defer_await" -> true, "query_name" -> "idle_holder")))
+    val q = spark.streams.active.find(_.name == "idle_holder")
+      .getOrElse(fail("query did not start"))
+    try {
+      // drain the one available batch, then idle well past lease_stale_ms:
+      // a ProcessingTime stream with no new data runs NO micro-batch (and
+      // never enters foreachBatch), so only the driver-side scheduled beat
+      // keeps the lease fresh — the old in-batch heartbeat went silent
+      // here and the lease aged out while the query was still alive
+      q.processAllAvailable()
+      Thread.sleep(4 * staleMs)
+      val e = intercept[GraftPlanError](graft.streaming.IngestLease.acquire(
+        idx, "/other/ckpt", "thief", staleMs))
+      assert(e.getMessage.contains("idle_holder"), "refusal names the live idle holder")
+      assert(graft.streaming.IngestLease.beating(idx))
+    } finally q.stop()
+    graft.streaming.IngestLease.release(idx, ckpt)
+    assert(!graft.streaming.IngestLease.beating(idx),
+      "release stops the heartbeat task with the query")
+    // holder gone → the slot reopens immediately for the next writer
+    graft.streaming.IngestLease.acquire(idx, "/other/ckpt", "thief", staleMs)
+    graft.streaming.IngestLease.release(idx, "/other/ckpt")
+  }
+
   test("stream.write rejects batch input; gap connectors raise actionable errors") {
     intercept[GraftPlanError](StreamWriteSink(StageContext.one(spark, salesDf, Cfg.empty)))
     val e = intercept[GraftPlanError](graft.operators.KafkaConsumeSource(
