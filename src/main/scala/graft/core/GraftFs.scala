@@ -323,6 +323,14 @@ object GraftFs {
     finally out.close()
   }
 
+  /** Overwrite-create output stream through the FS seam — for sinks that
+    * stream structured bytes (the excel zip container) to a
+    * scheme-qualified destination. Caller closes. */
+  def createStream(s: String): java.io.OutputStream = {
+    val p = path(s)
+    p.getFileSystem(hadoopConf).create(p, true)
+  }
+
   /** Write-then-rename small-file commit: readers see the old content or
     * the new, never a torn write. On object stores a single-object PUT is
     * already atomic, so the guard does not apply here — this is the

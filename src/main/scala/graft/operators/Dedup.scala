@@ -545,18 +545,26 @@ private[graft] object IndexSnapshot {
   }
 
   /** Append `df` to the flat corpus dir. Batch mode (no tag): a plain
-    * parquet append — the success-deferral already guarantees it fires at
-    * most once per run. Streaming mode (tag set): OVERWRITE of
-    * `corpus/<tag>/` — a micro-batch retry re-lands its append
-    * idempotently instead of duplicating it, and the paired `excludeDir`
-    * probe filter keeps the retry from self-matching first. */
+    * parquet append under the shared batch/maintenance lease — the
+    * success-deferral already guarantees it fires at most once per run;
+    * the lease keeps it out of a concurrent compact's rewrite window (and
+    * off an index a live stream.ingest holds). Streaming mode (tag set):
+    * OVERWRITE of `corpus/<tag>/` — a micro-batch retry re-lands its
+    * append idempotently instead of duplicating it, and the paired
+    * `excludeDir` probe filter keeps the retry from self-matching first;
+    * the streaming query holds the lease for its whole lifetime, so no
+    * per-batch claim here. */
   def append(df: DataFrame, corpusDir: String, streamTag: Option[String]): Unit = {
     // appending into the missing-corpus window of a crashed compact would
     // fork a fresh corpus that the repair would then discard — repair first
     val parent = GraftFs.path(corpusDir).getParent
     if (parent != null) IndexMaintenance.recoverSwap(parent.toString)
     streamTag match {
-      case None      => df.write.mode("append").parquet(corpusDir)
+      case None =>
+        val root = if (parent != null) parent.toString else corpusDir
+        graft.streaming.IngestLease.withBatchLease(root, "index_append") {
+          df.write.mode("append").parquet(corpusDir)
+        }
       case Some(tag) => df.write.mode("overwrite").parquet(s"$corpusDir/$tag")
     }
   }
@@ -1467,11 +1475,18 @@ object DedupEmbeddingOp extends Stage {
       ctx.deferToSuccess { () =>
         IndexMaintenance.recoverSwap(path)
         val co = pinnedAppend.repartition(F.col("band"), F.col("pband"))
-        val w = streamTag match {
-          case None    => co.write.mode("append")
-          case Some(_) => co.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        def land(): Unit = {
+          val w = streamTag match {
+            case None    => co.write.mode("append")
+            case Some(_) => co.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          }
+          w.partitionBy("band", "pband", "ingest_tag").parquet(IndexSnapshot.corpusDir(path))
         }
-        w.partitionBy("band", "pband", "ingest_tag").parquet(IndexSnapshot.corpusDir(path))
+        // batch appends take the shared batch/maintenance lease; a
+        // streaming tag means the query already holds it for its lifetime
+        if (streamTag.isEmpty)
+          graft.streaming.IngestLease.withBatchLease(path, "dedup.embedding index_append")(land())
+        else land()
       }
     }
     dropped
@@ -1606,8 +1621,10 @@ object DedupEmbeddingOp extends Stage {
       // same dir co-location as index.build type=lsh: one appended file
       // per populated dir, not one per (task × dir)
       ctx.deferToSuccess(() =>
-        pinnedAppend.repartition(F.col("block"), F.col("pbucket"))
-          .write.mode("append").partitionBy("block", "pbucket").parquet(IndexSnapshot.corpusDir(path)))
+        graft.streaming.IngestLease.withBatchLease(path, "dedup.embedding index_append") {
+          pinnedAppend.repartition(F.col("block"), F.col("pbucket"))
+            .write.mode("append").partitionBy("block", "pbucket").parquet(IndexSnapshot.corpusDir(path))
+        })
     }
     dropped
   }

@@ -279,8 +279,9 @@ object ExcelWriteSink extends Stage {
          """</Relationships>"""),
       "xl/worksheets/sheet1.xml" -> sb.toString)
 
-    val out = new java.util.zip.ZipOutputStream(
-      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    // through the GraftFs seam, so `excel.write` accepts hdfs:/s3a:
+    // destinations like every other registered sink
+    val out = new java.util.zip.ZipOutputStream(graft.core.GraftFs.createStream(path))
     try parts.foreach { case (name, content) =>
       out.putNextEntry(new java.util.zip.ZipEntry(name))
       out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))

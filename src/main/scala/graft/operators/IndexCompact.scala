@@ -267,6 +267,13 @@ object IndexCompactOp extends Stage {
         "force = true")
     val bytes = filesLen.map(_._2).sum
 
+    // the rewrite + swap run under the shared batch/maintenance lease: a
+    // batch index_append landing inside this window would be invisible to
+    // the snapshot above and deleted by the swap below (the silent-miss
+    // class the lease exists for); a live stream.ingest holding the index
+    // fails this claim loud — the quiesced contract, now enforced
+    graft.streaming.IngestLease.withBatchLease(path, "index.compact") {
+
     val reader = spark.read
     val corpus0 = (if (partitionCols.nonEmpty)
                      reader.option("basePath", GraftFs.qualified(corpusDir))
@@ -353,6 +360,8 @@ object IndexCompactOp extends Stage {
     System.err.println(s"[graft] index.compact: $path — ${files.size} files " +
       s"(${bytes / 1048576} MiB) → ${tmpFiles.size} files" +
       (if (generational) s" [generation ${GraftFs.path(tmp).getName}]" else ""))
+
+    } // withBatchLease
     ctx.primary
   }
 }

@@ -17,6 +17,30 @@ import graft.core._
 object SampleOp extends Stage {
   val name = "sample.apply"
   val kind = StageKind.Transform
+
+  /** Seeded rank key for the exact-k draws: a CONTENT hash
+    * (xxhash64(seed, row columns)), not `rand(seed)` — rand seeds per
+    * PARTITION, so the "deterministic" sample silently changed with the
+    * input's physical partitioning (partition count is a cluster-config
+    * fact at 100 TB, not a data fact; the stratified ScalaCheck property
+    * caught a repartition(7) flipping the selection). The hash is a pure
+    * function of row content + seed — identical across partitionings,
+    * engines, and runs — the same determinism design split.apply and
+    * shuffle.apply already use. Map-typed columns are unhashable in
+    * Spark; they are skipped, and only if NO column is hashable does the
+    * rank fall back to rand's fixed-partitioning determinism. */
+  private def rankKey(df: DataFrame, seed: Long): org.apache.spark.sql.Column = {
+    def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
+    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => F.col(f.name))
+    if (cols.isEmpty) F.rand(seed)
+    else F.xxhash64(F.lit(seed) +: cols.toSeq: _*)
+  }
+
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     val seed = cfg.longOr("seed", 42L)
@@ -62,7 +86,7 @@ object SampleOp extends Stage {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(key).orderBy(F.col(rank))
         df.withColumn(key, F.col(stratum).cast("string"))
-          .withColumn(rank, F.rand(seed))
+          .withColumn(rank, rankKey(df, seed))
           .withColumn(rn, F.row_number().over(w))
           .filter(F.col(rn) <= kExpr)
           .drop(key, rank, rn)
@@ -102,10 +126,10 @@ object SampleOp extends Stage {
             // TakeOrderedAndProject — per-partition bounded k-heaps +
             // one k·partitions merge, never a global sort — so this is
             // the distributed reservoir shape, not a full shuffle.
-            // Deterministic for a fixed input partitioning (rand(seed)
-            // is seeded per partition); ties on the key are broken by
-            // nothing and never matter (rand collisions are measure-zero
-            // at double precision).
+            // The key is the content hash (see rankKey), so the draw is
+            // deterministic across partitionings, not just within one;
+            // hash ties at the k boundary are broken arbitrarily and
+            // only matter for byte-identical colliding rows.
             if (cfg.has("fraction")) throw new GraftConfigError(
               "sample.apply: give either 'count' (exact-k) or 'fraction', not both")
             if (k < 0) throw new GraftConfigError(
@@ -116,7 +140,7 @@ object SampleOp extends Stage {
             if (cfg.boolOr("with_replacement", false)) throw new GraftConfigError(
               "sample.apply: count (exact-k) does not support with_replacement")
             val key = "_sample_rank"
-            df.withColumn(key, F.rand(seed))
+            df.withColumn(key, rankKey(df, seed))
               .orderBy(F.col(key)).limit(k.toInt).drop(key)
           case None =>
             df.sample(cfg.boolOr("with_replacement", false),

@@ -246,9 +246,13 @@ object IndexBuildOp extends Stage {
     val assign = F.udf { v: Seq[Float] =>
       IvfCentroids.nearest(cents, Vectors.dense(v.map(_.toDouble).toArray), 1)(0)
     }
-    ctx.primary.withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
-      .repartition(F.col("cell"))
-      .write.mode("append").partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
+    // same batch-appender class as the dedup index_append fires: keep the
+    // append out of a concurrent compact's rewrite window via the lease
+    graft.streaming.IngestLease.withBatchLease(path, "index.build type=ivf mode=append") {
+      ctx.primary.withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
+        .repartition(F.col("cell"))
+        .write.mode("append").partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
+    }
   }
 
   /** `type = "exact"` — the exact-dedup key set: distinct 128-bit md5

@@ -59,8 +59,9 @@ object JsonSource extends Stage {
         // column-oriented single JSON object: {"a": [1,2], "b": ["x","y"]}
         // Tiny-config-file shape; parse on driver, explode to rows.
         import ctx.spark.implicits._
-        val txt = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-          java.nio.charset.StandardCharsets.UTF_8)
+        // driver-side read through the GraftFs seam (tiny config-shaped
+        // file), so scheme-qualified paths resolve like every other source
+        val txt = graft.core.GraftFs.readString(path)
         val obj = ctx.spark.read.option("multiLine", true).json(Seq(txt).toDS)
         val cols = obj.columns.sorted
         val arrZip = F.arrays_zip(cols.map(F.col): _*)

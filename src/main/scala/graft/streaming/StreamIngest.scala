@@ -126,7 +126,7 @@ private[graft] object IngestLease {
     * must not wait out its own heartbeat) clears the slot and
     * re-claims. */
   def acquire(indexPath: String, checkpoint: String, queryName: String,
-      staleMs: Long): Unit = synchronized {
+      staleMs: Long, op: String = "stream.ingest"): Unit = synchronized {
     val lf = leaseFile(indexPath)
     val body = leaseBody(checkpoint, queryName)
     var attempts = 0
@@ -137,10 +137,11 @@ private[graft] object IngestLease {
         val ageMs = System.currentTimeMillis() - GraftFs.mtime(lf)
         if (heldCheckpoint(held) != checkpoint && ageMs < staleMs)
           throw new GraftPlanError(
-            s"stream.ingest: the index at $indexPath is held by another streaming query " +
+            s"$op: the index at $indexPath is held by another live writer " +
             s"(${held.linesIterator.mkString("; ")}; heartbeat ${ageMs / 1000}s ago) — two " +
             "concurrent writers would each miss the other's in-flight appends and pass " +
-            "duplicate survivors. Stop that query, or if it crashed, wait out " +
+            "duplicate survivors (or a compact would fold an append it never snapshotted). " +
+            "Stop that writer, or if it crashed, wait out " +
             s"lease_stale_ms (${staleMs / 1000}s) / delete $lf")
         // stale, or our own identity restarting → clear the slot and re-claim
         GraftFs.deleteIfExists(lf)
@@ -148,11 +149,27 @@ private[graft] object IngestLease {
       attempts += 1
       if (attempts >= 5)
         throw new GraftPlanError(
-          s"stream.ingest: lease claim at $lf did not converge after $attempts attempts — " +
+          s"$op: lease claim at $lf did not converge after $attempts attempts — " +
           "another writer is racing this start")
       claimed = GraftFs.createExclusive(lf, body)
     }
     startHeartbeat(indexPath, checkpoint, queryName, staleMs)
+  }
+
+  /** Short-lived single-writer lease for BATCH index writers — the
+    * success-deferred `index_append` fires, ivf appends, and
+    * index.compact's rewrite window. A concurrent batch append during a
+    * compact's rewrite is the same silent-miss class the streaming lease
+    * enforces (the compact's snapshot never saw the append; the swap
+    * deletes it), so both writer kinds share ONE lease file: the stream's
+    * lease blocks batch writers and vice versa. Identity is unique per
+    * call (no same-identity re-acquire shortcut), the heartbeat covers
+    * long rewrites, and release always runs. Streaming-tagged appends
+    * skip this — their query already holds the lease. */
+  def withBatchLease[T](indexPath: String, op: String)(body: => T): T = {
+    val id = s"batch:$op:${java.util.UUID.randomUUID().toString.take(12)}"
+    acquire(indexPath, id, op, StaleMsDefault, op)
+    try body finally release(indexPath, id)
   }
 
   private def startHeartbeat(indexPath: String, checkpoint: String,

@@ -177,6 +177,27 @@ class GraftFsSpec extends SparkSpec {
     assert(later.count() === 0)
   }
 
+  test("excel.write and json.read format=dataframe accept scheme-qualified paths (seam stragglers)") {
+    import graft.operators.{ExcelReadSource, ExcelWriteSink}
+    import graft.sources.JsonSource
+    val dir = tmp("gfs_straggler")
+    // excel.write streams its zip container through GraftFs.createStream
+    val xlsx = s"file:$dir/report.xlsx"
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("name", "v")
+    ExcelWriteSink(StageContext.one(spark, df, Cfg.of("path" -> xlsx)))
+    val back = ExcelReadSource(StageContext(spark, Seq.empty,
+      Cfg.of("path" -> s"$dir/report.xlsx"), "x"))
+    assert(back.count() === 2L)
+    assert(back.columns.toSeq === Seq("name", "v"))
+    // json.read format=dataframe reads its driver-side config file through
+    // GraftFs.readString
+    GraftFs.writeString(s"$dir/cols.json", """{"a": [1, 2, 3], "b": ["x", "y", "z"]}""")
+    val jdf = JsonSource(StageContext(spark, Seq.empty,
+      Cfg.of("path" -> s"file:$dir/cols.json", "format" -> "dataframe"), "j"))
+    assert(jdf.count() === 3L)
+    assert(jdf.select("b").as[String].collect().sorted.toSeq === Seq("x", "y", "z"))
+  }
+
   test("kafka produce/consume round-trips on a scheme-qualified file: log root") {
     val root = s"file:${tmp("gfs_kafka")}/log"
     val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("name", "v")

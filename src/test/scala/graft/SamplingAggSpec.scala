@@ -75,6 +75,63 @@ class SamplingAggSpec extends SparkSpec {
       "by" -> "cls", "count" -> 5L, "with_replacement" -> true))))
   }
 
+  test("stratified exact-k properties: random strata/counts hold the quota invariants") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random populations over ≤6 strata and random quota tables — the
+    // three invariants the two gates cannot pin by example alone:
+    //   (1) per-stratum output size = min(quota, stratum size), with
+    //       counts-over-default precedence and unlisted-strata-drop;
+    //   (2) determinism: same seed ⇒ same ROWS (not just sizes), under a
+    //       different physical partitioning of the same input;
+    //   (3) bare `count` ≡ default_count as the uniform shorthand.
+    val popGen = Gen.nonEmptyListOf(Gen.zip(Gen.choose(0, 5), Gen.choose(0L, 10000L)))
+    val quotaGen = Gen.mapOf(Gen.zip(
+      Gen.choose(0, 5).map(_.toString), Gen.choose(0L, 12L)))
+    val caseGen = Gen.zip(popGen, quotaGen, Gen.option(Gen.choose(0L, 12L)))
+    val cases = (0 until 12).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(7L + i)))
+    for (((pop, quotas, dflt), i) <- cases.zipWithIndex) {
+      val df = pop.zipWithIndex
+        .map { case ((cls, noise), j) => (j.toLong, cls, noise) }
+        .toDF("id", "cls", "noise")
+      val base = Seq[(String, Any)]("by" -> "cls", "seed" -> (100L + i))
+      val cfg: Seq[(String, Any)] =
+        (if (quotas.nonEmpty) base :+ ("counts" -> quotas) else base) ++
+        dflt.map(d => "default_count" -> d).toSeq
+      if (quotas.isEmpty && dflt.isEmpty) {
+        // config contract: counts-mode needs at least one quota source
+        intercept[GraftConfigError](SampleOp(StageContext.one(spark, df,
+          Cfg.of(("count" -> -1L) +: base: _*))))
+      } else {
+        def run(input: org.apache.spark.sql.DataFrame) =
+          SampleOp(StageContext.one(spark, input, Cfg.of(cfg: _*)))
+            .select("id", "cls").as[(Long, Int)].collect().toVector
+        val got = run(df)
+        // (1) quota arithmetic per stratum
+        val popSizes = pop.groupBy(_._1).map { case (c, xs) => c -> xs.size.toLong }
+        val outSizes = got.groupBy(_._2).map { case (c, xs) => c -> xs.size.toLong }
+        for ((c, n) <- popSizes) {
+          val quota = quotas.get(c.toString).orElse(dflt).getOrElse(0L)
+          assert(outSizes.getOrElse(c, 0L) === math.min(quota, n),
+            s"case $i stratum $c: pop $n quota $quota")
+        }
+        assert(got.map(_._1).distinct.size === got.size, "no duplicated rows")
+        // (2) same seed, different physical partitioning ⇒ same rows
+        val again = run(df.repartition(7, F.col("noise")))
+        assert(again.sortBy(_._1) === got.sortBy(_._1),
+          s"case $i: result must be deterministic under repartition")
+        // (3) bare count ≡ default_count when no counts table competes
+        if (quotas.isEmpty && dflt.isDefined) {
+          val viaCount = SampleOp(StageContext.one(spark, df, Cfg.of(
+            "by" -> "cls", "seed" -> (100L + i), "count" -> dflt.get)))
+            .select("id").as[Long].collect().toVector.sorted
+          assert(viaCount === got.map(_._1).sorted, s"case $i: count ≡ default_count")
+        }
+      }
+    }
+  }
+
   test("sample.apply count: > Int.MaxValue rejected loud, not overflowed") {
     val e = intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
       "count" -> 3000000000L))))

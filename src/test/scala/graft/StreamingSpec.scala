@@ -538,7 +538,7 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.IngestLease.acquire(idx, "/other/checkpoint", "other_query",
       graft.streaming.IngestLease.StaleMsDefault)
     val e = intercept[GraftPlanError](run())
-    assert(e.getMessage.contains("held by another streaming query"))
+    assert(e.getMessage.contains("held by another live writer"))
     assert(e.getMessage.contains("other_query"), "error must name the holder")
     // the refused attempt must not have clobbered the holder's lease
     assert(graft.core.GraftFs.readString(s"$idx/ingest.lease")
@@ -602,6 +602,48 @@ class StreamingSpec extends SparkSpec {
     // holder gone → the slot reopens immediately for the next writer
     graft.streaming.IngestLease.acquire(idx, "/other/ckpt", "thief", staleMs)
     graft.streaming.IngestLease.release(idx, "/other/ckpt")
+  }
+
+  test("batch appenders and index.compact share the single-writer lease") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_blease_idx").toString
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    graft.operators.IndexBuildOp(StageContext.one(spark, docs, Cfg.of(
+      "type" -> "exact", "path" -> idx, "columns" -> Seq("text"))))
+    // a live stream holds the index → the batch append's deferred fire and
+    // a compact both fail loud naming the holder
+    graft.streaming.IngestLease.acquire(idx, "/stream/ckpt", "live_stream",
+      graft.streaming.IngestLease.StaleMsDefault)
+    val e1 = intercept[GraftPlanError](graft.operators.DedupExactOp(StageContext.one(spark,
+      Seq((10L, "gamma")).toDF("doc_id", "text"),
+      Cfg.of("columns" -> Seq("text"), "index_path" -> idx, "index_append" -> true))))
+    assert(e1.getMessage.contains("held by another live writer"))
+    assert(e1.getMessage.contains("live_stream"))
+    val e2 = intercept[GraftPlanError](graft.operators.IndexCompactOp(StageContext.one(
+      spark, docs, Cfg.of("path" -> idx))))
+    assert(e2.getMessage.startsWith("index.compact"))
+    assert(e2.getMessage.contains("live_stream"))
+    graft.streaming.IngestLease.release(idx, "/stream/ckpt")
+    // …and the reverse: while a (simulated) batch writer holds the lease,
+    // a stream.ingest start is refused — batch and stream block each other
+    graft.streaming.IngestLease.acquire(idx, "batch:index_append:test", "index_append",
+      graft.streaming.IngestLease.StaleMsDefault, "index_append")
+    val e3 = intercept[GraftPlanError](graft.streaming.IngestLease.acquire(
+      idx, "/some/stream", "q", graft.streaming.IngestLease.StaleMsDefault))
+    assert(e3.getMessage.contains("index_append"))
+    graft.streaming.IngestLease.release(idx, "batch:index_append:test")
+    // sequential use is unaffected: append, compact, probe — and every
+    // short-lived lease releases its file
+    graft.operators.DedupExactOp(StageContext.one(spark,
+      Seq((10L, "gamma"), (11L, "alpha")).toDF("doc_id", "text"),
+      Cfg.of("columns" -> Seq("text"), "index_path" -> idx, "index_append" -> true)))
+    graft.operators.IndexCompactOp(StageContext.one(spark, docs, Cfg.of("path" -> idx)))
+    val probe = graft.operators.DedupExactOp(StageContext.one(spark,
+      Seq((20L, "gamma"), (21L, "delta")).toDF("doc_id", "text"),
+      Cfg.of("columns" -> Seq("text"), "index_path" -> idx)))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(probe === Seq(21L), "appended key survived the compact; probe unchanged")
+    assert(!graft.core.GraftFs.exists(s"$idx/ingest.lease"), "batch leases always release")
   }
 
   test("stream.write rejects batch input; gap connectors raise actionable errors") {
