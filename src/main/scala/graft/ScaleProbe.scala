@@ -58,6 +58,9 @@ object ScaleProbe {
     if (args.headOption.contains("probebands")) {
       probeBandsProbe(args.drop(1).headOption.map(_.toInt).getOrElse(50000)); return
     }
+    if (args.headOption.contains("ann")) {
+      annProbe(args.drop(1).headOption.map(_.toInt).getOrElse(200000)); return
+    }
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 15000, 50000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -459,6 +462,145 @@ object ScaleProbe {
     }
     run(bands) // warm pass doubles as the full-probe baseline
     Seq(1, 2, 4, 8, bands).foreach(run)
+    spark.stop()
+  }
+
+  /** `sbt "runMain graft.ScaleProbe ann [n]"` — the ANN rung ABOVE the
+    * 5k/15k/50k series (default 200k; 500k is the intended top): knn.join
+    * pigeonhole vs bands (full probe AND probe_bands=4) plus the banded
+    * incremental dedup probe, each reported with wall, the CANDIDATE-PAIR
+    * count driving compute, and the FILES the probe's snapshot lists /
+    * reads — the r8 lesson being that at this scale the file-count story
+    * matters as much as the pair count. Candidate counts come from
+    * per-bucket occupancy aggregation (Σ cntA·cntB per colliding bucket),
+    * O(n) to compute — materializing the candidate join at 200k+ would
+    * itself be the quadratic shape the probe exists to rule out. */
+  private def annProbe(n: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vecUdf = F.udf(docVec _)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_ann_$n").toString
+    spark.range(n.toLong)
+      .select(F.col("id").as("vec_id"), vecUdf(F.col("id")).as("embedding"))
+      .write.parquet(s"$dir/vecs")
+    val v = spark.read.parquet(s"$dir/vecs")
+    val (bands, planes, pdirs) = (16, 16, 64)
+
+    val idxP = s"$dir/idx_pigeonhole"
+    IndexBuildOp(StageContext.one(spark, v, Cfg.of(
+      "type" -> "lsh", "path" -> idxP, "id_column" -> "vec_id",
+      "vector_column" -> "embedding", "num_planes" -> 32, "blocks" -> 4,
+      "seed" -> 11, "partition_dirs" -> pdirs)))
+    val idxB = s"$dir/idx_bands"
+    IndexBuildOp(StageContext.one(spark, v, Cfg.of(
+      "type" -> "lsh", "blocking" -> "bands", "path" -> idxB,
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "bands" -> bands, "band_planes" -> planes, "seed" -> 11,
+      "partition_dirs" -> pdirs)))
+
+    def corpusFiles(idx: String): Seq[String] =
+      IndexSnapshot.files(IndexSnapshot.corpusDir(idx), s"ann: no corpus at $idx")
+    val filesP = corpusFiles(idxP)
+    val filesB = corpusFiles(idxB)
+
+    // per-bucket occupancy, both layouts — candidate counts by aggregation
+    val blocked = v.select(F.col("vec_id").as("id"), F.posexplode(
+        DedupEmbeddingOp.blockKeys(
+          DedupEmbeddingOp.hyperplaneSig(F.col("embedding"), 64, 32, 11), 4, 8)))
+      .toDF("id", "block", "bucket")
+    val blockedCnt = blocked.groupBy("block", "bucket").count().cache()
+    val bsigsCnt = v.select(F.col("vec_id").as("id"), F.posexplode(
+        DedupEmbeddingOp.bandSignatures(F.col("embedding"), 64, bands, planes, 11)))
+      .toDF("id", "band", "bucket")
+      .groupBy("band", "bucket").count().cache()
+    blockedCnt.count(); bsigsCnt.count()
+
+    def timed(body: => Long): (Double, Long) = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val out = body
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+    val q500 = v.filter(F.col("vec_id") < 500)
+    val qBlocked = q500.select(F.col("vec_id").as("qid"), F.posexplode(
+        DedupEmbeddingOp.blockKeys(
+          DedupEmbeddingOp.hyperplaneSig(F.col("embedding"), 64, 32, 11), 4, 8)))
+      .toDF("qid", "block", "bucket")
+    val qBands = q500.select(F.col("vec_id").as("qid"), F.posexplode(
+        DedupEmbeddingOp.bandSignatures(F.col("embedding"), 64, bands, planes, 11)))
+      .toDF("qid", "band", "bucket")
+    def sumCollisions(q: DataFrame, cnt: DataFrame, keys: Seq[String]): Long =
+      q.join(cnt, keys).agg(F.sum("count")).head().getLong(0)
+
+    // brute-force baseline: every query scores every corpus row
+    val (bfSec, bfRows) = timed {
+      KnnJoinOp(StageContext(spark, Seq("q" -> q500, "c" -> v), Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 10))).count()
+    }
+    println(f"""{"op":"ann.knn.bruteforce","n":$n,"sec":$bfSec%.2f,""" +
+      f""""scored_pairs":${500L * n},"rows":$bfRows}""")
+
+    // pigeonhole probe, exact-bucket and hamming-1 expansion
+    for (dH <- Seq(0, 1)) {
+      val (s, rows) = timed {
+        KnnJoinOp(StageContext.one(spark, q500, Cfg.of(
+          "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 10,
+          "index_path" -> idxP, "probe_hamming" -> dH))).count()
+      }
+      val qb = if (dH == 0) qBlocked else {
+        val neighborhood = F.udf { x: Long =>
+          (0L until 256L).filter(y => java.lang.Long.bitCount(y ^ x) <= dH).toArray
+        }
+        qBlocked.withColumn("bucket", F.explode(neighborhood(F.col("bucket"))))
+      }
+      val cand = sumCollisions(qb, blockedCnt, Seq("block", "bucket"))
+      println(f"""{"op":"ann.knn.pigeonhole","n":$n,"probe_hamming":$dH,"sec":$s%.2f,""" +
+        f""""candidate_pairs":$cand,"files_listed":${filesP.size},"rows":$rows}""")
+    }
+
+    // bands probe: full (j = bands) and the bounded probe_bands = 4 —
+    // files_read is the static `band < j` pruning bound over the listed set
+    for (j <- Seq(bands, 4)) {
+      val (s, rows) = timed {
+        KnnJoinOp(StageContext.one(spark, q500, Cfg.of(
+          "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 10,
+          "index_path" -> idxB, "probe_bands" -> j))).count()
+      }
+      val cand = sumCollisions(qBands.filter(F.col("band") < j), bsigsCnt, Seq("band", "bucket"))
+      val filesRead = filesB.count { f =>
+        "band=(\\d+)".r.findFirstMatchIn(f).forall(_.group(1).toInt < j)
+      }
+      println(f"""{"op":"ann.knn.bands","n":$n,"probe_bands":$j,"sec":$s%.2f,""" +
+        f""""candidate_pairs":$cand,"files_listed":${filesB.size},""" +
+        f""""files_read":$filesRead,"rows":$rows}""")
+    }
+
+    // banded incremental dedup probe: 10% batch, half planted copies of
+    // indexed vectors, half novel — the streaming-ingest per-batch shape
+    val b = n / 10
+    val vbatch = spark.range(b.toLong).select(
+      (F.col("id") + (10L * n)).as("vec_id"),
+      F.when(F.col("id") % 2 === 0, vecUdf(F.col("id") * 2))
+        .otherwise(vecUdf(F.col("id") + (20L * n))).as("embedding"))
+    vbatch.write.parquet(s"$dir/batch")
+    val vb = spark.read.parquet(s"$dir/batch")
+    val (incSec, incKept) = timed {
+      DedupEmbeddingOp(StageContext.one(spark, vb, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "threshold" -> 0.95, "index_path" -> idxB))).count()
+    }
+    val batchBands = vb.select(F.col("vec_id").as("qid"), F.posexplode(
+        DedupEmbeddingOp.bandSignatures(F.col("embedding"), 64, bands, planes, 11)))
+      .toDF("qid", "band", "bucket")
+    val crossPairs = sumCollisions(batchBands, bsigsCnt, Seq("band", "bucket"))
+    println(f"""{"op":"ann.dedup.bands.incremental","n":$n,"batch":$b,"sec":$incSec%.2f,""" +
+      f""""cross_pairs":$crossPairs,"files_listed":${filesB.size},"survivors":$incKept}""")
     spark.stop()
   }
 
