@@ -5,40 +5,60 @@ import graft.config._
 import graft.core._
 
 /** sample.apply — row sampling (training-data extension; the reference has
-  * no sampling at all). Plain Bernoulli/with-replacement via Dataset.sample
-  * (per-partition, no shuffle, seeded), or STRATIFIED via sampleBy when
-  * `by` + `fractions` are given — per-stratum fractions fix class imbalance
-  * at source scale instead of after a full materialization.
+  * no sampling at all). Bernoulli and per-stratum fractions are a single
+  * codegen'd filter on a seeded CONTENT-hash draw (no shuffle, no driver
+  * state, deterministic across partitionings — see rankKey/drawExpr);
+  * with_replacement keeps Dataset.sample's per-partition RNG (a
+  * multiplicity draw has no content-hash analog). STRATIFIED fractions
+  * (`by` + `fractions`) fix class imbalance at source scale instead of
+  * after a full materialization.
   *
   * fractions keys are matched against the stratum column cast to string
   * (TOML table keys are strings); `default_fraction` covers unlisted
-  * strata (sampleBy itself drops them).
+  * strata (absent = dropped).
   */
 object SampleOp extends Stage {
   val name = "sample.apply"
   val kind = StageKind.Transform
 
-  /** Seeded rank key for the exact-k draws: a CONTENT hash
-    * (xxhash64(seed, row columns)), not `rand(seed)` — rand seeds per
-    * PARTITION, so the "deterministic" sample silently changed with the
-    * input's physical partitioning (partition count is a cluster-config
-    * fact at 100 TB, not a data fact; the stratified ScalaCheck property
-    * caught a repartition(7) flipping the selection). The hash is a pure
-    * function of row content + seed — identical across partitionings,
-    * engines, and runs — the same determinism design split.apply and
-    * shuffle.apply already use. Map-typed columns are unhashable in
-    * Spark; they are skipped, and only if NO column is hashable does the
-    * rank fall back to rand's fixed-partitioning determinism. */
-  private def rankKey(df: DataFrame, seed: Long): org.apache.spark.sql.Column = {
+  /** Seeded rank/draw keys as a CONTENT hash (xxhash64(seed, row
+    * columns)), not `rand(seed)` — rand seeds per PARTITION, so a
+    * "deterministic" sample silently changed with the input's physical
+    * partitioning (partition count is a cluster-config fact at 100 TB,
+    * not a data fact; the stratified ScalaCheck property caught a
+    * repartition(7) flipping the selection). The hash is a pure function
+    * of row content + seed — identical across partitionings, engines,
+    * and runs — the same determinism design split.apply and
+    * shuffle.apply already use. The trade, documented: byte-identical
+    * duplicate rows draw the SAME value (correlated selection), where
+    * rand drew them independently. Map-typed columns are unhashable in
+    * Spark and are skipped; only if NO column is hashable do the draws
+    * fall back to rand's fixed-partitioning determinism. */
+  private def hashableCols(df: DataFrame): Seq[org.apache.spark.sql.Column] = {
     def hashable(t: org.apache.spark.sql.types.DataType): Boolean = t match {
       case _: org.apache.spark.sql.types.MapType => false
       case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
       case _ => true
     }
-    val cols = df.schema.fields.filter(f => hashable(f.dataType)).map(f => F.col(f.name))
+    df.schema.fields.filter(f => hashable(f.dataType)).map(f => F.col(f.name)).toSeq
+  }
+
+  private def rankKey(df: DataFrame, seed: Long): org.apache.spark.sql.Column = {
+    val cols = hashableCols(df)
     if (cols.isEmpty) F.rand(seed)
-    else F.xxhash64(F.lit(seed) +: cols.toSeq: _*)
+    else F.xxhash64(F.lit(seed) +: cols: _*)
+  }
+
+  /** Uniform [0, 1) draw per row from the content hash — the Bernoulli /
+    * per-stratum-fraction selector. 32-bit resolution (hash mod 2^32 /
+    * 2^32): fraction granularity of ~2.3e-10, bias-free since 2^64 is an
+    * exact multiple of 2^32. */
+  private def drawExpr(df: DataFrame, seed: Long): Option[org.apache.spark.sql.Column] = {
+    val cols = hashableCols(df)
+    if (cols.isEmpty) None
+    else Some(F.pmod(F.xxhash64(F.lit(seed) +: cols: _*), F.lit(1L << 32))
+      .cast("double") / (1L << 32).toDouble)
   }
 
   def apply(ctx: StageContext): DataFrame = {
@@ -91,32 +111,36 @@ object SampleOp extends Stage {
           .filter(F.col(rn) <= kExpr)
           .drop(key, rank, rn)
       case Some(stratum) =>
+        // STRATIFIED FRACTIONS as one expression filter: draw(row) <
+        // fraction(stratum), with the per-stratum fraction a map-literal
+        // lookup and default_fraction the coalesce fallback. No
+        // sampleBy, so no stratum-universe collect — the old
+        // implementation listed every distinct stratum on the driver to
+        // feed sampleBy's map (bounded by max_strata, failing loud on
+        // high-cardinality keys); the expression form needs no universe
+        // at all, works at any stratum cardinality, and is deterministic
+        // across partitionings (sampleBy's rand is per-partition).
         val fr = cfg.tblOpt("fractions").getOrElse(
           throw new GraftConfigError(
             "sample.apply with 'by' requires a 'fractions' table (or 'counts'/" +
             "'default_count' for exact-k per stratum)"))
         val dflt = cfg.doubleOr("default_fraction", 0.0)
+        val explicit = fr.table.keys.map(k => k -> fr.doubleOr(k, dflt)).toMap
+        (explicit.values ++ Seq(dflt)).foreach(f =>
+          if (f < 0.0 || f > 1.0) throw new GraftConfigError(
+            s"sample.apply: fractions must be in [0, 1], got $f"))
         val key = s"_stratum_${stratum}"
         val keyed = df.withColumn(key, F.col(stratum).cast("string"))
-        val explicit = fr.table.keys.map(k => k -> fr.doubleOr(k, dflt)).toMap
-        val allKeys =
-          if (dflt > 0.0) {
-            // default_fraction needs the stratum-key universe on the driver.
-            // Strata are class labels — small by definition — but a config
-            // mistake (stratifying on a high-cardinality key) would OOM the
-            // driver here, so the collect is bounded and fails LOUD: list
-            // the fractions explicitly or raise max_strata if intentional.
-            val maxStrata = cfg.longOr("max_strata", 10000L).toInt
-            val keys = keyed.select(key).distinct().limit(maxStrata + 1)
-              .collect().map(_.getString(0))
-            if (keys.length > maxStrata)
-              throw new GraftConfigError(
-                s"sample.apply: stratum column '$stratum' has more than " +
-                s"$maxStrata distinct values — default_fraction would collect " +
-                "them all to the driver. List 'fractions' explicitly or raise 'max_strata'.")
-            keys.map(k => k -> explicit.getOrElse(k, dflt)).toMap
-          } else explicit
-        keyed.stat.sampleBy(key, allKeys, seed).drop(key)
+        val fracExpr = F.coalesce(
+          (if (explicit.isEmpty) F.lit(null).cast("double")
+           else F.try_element_at(
+             F.map(explicit.toSeq.sortBy(_._1)
+               .flatMap { case (s, f) => Seq(F.lit(s), F.lit(f)) }: _*),
+             F.col(key))) +: Seq(F.lit(dflt)): _*)
+        // the stratum column itself is hashable (it just cast to string),
+        // so a content draw always exists here
+        val draw = drawExpr(df, seed).getOrElse(F.rand(seed))
+        keyed.filter(draw < fracExpr).drop(key)
       case None =>
         cfg.longOpt("count") match {
           case Some(k) =>
@@ -143,8 +167,17 @@ object SampleOp extends Stage {
             df.withColumn(key, rankKey(df, seed))
               .orderBy(F.col(key)).limit(k.toInt).drop(key)
           case None =>
-            df.sample(cfg.boolOr("with_replacement", false),
-              cfg.doubleOr("fraction", 0.1), seed)
+            val frac = cfg.doubleOr("fraction", 0.1)
+            if (frac < 0.0 || frac > 1.0) throw new GraftConfigError(
+              s"sample.apply: fraction must be in [0, 1], got $frac")
+            if (cfg.boolOr("with_replacement", false))
+              // a multiplicity draw (Poisson) has no single-pass content-
+              // hash analog — keep Dataset.sample's per-partition RNG
+              df.sample(true, frac, seed)
+            else drawExpr(df, seed) match {
+              case Some(u) => df.filter(u < F.lit(frac)) // deterministic Bernoulli
+              case None    => df.sample(false, frac, seed)
+            }
         }
     }
   }

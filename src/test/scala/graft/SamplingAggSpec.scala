@@ -138,17 +138,51 @@ class SamplingAggSpec extends SparkSpec {
     assert(e.getMessage.contains("Int"))
   }
 
-  test("sample.apply stratified: default_fraction over a high-cardinality key fails loud") {
-    // `id` has 2000 distinct values; with default_fraction the stratum-key
-    // universe must come to the driver, so the bounded collect trips
-    val e = intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
-      "by" -> "id", "seed" -> 5, "fractions" -> Map("1" -> 0.5),
-      "default_fraction" -> 0.2, "max_strata" -> 100))))
-    assert(e.getMessage.contains("max_strata"))
-    // explicit fractions only (no default) never collect — any cardinality OK
-    val ok = SampleOp(StageContext.one(spark, ids, Cfg.of(
-      "by" -> "id", "seed" -> 5, "fractions" -> Map("1" -> 1.0), "max_strata" -> 100)))
-    assert(ok.count() === 1L)
+  test("sample.apply stratified: default_fraction needs no stratum universe — any cardinality") {
+    // the expression-filter form (draw < fraction(stratum)) replaced the
+    // old sampleBy path, whose default_fraction had to COLLECT every
+    // distinct stratum to the driver (bounded by max_strata, failing loud
+    // at high cardinality). `id` has 2000 distinct strata; no collect, no
+    // bound, and named-fraction precedence still applies
+    val out = SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "id", "seed" -> 5, "fractions" -> Map("1" -> 1.0),
+      "default_fraction" -> 0.2)))
+    assert(out.filter(F.col("id") === 1L).count() === 1L, "named stratum kept at 1.0")
+    val rest = out.filter(F.col("id") =!= 1L).count()
+    assert(math.abs(rest - 400L) < 90, s"default 0.2 of 1999 single-row strata, got $rest")
+    // explicit fractions only (no default) drop unlisted strata
+    val only = SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "id", "seed" -> 5, "fractions" -> Map("1" -> 1.0))))
+    assert(only.count() === 1L)
+    // out-of-range fractions are rejected loud
+    intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "by" -> "id", "fractions" -> Map("1" -> 1.5)))))
+    intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "fraction" -> -0.1))))
+  }
+
+  test("sample.apply fraction draws are deterministic across partitionings") {
+    // the content-hash draw makes Bernoulli and stratified fractions pure
+    // functions of (row, seed): the same rows survive no matter how the
+    // input is physically partitioned — rand(seed)-based sampling changed
+    // with partition count, which is a cluster-config fact, not a data fact
+    def bern(df: org.apache.spark.sql.DataFrame) =
+      SampleOp(StageContext.one(spark, df, Cfg.of("fraction" -> 0.3, "seed" -> 9)))
+        .select("id").as[Long].collect().toSet
+    val b1 = bern(ids)
+    assert(bern(ids.repartition(13)) === b1)
+    assert(bern(ids.repartition(1)) === b1)
+    def strat(df: org.apache.spark.sql.DataFrame) =
+      SampleOp(StageContext.one(spark, df, Cfg.of(
+        "by" -> "cls", "seed" -> 9,
+        "fractions" -> Map("0" -> 0.5, "1" -> 0.1), "default_fraction" -> 0.8)))
+        .select("id").as[Long].collect().toSet
+    val s1 = strat(ids)
+    assert(strat(ids.repartition(13, F.col("id"))) === s1)
+    // a different seed draws a different sample (the hash is salted)
+    val other = SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "fraction" -> 0.3, "seed" -> 10))).select("id").as[Long].collect().toSet
+    assert(other !== b1)
   }
 
   test("split.apply: train/test partition the table deterministically") {
