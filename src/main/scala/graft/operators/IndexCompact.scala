@@ -176,6 +176,17 @@ object IndexCompactOp extends Stage {
     if (targetMb < 1) throw new GraftConfigError("index.compact: target_file_mb must be >= 1")
     val spark = ctx.spark
 
+    // THE WHOLE VERB runs under the shared batch/maintenance lease —
+    // including the mode decision, crash repair, generation GC, and the
+    // snapshot listing, not just the rewrite: a batch index_append landing
+    // between an unleased listing and a leased rewrite would be invisible
+    // to the snapshot and deleted by the swap (the silent-miss class the
+    // lease exists for), and the generational GC must never see — or
+    // collect — another compact's in-progress generation. A live
+    // stream.ingest holding the index fails this claim loud: the
+    // quiesced contract, enforced.
+    graft.streaming.IngestLease.withBatchLease(path, "index.compact") {
+
     // COMMIT MODE. "swap" (the classic protocol) installs the rewritten
     // corpus by two directory renames and is only sound where rename is an
     // atomic metadata op; "generations" writes the rewrite to a fresh
@@ -217,7 +228,7 @@ object IndexCompactOp extends Stage {
     val filesLen = IndexSnapshot.filesWithLen(corpusDir,
       s"index.compact: index at $path has no corpus directory")
     val files = filesLen.map(_._1)
-    if (files.isEmpty) return ctx.primary // empty index — nothing to rewrite
+    if (files.nonEmpty) { // empty index — nothing to rewrite
 
     // compact_if policy gate: skip the rewrite when nothing tripped
     val policySkipped = cfg.tblOpt("compact_if").exists { cond =>
@@ -246,7 +257,7 @@ object IndexCompactOp extends Stage {
           "compact) — skipped")
       !tripped
     }
-    if (policySkipped) return ctx.primary
+    if (!policySkipped) {
     // a stream.ingest query crashed mid-batch may hold an UNCOMMITTED
     // corpus/sb-* append that its replay must still see via the excludeDir
     // self-match exclusion; folding it into the flat generation would make
@@ -266,13 +277,6 @@ object IndexCompactOp extends Stage {
         "stream at a committed batch (or drop its checkpoint), then re-run with " +
         "force = true")
     val bytes = filesLen.map(_._2).sum
-
-    // the rewrite + swap run under the shared batch/maintenance lease: a
-    // batch index_append landing inside this window would be invisible to
-    // the snapshot above and deleted by the swap below (the silent-miss
-    // class the lease exists for); a live stream.ingest holding the index
-    // fails this claim loud — the quiesced contract, now enforced
-    graft.streaming.IngestLease.withBatchLease(path, "index.compact") {
 
     val reader = spark.read
     val corpus0 = (if (partitionCols.nonEmpty)
@@ -361,6 +365,8 @@ object IndexCompactOp extends Stage {
       s"(${bytes / 1048576} MiB) → ${tmpFiles.size} files" +
       (if (generational) s" [generation ${GraftFs.path(tmp).getName}]" else ""))
 
+    } // !policySkipped
+    } // files.nonEmpty
     } // withBatchLease
     ctx.primary
   }

@@ -41,29 +41,43 @@ object SampleOp extends Stage {
       case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
       case _ => true
     }
-    df.schema.fields.filter(f => hashable(f.dataType)).map(f => F.col(f.name)).toSeq
+    // backtick-quoted so literal dots in column names (JSON flattening)
+    // resolve as column references, not struct access
+    df.schema.fields.filter(f => hashable(f.dataType))
+      .map(f => F.col("`" + f.name.replace("`", "``") + "`")).toSeq
   }
 
-  private def rankKey(df: DataFrame, seed: Long): org.apache.spark.sql.Column = {
+  /** The shared seeded content hash. `salt` is the stage id: two sample
+    * stages chained in one pipeline (both on the default seed) must draw
+    * INDEPENDENTLY — unsalted, every row surviving the first stage's
+    * `u < 0.5` would automatically survive the second's, making it a
+    * no-op. Stage ids are pipeline-definition facts (TOML stage names,
+    * "anon" for direct invocation), so the salt never varies run-to-run. */
+  private def contentHash(cols: Seq[org.apache.spark.sql.Column], seed: Long,
+      salt: String): org.apache.spark.sql.Column =
+    F.xxhash64(F.lit(seed) +: F.lit(salt) +: cols: _*)
+
+  private def rankKey(df: DataFrame, seed: Long, salt: String): org.apache.spark.sql.Column = {
     val cols = hashableCols(df)
     if (cols.isEmpty) F.rand(seed)
-    else F.xxhash64(F.lit(seed) +: cols: _*)
+    else contentHash(cols, seed, salt)
   }
 
   /** Uniform [0, 1) draw per row from the content hash — the Bernoulli /
     * per-stratum-fraction selector. 32-bit resolution (hash mod 2^32 /
     * 2^32): fraction granularity of ~2.3e-10, bias-free since 2^64 is an
     * exact multiple of 2^32. */
-  private def drawExpr(df: DataFrame, seed: Long): Option[org.apache.spark.sql.Column] = {
+  private def drawExpr(df: DataFrame, seed: Long, salt: String): Option[org.apache.spark.sql.Column] = {
     val cols = hashableCols(df)
     if (cols.isEmpty) None
-    else Some(F.pmod(F.xxhash64(F.lit(seed) +: cols: _*), F.lit(1L << 32))
+    else Some(F.pmod(contentHash(cols, seed, salt), F.lit(1L << 32))
       .cast("double") / (1L << 32).toDouble)
   }
 
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     val seed = cfg.longOr("seed", 42L)
+    val salt = ctx.stageId
     val df = ctx.primary
     cfg.strOpt("by") match {
       case Some(stratum) if cfg.has("counts") || cfg.has("default_count") || cfg.has("count") =>
@@ -106,7 +120,7 @@ object SampleOp extends Stage {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(key).orderBy(F.col(rank))
         df.withColumn(key, F.col(stratum).cast("string"))
-          .withColumn(rank, rankKey(df, seed))
+          .withColumn(rank, rankKey(df, seed, salt))
           .withColumn(rn, F.row_number().over(w))
           .filter(F.col(rn) <= kExpr)
           .drop(key, rank, rn)
@@ -137,9 +151,10 @@ object SampleOp extends Stage {
              F.map(explicit.toSeq.sortBy(_._1)
                .flatMap { case (s, f) => Seq(F.lit(s), F.lit(f)) }: _*),
              F.col(key))) +: Seq(F.lit(dflt)): _*)
-        // the stratum column itself is hashable (it just cast to string),
-        // so a content draw always exists here
-        val draw = drawExpr(df, seed).getOrElse(F.rand(seed))
+        // draw over `keyed` (original columns + the string-cast stratum
+        // key): the key column is always hashable, so even a frame whose
+        // data columns are all map-typed keeps the deterministic draw
+        val draw = drawExpr(keyed, seed, salt).getOrElse(F.rand(seed))
         keyed.filter(draw < fracExpr).drop(key)
       case None =>
         cfg.longOpt("count") match {
@@ -164,19 +179,24 @@ object SampleOp extends Stage {
             if (cfg.boolOr("with_replacement", false)) throw new GraftConfigError(
               "sample.apply: count (exact-k) does not support with_replacement")
             val key = "_sample_rank"
-            df.withColumn(key, rankKey(df, seed))
+            df.withColumn(key, rankKey(df, seed, salt))
               .orderBy(F.col(key)).limit(k.toInt).drop(key)
           case None =>
             val frac = cfg.doubleOr("fraction", 0.1)
-            if (frac < 0.0 || frac > 1.0) throw new GraftConfigError(
-              s"sample.apply: fraction must be in [0, 1], got $frac")
-            if (cfg.boolOr("with_replacement", false))
-              // a multiplicity draw (Poisson) has no single-pass content-
-              // hash analog — keep Dataset.sample's per-partition RNG
+            if (cfg.boolOr("with_replacement", false)) {
+              // a multiplicity draw (Poisson, mean = fraction — fraction
+              // > 1 is legitimate upsampling here) has no single-pass
+              // content-hash analog — keep Dataset.sample's RNG
+              if (frac < 0.0) throw new GraftConfigError(
+                s"sample.apply: fraction must be >= 0, got $frac")
               df.sample(true, frac, seed)
-            else drawExpr(df, seed) match {
-              case Some(u) => df.filter(u < F.lit(frac)) // deterministic Bernoulli
-              case None    => df.sample(false, frac, seed)
+            } else {
+              if (frac < 0.0 || frac > 1.0) throw new GraftConfigError(
+                s"sample.apply: fraction must be in [0, 1], got $frac")
+              drawExpr(df, seed, salt) match {
+                case Some(u) => df.filter(u < F.lit(frac)) // deterministic Bernoulli
+                case None    => df.sample(false, frac, seed)
+              }
             }
         }
     }

@@ -108,12 +108,33 @@ private[graft] object IngestLease {
       t.setDaemon(true)
       t
     })
-  private val beats =
-    scala.collection.mutable.Map[String, java.util.concurrent.ScheduledFuture[_]]()
+  private final class BeatState(val future: java.util.concurrent.ScheduledFuture[_]) {
+    /** Liveness probe for the writer this beat fronts (bound to
+      * StreamingQuery.isActive after start): a query that stopped WITHOUT
+      * release (direct-mode callers whose cleanup registrar discards)
+      * must not be kept alive by its own heartbeat forever — the beat
+      * releases the lease instead. Default true: between acquire and
+      * bind, the writer is the acquiring thread itself. */
+    @volatile var isAlive: () => Boolean = () => true
+    /** Invoked (outside the lock) when the beat finds the lease names a
+      * DIFFERENT holder — a stale-aged lease legitimately reclaimed while
+      * this JVM was suspended. The deposed writer must STOP, not merely
+      * stop heartbeating: two live writers is the silent-miss scenario. */
+    @volatile var onLost: () => Unit = () => ()
+  }
+  private val beats = scala.collection.mutable.Map[String, BeatState]()
 
   /** Is a heartbeat task live for this index? (spec observability) */
   private[graft] def beating(indexPath: String): Boolean =
     synchronized { beats.contains(indexPath) }
+
+  /** Bind the heartbeat for `indexPath` to a real writer lifecycle: the
+    * liveness probe and the deposed-holder stop hook. Call after the
+    * streaming query starts. */
+  def bindLiveness(indexPath: String, isAlive: () => Boolean, onLost: () => Unit): Unit =
+    synchronized {
+      beats.get(indexPath).foreach { b => b.isAlive = isAlive; b.onLost = onLost }
+    }
 
   /** Acquire the single-writer lease, or fail loud naming the live
     * holder. The claim itself is a create-no-overwrite
@@ -143,8 +164,14 @@ private[graft] object IngestLease {
             "duplicate survivors (or a compact would fold an append it never snapshotted). " +
             "Stop that writer, or if it crashed, wait out " +
             s"lease_stale_ms (${staleMs / 1000}s) / delete $lf")
-        // stale, or our own identity restarting → clear the slot and re-claim
-        GraftFs.deleteIfExists(lf)
+        // stale, or our own identity restarting → take the slot over by
+        // RENAMING the old lease aside (atomic: exactly one of N racing
+        // reclaimers wins the move; a plain delete-then-create would let
+        // a second reclaimer's delete remove the first one's freshly won
+        // claim, and both would acquire). Losing the move just loops:
+        // the winner's fresh lease is read next iteration and refused.
+        val aside = lf + ".stale-" + java.util.UUID.randomUUID().toString.take(8)
+        if (GraftFs.rename(lf, aside)) GraftFs.deleteIfExists(aside)
       }
       attempts += 1
       if (attempts >= 5)
@@ -174,38 +201,62 @@ private[graft] object IngestLease {
 
   private def startHeartbeat(indexPath: String, checkpoint: String,
       queryName: String, staleMs: Long): Unit = {
-    beats.remove(indexPath).foreach(_.cancel(false))
+    beats.remove(indexPath).foreach(_.future.cancel(false))
     val periodMs = math.max(50L, staleMs / 3)
     val task: Runnable = () => heartbeat(indexPath, checkpoint, queryName)
-    beats(indexPath) = scheduler.scheduleAtFixedRate(
-      task, periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    beats(indexPath) = new BeatState(scheduler.scheduleAtFixedRate(
+      task, periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS))
   }
 
   /** Refresh the heartbeat mtime — a plain overwrite, NOT a commit write:
     * the content is constant, so a torn concurrent read can only make a
     * competing acquire refuse (safe), never hand the lease over; skipping
-    * the tmp+rename commit dance keeps the beat to one small PUT. If the
-    * file no longer names this query (a stale-aged lease was legitimately
-    * reclaimed while this JVM was suspended), do NOT clobber the new
-    * holder — log and let release/cancel tear the beat down. */
-  def heartbeat(indexPath: String, checkpoint: String, queryName: String): Unit =
-    synchronized {
+    * the tmp+rename commit dance keeps the beat to one small PUT.
+    *
+    * The beat is also the lease's LIVENESS COURT: if the bound writer is
+    * no longer alive (query stopped without release — direct-mode
+    * callers whose cleanup registrar discards), the beat releases the
+    * lease instead of keeping a dead writer's claim fresh forever. And
+    * if the file no longer names this query (a stale-aged lease was
+    * legitimately reclaimed while this JVM was suspended), the deposed
+    * writer is STOPPED via its onLost hook — a deposed query that merely
+    * stops heartbeating but keeps writing is exactly the two-live-writer
+    * scenario the lease exists to prevent. */
+  def heartbeat(indexPath: String, checkpoint: String, queryName: String): Unit = {
+    // decide under the lock; run query-stopping hooks outside it
+    val lost: Option[() => Unit] = synchronized {
+      val state = beats.get(indexPath)
       val lf = leaseFile(indexPath)
       try {
-        if (GraftFs.isFile(lf) &&
+        if (state.exists(!_.isAlive())) {
+          System.err.println(s"[graft] stream.ingest: writer for $indexPath is no " +
+            "longer active and never released — releasing its lease")
+          release(indexPath, checkpoint)
+          None
+        } else if (GraftFs.isFile(lf) &&
             heldCheckpoint(GraftFs.readString(lf)) != checkpoint) {
           System.err.println(s"[graft] stream.ingest lease at $lf no longer names " +
-            s"this query (reclaimed after a stall?) — heartbeat withheld")
-        } else GraftFs.writeString(lf, leaseBody(checkpoint, queryName))
+            s"this query (reclaimed after a stall?) — stopping the deposed writer")
+          beats.remove(indexPath).foreach(_.future.cancel(false))
+          state.map(_.onLost)
+        } else {
+          GraftFs.writeString(lf, leaseBody(checkpoint, queryName))
+          None
+        }
       } catch { case e: Exception =>
-        System.err.println(s"[graft] stream.ingest lease heartbeat failed: ${e.getMessage}") }
+        System.err.println(s"[graft] stream.ingest lease heartbeat failed: ${e.getMessage}")
+        None
+      }
     }
+    lost.foreach(hook => try hook() catch { case e: Exception =>
+      System.err.println(s"[graft] stream.ingest deposed-writer stop failed: ${e.getMessage}") })
+  }
 
   /** Release only a lease this query identity still holds — a reclaimed
     * (stale) lease now belongs to the new holder and must survive. Always
     * stops the heartbeat task for this index. */
   def release(indexPath: String, checkpoint: String): Unit = synchronized {
-    beats.remove(indexPath).foreach(_.cancel(false))
+    beats.remove(indexPath).foreach(_.future.cancel(false))
     val lf = leaseFile(indexPath)
     try {
       if (GraftFs.isFile(lf)) {
@@ -276,9 +327,13 @@ object StreamIngestSink extends Stage {
     IngestLease.acquire(indexPath, checkpoint, queryName, staleMs)
     // pipeline mode (_defer_await): DagCompiler awaits the query, then
     // drains cleanups — release there. Direct mode releases in the await
-    // paths below; direct _defer_await callers (the default registrar
-    // discards) rely on same-identity re-acquire + staleness.
+    // paths below; for direct _defer_await callers (whose cleanup
+    // registrar discards) the heartbeat's liveness probe releases once
+    // the query stops. A failure between acquire and a successful start
+    // must not leak the lease+beat — the catch below releases and
+    // rethrows.
     ctx.deferToCleanup(() => IngestLease.release(indexPath, checkpoint))
+    val q = try {
 
     var w = df.writeStream
       .queryName(queryName)
@@ -325,7 +380,15 @@ object StreamIngestSink extends Stage {
       case None =>
         cfg.longOpt("trigger_ms").foreach(ms => w = w.trigger(Trigger.ProcessingTime(ms)))
     }
-    val q = w.start()
+    w.start()
+    } catch { case e: Throwable =>
+      IngestLease.release(indexPath, checkpoint); throw e
+    }
+    // tie the heartbeat to the real query lifecycle: a query that stops
+    // without release gets its lease released by the next beat; a query
+    // whose stale-aged lease was reclaimed by another writer is STOPPED,
+    // not left writing leaseless (see IngestLease.heartbeat)
+    IngestLease.bindLiveness(indexPath, () => q.isActive, () => q.stop())
     if (!cfg.boolOr("_defer_await", false)) {
       try {
         (cfg.longOpt("timeout_ms"), cfg.strOpt("trigger")) match {

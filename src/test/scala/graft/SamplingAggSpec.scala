@@ -132,6 +132,32 @@ class SamplingAggSpec extends SparkSpec {
     }
   }
 
+  test("chained sample stages draw independently; dotted columns and upsampling survive") {
+    // the content hash is salted with the stage id: two fraction=0.5
+    // stages in one pipeline must compose to ~0.25, not be a no-op
+    // (unsalted, every row passing stage 1's u < 0.5 passes stage 2's)
+    def stage(df: org.apache.spark.sql.DataFrame, id: String) =
+      SampleOp(StageContext(spark, Seq("in" -> df),
+        Cfg.of("fraction" -> 0.5, "seed" -> 42), id))
+    val once = stage(ids, "s1")
+    val twice = stage(once, "s2")
+    val n2 = twice.count()
+    assert(math.abs(n2 - 500L) < 120, s"two chained 0.5 samples ≈ 0.25, got $n2")
+    // a literal dot in a column name must hash as a column reference,
+    // not parse as struct access
+    val dotted = ids.withColumnRenamed("id", "a.b")
+    val dn = SampleOp(StageContext.one(spark, dotted,
+      Cfg.of("fraction" -> 0.3, "seed" -> 3))).count()
+    assert(math.abs(dn - 600L) < 140)
+    // with_replacement upsampling: fraction > 1 is a Poisson mean, legal
+    val up = SampleOp(StageContext.one(spark, ids,
+      Cfg.of("fraction" -> 2.0, "with_replacement" -> true, "seed" -> 3))).count()
+    assert(math.abs(up - 4000L) < 500, s"mean-2 Poisson over 2000 rows, got $up")
+    // ...but a Bernoulli fraction > 1 is still rejected loud
+    intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids,
+      Cfg.of("fraction" -> 2.0))))
+  }
+
   test("sample.apply count: > Int.MaxValue rejected loud, not overflowed") {
     val e = intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
       "count" -> 3000000000L))))

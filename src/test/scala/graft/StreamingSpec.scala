@@ -604,6 +604,36 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.IngestLease.release(idx, "/other/ckpt")
   }
 
+  test("the heartbeat is a liveness court: dead writers release, deposed writers stop") {
+    import graft.streaming.IngestLease
+    // a writer that stopped WITHOUT release (direct-mode callers whose
+    // cleanup registrar discards) must not be kept fresh by its own beat
+    // forever — the beat notices the dead liveness probe and releases
+    val idx1 = java.nio.file.Files.createTempDirectory("graft_court1").toString
+    IngestLease.acquire(idx1, "/ckpt/dead", "dead_query", 300L)
+    IngestLease.bindLiveness(idx1, () => false, () => ())
+    Thread.sleep(400) // > one beat period (staleMs/3 = 100ms)
+    assert(!IngestLease.beating(idx1), "beat released the dead writer's lease")
+    assert(!graft.core.GraftFs.exists(s"$idx1/ingest.lease"))
+    IngestLease.acquire(idx1, "/ckpt/next", "next", 300L) // slot reopened
+    IngestLease.release(idx1, "/ckpt/next")
+    // a holder whose stale-aged lease was reclaimed while it was stalled
+    // must be STOPPED, not left writing leaseless alongside the new holder
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_court2").toString
+    @volatile var stopped = false
+    IngestLease.acquire(idx2, "/ckpt/old", "old_query", 300L)
+    IngestLease.bindLiveness(idx2, () => true, () => { stopped = true })
+    // simulate the reclaim: the lease now names a different checkpoint
+    graft.core.GraftFs.writeString(s"$idx2/ingest.lease",
+      "checkpoint=/ckpt/thief\nquery=thief\nowner=elsewhere/1")
+    Thread.sleep(400)
+    assert(stopped, "deposed writer's onLost hook fired")
+    assert(!IngestLease.beating(idx2), "deposed writer's beat cancelled")
+    // the thief's lease was NOT clobbered or deleted
+    assert(graft.core.GraftFs.readString(s"$idx2/ingest.lease")
+      .contains("checkpoint=/ckpt/thief"))
+  }
+
   test("batch appenders and index.compact share the single-writer lease") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("graft_blease_idx").toString
