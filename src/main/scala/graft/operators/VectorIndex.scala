@@ -106,7 +106,7 @@ object IndexBuildOp extends Stage {
         GraftFs.deleteIfExists(s"$p/compact.gen")
         IndexSnapshot.resetGenerations(p)
       }
-    cfg.strOr("type", "ivf") match {
+    def dispatch(): Unit = cfg.strOr("type", "ivf") match {
       case "ivf" => buildIvf(ctx)
       case "lsh" => buildLsh(ctx)
       case "minhash" => buildMinhash(ctx)
@@ -116,6 +116,15 @@ object IndexBuildOp extends Stage {
       case other => throw new GraftConfigError(
         s"index.build type must be ivf|lsh|minhash|ngram|simhash|exact, got '$other'")
     }
+    // mode=append is the same batch-appender class as the dedup
+    // index_append fires: its corpus write must not land inside a
+    // concurrent compact's rewrite window (or on an index a live
+    // stream.ingest holds) — claim the shared lease around the build.
+    // Overwrite mode is a REBUILD, not an append: it replaces the index
+    // wholesale by explicit intent, same as the reference's build verb.
+    if (cfg.strOr("mode", "overwrite") == "append" && cfg.strOpt("path").isDefined)
+      graft.streaming.IngestLease.withBatchLease(cfg.str("path"), "index.build mode=append")(dispatch())
+    else dispatch()
     ctx.primary
   }
 
@@ -246,13 +255,11 @@ object IndexBuildOp extends Stage {
     val assign = F.udf { v: Seq[Float] =>
       IvfCentroids.nearest(cents, Vectors.dense(v.map(_.toDouble).toArray), 1)(0)
     }
-    // same batch-appender class as the dedup index_append fires: keep the
-    // append out of a concurrent compact's rewrite window via the lease
-    graft.streaming.IngestLease.withBatchLease(path, "index.build type=ivf mode=append") {
-      ctx.primary.withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
-        .repartition(F.col("cell"))
-        .write.mode("append").partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
-    }
+    // the shared batch-appender lease is claimed by the mode=append
+    // dispatch in apply() — one claim for every family's append write
+    ctx.primary.withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
+      .repartition(F.col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
   }
 
   /** `type = "exact"` — the exact-dedup key set: distinct 128-bit md5

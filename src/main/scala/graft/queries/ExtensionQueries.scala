@@ -527,6 +527,20 @@ object ExtensionQueries {
         "by" -> "o_orderstatus", "seed" -> 7, "default_count" -> 100000000L)))
     },
 
+    // ---- stratified FRACTIONS (r9, expression-filter path): fraction
+    // edges are exactly SQL-expressible — a named stratum at 1.0 keeps
+    // every row (the [0,1) content draw is strictly below 1.0), a 0.0
+    // default drops every other stratum with no driver-side stratum
+    // universe — so the rewritten path gets a full hash-equality gate,
+    // not just the probabilistic rows-only check ----
+    QueryDef("sample_stratified_fraction_edges",
+      "SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderstatus = 'F'") { (s, d) =>
+      SampleOp(StageContext.one(s,
+        t(s, d, "orders").select("o_orderkey", "o_orderstatus"), Cfg.of(
+        "by" -> "o_orderstatus", "seed" -> 7,
+        "fractions" -> Map("F" -> 1.0), "default_fraction" -> 0.0)))
+    },
+
     // ---- ingest.compact (r7): a stream.ingest-shaped output (one
     // ingest_batch partition per micro-batch, checkpoint commits
     // recorded) folds into the compacted region — reading the output

@@ -80,6 +80,44 @@ class GraftFsSpec extends SparkSpec {
     assert(GraftFs.readString(s"$dir/claim") === "again")
   }
 
+  test("claim primitives under real concurrency: one winner across simultaneous attempts") {
+    // the two atomic building blocks of the lease protocol, raced for
+    // real (no object monitor in the way — this is what holds across
+    // PROCESSES on file:/hdfs:):
+    // (1) createExclusive — N simultaneous claims, exactly one creates
+    val dir = tmp("gfs_race")
+    val n = 16
+    val winners = new java.util.concurrent.atomic.AtomicInteger(0)
+    val winnerIds = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val barrier = new java.util.concurrent.CyclicBarrier(n)
+    val ts = (0 until n).map { i =>
+      new Thread(() => {
+        barrier.await()
+        if (GraftFs.createExclusive(s"$dir/claim", s"owner=$i")) {
+          winners.incrementAndGet(); winnerIds.add(i)
+        }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(winners.get() === 1, "exactly one exclusive create wins")
+    assert(GraftFs.readString(s"$dir/claim") === s"owner=${winnerIds.peek()}",
+      "the file holds the winner's content, unclobbered")
+    // (2) rename-aside takeover — N racers move the same stale file to
+    // distinct destinations; at most one move succeeds
+    GraftFs.writeString(s"$dir/stale", "old-holder")
+    val moved = new java.util.concurrent.atomic.AtomicInteger(0)
+    val barrier2 = new java.util.concurrent.CyclicBarrier(n)
+    val ts2 = (0 until n).map { i =>
+      new Thread(() => {
+        barrier2.await()
+        if (GraftFs.rename(s"$dir/stale", s"$dir/aside-$i")) moved.incrementAndGet()
+      })
+    }
+    ts2.foreach(_.start()); ts2.foreach(_.join())
+    assert(moved.get() === 1, "exactly one takeover move wins")
+    assert(!GraftFs.exists(s"$dir/stale"))
+  }
+
   test("writeStringCommit keeps the destination continuously present across commits") {
     // the commit installs by rename-OVER-destination (no delete-then-rename
     // window): locally that is one atomic rename(2); observable here as

@@ -573,7 +573,10 @@ class StreamingSpec extends SparkSpec {
       Cfg.of("path" -> root, "topic" -> "docs")))
     val out = java.nio.file.Files.createTempDirectory("graft_idle_out").toString + "/data"
     val ckpt = s"$out/_checkpoint"
-    val staleMs = 400L
+    // generous staleness vs the staleMs/3 beat period: under full-suite
+    // load the beat thread can be starved for hundreds of ms, and a
+    // too-tight margin would let the thief legitimately reclaim
+    val staleMs = 1500L
     val stream = graft.operators.KafkaStreamSource(StageContext(spark, Seq.empty, Cfg.of(
       "path" -> root, "topic" -> "docs", "schema" -> "doc_id LONG, text STRING")))
     StreamIngestSink(StageContext.one(spark, stream, Cfg.of(
@@ -590,7 +593,7 @@ class StreamingSpec extends SparkSpec {
       // keeps the lease fresh — the old in-batch heartbeat went silent
       // here and the lease aged out while the query was still alive
       q.processAllAvailable()
-      Thread.sleep(4 * staleMs)
+      Thread.sleep(2 * staleMs)
       val e = intercept[GraftPlanError](graft.streaming.IngestLease.acquire(
         idx, "/other/ckpt", "thief", staleMs))
       assert(e.getMessage.contains("idle_holder"), "refusal names the live idle holder")
@@ -606,14 +609,22 @@ class StreamingSpec extends SparkSpec {
 
   test("the heartbeat is a liveness court: dead writers release, deposed writers stop") {
     import graft.streaming.IngestLease
+    // bounded poll, not a fixed sleep: under full-suite load the shared
+    // beat thread can be starved well past one nominal period
+    def within(ms: Long)(cond: => Boolean): Boolean = {
+      val deadline = System.nanoTime() + ms * 1000000L
+      var ok = cond
+      while (!ok && System.nanoTime() < deadline) { Thread.sleep(50); ok = cond }
+      ok
+    }
     // a writer that stopped WITHOUT release (direct-mode callers whose
     // cleanup registrar discards) must not be kept fresh by its own beat
     // forever — the beat notices the dead liveness probe and releases
     val idx1 = java.nio.file.Files.createTempDirectory("graft_court1").toString
     IngestLease.acquire(idx1, "/ckpt/dead", "dead_query", 300L)
     IngestLease.bindLiveness(idx1, () => false, () => ())
-    Thread.sleep(400) // > one beat period (staleMs/3 = 100ms)
-    assert(!IngestLease.beating(idx1), "beat released the dead writer's lease")
+    assert(within(10000)(!IngestLease.beating(idx1)),
+      "beat released the dead writer's lease")
     assert(!graft.core.GraftFs.exists(s"$idx1/ingest.lease"))
     IngestLease.acquire(idx1, "/ckpt/next", "next", 300L) // slot reopened
     IngestLease.release(idx1, "/ckpt/next")
@@ -626,8 +637,7 @@ class StreamingSpec extends SparkSpec {
     // simulate the reclaim: the lease now names a different checkpoint
     graft.core.GraftFs.writeString(s"$idx2/ingest.lease",
       "checkpoint=/ckpt/thief\nquery=thief\nowner=elsewhere/1")
-    Thread.sleep(400)
-    assert(stopped, "deposed writer's onLost hook fired")
+    assert(within(10000)(stopped), "deposed writer's onLost hook fired")
     assert(!IngestLease.beating(idx2), "deposed writer's beat cancelled")
     // the thief's lease was NOT clobbered or deleted
     assert(graft.core.GraftFs.readString(s"$idx2/ingest.lease")
