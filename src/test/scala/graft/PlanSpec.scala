@@ -108,6 +108,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "bound join degenerated")
   }
 
+  test("fraction sampling is one codegen'd filter — zero exchange, zero driver state") {
+    // the content-hash draw (xxhash64 over seed+salt+columns) plans as a
+    // plain Filter over the scan: no shuffle for Bernoulli, no shuffle
+    // for the stratified expression filter (the old sampleBy path was
+    // also narrow, but its default_fraction COLLECTED the stratum
+    // universe — the plan here proves no such job exists), and the
+    // stratified-edges gate reads the quota from a map literal in-row
+    val p = plan("sample_bernoulli")
+    assert(p.contains("xxhash64"), p.take(1500))
+    assert(!p.contains("Exchange"), "Bernoulli sample must not shuffle:\n" + p.take(2000))
+    val ps = plan("sample_stratified_fraction_edges")
+    assert(!ps.contains("Exchange"),
+      "stratified fraction filter must not shuffle:\n" + ps.take(2000))
+    assert(!ps.contains("rand("), "no partition-seeded RNG in the stratified draw")
+    // exact-k per stratum: the ONE hash exchange is the stratum window —
+    // the irreducible cost of an exact quota — and nothing else
+    val pk = plan("sample_stratified_count")
+    assert("Exchange hashpartitioning".r.findAllIn(pk).length <= 2, pk.take(3000))
+  }
+
   test("bloom decontamination filters under the gram semi-join") {
     val p = plan("decontaminate_bloom")
     // the broadcast-Bloom UDF prefilter must sit below the LeftSemi join
