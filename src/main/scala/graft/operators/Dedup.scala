@@ -556,16 +556,22 @@ private[graft] object IndexSnapshot {
     * per-batch claim here. */
   def append(df: DataFrame, corpusDir: String, streamTag: Option[String]): Unit = {
     // appending into the missing-corpus window of a crashed compact would
-    // fork a fresh corpus that the repair would then discard — repair first
+    // fork a fresh corpus that the repair would then discard — repair
+    // first, INSIDE the lease for the batch path (an unleased repairer
+    // racing a live swap-mode compact's two-rename window would "repair"
+    // a protocol mid-flight); the streaming path runs under its query's
+    // lease already
     val parent = GraftFs.path(corpusDir).getParent
-    if (parent != null) IndexMaintenance.recoverSwap(parent.toString)
     streamTag match {
       case None =>
         val root = if (parent != null) parent.toString else corpusDir
         graft.streaming.IngestLease.withBatchLease(root, "index_append") {
+          if (parent != null) IndexMaintenance.recoverSwap(parent.toString)
           df.write.mode("append").parquet(corpusDir)
         }
-      case Some(tag) => df.write.mode("overwrite").parquet(s"$corpusDir/$tag")
+      case Some(tag) =>
+        if (parent != null) IndexMaintenance.recoverSwap(parent.toString)
+        df.write.mode("overwrite").parquet(s"$corpusDir/$tag")
     }
   }
 
@@ -1473,9 +1479,10 @@ object DedupEmbeddingOp extends Stage {
       // dynamic partition OVERWRITE of this batch's own (band, pband, tag)
       // dirs — a replayed micro-batch re-lands identical rows idempotently
       ctx.deferToSuccess { () =>
-        IndexMaintenance.recoverSwap(path)
         val co = pinnedAppend.repartition(F.col("band"), F.col("pband"))
         def land(): Unit = {
+          // crash repair inside the claim (see IndexSnapshot.append)
+          IndexMaintenance.recoverSwap(path)
           val w = streamTag match {
             case None    => co.write.mode("append")
             case Some(_) => co.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")

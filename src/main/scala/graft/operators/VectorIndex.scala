@@ -93,38 +93,48 @@ object IndexBuildOp extends Stage {
     // shown is the pass-through input; the probe stage will list whatever
     // index already exists on disk, or fail loudly when run for real)
     if (cfg.boolOr("_explain_only", false)) return ctx.primary
-    // a previous index.compact may have died mid-swap: repair before any
-    // meta validation or corpus write (an append into the missing-corpus
-    // window would fork a generation the repair would discard)
-    cfg.strOpt("path").foreach(p => IndexMaintenance.recoverSwap(p))
-    // a rebuild invalidates the recorded compacted generation (index.stats
-    // would otherwise count the fresh corpus as zero appends-since-compact)
-    // AND any generation-pointer state (the fresh corpus writes to the
-    // classic dir; a surviving pointer would alias it to a stale gen)
-    if (cfg.strOr("mode", "overwrite") == "overwrite")
-      cfg.strOpt("path").foreach { p =>
-        GraftFs.deleteIfExists(s"$p/compact.gen")
-        IndexSnapshot.resetGenerations(p)
+    val mode = cfg.strOr("mode", "overwrite")
+    def build(): Unit = {
+      // a previous index.compact may have died mid-swap: repair before any
+      // meta validation or corpus write (an append into the missing-corpus
+      // window would fork a generation the repair would discard). Inside
+      // the lease — an unleased repairer racing a live swap-mode compact's
+      // two-rename window would "repair" a protocol mid-flight.
+      cfg.strOpt("path").foreach(p => IndexMaintenance.recoverSwap(p))
+      // a rebuild invalidates the recorded compacted generation (index.stats
+      // would otherwise count the fresh corpus as zero appends-since-compact)
+      // AND any generation-pointer state (the fresh corpus writes to the
+      // classic dir; a surviving pointer would alias it to a stale gen)
+      if (mode == "overwrite")
+        cfg.strOpt("path").foreach { p =>
+          GraftFs.deleteIfExists(s"$p/compact.gen")
+          IndexSnapshot.resetGenerations(p)
+        }
+      cfg.strOr("type", "ivf") match {
+        case "ivf" => buildIvf(ctx)
+        case "lsh" => buildLsh(ctx)
+        case "minhash" => buildMinhash(ctx)
+        case "ngram" => buildNgram(ctx)
+        case "simhash" => buildSimhash(ctx)
+        case "exact" => buildExact(ctx)
+        case other => throw new GraftConfigError(
+          s"index.build type must be ivf|lsh|minhash|ngram|simhash|exact, got '$other'")
       }
-    def dispatch(): Unit = cfg.strOr("type", "ivf") match {
-      case "ivf" => buildIvf(ctx)
-      case "lsh" => buildLsh(ctx)
-      case "minhash" => buildMinhash(ctx)
-      case "ngram" => buildNgram(ctx)
-      case "simhash" => buildSimhash(ctx)
-      case "exact" => buildExact(ctx)
-      case other => throw new GraftConfigError(
-        s"index.build type must be ivf|lsh|minhash|ngram|simhash|exact, got '$other'")
     }
-    // mode=append is the same batch-appender class as the dedup
-    // index_append fires: its corpus write must not land inside a
-    // concurrent compact's rewrite window (or on an index a live
-    // stream.ingest holds) — claim the shared lease around the build.
-    // Overwrite mode is a REBUILD, not an append: it replaces the index
-    // wholesale by explicit intent, same as the reference's build verb.
-    if (cfg.strOr("mode", "overwrite") == "append" && cfg.strOpt("path").isDefined)
-      graft.streaming.IngestLease.withBatchLease(cfg.str("path"), "index.build mode=append")(dispatch())
-    else dispatch()
+    // BOTH modes claim the shared writer lease. Append is the same
+    // batch-appender class as the dedup index_append fires (its write
+    // must not land inside a concurrent compact's rewrite window).
+    // Overwrite is a REBUILD by explicit intent — but rebuilding an index
+    // a live stream is appending to, or whose generational compact is
+    // mid-rewrite, is the same corruption class (resetGenerations would
+    // delete the compact's in-progress generation, and the compact's
+    // later pointer commit would alias the fresh corpus to a deleted
+    // dir) — so it too must fail loud while another writer is live.
+    cfg.strOpt("path") match {
+      case Some(p) =>
+        graft.streaming.IngestLease.withBatchLease(p, s"index.build mode=$mode")(build())
+      case None => build()
+    }
     ctx.primary
   }
 

@@ -108,7 +108,13 @@ private[graft] object IngestLease {
       t.setDaemon(true)
       t
     })
-  private final class BeatState(val future: java.util.concurrent.ScheduledFuture[_]) {
+  private final class BeatState {
+    /** Set right after scheduling; cancelled at release/supersession.
+      * cancel(false) lets an already-triggered run finish — which is why
+      * every beat re-checks that it is STILL the registered state for its
+      * index before acting (a stale final run must neither refresh a
+      * released lease nor depose the next, legitimate writer). */
+    @volatile var future: java.util.concurrent.ScheduledFuture[_] = null
     /** Liveness probe for the writer this beat fronts (bound to
       * StreamingQuery.isActive after start): a query that stopped WITHOUT
       * release (direct-mode callers whose cleanup registrar discards)
@@ -203,9 +209,11 @@ private[graft] object IngestLease {
       queryName: String, staleMs: Long): Unit = {
     beats.remove(indexPath).foreach(_.future.cancel(false))
     val periodMs = math.max(50L, staleMs / 3)
-    val task: Runnable = () => heartbeat(indexPath, checkpoint, queryName)
-    beats(indexPath) = new BeatState(scheduler.scheduleAtFixedRate(
-      task, periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS))
+    val state = new BeatState
+    val task: Runnable = () => heartbeat(indexPath, checkpoint, queryName, state)
+    state.future = scheduler.scheduleAtFixedRate(
+      task, periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    beats(indexPath) = state
   }
 
   /** Refresh the heartbeat mtime — a plain overwrite, NOT a commit write:
@@ -222,13 +230,19 @@ private[graft] object IngestLease {
     * writer is STOPPED via its onLost hook — a deposed query that merely
     * stops heartbeating but keeps writing is exactly the two-live-writer
     * scenario the lease exists to prevent. */
-  def heartbeat(indexPath: String, checkpoint: String, queryName: String): Unit = {
-    // decide under the lock; run query-stopping hooks outside it
+  private def heartbeat(indexPath: String, checkpoint: String, queryName: String,
+      self: BeatState): Unit = {
+    // decide under the lock; run query-stopping hooks OFF this thread
     val lost: Option[() => Unit] = synchronized {
-      val state = beats.get(indexPath)
       val lf = leaseFile(indexPath)
       try {
-        if (state.exists(!_.isAlive())) {
+        if (!beats.get(indexPath).exists(_ eq self)) {
+          // superseded or released while this run was already triggered
+          // (cancel(false) lets a final run finish): acting here would
+          // resurrect a released lease or depose the NEXT, legitimate
+          // writer — do nothing
+          None
+        } else if (!self.isAlive()) {
           System.err.println(s"[graft] stream.ingest: writer for $indexPath is no " +
             "longer active and never released — releasing its lease")
           release(indexPath, checkpoint)
@@ -238,7 +252,7 @@ private[graft] object IngestLease {
           System.err.println(s"[graft] stream.ingest lease at $lf no longer names " +
             s"this query (reclaimed after a stall?) — stopping the deposed writer")
           beats.remove(indexPath).foreach(_.future.cancel(false))
-          state.map(_.onLost)
+          Some(self.onLost)
         } else {
           GraftFs.writeString(lf, leaseBody(checkpoint, queryName))
           None
@@ -248,8 +262,17 @@ private[graft] object IngestLease {
         None
       }
     }
-    lost.foreach(hook => try hook() catch { case e: Exception =>
-      System.err.println(s"[graft] stream.ingest deposed-writer stop failed: ${e.getMessage}") })
+    // the stop hook can block for a whole micro-batch — run it on its own
+    // thread so one slow stop cannot starve every OTHER lease's beat on
+    // the shared scheduler (a starved beat ages out and gets reclaimed:
+    // one slow stop must not cascade into false deposals)
+    lost.foreach { hook =>
+      val t = new Thread(() => try hook() catch { case e: Exception =>
+        System.err.println(s"[graft] stream.ingest deposed-writer stop failed: ${e.getMessage}") },
+        "graft-lease-deposed-stop")
+      t.setDaemon(true)
+      t.start()
+    }
   }
 
   /** Release only a lease this query identity still holds — a reclaimed
