@@ -402,9 +402,11 @@ object IndexStatsOp extends Stage {
     import spark.implicits._
 
     if (cfg.boolOr("_explain_only", false))
-      return Seq.empty[(String, String, Long, Long, Long, Double, Long, Long, Long)]
+      return Seq.empty[(String, String, Long, Long, Long, Double, Long, Long, Long,
+          Option[String], Option[Long])]
         .toDF("path", "index_type", "rows", "files", "bytes", "mean_file_kb",
-          "stream_append_dirs", "partition_dirs", "appends_since_compact")
+          "stream_append_dirs", "partition_dirs", "appends_since_compact",
+          "lease_holder", "lease_age_ms")
 
     IndexMaintenance.recoverSwap(path)
     val (family, partitionCols) = IndexMaintenance.layout(spark, path, "index.stats")
@@ -444,9 +446,15 @@ object IndexStatsOp extends Stage {
           .linesIterator.map(_.trim).filter(_.nonEmpty).toSet
         files.count(f => !compacted.contains(GraftFs.relativize(corpusDir, f))).toLong
       }
+    // live-writer visibility: the lease body + heartbeat age, so a
+    // maintenance pipeline can see "a writer holds this index" in the
+    // same report it reads fragmentation from (and skip/schedule its
+    // compact accordingly) — null columns when the index is free
+    val lease = graft.streaming.IngestLease.holder(path)
     Seq((path, family, rows, files.size.toLong, bytes, meanKb, appendDirs, partDirs,
-        sinceCompact))
+        sinceCompact, lease.map(_._1), lease.map(_._2)))
       .toDF("path", "index_type", "rows", "files", "bytes", "mean_file_kb",
-        "stream_append_dirs", "partition_dirs", "appends_since_compact")
+        "stream_append_dirs", "partition_dirs", "appends_since_compact",
+        "lease_holder", "lease_age_ms")
   }
 }

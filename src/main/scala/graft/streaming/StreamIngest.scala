@@ -134,6 +134,18 @@ private[graft] object IngestLease {
   private[graft] def beating(indexPath: String): Boolean =
     synchronized { beats.contains(indexPath) }
 
+  /** Current lease holder, for observability (index.stats): the lease
+    * body flattened to one line, plus heartbeat age in ms. None when the
+    * index is free. Read-only — never repairs or ages anything out. */
+  def holder(indexPath: String): Option[(String, Long)] = {
+    val lf = leaseFile(indexPath)
+    try {
+      if (!GraftFs.isFile(lf)) None
+      else Some((GraftFs.readString(lf).linesIterator.mkString("; "),
+        math.max(0L, System.currentTimeMillis() - GraftFs.mtime(lf))))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   /** Bind the heartbeat for `indexPath` to a real writer lifecycle: the
     * liveness probe and the deposed-holder stop hook. Call after the
     * streaming query starts. */

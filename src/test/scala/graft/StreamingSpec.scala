@@ -654,6 +654,11 @@ class StreamingSpec extends SparkSpec {
     // a compact both fail loud naming the holder
     graft.streaming.IngestLease.acquire(idx, "/stream/ckpt", "live_stream",
       graft.streaming.IngestLease.StaleMsDefault)
+    // index.stats surfaces the live holder (the maintenance-pipeline view)
+    val held = graft.operators.IndexStatsOp(StageContext.one(spark, docs,
+      Cfg.of("path" -> idx))).select("lease_holder", "lease_age_ms").head()
+    assert(held.getString(0).contains("live_stream"))
+    assert(!held.isNullAt(1) && held.getLong(1) >= 0L)
     val e1 = intercept[GraftPlanError](graft.operators.DedupExactOp(StageContext.one(spark,
       Seq((10L, "gamma")).toDF("doc_id", "text"),
       Cfg.of("columns" -> Seq("text"), "index_path" -> idx, "index_append" -> true))))
@@ -684,6 +689,9 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(probe === Seq(21L), "appended key survived the compact; probe unchanged")
     assert(!graft.core.GraftFs.exists(s"$idx/ingest.lease"), "batch leases always release")
+    val free = graft.operators.IndexStatsOp(StageContext.one(spark, docs,
+      Cfg.of("path" -> idx))).select("lease_holder").head()
+    assert(free.isNullAt(0), "stats report a free index as lease_holder = null")
   }
 
   test("stream.write rejects batch input; gap connectors raise actionable errors") {
