@@ -311,14 +311,43 @@ object GraftFs {
     } finally in.close()
   }
 
+  /** The non-checksummed twin of a local FileSystem — every GraftFs-owned
+    * small STRING file (leases, pointers, manifests, offsets) is written
+    * through it. ChecksumFileSystem writes a `.f.crc` shadow beside every
+    * file and renames data and crc as TWO separate renames, so a reader
+    * concurrent with a rename-commit can pair the new data with the old
+    * crc and die with ChecksumException — measured as the MAJORITY of
+    * reads under a commit storm (CommitRaceSpec), not a narrow window.
+    * Raw writes create no shadow; readers verify nothing when no crc
+    * exists; the rename(2) swap becomes the only visible transition.
+    * Spark-written data files keep their checksums — this applies only
+    * to GraftFs's own string files. */
+  private def rawFs(f: FileSystem): FileSystem = f match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  /** Remove a stale checksum shadow left by an OLD (checksummed) writer
+    * of `p` — without this, the first raw rewrite of a pre-existing file
+    * would leave a crc that fails every subsequent read. */
+  private def dropStaleCrc(f: FileSystem, p: Path): Unit = f match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem =>
+      val crc = c.getChecksumFile(p)
+      val raw = c.getRawFileSystem
+      if (raw.exists(crc)) raw.delete(crc, false)
+    case _ => ()
+  }
+
   /** Plain overwrite write (create(overwrite = true)) — for files whose
     * content is idempotent to rewrite (tmp stages of committed protocols,
-    * stats caches). Not atomic w.r.t. concurrent readers; use
-    * [[writeStringCommit]] where the write IS a commit point. */
+    * stats caches, lease heartbeats). Not atomic w.r.t. concurrent
+    * readers; use [[writeStringCommit]] where the write IS a commit
+    * point. Raw (checksum-free) on local — see [[rawFs]]. */
   def writeString(s: String, content: String): Unit = {
     val p = path(s)
     val f = p.getFileSystem(hadoopConf)
-    val out = f.create(p, true)
+    dropStaleCrc(f, p)
+    val out = rawFs(f).create(p, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -357,12 +386,18 @@ object GraftFs {
     } else {
       val tmp = new Path(p.getParent,
         "." + p.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
-      val out = f.create(tmp, true)
+      // raw create + raw rename: on a ChecksumFileSystem the tmp write
+      // must not mint a crc shadow, and the install must be ONE data
+      // rename — a checksummed rename is two (data, then crc), whose
+      // in-between state fails concurrent readers (see rawFs)
+      val rf = rawFs(f)
+      val out = rf.create(tmp, true)
       try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      // NOTE: f.rename deliberately raw here (not GraftFs.rename) — this is
+      dropStaleCrc(f, p)
+      // NOTE: rename deliberately raw here (not GraftFs.rename) — this is
       // the one caller that WANTS replace-existing semantics.
-      val plain = try f.rename(tmp, p) catch { case _: java.io.IOException => false }
+      val plain = try rf.rename(tmp, p) catch { case _: java.io.IOException => false }
       if (!plain) {
         val overwritten =
           try {
@@ -415,7 +450,8 @@ object GraftFs {
       val p = path(s)
       val f = p.getFileSystem(hadoopConf)
       try {
-        val out = f.create(p, false)
+        if (!f.exists(p)) dropStaleCrc(f, p)
+        val out = rawFs(f).create(p, false)
         try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
         true

@@ -133,6 +133,40 @@ class GraftFsSpec extends SparkSpec {
     assert(GraftFs.listNames(dir) === Vector("corpus.ptr"), "no tmp litter")
   }
 
+  test("writeStringCommit is concurrently readable: no torn reads, no checksum desync") {
+    // regression for a measured failure: ChecksumFileSystem renames a
+    // committed file's data and its .crc shadow as TWO separate ops, so
+    // readers racing a commit storm paired new data with the old crc and
+    // the MAJORITY of reads died with ChecksumException. GraftFs string
+    // files now write through the raw (checksum-free) local twin, making
+    // rename(2) the only visible transition — under the same storm every
+    // read must succeed and see a committed value.
+    val dir = tmp("gfs_commitrace")
+    val f = s"$dir/ptr"
+    GraftFs.writeStringCommit(f, "gen-0")
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicLong(0)
+    val readers = (0 until 3).map { _ =>
+      new Thread(() => {
+        while (!stop) {
+          try {
+            val v = GraftFs.readString(f)
+            reads.incrementAndGet()
+            if (!v.startsWith("gen-")) failures.add(s"torn content: '$v'")
+          } catch { case e: Exception =>
+            failures.add(e.getClass.getSimpleName + ": " + e.getMessage) }
+        }
+      })
+    }
+    readers.foreach(_.start())
+    try (1 to 800).foreach(i => GraftFs.writeStringCommit(f, s"gen-$i"))
+    finally { stop = true; readers.foreach(_.join()) }
+    assert(failures.isEmpty, s"${failures.size} failed reads, first: ${failures.peek()}")
+    assert(reads.get() > 0)
+    assert(GraftFs.readString(f) === "gen-800")
+  }
+
   test("renameIsAtomic: file/hdfs yes, s3a/gs no; guard message names the scheme") {
     assert(GraftFs.renameIsAtomic("/tmp/idx"))
     assert(GraftFs.renameIsAtomic("file:/tmp/idx"))
