@@ -37,7 +37,7 @@ object Docs {
     "profile.apply" -> "one-pass per-column profile (rows/nulls/distinct/min/max + quantiles) - columns, distinct=approx(default)|exact|none, rsd, quantiles=[0.5,...], quantiles_accuracy, quantiles_exact (exact paths opt-in: wrong default at scale)",
     "explode.apply" -> "one row per array element (generator) - column (name or SQL expr), into, outer, position_column",
     "repartition.apply" -> "partition layout - mode: hash|range|coalesce, n, by",
-    "sample.apply" -> "sampling - fraction, seed, with_replacement | count (EXACT-k uniform — bounded TakeOrdered plan, no global sort) | by + fractions (stratified) | by + counts/default_count (EXACT-k per stratum — one window rank, no driver work)",
+    "sample.apply" -> "sampling - fraction, seed | count (EXACT-k uniform — bounded TakeOrdered plan, no global sort) | by + fractions/default_fraction (stratified, any stratum cardinality) | by + counts/default_count (EXACT-k per stratum — one window rank, no driver work); all draws are DETERMINISTIC content hashes (same rows across partitionings/runs); with_replacement keeps RNG (fraction > 1 = Poisson upsampling)",
     "split.apply" -> "deterministic hash split - columns, percent, partition: train|test, salt",
     "stage.pipeline" -> "run a nested pipeline as one stage - path or inline stages",
     // multi-input

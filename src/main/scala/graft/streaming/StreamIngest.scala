@@ -80,7 +80,14 @@ import graft.operators.{DedupEmbeddingOp, DedupExactOp, DedupMinHashOp, DedupNgr
 private[graft] object IngestLease {
   val StaleMsDefault = 600000L
 
-  private def leaseFile(indexPath: String) = s"$indexPath/ingest.lease"
+  private def leaseFile(dir: String, name: String) = s"$dir/$name"
+  val IndexLeaseName = "ingest.lease"
+  /** Lease name for OUTPUT directories: underscore-prefixed so Spark's
+    * file listing treats it as hidden and parquet reads of the output
+    * dir never see it (the index lease can live unprefixed because index
+    * roots are never read as one parquet dir — only corpus/meta subdirs
+    * are). */
+  val OutLeaseName = "_ingest_out.lease"
 
   private def identity(): String =
     s"${java.net.InetAddress.getLocalHost.getHostName}/${ProcessHandle.current().pid()}"
@@ -130,15 +137,15 @@ private[graft] object IngestLease {
   }
   private val beats = scala.collection.mutable.Map[String, BeatState]()
 
-  /** Is a heartbeat task live for this index? (spec observability) */
-  private[graft] def beating(indexPath: String): Boolean =
-    synchronized { beats.contains(indexPath) }
+  /** Is a heartbeat task live for this lease? (spec observability) */
+  private[graft] def beating(dir: String, fileName: String = IndexLeaseName): Boolean =
+    synchronized { beats.contains(leaseFile(dir, fileName)) }
 
   /** Current lease holder, for observability (index.stats): the lease
     * body flattened to one line, plus heartbeat age in ms. None when the
     * index is free. Read-only — never repairs or ages anything out. */
-  def holder(indexPath: String): Option[(String, Long)] = {
-    val lf = leaseFile(indexPath)
+  def holder(indexPath: String, fileName: String = IndexLeaseName): Option[(String, Long)] = {
+    val lf = leaseFile(indexPath, fileName)
     try {
       if (!GraftFs.isFile(lf)) None
       else Some((GraftFs.readString(lf).linesIterator.mkString("; "),
@@ -149,9 +156,10 @@ private[graft] object IngestLease {
   /** Bind the heartbeat for `indexPath` to a real writer lifecycle: the
     * liveness probe and the deposed-holder stop hook. Call after the
     * streaming query starts. */
-  def bindLiveness(indexPath: String, isAlive: () => Boolean, onLost: () => Unit): Unit =
+  def bindLiveness(dir: String, isAlive: () => Boolean, onLost: () => Unit,
+      fileName: String = IndexLeaseName): Unit =
     synchronized {
-      beats.get(indexPath).foreach { b => b.isAlive = isAlive; b.onLost = onLost }
+      beats.get(leaseFile(dir, fileName)).foreach { b => b.isAlive = isAlive; b.onLost = onLost }
     }
 
   /** Acquire the single-writer lease, or fail loud naming the live
@@ -165,8 +173,9 @@ private[graft] object IngestLease {
     * must not wait out its own heartbeat) clears the slot and
     * re-claims. */
   def acquire(indexPath: String, checkpoint: String, queryName: String,
-      staleMs: Long, op: String = "stream.ingest"): Unit = synchronized {
-    val lf = leaseFile(indexPath)
+      staleMs: Long, op: String = "stream.ingest",
+      fileName: String = IndexLeaseName): Unit = synchronized {
+    val lf = leaseFile(indexPath, fileName)
     val body = leaseBody(checkpoint, queryName)
     var attempts = 0
     var claimed = GraftFs.createExclusive(lf, body)
@@ -198,7 +207,7 @@ private[graft] object IngestLease {
           "another writer is racing this start")
       claimed = GraftFs.createExclusive(lf, body)
     }
-    startHeartbeat(indexPath, checkpoint, queryName, staleMs)
+    startHeartbeat(lf, checkpoint, queryName, staleMs)
   }
 
   /** Short-lived single-writer lease for BATCH index writers — the
@@ -217,15 +226,15 @@ private[graft] object IngestLease {
     try body finally release(indexPath, id)
   }
 
-  private def startHeartbeat(indexPath: String, checkpoint: String,
+  private def startHeartbeat(lf: String, checkpoint: String,
       queryName: String, staleMs: Long): Unit = {
-    beats.remove(indexPath).foreach(_.future.cancel(false))
+    beats.remove(lf).foreach(_.future.cancel(false))
     val periodMs = math.max(50L, staleMs / 3)
     val state = new BeatState
-    val task: Runnable = () => heartbeat(indexPath, checkpoint, queryName, state)
+    val task: Runnable = () => heartbeat(lf, checkpoint, queryName, state)
     state.future = scheduler.scheduleAtFixedRate(
       task, periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
-    beats(indexPath) = state
+    beats(lf) = state
   }
 
   /** Refresh the heartbeat mtime — a plain overwrite, NOT a commit write:
@@ -242,28 +251,27 @@ private[graft] object IngestLease {
     * writer is STOPPED via its onLost hook — a deposed query that merely
     * stops heartbeating but keeps writing is exactly the two-live-writer
     * scenario the lease exists to prevent. */
-  private def heartbeat(indexPath: String, checkpoint: String, queryName: String,
+  private def heartbeat(lf: String, checkpoint: String, queryName: String,
       self: BeatState): Unit = {
     // decide under the lock; run query-stopping hooks OFF this thread
     val lost: Option[() => Unit] = synchronized {
-      val lf = leaseFile(indexPath)
       try {
-        if (!beats.get(indexPath).exists(_ eq self)) {
+        if (!beats.get(lf).exists(_ eq self)) {
           // superseded or released while this run was already triggered
           // (cancel(false) lets a final run finish): acting here would
           // resurrect a released lease or depose the NEXT, legitimate
           // writer — do nothing
           None
         } else if (!self.isAlive()) {
-          System.err.println(s"[graft] stream.ingest: writer for $indexPath is no " +
+          System.err.println(s"[graft] stream.ingest: writer for $lf is no " +
             "longer active and never released — releasing its lease")
-          release(indexPath, checkpoint)
+          releaseAt(lf, checkpoint)
           None
         } else if (GraftFs.isFile(lf) &&
             heldCheckpoint(GraftFs.readString(lf)) != checkpoint) {
           System.err.println(s"[graft] stream.ingest lease at $lf no longer names " +
             s"this query (reclaimed after a stall?) — stopping the deposed writer")
-          beats.remove(indexPath).foreach(_.future.cancel(false))
+          beats.remove(lf).foreach(_.future.cancel(false))
           Some(self.onLost)
         } else {
           GraftFs.writeString(lf, leaseBody(checkpoint, queryName))
@@ -290,9 +298,12 @@ private[graft] object IngestLease {
   /** Release only a lease this query identity still holds — a reclaimed
     * (stale) lease now belongs to the new holder and must survive. Always
     * stops the heartbeat task for this index. */
-  def release(indexPath: String, checkpoint: String): Unit = synchronized {
-    beats.remove(indexPath).foreach(_.future.cancel(false))
-    val lf = leaseFile(indexPath)
+  def release(indexPath: String, checkpoint: String,
+      fileName: String = IndexLeaseName): Unit =
+    releaseAt(leaseFile(indexPath, fileName), checkpoint)
+
+  private def releaseAt(lf: String, checkpoint: String): Unit = synchronized {
+    beats.remove(lf).foreach(_.future.cancel(false))
     try {
       if (GraftFs.isFile(lf)) {
         val heldCkpt = GraftFs.readString(lf).linesIterator
@@ -368,7 +379,19 @@ object StreamIngestSink extends Stage {
     // must not leak the lease+beat — the catch below releases and
     // rethrows.
     ctx.deferToCleanup(() => IngestLease.release(indexPath, checkpoint))
+    def releaseAll(): Unit = {
+      IngestLease.release(out, checkpoint, IngestLease.OutLeaseName)
+      IngestLease.release(indexPath, checkpoint)
+    }
     val q = try {
+    // the OUTPUT path is single-writer too: micro-batch ids are
+    // per-checkpoint, so two queries with different checkpoints sharing
+    // one output dir would dynamically overwrite each other's
+    // ingest_batch=<id> partitions — silent row loss, not duplicates.
+    // Same lease machinery, underscore-named so parquet reads skip it.
+    IngestLease.acquire(out, checkpoint, queryName, staleMs,
+      "stream.ingest output path", IngestLease.OutLeaseName)
+    ctx.deferToCleanup(() => IngestLease.release(out, checkpoint, IngestLease.OutLeaseName))
 
     var w = df.writeStream
       .queryName(queryName)
@@ -417,13 +440,15 @@ object StreamIngestSink extends Stage {
     }
     w.start()
     } catch { case e: Throwable =>
-      IngestLease.release(indexPath, checkpoint); throw e
+      releaseAll(); throw e
     }
-    // tie the heartbeat to the real query lifecycle: a query that stops
-    // without release gets its lease released by the next beat; a query
+    // tie the heartbeats to the real query lifecycle: a query that stops
+    // without release gets its leases released by the next beat; a query
     // whose stale-aged lease was reclaimed by another writer is STOPPED,
     // not left writing leaseless (see IngestLease.heartbeat)
     IngestLease.bindLiveness(indexPath, () => q.isActive, () => q.stop())
+    IngestLease.bindLiveness(out, () => q.isActive, () => q.stop(),
+      IngestLease.OutLeaseName)
     if (!cfg.boolOr("_defer_await", false)) {
       try {
         (cfg.longOpt("timeout_ms"), cfg.strOpt("trigger")) match {
@@ -431,7 +456,7 @@ object StreamIngestSink extends Stage {
           case (None, Some("available_now")) => q.awaitTermination()
           case (None, _) => q.awaitTermination()
         }
-      } finally IngestLease.release(indexPath, checkpoint)
+      } finally releaseAll()
     }
     df
   }
@@ -465,7 +490,7 @@ object StreamSketchSink extends Stage {
   val kind = StageKind.Sink
 
   private val SinkKeys = Set("path", "checkpoint", "trigger", "trigger_ms",
-    "timeout_ms", "query_name", "_defer_await", "_explain_only")
+    "timeout_ms", "query_name", "_defer_await", "_explain_only", "lease_stale_ms")
 
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
@@ -483,9 +508,21 @@ object StreamSketchSink extends Stage {
       ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)),
       Cfg(passThrough.table + ("_explain_only" -> CBool(true))), ctx.stageId))
     val stageId = ctx.stageId
+    val queryName = cfg.strOr("query_name", s"graft_${stageId}")
+
+    // output path is single-writer, same as stream.ingest's: micro-batch
+    // ids are per-checkpoint, so two queries with different checkpoints
+    // sharing one summary dir would overwrite each other's
+    // ingest_batch=<id> partitions — silent summary loss
+    val staleMs = cfg.longOr("lease_stale_ms", IngestLease.StaleMsDefault)
+    if (staleMs < 1) throw new GraftConfigError("stream.sketch: lease_stale_ms must be >= 1")
+    IngestLease.acquire(out, checkpoint, queryName, staleMs,
+      "stream.sketch output path", IngestLease.OutLeaseName)
+    ctx.deferToCleanup(() => IngestLease.release(out, checkpoint, IngestLease.OutLeaseName))
+    val q = try {
 
     var w = df.writeStream
-      .queryName(cfg.strOr("query_name", s"graft_${stageId}"))
+      .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         // pin once — the emptiness check and the sketch pass would each
@@ -514,12 +551,19 @@ object StreamSketchSink extends Stage {
       case None =>
         cfg.longOpt("trigger_ms").foreach(ms => w = w.trigger(Trigger.ProcessingTime(ms)))
     }
-    val q = w.start()
+    w.start()
+    } catch { case e: Throwable =>
+      IngestLease.release(out, checkpoint, IngestLease.OutLeaseName); throw e
+    }
+    IngestLease.bindLiveness(out, () => q.isActive, () => q.stop(),
+      IngestLease.OutLeaseName)
     if (!cfg.boolOr("_defer_await", false)) {
-      cfg.longOpt("timeout_ms") match {
-        case Some(ms) => q.awaitTermination(ms); q.stop()
-        case None     => q.awaitTermination()
-      }
+      try {
+        cfg.longOpt("timeout_ms") match {
+          case Some(ms) => q.awaitTermination(ms); q.stop()
+          case None     => q.awaitTermination()
+        }
+      } finally IngestLease.release(out, checkpoint, IngestLease.OutLeaseName)
     }
     df
   }

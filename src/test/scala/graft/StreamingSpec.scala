@@ -607,6 +607,59 @@ class StreamingSpec extends SparkSpec {
     graft.streaming.IngestLease.release(idx, "/other/ckpt")
   }
 
+  test("output paths are single-writer too: a second checkpoint on one dir fails loud") {
+    import spark.implicits._
+    import graft.streaming.IngestLease
+    // micro-batch ids are per-checkpoint: two queries with different
+    // checkpoints sharing an output dir would dynamically overwrite each
+    // other's ingest_batch=<id> partitions — silent row LOSS (not even
+    // duplicates), which is why the output carries its own lease
+    val root = java.nio.file.Files.createTempDirectory("graft_outl_k").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_outl_idx").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark,
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+        .toDF("doc_id", "text"),
+      Cfg.of("type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+        "text_column" -> "text", "num_hashes" -> 64, "bands" -> 16, "seed" -> 7)))
+    graft.operators.KafkaProduceSink(StageContext.one(spark,
+      Seq((100L, "fresh streaming text with a unique vocabulary")).toDF("doc_id", "text"),
+      Cfg.of("path" -> root, "topic" -> "docs")))
+    val out = java.nio.file.Files.createTempDirectory("graft_outl_out").toString + "/data"
+    def run(): Unit = {
+      val stream = graft.operators.KafkaStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+        "path" -> root, "topic" -> "docs", "schema" -> "doc_id LONG, text STRING")))
+      StreamIngestSink(StageContext.one(spark, stream, Cfg.of(
+        "path" -> out, "index_path" -> idx, "dedup" -> "minhash",
+        "trigger" -> "available_now", "id_column" -> "doc_id",
+        "text_column" -> "text", "threshold" -> 0.8)))
+    }
+    // another live query (different checkpoint) holds the OUTPUT dir
+    IngestLease.acquire(out, "/other/ckpt", "other_out_writer",
+      IngestLease.StaleMsDefault, "stream.ingest output path", IngestLease.OutLeaseName)
+    val e = intercept[GraftPlanError](run())
+    assert(e.getMessage.contains("output path"))
+    assert(e.getMessage.contains("other_out_writer"))
+    // the index lease claimed before the failed output claim was released
+    assert(!graft.core.GraftFs.exists(s"$idx/ingest.lease"))
+    IngestLease.release(out, "/other/ckpt", IngestLease.OutLeaseName)
+    // freed → the run completes, releases both leases, and the hidden
+    // lease name never perturbs parquet reads of the output
+    run()
+    assert(spark.read.parquet(out).count() === 1L)
+    assert(!graft.core.GraftFs.exists(s"$out/${IngestLease.OutLeaseName}"))
+    assert(!graft.core.GraftFs.exists(s"$idx/ingest.lease"))
+    // stream.sketch guards its summary output the same way
+    IngestLease.acquire(out, "/other/ckpt", "sketcher",
+      IngestLease.StaleMsDefault, "stream.sketch output path", IngestLease.OutLeaseName)
+    val stream2 = graft.operators.KafkaStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> root, "topic" -> "docs", "schema" -> "doc_id LONG, text STRING")))
+    val e2 = intercept[GraftPlanError](StreamSketchSink(StageContext.one(spark, stream2,
+      Cfg.of("path" -> out, "trigger" -> "available_now", "column" -> "text",
+        "tokenize" -> true, "capacity" -> 1000))))
+    assert(e2.getMessage.contains("sketcher"))
+    IngestLease.release(out, "/other/ckpt", IngestLease.OutLeaseName)
+  }
+
   test("the heartbeat is a liveness court: dead writers release, deposed writers stop") {
     import graft.streaming.IngestLease
     // bounded poll, not a fixed sleep: under full-suite load the shared
