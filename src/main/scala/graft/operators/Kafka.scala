@@ -43,6 +43,10 @@ object KafkaLog {
 
   def topicDir(root: String, topic: String): String = s"$root/$topic"
 
+  /** Single-writer lease file per topic dir (produce + compact share it);
+    * underscore-prefixed so the json segment listing treats it as hidden. */
+  val TopicLeaseName = "_topic_writer.lease"
+
   /** partition=N child dir NAMES of a topic (or hold) dir. */
   private[operators] def partDirNames(dir: String): Vector[String] =
     GraftFs.listDirNames(dir).filter(_.startsWith("partition="))
@@ -295,8 +299,10 @@ object KafkaConsumeSource extends Stage {
         // tiny per-partition frontier → codegen'd map lookup, no join
         val lookup = F.map(from.toSeq.sortBy(_._1)
           .flatMap { case (p, o) => Seq(F.lit(p), F.lit(o)) }: _*)
+        // try_element_at: under spark.sql.ansi.enabled a partition absent
+        // from the frontier map must yield null -> coalesce 0, not throw
         log.filter(F.col("offset") >= F.coalesce(
-          F.element_at(lookup, F.col("partition")), F.lit(0L)))
+          F.try_element_at(lookup, F.col("partition")), F.lit(0L)))
       }
     val rawBatch =
       if (maxMessages <= 0) newer
@@ -392,6 +398,11 @@ object KafkaCompactOp extends Stage {
     val dir = KafkaLog.topicDir(root, topic)
     val tmp = dir + ".compact.tmp"
     val hold = dir + ".compact.old"
+    // same topic lease as kafka.produce: a produce writing segments into
+    // a partition dir mid-swap is the silent-loss class the hold-aside
+    // protocol cannot repair — mutual exclusion, enforced loud
+    graft.streaming.IngestLease.withBatchLease(dir, "kafka.compact",
+      KafkaLog.TopicLeaseName) {
     // crash recovery for a previous compact that died mid-swap happens
     // inside KafkaLog.read (shared with every reader — see recoverHeldSwap)
     val log = KafkaLog.read(spark, root, topic)
@@ -443,6 +454,7 @@ object KafkaCompactOp extends Stage {
       GraftFs.deleteRec(hold)
       GraftFs.deleteRec(tmp)
     }
+    } // withBatchLease
     KafkaLog.read(spark, root, topic)
   }
 }
@@ -529,6 +541,16 @@ object KafkaProduceSink extends Stage {
         ".option(\"topic\", topic).save()")
     }
     val topic = cfg.str("topic")
+    // the offline single-writer contract, ENFORCED (it was documentation
+    // until now): the offset frontier is read-then-extend, so two
+    // simultaneous produces to one topic would mint colliding offsets,
+    // and a produce during a compact's swap window would write segments
+    // into a partition dir the swap is mid-move. One lease per topic dir
+    // (underscore-named — Spark's json listing treats it as hidden),
+    // shared with kafka.compact, held from frontier read to segment
+    // write; a concurrent writer fails loud naming the holder.
+    graft.streaming.IngestLease.withBatchLease(
+      KafkaLog.topicDir(root, topic), "kafka.produce", KafkaLog.TopicLeaseName) {
     val existing = KafkaLog.endOffsets(ctx.spark, root, topic)
     val nParts = cfg.longOpt("num_partitions").map(_.toInt)
       .orElse(if (existing.nonEmpty) Some(existing.keys.max + 1) else None)
@@ -553,7 +575,10 @@ object KafkaProduceSink extends Stage {
 
     val base = F.coalesce(
       if (existing.isEmpty) F.lit(0L)
-      else F.element_at(F.map(existing.toSeq.sortBy(_._1)
+      // try_element_at: a NEW partition (num_partitions beyond the
+      // existing frontier) has no map entry — ANSI mode must coalesce to
+      // offset 0, not throw MAP_KEY_DOES_NOT_EXIST
+      else F.try_element_at(F.map(existing.toSeq.sortBy(_._1)
         .flatMap { case (p, o) => Seq(F.lit(p), F.lit(o)) }: _*), F.col("partition")),
       F.lit(0L))
     val withOffsets = routed.withColumn("offset",
@@ -584,6 +609,7 @@ object KafkaProduceSink extends Stage {
         }
       }
     }
+    } // withBatchLease
     df
   }
 }

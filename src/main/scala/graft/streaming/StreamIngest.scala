@@ -220,10 +220,11 @@ private[graft] object IngestLease {
     * call (no same-identity re-acquire shortcut), the heartbeat covers
     * long rewrites, and release always runs. Streaming-tagged appends
     * skip this — their query already holds the lease. */
-  def withBatchLease[T](indexPath: String, op: String)(body: => T): T = {
+  def withBatchLease[T](indexPath: String, op: String,
+      fileName: String = IndexLeaseName)(body: => T): T = {
     val id = s"batch:$op:${java.util.UUID.randomUUID().toString.take(12)}"
-    acquire(indexPath, id, op, StaleMsDefault, op)
-    try body finally release(indexPath, id)
+    acquire(indexPath, id, op, StaleMsDefault, op, fileName)
+    try body finally release(indexPath, id, fileName)
   }
 
   private def startHeartbeat(lf: String, checkpoint: String,

@@ -568,6 +568,38 @@ class KafkaSpec extends SparkSpec {
     assert(KafkaLog.committed(root, "g1", "sales").values.sum === 3L)
   }
 
+  test("topic writer lease: produce and compact exclude each other, loud") {
+    import spark.implicits._
+    // the offline single-writer contract was documentation until now:
+    // the offset frontier is read-then-extend (two produces mint
+    // colliding offsets) and a produce during a compact's swap writes
+    // into a mid-move partition dir — both now fail loud on the shared
+    // per-topic lease instead
+    val root = java.nio.file.Files.createTempDirectory("graft_klease").toString
+    val df = Seq(("a", 1L), ("b", 2L)).toDF("name", "v")
+    KafkaProduceSink(StageContext.one(spark, df, Cfg.of(
+      "path" -> root, "topic" -> "t", "key_field" -> "name")))
+    val dir = KafkaLog.topicDir(root, "t")
+    graft.streaming.IngestLease.acquire(dir, "/other/writer", "other_producer",
+      graft.streaming.IngestLease.StaleMsDefault, "kafka.produce", KafkaLog.TopicLeaseName)
+    val e1 = intercept[GraftPlanError](KafkaProduceSink(StageContext.one(spark, df,
+      Cfg.of("path" -> root, "topic" -> "t", "key_field" -> "name"))))
+    assert(e1.getMessage.contains("other_producer"))
+    val e2 = intercept[GraftPlanError](graft.operators.KafkaCompactOp(StageContext(
+      spark, Seq.empty, Cfg.of("path" -> root, "topic" -> "t"), "kc")))
+    assert(e2.getMessage.contains("other_producer"))
+    graft.streaming.IngestLease.release(dir, "/other/writer", KafkaLog.TopicLeaseName)
+    // freed → sequential produce + compact work, lease never pollutes reads
+    KafkaProduceSink(StageContext.one(spark, df, Cfg.of(
+      "path" -> root, "topic" -> "t", "key_field" -> "name")))
+    val compacted = graft.operators.KafkaCompactOp(StageContext(spark, Seq.empty,
+      Cfg.of("path" -> root, "topic" -> "t"), "kc"))
+    assert(compacted.filter(F.col("key").isNotNull).count() === 2L,
+      "latest value per key after compact")
+    assert(!graft.core.GraftFs.exists(s"$dir/${KafkaLog.TopicLeaseName}"),
+      "batch leases always release")
+  }
+
   test("timestamp_field lands in _kafka_timestamp") {
     val root = freshRoot()
     KafkaProduceSink(StageContext.one(spark,
