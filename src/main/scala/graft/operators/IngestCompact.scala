@@ -161,9 +161,21 @@ object IngestCompactOp extends Stage {
     // hold-aside/install moves below are derived from atomic directory
     // rename — refuse up front on copy-rename object stores
     GraftFs.requireAtomicRename(root, "ingest.compact")
-    IngestMaintenance.recoverSwap(root)
+    // one fold at a time per output: two concurrent ingest.compact runs
+    // share the _ingest_compact_tmp staging dir and manifest, and their
+    // interleaved tmp-clobber/abort/commit states can delete committed
+    // batch partitions with no folded generation installed. A SEPARATE
+    // lease name from the stream's _ingest_out.lease, deliberately:
+    // folding COMMITTED batches during a live stream is safe by
+    // construction (disjoint partitions; committed ids never replay) and
+    // must stay legal — only compact-vs-compact is excluded.
+    // existence BEFORE the lease — claiming a lease mints the directory
+    // (the claim file needs its parent), which would silence this guard
     if (!GraftFs.isDir(root)) throw new GraftPlanError(
       s"ingest.compact: no ingest output at $root")
+    graft.streaming.IngestLease.withBatchLease(root, "ingest.compact",
+      "_ingest_compact.lease") {
+    IngestMaintenance.recoverSwap(root)
 
     // batch partitions present on disk
     val batchDirs = GraftFs.listDirNames(root).filter(_.startsWith("ingest_batch="))
@@ -187,14 +199,13 @@ object IngestCompactOp extends Stage {
     val foldable = idsOnDisk.filter(id => id >= 0 &&
       watermark.forall(id <= _) && committed.forall(_.contains(id)))
     val hasCompacted = idsOnDisk.contains(-1L)
-    if (foldable.isEmpty || (foldable.size == 1 && !hasCompacted)) {
+    val nothingToFold = foldable.isEmpty || (foldable.size == 1 && !hasCompacted)
+    if (nothingToFold)
       System.err.println(s"[graft] ingest.compact: $root — nothing to fold " +
         s"(${foldable.size} foldable batch dir(s))")
-      return ctx.primary
-    }
 
     // compact_if policy gate: skip the fold when nothing tripped
-    val policySkipped = cfg.tblOpt("compact_if").exists { cond =>
+    val policySkipped = nothingToFold || cfg.tblOpt("compact_if").exists { cond =>
       val known = Set("mean_file_kb_below", "files_above", "batch_dirs_above")
       cond.table.keys.filterNot(known).foreach(k => throw new GraftConfigError(
         s"ingest.compact: unknown compact_if condition '$k' (use ${known.mkString(", ")})"))
@@ -219,7 +230,7 @@ object IngestCompactOp extends Stage {
           "batch dir(s)) — skipped")
       !tripped
     }
-    if (policySkipped) return ctx.primary
+    if (!policySkipped) {
     // the old compacted region is re-folded by READING it into the new
     // generation, but it is never listed in the manifest — recoverSwap
     // holds it aside only while the tmp generation exists (pre-install)
@@ -259,6 +270,8 @@ object IngestCompactOp extends Stage {
 
     System.err.println(s"[graft] ingest.compact: $root — folded ${sources.size} " +
       s"partition dir(s) (${bytes / 1048576} MiB) into ingest_batch=-1 ($nOut file(s))")
+    } // !policySkipped
+    } // withBatchLease
     ctx.primary
   }
 }

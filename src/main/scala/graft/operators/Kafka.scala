@@ -398,6 +398,13 @@ object KafkaCompactOp extends Stage {
     val dir = KafkaLog.topicDir(root, topic)
     val tmp = dir + ".compact.tmp"
     val hold = dir + ".compact.old"
+    // topic existence BEFORE the lease: claiming a lease mints the topic
+    // dir as a side effect (the claim file needs its parent), which would
+    // turn the loud 'topic not found' into a silent empty result here and
+    // poison later consumes of the typo'd name with empty reads
+    if (!GraftFs.isDir(dir))
+      throw new GraftPlanError(s"kafka.compact: topic '$topic' not found under $root " +
+        s"(expected ${dir}/partition=N/ segment files)")
     // same topic lease as kafka.produce: a produce writing segments into
     // a partition dir mid-swap is the silent-loss class the hold-aside
     // protocol cannot repair — mutual exclusion, enforced loud

@@ -185,11 +185,11 @@ private[graft] object IngestLease {
         val ageMs = System.currentTimeMillis() - GraftFs.mtime(lf)
         if (heldCheckpoint(held) != checkpoint && ageMs < staleMs)
           throw new GraftPlanError(
-            s"$op: the index at $indexPath is held by another live writer " +
-            s"(${held.linesIterator.mkString("; ")}; heartbeat ${ageMs / 1000}s ago) — two " +
-            "concurrent writers would each miss the other's in-flight appends and pass " +
-            "duplicate survivors (or a compact would fold an append it never snapshotted). " +
-            "Stop that writer, or if it crashed, wait out " +
+            s"$op: $indexPath is held by another live writer " +
+            s"(${held.linesIterator.mkString("; ")}; heartbeat ${ageMs / 1000}s ago) — " +
+            "concurrent writers on one resource corrupt silently (duplicate survivors " +
+            "past an index, overwritten ingest_batch partitions on an output, colliding " +
+            "offsets in a topic log). Stop that writer, or if it crashed, wait out " +
             s"lease_stale_ms (${staleMs / 1000}s) / delete $lf")
         // stale, or our own identity restarting → take the slot over by
         // RENAMING the old lease aside (atomic: exactly one of N racing
@@ -304,15 +304,48 @@ private[graft] object IngestLease {
     releaseAt(leaseFile(indexPath, fileName), checkpoint)
 
   private def releaseAt(lf: String, checkpoint: String): Unit = synchronized {
-    beats.remove(lf).foreach(_.future.cancel(false))
     try {
-      if (GraftFs.isFile(lf)) {
-        val heldCkpt = GraftFs.readString(lf).linesIterator
+      // cancel the beat ONLY when this identity actually holds (or the
+      // slot is empty): a release of a lease we never acquired — e.g. a
+      // failed second start's cleanup — must not disarm the live
+      // same-JVM holder's heartbeat and age its lease into reclaim
+      val heldCkpt =
+        if (!GraftFs.isFile(lf)) None
+        else GraftFs.readString(lf).linesIterator
           .find(_.startsWith("checkpoint=")).map(_.stripPrefix("checkpoint="))
-        if (heldCkpt.contains(checkpoint)) GraftFs.deleteIfExists(lf)
+      if (heldCkpt.forall(_ == checkpoint)) {
+        beats.remove(lf).foreach(_.future.cancel(false))
+        if (heldCkpt.isDefined) GraftFs.deleteIfExists(lf)
       }
     } catch { case e: Exception =>
       System.err.println(s"[graft] stream.ingest lease release failed: ${e.getMessage}") }
+  }
+
+  /** The streaming-sink lease lifecycle, shared by stream.ingest and
+    * stream.sketch: claim every (dir, leaseName, op) in order, start the
+    * query, bind each claim's heartbeat to the query's liveness, and
+    * return (query, releaseAll). On ANY failure — a later claim refused,
+    * or the start itself — releases exactly what THIS call claimed, in
+    * reverse order, and never touches a lease it did not win (the
+    * earlier hand-rolled catch released unconditionally, which disarmed
+    * a live same-JVM holder's beat). */
+  def withStreamingLeases(claims: Seq[(String, String, String)], checkpoint: String,
+      queryName: String, staleMs: Long)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery)
+      : (org.apache.spark.sql.streaming.StreamingQuery, () => Unit) = {
+    val acquired = scala.collection.mutable.Buffer[(String, String)]()
+    def releaseAcquired(): Unit = acquired.reverseIterator.foreach { case (d, n) =>
+      release(d, checkpoint, n) }
+    try {
+      claims.foreach { case (dir, name, op) =>
+        acquire(dir, checkpoint, queryName, staleMs, op, name)
+        acquired += ((dir, name))
+      }
+      val q = start
+      claims.foreach { case (dir, name, _) =>
+        bindLiveness(dir, () => q.isActive, () => q.stop(), name) }
+      (q, () => releaseAcquired())
+    } catch { case e: Throwable => releaseAcquired(); throw e }
   }
 }
 
@@ -368,31 +401,20 @@ object StreamIngestSink extends Stage {
     val queryName = cfg.strOr("query_name", s"graft_${stageId}")
 
     // single-writer ENFORCEMENT: fail loud before the query starts if
-    // another live query holds this index (see IngestLease)
+    // another live query holds this index — and the OUTPUT path is
+    // single-writer too: micro-batch ids are per-checkpoint, so two
+    // queries with different checkpoints sharing one output dir would
+    // dynamically overwrite each other's ingest_batch=<id> partitions
+    // (silent row loss, not duplicates; the output lease is
+    // underscore-named so parquet reads skip it). withStreamingLeases
+    // claims both, binds their heartbeats to the query, and on any
+    // failure releases exactly what it claimed.
     val staleMs = cfg.longOr("lease_stale_ms", IngestLease.StaleMsDefault)
     if (staleMs < 1) throw new GraftConfigError("stream.ingest: lease_stale_ms must be >= 1")
-    IngestLease.acquire(indexPath, checkpoint, queryName, staleMs)
-    // pipeline mode (_defer_await): DagCompiler awaits the query, then
-    // drains cleanups — release there. Direct mode releases in the await
-    // paths below; for direct _defer_await callers (whose cleanup
-    // registrar discards) the heartbeat's liveness probe releases once
-    // the query stops. A failure between acquire and a successful start
-    // must not leak the lease+beat — the catch below releases and
-    // rethrows.
-    ctx.deferToCleanup(() => IngestLease.release(indexPath, checkpoint))
-    def releaseAll(): Unit = {
-      IngestLease.release(out, checkpoint, IngestLease.OutLeaseName)
-      IngestLease.release(indexPath, checkpoint)
-    }
-    val q = try {
-    // the OUTPUT path is single-writer too: micro-batch ids are
-    // per-checkpoint, so two queries with different checkpoints sharing
-    // one output dir would dynamically overwrite each other's
-    // ingest_batch=<id> partitions — silent row loss, not duplicates.
-    // Same lease machinery, underscore-named so parquet reads skip it.
-    IngestLease.acquire(out, checkpoint, queryName, staleMs,
-      "stream.ingest output path", IngestLease.OutLeaseName)
-    ctx.deferToCleanup(() => IngestLease.release(out, checkpoint, IngestLease.OutLeaseName))
+    val (q, releaseAll) = IngestLease.withStreamingLeases(Seq(
+      (indexPath, IngestLease.IndexLeaseName, "stream.ingest"),
+      (out, IngestLease.OutLeaseName, "stream.ingest output path")),
+      checkpoint, queryName, staleMs) {
 
     var w = df.writeStream
       .queryName(queryName)
@@ -440,16 +462,13 @@ object StreamIngestSink extends Stage {
         cfg.longOpt("trigger_ms").foreach(ms => w = w.trigger(Trigger.ProcessingTime(ms)))
     }
     w.start()
-    } catch { case e: Throwable =>
-      releaseAll(); throw e
     }
-    // tie the heartbeats to the real query lifecycle: a query that stops
-    // without release gets its leases released by the next beat; a query
-    // whose stale-aged lease was reclaimed by another writer is STOPPED,
-    // not left writing leaseless (see IngestLease.heartbeat)
-    IngestLease.bindLiveness(indexPath, () => q.isActive, () => q.stop())
-    IngestLease.bindLiveness(out, () => q.isActive, () => q.stop(),
-      IngestLease.OutLeaseName)
+    // pipeline mode (_defer_await): DagCompiler awaits the query, then
+    // drains cleanups — release there. Direct mode releases in the await
+    // paths below; for direct _defer_await callers (whose cleanup
+    // registrar discards) the bound liveness probes release once the
+    // query stops.
+    ctx.deferToCleanup(() => releaseAll())
     if (!cfg.boolOr("_defer_await", false)) {
       try {
         (cfg.longOpt("timeout_ms"), cfg.strOpt("trigger")) match {
@@ -517,10 +536,9 @@ object StreamSketchSink extends Stage {
     // ingest_batch=<id> partitions — silent summary loss
     val staleMs = cfg.longOr("lease_stale_ms", IngestLease.StaleMsDefault)
     if (staleMs < 1) throw new GraftConfigError("stream.sketch: lease_stale_ms must be >= 1")
-    IngestLease.acquire(out, checkpoint, queryName, staleMs,
-      "stream.sketch output path", IngestLease.OutLeaseName)
-    ctx.deferToCleanup(() => IngestLease.release(out, checkpoint, IngestLease.OutLeaseName))
-    val q = try {
+    val (q, releaseAll) = IngestLease.withStreamingLeases(Seq(
+      (out, IngestLease.OutLeaseName, "stream.sketch output path")),
+      checkpoint, queryName, staleMs) {
 
     var w = df.writeStream
       .queryName(queryName)
@@ -553,18 +571,15 @@ object StreamSketchSink extends Stage {
         cfg.longOpt("trigger_ms").foreach(ms => w = w.trigger(Trigger.ProcessingTime(ms)))
     }
     w.start()
-    } catch { case e: Throwable =>
-      IngestLease.release(out, checkpoint, IngestLease.OutLeaseName); throw e
     }
-    IngestLease.bindLiveness(out, () => q.isActive, () => q.stop(),
-      IngestLease.OutLeaseName)
+    ctx.deferToCleanup(() => releaseAll())
     if (!cfg.boolOr("_defer_await", false)) {
       try {
         cfg.longOpt("timeout_ms") match {
           case Some(ms) => q.awaitTermination(ms); q.stop()
           case None     => q.awaitTermination()
         }
-      } finally IngestLease.release(out, checkpoint, IngestLease.OutLeaseName)
+      } finally releaseAll()
     }
     df
   }

@@ -121,6 +121,32 @@ class IngestCompactSpec extends SparkSpec {
       Cfg.of("path" -> (root + "/definitely_missing"), "watermark" -> 1, "force" -> true))))
   }
 
+  test("one fold at a time: a concurrent ingest.compact is refused loud") {
+    // two concurrent folds share the _ingest_compact_tmp staging dir and
+    // the manifest; interleaved abort/commit states can hold committed
+    // partitions aside with no folded generation installed — excluded by
+    // the maintenance lease (which deliberately does NOT conflict with a
+    // live stream's output lease: folding committed batches stays legal)
+    val root = Files.createTempDirectory("ingc_lease").toString
+    Seq(row(1L)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/ingest_batch=0")
+    Seq(row(2L)).toDF("doc_id", "text").coalesce(1)
+      .write.parquet(s"$root/ingest_batch=1")
+    graft.streaming.IngestLease.acquire(root, "/other/fold", "other_compact",
+      graft.streaming.IngestLease.StaleMsDefault, "ingest.compact", "_ingest_compact.lease")
+    val e = intercept[GraftPlanError](IngestCompactOp(StageContext.one(spark,
+      Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> root, "watermark" -> 1, "force" -> true))))
+    assert(e.getMessage.contains("other_compact"))
+    graft.streaming.IngestLease.release(root, "/other/fold", "_ingest_compact.lease")
+    IngestCompactOp(StageContext.one(spark, Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> root, "watermark" -> 1, "force" -> true)))
+    assert(batchDirs(root) === Set("ingest_batch=-1"))
+    assert(readIds(root) === Seq(1L, 2L))
+    assert(!graft.core.GraftFs.exists(s"$root/_ingest_compact.lease"),
+      "maintenance lease always releases")
+  }
+
   test("crash repair: roll forward after the manifest, roll back before it") {
     // pre-install crash: tmp generation + manifest written, sources still
     // in place → recoverSwap must finish the fold

@@ -162,36 +162,40 @@ class SamplingAggSpec extends SparkSpec {
     // the three map-literal lookups (stratified quotas/fractions, kafka
     // offset frontiers) all use try_element_at because under
     // spark.sql.ansi.enabled element_at THROWS MAP_KEY_DOES_NOT_EXIST for
-    // a missing key — the coalesce fallback must apply in both modes
-    spark.conf.set("spark.sql.ansi.enabled", "true")
-    try {
-      // stratum '3' has no entry in counts → default_count applies
-      val k = SampleOp(StageContext.one(spark, ids, Cfg.of(
-        "by" -> "cls", "seed" -> 5, "counts" -> Map("0" -> 7L),
-        "default_count" -> 3L)))
-        .groupBy("cls").count().collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      assert(k(0) === 7L)
-      assert(Seq(1, 2, 3).forall(c => k(c) === 3L), s"default quota under ANSI: $k")
-      // unlisted stratum under fractions → default_fraction applies
-      val f = SampleOp(StageContext.one(spark, ids, Cfg.of(
-        "by" -> "cls", "seed" -> 5, "fractions" -> Map("0" -> 1.0),
-        "default_fraction" -> 0.0)))
-      assert(f.select("cls").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
-      // kafka: a consume resuming from a committed frontier where a NEW
-      // partition has no committed offset must read it from 0, not throw
-      import spark.implicits._
-      val root = java.nio.file.Files.createTempDirectory("graft_ansi_k").toString
-      graft.operators.KafkaProduceSink(StageContext.one(spark,
-        Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("name", "v"),
-        Cfg.of("path" -> root, "topic" -> "t", "key_field" -> "name",
-          "num_partitions" -> 3)))
-      graft.operators.KafkaLog.commit(root, "g", "t", Map(0 -> 1L))
-      val again = graft.operators.KafkaConsumeSource(StageContext(spark, Seq.empty,
-        Cfg.of("path" -> root, "topic" -> "t", "group_id" -> "g",
-          "max_messages" -> 0L), "k"))
-      assert(again.count() >= 2L, "partitions without committed offsets read from 0")
-    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+    // a missing key — the coalesce fallback must apply in both modes.
+    // ISOLATED in its own session: flipping the conf on the shared
+    // session races concurrently-running suites (sbt runs suites in
+    // parallel, and size(null)/cast semantics change under ANSI)
+    val ansi = spark.newSession()
+    ansi.conf.set("spark.sql.ansi.enabled", "true")
+    import ansi.implicits._
+    val aIds = (1L to 2000L).toDF("id")
+      .withColumn("cls", (F.col("id") % 4).cast("int"))
+    // stratum '3' has no entry in counts → default_count applies
+    val k = SampleOp(StageContext.one(ansi, aIds, Cfg.of(
+      "by" -> "cls", "seed" -> 5, "counts" -> Map("0" -> 7L),
+      "default_count" -> 3L)))
+      .groupBy("cls").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(k(0) === 7L)
+    assert(Seq(1, 2, 3).forall(c => k(c) === 3L), s"default quota under ANSI: $k")
+    // unlisted stratum under fractions → default_fraction applies
+    val f = SampleOp(StageContext.one(ansi, aIds, Cfg.of(
+      "by" -> "cls", "seed" -> 5, "fractions" -> Map("0" -> 1.0),
+      "default_fraction" -> 0.0)))
+    assert(f.select("cls").distinct().collect().map(_.getInt(0)).toSeq === Seq(0))
+    // kafka: a consume resuming from a committed frontier where a NEW
+    // partition has no committed offset must read it from 0, not throw
+    val root = java.nio.file.Files.createTempDirectory("graft_ansi_k").toString
+    graft.operators.KafkaProduceSink(StageContext.one(ansi,
+      Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("name", "v"),
+      Cfg.of("path" -> root, "topic" -> "t", "key_field" -> "name",
+        "num_partitions" -> 3)))
+    graft.operators.KafkaLog.commit(root, "g", "t", Map(0 -> 1L))
+    val again = graft.operators.KafkaConsumeSource(StageContext(ansi, Seq.empty,
+      Cfg.of("path" -> root, "topic" -> "t", "group_id" -> "g",
+        "max_messages" -> 0L), "k"))
+    assert(again.count() >= 2L, "partitions without committed offsets read from 0")
   }
 
   test("sample.apply count: > Int.MaxValue rejected loud, not overflowed") {

@@ -660,6 +660,22 @@ class StreamingSpec extends SparkSpec {
     IngestLease.release(out, "/other/ckpt", IngestLease.OutLeaseName)
   }
 
+  test("releasing a lease you never won is a no-op: a failed start cannot disarm the holder") {
+    import graft.streaming.IngestLease
+    // a second query whose claim is REFUSED still runs its cleanup; that
+    // release must neither delete the holder's lease nor cancel the
+    // holder's heartbeat (which would age the lease into a false reclaim)
+    val idx = java.nio.file.Files.createTempDirectory("graft_norel").toString
+    IngestLease.acquire(idx, "/ckpt/holder", "holder", 300L)
+    assert(IngestLease.beating(idx))
+    IngestLease.release(idx, "/ckpt/loser")
+    assert(IngestLease.beating(idx), "holder's heartbeat survives a foreign release")
+    assert(graft.core.GraftFs.readString(s"$idx/ingest.lease").contains("/ckpt/holder"))
+    IngestLease.release(idx, "/ckpt/holder")
+    assert(!IngestLease.beating(idx))
+    assert(!graft.core.GraftFs.exists(s"$idx/ingest.lease"))
+  }
+
   test("the heartbeat is a liveness court: dead writers release, deposed writers stop") {
     import graft.streaming.IngestLease
     // bounded poll, not a fixed sleep: under full-suite load the shared
