@@ -74,6 +74,65 @@ object SampleOp extends Stage {
       .cast("double") / (1L << 32).toDouble)
   }
 
+  /** Exact-k selection WITHOUT a k-scaled driver merge: a bit-prefix
+    * histogram descent over the 64-bit rank hash. Each level buckets the
+    * candidate range by the next 16 hash bits and pulls a <= 65536-row
+    * (bucket, count) histogram to the driver — after at most 4 levels the
+    * exact k-th smallest rank value is known, and the result is a pure
+    * codegen'd filter `rank < T` plus an exact trim of the rows AT the
+    * threshold (almost surely byte-identical duplicates, since distinct
+    * rows collide on the 64-bit hash with ~2^-64 probability). Driver
+    * memory is O(65536) and per-level work is one filtered aggregate
+    * scan, both independent of k — the shape that still works when k is
+    * hundreds of millions on a 1000-executor cluster, where
+    * TakeOrderedAndProject's k·partitions driver merge would OOM.
+    *
+    * Unsigned-order trick: the hash is a signed Long; orderBy compares
+    * signed. Biasing by XOR with Long.MinValue maps signed order onto
+    * unsigned order, so bucket indices (unsigned shifts of the biased
+    * value) descend in exactly orderBy's order, and the final threshold
+    * is compared back in the rank domain with plain signed `<`.
+    *
+    * Early exits: k >= n returns the frame unchanged (one histogram
+    * pass); a quota landing exactly on a bucket edge returns the
+    * pure-filter form with no boundary trim.
+    */
+  private def thresholdSelectK(ranked: DataFrame, key: String, k: Long): DataFrame = {
+    val biased = F.col(key).bitwiseXOR(F.lit(Long.MinValue))
+    var prefix = 0L  // biased bits above the current level, i.e. biased >>> (shift+16)
+    var kRem = k     // rows still needed from within the current prefix range
+    val shifts = Seq(48, 32, 16, 0)
+    for (shift <- shifts) {
+      val local = F.shiftrightunsigned(biased, shift).bitwiseAND(F.lit(0xFFFFL))
+      val subset =
+        if (shift == 48) ranked
+        else ranked.filter(F.shiftrightunsigned(biased, shift + 16) === F.lit(prefix))
+      val hist = subset.groupBy(local.as("_b")).agg(F.count(F.lit(1)).as("_c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      if (shift == 48 && hist.map(_._2).sum <= k) return ranked // k >= n: keep all
+      // boundary bucket: first whose cumulative count reaches kRem
+      var cum = 0L; var i = 0
+      while (cum + hist(i)._2 < kRem) { cum += hist(i)._2; i += 1 }
+      val (b, cnt) = hist(i)
+      kRem -= cum
+      prefix = (prefix << 16) | b
+      if (kRem == cnt) {
+        // quota lands on the bucket edge: threshold = bucket's top value
+        val hiBiased = (prefix << shift) | ((1L << shift) - 1)
+        return ranked.filter(F.col(key) <= F.lit(hiBiased ^ Long.MinValue))
+      }
+      // else kRem < cnt: descend into bucket b (next level's prefix)
+    }
+    // prefix is now the full 64-bit biased value of the k-th boundary
+    // hash; kRem rows of it are still owed (1 <= kRem < its multiplicity)
+    val t = prefix ^ Long.MinValue
+    if (kRem > Int.MaxValue) throw new GraftConfigError(
+      s"sample.apply: more than ${Int.MaxValue} byte-identical rows share the " +
+      s"k-th boundary hash ($t) — deduplicate or add a distinguishing column")
+    ranked.filter(F.col(key) < F.lit(t))
+      .union(ranked.filter(F.col(key) === F.lit(t)).limit(kRem.toInt))
+  }
+
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     val seed = cfg.longOr("seed", 42L)
@@ -161,10 +220,18 @@ object SampleOp extends Stage {
           case Some(k) =>
             // EXACT-k uniform sample ("give me exactly 10k eval docs"):
             // rank every row by a seeded uniform key and keep the k
-            // smallest. Catalyst plans orderBy+limit as
+            // smallest. For small k, Catalyst plans orderBy+limit as
             // TakeOrderedAndProject — per-partition bounded k-heaps +
-            // one k·partitions merge, never a global sort — so this is
-            // the distributed reservoir shape, not a full shuffle.
+            // one k·partitions merge, never a global sort — the
+            // distributed reservoir shape. That merge materializes
+            // k·partitions rows ON THE DRIVER, which stops being a
+            // reservoir at eval-set scale (k in the hundreds of
+            // millions at 100 TB), so above `count_cutoff` (default
+            // 10M) the draw switches to a two-pass threshold
+            // selection (see thresholdSelectK) with O(65536) driver
+            // memory regardless of k — which also lifts the old
+            // k <= Int.MaxValue ceiling (limit() takes an Int; the
+            // threshold path never calls limit(k)).
             // The key is the content hash (see rankKey), so the draw is
             // deterministic across partitionings, not just within one;
             // hash ties at the k boundary are broken arbitrarily and
@@ -173,14 +240,31 @@ object SampleOp extends Stage {
               "sample.apply: give either 'count' (exact-k) or 'fraction', not both")
             if (k < 0) throw new GraftConfigError(
               s"sample.apply: count must be >= 0, got $k")
-            if (k > Int.MaxValue) throw new GraftConfigError(
-              s"sample.apply: count must be <= ${Int.MaxValue} (limit() takes an " +
-              s"Int), got $k — an exact-k draw that large is a fraction, not a count")
             if (cfg.boolOr("with_replacement", false)) throw new GraftConfigError(
               "sample.apply: count (exact-k) does not support with_replacement")
+            val cutoff = cfg.longOr("count_cutoff", 10000000L)
+            if (cutoff < 0) throw new GraftConfigError(
+              s"sample.apply: count_cutoff must be >= 0, got $cutoff")
             val key = "_sample_rank"
-            df.withColumn(key, rankKey(df, seed, salt))
-              .orderBy(F.col(key)).limit(k.toInt).drop(key)
+            val cols = hashableCols(df)
+            if (cols.isEmpty) {
+              // rand-fallback rank (no hashable column): rand is only
+              // partition-deterministic, so the multi-pass threshold
+              // scan cannot reuse it — keep the single-pass top-k
+              if (k > Int.MaxValue) throw new GraftConfigError(
+                s"sample.apply: count > ${Int.MaxValue} needs the content-hash " +
+                "draw (two-pass threshold selection), but no column of this " +
+                "frame is hashable (all map-typed)")
+              df.withColumn(key, F.rand(seed))
+                .orderBy(F.col(key)).limit(k.toInt).drop(key)
+            } else if (k <= cutoff && k <= Int.MaxValue) {
+              df.withColumn(key, contentHash(cols, seed, salt))
+                .orderBy(F.col(key)).limit(k.toInt).drop(key)
+            } else {
+              thresholdSelectK(
+                df.withColumn(key, contentHash(cols, seed, salt)), key, k)
+                .drop(key)
+            }
           case None =>
             val frac = cfg.doubleOr("fraction", 0.1)
             if (cfg.boolOr("with_replacement", false)) {

@@ -198,10 +198,80 @@ class SamplingAggSpec extends SparkSpec {
     assert(again.count() >= 2L, "partitions without committed offsets read from 0")
   }
 
-  test("sample.apply count: > Int.MaxValue rejected loud, not overflowed") {
-    val e = intercept[GraftConfigError](SampleOp(StageContext.one(spark, ids, Cfg.of(
-      "count" -> 3000000000L))))
-    assert(e.getMessage.contains("Int"))
+  test("sample.apply count: > Int.MaxValue routes to the threshold path, not overflow") {
+    // the r9 contract rejected k > Int.MaxValue because orderBy+limit
+    // takes an Int; the threshold path has no limit(k), so a giant k is
+    // now legal — here k >= n, so the draw is the identity (and the old
+    // silent-overflow hazard is pinned gone by the exact count)
+    assert(SampleOp(StageContext.one(spark, ids, Cfg.of(
+      "count" -> 3000000000L))).count() === 2000L)
+    // ...but the rand-fallback rank (no hashable column) cannot do the
+    // multi-pass threshold scan, and still fails loud past Int.MaxValue
+    val mapsOnly = ids.select(F.map(F.lit("k"), F.col("id")).as("m"))
+    val e = intercept[GraftConfigError](SampleOp(StageContext.one(spark, mapsOnly,
+      Cfg.of("count" -> 3000000000L))))
+    assert(e.getMessage.contains("hashable"))
+  }
+
+  test("sample.apply count: threshold path selects the IDENTICAL row set as top-k") {
+    // the two-pass threshold selection (histogram descent + boundary
+    // trim) must be a pure optimization: for every k, the selected row
+    // set equals the orderBy+limit path's (both rank by the same content
+    // hash; 64-bit hashes over distinct rows make the boundary tie-free).
+    // count_cutoff is forced low so k straddles it both ways, including
+    // k=cutoff (last top-k k) and k=cutoff+1 (first threshold k).
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = org.scalacheck.Gen.zip(
+      Gen.choose(1L, 400L),        // population size
+      Gen.choose(0L, 450L),        // k (may exceed n)
+      Gen.choose(1L, 9999L))       // seed
+    val cases = (0 until 24).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(31L + i)))
+    assert(cases.size >= 20, "generator must produce cases")
+    for (((n, k, seed), i) <- cases.zipWithIndex) {
+      val df = (1L to n).toDF("id").withColumn("v", F.col("id") * 17 % 23)
+        .repartition(1 + (i % 5))
+      def run(cutoff: Long) = SampleOp(StageContext.one(spark, df, Cfg.of(
+        "count" -> k, "seed" -> seed, "count_cutoff" -> cutoff)))
+        .select("id").as[Long].collect().sorted.toSeq
+      val topk = run(Long.MaxValue)   // always orderBy+limit
+      val thresh = run(0L)            // always threshold descent
+      assert(thresh === topk, s"case $i: n=$n k=$k seed=$seed")
+      assert(topk.size === math.min(n, k))
+    }
+    // byte-identical duplicates at the boundary: the trim keeps exactly
+    // k rows (the duplicate rows are interchangeable, so set-of-rows
+    // equality is the multiset size + membership)
+    val dup = (1L to 50L).flatMap(i => Seq.fill(4)(i % 7)).toDF("id")
+    val got = SampleOp(StageContext.one(spark, dup, Cfg.of(
+      "count" -> 9L, "seed" -> 3, "count_cutoff" -> 0L)))
+    assert(got.count() === 9L, "boundary trim lands exactly on k despite duplicate hashes")
+    val viaTopk = SampleOp(StageContext.one(spark, dup, Cfg.of(
+      "count" -> 9L, "seed" -> 3)))
+    assert(got.select("id").as[Long].collect().sorted.toSeq ===
+      viaTopk.select("id").as[Long].collect().sorted.toSeq,
+      "duplicate-row boundary: same multiset either path")
+  }
+
+  test("sample.apply count above cutoff: no TakeOrderedAndProject, no k-scaled driver state") {
+    // the scale contract itself: above count_cutoff the plan must not
+    // contain the per-partition-heap + driver-merge operator — the
+    // result is codegen'd filters (plus a limit over ONLY the boundary
+    // hash's rows), so driver memory is O(65536) however large k is
+    val big = (0L until 5000L).toDF("id")
+    val out = SampleOp(StageContext.one(spark, big, Cfg.of(
+      "count" -> 1000L, "seed" -> 7, "count_cutoff" -> 10L)))
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(!planStr.contains("TakeOrderedAndProject"),
+      planStr.linesIterator.take(6).mkString("\n"))
+    assert(out.count() === 1000L)
+    // determinism across physical partitionings holds on this path too
+    def run(parts: Int) = SampleOp(StageContext.one(spark,
+      big.repartition(parts), Cfg.of(
+      "count" -> 1000L, "seed" -> 7, "count_cutoff" -> 10L)))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(run(3) === run(17))
   }
 
   test("sample.apply stratified: default_fraction needs no stratum universe — any cardinality") {
@@ -249,6 +319,54 @@ class SamplingAggSpec extends SparkSpec {
     val other = SampleOp(StageContext.one(spark, ids, Cfg.of(
       "fraction" -> 0.3, "seed" -> 10))).select("id").as[Long].collect().toSet
     assert(other !== b1)
+  }
+
+  test("content-hash draw trade: duplicate groups select all-or-nothing; tie-break restores independence") {
+    // the documented trade of the content-hash draw (Sampling.scala
+    // rankKey doc): byte-identical rows share a hash, so a Bernoulli
+    // fraction selects each DUPLICATE GROUP as a unit — and the
+    // documented escape hatch (add a distinguishing column, e.g. a
+    // stable row id) restores row-level independence. Property-tested
+    // over random duplicate multiplicities and fractions.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val caseGen = Gen.zip(
+      Gen.nonEmptyListOf(Gen.choose(1, 6)),   // multiplicity per duplicate group
+      Gen.choose(0.2, 0.8),                   // fraction
+      Gen.choose(1L, 9999L))                  // seed
+    val cases = (0 until 10).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(97L + i)))
+    assert(cases.size >= 8)
+    for ((((mults, frac, seed)), i) <- cases.zipWithIndex) {
+      // d duplicate groups: group g appears mults(g) times, byte-identical
+      val rows = mults.zipWithIndex.flatMap { case (m, g) =>
+        Seq.fill(m)(s"group_$g")
+      }
+      val df = rows.toDF("text").repartition(1 + (i % 4))
+      val kept = SampleOp(StageContext.one(spark, df, Cfg.of(
+        "fraction" -> frac, "seed" -> seed)))
+        .groupBy("text").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // (1) all-or-nothing per group: a kept group keeps EVERY copy
+      for ((g, m) <- mults.zipWithIndex.map { case (m, g) => (s"group_$g", m.toLong) })
+        assert(!kept.contains(g) || kept(g) === m,
+          s"case $i: group $g kept ${kept.getOrElse(g, 0L)} of $m copies — " +
+          "duplicate groups must select as a unit")
+    }
+    // (2) the escape hatch: a distinct tie-break column makes copies of
+    // the same text draw independently — across many groups of 8 copies
+    // at fraction 0.5, SOME group must split (all-or-nothing would keep
+    // 0 or 8 of every group; P[no split across 60 groups] ≈ 2·0.5^8·60 ≈ 0)
+    val withId = (0 until 60).flatMap(g => (0 until 8).map(c => (s"group_$g", g * 8L + c)))
+      .toDF("text", "row_id")
+    val keptId = SampleOp(StageContext.one(spark, withId, Cfg.of(
+      "fraction" -> 0.5, "seed" -> 11)))
+      .groupBy("text").count().collect().map(r => r.getLong(1))
+    assert(keptId.exists(c => c > 0 && c < 8),
+      "tie-break column must restore row-level independence (some group splits)")
+    // and the overall rate still tracks the fraction
+    val total = keptId.sum
+    assert(math.abs(total - 240L) < 70, s"0.5 of 480 rows, got $total")
   }
 
   test("split.apply: train/test partition the table deterministically") {
