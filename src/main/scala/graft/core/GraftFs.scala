@@ -449,17 +449,50 @@ object GraftFs {
     } else {
       val p = path(s)
       val f = p.getFileSystem(hadoopConf)
-      try {
-        if (!f.exists(p)) dropStaleCrc(f, p)
-        val out = rawFs(f).create(p, false)
-        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException if e.getMessage != null &&
-          e.getMessage.contains("already exists") => false
+      val created =
+        try {
+          if (!f.exists(p)) dropStaleCrc(f, p)
+          val out = rawFs(f).create(p, false)
+          try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.contains("already exists") =>
+            // the message sniff alone is too wide — an unrelated failure
+            // mentioning "already exists" (a parent-path error, a nested
+            // cause's text) must surface as a fault, not masquerade as
+            // "another writer holds the lease": only a target that REALLY
+            // exists is a lost claim
+            if (f.exists(p)) false else throw e
+        }
+      if (!created) false
+      else if (renameIsAtomic(s)) true // hdfs-class: create(overwrite=false) is namenode-atomic
+      else {
+        // object stores have no exclusive create — their create is a
+        // check-then-act over last-writer-wins PUTs, so two racers can
+        // BOTH reach here. Emulate a conditional put the way S3 locks
+        // did before If-None-Match: read back, wait out a settle window
+        // longer than any racer's in-flight PUT, read back again — a
+        // claimant wins only if the object still holds ITS body after
+        // the dust settles. Racers whose PUTs interleave within the
+        // window all observe the final overwrite and lose (or ALL lose
+        // on a torn body and the caller's retry loop fails loud), so at
+        // most one claim is ever STABLE. Lease bodies are unique per
+        // claimant (checkpoint/owner/nonce), which is what makes the
+        // read-back discriminating. Claim latency above the window
+        // (extreme stall) degrades back to best-effort — the lease
+        // heartbeat's liveness court is the backstop for that tail.
+        def stillOurs(): Boolean =
+          try readString(s) == content catch { case _: java.io.IOException => false }
+        stillOurs() && { Thread.sleep(claimSettleMs); stillOurs() }
       }
     }
   }
+
+  /** Settle window for the object-store claim verification — overridable
+    * for specs racing the emulation (production default 100 ms comfortably
+    * covers a small PUT's in-flight time on any real store). */
+  @volatile private[graft] var claimSettleMs: Long = 100L
 }

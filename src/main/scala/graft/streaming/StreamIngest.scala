@@ -99,6 +99,26 @@ private[graft] object IngestLease {
     body.linesIterator.find(_.startsWith("checkpoint="))
       .map(_.stripPrefix("checkpoint=")).getOrElse("")
 
+  private def heldOwner(body: String): String =
+    body.linesIterator.find(_.startsWith("owner="))
+      .map(_.stripPrefix("owner=")).getOrElse("")
+
+  /** Can the held owner ("host/pid") be PROVEN dead from here? Only a
+    * same-host owner whose pid is gone — a different host, a live pid, or
+    * an unparseable owner all return false (the conservative answer: the
+    * claimer then waits out staleness like any foreign takeover). */
+  private def ownerProvablyDead(owner: String): Boolean = {
+    val slash = owner.lastIndexOf('/')
+    if (slash <= 0) return false
+    val host = owner.substring(0, slash)
+    val pid = owner.substring(slash + 1)
+    if (host != java.net.InetAddress.getLocalHost.getHostName) return false
+    try {
+      val h = ProcessHandle.of(pid.toLong)
+      !h.isPresent || !h.get().isAlive
+    } catch { case _: NumberFormatException => false }
+  }
+
   /** DRIVER-SIDE heartbeat scheduler, one daemon thread for every lease
     * this JVM holds. The heartbeat must NOT live inside foreachBatch:
     * Structured Streaming runs no micro-batch at all (and so never calls
@@ -134,6 +154,13 @@ private[graft] object IngestLease {
       * this JVM was suspended. The deposed writer must STOP, not merely
       * stop heartbeating: two live writers is the silent-miss scenario. */
     @volatile var onLost: () => Unit = () => ()
+    /** The checkpoint identity this beat fronts — lets a release whose FS
+      * operations fail still cancel OUR OWN beat (and only our own): an
+      * un-cancelled beat would refresh the orphaned lease forever, and a
+      * batch lease (isAlive permanently true) would then block every
+      * future writer on that resource until the JVM exits. With the beat
+      * cancelled, the undeleted file simply ages out per staleMs. */
+    @volatile var checkpoint: String = null
   }
   private val beats = scala.collection.mutable.Map[String, BeatState]()
 
@@ -183,14 +210,30 @@ private[graft] object IngestLease {
       if (GraftFs.isFile(lf)) {
         val held = GraftFs.readString(lf)
         val ageMs = System.currentTimeMillis() - GraftFs.mtime(lf)
-        if (heldCheckpoint(held) != checkpoint && ageMs < staleMs)
+        // the no-wait takeover needs MORE than checkpoint equality: two
+        // processes misconfigured onto one checkpoint path are distinct
+        // writers, and letting the second depose the first instantly via
+        // the rename-aside bypasses the single-writer guarantee. Equal
+        // checkpoint reclaims immediately only when the held OWNER is us
+        // (same JVM restarting its query) or provably dead on this host
+        // (crash restart — the common supervisor case keeps its no-wait
+        // path); otherwise a live foreign holder is refused loud whether
+        // or not it shares our checkpoint, until staleness.
+        val sameIdentity = heldCheckpoint(held) == checkpoint &&
+          (heldOwner(held) == identity() || ownerProvablyDead(heldOwner(held)))
+        if (!sameIdentity && ageMs < staleMs) {
+          val sharedCkpt = if (heldCheckpoint(held) == checkpoint)
+            " Both writers name the SAME checkpoint — two processes sharing " +
+            "a checkpoint location corrupt Spark streaming state; give each " +
+            "its own checkpoint." else ""
           throw new GraftPlanError(
             s"$op: $indexPath is held by another live writer " +
             s"(${held.linesIterator.mkString("; ")}; heartbeat ${ageMs / 1000}s ago) — " +
             "concurrent writers on one resource corrupt silently (duplicate survivors " +
             "past an index, overwritten ingest_batch partitions on an output, colliding " +
             "offsets in a topic log). Stop that writer, or if it crashed, wait out " +
-            s"lease_stale_ms (${staleMs / 1000}s) / delete $lf")
+            s"lease_stale_ms (${staleMs / 1000}s) / delete $lf.$sharedCkpt")
+        }
         // stale, or our own identity restarting → take the slot over by
         // RENAMING the old lease aside (atomic: exactly one of N racing
         // reclaimers wins the move; a plain delete-then-create would let
@@ -221,10 +264,26 @@ private[graft] object IngestLease {
     * long rewrites, and release always runs. Streaming-tagged appends
     * skip this — their query already holds the lease. */
   def withBatchLease[T](indexPath: String, op: String,
-      fileName: String = IndexLeaseName)(body: => T): T = {
+      fileName: String = IndexLeaseName,
+      staleMs: Long = StaleMsDefault)(body: => T): T = {
     val id = s"batch:$op:${java.util.UUID.randomUUID().toString.take(12)}"
-    acquire(indexPath, id, op, StaleMsDefault, op, fileName)
-    try body finally release(indexPath, id, fileName)
+    acquire(indexPath, id, op, staleMs, op, fileName)
+    // deposed-writer detection for BATCH holders too: if this JVM stalls
+    // past staleMs and another writer legitimately reclaims, the beat's
+    // liveness court fires onLost — for a streaming query that STOPS the
+    // query; a batch body is opaque, so the closest honest contract is to
+    // FAIL THE CALL rather than return success for a write the new
+    // holder's snapshot may never see (swap-mode renames already fail
+    // loud; this covers the plain-append paths).
+    val deposed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    bindLiveness(indexPath, () => true, () => deposed.set(true), fileName)
+    val out = try body finally release(indexPath, id, fileName)
+    if (deposed.get()) throw new GraftPlanError(
+      s"$op: the batch writer lease on $indexPath was reclaimed mid-write " +
+      "(this process stalled past lease_stale_ms and another writer took " +
+      "over) — the rows may be invisible to the new holder's snapshot; " +
+      "treat this write as FAILED and retry once the resource is free")
+    out
   }
 
   private def startHeartbeat(lf: String, checkpoint: String,
@@ -232,6 +291,7 @@ private[graft] object IngestLease {
     beats.remove(lf).foreach(_.future.cancel(false))
     val periodMs = math.max(50L, staleMs / 3)
     val state = new BeatState
+    state.checkpoint = checkpoint
     val task: Runnable = () => heartbeat(lf, checkpoint, queryName, state)
     state.future = scheduler.scheduleAtFixedRate(
       task, periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
@@ -268,8 +328,15 @@ private[graft] object IngestLease {
             "longer active and never released — releasing its lease")
           releaseAt(lf, checkpoint)
           None
-        } else if (GraftFs.isFile(lf) &&
-            heldCheckpoint(GraftFs.readString(lf)) != checkpoint) {
+        } else if (GraftFs.isFile(lf) && {
+            // owner compared too: after a JVM suspension past staleMs, a
+            // crash-restart claimer on this host shares our CHECKPOINT but
+            // not our pid — checkpoint equality alone would let both
+            // writers run (our beat overwriting theirs), the exact
+            // two-live-writer miss this court exists to catch
+            val held = GraftFs.readString(lf)
+            heldCheckpoint(held) != checkpoint || heldOwner(held) != identity()
+          }) {
           System.err.println(s"[graft] stream.ingest lease at $lf no longer names " +
             s"this query (reclaimed after a stall?) — stopping the deposed writer")
           beats.remove(lf).foreach(_.future.cancel(false))
@@ -318,6 +385,16 @@ private[graft] object IngestLease {
         if (heldCkpt.isDefined) GraftFs.deleteIfExists(lf)
       }
     } catch { case e: Exception =>
+      // a transient FS failure must still disarm OUR OWN heartbeat (beat
+      // checkpoint == the releasing identity; foreign releases stay
+      // no-ops): an un-cancelled beat keeps the orphaned lease's mtime
+      // fresh forever, which for a batch lease (isAlive always true)
+      // blocks every future writer with no staleness escape. Cancelled,
+      // the undeleted file ages out per staleMs.
+      beats.get(lf).filter(_.checkpoint == checkpoint).foreach { b =>
+        b.future.cancel(false)
+        beats.remove(lf)
+      }
       System.err.println(s"[graft] stream.ingest lease release failed: ${e.getMessage}") }
   }
 
