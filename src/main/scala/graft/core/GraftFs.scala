@@ -486,7 +486,17 @@ object GraftFs {
         // heartbeat's liveness court is the backstop for that tail.
         def stillOurs(): Boolean =
           try readString(s) == content catch { case _: java.io.IOException => false }
-        stillOurs() && { Thread.sleep(claimSettleMs); stillOurs() }
+        val stable = stillOurs() && { Thread.sleep(claimSettleMs); stillOurs() }
+        // demotions are the observable symptom of a settle window smaller
+        // than a racer's in-flight PUT — log them so window-too-small
+        // incidents show up in driver logs instead of as mystery claim
+        // losses (the caller sees only `false`)
+        if (!stable) System.err.println(
+          s"[graft] object-store claim at $s demoted during the " +
+          s"${claimSettleMs}ms settle window (a racer's PUT overwrote it); " +
+          "repeated demotions under low contention suggest the window is " +
+          "too small for this store's PUT latency")
+        stable
       }
     }
   }

@@ -58,6 +58,7 @@ object Registry {
     StreamIngestSink, StreamSketchSink,
     // connectors (reference §2.6-2.7; all native — file-backed offline modes)
     KafkaConsumeSource, KafkaProduceSink, KafkaStreamSource, KafkaCompactOp,
+    KafkaStatsOp,
     MongoFindSource, MongoFindOneSource,
     MongoAggregateSource, MongoToObjectIdOp, MongoNormalizeOp, JsEvalOp,
     MongoInsertOneOp, MongoInsertManyOp, MongoUpdateOneOp, MongoUpdateManyOp,

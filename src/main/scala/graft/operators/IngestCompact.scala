@@ -174,7 +174,7 @@ object IngestCompactOp extends Stage {
     if (!GraftFs.isDir(root)) throw new GraftPlanError(
       s"ingest.compact: no ingest output at $root")
     graft.streaming.IngestLease.withBatchLease(root, "ingest.compact",
-      "_ingest_compact.lease") {
+      graft.streaming.IngestLease.CompactLeaseName) {
     IngestMaintenance.recoverSwap(root)
 
     // batch partitions present on disk
@@ -284,7 +284,10 @@ object IngestCompactOp extends Stage {
   *   (how many of those the checkpoint has committed — the foldable set),
   *   uncommitted (dirs a replay may still overwrite — never foldable),
   *   compacted (1 if an ingest_batch=-1 region exists), files, bytes,
-  *   mean_file_kb
+  *   mean_file_kb, lease_holder/lease_age_ms (the live stream writer's
+  *   output lease, null when free), compact_lease_holder/
+  *   compact_lease_age_ms (a running ingest.compact's lease — the two
+  *   leases are deliberately separate files, so both are reported)
   *
   * Directory listing only — no data scan. Runs the crash repair first
   * like every other maintenance entry point. Config: `path`,
@@ -299,9 +302,11 @@ object IngestStatsOp extends Stage {
     val spark = ctx.spark
     import spark.implicits._
     if (cfg.boolOr("_explain_only", false))
-      return Seq.empty[(String, Long, Long, Long, Long, Long, Long, Double)]
+      return Seq.empty[(String, Long, Long, Long, Long, Long, Long, Double,
+          Option[String], Option[Long], Option[String], Option[Long])]
         .toDF("path", "batch_dirs", "committed", "uncommitted", "compacted",
-          "files", "bytes", "mean_file_kb")
+          "files", "bytes", "mean_file_kb", "lease_holder", "lease_age_ms",
+          "compact_lease_holder", "compact_lease_age_ms")
     val root = cfg.str("path")
     IngestMaintenance.recoverSwap(root)
     if (!GraftFs.isDir(root)) throw new GraftPlanError(
@@ -324,10 +329,20 @@ object IngestStatsOp extends Stage {
     val bytes = parts.sum
     val meanKb = if (parts.isEmpty) 0.0
       else math.round(bytes / 1024.0 / parts.size * 10) / 10.0
+    // live-writer visibility, mirroring index.stats: the stream writer's
+    // output lease and a running compact's lease (deliberately separate
+    // files — see IngestCompactOp) — null columns when free
+    val outLease = graft.streaming.IngestLease.holder(root,
+      graft.streaming.IngestLease.OutLeaseName)
+    val compactLease = graft.streaming.IngestLease.holder(root,
+      graft.streaming.IngestLease.CompactLeaseName)
     Seq((root, live.size.toLong, live.count(committedIds.contains).toLong,
         live.count(id => !committedIds.contains(id)).toLong,
-        (if (ids.contains(-1L)) 1L else 0L), parts.size.toLong, bytes, meanKb))
+        (if (ids.contains(-1L)) 1L else 0L), parts.size.toLong, bytes, meanKb,
+        outLease.map(_._1), outLease.map(_._2),
+        compactLease.map(_._1), compactLease.map(_._2)))
       .toDF("path", "batch_dirs", "committed", "uncommitted", "compacted",
-        "files", "bytes", "mean_file_kb")
+        "files", "bytes", "mean_file_kb", "lease_holder", "lease_age_ms",
+        "compact_lease_holder", "compact_lease_age_ms")
   }
 }

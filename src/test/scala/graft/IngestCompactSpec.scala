@@ -240,4 +240,36 @@ class IngestCompactSpec extends SparkSpec {
     assert(spark.read.parquet(out).select("doc_id").as[Long].collect().sorted.toSeq
       === Seq(10L, 11L))
   }
+
+  test("ingest.stats surfaces the output and compact leases while held, null when free") {
+    import graft.streaming.IngestLease
+    val root = mkOutput(Seq(0L -> Seq(1L, 2L)), committed = Seq(0L))
+    def leaseRow() = IngestStatsOp(StageContext.one(spark,
+      Seq(row(0L)).toDF("doc_id", "text"), Cfg.of("path" -> root)))
+      .select("lease_holder", "lease_age_ms",
+        "compact_lease_holder", "compact_lease_age_ms").head()
+    val free = leaseRow()
+    assert((0 to 3).forall(free.isNullAt), s"free output must report null leases: $free")
+    // the stream writer's output lease
+    IngestLease.acquire(root, "ck-stats-spec", "q", 600000L, "spec",
+      IngestLease.OutLeaseName)
+    try {
+      val held = leaseRow()
+      assert(held.getString(0).contains("checkpoint=ck-stats-spec"))
+      assert(held.getLong(1) >= 0L)
+      assert(held.isNullAt(2) && held.isNullAt(3),
+        "the out lease must not read as a compact lease")
+    } finally IngestLease.release(root, "ck-stats-spec", IngestLease.OutLeaseName)
+    // a running ingest.compact's lease (separate file by design)
+    IngestLease.acquire(root, "ck-compact-spec", "c", 600000L, "spec",
+      IngestLease.CompactLeaseName)
+    try {
+      val held = leaseRow()
+      assert(held.isNullAt(0) && held.isNullAt(1))
+      assert(held.getString(2).contains("checkpoint=ck-compact-spec"))
+      assert(held.getLong(3) >= 0L)
+    } finally IngestLease.release(root, "ck-compact-spec", IngestLease.CompactLeaseName)
+    val after = leaseRow()
+    assert((0 to 3).forall(after.isNullAt), "released leases must read null again")
+  }
 }

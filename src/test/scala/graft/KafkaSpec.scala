@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{functions => F}
 import graft.config.{Cfg, GraftConfigError}
 import graft.core.{GraftPlanError, StageContext}
-import graft.operators.{KafkaConsumeSource, KafkaLog, KafkaProduceSink}
+import graft.operators.{KafkaConsumeSource, KafkaLog, KafkaProduceSink, KafkaStatsOp}
 import scala.jdk.CollectionConverters._
 
 /** File-backed kafka.consume / kafka.produce: roundtrip parsing, group
@@ -608,5 +608,34 @@ class KafkaSpec extends SparkSpec {
     val got = consume(root).orderBy("id")
       .select("_kafka_timestamp").as[Long].collect()
     assert(got === Array(1000L, 2000L, 3000L))
+  }
+
+  test("kafka.stats reports topic shape and the writer lease round-trips") {
+    import graft.streaming.IngestLease
+    val root = freshRoot()
+    produce(root, "key_field" -> "name", "num_partitions" -> 2L)
+    def statsRow() = KafkaStatsOp(StageContext(spark, Seq.empty,
+      Cfg.of("path" -> root, "topic" -> "sales"), "ks"))
+      .select("topic", "partitions", "segments", "bytes",
+        "lease_holder", "lease_age_ms").head()
+    val free = statsRow()
+    assert(free.getString(0) === "sales")
+    assert(free.getLong(1) === 2L)
+    assert(free.getLong(2) === 2L, "one produce appends one segment per partition")
+    assert(free.getLong(3) > 0L)
+    assert(free.isNullAt(4) && free.isNullAt(5), "free topic must report null lease")
+    val dir = KafkaLog.topicDir(root, "sales")
+    IngestLease.acquire(dir, "ck-kstats", "w", 600000L, "spec", KafkaLog.TopicLeaseName)
+    try {
+      val held = statsRow()
+      assert(held.getString(4).contains("checkpoint=ck-kstats"))
+      assert(held.getLong(5) >= 0L)
+    } finally IngestLease.release(dir, "ck-kstats", KafkaLog.TopicLeaseName)
+    assert(statsRow().isNullAt(4))
+    // topic discovery: no `topic` key lists every topic under the root
+    KafkaProduceSink(StageContext.one(spark, salesDf,
+      Cfg.of("path" -> root, "topic" -> "audit")))
+    val all = KafkaStatsOp(StageContext(spark, Seq.empty, Cfg.of("path" -> root), "ks"))
+    assert(all.select("topic").as[String].collect().sorted.toSeq === Seq("audit", "sales"))
   }
 }
