@@ -74,23 +74,37 @@ object Bench {
         // previous query's heap debt OUTSIDE the timed window
         spark.catalog.clearCache()
         System.gc()
+        graft.queries.BenchPhases.reset()
         val gc0 = gcMillis
         val t0 = System.nanoTime()
         try evalFully(fn(spark, sfDir))
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        ((System.nanoTime() - t0) / 1e9, (gcMillis - gc0) / 1e3)
+        ((System.nanoTime() - t0) / 1e9, (gcMillis - gc0) / 1e3,
+          graft.queries.BenchPhases.snapshot)
       }
       spark.catalog.clearCache()
       val best = reps.minBy(_._1)
       System.err.println(f"[bench-gc] $name reps=${reps.map(r => f"${r._1}%.2f").mkString(",")} gc=${reps.map(r => f"${r._2}%.2f").mkString(",")}")
-      name -> best._1
+      (name, best._1, best._3)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // per-phase attribution for gates that record internal phases (the
+    // heavyweight lifecycle gates): the min-rep's phase splits, plus the
+    // un-attributed remainder (the lazy plan the noop write materializes —
+    // for the streaming gates, the full-corpus oracle-parity side) as
+    // `materialize`. This is what lets a driver-run drift be attributed
+    // without a worktree bisect (r9-r10 stream_ingest_parity ±28%).
+    val phases = results.filter(_._3.nonEmpty).map { case (k, v, ph) =>
+      val rest = math.max(0.0, v - ph.values.sum)
+      val inner = (ph.toSeq.sortBy(_._1) :+ ("materialize" -> rest))
+        .map { case (p, sec) => "\"" + p + "\":" + f"$sec%.3f" }.mkString("{", ",", "}")
+      "\"" + k + "\":" + inner
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"phases":$phases,"sf":"$sfDir"}"""
     println(line)
     // the driver's captured stdout truncates on long runs (BENCH_r05/r06
     // both lost the a–l half of the per-query map) — also land the full

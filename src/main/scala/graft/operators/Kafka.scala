@@ -474,6 +474,22 @@ object KafkaCompactOp extends Stage {
   * (absent = one bootstrap inference over the current backlog),
   * `value_format` = json|raw, `max_files_per_trigger` = 10. Downstream
   * composes with window/aggregate/stream.write like any other stream.
+  *
+  * CONCURRENT COMPACTION: segment deletion is a normal lifecycle event
+  * for this log (kafka.compact swaps partition dirs; retention trims
+  * segments), so the stream reads with `ignoreMissingFiles` — a segment
+  * listed for a micro-batch but swapped away before its tasks read it
+  * must not kill the query. The resulting delivery contract matches a
+  * real broker's compacted topic: every record that SURVIVES compaction
+  * (latest per key) is delivered at least once — its original offset
+  * rides in the data, so downstream dedup on (partition, offset) gives
+  * exactly once — while records superseded (or keyless-dropped) by a
+  * compaction that overtakes the reader may never be seen, exactly as a
+  * slow consumer misses them on a real compacted topic. Compacted
+  * segments re-enter the listing under fresh file names; a mid-swap
+  * CRASH leaves partitions held aside untouched-by-name, so the repair
+  * restores them without re-delivery. KafkaSpec drives a live stream
+  * through a full compact, a mid-swap crash window, and the repair.
   */
 object KafkaStreamSource extends Stage {
   val name = "kafka.stream"
@@ -500,6 +516,9 @@ object KafkaStreamSource extends Stage {
       .schema(KafkaLog.Schema.add("partition", "int"))
       .option("basePath", GraftFs.qualified(dir))
       .option("maxFilesPerTrigger", cfg.longOr("max_files_per_trigger", 10L))
+      // segments legitimately vanish mid-batch (compact swap, retention)
+      // — survive it; see the compaction-concurrency contract above
+      .option("ignoreMissingFiles", "true")
       .json(dir)
     KafkaLog.assemble(stream, cfg) {
       import ctx.spark.implicits._

@@ -1,0 +1,34 @@
+package graft.queries
+
+/** Per-gate phase timing for the heavyweight lifecycle gates (r9-r10
+  * verdicts: stream_ingest_parity drifted ±28% across three driver runs
+  * with no way to tell index-build cost from micro-batch cost from
+  * oracle-materialization cost without a worktree bisect session).
+  *
+  * Gates wrap their EAGER internal steps in [[time]]; [[Bench]] resets the
+  * registry before each timed rep, snapshots it after, and emits the
+  * min-rep's phases into bench_full.json as a `phases` map with the
+  * un-attributed remainder (the lazy plan materialized by the noop write —
+  * for the streaming gates that is the full-corpus oracle-parity side) as
+  * `materialize`. Recording is a ConcurrentHashMap merge per phase —
+  * nanoseconds of overhead, so it stays on in Verify and specs, which
+  * simply never read it.
+  */
+object BenchPhases {
+  private val current = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  def reset(): Unit = current.clear()
+
+  def time[T](phase: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    try body
+    finally current.merge(phase, (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
+  }
+
+  /** Phase → cumulative seconds since the last reset. */
+  def snapshot: Map[String, Double] = {
+    val b = Map.newBuilder[String, Double]
+    current.forEach((k, v) => b += (k -> v))
+    b.result()
+  }
+}

@@ -422,12 +422,15 @@ object ExtensionQueries {
         |WHERE c.doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents").select("doc_id", "text")
       val idx = java.nio.file.Files.createTempDirectory("graft_si_idx").toString
+      BenchPhases.time("index_build") {
       IndexBuildOp(StageContext.one(s, docs, Cfg.of(
         "type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
         "text_column" -> "text", "shingle_size" -> 3, "num_hashes" -> 128,
         "bands" -> 32, "seed" -> 42)))
+      }
       // two single-file parquet drops, mtime-ordered → two micro-batches
       val streamDir = java.nio.file.Files.createTempDirectory("graft_si_in").toString
+      BenchPhases.time("feed_write") {
       docs.filter(F.col("doc_id") < 50)
         .select((F.col("doc_id") + 10000).as("doc_id"), F.col("text"))
         .coalesce(1).write.mode("append").parquet(streamDir)
@@ -435,13 +438,16 @@ object ExtensionQueries {
       docs.filter(F.col("doc_id") >= 400)
         .select((F.col("doc_id") + 20000).as("doc_id"), F.reverse(F.col("text")).as("text"))
         .coalesce(1).write.mode("append").parquet(streamDir)
+      }
       val stream = graft.streaming.FileStreamSource(StageContext(s, Seq.empty, Cfg.of(
         "path" -> streamDir, "format" -> "parquet", "max_files_per_trigger" -> 1L)))
       val out = java.nio.file.Files.createTempDirectory("graft_si_out").toString + "/data"
+      BenchPhases.time("stream_ingest") {
       graft.streaming.StreamIngestSink(StageContext.one(s, stream, Cfg.of(
         "path" -> out, "index_path" -> idx, "dedup" -> "minhash",
         "trigger" -> "available_now", "id_column" -> "doc_id",
         "text_column" -> "text", "threshold" -> 0.8)))
+      }
       val d1 = DedupMinHashOp(StageContext.one(s, docs, Cfg.of(
         "id_column" -> "doc_id", "text_column" -> "text",
         "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
@@ -466,15 +472,18 @@ object ExtensionQueries {
       val emb = t(s, d, "embeddings")
       val half = emb.agg(F.expr("percentile(vec_id, 0.5)")).head().getDouble(0)
       val idx = java.nio.file.Files.createTempDirectory("graft_sie_idx").toString
+      BenchPhases.time("index_build") {
       IndexBuildOp(StageContext.one(s, emb, Cfg.of(
         "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
         "vector_column" -> "embedding", "bands" -> 8, "band_planes" -> 12,
         "seed" -> 11, "partition_dirs" -> 4)))
+      }
       def scaled(df: org.apache.spark.sql.DataFrame, offset: Int, k: Float) =
         df.select((F.col("vec_id") + offset).as("vec_id"),
           F.transform(F.col("embedding"), x => x * F.lit(k)).cast("array<float>").as("embedding"),
           F.col("label"))
       val streamDir = java.nio.file.Files.createTempDirectory("graft_sie_in").toString
+      BenchPhases.time("feed_write") {
       scaled(emb, 10000, 2.0f)
         .unionByName(scaled(emb.filter(F.col("vec_id") < half), 20000, -1.0f))
         .coalesce(1).write.mode("append").parquet(streamDir)
@@ -482,13 +491,16 @@ object ExtensionQueries {
       scaled(emb.filter(F.col("vec_id") < half), 30000, -2.0f)
         .unionByName(scaled(emb.filter(F.col("vec_id") >= half), 20000, -1.0f))
         .coalesce(1).write.mode("append").parquet(streamDir)
+      }
       val stream = graft.streaming.FileStreamSource(StageContext(s, Seq.empty, Cfg.of(
         "path" -> streamDir, "format" -> "parquet", "max_files_per_trigger" -> 1L)))
       val out = java.nio.file.Files.createTempDirectory("graft_sie_out").toString + "/data"
+      BenchPhases.time("stream_ingest") {
       graft.streaming.StreamIngestSink(StageContext.one(s, stream, Cfg.of(
         "path" -> out, "index_path" -> idx, "dedup" -> "embedding",
         "trigger" -> "available_now", "id_column" -> "vec_id",
         "vector_column" -> "embedding", "threshold" -> 0.95)))
+      }
       s.read.parquet(out).select("vec_id", "label")
     },
 
@@ -500,6 +512,23 @@ object ExtensionQueries {
       "SELECT CAST(1000 AS BIGINT) AS n, CAST(1000 AS BIGINT) AS distinct_n") { (s, d) =>
       val sampled = SampleOp(StageContext.one(s, t(s, d, "orders"), Cfg.of(
         "count" -> 1000, "seed" -> 7)))
+      sampled.agg(F.count(F.lit(1)).as("n"),
+        F.countDistinct(F.col("o_orderkey")).as("distinct_n"))
+    },
+
+    // ---- sample.apply count ABOVE count_cutoff (r11): the same exactness
+    // contract through the bit-prefix histogram descent — `count_cutoff`
+    // forced below k routes this draw through the O(65536)-driver
+    // threshold selection against real parquet instead of
+    // TakeOrderedAndProject (the default cutoff keeps bench-scale k on
+    // the TakeOrdered path, so without this gate the descent only ever
+    // ran on unit frames). SamplingAggSpec pins that both paths select
+    // the identical row set; PlanSpec pins this gate's plan has no
+    // TakeOrderedAndProject. ----
+    QueryDef("sample_exact_count_threshold",
+      "SELECT CAST(1000 AS BIGINT) AS n, CAST(1000 AS BIGINT) AS distinct_n") { (s, d) =>
+      val sampled = SampleOp(StageContext.one(s, t(s, d, "orders"), Cfg.of(
+        "count" -> 1000, "count_cutoff" -> 100, "seed" -> 7)))
       sampled.agg(F.count(F.lit(1)).as("n"),
         F.countDistinct(F.col("o_orderkey")).as("distinct_n"))
     },
@@ -575,6 +604,20 @@ object ExtensionQueries {
         Files.write(Paths.get(s"$root/_checkpoint/commits/$i"), "v1".getBytes("UTF-8"))
       }
       IngestStatsOp(StageContext.one(s, docs.limit(1), Cfg.of("path" -> root)))
+    },
+
+    // ---- kafka.stats: topic-log health counters + writer-lease
+    // visibility (filesystem facts, not SQL-expressible → rows-only;
+    // segment/partition exactness and the lease round-trip are pinned in
+    // KafkaSpec) ----
+    QueryDef.noOracle("kafka_stats") { (s, d) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_kst").toString
+      val slice = t(s, d, "nation").select(
+        F.col("n_name").as("k"), F.col("n_regionkey").cast("string").as("v"))
+      KafkaProduceSink(StageContext.one(s, slice, Cfg.of(
+        "path" -> root, "topic" -> "nations", "key_field" -> "k",
+        "num_partitions" -> 2L)))
+      KafkaStatsOp(StageContext(s, Seq.empty, Cfg.of("path" -> root), "kstats"))
     },
 
     // ---- dedup.minhash keep_by: survivor = highest-quality duplicate.
@@ -1917,6 +1960,7 @@ object ExtensionQueries {
     // composed end-to-end cost next to the reference's 1-second toy
     // pipeline (BASELINE.md #4).
     QueryDef.noOracle("pipeline_corpus_e2e") { (s, d) =>
+      BenchPhases.time("compile") {
       val toml = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/root/repo/examples/corpus-cleaning.toml")),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -1924,6 +1968,7 @@ object ExtensionQueries {
       val pc = graft.config.PipelineConfig.fromString(toml)
       new graft.core.DagCompiler(graft.core.Registry.withDefaults)
         .compilePlans(s, pc)("packed")
+      }
     },
 
     // ---- explode.apply: expression-source generator (split → one row

@@ -638,4 +638,72 @@ class KafkaSpec extends SparkSpec {
     val all = KafkaStatsOp(StageContext(spark, Seq.empty, Cfg.of("path" -> root), "ks"))
     assert(all.select("topic").as[String].collect().sorted.toSeq === Seq("audit", "sales"))
   }
+
+  test("a live kafka.stream survives a concurrent compact swap + mid-swap crash; surviving records exactly once") {
+    val root = freshRoot()
+    val topic = "swap"
+    // 10 records per wave over 5 keys: later waves supersede earlier ones,
+    // so compaction genuinely folds; every record is keyed (keyless drops
+    // are a separate documented contract)
+    def wave(w: Int): Unit = KafkaProduceSink(StageContext.one(spark,
+      (0 until 10).map(i => (w * 100L + i, s"k${i % 5}", s"v$w-$i")).toDF("id", "k", "v"),
+      Cfg.of("path" -> root, "topic" -> topic, "key_field" -> "k",
+        "num_partitions" -> 2L)))
+    wave(1); wave(2)
+    val stream = graft.operators.KafkaStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> root, "topic" -> topic,
+      "schema" -> "id LONG, k STRING, v STRING", "max_files_per_trigger" -> 1L)))
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_kswap_ck").toString
+    val q = stream.writeStream.option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.select("_kafka_partition", "_kafka_offset", "v").collect()
+          .foreach(r => seen.add((r.getInt(0), r.getLong(1), r.getString(2))))
+      }.start()
+    try {
+      // let the stream get partway through the backlog first
+      val t0 = System.currentTimeMillis()
+      while (seen.size() < 5 && System.currentTimeMillis() - t0 < 30000) Thread.sleep(50)
+      assert(seen.size() >= 5, "stream never started delivering")
+      // (1) a REAL compact runs while the stream is live: old segments
+      // vanish mid-read (ignoreMissingFiles keeps the query up), compacted
+      // segments re-enter under fresh names (legal re-delivery)
+      graft.operators.KafkaCompactOp(StageContext(spark, Seq.empty,
+        Cfg.of("path" -> root, "topic" -> topic), "c"))
+      wave(3)
+      // (2) a mid-swap CRASH window while live: one partition held aside,
+      // several triggers fire over the hole, then a plain read repairs it
+      val dir = java.nio.file.Paths.get(KafkaLog.topicDir(root, topic))
+      val held = java.nio.file.Files.list(dir).iterator().asScala
+        .filter(_.getFileName.toString.startsWith("partition=")).toList
+        .sortBy(_.toString).head
+      val hold = java.nio.file.Paths.get(dir.toString + ".compact.old")
+      java.nio.file.Files.createDirectories(hold)
+      java.nio.file.Files.move(held, hold.resolve(held.getFileName.toString))
+      Thread.sleep(500)
+      assert(q.isActive && q.exception.isEmpty,
+        s"stream died inside the crash window: ${q.exception}")
+      KafkaLog.read(spark, root, topic).count() // any reader repairs the swap
+      wave(4)
+      q.processAllAvailable()
+      assert(q.exception.isEmpty, s"stream died: ${q.exception}")
+      // CONTRACT: every record surviving in the repaired log was delivered,
+      // and dedup on (partition, offset) makes that exactly once — the
+      // offsets ride in the data precisely so readers can dedup across
+      // compaction, like a real broker's offset-preserving cleaner
+      val want = KafkaLog.read(spark, root, topic)
+        .select(F.col("partition"), F.col("offset"),
+          F.get_json_object(F.col("value"), "$.v").as("v"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+      assert(want.nonEmpty)
+      val delivered = seen.iterator().asScala.toVector
+      val missing = want -- delivered.toSet
+      assert(missing.isEmpty, s"surviving records never delivered: $missing")
+      // no torn delivery: one (partition, offset) never carries two values
+      val torn = delivered.groupBy(r => (r._1, r._2))
+        .filter { case (_, vs) => vs.map(_._3).distinct.size > 1 }
+      assert(torn.isEmpty, s"one offset delivered with conflicting values: $torn")
+    } finally q.stop()
+  }
 }

@@ -34,6 +34,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "dim join degenerated to SMJ")
   }
 
+  test("exact-k above count_cutoff: the threshold-descent gate has no TakeOrderedAndProject") {
+    // the sample_exact_count_threshold gate forces count_cutoff below k,
+    // so the draw must plan as codegen'd hash filters (+ the boundary
+    // union/limit), never the k-scaled TakeOrdered driver merge
+    val p = plan("sample_exact_count_threshold")
+    assert(!p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.matches("(?s).*Sort .*global=true.*"), "no global sort either")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
