@@ -196,4 +196,48 @@ class LeaseClaimSpec extends SparkSpec {
     assert(e2.getMessage.contains("held by another live writer"))
     GraftFs.deleteIfExists(lf)
   }
+
+  test("unsynchronized acquire: N threads racing a cold start — exactly one wins, losers refused loud") {
+    // acquire no longer serializes same-JVM claimants on the IngestLease
+    // monitor (the settle sleep would stall every heartbeat) — so the FS
+    // claim primitives are the only mutual exclusion. Race real acquire
+    // calls: exactly one must hold the lease, every loser must throw the
+    // live-writer refusal (or the non-convergence error), and the beat
+    // must front the winner's identity.
+    val dir = tmp("lease_acquire_race")
+    val n = 8
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+    val threads = (0 until n).map { t =>
+      val th = new Thread(() => {
+        gate.await()
+        try {
+          IngestLease.acquire(dir, s"ck-race-$t", s"q$t", staleMs = 600000L, "spec")
+          outcomes.add((t, "won"))
+        } catch {
+          case e: GraftPlanError => outcomes.add((t,
+            if (e.getMessage.contains("held by another live writer")) "refused"
+            else if (e.getMessage.contains("did not converge")) "contended"
+            else s"unexpected: ${e.getMessage}"))
+        }
+      }, s"acquire-race-$t")
+      th.start(); th
+    }
+    gate.countDown()
+    threads.foreach(_.join(30000))
+    import scala.jdk.CollectionConverters._
+    val byOutcome = outcomes.asScala.toVector.groupBy(_._2)
+    assert(byOutcome.getOrElse("won", Vector.empty).size === 1,
+      s"exactly one claimant must win: $byOutcome")
+    assert(outcomes.size() === n, s"a racer died silently: $byOutcome")
+    assert((byOutcome.keySet - "won" - "refused" - "contended").isEmpty,
+      s"unexpected outcomes: $byOutcome")
+    val winner = byOutcome("won").head._1
+    val body = GraftFs.readString(s"$dir/${IngestLease.IndexLeaseName}")
+    assert(body.contains(s"checkpoint=ck-race-$winner"),
+      "the lease must name the winning claimant")
+    assert(IngestLease.beating(dir), "the winner's heartbeat must be live")
+    IngestLease.release(dir, s"ck-race-$winner")
+    assert(!IngestLease.beating(dir))
+  }
 }
