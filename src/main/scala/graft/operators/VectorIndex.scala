@@ -87,6 +87,28 @@ object IndexBuildOp extends Stage {
   // that runs eagerly during plan composition and passes its input through.
   val kind = StageKind.Transform
 
+  /** The bands-layout bucket-occupancy advisory, pure so the threshold
+    * logic is spec-testable: ~rows/2^band_planes vectors share each
+    * per-band bucket, candidate pairs grow linearly with that occupancy
+    * (ScaleProbe 1M-2M rungs: 258 → 1007 cross pairs per probe row as
+    * occupancy quadrupled), and past ~1000 rows/bucket the banded probe's
+    * selectivity advantage over a flat scan is gone. Returns the warning
+    * line to emit, or None while occupancy is healthy. */
+  private[graft] def bandsOccupancyWarning(rows: Long, bandPlanes: Int): Option[String] = {
+    val occupancy = rows.toDouble / (1L << bandPlanes)
+    if (occupancy <= 1000.0) None
+    else {
+      // smallest band_planes that brings occupancy back under 1000
+      val needed = math.min(63,
+        math.ceil(math.log(rows / 1000.0) / math.log(2.0)).toInt)
+      Some(s"[graft] index.build blocking=bands: ~$rows vectors over " +
+        s"2^$bandPlanes buckets per band = ~${math.round(occupancy)} rows/bucket — " +
+        "banded-probe candidates grow linearly with occupancy and past ~1000 " +
+        "rows/bucket the probe degrades toward a scan; rebuild with " +
+        s"band_planes >= $needed (see docs/BENCH_NOTES.md, ANN 1M-2M rungs)")
+    }
+  }
+
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     // CLI `explain` must stay read-only: skip the eager build (the plan
@@ -447,6 +469,23 @@ object IndexBuildOp extends Stage {
     Seq((bands, r, seed, dim, pdirs))
       .toDF("bands", "band_planes", "seed", "dim", "pbuckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+
+    // occupancy guidance (measurement-backed, BENCH_NOTES r11 ANN rungs):
+    // per-bucket candidate growth is LINEAR in corpus size at fixed
+    // band_planes, so a corpus that outgrows its bucket space quietly
+    // turns banded probes into scans. One parquet-footer count (metadata
+    // only, the index.stats trick) prices the whole corpus post-write —
+    // append mode included, since occupancy is a property of the total.
+    try {
+      val files = IndexSnapshot.files(IndexSnapshot.corpusDir(path),
+        s"index.build: no corpus at $path")
+      if (files.nonEmpty) {
+        val sigRows = spark.read.parquet(files: _*).count()
+        IndexBuildOp.bandsOccupancyWarning(sigRows / math.max(1, bands), r)
+          .foreach(System.err.println)
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] index.build occupancy check skipped: ${e.getMessage}") }
   }
 
   private def buildLshPigeonhole(ctx: StageContext): Unit = {

@@ -250,4 +250,23 @@ class VectorIndexSpec extends SparkSpec {
       queries, Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
         "index_path" -> ghost))))
   }
+
+  test("bands occupancy advisory: fires past ~1000 rows/bucket with the right band_planes hint") {
+    import graft.operators.IndexBuildOp
+    // healthy: 1M rows over 2^16 buckets = ~15/bucket
+    assert(IndexBuildOp.bandsOccupancyWarning(1000000L, 16).isEmpty)
+    // boundary: exactly 1000/bucket is still healthy
+    assert(IndexBuildOp.bandsOccupancyWarning(1000L * (1L << 16), 16).isEmpty)
+    // degraded: 100M rows over 2^16 = ~1526/bucket — warn, and the hint
+    // must be the smallest band_planes restoring <= 1000/bucket
+    val w = IndexBuildOp.bandsOccupancyWarning(100000000L, 16)
+    assert(w.isDefined)
+    assert(w.get.contains("band_planes >= 17"), w.get)
+    // 1B rows needs 2^20
+    val w2 = IndexBuildOp.bandsOccupancyWarning(1000000000L, 16)
+    assert(w2.get.contains("band_planes >= 20"), w2.get)
+    // extreme corpus: the hint stays within the 63-bit signature width
+    val w3 = IndexBuildOp.bandsOccupancyWarning(Long.MaxValue / 4, 2)
+    assert(w3.get.contains("band_planes >= 52"), w3.get)
+  }
 }
