@@ -466,7 +466,7 @@ object ScaleProbe {
   }
 
   /** `sbt "runMain graft.ScaleProbe ann [n]"` — the ANN rung ABOVE the
-    * 5k/15k/50k series (default 200k; 500k is the intended top): knn.join
+    * 5k/15k/50k series (default 200k; measured to 2M — BENCH_NOTES r11): knn.join
     * pigeonhole vs bands (full probe AND probe_bands=4) plus the banded
     * incremental dedup probe, each reported with wall, the CANDIDATE-PAIR
     * count driving compute, and the FILES the probe's snapshot lists /

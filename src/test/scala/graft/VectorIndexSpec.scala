@@ -269,4 +269,26 @@ class VectorIndexSpec extends SparkSpec {
     val w3 = IndexBuildOp.bandsOccupancyWarning(Long.MaxValue / 4, 2)
     assert(w3.get.contains("band_planes >= 52"), w3.get)
   }
+
+  test("bands occupancy advisory is wired: a build past the threshold emits it") {
+    import graft.operators.IndexBuildOp
+    import graft.config.Cfg
+    import graft.core.StageContext
+    import spark.implicits._
+    // band_planes=1 → 2 buckets per band: 2100 rows ≈ 1050/bucket > 1000
+    val idx = java.nio.file.Files.createTempDirectory("graft_occ").toString
+    val vecs = (1L to 2100L).map(i => (i, Array(i.toFloat, (i * 7 % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val realErr = System.err
+    val captured = new java.io.ByteArrayOutputStream()
+    System.setErr(new java.io.PrintStream(captured, true, "UTF-8"))
+    try IndexBuildOp(StageContext.one(spark, vecs, Cfg.of(
+      "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "bands" -> 2, "band_planes" -> 1, "partition_dirs" -> 1, "seed" -> 3)))
+    finally System.setErr(realErr)
+    val err = captured.toString("UTF-8")
+    assert(err.contains("rows/bucket"), s"advisory never emitted; stderr was: $err")
+    assert(err.contains("band_planes >="), err)
+  }
 }
