@@ -403,10 +403,10 @@ object IndexStatsOp extends Stage {
 
     if (cfg.boolOr("_explain_only", false))
       return Seq.empty[(String, String, Long, Long, Long, Double, Long, Long, Long,
-          Option[String], Option[Long])]
+          Option[String], Option[Long], Option[Double])]
         .toDF("path", "index_type", "rows", "files", "bytes", "mean_file_kb",
           "stream_append_dirs", "partition_dirs", "appends_since_compact",
-          "lease_holder", "lease_age_ms")
+          "lease_holder", "lease_age_ms", "mean_bucket_occupancy")
 
     IndexMaintenance.recoverSwap(path)
     val (family, partitionCols) = IndexMaintenance.layout(spark, path, "index.stats")
@@ -451,10 +451,27 @@ object IndexStatsOp extends Stage {
     // same report it reads fragmentation from (and skip/schedule its
     // compact accordingly) — null columns when the index is free
     val lease = graft.streaming.IngestLease.holder(path)
+    // bands layout only: mean rows per (band, bucket) — the linear-in-n
+    // candidate driver the build-time advisory warns on (BENCH_NOTES r11
+    // ANN rungs); a maintenance pipeline can watch it drift and trigger a
+    // band_planes rebuild the way compact_if triggers folds. rows here is
+    // the SIGNATURE row count (bands rows per vector), so vectors =
+    // rows / bands and occupancy = vectors / 2^band_planes.
+    val occupancy: Option[Double] =
+      if (!GraftFs.isDir(s"$path/meta")) None
+      else {
+        val m = spark.read.parquet(s"$path/meta").head()
+        if (!m.schema.fieldNames.contains("band_planes")) None
+        else {
+          val bands = m.getAs[Int]("bands").toLong
+          val planes = m.getAs[Int]("band_planes")
+          Some(rows.toDouble / math.max(1L, bands) / (1L << planes))
+        }
+      }
     Seq((path, family, rows, files.size.toLong, bytes, meanKb, appendDirs, partDirs,
-        sinceCompact, lease.map(_._1), lease.map(_._2)))
+        sinceCompact, lease.map(_._1), lease.map(_._2), occupancy))
       .toDF("path", "index_type", "rows", "files", "bytes", "mean_file_kb",
         "stream_append_dirs", "partition_dirs", "appends_since_compact",
-        "lease_holder", "lease_age_ms")
+        "lease_holder", "lease_age_ms", "mean_bucket_occupancy")
   }
 }

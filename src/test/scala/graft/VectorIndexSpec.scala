@@ -290,5 +290,25 @@ class VectorIndexSpec extends SparkSpec {
     val err = captured.toString("UTF-8")
     assert(err.contains("rows/bucket"), s"advisory never emitted; stderr was: $err")
     assert(err.contains("band_planes >="), err)
+    // and index.stats surfaces the same number for the maintenance loop:
+    // 2100 vectors / 2^1 buckets = 1050 mean occupancy
+    val occ = graft.operators.IndexStatsOp(StageContext.one(spark, vecs,
+      Cfg.of("path" -> idx))).select("mean_bucket_occupancy").head()
+    assert(!occ.isNullAt(0))
+    assert(math.abs(occ.getDouble(0) - 1050.0) < 1e-9, occ.toString)
+  }
+
+  test("index.stats mean_bucket_occupancy is null for non-bands layouts") {
+    import graft.operators.{IndexBuildOp, IndexStatsOp}
+    import graft.config.Cfg
+    import graft.core.StageContext
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("graft_occ_exact").toString
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    IndexBuildOp(StageContext.one(spark, docs, Cfg.of(
+      "type" -> "exact", "path" -> idx, "columns" -> Seq("text"))))
+    val occ = IndexStatsOp(StageContext.one(spark, docs, Cfg.of("path" -> idx)))
+      .select("mean_bucket_occupancy").head()
+    assert(occ.isNullAt(0), "occupancy is a bands-layout fact only")
   }
 }
