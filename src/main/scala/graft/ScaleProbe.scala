@@ -61,6 +61,9 @@ object ScaleProbe {
     if (args.headOption.contains("ann")) {
       annProbe(args.drop(1).headOption.map(_.toInt).getOrElse(200000)); return
     }
+    if (args.headOption.contains("ivfpq")) {
+      ivfpqProbe(args.drop(1).headOption.map(_.toInt).getOrElse(200000)); return
+    }
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 15000, 50000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -611,6 +614,100 @@ object ScaleProbe {
     }
     println(f"""{"op":"ann.dedup.bands.incremental","n":$n,"batch":$b,"sec":$incSec%.2f,""" +
       f""""cross_pairs":$crossPairs,"files_listed":${filesB.size},"survivors":$incKept}""")
+    spark.stop()
+  }
+
+  /** `sbt "runMain graft.ScaleProbe ivfpq [n]"` — the PQ scanned-bytes
+    * claim, measured: build ivf-flat and ivfpq over the same n vectors and
+    * report (a) the parquet-footer COLUMN-CHUNK bytes each probe's
+    * ReadSchema actually touches (flat probe: id + embedding; ADC probe:
+    * id + pq_codes + pq_vnorm — the compression win is column pruning, so
+    * the honest measure is column-chunk compressed size, not file size)
+    * and (b) wall time over a 20-query loop per probe shape (flat, ADC +
+    * exact rerank, ADC only). At gate scale the per-query wall is job
+    * overhead; the scanned-bytes ratio is the number that predicts the
+    * 100 TB behavior. */
+  private def ivfpqProbe(n: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val vecUdf = F.udf(docVec _)
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_ivfpq_$n").toString
+    spark.range(n.toLong)
+      .select(F.col("id").as("vec_id"), vecUdf(F.col("id")).as("embedding"))
+      .write.parquet(s"$dir/vecs")
+    val v = spark.read.parquet(s"$dir/vecs")
+    val nlist = 64
+
+    def timed[A](body: => A): (Double, A) = {
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime()
+      val out = body
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+
+    val idxFlat = s"$dir/idx_flat"
+    val (flatBuildSec, _) = timed {
+      IndexBuildOp(StageContext.one(spark, v, Cfg.of(
+        "type" -> "ivf", "path" -> idxFlat, "vector_column" -> "embedding",
+        "nlist" -> nlist, "seed" -> 11)))
+    }
+    val idxPq = s"$dir/idx_pq"
+    val (pqBuildSec, _) = timed {
+      IndexBuildOp(StageContext.one(spark, v, Cfg.of(
+        "type" -> "ivfpq", "path" -> idxPq, "vector_column" -> "embedding",
+        "nlist" -> nlist, "m" -> 8, "ksub" -> 256, "seed" -> 11)))
+    }
+
+    // column-chunk compressed bytes per column set, straight from the
+    // parquet footers — the bytes a column-pruned scan of the WHOLE corpus
+    // would read (per-probe bytes are nprobe/nlist of this; the ratio is
+    // the same)
+    def chunkBytes(idx: String, cols: Set[String]): Long = {
+      import scala.jdk.CollectionConverters._
+      val conf = spark.sessionState.newHadoopConf()
+      IndexSnapshot.files(IndexSnapshot.corpusDir(idx), s"ivfpq probe: no corpus at $idx")
+        .map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala
+            .flatMap(_.getColumns.asScala)
+            .filter(c => cols.contains(c.getPath.iterator.next()))
+            .map(_.getTotalSize).sum
+          finally r.close()
+        }.sum
+    }
+    val flatScanBytes = chunkBytes(idxFlat, Set("vec_id", "embedding"))
+    val adcScanBytes = chunkBytes(idxPq, Set("vec_id", "pq_codes", "pq_vnorm"))
+
+    def probeLoop(idx: String, extra: (String, Any)*): Double = {
+      val (sec, _) = timed {
+        (0 until 20).foreach { q =>
+          KnnIvfOp(StageContext.one(spark, v, Cfg.of(
+            (Seq[(String, Any)]("query_id" -> (q * 37), "id_column" -> "vec_id",
+              "vector_column" -> "embedding", "k" -> 10, "nprobe" -> 4,
+              "index_path" -> idx) ++ extra): _*))).collect()
+        }
+      }
+      sec
+    }
+    val flatSec = probeLoop(idxFlat)
+    val pqSec = probeLoop(idxPq, "rerank" -> 4)
+    val adcSec = probeLoop(idxPq, "rerank" -> 0)
+
+    println(f"""{"op":"ivfpq.build","n":$n,"flat_sec":$flatBuildSec%.2f,""" +
+      f""""pq_sec":$pqBuildSec%.2f}""")
+    println(f"""{"op":"ivfpq.scan_bytes","n":$n,"flat_probe_cols":$flatScanBytes,""" +
+      f""""adc_probe_cols":$adcScanBytes,""" +
+      f""""ratio":${flatScanBytes.toDouble / math.max(1L, adcScanBytes)}%.1f}""")
+    println(f"""{"op":"ivfpq.probe20","n":$n,"flat_sec":$flatSec%.2f,""" +
+      f""""pq_rerank_sec":$pqSec%.2f,"adc_only_sec":$adcSec%.2f}""")
     spark.stop()
   }
 

@@ -86,7 +86,8 @@ private[graft] object IndexMaintenance {
       op: String): (String, Seq[String]) = {
     if (GraftFs.isDir(s"$path/meta")) {
       val fields = spark.read.parquet(s"$path/meta").schema.fieldNames.toSet
-      if (fields.contains("band_planes")) ("lsh", Seq("band", "pband", "ingest_tag"))
+      if (fields.contains("ksub")) ("ivfpq", Seq("cell"))
+      else if (fields.contains("band_planes")) ("lsh", Seq("band", "pband", "ingest_tag"))
       else if (fields.contains("pbuckets")) ("lsh", Seq("block", "pbucket"))
       else if (fields.contains("ngram_size")) ("ngram", Seq.empty)
       else if (fields.contains("shingle_size")) ("minhash", Seq.empty)

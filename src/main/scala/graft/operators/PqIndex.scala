@@ -1,0 +1,372 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, functions => F}
+import graft.config._
+import graft.core._
+
+/** Product quantization (PQ) for the IVF index — `index.build type=ivfpq`
+  * and the ADC probe path of `knn.ivf`.
+  *
+  * The scale problem this solves: an IVF-flat index stores raw vectors, so
+  * every probe reads 4·dim bytes per candidate row. At 100 TB of
+  * embeddings that scan I/O — not the centroid ranking — is the cost. PQ
+  * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011; the faiss IVFPQ layout) compresses each vector to `m` bytes:
+  * the residual (vector − its cell centroid) splits into `m` subspaces and
+  * each subspace slice is replaced by the id of its nearest entry in a
+  * per-subspace codebook of `ksub ≤ 256` centers. A query then scores
+  * candidates by Asymmetric Distance Computation (ADC): one m×ksub table of
+  * partial dot products is built driver-side per query, and scoring a row
+  * is m byte-indexed lookups instead of dim multiplies.
+  *
+  * Spark-first layout (all under `path`):
+  *   corpus/    the input rows + `cell` + `pq_codes` (BINARY, m bytes) +
+  *              `pq_vnorm` (DOUBLE, the exact vector norm — cosine needs
+  *              it and one double per row is noise), partitionBy(cell).
+  *              The raw vector column is KEPT in the same parquet: parquet
+  *              is columnar, so the ADC scan that selects only
+  *              (id, cell, pq_codes, pq_vnorm) never reads the vector
+  *              bytes (column pruning IS the 4·dim/m I/O win, pinned in
+  *              PqIndexSpec), while the exact rerank re-reads the vector
+  *              column for just the candidate ids from the same pruned
+  *              partitions — no second copy of the corpus.
+  *   centroids/ (cell, centroid) — same shape as type=ivf, so
+  *              index.compact, index.stats and the crash-swap repair all
+  *              work unchanged.
+  *   pq/        (subspace, code, center ARRAY<DOUBLE>) — m·ksub rows, tiny.
+  *   meta/      (nlist, m, ksub, dim, seed).
+  *
+  * Training runs driver-side on a bounded sample (`max_train`, default
+  * 10k): seeded Lloyd's iterations for the coarse quantizer and each
+  * subspace codebook. That is the standard recipe (codebook quality needs
+  * a sample, not the corpus) and keeps the whole build ONE distributed
+  * encode pass over the input; nothing driver-side grows with the corpus.
+  *
+  * Probe contract (`knn.ivf` auto-detects `pq/`): rank centroids, prune to
+  * `nprobe` cells (parquet partition pruning, same as IVF-flat), ADC-score
+  * the pruned slice reading only the narrow columns, keep the top
+  * `rerank·k` candidates, then re-score exactly (cosine on the raw vector
+  * column, broadcast-joined on id) and return the top k. `rerank = 0`
+  * skips the exact pass and returns rounded ADC scores (approximate —
+  * rows-only gate territory). With nprobe = nlist and rerank·k ≥ the
+  * corpus size the result is EXACTLY brute force, which is what the
+  * knn_ivfpq_exhaustive gate pins against the DuckDB oracle.
+  *
+  * Reference scope note: conveyor has no vector indexes at all — this op,
+  * like the rest of the index family, is part of the training-data
+  * pipeline surface the brief asks for beyond reference parity.
+  */
+private[graft] object Pq {
+
+  /** Deterministic Lloyd's k-means on a bounded in-memory sample. Seeded
+    * shuffle init over distinct points (k clamps to the distinct count —
+    * duplicating a center would just split ties unstably); empty clusters
+    * keep their previous center. Returns exactly `kEff` centers. */
+  def lloyd(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "lloyd: empty sample")
+    val dim = points(0).length
+    // Array equality is by reference — dedupe by content
+    val distinct = points.map(_.toSeq).distinct.map(_.toArray)
+    val kEff = math.min(k, distinct.length)
+    val rnd = new scala.util.Random(seed)
+    // seeded init: a shuffled draw of distinct points
+    val centers = rnd.shuffle(distinct.indices.toVector).take(kEff)
+      .map(i => distinct(i).clone()).toArray
+
+    val assign = new Array[Int](points.length)
+    var it = 0
+    while (it < iters) {
+      // assignment
+      var i = 0
+      while (i < points.length) {
+        assign(i) = nearest(centers, points(i))
+        i += 1
+      }
+      // update
+      val sums = Array.fill(kEff)(new Array[Double](dim))
+      val counts = new Array[Int](kEff)
+      i = 0
+      while (i < points.length) {
+        val c = assign(i); val p = points(i)
+        var d = 0
+        while (d < dim) { sums(c)(d) += p(d); d += 1 }
+        counts(c) += 1
+        i += 1
+      }
+      var c = 0
+      while (c < kEff) {
+        if (counts(c) > 0) {
+          var d = 0
+          while (d < dim) { centers(c)(d) = sums(c)(d) / counts(c); d += 1 }
+        } // empty cluster: keep the previous center
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** Index of the L2-nearest center — ties keep the lower index, so
+    * encode/probe decisions are deterministic. */
+  def nearest(centers: Array[Array[Double]], p: Array[Double]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centers.length) {
+      var d = 0.0; var j = 0; val ctr = centers(c)
+      while (j < p.length) { val x = p(j) - ctr(j); d += x * x; j += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Per-subspace codebooks over residual samples: codebooks(s)(code) is
+    * the center of subspace s. Each subspace trains from its own slice
+    * with its own derived seed. */
+  def trainCodebooks(residuals: Array[Array[Double]], m: Int, ksub: Int,
+      iters: Int, seed: Long): Array[Array[Array[Double]]] = {
+    val dim = residuals(0).length
+    val dsub = dim / m
+    Array.tabulate(m) { s =>
+      val slice = residuals.map(r => java.util.Arrays.copyOfRange(r, s * dsub, (s + 1) * dsub))
+      lloyd(slice, ksub, iters, seed + 7919L * (s + 1))
+    }
+  }
+
+  /** Encode one vector: (cell, m-byte codes, exact norm). `cents` is the
+    * coarse centroid array indexed by cell id. */
+  def encode(v: Array[Double], cents: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): (Int, Array[Byte], Double) = {
+    val cell = nearest(cents, v)
+    val ctr = cents(cell)
+    val dim = v.length
+    val m = codebooks.length
+    val dsub = dim / m
+    val codes = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val slice = new Array[Double](dsub)
+      var j = 0
+      while (j < dsub) { slice(j) = v(s * dsub + j) - ctr(s * dsub + j); j += 1 }
+      codes(s) = (nearest(codebooks(s), slice) & 0xFF).toByte
+      s += 1
+    }
+    var norm = 0.0
+    var j = 0
+    while (j < dim) { norm += v(j) * v(j); j += 1 }
+    (cell, codes, math.sqrt(norm))
+  }
+
+  val TrainIters = 15
+}
+
+private[operators] object PqIndex {
+  import org.apache.spark.ml.linalg.Vectors
+
+  private def loadCodebooks(spark: SparkSession, path: String,
+      op: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/pq")
+      .select("subspace", "code", "center").collect()
+    if (rows.isEmpty) throw new GraftConfigError(
+      s"$op: the index at $path has an empty pq/ codebook dir — rebuild with " +
+      "index.build type=ivfpq mode=overwrite")
+    val m = rows.map(_.getInt(0)).max + 1
+    val books = Array.ofDim[Array[Array[Double]]](m)
+    rows.groupBy(_.getInt(0)).foreach { case (s, rs) =>
+      books(s) = rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+    }
+    books
+  }
+
+  /** index.build type=ivfpq. mode=overwrite trains; mode=append reuses the
+    * FROZEN quantizer + codebooks (retraining either would fork the code
+    * space — old rows' codes would decode against new codebooks). */
+  def build(ctx: StageContext): Unit = {
+    val cfg = ctx.cfg
+    if (cfg.strOr("mode", "overwrite") == "append") return append(ctx)
+    if (cfg.strOr("mode", "overwrite") != "overwrite") throw new GraftConfigError(
+      s"index.build: mode must be overwrite|append, got '${cfg.strOr("mode", "")}'")
+    val path = cfg.str("path")
+    val vecCol = cfg.strOr("vector_column", "embedding")
+    val nlist = cfg.longOr("nlist", 16L).toInt
+    val m = cfg.longOr("m", 8L).toInt
+    val ksub = cfg.longOr("ksub", 256L).toInt
+    val seed = cfg.longOr("seed", 11L)
+    val maxTrain = cfg.longOr("max_train", 10000L).toInt
+    if (nlist < 1) throw new GraftConfigError("index.build type=ivfpq: nlist must be >= 1")
+    if (m < 1) throw new GraftConfigError("index.build type=ivfpq: m must be >= 1")
+    if (ksub < 2 || ksub > 256) throw new GraftConfigError(
+      s"index.build type=ivfpq: ksub must be in [2, 256] (codes are one byte per subspace), got $ksub")
+    Seq("cell", "pq_codes", "pq_vnorm").foreach(c =>
+      if (ctx.primary.columns.contains(c)) throw new GraftConfigError(
+        s"index.build type=ivfpq: input already has a '$c' column — rename it; " +
+        "the index layout reserves cell/pq_codes/pq_vnorm"))
+
+    val sample = ctx.primary.select(F.col(vecCol).cast("array<double>"))
+      .limit(maxTrain).collect().map(_.getSeq[Double](0).toArray)
+    if (sample.isEmpty) throw new GraftPlanError(
+      "index.build type=ivfpq: empty input, nothing to train the quantizer on")
+    val dim = sample(0).length
+    if (dim % m != 0) throw new GraftConfigError(
+      s"index.build type=ivfpq: vector dim $dim is not divisible by m=$m subquantizers")
+
+    val cents = Pq.lloyd(sample, nlist, Pq.TrainIters, seed)
+    val residuals = sample.map { v =>
+      val c = cents(Pq.nearest(cents, v))
+      Array.tabulate(dim)(j => v(j) - c(j))
+    }
+    val books = Pq.trainCodebooks(residuals, m, ksub, Pq.TrainIters, seed)
+
+    writeCorpus(ctx, path, vecCol, cents, books, "overwrite")
+
+    val spark = ctx.spark
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    books.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.map { case (ctr, code) => (s, code, ctr.toSeq) }
+    }.toSeq.toDF("subspace", "code", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    // ksub records the EFFECTIVE codebook size (lloyd clamps to the
+    // distinct sample count), so probes and appends see the truth
+    Seq((nlist, m, books(0).length, dim, seed))
+      .toDF("nlist", "m", "ksub", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def append(ctx: StageContext): Unit = {
+    val cfg = ctx.cfg
+    val path = cfg.str("path")
+    val vecCol = cfg.strOr("vector_column", "embedding")
+    val spark = ctx.spark
+    if (!GraftFs.isDir(s"$path/pq") || !GraftFs.isDir(s"$path/centroids") ||
+        !GraftFs.isDir(s"$path/meta"))
+      throw new GraftConfigError(
+        s"index.build type=ivfpq mode=append: no complete ivfpq index at $path " +
+        "(quantizer and codebooks are frozen at first build); run mode=overwrite first")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (mM, mKsub, mDim, mSeed) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"),
+      meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
+    // validate only the knobs the caller explicitly passed — the stored
+    // values are facts of the frozen index, not re-derivable inputs
+    cfg.longOpt("m").foreach(v => if (v.toInt != mM) throw new GraftConfigError(
+      s"index.build type=ivfpq mode=append: m=$v differs from the index at $path (m=$mM)"))
+    cfg.longOpt("ksub").foreach(v => if (v.toInt != mKsub) throw new GraftConfigError(
+      s"index.build type=ivfpq mode=append: ksub=$v differs from the index at $path (ksub=$mKsub)"))
+    cfg.longOpt("seed").foreach(v => if (v != mSeed) throw new GraftConfigError(
+      s"index.build type=ivfpq mode=append: seed=$v differs from the index at $path (seed=$mSeed)"))
+    ctx.primary.select(F.size(F.col(vecCol))).head(1).headOption.foreach { r =>
+      if (r.getInt(0) != mDim) throw new GraftConfigError(
+        s"index.build type=ivfpq mode=append: input vectors have length ${r.getInt(0)} " +
+        s"but the index at $path was built with dim = $mDim")
+    }
+    val cents = IvfCentroids.load(spark, path, "index.build type=ivfpq mode=append")
+      .map(_._2.toArray)
+    val books = loadCodebooks(spark, path, "index.build type=ivfpq mode=append")
+    writeCorpus(ctx, path, vecCol, cents, books, "append")
+  }
+
+  /** The one distributed pass: encode every row (cell + codes + norm) and
+    * write cell-partitioned. Both the centroid array and the codebooks are
+    * small (nlist·dim + m·ksub·dsub doubles) and ride the UDF closure —
+    * an executor-side broadcast, nothing scales with the corpus. */
+  private def writeCorpus(ctx: StageContext, path: String, vecCol: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      mode: String): Unit = {
+    val enc = F.udf { v: Seq[Double] =>
+      val (cell, codes, norm) = Pq.encode(v.toArray, cents, books)
+      (cell, codes, norm)
+    }
+    ctx.primary
+      .withColumn("_enc", enc(F.col(vecCol).cast("array<double>")))
+      .withColumn("cell", F.col("_enc._1"))
+      .withColumn("pq_codes", F.col("_enc._2"))
+      .withColumn("pq_vnorm", F.col("_enc._3"))
+      .drop("_enc")
+      .repartition(F.col("cell"))
+      .write.mode(mode).partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
+  }
+
+  /** Single-query ADC probe for knn.ivf (index_path with a pq/ dir).
+    * Output contract matches knn.ivf exactly: (idCol, cosine) top-k. */
+  def probeSingle(ctx: StageContext, path: String, idCol: String,
+      vecCol: String, k: Int, nprobe0: Int, q: Seq[Double]): DataFrame = {
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val rerank = cfg.longOr("rerank", 4L).toInt
+    if (rerank < 0) throw new GraftConfigError(
+      s"knn.ivf: rerank must be >= 0 (0 = return ADC scores unreranked), got $rerank")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val m = meta.getAs[Int]("m")
+    val dim = meta.getAs[Int]("dim")
+    if (q.length != dim) throw new GraftConfigError(
+      s"knn.ivf: query vector has length ${q.length} but the index at $path has dim = $dim")
+    val centsT = IvfCentroids.load(spark, path, "knn.ivf")
+    val cents = centsT.map(_._2.toArray)
+    val books = loadCodebooks(spark, path, "knn.ivf")
+    val dsub = dim / m
+    val qa = q.toArray
+    val nprobe = math.min(nprobe0, cents.length)
+    val probed = IvfCentroids.nearest(centsT, Vectors.dense(qa), nprobe)
+
+    // driver-side ADC tables for THIS query: dot(q, centroid[cell]) per
+    // cell, and dot(q_s, codebook[s][code]) per (subspace, code) — nlist +
+    // m·ksub doubles, rebuilt per query, never touching the corpus
+    val dotQC: Array[Double] = cents.map { c =>
+      var d = 0.0; var j = 0
+      while (j < dim) { d += qa(j) * c(j); j += 1 }
+      d
+    }
+    val table: Array[Array[Double]] = Array.tabulate(m) { s =>
+      books(s).map { ctr =>
+        var d = 0.0; var j = 0
+        while (j < dsub) { d += qa(s * dsub + j) * ctr(j); j += 1 }
+        d
+      }
+    }
+    var qn = 0.0
+    qa.foreach(x => qn += x * x)
+    val qnorm = math.sqrt(qn)
+
+    val adc = F.udf { (cell: Int, codes: Array[Byte], vnorm: Double) =>
+      if (vnorm == 0.0 || qnorm == 0.0) 0.0
+      else {
+        var dot = dotQC(cell)
+        var s = 0
+        while (s < m) { dot += table(s)(codes(s) & 0xFF); s += 1 }
+        dot / (qnorm * vnorm)
+      }
+    }
+
+    val corpus = spark.read.parquet(IndexSnapshot.corpusDir(path))
+      .filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+    // narrow scan: id + cell + codes + norm ONLY — parquet column pruning
+    // keeps the raw vector bytes unread (PqIndexSpec pins the ReadSchema)
+    val scored = corpus.select(F.col(idCol), F.col("cell"),
+        F.col("pq_codes"), F.col("pq_vnorm"))
+      .withColumn("_approx", adc(F.col("cell"), F.col("pq_codes"), F.col("pq_vnorm")))
+
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val qLit = F.array(q.map(F.lit): _*)
+    if (rerank == 0) {
+      scored.orderBy(F.col("_approx").desc, F.col(idCol).asc).limit(k)
+        .select(F.col(idCol), F.round(F.col("_approx"), 6).alias("cosine"))
+    } else {
+      // candidates by ADC, then EXACT cosine on just those ids — the raw
+      // vector column is read only here, for rerank·k rows' worth of the
+      // already-pruned cells, broadcast-joined (candidates are tiny)
+      val cand = scored.orderBy(F.col("_approx").desc, F.col(idCol).asc)
+        .limit(math.min(Int.MaxValue.toLong, rerank.toLong * k).toInt)
+        .select(F.col(idCol))
+      val cos = F.call_function("cosine_sim",
+        F.col(vecCol).cast("array<double>"), qLit)
+      corpus.select(F.col(idCol), F.col(vecCol))
+        .join(F.broadcast(cand), Seq(idCol))
+        .withColumn("cosine", F.round(cos, 6))
+        .select(F.col(idCol), F.col("cosine"))
+        .orderBy(F.col("cosine").desc, F.col(idCol).asc)
+        .limit(k)
+    }
+  }
+}

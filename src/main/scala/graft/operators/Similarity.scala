@@ -770,11 +770,16 @@ object KnnIvfOp extends Stage {
             s"knn.ivf: no index at '$path' — run an index.build stage first " +
             "(note: the CLI `explain` command never builds indexes)")
         IndexMaintenance.recoverSwap(path) // repair a mid-swap compact crash
-        val cents = IvfCentroids.load(spark, path, "knn.ivf")
-        val nprobe = math.min(nprobe0, cents.length)
-        val probed = IvfCentroids.nearest(cents, qv, nprobe)
-        topk(spark.read.parquet(IndexSnapshot.corpusDir(path))
-          .filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*)))
+        if (GraftFs.isDir(s"$path/pq"))
+          // ivfpq layout: ADC over m-byte codes + exact rerank (PqIndex)
+          PqIndex.probeSingle(ctx, path, idCol, vecCol, k, nprobe0, q)
+        else {
+          val cents = IvfCentroids.load(spark, path, "knn.ivf")
+          val nprobe = math.min(nprobe0, cents.length)
+          val probed = IvfCentroids.nearest(cents, qv, nprobe)
+          topk(spark.read.parquet(IndexSnapshot.corpusDir(path))
+            .filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*)))
+        }
       case None =>
         import org.apache.spark.ml.clustering.KMeans
         val nlist = cfg.longOr("nlist", 16L).toInt

@@ -134,13 +134,14 @@ object IndexBuildOp extends Stage {
         }
       cfg.strOr("type", "ivf") match {
         case "ivf" => buildIvf(ctx)
+        case "ivfpq" => PqIndex.build(ctx)
         case "lsh" => buildLsh(ctx)
         case "minhash" => buildMinhash(ctx)
         case "ngram" => buildNgram(ctx)
         case "simhash" => buildSimhash(ctx)
         case "exact" => buildExact(ctx)
         case other => throw new GraftConfigError(
-          s"index.build type must be ivf|lsh|minhash|ngram|simhash|exact, got '$other'")
+          s"index.build type must be ivf|ivfpq|lsh|minhash|ngram|simhash|exact, got '$other'")
       }
     }
     // BOTH modes claim the shared writer lease. Append is the same

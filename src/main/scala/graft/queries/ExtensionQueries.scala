@@ -861,6 +861,44 @@ object ExtensionQueries {
         "k" -> 10, "nprobe" -> 16, "index_path" -> idx)))
     },
 
+    // ---- type=ivfpq (r11): product-quantized IVF — the corpus stores
+    // m-byte PQ codes next to the raw vectors (columnar, so the ADC scan
+    // reads codes only: the 4·dim/m I/O win at 100 TB); the probe scores
+    // by asymmetric distance then reranks candidates exactly. nprobe =
+    // nlist + a covering rerank (rerank·k ≥ corpus) re-scores everything
+    // exactly, so the whole encode→ADC→rerank pipeline must reproduce
+    // brute force bit-for-bit against the same DuckDB oracle.
+    QueryDef("knn_ivfpq_exhaustive",
+      """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cosine
+        |FROM embeddings ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_pqex_idx").toString
+      IndexBuildOp(StageContext.one(s, emb, Cfg.of(
+        "type" -> "ivfpq", "path" -> idx, "vector_column" -> "embedding",
+        "nlist" -> 16, "m" -> 8, "ksub" -> 16, "seed" -> 11)))
+      KnnIvfOp(StageContext.one(s, emb, Cfg.of(
+        "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "k" -> 10, "nprobe" -> 16, "rerank" -> 1000, "index_path" -> idx)))
+    },
+    // realistic PQ probe (pruned cells, bounded rerank): recall depends on
+    // the engine's codebooks → rows-only, like the other pruned ANN gates.
+    // The index is built once per sf dir and reused, so Bench's second rep
+    // measures the pure narrow-scan ADC probe.
+    QueryDef.noOracle("knn_ivfpq") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val idx = "/tmp/graft_ivfpq_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val marker = new java.io.File(s"$idx/pq/_SUCCESS")
+      val fixture = new java.io.File(s"$d/embeddings.parquet")
+      if (!marker.exists() || marker.lastModified() < fixture.lastModified())
+        IndexBuildOp(StageContext.one(s, emb, Cfg.of(
+          "type" -> "ivfpq", "path" -> idx, "vector_column" -> "embedding",
+          "nlist" -> 16, "m" -> 8, "ksub" -> 16, "seed" -> 11)))
+      KnnIvfOp(StageContext.one(s, emb, Cfg.of(
+        "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "k" -> 10, "nprobe" -> 4, "rerank" -> 4, "index_path" -> idx)))
+    },
+
     // multi-probe LSH at probe_hamming = width: every block probes its
     // ENTIRE bucket space, so the index probe provably covers the whole
     // corpus and must return EXACTLY the brute-force answer (same oracle)
