@@ -163,7 +163,7 @@ private[graft] object Pq {
 private[operators] object PqIndex {
   import org.apache.spark.ml.linalg.Vectors
 
-  private def loadCodebooks(spark: SparkSession, path: String,
+  def loadCodebooks(spark: SparkSession, path: String,
       op: String): Array[Array[Array[Double]]] = {
     val rows = spark.read.parquet(s"$path/pq")
       .select("subspace", "code", "center").collect()

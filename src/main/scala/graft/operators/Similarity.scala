@@ -183,14 +183,16 @@ object KnnJoinOp extends Stage {
         val family =
           if (placeholder) cfg.strOr("index_type", "lsh") match {
             case "ivf" => "ivf"
+            case "ivfpq" => "ivfpq"
             case "lsh" =>
               if (cfg.strOr("blocking", "pigeonhole") == "bands") "lsh_bands" else "lsh_pigeonhole"
             case other => throw new GraftConfigError(
-              s"knn.join: index_type must be lsh|ivf, got '$other'")
+              s"knn.join: index_type must be lsh|ivf|ivfpq, got '$other'")
           }
           else IndexMaintenance.layout(ctx.spark, path, "knn.join") match {
             case ("lsh", cols) => if (cols.contains("band")) "lsh_bands" else "lsh_pigeonhole"
             case ("ivf", _)    => "ivf"
+            case ("ivfpq", _)  => "ivfpq"
             case (fam, _) => throw new GraftConfigError(
               s"knn.join: the index at $path is a $fam text index, not a vector index")
           }
@@ -204,6 +206,9 @@ object KnnJoinOp extends Stage {
           case "ivf" =>
             ivfPairs(ctx, path, placeholder, explainOnly, qSide, queries,
               qId, qVec, cId, cVec)
+          case "ivfpq" =>
+            ivfpqPairs(ctx, path, placeholder, explainOnly, qSide, queries,
+              qId, qVec, cId, cVec, k)
         }
 
       case None =>
@@ -231,19 +236,36 @@ object KnnJoinOp extends Stage {
       StructField("query_id", queries.schema(qId).dataType),
       StructField("corpus_id", corpusIdType),
       StructField("cosine", DoubleType)))
+    val partial = heapTopK(pairs, k, outSchema)
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("corpus_id").asc)
+    // index modes: a pair can reach two partitions' heaps (multi-block
+    // collisions land in different shuffle partitions); its copies carry
+    // the same (cosine, corpus_id), so deduping the bounded heap output —
+    // not the raw candidate stream — is exact and cheap. The brute-force
+    // cross join produces each pair once; no dedup, no extra exchange.
+    val merged = if (indexPath.isDefined) partial.dropDuplicates("query_id", "corpus_id")
+                 else partial
+    merged.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+  }
+
+  /** Bounded per-partition top-k heaps over a (query_id, corpus_id, cosine)
+    * pair stream — the shared reducer of every knn.join mode. One bounded
+    * ordered set per query: first() is the worst kept entry (lowest cosine;
+    * among equal cosines the LARGEST corpus id, so eviction prefers the ids
+    * the final ascending tie-break keeps). A TreeSet instead of a
+    * PriorityQueue so a pair scored twice in one partition (multi-band/
+    * multi-block collisions in the index modes) collapses on insert —
+    * compare == 0 is rejected — and never displaces a distinct candidate;
+    * cross-partition duplicates are removed on the merged (narrow,
+    * |Q|·partitions·k-bounded) heap output at the call site, NOT with a
+    * global pair-dedup exchange of the whole candidate stream before the
+    * heaps (the r6 finding-3 shape). */
+  private def heapTopK(pairs: DataFrame, k: Int, outSchema: StructType): DataFrame = {
     @inline def idLt(a: Any, b: Any): Boolean =
       a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-    val partial = pairs.mapPartitions { it =>
-      // one bounded ordered set per query: first() is the worst kept entry
-      // (lowest cosine; among equal cosines the LARGEST corpus id, so
-      // eviction prefers the ids the final ascending tie-break keeps). A
-      // TreeSet instead of a PriorityQueue so a pair scored twice in one
-      // partition (multi-band/multi-block collisions in the index modes)
-      // collapses on insert — compare == 0 is rejected — and never
-      // displaces a distinct candidate; cross-partition duplicates are
-      // removed on the merged (narrow, |Q|·partitions·k-bounded) heap
-      // output below, NOT with a global pair-dedup exchange of the whole
-      // candidate stream before the heaps (the r6 finding-3 shape).
+    pairs.mapPartitions { it =>
       val heaps = new java.util.HashMap[Any, java.util.TreeSet[(Double, Any)]]()
       val cmp = new java.util.Comparator[(Double, Any)] {
         def compare(a: (Double, Any), b: (Double, Any)): Int = {
@@ -265,17 +287,6 @@ object KnnJoinOp extends Stage {
       heaps.forEach((q, ts) => ts.forEach { case (cos, cid) => out += Row(q, cid, cos) })
       out.iterator
     }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema))
-
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(F.col("cosine").desc, F.col("corpus_id").asc)
-    // index modes: a pair can reach two partitions' heaps (multi-block
-    // collisions land in different shuffle partitions); its copies carry
-    // the same (cosine, corpus_id), so deduping the bounded heap output —
-    // not the raw candidate stream — is exact and cheap. The brute-force
-    // cross join produces each pair once; no dedup, no extra exchange.
-    val merged = if (indexPath.isDefined) partial.dropDuplicates("query_id", "corpus_id")
-                 else partial
-    merged.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
   }
 
   /** LSH pigeonhole probe: each query's block keys (optionally widened to
@@ -467,6 +478,10 @@ object KnnJoinOp extends Stage {
     val nprobe0 = cfg.longOr("nprobe", 4L).toInt
     if (nprobe0 < 1) throw new GraftConfigError(
       s"knn.join: nprobe must be >= 1, got $nprobe0")
+    if (cfg.has("rerank")) throw new GraftConfigError(
+      "knn.join: rerank applies only to an ivfpq index (this index is " +
+      "IVF-flat — its probe already scores exactly); rebuild with " +
+      "index.build type=ivfpq to get the ADC + rerank path")
     if (placeholder) {
       // empty probe typed like the query side — the plan shape without
       // touching (or requiring) the index
@@ -506,6 +521,120 @@ object KnnJoinOp extends Stage {
     val idx = corpusF.select(F.col("cell"),
       F.col(cId).alias("corpus_id"), F.col(cVec).cast("array<double>").alias("_cv"))
     (scored(qCells.join(idx, Seq("cell"))), corpus0.schema(cId).dataType)
+  }
+
+  /** IVFPQ batch probe (index.build type=ivfpq): same cell pruning as the
+    * ivf probe, but the candidate join reads ONLY the m-byte code columns
+    * (parquet column pruning — the scan-I/O win at corpus scale) and
+    * scores pairs approximately from the broadcast codebooks; per-query
+    * bounded heaps keep the top rerank·k candidates, which then re-score
+    * EXACTLY against the vector column of the same pruned cells. rerank·k
+    * ≥ the probed-cell row count makes the result identical to the ivf
+    * probe (the knn_join_ivfpq_exhaustive gate); `rerank = 0` returns the
+    * approximate scores unreranked. Note the batch shape differs from the
+    * single-query ADC: the m×ksub lookup table is per QUERY, so batch
+    * scoring computes the subspace dots inline (2·dim mults/pair instead
+    * of m lookups) — the scan-bytes reduction is the scale win, not the
+    * per-pair arithmetic (measured in ScaleProbe's ivfpq mode). */
+  private def ivfpqPairs(ctx: StageContext, path: String, placeholder: Boolean,
+      explainOnly: Boolean, qSide: DataFrame, queries: DataFrame,
+      qId: String, qVec: String, cId: String, cVec: String, k: Int): (DataFrame, DataType) = {
+    import org.apache.spark.ml.linalg.Vectors
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    val nprobe0 = cfg.longOr("nprobe", 4L).toInt
+    if (nprobe0 < 1) throw new GraftConfigError(
+      s"knn.join: nprobe must be >= 1, got $nprobe0")
+    val rerank = cfg.longOr("rerank", 4L).toInt
+    if (rerank < 0) throw new GraftConfigError(
+      s"knn.join: rerank must be >= 0 (0 = return ADC scores unreranked), got $rerank")
+    if (placeholder) {
+      val emptySchema = StructType(Seq(
+        StructField("query_id", queries.schema(qId).dataType),
+        StructField("corpus_id", queries.schema(qId).dataType),
+        StructField("cosine", DoubleType)))
+      return (spark.createDataFrame(spark.sparkContext.emptyRDD[Row], emptySchema),
+        queries.schema(qId).dataType)
+    }
+    IndexMaintenance.recoverSwap(path)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val m = meta.getAs[Int]("m")
+    val dim = meta.getAs[Int]("dim")
+    val dsub = dim / m
+    val centsT = IvfCentroids.load(spark, path, "knn.join mode=ivfpq")
+    val cents = centsT.map(_._2.toArray)
+    val books = PqIndex.loadCodebooks(spark, path, "knn.join mode=ivfpq")
+    if (!explainOnly) checkQueryDim(qSide, path, dim)
+    val nprobe = math.min(nprobe0, cents.length)
+    val nearestCells = F.udf { v: Seq[Double] =>
+      IvfCentroids.nearest(centsT, Vectors.dense(v.toArray), nprobe).toSeq
+    }
+    val qCells = qSide.withColumn("cell", F.explode(nearestCells(F.col("_qv"))))
+    val corpus0 = spark.read.parquet(IndexSnapshot.corpusDir(path))
+    (Seq(cId, "pq_codes", "pq_vnorm") ++ (if (rerank > 0) Seq(cVec) else Nil))
+      .foreach(c => if (!corpus0.columns.contains(c)) throw new GraftPlanError(
+        s"knn.join: index at $path has no '$c' column (has: ${corpus0.columns.mkString(", ")}) " +
+        "— right_id/right_vector must name the indexed columns"))
+    requireOrderable(cId, corpus0.schema(cId).dataType)
+    val probed: Seq[Int] =
+      if (explainOnly) Seq.empty
+      else qCells.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val corpusF =
+      if (probed.isEmpty && !explainOnly) corpus0.filter(F.lit(false))
+      else if (explainOnly) corpus0
+      else corpus0.filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+
+    // approximate pair score from the broadcast quantizers — reads only
+    // the narrow code columns of the pruned cells
+    val approx = F.udf { (qv: Seq[Double], cell: Int, codes: Array[Byte], vnorm: Double) =>
+      val qa = qv.toArray
+      var qn = 0.0
+      var j = 0
+      while (j < qa.length) { qn += qa(j) * qa(j); j += 1 }
+      if (vnorm == 0.0 || qn == 0.0) 0.0
+      else {
+        val ctr = cents(cell)
+        var dot = 0.0
+        j = 0
+        while (j < qa.length) { dot += qa(j) * ctr(j); j += 1 }
+        var s = 0
+        while (s < m) {
+          val sub = books(s)(codes(s) & 0xFF)
+          var d = 0
+          while (d < dsub) { dot += qa(s * dsub + d) * sub(d); d += 1 }
+          s += 1
+        }
+        dot / (math.sqrt(qn) * vnorm)
+      }
+    }
+    val codesIdx = corpusF.select(F.col("cell"), F.col(cId).alias("corpus_id"),
+      F.col("pq_codes"), F.col("pq_vnorm"))
+    val approxPairs = qCells.join(codesIdx, Seq("cell"))
+      .select(F.col("query_id"), F.col("corpus_id"),
+        approx(F.col("_qv"), F.col("cell"), F.col("pq_codes"), F.col("pq_vnorm"))
+          .alias("cosine"))
+      .filter(F.col("cosine").isNotNull && !F.isnan(F.col("cosine")))
+    val cIdType = corpus0.schema(cId).dataType
+
+    if (rerank == 0)
+      // approximate mode: the shared final heap/window ranks the rounded
+      // ADC scores directly
+      (approxPairs.withColumn("cosine", F.round(F.col("cosine"), 6)), cIdType)
+    else {
+      // candidate bound at rerank·k per query, then exact re-score: the
+      // vector column is read only here, for the candidates' pruned cells
+      val kPrime = math.min(Int.MaxValue.toLong, rerank.toLong * k).toInt
+      val candSchema = StructType(Seq(
+        StructField("query_id", queries.schema(qId).dataType),
+        StructField("corpus_id", cIdType),
+        StructField("cosine", DoubleType)))
+      val cand = heapTopK(approxPairs, kPrime, candSchema)
+        .dropDuplicates("query_id", "corpus_id")
+        .select("query_id", "corpus_id")
+      val cVecs = corpusF.select(F.col(cId).alias("corpus_id"),
+        F.col(cVec).cast("array<double>").alias("_cv"))
+      (scored(cand.join(cVecs, Seq("corpus_id")).join(qSide, Seq("query_id"))), cIdType)
+    }
   }
 }
 
@@ -774,6 +903,10 @@ object KnnIvfOp extends Stage {
           // ivfpq layout: ADC over m-byte codes + exact rerank (PqIndex)
           PqIndex.probeSingle(ctx, path, idCol, vecCol, k, nprobe0, q)
         else {
+          if (cfg.has("rerank")) throw new GraftConfigError(
+            "knn.ivf: rerank applies only to an ivfpq index (this index is " +
+            "IVF-flat — its probe already scores exactly); rebuild with " +
+            "index.build type=ivfpq to get the ADC + rerank path")
           val cents = IvfCentroids.load(spark, path, "knn.ivf")
           val nprobe = math.min(nprobe0, cents.length)
           val probed = IvfCentroids.nearest(cents, qv, nprobe)
@@ -781,6 +914,9 @@ object KnnIvfOp extends Stage {
             .filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*)))
         }
       case None =>
+        if (cfg.has("rerank")) throw new GraftConfigError(
+          "knn.ivf: rerank applies only to an index_path probe of an ivfpq " +
+          "index; the inline mode trains IVF-flat and scores exactly")
         import org.apache.spark.ml.clustering.KMeans
         val nlist = cfg.longOr("nlist", 16L).toInt
         val nprobe = math.min(nprobe0, nlist)

@@ -861,6 +861,31 @@ object ExtensionQueries {
         "k" -> 10, "nprobe" -> 16, "index_path" -> idx)))
     },
 
+    // batch ANN against an ivfpq index: every cell probed + covering
+    // rerank (rerank·k ≥ corpus) → the encode→ADC-candidates→exact-rerank
+    // batch pipeline must equal batch brute force (same oracle as the ivf
+    // batch gate) — closes the knn.join index-mode matrix (pigeonhole /
+    // bands / ivf / ivfpq).
+    QueryDef("knn_join_ivfpq_exhaustive",
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+        |pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+        |  round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |        CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM q CROSS JOIN embeddings c),
+        |ranked AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
+        |  FROM pairs)
+        |SELECT query_id, corpus_id, cosine, rank FROM ranked WHERE rank <= 7""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_kjpq_idx").toString
+      IndexBuildOp(StageContext.one(s, emb, Cfg.of(
+        "type" -> "ivfpq", "path" -> idx, "vector_column" -> "embedding",
+        "nlist" -> 16, "m" -> 8, "ksub" -> 16, "seed" -> 11)))
+      KnnJoinOp(StageContext.one(s, emb.filter(F.col("vec_id") < 5), Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 7,
+        "index_path" -> idx, "nprobe" -> 16, "rerank" -> 300)))
+    },
+
     // ---- type=ivfpq (r11): product-quantized IVF — the corpus stores
     // m-byte PQ codes next to the raw vectors (columnar, so the ADC scan
     // reads codes only: the 4·dim/m I/O win at 100 TB); the probe scores

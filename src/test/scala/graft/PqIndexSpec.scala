@@ -210,6 +210,71 @@ class PqIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("256"))
   }
 
+  // ---- batch probe (knn.join) ----
+
+  test("knn.join ivfpq with covering rerank equals batch brute force") {
+    val dir = buildPq()
+    val F2 = org.apache.spark.sql.functions
+    val q = emb.filter(F2.col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaPq = rows(graft.operators.KnnJoinOp(StageContext.one(spark, q, Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 7,
+      "index_path" -> dir, "nprobe" -> 8, "rerank" -> 100))))
+    val brute = rows(graft.operators.KnnJoinOp(StageContext(spark,
+      Seq("q" -> q, "c" -> emb), Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 7))))
+    assert(viaPq === brute)
+  }
+
+  test("knn.join ivfpq candidate scan stays narrow and cell-pruned") {
+    val dir = buildPq()
+    val F2 = org.apache.spark.sql.functions
+    val probe = graft.operators.KnnJoinOp(StageContext.one(spark,
+      emb.filter(F2.col("vec_id") < 5), Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 7,
+      "index_path" -> dir, "nprobe" -> 2, "rerank" -> 3)))
+    probe.collect()
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p +: (p.children.flatMap(flatten) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => flatten(q.plan)
+        case _ => Seq.empty
+      }))
+    val scans = flatten(probe.queryExecution.executedPlan).collect {
+      case f: FileSourceScanExec if f.relation.location.rootPaths
+        .exists(_.toString.contains("corpus")) => f
+    }
+    assert(scans.nonEmpty, "expected corpus file scans")
+    val narrow = scans.filter(_.requiredSchema.fieldNames.contains("pq_codes"))
+    assert(narrow.nonEmpty, "the ADC candidate scan must read pq_codes")
+    narrow.foreach { s =>
+      assert(!s.requiredSchema.fieldNames.contains("embedding"),
+        s"candidate scan must not read vectors (ReadSchema: ${s.requiredSchema.fieldNames.toSet})")
+      assert(s.partitionFilters.nonEmpty, "cell IN (...) must prune at planning time")
+    }
+  }
+
+  test("rerank on a flat ivf index fails loud (single-query and batch)") {
+    val F2 = org.apache.spark.sql.functions
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_flat").toString
+    IndexBuildOp(StageContext.one(spark, emb, Cfg.of(
+      "type" -> "ivf", "path" -> dir, "vector_column" -> "embedding",
+      "nlist" -> 8, "seed" -> 11)))
+    val e1 = intercept[GraftConfigError] {
+      KnnIvfOp(StageContext.one(spark, emb, Cfg.of(
+        "query_id" -> 0, "k" -> 10, "index_path" -> dir, "rerank" -> 4)))
+    }
+    assert(e1.getMessage.contains("ivfpq"))
+    val e2 = intercept[GraftConfigError] {
+      graft.operators.KnnJoinOp(StageContext.one(spark,
+        emb.filter(F2.col("vec_id") < 5), Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding", "k" -> 7,
+        "index_path" -> dir, "rerank" -> 4)))
+    }
+    assert(e2.getMessage.contains("ivfpq"))
+  }
+
   // ---- lifecycle: compact + stats see the family ----
 
   test("index.compact preserves ivfpq probe results; index.stats reports the family") {
