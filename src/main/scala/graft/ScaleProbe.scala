@@ -668,21 +668,10 @@ object ScaleProbe {
     // parquet footers — the bytes a column-pruned scan of the WHOLE corpus
     // would read (per-probe bytes are nprobe/nlist of this; the ratio is
     // the same)
-    def chunkBytes(idx: String, cols: Set[String]): Long = {
-      import scala.jdk.CollectionConverters._
-      val conf = spark.sessionState.newHadoopConf()
-      IndexSnapshot.files(IndexSnapshot.corpusDir(idx), s"ivfpq probe: no corpus at $idx")
-        .map { f =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getFooter.getBlocks.asScala
-            .flatMap(_.getColumns.asScala)
-            .filter(c => cols.contains(c.getPath.iterator.next()))
-            .map(_.getTotalSize).sum
-          finally r.close()
-        }.sum
-    }
+    def chunkBytes(idx: String, cols: Set[String]): Long =
+      PqIndex.columnChunkBytes(spark,
+        IndexSnapshot.files(IndexSnapshot.corpusDir(idx), s"ivfpq probe: no corpus at $idx"),
+        cols)
     val flatScanBytes = chunkBytes(idxFlat, Set("vec_id", "embedding"))
     val adcScanBytes = chunkBytes(idxPq, Set("vec_id", "pq_codes", "pq_vnorm"))
 

@@ -65,6 +65,7 @@ object Docs {
     // enrichment / row-level
     "http.fetch" -> "per-row HTTP enrichment on executors - url template, concurrency (in-flight), rate_limit_per_sec (launch pacing per partition), mock",
     "ai.generate" -> "LLM enrichment - provider, model, prompt template, output_column, concurrency, rate_limit_per_sec, mock",
+    "ai.embed" -> "per-row embedding generation (the vector-pipeline first step: ai.embed -> index.build -> knn/dedup) - provider=openai|openrouter|ollama, model, column, output_column (array<float>), concurrency, rate_limit_per_sec; mock=true + dim = deterministic offline unit vectors",
     "encrypt.apply" -> "encrypt columns - columns, algorithm: aes128-gcm|aes256-gcm|chacha20, key_env",
     "decrypt.apply" -> "decrypt columns (null per value on failure) - columns, algorithm, key_env",
     // training-data

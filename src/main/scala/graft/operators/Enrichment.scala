@@ -257,3 +257,173 @@ object AiGenerateOp extends Stage {
     }(enc)
   }
 }
+
+/** ai.embed — per-row embedding generation, the missing first step of the
+  * vector pipeline (ai.embed → index.build type=ivf|ivfpq|lsh → knn/dedup).
+  * The reference stops at text generation (ai.rs has no embeddings
+  * transform); this is part of the training-data surface the brief asks
+  * for beyond parity. Same mapPartitions + bounded-async harness as
+  * http.fetch / ai.generate.
+  *
+  * Providers (public, vendor-documented REST shapes): `openai` /
+  * `openrouter` POST {base}/v1/embeddings {"model","input"} → float array
+  * at data[0].embedding; `ollama` POST {base}/api/embeddings
+  * {"model","prompt"} → at embedding. `anthropic` fails loud (no public
+  * embeddings endpoint — its docs direct to third-party embedders).
+  * Responses parse executor-side with the in-repo JSON parser
+  * (graft.js.JsValue.parseJson); a malformed response yields null, the
+  * harness's uniform failure value.
+  *
+  * `mock = true` (this zero-egress environment): a DETERMINISTIC unit
+  * vector of `dim` (default 64) derived from the text bytes via
+  * splitmix64 — same text, same vector, on any partitioning — so whole
+  * offline pipelines (embed → index → probe) run and their downstream
+  * stages stay plan-identical to production.
+  */
+object AiEmbedOp extends Stage {
+  val name = "ai.embed"
+  val kind = StageKind.Transform
+
+  def endpoint(provider: String, baseUrl: Option[String]): String = provider match {
+    case "openai"     => baseUrl.getOrElse("https://api.openai.com") + "/v1/embeddings"
+    case "openrouter" => baseUrl.getOrElse("https://openrouter.ai/api") + "/v1/embeddings"
+    case "ollama"     => baseUrl.getOrElse("http://localhost:11434") + "/api/embeddings"
+    case "anthropic"  => throw new GraftConfigError(
+      "ai.embed: provider 'anthropic' has no public embeddings endpoint — " +
+      "use openai, openrouter, or ollama")
+    case other => throw new GraftConfigError(s"unknown provider '$other'")
+  }
+
+  def requestBody(provider: String, model: String, text: String): String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    provider match {
+      case "openai" | "openrouter" =>
+        s"""{"model":"${esc(model)}","input":"${esc(text)}"}"""
+      case "ollama" =>
+        s"""{"model":"${esc(model)}","prompt":"${esc(text)}"}"""
+      case other => throw new GraftConfigError(s"unknown provider '$other'")
+    }
+  }
+
+  /** Embedding array out of a provider response body; null on any
+    * mismatch (the harness's uniform failure value — same contract as
+    * http.fetch's null on transport failure). */
+  def parseEmbedding(provider: String, body: String): Array[Float] = {
+    import graft.js._
+    try {
+      def field(v: JsVal, k: String): JsVal = v match {
+        case o: JsObj => o.fields.getOrElse(k, JsUndefined)
+        case _ => JsUndefined
+      }
+      val root = JsVal.parseJson(body)
+      val arr = provider match {
+        case "ollama" => field(root, "embedding")
+        case _ => field(root, "data") match {
+          case a: JsArr if a.items.nonEmpty => field(a.items(0), "embedding")
+          case _ => JsUndefined
+        }
+      }
+      arr match {
+        case a: JsArr if a.items.nonEmpty && a.items.forall(_.isInstanceOf[JsNum]) =>
+          a.items.map(_.asInstanceOf[JsNum].d.toFloat).toArray
+        case _ => null
+      }
+    } catch { case _: Exception => null }
+  }
+
+  /** Deterministic mock embedding: splitmix64 stream seeded from the text
+    * bytes, unit-normalized. Pure content function — independent of row
+    * order, partitioning, and session. */
+  def mockVec(text: String, dim: Int): Array[Float] = {
+    var h = 0x9E3779B97F4A7C15L
+    text.getBytes("UTF-8").foreach { b =>
+      h = (h ^ (b & 0xFFL)) * 0xBF58476D1CE4E5B9L
+    }
+    val v = new Array[Double](dim)
+    var s = h
+    var i = 0
+    var norm = 0.0
+    while (i < dim) {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z = z ^ (z >>> 31)
+      v(i) = (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      norm += v(i) * v(i)
+      i += 1
+    }
+    val n = math.sqrt(norm)
+    // all-zero draw is impossible (splitmix64 outputs are equidistributed),
+    // but guard the division anyway
+    if (n == 0.0) v.map(_ => 0f) else v.map(x => (x / n).toFloat)
+  }
+
+  def apply(ctx: StageContext): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val cfg = ctx.cfg
+    val provider = cfg.strOr("provider", "openai")
+    val column = cfg.strOr("column", "text")
+    val out = cfg.strOr("output_column", "embedding")
+    val mock = cfg.boolOr("mock", false)
+    val dim = cfg.longOr("dim", 64L).toInt
+    if (dim < 1) throw new GraftConfigError(s"ai.embed: dim must be >= 1, got $dim")
+    val df = ctx.primary
+    if (!df.columns.contains(column)) throw new GraftPlanError(
+      s"ai.embed: column '$column' not found (has: ${df.columns.mkString(", ")})")
+    if (df.columns.contains(out)) throw new GraftConfigError(
+      s"ai.embed: output_column '$out' already exists — rename one side")
+
+    if (mock) {
+      // mock is a pure codegen-friendly projection, no harness needed
+      val mk = F.udf { t: String => if (t == null) null else mockVec(t, dim) }
+      return df.withColumn(out, mk(F.col(column)))
+    }
+
+    val model = cfg.str("model")
+    val apiKey = cfg.strOpt("api_key_env").flatMap(sys.env.get)
+    val url = endpoint(provider, cfg.strOpt("api_base_url"))
+    val concurrency = cfg.longOr("concurrency", 4L).toInt
+    val rateLimit = cfg.doubleOpt("rate_limit_per_sec")
+    val outSchema = StructType(df.schema.fields :+
+      StructField(out, ArrayType(FloatType), nullable = true))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val colIdx = df.schema.fieldIndex(column)
+
+    df.mapPartitions { rows =>
+      lazy val client = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(30)).build()
+      val sem = new Semaphore(concurrency)
+      val pace = RequestPacer.make(rateLimit)
+      val futures = rows.map { row =>
+        sem.acquire()
+        pace()
+        val text = if (row.isNullAt(colIdx)) null else row.getString(colIdx)
+        val fut: CompletableFuture[String] =
+          if (text == null) CompletableFuture.completedFuture(null: String)
+          else try {
+            val b = HttpRequest.newBuilder(URI.create(url))
+              .timeout(Duration.ofSeconds(120))
+              .header("content-type", "application/json")
+            apiKey.foreach(k => b.header("authorization", s"Bearer $k"))
+            client.sendAsync(
+                b.POST(HttpRequest.BodyPublishers.ofString(
+                  requestBody(provider, model, text))).build(),
+                HttpResponse.BodyHandlers.ofString())
+              .thenApply[String](r => r.body()).exceptionally(_ => null)
+          } catch { case _: Exception => CompletableFuture.completedFuture(null: String) }
+        fut.whenComplete((_, _) => sem.release())
+        (row, fut)
+      }.toVector
+      futures.iterator.map { case (row, fut) =>
+        val body = try fut.get() catch { case _: Exception => null }
+        val emb = if (body == null) null else parseEmbedding(provider, body)
+        Row.fromSeq(row.toSeq :+ emb)
+      }
+    }(enc)
+  }
+}

@@ -404,10 +404,10 @@ object IndexStatsOp extends Stage {
 
     if (cfg.boolOr("_explain_only", false))
       return Seq.empty[(String, String, Long, Long, Long, Double, Long, Long, Long,
-          Option[String], Option[Long], Option[Double])]
+          Option[String], Option[Long], Option[Double], Option[Double])]
         .toDF("path", "index_type", "rows", "files", "bytes", "mean_file_kb",
           "stream_append_dirs", "partition_dirs", "appends_since_compact",
-          "lease_holder", "lease_age_ms", "mean_bucket_occupancy")
+          "lease_holder", "lease_age_ms", "mean_bucket_occupancy", "pq_scan_ratio")
 
     IndexMaintenance.recoverSwap(path)
     val (family, partitionCols) = IndexMaintenance.layout(spark, path, "index.stats")
@@ -469,10 +469,24 @@ object IndexStatsOp extends Stage {
           Some(rows.toDouble / math.max(1L, bands) / (1L << planes))
         }
       }
+    // ivfpq only: measured vector-column bytes / code-column bytes over
+    // the corpus footers — the per-index, observable version of the
+    // BENCH_NOTES scan-bytes claim (an ADC probe reads 1/ratio of the
+    // bytes a flat probe would); null for every other family
+    val pqScanRatio: Option[Double] =
+      if (family != "ivfpq" || files.isEmpty) None
+      else try {
+        val m = spark.read.parquet(s"$path/meta").head()
+        val vecCol = PqIndex.metaVectorColumn(m)
+        val vecBytes = PqIndex.columnChunkBytes(spark, files, Set(vecCol))
+        val codeBytes = PqIndex.columnChunkBytes(spark, files, Set("pq_codes", "pq_vnorm"))
+        if (codeBytes <= 0L) None
+        else Some(math.round(vecBytes.toDouble / codeBytes * 10) / 10.0)
+      } catch { case scala.util.control.NonFatal(_) => None }
     Seq((path, family, rows, files.size.toLong, bytes, meanKb, appendDirs, partDirs,
-        sinceCompact, lease.map(_._1), lease.map(_._2), occupancy))
+        sinceCompact, lease.map(_._1), lease.map(_._2), occupancy, pqScanRatio))
       .toDF("path", "index_type", "rows", "files", "bytes", "mean_file_kb",
         "stream_append_dirs", "partition_dirs", "appends_since_compact",
-        "lease_holder", "lease_age_ms", "mean_bucket_occupancy")
+        "lease_holder", "lease_age_ms", "mean_bucket_occupancy", "pq_scan_ratio")
   }
 }

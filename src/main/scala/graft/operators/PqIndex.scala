@@ -160,8 +160,15 @@ private[graft] object Pq {
   val TrainIters = 15
 }
 
-private[operators] object PqIndex {
+private[graft] object PqIndex {
   import org.apache.spark.ml.linalg.Vectors
+
+  /** The indexed vector column recorded at build time; "embedding" for
+    * indexes predating the field. */
+  def metaVectorColumn(meta: org.apache.spark.sql.Row): String =
+    if (meta.schema.fieldNames.contains("vector_column"))
+      meta.getAs[String]("vector_column")
+    else "embedding"
 
   def loadCodebooks(spark: SparkSession, path: String,
       op: String): Array[Array[Array[Double]]] = {
@@ -176,6 +183,27 @@ private[operators] object PqIndex {
       books(s) = rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
     }
     books
+  }
+
+  /** Column-chunk COMPRESSED bytes for the top-level columns in `cols`,
+    * straight from the parquet footers — the bytes a column-pruned scan of
+    * these files actually reads. Used by ScaleProbe's ivfpq rungs and by
+    * index.stats' pq_scan_ratio (the per-index, measured version of the
+    * BENCH_NOTES scan-bytes claim). O(files) driver footer reads. */
+  def columnChunkBytes(spark: SparkSession, files: Seq[String],
+      cols: Set[String]): Long = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala
+        .flatMap(_.getColumns.asScala)
+        .filter(c => cols.contains(c.getPath.iterator.next()))
+        .map(_.getTotalSize).sum
+      finally r.close()
+    }.sum
   }
 
   /** index.build type=ivfpq. mode=overwrite trains; mode=append reuses the
@@ -229,16 +257,17 @@ private[operators] object PqIndex {
     }.toSeq.toDF("subspace", "code", "center")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
     // ksub records the EFFECTIVE codebook size (lloyd clamps to the
-    // distinct sample count), so probes and appends see the truth
-    Seq((nlist, m, books(0).length, dim, seed))
-      .toDF("nlist", "m", "ksub", "dim", "seed")
+    // distinct sample count), so probes and appends see the truth;
+    // vector_column is a fact of the index — appends and probes resolve
+    // the corpus-side column from here, not from per-query config
+    Seq((nlist, m, books(0).length, dim, seed, vecCol))
+      .toDF("nlist", "m", "ksub", "dim", "seed", "vector_column")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   private def append(ctx: StageContext): Unit = {
     val cfg = ctx.cfg
     val path = cfg.str("path")
-    val vecCol = cfg.strOr("vector_column", "embedding")
     val spark = ctx.spark
     if (!GraftFs.isDir(s"$path/pq") || !GraftFs.isDir(s"$path/centroids") ||
         !GraftFs.isDir(s"$path/meta"))
@@ -246,6 +275,9 @@ private[operators] object PqIndex {
         s"index.build type=ivfpq mode=append: no complete ivfpq index at $path " +
         "(quantizer and codebooks are frozen at first build); run mode=overwrite first")
     val meta = spark.read.parquet(s"$path/meta").head()
+    // the corpus-side column name is a fact of the index; explicit config
+    // may rename the INPUT's column but defaults follow the meta
+    val vecCol = cfg.strOpt("vector_column").getOrElse(metaVectorColumn(meta))
     val (mM, mKsub, mDim, mSeed) = (meta.getAs[Int]("m"), meta.getAs[Int]("ksub"),
       meta.getAs[Int]("dim"), meta.getAs[Long]("seed"))
     // validate only the knobs the caller explicitly passed — the stored
@@ -261,6 +293,10 @@ private[operators] object PqIndex {
         s"index.build type=ivfpq mode=append: input vectors have length ${r.getInt(0)} " +
         s"but the index at $path was built with dim = $mDim")
     }
+    Seq("cell", "pq_codes", "pq_vnorm").foreach(c =>
+      if (ctx.primary.columns.contains(c)) throw new GraftConfigError(
+        s"index.build type=ivfpq: input already has a '$c' column — rename it; " +
+        "the index layout reserves cell/pq_codes/pq_vnorm"))
     val cents = IvfCentroids.load(spark, path, "index.build type=ivfpq mode=append")
       .map(_._2.toArray)
     val books = loadCodebooks(spark, path, "index.build type=ivfpq mode=append")
@@ -300,6 +336,9 @@ private[operators] object PqIndex {
     val meta = spark.read.parquet(s"$path/meta").head()
     val m = meta.getAs[Int]("m")
     val dim = meta.getAs[Int]("dim")
+    // the corpus-side rerank column is a fact of the index, not a probe
+    // knob — ignore the query side's vector_column naming here
+    val corpusVec = metaVectorColumn(meta)
     if (q.length != dim) throw new GraftConfigError(
       s"knn.ivf: query vector has length ${q.length} but the index at $path has dim = $dim")
     val centsT = IvfCentroids.load(spark, path, "knn.ivf")
@@ -360,8 +399,8 @@ private[operators] object PqIndex {
         .limit(math.min(Int.MaxValue.toLong, rerank.toLong * k).toInt)
         .select(F.col(idCol))
       val cos = F.call_function("cosine_sim",
-        F.col(vecCol).cast("array<double>"), qLit)
-      corpus.select(F.col(idCol), F.col(vecCol))
+        F.col(corpusVec).cast("array<double>"), qLit)
+      corpus.select(F.col(idCol), F.col(corpusVec))
         .join(F.broadcast(cand), Seq(idCol))
         .withColumn("cosine", F.round(cos, 6))
         .select(F.col(idCol), F.col("cosine"))

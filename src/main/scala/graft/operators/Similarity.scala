@@ -561,6 +561,10 @@ object KnnJoinOp extends Stage {
     val m = meta.getAs[Int]("m")
     val dim = meta.getAs[Int]("dim")
     val dsub = dim / m
+    // corpus-side vector column is a fact of the index (meta), unless the
+    // caller explicitly overrides with right_vector
+    val corpusVec =
+      if (cfg.has("right_vector")) cVec else PqIndex.metaVectorColumn(meta)
     val centsT = IvfCentroids.load(spark, path, "knn.join mode=ivfpq")
     val cents = centsT.map(_._2.toArray)
     val books = PqIndex.loadCodebooks(spark, path, "knn.join mode=ivfpq")
@@ -571,7 +575,7 @@ object KnnJoinOp extends Stage {
     }
     val qCells = qSide.withColumn("cell", F.explode(nearestCells(F.col("_qv"))))
     val corpus0 = spark.read.parquet(IndexSnapshot.corpusDir(path))
-    (Seq(cId, "pq_codes", "pq_vnorm") ++ (if (rerank > 0) Seq(cVec) else Nil))
+    (Seq(cId, "pq_codes", "pq_vnorm") ++ (if (rerank > 0) Seq(corpusVec) else Nil))
       .foreach(c => if (!corpus0.columns.contains(c)) throw new GraftPlanError(
         s"knn.join: index at $path has no '$c' column (has: ${corpus0.columns.mkString(", ")}) " +
         "— right_id/right_vector must name the indexed columns"))
@@ -632,7 +636,7 @@ object KnnJoinOp extends Stage {
         .dropDuplicates("query_id", "corpus_id")
         .select("query_id", "corpus_id")
       val cVecs = corpusF.select(F.col(cId).alias("corpus_id"),
-        F.col(cVec).cast("array<double>").alias("_cv"))
+        F.col(corpusVec).cast("array<double>").alias("_cv"))
       (scored(cand.join(cVecs, Seq("corpus_id")).join(qSide, Seq("query_id"))), cIdType)
     }
   }

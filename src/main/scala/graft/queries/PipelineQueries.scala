@@ -223,6 +223,25 @@ object PipelineQueries {
         "prompt" -> "Summarize region {{r_name}}",
         "output_column" -> "summary", "mock" -> true)))
         .select("r_regionkey", "summary")
+    },
+
+    // the offline vector pipeline end-to-end: ai.embed (deterministic mock
+    // vectors) -> index.build type=ivfpq -> knn.ivf with covering rerank.
+    // Rows-only: the vectors are engine-defined (splitmix64 mock), so no
+    // SQL oracle can reproduce them — the exhaustive-parity property is
+    // pinned in AiEmbedSpec instead (index probe == brute force over the
+    // same embedded frame).
+    QueryDef.noOracle("ai_embed_knn") { (s, d) =>
+      val embedded = AiEmbedOp(StageContext.one(s, QueryDef.t(s, d, "documents"), Cfg.of(
+        "mock" -> true, "dim" -> 32)))
+        .select("doc_id", "embedding")
+      val idx = java.nio.file.Files.createTempDirectory("graft_embed_idx").toString
+      IndexBuildOp(StageContext.one(s, embedded, Cfg.of(
+        "type" -> "ivfpq", "path" -> idx, "vector_column" -> "embedding",
+        "nlist" -> 16, "m" -> 8, "ksub" -> 16, "seed" -> 11)))
+      KnnIvfOp(StageContext.one(s, embedded, Cfg.of(
+        "query_id" -> 0, "id_column" -> "doc_id", "k" -> 10,
+        "nprobe" -> 4, "rerank" -> 4, "index_path" -> idx)))
     }
   )
 }

@@ -178,6 +178,18 @@ class PqIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("ksub"))
   }
 
+  test("append with reserved layout columns in the input fails loud") {
+    val F2 = org.apache.spark.sql.functions
+    val dir = buildPq()
+    val e = intercept[GraftConfigError] {
+      IndexBuildOp(StageContext.one(spark,
+        emb.withColumn("pq_codes", F2.lit(1)), Cfg.of(
+        "type" -> "ivfpq", "path" -> dir, "vector_column" -> "embedding",
+        "mode" -> "append")))
+    }
+    assert(e.getMessage.contains("reserves"))
+  }
+
   test("append against a missing index fails loud") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq_none").toString
     val e = intercept[GraftConfigError] {
@@ -273,6 +285,10 @@ class PqIndexSpec extends SparkSpec {
         "index_path" -> dir, "rerank" -> 4)))
     }
     assert(e2.getMessage.contains("ivfpq"))
+    // and the flat family reports no pq scan ratio
+    val stats = IndexStatsOp(StageContext.one(spark, emb.limit(1), Cfg.of("path" -> dir)))
+      .collect().head
+    assert(stats.isNullAt(stats.fieldIndex("pq_scan_ratio")))
   }
 
   // ---- lifecycle: compact + stats see the family ----
@@ -285,5 +301,11 @@ class PqIndexSpec extends SparkSpec {
     val stats = IndexStatsOp(StageContext.one(spark, emb.limit(1), Cfg.of("path" -> dir)))
       .collect().head
     assert(stats.getAs[String]("index_type") === "ivfpq")
+    // measured scan-bytes observability: the vector column weighs an
+    // order of magnitude more than the code columns (64 floats vs m=8
+    // bytes + one norm), so the ratio is far above 1
+    val ratio = stats.getAs[Double]("pq_scan_ratio")
+    assert(!stats.isNullAt(stats.fieldIndex("pq_scan_ratio")) && ratio > 2.0,
+      s"pq_scan_ratio $ratio")
   }
 }
