@@ -119,7 +119,7 @@ object Docs {
     "topk.approx" -> "bounded-memory heavy hitters (Misra-Gries; exact when per-partition distincts fit capacity) - column, k, capacity, tokenize, output=topk|summary; emits (term, count, count_max) or a mergeable (term, count, capacity) summary",
     "topk.merge" -> "combine persisted topk.approx summaries into a global top-k (incremental corpus audits, no rescans) - N inputs; k; capacities must match",
     "text.compressibility" -> "Deflate compression-ratio quality signal (boilerplate ~0.1, prose ~0.3-0.6, junk ~1) - column, output_column, level",
-    "mix.apply" -> "weighted domain mixing - N inputs; weights (expected copies per row), seed, id_column (per-row hash identity; default = row content), source_column (must not collide), sources, allow_missing_columns",
+    "mix.apply" -> "weighted domain mixing - N inputs; weights (expected copies per row) OR temperature=alpha + target_rows (T5/XLM-R temperature sampling: weights derived from measured source sizes, p_i ~ n_i^alpha), seed, id_column (per-row hash identity; default = row content), source_column (must not collide), sources, allow_missing_columns",
     "sample.importance" -> "DSIR importance resampling vs a target corpus - two inputs; column, id_column, max_ngram, hex_digits, smoothing, mode=annotate|topk|gumbel, k, seed",
     "chunk.text" -> "split docs into token-budget chunks with overlap (RAG prep, one row per chunk) - column, max_tokens, overlap, output_column",
     "text.sentences" -> "sentence segmentation (terminator+whitespace split, keeps terminators) - column, terminators, mode=explode|array|count",

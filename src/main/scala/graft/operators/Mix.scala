@@ -27,20 +27,73 @@ import graft.core._
   * no driver collection; upsampling materializes copies only in the
   * plan (posexplode of a sequence), so a 100× upweight costs writes,
   * not state.
+  *
+  * `temperature = α` (mutually exclusive with `weights`) derives the
+  * weights from the measured source sizes instead — the T5/mT5/XLM-R
+  * temperature-sampling recipe: p_i ∝ n_i^α (α = 1 keeps natural
+  * proportions, α → 0 equalizes sources, the published sweet spots sit
+  * at α ∈ [0.2, 0.7]), scaled so the expected output totals
+  * `target_rows` (default: the input total, a same-size remix). Per-row
+  * expected copies are w_i = p_i · target_rows / n_i. Sizing the
+  * sources costs one count() per input at compose time — an eager
+  * barrier, same class as bpe.train's vocab collect; the counts are
+  * O(1) driver state.
   */
 object MixOp extends Stage {
   val name = "mix.apply"
   val kind = StageKind.Transform
 
+  /** Pure weight derivation, spec-testable: expected per-row copies per
+    * source from sizes, temperature, and the output-size target. Empty
+    * sources get weight 0 (they have no rows to emit anyway, and 0^α
+    * must not poison the partition function at α = 0). */
+  private[graft] def temperatureWeights(sizes: Vector[Long], alpha: Double,
+      targetRows: Double): Vector[Double] = {
+    val z = sizes.filter(_ > 0).map(n => math.pow(n.toDouble, alpha)).sum
+    if (z == 0.0) Vector.fill(sizes.size)(0.0)
+    else sizes.map { n =>
+      if (n <= 0) 0.0
+      else {
+        val w = math.pow(n.toDouble, alpha) / z * targetRows / n.toDouble
+        // snap ε-of-an-integer weights to the integer: α = 1 with a
+        // target that is an exact multiple yields integer-intent weights
+        // up to float division error, and a fractional draw at frac ≈ 1e-12
+        // is noise — snapping keeps those cases exactly-N copies (the
+        // same determinism property explicit integer weights have)
+        val r = math.rint(w)
+        if (math.abs(w - r) < 1e-9) r else w
+      }
+    }
+  }
+
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     if (ctx.inputs.size < 1)
       throw new GraftPlanError("mix.apply requires at least one input")
-    val weights = cfg.arrOpt("weights").map(_.map {
-      case CDouble(v) => v
-      case CLong(v)   => v.toDouble
-      case other => throw new GraftConfigError(s"weights must be numbers, got ${other.render}")
-    }).getOrElse(Vector.fill(ctx.inputs.size)(1.0))
+    if (cfg.has("weights") && cfg.has("temperature"))
+      throw new GraftConfigError(
+        "mix.apply: give EITHER explicit weights OR temperature (derived " +
+        "weights from measured source sizes), not both")
+    if (cfg.has("target_rows") && !cfg.has("temperature"))
+      throw new GraftConfigError(
+        "mix.apply: target_rows only applies with temperature (explicit " +
+        "weights already state expected copies per row)")
+    val weights = cfg.doubleOpt("temperature") match {
+      case Some(alpha) =>
+        if (alpha < 0) throw new GraftConfigError(
+          s"mix.apply: temperature must be >= 0, got $alpha")
+        val sizes = ctx.inputs.map(_._2.count()).toVector // compose-time barrier
+        val target = cfg.longOpt("target_rows").map(_.toDouble)
+          .getOrElse(sizes.sum.toDouble)
+        if (target < 0) throw new GraftConfigError(
+          s"mix.apply: target_rows must be >= 0, got ${target.toLong}")
+        temperatureWeights(sizes, alpha, target)
+      case None => cfg.arrOpt("weights").map(_.map {
+        case CDouble(v) => v
+        case CLong(v)   => v.toDouble
+        case other => throw new GraftConfigError(s"weights must be numbers, got ${other.render}")
+      }).getOrElse(Vector.fill(ctx.inputs.size)(1.0))
+    }
     if (weights.size != ctx.inputs.size)
       throw new GraftConfigError(
         s"mix.apply: ${weights.size} weights for ${ctx.inputs.size} inputs")

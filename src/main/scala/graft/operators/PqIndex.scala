@@ -327,7 +327,7 @@ private[graft] object PqIndex {
   /** Single-query ADC probe for knn.ivf (index_path with a pq/ dir).
     * Output contract matches knn.ivf exactly: (idCol, cosine) top-k. */
   def probeSingle(ctx: StageContext, path: String, idCol: String,
-      vecCol: String, k: Int, nprobe0: Int, q: Seq[Double]): DataFrame = {
+      k: Int, nprobe0: Int, q: Seq[Double]): DataFrame = {
     val cfg = ctx.cfg
     val spark = ctx.spark
     val rerank = cfg.longOr("rerank", 4L).toInt

@@ -905,7 +905,7 @@ object KnnIvfOp extends Stage {
         IndexMaintenance.recoverSwap(path) // repair a mid-swap compact crash
         if (GraftFs.isDir(s"$path/pq"))
           // ivfpq layout: ADC over m-byte codes + exact rerank (PqIndex)
-          PqIndex.probeSingle(ctx, path, idCol, vecCol, k, nprobe0, q)
+          PqIndex.probeSingle(ctx, path, idCol, k, nprobe0, q)
         else {
           if (cfg.has("rerank")) throw new GraftConfigError(
             "knn.ivf: rerank applies only to an ivfpq index (this index is " +

@@ -1906,6 +1906,26 @@ object ExtensionQueries {
         "sources" -> Seq("wiki", "web"))))
     },
 
+    // ---- mix.apply temperature (r11): α = 1 with target_rows = 2× the
+    // input total derives weight exactly 2.0 for every source (natural
+    // proportions, doubled) — the weight DERIVATION from measured source
+    // sizes is what's under test, through the integer-copy path SQL can
+    // state. Fractional α (0.3, 0) realized-proportion behavior is
+    // engine-hash, spec-pinned in MixSpec.
+    QueryDef("mix_temperature",
+      """SELECT doc_id, text, 'wiki' AS src FROM documents WHERE doc_id < 100
+        |UNION ALL SELECT doc_id, text, 'wiki' FROM documents WHERE doc_id < 100
+        |UNION ALL SELECT doc_id, text, 'web' FROM documents WHERE doc_id >= 100
+        |UNION ALL SELECT doc_id, text, 'web' FROM documents WHERE doc_id >= 100""".stripMargin) { (s, d) =>
+      val docs = t(s, d, "documents")
+      val total = docs.count()
+      MixOp(StageContext(s, Seq(
+        "wiki" -> docs.filter(F.col("doc_id") < 100).select("doc_id", "text"),
+        "web" -> docs.filter(F.col("doc_id") >= 100).select("doc_id", "text")), Cfg.of(
+        "temperature" -> 1.0, "target_rows" -> (2L * total),
+        "source_column" -> "src", "sources" -> Seq("wiki", "web"))))
+    },
+
     // ---- mongodb.findOne: sort + limit-1 document pick (Mongo
     // evaluation order: sort before projection), transform mode.
     QueryDef("mongo_find_one",

@@ -40,6 +40,52 @@ class MixSpec extends SparkSpec {
     assert(counts.count(_ == 3L) > 10 && counts.count(_ == 3L) < 90)
   }
 
+  test("temperature derives weights from measured source sizes") {
+    // sources 400 vs 100 rows
+    val big = (1L to 400L).map(i => (i, s"big$i")).toDF("id", "text")
+    val small = (1L to 100L).map(i => (i + 10000, s"small$i")).toDF("id", "text")
+    def tmix(cfg: (String, Any)*) = MixOp(StageContext(spark,
+      Seq("big" -> big, "small" -> small),
+      Cfg.of((Seq[(String, Any)]("source_column" -> "src",
+        "sources" -> Seq("big", "small")) ++ cfg): _*)))
+
+    // α = 1, target = 2× total: natural proportions, every row exactly
+    // twice (the snap keeps integer-intent weights exactly integer)
+    val doubled = tmix("temperature" -> 1.0, "target_rows" -> 1000)
+    assert(doubled.count() === 1000L)
+    assert(doubled.groupBy("id").count()
+      .filter($"count" =!= 2).count() === 0L)
+
+    // α = 0: sources equalize — ~250 rows each (small upsamples 2.5×,
+    // big downsamples to 0.625), realized counts near expectation
+    val flat = tmix("temperature" -> 0.0)
+    val bySrc = flat.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(bySrc("big") - 250L) < 40, s"big: ${bySrc("big")}")
+    assert(math.abs(bySrc("small") - 250L) < 40, s"small: ${bySrc("small")}")
+
+    // α = 0.3 sits between natural (400/100) and flat (250/250)
+    val t3 = tmix("temperature" -> 0.3)
+    val by3 = t3.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(by3("big") > bySrc("big") && by3("big") < 400L,
+      s"α=0.3 big ${by3("big")} should sit between flat ${bySrc("big")} and natural 400")
+
+    // exclusivity + validation
+    intercept[GraftConfigError](tmix("temperature" -> 0.3, "weights" -> Seq(1.0, 1.0)))
+    intercept[GraftConfigError](tmix("weights" -> Seq(1.0, 1.0), "target_rows" -> 10))
+    intercept[GraftConfigError](tmix("temperature" -> -0.5))
+  }
+
+  test("temperatureWeights: empty sources get zero weight, never poison the sum") {
+    // private[graft]: callable from the spec package directly
+    val w = MixOp.temperatureWeights(Vector(0L, 100L), 0.0, 100.0)
+    assert(w(0) === 0.0 && w(1) === 1.0)
+    assert(MixOp.temperatureWeights(Vector(0L, 0L), 0.3, 100.0) === Vector(0.0, 0.0))
+    // α = 1 exact-multiple targets snap to integers
+    assert(MixOp.temperatureWeights(Vector(300L, 700L), 1.0, 2000.0) === Vector(2.0, 2.0))
+  }
+
   test("missing columns need the explicit flag; weight/name arity checked") {
     val skinny = Seq((1L, "x")).toDF("id", "text")
     val extra = Seq((2L, "y", 0.5)).toDF("id", "text", "quality")
