@@ -76,6 +76,7 @@ object Docs {
     "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance; index_path = dedup a new batch against a persisted simhash index (index_append=true grows it)",
     "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes; blocking=bands (bands, band_planes) = banded LSH, the corpus-scale blocking; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate; index_path = dedup a new batch against a persisted lsh index (index_append=true grows it on pipeline success)",
     "knn.bruteforce" -> "exact cosine top-k - query_id|query_vector, k",
+    "cluster.assign" -> "tag rows with their nearest ivf/ivfpq centroid (cluster-composition reports, cluster-balanced sample.apply strata, SemDeDup-style analysis) - index_path (prebuilt index.build type=ivf|ivfpq), vector_column, output_column=cluster; same nearest-centroid rule as the index, zero shuffle",
     "knn.join" -> "batch ANN: top-k corpus neighbors for EVERY query row (two inputs: queries, corpus — or queries + index_path probing a prebuilt lsh pigeonhole/bands index (probe_hamming multi-probe), ivf index (nprobe centroid pruning) or ivfpq index (ADC candidates over the m-byte code columns at rerank*k per query, then exact re-score; rerank=0 returns approximate scores); layout auto-detected from the index meta; probe_bands=j bounds the bands layout's xbands scan to j/bands) - left_id/right_id, left_vector/right_vector, k, broadcast=queries|none; bounded per-partition heaps, shuffle = |Q|*partitions*k rows",
     "knn.lsh" -> "ANN via hyperplane-LSH block buckets - query_id, k, num_planes, blocks; index_path probes a prebuilt lsh index (partition-pruned; probe_bands=j bounds a bands-layout scan)",
     "knn.ivf" -> "ANN via IVF coarse quantizer - query_id, k, nprobe; index_path probes a prebuilt index (an ivfpq index is auto-detected: ADC scoring over the m-byte code columns, then the top rerank*k candidates rerank exactly; rerank=0 returns raw ADC scores), else nlist/seed/max_train train inline",

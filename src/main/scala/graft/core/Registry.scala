@@ -75,7 +75,7 @@ object Registry {
     AsofJoinOp, RangeJoinOp, CubeOp, SimilarJoinOp, DecontaminateOp, MixOp,
     ImportanceSampleOp,
     // row-level transforms (reference §2.5)
-    EncryptOp, DecryptOp, HttpFetchOp, AiGenerateOp, AiEmbedOp,
+    EncryptOp, DecryptOp, HttpFetchOp, AiGenerateOp, AiEmbedOp, ClusterAssignOp,
     // training-data extensions
     DedupExactOp, DedupMinHashOp, DedupSimHashOp, DedupNgramOp, DedupEmbeddingOp,
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,

@@ -906,6 +906,21 @@ object ExtensionQueries {
         "query_id" -> 0, "id_column" -> "vec_id", "vector_column" -> "embedding",
         "k" -> 10, "nprobe" -> 16, "rerank" -> 1000, "index_path" -> idx)))
     },
+    // cluster.assign → corpus-composition report (the curation loop:
+    // tag every row with its nearest index centroid, then group). The
+    // clusters come from the engine's seeded quantizer → rows-only; the
+    // tag ≡ stored-cell parity property is pinned in ClusterAssignSpec.
+    QueryDef.noOracle("cluster_assign_report") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_ca_idx").toString
+      IndexBuildOp(StageContext.one(s, emb, Cfg.of(
+        "type" -> "ivf", "path" -> idx, "vector_column" -> "embedding",
+        "nlist" -> 16, "seed" -> 11)))
+      ClusterAssignOp(StageContext.one(s, emb, Cfg.of("index_path" -> idx)))
+        .groupBy("cluster").agg(F.count(F.lit(1)).as("n"))
+        .orderBy("cluster")
+    },
+
     // realistic PQ probe (pruned cells, bounded rerank): recall depends on
     // the engine's codebooks → rows-only, like the other pruned ANN gates.
     // The index is built once per sf dir and reused, so Bench's second rep
