@@ -74,7 +74,7 @@ object Docs {
     "dedup.ngram" -> "near-dedup, char n-gram Jaccard - id_column, text_column, threshold, ngram_size; index_path = dedup a new batch against a persisted ngram index (index_append=true grows it)",
     "dedup.substrings" -> "exact substring dedup (Lee et al. 2022 ExactSubstr): remove all but the first occurrence of any min_tokens-token verbatim repeat - column, id_column, min_tokens, stride (content-defined anchor sampling), mode=remove|annotate",
     "dedup.simhash" -> "near-dedup, 64-bit SimHash hamming - id_column, text_column, max_distance; index_path = dedup a new batch against a persisted simhash index (index_append=true grows it)",
-    "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes; blocking=bands (bands, band_planes) = banded LSH, the corpus-scale blocking; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate; index_path = dedup a new batch against a persisted lsh index (index_append=true grows it on pipeline success)",
+    "dedup.embedding" -> "near-dedup, embedding cosine LSH - id_column, vector_column, threshold, num_planes; blocking=bands (bands, band_planes) = banded LSH, the corpus-scale blocking; blocking=ivf (nlist or quantizer_path to a prebuilt ivf/ivfpq index) = SemDeDup-style cluster blocking, same-cell candidates only; transitive=true for connected-component collapse; keep_by=col keeps the best-value duplicate; index_path = dedup a new batch against a persisted lsh index (index_append=true grows it on pipeline success)",
     "knn.bruteforce" -> "exact cosine top-k - query_id|query_vector, k",
     "cluster.assign" -> "tag rows with their nearest ivf/ivfpq centroid (cluster-composition reports, cluster-balanced sample.apply strata, SemDeDup-style analysis) - index_path (prebuilt index.build type=ivf|ivfpq), vector_column, output_column=cluster; same nearest-centroid rule as the index, zero shuffle",
     "knn.join" -> "batch ANN: top-k corpus neighbors for EVERY query row (two inputs: queries, corpus — or queries + index_path probing a prebuilt lsh pigeonhole/bands index (probe_hamming multi-probe), ivf index (nprobe centroid pruning) or ivfpq index (ADC candidates over the m-byte code columns at rerank*k per query, then exact re-score; rerank=0 returns approximate scores); layout auto-detected from the index meta; probe_bands=j bounds the bands layout's xbands scan to j/bands) - left_id/right_id, left_vector/right_vector, k, broadcast=queries|none; bounded per-partition heaps, shuffle = |Q|*partitions*k rows",
@@ -96,7 +96,7 @@ object Docs {
     "html.strip" -> "strip HTML to clean text - column, decode_entities, collapse_whitespace",
     "text.redact" -> "PII masking (email/url/ssn/credit_card/ip/phone) - column, types, mode=mask|remove, count_column",
     "text.repetition" -> "Gopher repetition metrics (dup_line_frac, dup_line_char_frac, dup_ngram_frac, top_ngram_char_frac) - column, ngram, prefix",
-    "join.similar" -> "similarity join / decontamination - two inputs, or one input + index_path (right side = a prebuilt index.build type=minhash|lsh corpus, params from its meta); method=minhash|embedding, mode=pairs|semi|anti, threshold; anti drops left rows near-matching any right row",
+    "join.similar" -> "similarity join / decontamination - two inputs, or one input + index_path (right side = a prebuilt index.build type=minhash|lsh corpus, params from its meta); method=minhash|embedding (embedding blocking=pigeonhole|bands|ivf — ivf = SemDeDup-style same-cell candidates via nlist or quantizer_path), mode=pairs|semi|anti, threshold; anti drops left rows near-matching any right row",
     "zorder.apply" -> "Z-order (Morton) clustering on 2-6 columns for multi-dimensional row-group pruning - columns, bits, partitions, bucketing=width|quantile (quantile = equal-population buckets for skewed columns)",
     "mongodb.normalize" -> "MongoDB extended JSON to plain scalars ($oid/$date/$numberLong/Int/Double) - column, output_column, date_format=millis|iso",
     "mongodb.toObjectId" -> "wrap 24-hex strings as {\"$oid\": ...} - column, output_column",

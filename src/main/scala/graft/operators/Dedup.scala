@@ -1258,8 +1258,43 @@ object DedupEmbeddingOp extends Stage {
         val sigs = ctx.pin(reps
           .withColumn("bsig", bandSignatures(F.col("vec"), dim, bands, r, seed)))
         bandedSelfNearPairs(sigs, threshold)
+      case "ivf" =>
+        // SemDeDup-style cluster blocking (Abbas et al. 2023): candidates
+        // are same-cell pairs under a coarse quantizer — Σ n_c² over
+        // cells ≈ N²/nlist when balanced, so nlist is the corpus-scale
+        // knob the way band_planes is for bands. Near-dup pairs SPLIT by a
+        // cell boundary are missed by design (the documented recall trade
+        // of cluster blocking); nlist = 1 is the exhaustive setting — the
+        // dedup_embedding_ivf gate pins it against the full-corpus oracle.
+        // Quantizer: `quantizer_path` reuses a prebuilt index.build
+        // type=ivf|ivfpq coarse quantizer (frozen — cells consistent with
+        // cluster.assign tags and every knn probe of that index);
+        // otherwise seeded in-op Lloyd's on a bounded sample.
+        val nlist = cfg.longOr("nlist", 16L).toInt
+        if (nlist < 1) throw new GraftConfigError(
+          s"dedup.embedding: nlist must be >= 1, got $nlist")
+        val cents: Array[Array[Double]] = cfg.strOpt("quantizer_path") match {
+          case Some(p) =>
+            IndexMaintenance.recoverSwap(p)
+            if (!GraftFs.exists(s"$p/centroids")) throw new GraftPlanError(
+              s"dedup.embedding: no ivf/ivfpq index at '$p' — quantizer_path needs " +
+              "an index.build type=ivf|ivfpq index")
+            IvfCentroids.load(ctx.spark, p, "dedup.embedding blocking=ivf").map(_._2.toArray)
+          case None =>
+            val maxTrain = cfg.longOr("max_train", 10000L).toInt
+            val sample = reps.select(F.col("vec").cast("array<double>"))
+              .limit(maxTrain).collect().map(_.getSeq[Double](0).toArray)
+            if (sample.isEmpty) Array(Array.fill(math.max(1, dim))(0.0)) // empty corpus: no pairs
+            else Pq.lloyd(sample, nlist, Pq.TrainIters, seed)
+        }
+        val assign = F.udf { v: Seq[Float] =>
+          Pq.nearest(cents, v.map(_.toDouble).toArray)
+        }
+        val sigs = ctx.pin(reps
+          .withColumn("cell", assign(F.col("vec").cast("array<float>"))))
+        cellSelfNearPairs(sigs, threshold)
       case other => throw new GraftConfigError(
-        s"dedup.embedding: blocking must be pigeonhole|bands, got '$other'")
+        s"dedup.embedding: blocking must be pigeonhole|bands|ivf, got '$other'")
     }
     exactDups.unionByName(DedupPairs.dropped(nearPairs,
       cfg.boolOr("transitive", false),
@@ -1287,6 +1322,20 @@ object DedupEmbeddingOp extends Stage {
       // cheap codegen'd signature-agreement prefilter before any shuffle
       .filter(F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= maxBits)
       .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    verifyCosine(candidates, sigs.select(F.col("id"), F.col("vec")), threshold)
+  }
+
+  /** cluster-blocked self-join over (id, vec, cell) reps → verified cosine
+    * pairs (id_a < id_b). Same narrow-candidate discipline; each row
+    * carries exactly ONE cell so every candidate pair arises once (no
+    * dedup exchange), and the exact-cosine verify re-attaches vectors to
+    * candidates only. */
+  private def cellSelfNearPairs(sigs: DataFrame, threshold: Double): DataFrame = {
+    val lhs = sigs.select(F.col("cell"), F.col("id").alias("id_a"))
+    val rhs = sigs.select(F.col("cell"), F.col("id").alias("id_b"))
+    val candidates = lhs.join(rhs, Seq("cell"))
+      .filter(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b")
     verifyCosine(candidates, sigs.select(F.col("id"), F.col("vec")), threshold)
   }
 

@@ -155,15 +155,14 @@ object SimilarJoinOp extends Stage {
     val planes = cfg.longOr("planes", 32L).toInt
     val blocks = cfg.longOr("blocks", 4L).toInt
     val seed = cfg.longOr("seed", 42L)
-    val banded = cfg.strOr("blocking", "pigeonhole") match {
-      case "pigeonhole" => false
-      case "bands"      => true
-      case other => throw new GraftConfigError(
-        s"join.similar: blocking must be pigeonhole|bands, got '$other'")
-    }
+    val blocking = cfg.strOr("blocking", "pigeonhole")
+    if (!Set("pigeonhole", "bands", "ivf").contains(blocking))
+      throw new GraftConfigError(
+        s"join.similar: blocking must be pigeonhole|bands|ivf, got '$blocking'")
+    val banded = blocking == "bands"
     // planes/blocks only shape the pigeonhole layout; a leftover pigeonhole
-    // value must not reject a banded config that never uses it
-    if (!banded && planes % blocks != 0)
+    // value must not reject a banded/ivf config that never uses it
+    if (blocking == "pigeonhole" && planes % blocks != 0)
       throw new GraftConfigError(s"planes=$planes must divide evenly into blocks=$blocks")
     val bits = if (banded) 0 else planes / blocks
     val nBands = cfg.longOr("bands", 16L).toInt
@@ -177,22 +176,57 @@ object SimilarJoinOp extends Stage {
     if (dimL != dimR)
       throw new GraftConfigError(s"embedding dims differ: left $dimL vs right $dimR")
 
+    // blocking=ivf (SemDeDup-style cluster blocking, see dedup.embedding):
+    // candidates are same-cell cross pairs under ONE shared coarse
+    // quantizer — quantizer_path reuses a prebuilt ivf/ivfpq index;
+    // otherwise seeded in-op Lloyd's trained on the RIGHT (corpus) side's
+    // bounded sample, the side the left rows are being matched against.
+    // nlist = 1 is exhaustive (the similar_join_embedding_ivf gate).
+    val ivfCents: Array[Array[Double]] =
+      if (blocking != "ivf") null
+      else cfg.strOpt("quantizer_path") match {
+        case Some(p) =>
+          IndexMaintenance.recoverSwap(p)
+          if (!GraftFs.exists(s"$p/centroids")) throw new GraftPlanError(
+            s"join.similar: no ivf/ivfpq index at '$p' — quantizer_path needs " +
+            "an index.build type=ivf|ivfpq index")
+          IvfCentroids.load(ctx.spark, p, "join.similar blocking=ivf").map(_._2.toArray)
+        case None =>
+          val nlist = cfg.longOr("nlist", 16L).toInt
+          if (nlist < 1) throw new GraftConfigError(
+            s"join.similar: nlist must be >= 1, got $nlist")
+          val maxTrain = cfg.longOr("max_train", 10000L).toInt
+          val sample = right.select(F.col(rightVec).cast("array<double>"))
+            .filter(F.col(rightVec).isNotNull)
+            .limit(maxTrain).collect().map(_.getSeq[Double](0).toArray)
+          if (sample.isEmpty) Array(Array.fill(math.max(1, dimL))(0.0))
+          else Pq.lloyd(sample, nlist, Pq.TrainIters, seed)
+      }
+    val assignCell = if (ivfCents == null) null else F.udf { v: Seq[Float] =>
+      Pq.nearest(ivfCents, v.map(_.toDouble).toArray)
+    }
+
     // content key for exact collapse = the vector itself (distinct vectors)
     def prepare(df: DataFrame, id: String, vec: String) = {
       val (reps, mapping) = collapse(df, id, F.col(vec).cast("array<float>"), ctx.deferToCleanup)
       val keyed = reps.select(F.col("id"), F.col("_key").alias("vec"))
-      val sigged = ctx.pin(
-        if (banded) keyed.withColumn("bsig",
+      val sigged = ctx.pin(blocking match {
+        case "ivf" => keyed.withColumn("cell", assignCell(F.col("vec")))
+        case "bands" => keyed.withColumn("bsig",
           DedupEmbeddingOp.bandSignatures(F.col("vec"), dimL, nBands, bandR, seed))
-        else keyed.withColumn("sig",
-          DedupEmbeddingOp.hyperplaneSig(F.col("vec"), dimL, planes, seed)))
+        case _ => keyed.withColumn("sig",
+          DedupEmbeddingOp.hyperplaneSig(F.col("vec"), dimL, planes, seed))
+      })
       (sigged, mapping)
     }
     val (sl, mapL) = prepare(left, leftId, leftVec)
     val (sr, mapR) = prepare(right, rightId, rightVec)
 
     def blocked(sigged: DataFrame, side: String) =
-      sigged.select(F.col("id").alias(s"rep_$side"),
+      if (blocking == "ivf")
+        sigged.select(F.col("id").alias(s"rep_$side"),
+          F.lit(0).alias("block_idx"), F.col("cell").cast("long").alias("block_val"))
+      else sigged.select(F.col("id").alias(s"rep_$side"),
         if (banded) F.posexplode(F.col("bsig"))
         else F.posexplode(F.array((0 until blocks).map(b =>
           F.shiftrightunsigned(F.col("sig"), b * bits)

@@ -712,6 +712,25 @@ object ExtensionQueries {
         .select("vec_id", "label")
     },
 
+    // ---- blocking=ivf (r11): SemDeDup-style cluster blocking — same
+    // scaled-copy corpus as the bands gate (cosine exactly 1, never
+    // collapsible as exact bytes), at the exhaustive setting nlist = 1:
+    // one cell = all-pairs candidates, so the whole cluster-blocked
+    // join + exact-cosine verify must reproduce the full-corpus oracle.
+    // Pruned-nlist recall (same-cell-only candidates) is the documented
+    // trade, spec-pinned in ClusterAssignSpec.
+    QueryDef("dedup_embedding_ivf",
+      "SELECT vec_id, label FROM embeddings") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val copies = emb.withColumn("vec_id", F.col("vec_id") + 10000)
+        .withColumn("embedding", F.transform(F.col("embedding"), x => x * F.lit(2.0f)))
+      val corpus = emb.unionByName(copies)
+      DedupEmbeddingOp(StageContext.one(s, corpus, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "threshold" -> 0.95, "blocking" -> "ivf", "nlist" -> 1, "seed" -> 11)))
+        .select("vec_id", "label")
+    },
+
     // ---- similarity search ----
     QueryDef("knn_bruteforce",
       """SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
@@ -2022,6 +2041,22 @@ object ExtensionQueries {
         "id_column" -> "vec_id", "vector_column" -> "embedding",
         "method" -> "embedding", "threshold" -> 0.99,
         "planes" -> 32, "blocks" -> 4, "seed" -> 7, "mode" -> "semi")))
+        .select("vec_id", "label")
+    },
+
+    // blocking=ivf on the same construction at the exhaustive setting
+    // (nlist=1): the cluster-blocked cross join + verify must reproduce
+    // the same oracle as the pigeonhole gate above. Pruned-nlist recall
+    // is the documented cluster-blocking trade (ClusterAssignSpec).
+    QueryDef("similar_join_embedding_ivf",
+      "SELECT vec_id, label FROM embeddings WHERE vec_id < 250") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val half = emb.filter(F.col("vec_id") < 250)
+        .withColumn("vec_id", F.col("vec_id") + 100000)
+      SimilarJoinOp(StageContext(s, Seq("l" -> emb, "r" -> half), Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "method" -> "embedding", "threshold" -> 0.99,
+        "blocking" -> "ivf", "nlist" -> 1, "seed" -> 7, "mode" -> "semi")))
         .select("vec_id", "label")
     },
 

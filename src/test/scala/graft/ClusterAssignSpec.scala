@@ -61,6 +61,72 @@ class ClusterAssignSpec extends SparkSpec {
     }
   }
 
+  // ---- dedup.embedding blocking=ivf (SemDeDup-style cluster blocking;
+  // lives here because the quantizer/cell machinery is cluster.assign's) --
+
+  test("dedup blocking=ivf at nlist=1 is exhaustive: every scaled copy drops") {
+    val copies = emb.withColumn("vec_id", F.col("vec_id") + 10000)
+      .withColumn("embedding", F.transform(F.col("embedding"), x => x * F.lit(2.0f)))
+    val out = graft.operators.DedupEmbeddingOp(StageContext.one(spark,
+      emb.unionByName(copies), Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "threshold" -> 0.95, "blocking" -> "ivf", "nlist" -> 1, "seed" -> 11)))
+    val ids = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === emb.collect().map(_.getLong(0)).toSet,
+      "all 10000+ copies drop, every original survives")
+  }
+
+  test("dedup blocking=ivf with a shared quantizer_path drops same-cell near-copies") {
+    val dir = build("ivf")
+    // ×1.001 scaling: cosine exactly 1 (drops under the threshold rule),
+    // euclidean displacement tiny → same cell as the original for every
+    // interior point; the prebuilt quantizer keeps cells identical to
+    // cluster.assign's tags
+    val copies = emb.withColumn("vec_id", F.col("vec_id") + 10000)
+      .withColumn("embedding", F.transform(F.col("embedding"), x => x * F.lit(1.001f)))
+    val out = graft.operators.DedupEmbeddingOp(StageContext.one(spark,
+      emb.unionByName(copies), Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "threshold" -> 0.95, "blocking" -> "ivf", "quantizer_path" -> dir)))
+    val ids = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids.count(_ >= 10000) === 0, s"copies surviving: ${ids.count(_ >= 10000)}")
+    assert(ids.size === emb.count())
+  }
+
+  test("join.similar blocking=ivf with a shared quantizer finds near-copies (semi)") {
+    val dir = build("ivf")
+    val copies = emb.filter(F.col("vec_id") < 100)
+      .withColumn("vec_id", F.col("vec_id") + 100000)
+      .withColumn("embedding", F.transform(F.col("embedding"), x => x * F.lit(1.001f)))
+    val out = graft.operators.SimilarJoinOp(StageContext(spark,
+      Seq("l" -> emb, "r" -> copies), Cfg.of(
+      "id_column" -> "vec_id", "vector_column" -> "embedding",
+      "method" -> "embedding", "threshold" -> 0.99,
+      "blocking" -> "ivf", "quantizer_path" -> dir, "mode" -> "semi")))
+    val ids = out.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === (0L until 100L).toSet,
+      s"exactly the copied originals match; got ${ids.size} ids")
+  }
+
+  test("dedup blocking=ivf validation: bad nlist, missing quantizer, bad blocking") {
+    intercept[GraftConfigError] {
+      graft.operators.DedupEmbeddingOp(StageContext.one(spark, emb, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "blocking" -> "ivf", "nlist" -> 0)))
+    }
+    intercept[GraftPlanError] {
+      graft.operators.DedupEmbeddingOp(StageContext.one(spark, emb, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "blocking" -> "ivf", "quantizer_path" -> "/tmp/graft_noidx_here")))
+    }
+    val e = intercept[GraftConfigError] {
+      graft.operators.DedupEmbeddingOp(StageContext.one(spark, emb, Cfg.of(
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "blocking" -> "kmeans")))
+    }
+    assert(e.getMessage.contains("pigeonhole|bands|ivf"))
+  }
+
   test("composes with stratified sampling: exactly k rows per cluster") {
     val dir = build("ivf")
     val tagged = ClusterAssignOp(StageContext.one(spark, emb, Cfg.of(
