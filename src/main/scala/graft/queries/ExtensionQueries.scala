@@ -719,9 +719,13 @@ object ExtensionQueries {
     // join + exact-cosine verify must reproduce the full-corpus oracle.
     // Pruned-nlist recall (same-cell-only candidates) is the documented
     // trade, spec-pinned in ClusterAssignSpec.
+    // corpus bounded to vec_id < 250: nlist = 1 is deliberately ALL-pairs
+    // (that's what makes it oracle-exact), so the gate's cost is
+    // quadratic in its corpus — bound it the way the similar_join gates
+    // are, rather than paying N² on the whole table at every sf.
     QueryDef("dedup_embedding_ivf",
-      "SELECT vec_id, label FROM embeddings") { (s, d) =>
-      val emb = t(s, d, "embeddings")
+      "SELECT vec_id, label FROM embeddings WHERE vec_id < 250") { (s, d) =>
+      val emb = t(s, d, "embeddings").filter(F.col("vec_id") < 250)
       val copies = emb.withColumn("vec_id", F.col("vec_id") + 10000)
         .withColumn("embedding", F.transform(F.col("embedding"), x => x * F.lit(2.0f)))
       val corpus = emb.unionByName(copies)

@@ -34,6 +34,19 @@ class EmptyInputSpec extends SparkSpec {
     // without a declared dim, inference must survive the empty frame too
     val noDim = Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding")
     assert(DedupEmbeddingOp(StageContext.one(spark, empty, noDim)).count() === 0L)
+    // blocking=ivf: the in-op quantizer must survive an empty sample
+    val ivfCfg = Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+      "blocking" -> "ivf", "nlist" -> 4, "dim" -> 2)
+    assert(DedupEmbeddingOp(StageContext.one(spark, empty, ivfCfg)).count() === 0L)
+    assert(DedupEmbeddingOp(StageContext.one(spark, one, ivfCfg)).count() === 1L)
+  }
+
+  test("ai.embed mock and cluster-free ops on empty input") {
+    assert(AiEmbedOp(StageContext.one(spark, emptyDocs, Cfg.of(
+      "mock" -> true, "dim" -> 8))).count() === 0L)
+    val out = AiEmbedOp(StageContext.one(spark, oneDoc, Cfg.of(
+      "mock" -> true, "dim" -> 8)))
+    assert(out.count() === 1L && out.head().getSeq[Float](2).length === 8)
   }
 
   test("join.asof: empty right keeps all left rows unmatched; empty left is empty") {
