@@ -72,14 +72,15 @@ object Registry {
     new AliasStage("stdout_stream.write", StreamWriteSink)) ++ Seq(
     // multi-input extensions (SURVEY §2.8)
     JoinOp, UnionOp, IntersectOp, ExceptOp, WindowFnOp, PivotOp,
-    AsofJoinOp, RangeJoinOp, CubeOp, SimilarJoinOp, DecontaminateOp, MixOp,
+    AsofJoinOp, RangeJoinOp, CubeOp, SimilarJoinOp, DecontaminateOp,
+    DecontaminateEmbeddingOp, MixOp,
     ImportanceSampleOp,
     // row-level transforms (reference §2.5)
     EncryptOp, DecryptOp, HttpFetchOp, AiGenerateOp, AiEmbedOp, ClusterAssignOp,
     // training-data extensions
     DedupExactOp, DedupMinHashOp, DedupSimHashOp, DedupNgramOp, DedupEmbeddingOp,
     TextStatsOp, LangIdOp, QualityScoreOp, TokenCountOp, FingerprintOp,
-    RedactOp, RepetitionOp, PackOp, HtmlStripOp, DedupLinesOp, SubstringDedupOp, UrlNormalizeOp,
+    RedactOp, RepetitionOp, PackOp, ShardWriteOp, HtmlStripOp, DedupLinesOp, SubstringDedupOp, UrlNormalizeOp,
     TextNormalizeOp, BpeTrainOp, BpeTokenizeOp, GopherQualityOp, LineFilterOp,
     TopKOp, TopKMergeOp, CompressibilityOp,
     PerplexityOp, ChunkTextOp, SentencesOp, QualityClassifierTrainOp, QualityClassifierScoreOp,

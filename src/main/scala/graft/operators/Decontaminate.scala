@@ -120,3 +120,66 @@ object DecontaminateOp extends Stage {
     }
   }
 }
+
+/** decontaminate.embedding — SEMANTIC benchmark decontamination: drop (or
+  * flag) training documents whose embedding sits within `threshold` cosine
+  * of ANY benchmark document. The n-gram filter above catches verbatim
+  * leakage; this catches the rephrased kind — translated, re-worded, or
+  * templated benchmark items that share no 13-gram with the original but
+  * embed next to it (the contamination mode n-gram overlap provably
+  * misses, which is why modern release audits run both).
+  *
+  * Same I/O contract as decontaminate.ngram: training corpus (primary),
+  * benchmark corpus (second input) — or `index_path` pointing at a
+  * prebuilt `index.build type=lsh` corpus of benchmark embeddings, so a
+  * fixed eval suite is embedded and indexed ONCE and every training batch
+  * probes it. `mode` = annotate | filter | semi; annotate appends
+  * `n_benchmark_matches` (benchmark docs at ≥ threshold),
+  * `max_benchmark_cosine` (null when clean) and `contaminated`.
+  *
+  * Candidate generation IS `join.similar method=embedding` — one shared
+  * implementation, so every blocking layout (`pigeonhole` hyperplane
+  * blocks, `bands` banded LSH, `ivf` cluster blocking) and its scale
+  * shape applies verbatim: the two corpora are never cross-joined, the
+  * benchmark side exact-collapses to distinct representatives, and only
+  * (id, signature) pairs travel the candidate shuffle. annotate adds one
+  * narrow groupBy over the surviving pairs (bounded by matches, not by
+  * corpus size) and a left join back to the full rows.
+  */
+object DecontaminateEmbeddingOp extends Stage {
+  val name = "decontaminate.embedding"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val train = ctx.input(0)
+    val id = cfg.strOr("id_column", "doc_id")
+    val mode = cfg.strOr("mode", "annotate") match {
+      case ok @ ("annotate" | "filter" | "semi") => ok
+      case other => throw new GraftConfigError(
+        s"decontaminate.embedding mode must be annotate|filter|semi, got '$other'")
+    }
+    // delegate candidate generation to join.similar: same cfg minus OUR
+    // mode key (join.similar's mode is the delegation detail below), the
+    // id default rebased to doc_id (this family's convention)
+    def delegate(joinMode: String): DataFrame =
+      SimilarJoinOp(ctx.copy(cfg = Cfg(cfg.table - "mode" ++ Map(
+        "method" -> CStr("embedding"), "mode" -> CStr(joinMode),
+        "id_column" -> CStr(id)))))
+    mode match {
+      // filter keeps CLEAN rows = anti-join; semi keeps contaminated
+      case "filter" => delegate("anti")
+      case "semi"   => delegate("semi")
+      case "annotate" =>
+        val per = delegate("pairs")
+          .groupBy("left_id")
+          .agg(F.count(F.lit(1)).as("n_benchmark_matches"),
+            F.max(F.col("cosine")).as("max_benchmark_cosine"))
+        train.join(per, train(id) === per("left_id"), "left")
+          .drop("left_id")
+          .withColumn("n_benchmark_matches",
+            F.coalesce(F.col("n_benchmark_matches"), F.lit(0L)))
+          .withColumn("contaminated", F.col("n_benchmark_matches") > 0)
+    }
+  }
+}

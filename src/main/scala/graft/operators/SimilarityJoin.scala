@@ -171,8 +171,18 @@ object SimilarJoinOp extends Stage {
       s"join.similar: bands must be >= 1, got $nBands")
     if (banded && (bandR < 1 || bandR > 63)) throw new GraftConfigError(
       s"join.similar: band_planes must be in [1, 63], got $bandR")
-    val dimL = vecDim(left, leftVec)
-    val dimR = vecDim(right, rightVec)
+    // an EMPTY side is legal input (a benchmark slice filtered to nothing,
+    // a first-ever batch) and can produce no pairs — short-circuit before
+    // the dimension probe, which needs a row
+    val (dimLOpt, dimROpt) = (vecDim(left, leftVec), vecDim(right, rightVec))
+    if (dimLOpt.isEmpty || dimROpt.isEmpty)
+      return ctx.spark.createDataFrame(
+        ctx.spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("left_id", left.schema(leftId).dataType),
+          org.apache.spark.sql.types.StructField("right_id", right.schema(rightId).dataType),
+          org.apache.spark.sql.types.StructField("cosine", org.apache.spark.sql.types.DoubleType))))
+    val (dimL, dimR) = (dimLOpt.get, dimROpt.get)
     if (dimL != dimR)
       throw new GraftConfigError(s"embedding dims differ: left $dimL vs right $dimR")
 
@@ -248,11 +258,14 @@ object SimilarJoinOp extends Stage {
     expand(verified, mapL, mapR, "cosine")
   }
 
-  private def vecDim(df: DataFrame, vec: String): Int = {
-    val head = df.select(F.size(F.col(vec))).head()
-    if (head.isNullAt(0)) throw new GraftConfigError(s"join.similar: vector column '$vec' is empty")
-    head.getInt(0)
-  }
+  /** None = the side has no rows (caller short-circuits); a present row
+    * with a null vector is still a loud error. */
+  private def vecDim(df: DataFrame, vec: String): Option[Int] =
+    df.select(F.size(F.col(vec))).head(1).headOption.map { head =>
+      if (head.isNullAt(0))
+        throw new GraftConfigError(s"join.similar: vector column '$vec' is empty")
+      head.getInt(0)
+    }
 
   /** `index_path` (method=minhash): the right side is an `index.build
     * type=minhash` corpus — match the left rows against everything
@@ -347,7 +360,10 @@ object SimilarJoinOp extends Stage {
         s"join.similar: blocking = $b conflicts with the index at $path, which is " +
         s"$layoutName-partitioned — the index layout decides the probe blocking")
     }
-    def dimOf: Int = cfg.longOpt("dim").map(_.toInt).getOrElse(vecDim(left, leftVec))
+    // placeholder (explain-only) path: an empty left still needs SOME dim
+    // for the signature expression it never evaluates
+    def dimOf: Int = cfg.longOpt("dim").map(_.toInt)
+      .orElse(vecDim(left, leftVec)).getOrElse(1)
 
     val (reps, mapping) = collapse(left, leftId, F.col(leftVec).cast("array<float>"),
       ctx.deferToCleanup)

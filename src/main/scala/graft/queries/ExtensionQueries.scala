@@ -206,9 +206,11 @@ object ExtensionQueries {
       // full signature width (strong Hamming prefilter) with gate-scale
       // dir count: partition_dirs bounds the layout at 4 × 16 = 64 dirs
       // regardless of the 256-bucket signature space
+      BenchPhases.time("index_build") {
       IndexBuildOp(StageContext.one(s, emb, Cfg.of(
         "type" -> "lsh", "path" -> idx, "vector_column" -> "embedding",
         "num_planes" -> 32, "blocks" -> 4, "seed" -> 11, "partition_dirs" -> 16)))
+      }
       val batch = emb.select((F.col("vec_id") + 10000).as("vec_id"),
           F.col("embedding"), F.col("label"))
         .unionByName(emb.select((F.col("vec_id") + 20000).as("vec_id"),
@@ -234,10 +236,12 @@ object ExtensionQueries {
       "SELECT vec_id + 20000 AS vec_id, label FROM embeddings") { (s, d) =>
       val emb = t(s, d, "embeddings")
       val idx = java.nio.file.Files.createTempDirectory("graft_blsh_idx").toString
+      BenchPhases.time("index_build") {
       IndexBuildOp(StageContext.one(s, emb, Cfg.of(
         "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
         "vector_column" -> "embedding", "bands" -> 8, "band_planes" -> 12,
         "seed" -> 11, "partition_dirs" -> 4)))
+      }
       val batch = emb.select((F.col("vec_id") + 10000).as("vec_id"),
           F.transform(F.col("embedding"), x => x * F.lit(2.0f)).cast("array<float>").as("embedding"),
           F.col("label"))
@@ -277,10 +281,12 @@ object ExtensionQueries {
         .unionByName(docs.filter(F.col("doc_id") >= 400)
           .select((F.col("doc_id") + 20000).as("doc_id"), F.reverse(F.col("text")).as("text")))
       val idx = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+      BenchPhases.time("index_build") {
       IndexBuildOp(StageContext.one(s, docs, Cfg.of(
         "type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
         "text_column" -> "text", "shingle_size" -> 3, "num_hashes" -> 128,
         "bands" -> 32, "seed" -> 42)))
+      }
       val d1 = DedupMinHashOp(StageContext.one(s, docs, Cfg.of(
         "id_column" -> "doc_id", "text_column" -> "text",
         "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
@@ -318,11 +324,15 @@ object ExtensionQueries {
       val mhCfg = Seq[(String, Any)]("type" -> "minhash", "path" -> idx,
         "id_column" -> "doc_id", "text_column" -> "text", "shingle_size" -> 3,
         "num_hashes" -> 128, "bands" -> 32, "seed" -> 42)
+      BenchPhases.time("index_build") {
       IndexBuildOp(StageContext.one(s, docs.filter(F.col("doc_id") % 2 === 0),
         Cfg.of(mhCfg: _*)))
       IndexBuildOp(StageContext.one(s, docs.filter(F.col("doc_id") % 2 =!= 0),
         Cfg.of((mhCfg :+ ("mode" -> "append")): _*)))
+      }
+      BenchPhases.time("compact") {
       IndexCompactOp(StageContext.one(s, docs, Cfg.of("path" -> idx)))
+      }
       val d1 = DedupMinHashOp(StageContext.one(s, docs, Cfg.of(
         "id_column" -> "doc_id", "text_column" -> "text",
         "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
@@ -1300,6 +1310,45 @@ object ExtensionQueries {
         .select("doc_id", "n_tokens", "tok_start", "tok_end", "seq_first", "seq_last")
     },
 
+    // ---- shards.write (r11): token-budget training-shard export. The
+    // sharding rule (doc → shard of its global token START offset) is one
+    // window cumsum, so the MANIFEST the op returns — one (shard, n_docs,
+    // n_tokens) row per shard — restates exactly in SQL; the file layout
+    // itself (one file per shard dir, roundtrip of the rows) is
+    // ShardsWriteSpec's half. ~34 shards at sf0.1 / 8k-token budget.
+    QueryDef("shards_write",
+      """WITH tk AS (SELECT doc_id,
+        |  CAST(len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |cum AS (SELECT doc_id, n,
+        |  CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM tk)
+        |SELECT CAST(tok_start // 8000 AS BIGINT) AS shard,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM cum GROUP BY 1""".stripMargin) { (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/export"
+      ShardWriteOp(StageContext.one(s, t(s, d, "documents").select("doc_id", "text"),
+        Cfg.of("path" -> out, "order_by" -> Seq("doc_id"),
+          "shard_tokens" -> 8000, "tokenizer" -> "whitespace")))
+        .select("shard", "n_docs", "n_tokens")
+    },
+
+    // ---- shards.write by=rows: rank-based sharding, same manifest
+    // contract — floor(rank / shard_rows) in SQL.
+    QueryDef("shards_write_rows",
+      """WITH r AS (SELECT doc_id,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS rk FROM documents)
+        |SELECT CAST(rk // 150 AS BIGINT) AS shard, count(*) AS n_docs,
+        |  CAST(0 AS BIGINT) AS n_tokens
+        |FROM r GROUP BY 1""".stripMargin) { (s, d) =>
+      val out = java.nio.file.Files.createTempDirectory("graft_shardr").toString + "/export"
+      ShardWriteOp(StageContext.one(s, t(s, d, "documents").select("doc_id"),
+        Cfg.of("path" -> out, "by" -> "rows", "order_by" -> Seq("doc_id"),
+          "shard_rows" -> 150, "format" -> "jsonl")))
+        .select("shard", "n_docs", "n_tokens")
+    },
+
     // ---- join.similar anti mode: decontamination against a synthetic
     // "benchmark" (every 10th document). The oracle computes the exact
     // cross-pair Jaccard criterion in SQL — a training doc survives iff no
@@ -1342,10 +1391,12 @@ object ExtensionQueries {
         |WHERE d.doc_id % 10 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM hit)""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents")
       val idx = java.nio.file.Files.createTempDirectory("graft_sji_idx").toString
+      BenchPhases.time("index_build") {
       IndexBuildOp(StageContext.one(s, docs.filter(F.col("doc_id") % 10 === 0), Cfg.of(
         "type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
         "text_column" -> "text", "shingle_size" -> 3, "num_hashes" -> 128,
         "bands" -> 32, "seed" -> 42)))
+      }
       SimilarJoinOp(StageContext.one(s, docs.filter(F.col("doc_id") % 10 =!= 0), Cfg.of(
         "id_column" -> "doc_id", "text_column" -> "text",
         "threshold" -> 0.8, "index_path" -> idx, "mode" -> "anti")))
@@ -1909,6 +1960,32 @@ object ExtensionQueries {
           F.col("n_matched_ngrams"), F.col("contaminated"))
     },
 
+    // ---- decontaminate.embedding (r11): SEMANTIC decontamination — the
+    // benchmark is a scaled (×2) copy of every vec_id % 10 == 0 vector, so
+    // cosine is exactly 1 on the planted leaks and every other cross pair
+    // sits below the 0.99 threshold (planted near-dup pairs top out at
+    // 0.95+ε — the same separation similar_join_embedding already pins at
+    // both SFs). Each leak matches exactly ONE benchmark doc, so the whole
+    // annotate contract (match count + flag) is a constant-expressible
+    // oracle; max_benchmark_cosine is engine float math and projected away
+    // (DecontaminateEmbeddingSpec pins it instead).
+    QueryDef("decontaminate_embedding",
+      """SELECT vec_id, label,
+        |  CAST(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_benchmark_matches,
+        |  (vec_id % 10 = 0) AS contaminated
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val bench = emb.filter(F.col("vec_id") % 10 === 0)
+        .select((F.col("vec_id") + 100000).as("vec_id"),
+          F.transform(F.col("embedding"), x => x * F.lit(2.0f)).cast("array<float>").as("embedding"),
+          F.col("label"))
+      DecontaminateEmbeddingOp(StageContext(s, Seq("train" -> emb, "bench" -> bench),
+        Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+          "threshold" -> 0.99, "planes" -> 32, "blocks" -> 4, "seed" -> 7,
+          "mode" -> "annotate")))
+        .select("vec_id", "label", "n_benchmark_matches", "contaminated")
+    },
+
     // ---- text.sentences: the corpus has no punctuation, so both engines
     // synthesize identically-punctuated docs (substr + terminators),
     // then run the same replace-then-split (RE2 ∩ java.regex — no
@@ -2077,10 +2154,12 @@ object ExtensionQueries {
           F.transform(F.col("embedding"), x => x * F.lit(2.0f)).cast("array<float>").as("embedding"),
           F.col("label"))
       val idx = java.nio.file.Files.createTempDirectory("graft_sjie_idx").toString
+      BenchPhases.time("index_build") {
       IndexBuildOp(StageContext.one(s, half, Cfg.of(
         "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
         "id_column" -> "vec_id", "vector_column" -> "embedding",
         "bands" -> 8, "band_planes" -> 12, "seed" -> 7, "partition_dirs" -> 4)))
+      }
       SimilarJoinOp(StageContext.one(s, emb, Cfg.of(
         "id_column" -> "vec_id", "vector_column" -> "embedding",
         "method" -> "embedding", "threshold" -> 0.99,
