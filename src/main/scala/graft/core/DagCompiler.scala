@@ -163,7 +163,13 @@ final class DagCompiler(registry: Registry) {
   def compilePlans(spark: SparkSession, pc: PipelineConfig,
       explainOnly: Boolean = false,
       defer: (() => Unit) => Unit = StageContext.RunNow,
-      cleanup: (() => Unit) => Unit = StageContext.KeepPinned): Map[String, DataFrame] = {
+      cleanup: (() => Unit) => Unit = StageContext.KeepPinned,
+      /** Called after each stage composes: (stage id, function, seconds).
+        * Compose time is where EAGER stages (bpe.train's vocab jobs,
+        * decontaminate's bloom build, index probes' pins) do real work —
+        * this hook is what attributes a slow pipeline compile to its
+        * stages (bench phase splits; a profiler could subscribe too). */
+      onStage: (String, String, Double) => Unit = (_, _, _) => ()): Map[String, DataFrame] = {
     val outDegree = fanOut(pc)
     val memo = mutable.Map[String, DataFrame]()
     // one claim set per compile = per pipeline run: single-writer resources
@@ -182,8 +188,10 @@ final class DagCompiler(registry: Registry) {
         val cfg = if (explainOnly)
           graft.config.Cfg(st.config.table + ("_explain_only" -> graft.config.CBool(true)))
         else st.config
+        val t0 = System.nanoTime()
         val df = stage(StageContext(spark, inputDfs, cfg, st.id,
           deferToSuccess = defer, deferToCleanup = cleanup, claims = claims))
+        onStage(st.id, st.function, (System.nanoTime() - t0) / 1e9)
         if (outDegree(st.id) > 1 && !df.isStreaming && !explainOnly) {
           df.persist(StorageLevel.MEMORY_AND_DISK)
           // release registered HERE, not after compilePlans returns: a

@@ -303,10 +303,12 @@ object IngestStatsOp extends Stage {
     import spark.implicits._
     if (cfg.boolOr("_explain_only", false))
       return Seq.empty[(String, Long, Long, Long, Long, Long, Long, Double,
-          Option[String], Option[Long], Option[String], Option[Long])]
+          Option[String], Option[Long], Option[String], Option[Long],
+          Option[Long], Option[Long], Option[Long], Option[Double], Option[Long])]
         .toDF("path", "batch_dirs", "committed", "uncommitted", "compacted",
           "files", "bytes", "mean_file_kb", "lease_holder", "lease_age_ms",
-          "compact_lease_holder", "compact_lease_age_ms")
+          "compact_lease_holder", "compact_lease_age_ms",
+          "metric_batches", "rows_in", "survivors", "mean_batch_ms", "max_batch_ms")
     val root = cfg.str("path")
     IngestMaintenance.recoverSwap(root)
     if (!GraftFs.isDir(root)) throw new GraftPlanError(
@@ -336,13 +338,40 @@ object IngestStatsOp extends Stage {
       graft.streaming.IngestLease.OutLeaseName)
     val compactLease = graft.streaming.IngestLease.holder(root,
       graft.streaming.IngestLease.CompactLeaseName)
+    // per-micro-batch throughput, from the _metrics JSONs stream.ingest
+    // writes one-per-batch (null columns when the output predates them or
+    // was written by a batch pipeline): totals + batch-duration spread —
+    // the per-batch fixed cost is THE streaming scalability number, and
+    // this is where an operator watches it without a Spark UI
+    case class BatchMetric(rowsIn: Long, survivors: Long, durationMs: Long)
+    val metricsDir = s"$root/_metrics"
+    val metrics: Vector[BatchMetric] =
+      if (!GraftFs.isDir(metricsDir)) Vector.empty
+      else GraftFs.listNames(metricsDir)
+        .filter(n => n.startsWith("batch-") && n.endsWith(".json"))
+        .flatMap { n =>
+          try {
+            val o = graft.js.JsVal.parseJson(GraftFs.readString(s"$metricsDir/$n"))
+              .asInstanceOf[graft.js.JsObj]
+            def num(k: String) = o.fields(k).asInstanceOf[graft.js.JsNum].d.toLong
+            Some(BatchMetric(num("rows_in"), num("survivors"), num("duration_ms")))
+          } catch { case _: Exception => None } // torn write: skip, don't fail stats
+        }
+    val (mBatches, mRows, mSurv, mMean, mMax) =
+      if (metrics.isEmpty) (None, None, None, None, None)
+      else (Some(metrics.size.toLong), Some(metrics.map(_.rowsIn).sum),
+        Some(metrics.map(_.survivors).sum),
+        Some(math.round(metrics.map(_.durationMs).sum.toDouble / metrics.size * 10) / 10.0),
+        Some(metrics.map(_.durationMs).max))
     Seq((root, live.size.toLong, live.count(committedIds.contains).toLong,
         live.count(id => !committedIds.contains(id)).toLong,
         (if (ids.contains(-1L)) 1L else 0L), parts.size.toLong, bytes, meanKb,
         outLease.map(_._1), outLease.map(_._2),
-        compactLease.map(_._1), compactLease.map(_._2)))
+        compactLease.map(_._1), compactLease.map(_._2),
+        mBatches, mRows, mSurv, mMean, mMax))
       .toDF("path", "batch_dirs", "committed", "uncommitted", "compacted",
         "files", "bytes", "mean_file_kb", "lease_holder", "lease_age_ms",
-        "compact_lease_holder", "compact_lease_age_ms")
+        "compact_lease_holder", "compact_lease_age_ms",
+        "metric_batches", "rows_in", "survivors", "mean_batch_ms", "max_batch_ms")
   }
 }

@@ -106,8 +106,20 @@ object JsEvalOp extends Stage {
         val schema = try StructType.fromDDL(ddl) catch {
           case e: Exception => throw new GraftPlanError(s"js.eval bad schema DDL '$ddl': ${e.getMessage}")
         }
-        spark.read.schema(schema).json(transformed)
+        // from_json, NOT spark.read.json(dataset): the reader path converts
+        // the dataset to an RDD, which forces full analysis + physical
+        // planning of the UPSTREAM pipeline at compose time (measured: 3.9 s
+        // of the 15-stage corpus example's 5.3 s compile was this stage) and
+        // then hides that pipeline behind an RDD-scan boundary in the final
+        // plan. from_json keeps the declared-schema path lazy and the whole
+        // pipeline ONE Catalyst plan. (The JSON lines are machine-generated
+        // by stringify above, so the readers' corrupt-record handling isn't
+        // a meaningful difference.)
+        transformed.select(F.from_json(F.col("value"), schema).as("__js"))
+          .select("__js.*")
       case None =>
+        // dynamic schema: distributed inference needs the reader (one extra
+        // pass over the transformed rows, documented above)
         spark.read.json(transformed)
     }
   }

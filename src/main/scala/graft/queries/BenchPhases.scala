@@ -25,6 +25,11 @@ object BenchPhases {
     finally current.merge(phase, (System.nanoTime() - t0) / 1e9, (a, b) => a + b)
   }
 
+  /** Record an externally-measured duration (e.g. DagCompiler's per-stage
+    * compose hook) — same cumulative merge as [[time]]. */
+  def add(phase: String, sec: Double): Unit =
+    current.merge(phase, sec, (a, b) => a + b)
+
   /** Phase → cumulative seconds since the last reset. */
   def snapshot: Map[String, Double] = {
     val b = Map.newBuilder[String, Double]

@@ -586,6 +586,7 @@ object StreamIngestSink extends Stage {
         // measured as numInputRows = 5× the file rows in the r8 stream
         // probe. Bounded by the trigger size, released in the finally.
         val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val batchT0 = System.nanoTime()
         try {
           if (!batch.isEmpty) {
             val tag = s"sb-$tagBase-$batchId"
@@ -607,6 +608,26 @@ object StreamIngestSink extends Stage {
               // output — the same commit ordering as the batch pipelines'
               // success-deferred append
               deferred.foreach(_())
+              // per-batch observability: one small JSON per micro-batch
+              // under _metrics (underscore-named — parquet readers of the
+              // output skip it), REWRITTEN on replay with the same
+              // batch-id keying as the data partition, so exactly-once
+              // replays converge instead of double-counting. Written LAST:
+              // a batch that died mid-write leaves no metrics row, and its
+              // replay writes exactly one. rows_in counts the pinned
+              // micro-batch (no rescan); survivors counts the partition
+              // just written (parquet footer counts — no probe re-run).
+              // Surfaced by ingest.stats.
+              val rowsIn = batch.count()
+              val survDir = s"$out/ingest_batch=$batchId"
+              val survivorCount =
+                if (!graft.core.GraftFs.isDir(survDir)) 0L
+                else batch.sparkSession.read.parquet(survDir).count()
+              graft.core.GraftFs.mkdirs(s"$out/_metrics")
+              graft.core.GraftFs.writeString(s"$out/_metrics/batch-$batchId.json",
+                s"""{"batch_id":$batchId,"rows_in":$rowsIn,"survivors":$survivorCount,""" +
+                s""""duration_ms":${(System.nanoTime() - batchT0) / 1000000},""" +
+                s""""ts_ms":${System.currentTimeMillis()}}""")
             } finally cleanups.foreach(c => try c() catch { case e: Exception =>
               System.err.println(s"[graft] stream.ingest cleanup failed: ${e.getMessage}") })
           }

@@ -200,6 +200,9 @@ class IngestCompactSpec extends SparkSpec {
     assert(before.getAs[Long]("uncommitted") === 1L)
     assert(before.getAs[Long]("compacted") === 0L)
     assert(before.getAs[Long]("files") === 3L && before.getAs[Long]("bytes") > 0L)
+    // a hand-built batch output has no _metrics — null columns, not zeros
+    assert(before.isNullAt(before.fieldIndex("metric_batches")))
+    assert(before.isNullAt(before.fieldIndex("rows_in")))
     IngestCompactOp(StageContext.one(spark, Seq(row(0L)).toDF("doc_id", "text"),
       Cfg.of("path" -> root)))
     val after = stats()

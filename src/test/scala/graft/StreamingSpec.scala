@@ -230,6 +230,18 @@ class StreamingSpec extends SparkSpec {
         .toDF("doc_id", "text"),
       Cfg.of("id_column" -> "doc_id", "text_column" -> "text", "index_path" -> idx)))
     assert(next.select("doc_id").as[Long].collect().toSeq === Seq(302L))
+    // per-batch observability: one _metrics JSON per micro-batch, and
+    // ingest.stats totals them (rows in, survivors, duration spread)
+    assert(graft.core.GraftFs.listNames(s"$out/_metrics")
+      .count(n => n.startsWith("batch-") && n.endsWith(".json")) === 2)
+    val stats = graft.operators.IngestStatsOp(StageContext.one(spark, result,
+      Cfg.of("path" -> out))).head()
+    assert(stats.getAs[Long]("metric_batches") === 2L)
+    assert(stats.getAs[Long]("rows_in") === 4L)
+    assert(stats.getAs[Long]("survivors") === 2L)
+    assert(stats.getAs[Long]("max_batch_ms") >= 0L)
+    assert(stats.getAs[Double]("mean_batch_ms") <=
+      stats.getAs[Long]("max_batch_ms").toDouble)
   }
 
   test("stream.ingest dedup=ngram/simhash: the other text families stream too") {
