@@ -64,6 +64,9 @@ object ScaleProbe {
     if (args.headOption.contains("ivfpq")) {
       ivfpqProbe(args.drop(1).headOption.map(_.toInt).getOrElse(200000)); return
     }
+    if (args.headOption.contains("shards")) {
+      shardsProbe(args.drop(1).headOption.map(_.toInt).getOrElse(200000)); return
+    }
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 15000, 50000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -424,6 +427,45 @@ object ScaleProbe {
     * recall-vs-j plus the static scan bound — the wall win materializes
     * when the ×bands corpus no longer fits the page cache. Results →
     * BENCH_NOTES "r8". */
+  /** shards.write scaling: n docs with precomputed token counts (mean
+    * ~550, the token_column fast path — the probe measures the SHARDING
+    * machinery: TwoPass prefix sum + one shard-keyed shuffle + the
+    * partitioned write, not tokenization), 1 Mi-token budget. Evidence
+    * columns: wall seconds, shard count, data files (must equal shards —
+    * the one-file-per-shard contract is what keeps downstream listing
+    * O(shards)), manifest rows. Linear wall growth with flat
+    * files-per-shard is the pass criterion. */
+  private def shardsProbe(n: Int): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = java.nio.file.Files.createTempDirectory("graft_shp").toString
+    spark.range(n.toLong).select(F.col("id").as("doc_id"),
+        F.concat(F.lit("synthetic document "), F.col("id")).as("text"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(900L)) + 100L).as("n_tok"))
+      .write.parquet(s"$dir/docs")
+    val d = spark.read.parquet(s"$dir/docs")
+    val out = s"$dir/export"
+    spark.catalog.clearCache(); System.gc()
+    val t0 = System.nanoTime()
+    val manifest = ShardWriteOp(StageContext.one(spark, d, Cfg.of(
+      "path" -> out, "order_by" -> Seq("doc_id"),
+      "token_column" -> "n_tok", "shard_tokens" -> (1L << 20))))
+    val shards = manifest.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val files = graft.core.GraftFs.listFilesRec(out).count { case (f, _) =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      name.startsWith("part-") && f.contains("/shard=")
+    }
+    println(f"""{"op":"shards.write","n":$n,"sec":$sec%.2f,"shards":$shards,"data_files":$files}""")
+    spark.stop()
+  }
+
   private def probeBandsProbe(n: Int): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()

@@ -33,11 +33,13 @@ import graft.core._
   * so each shard is written by a single task — the intended shape: a
   * shard IS the unit of parallel IO downstream); `path/_manifest/` holds
   * one row per shard (`shard`, `n_docs`, `n_tokens`) — underscore-named,
-  * so readers of `path` skip it. Returns the manifest (read back from
-  * disk), NOT the input: a sink whose useful downstream product is the
-  * audit row set, e.g. piped into validate.schema or stdout.write.
-  * `overwrite = true` replaces an existing export atomically per the
-  * filesystem's rename semantics; the default refuses an existing path.
+  * so readers of `path` skip it. Registered as a TRANSFORM whose output
+  * is the manifest (read back from disk), NOT the input rows — the
+  * index.build/ingest.compact pattern: the write is the compose-time
+  * side effect, and the useful downstream product is the audit row set
+  * (pipe it into stdout.write or validate.schema; `explain` skips the
+  * write and plans an empty manifest). `overwrite = true` replaces an
+  * existing export; the default refuses an existing path.
   *
   * 100 TB shape: the prefix sum is the TwoPass scaffold (per-partition
   * summaries ∝ #partitions, never #rows), the shard shuffle is one
@@ -49,7 +51,7 @@ import graft.core._
   */
 object ShardWriteOp extends Stage {
   val name = "shards.write"
-  val kind = StageKind.Sink
+  val kind = StageKind.Transform
 
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
@@ -93,6 +95,26 @@ object ShardWriteOp extends Stage {
           s"shards.write by=tokens: no token_column and no '$textCol' column to tokenize")
     }
 
+    val budget = by match {
+      case "tokens" =>
+        val b = cfg.long("shard_tokens")
+        if (b <= 0) throw new GraftConfigError(
+          s"shards.write: shard_tokens must be positive, got $b")
+        b
+      case "rows" =>
+        val b = cfg.long("shard_rows")
+        if (b <= 0) throw new GraftConfigError(
+          s"shards.write: shard_rows must be positive, got $b")
+        b
+    }
+
+    // explain: every config/schema check above ran; skip the jobs (prefix
+    // sum, write, manifest) and plan the empty manifest shape
+    if (cfg.boolOr("_explain_only", false)) {
+      import ctx.spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("shard", "n_docs", "n_tokens")
+    }
+
     val orderCols = orderBy.map(F.col)
     val sorted = df.withColumn("__graft_ntok", tokCol)
       .repartitionByRange(orderCols: _*)
@@ -103,9 +125,6 @@ object ShardWriteOp extends Stage {
 
     val sharded = by match {
       case "tokens" =>
-        val budget = cfg.long("shard_tokens")
-        if (budget <= 0) throw new GraftConfigError(
-          s"shards.write: shard_tokens must be positive, got $budget")
         TwoPass[Long, Long](sorted, outSchema) { it =>
           var s = 0L; it.foreach(r => s += r.getLong(ntokIdx)); s
         } { sums =>
@@ -119,9 +138,6 @@ object ShardWriteOp extends Stage {
           }
         }
       case "rows" =>
-        val budget = cfg.long("shard_rows")
-        if (budget <= 0) throw new GraftConfigError(
-          s"shards.write: shard_rows must be positive, got $budget")
         TwoPass[Long, Long](sorted, outSchema) { it =>
           var n = 0L; it.foreach(_ => n += 1); n
         } { counts =>
@@ -138,10 +154,17 @@ object ShardWriteOp extends Stage {
 
     val writeMode =
       if (cfg.boolOr("overwrite", false)) "overwrite" else "errorifexists"
+    // shard compression: gzip jsonl / zstd parquet are the loader-standard
+    // shapes at real scale; default = the format's Spark default
+    val compression = cfg.strOpt("compression")
+    compression.filterNot(Set("none", "gzip", "snappy", "zstd", "lz4")).foreach(c =>
+      throw new GraftConfigError(
+        s"shards.write: compression must be none|gzip|snappy|zstd|lz4, got '$c'"))
     // one shuffle keyed on shard id → each shard dir gets exactly one file
-    val files = sharded.drop("__graft_ntok")
+    var files = sharded.drop("__graft_ntok")
       .repartition(F.col("shard"))
       .write.partitionBy("shard").mode(writeMode)
+    compression.foreach(c => files = files.option("compression", c))
     format match {
       case "parquet" => files.parquet(path)
       case "jsonl"   => files.json(path)

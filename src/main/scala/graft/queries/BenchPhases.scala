@@ -30,6 +30,30 @@ object BenchPhases {
   def add(phase: String, sec: Double): Unit =
     current.merge(phase, sec, (a, b) => a + b)
 
+  /** Decompose a completed stream.ingest run (`totalSec` of wall) into
+    * `ingest_batch_work` (the sum of per-micro-batch durations from the
+    * _metrics files the sink writes) and `ingest_stream_overhead` (the
+    * rest: query start/stop, checkpointing, trigger scheduling, the lease
+    * claim) — the r10 verdict's missing attribution for the two slowest
+    * gates. Metrics unreadable → the whole wall lands in overhead, never
+    * a throw (this is bench instrumentation, not the operator). */
+  def splitStreamIngest(outPath: String, totalSec: Double): Unit = {
+    val batchSec =
+      try {
+        val dir = s"$outPath/_metrics"
+        if (!graft.core.GraftFs.isDir(dir)) 0.0
+        else graft.core.GraftFs.listNames(dir)
+          .filter(n => n.startsWith("batch-") && n.endsWith(".json"))
+          .map { n =>
+            graft.js.JsVal.parseJson(graft.core.GraftFs.readString(s"$dir/$n"))
+              .asInstanceOf[graft.js.JsObj]
+              .fields("duration_ms").asInstanceOf[graft.js.JsNum].d / 1000.0
+          }.sum
+      } catch { case _: Exception => 0.0 }
+    add("ingest_batch_work", math.min(batchSec, totalSec))
+    add("ingest_stream_overhead", math.max(0.0, totalSec - batchSec))
+  }
+
   /** Phase → cumulative seconds since the last reset. */
   def snapshot: Map[String, Double] = {
     val b = Map.newBuilder[String, Double]

@@ -452,12 +452,12 @@ object ExtensionQueries {
       val stream = graft.streaming.FileStreamSource(StageContext(s, Seq.empty, Cfg.of(
         "path" -> streamDir, "format" -> "parquet", "max_files_per_trigger" -> 1L)))
       val out = java.nio.file.Files.createTempDirectory("graft_si_out").toString + "/data"
-      BenchPhases.time("stream_ingest") {
+      val siT0 = System.nanoTime()
       graft.streaming.StreamIngestSink(StageContext.one(s, stream, Cfg.of(
         "path" -> out, "index_path" -> idx, "dedup" -> "minhash",
         "trigger" -> "available_now", "id_column" -> "doc_id",
         "text_column" -> "text", "threshold" -> 0.8)))
-      }
+      BenchPhases.splitStreamIngest(out, (System.nanoTime() - siT0) / 1e9)
       val d1 = DedupMinHashOp(StageContext.one(s, docs, Cfg.of(
         "id_column" -> "doc_id", "text_column" -> "text",
         "shingle_size" -> 3, "num_hashes" -> 128, "bands" -> 32,
@@ -505,12 +505,12 @@ object ExtensionQueries {
       val stream = graft.streaming.FileStreamSource(StageContext(s, Seq.empty, Cfg.of(
         "path" -> streamDir, "format" -> "parquet", "max_files_per_trigger" -> 1L)))
       val out = java.nio.file.Files.createTempDirectory("graft_sie_out").toString + "/data"
-      BenchPhases.time("stream_ingest") {
+      val sieT0 = System.nanoTime()
       graft.streaming.StreamIngestSink(StageContext.one(s, stream, Cfg.of(
         "path" -> out, "index_path" -> idx, "dedup" -> "embedding",
         "trigger" -> "available_now", "id_column" -> "vec_id",
         "vector_column" -> "embedding", "threshold" -> 0.95)))
-      }
+      BenchPhases.splitStreamIngest(out, (System.nanoTime() - sieT0) / 1e9)
       s.read.parquet(out).select("vec_id", "label")
     },
 

@@ -43,6 +43,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.matches("(?s).*Sort .*global=true.*"), "no global sort either")
   }
 
+  test("js.eval with a declared schema stays ONE plan — no RDD-scan boundary") {
+    // the declared-schema path must use from_json, not
+    // spark.read.json(dataset): the reader converts to an RDD, which both
+    // plans the upstream eagerly at compose time and hides it behind a
+    // "Scan ExistingRDD" the optimizer can't see through (r11 finding:
+    // 3.9 s of the corpus example's 5.3 s compile was this boundary)
+    val p = plan("js_eval_transform")
+    assert(!p.contains("ExistingRDD"), p.take(1500))
+    assert(p.contains("from_json"), "declared-schema js.eval should parse via from_json")
+    // the parquet source is visible IN the same plan tree as the JS stage
+    assert(p.contains("Scan parquet"), p.take(1500))
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan("topk_orders")
     assert(p.contains("TakeOrderedAndProject"), p.take(1500))
@@ -56,7 +69,7 @@ class PlanSpec extends SparkSpec {
 
   test("no similarity operator ever plans a cartesian/nested-loop join") {
     for (q <- Seq("dedup_embedding", "dedup_embedding_bands", "dedup_minhash",
-                  "dedup_ngram", "knn_lsh")) {
+                  "dedup_ngram", "knn_lsh", "decontaminate_embedding")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested loop")

@@ -87,6 +87,18 @@ class ShardsWriteSpec extends SparkSpec {
     assert(manifest === Array((0L, 2L, 20L), (1L, 2L, 20L), (2L, 2L, 20L)))
   }
 
+  test("compression: gzip jsonl shards roundtrip; bad codec fails loud") {
+    val path = tmp("shw_gz")
+    ShardWriteOp(StageContext.one(spark, docs, Cfg.of(
+      "path" -> path, "by" -> "rows", "order_by" -> Seq("doc_id"),
+      "shard_rows" -> 4L, "format" -> "jsonl", "compression" -> "gzip")))
+    val shard0 = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("shard=")).head
+    assert(shard0.listFiles().exists(_.getName.endsWith(".json.gz")))
+    assert(spark.read.json(path).count() === 6)
+    intercept[GraftConfigError](run(tmp("e8"), "compression" -> "brotli9000"))
+  }
+
   test("existing path refused by default; overwrite replaces it") {
     val path = tmp("shw_ow")
     run(path)
@@ -104,6 +116,16 @@ class ShardsWriteSpec extends SparkSpec {
     assert(manifest.count() === 0)
     assert(!new java.io.File(path).listFiles()
       .exists(_.getName.startsWith("shard=")))
+  }
+
+  test("_explain_only plans the manifest schema without writing") {
+    val path = tmp("shw_ex")
+    val m = ShardWriteOp(StageContext.one(spark, docs, Cfg.of(
+      "path" -> path, "order_by" -> Seq("doc_id"), "shard_tokens" -> 7L,
+      "_explain_only" -> true)))
+    assert(m.columns.toSeq === Seq("shard", "n_docs", "n_tokens"))
+    assert(m.count() === 0)
+    assert(!new java.io.File(path).exists())
   }
 
   test("config edges fail loud") {
