@@ -73,7 +73,30 @@ object KafkaLog {
         val target = s"$dir/$name"
         // a lost rename race (another reader repairing concurrently) is
         // converged by the winner; re-stat decides the delete below
-        if (!GraftFs.isDir(target)) GraftFs.rename(s"$hold/$name", target)
+        if (!GraftFs.isDir(target)) {
+          GraftFs.rename(s"$hold/$name", target)
+          // restore the segments under FRESH names: a live kafka.stream
+          // that had LISTED these files when the crash window hid them
+          // skipped them via ignoreMissingFiles AND seen-marked their
+          // paths — restored under the same names they would never be
+          // redelivered (permanent loss in the stream that the log itself
+          // doesn't have; caught by the KafkaSpec live-stream crash spec
+          // under load). Segment names carry no semantics (ordering and
+          // consume pruning read first-line offsets), and redelivery
+          // under a new name is the documented at-least-once path —
+          // readers dedup on (partition, offset), like consumers of a
+          // real broker's offset-preserving cleaner. Best-effort per
+          // file: a failed rename leaves the old name, which only keeps
+          // the narrow window this closes.
+          segments(target).foreach { f =>
+            val slash = f.lastIndexOf('/')
+            val fresh = f.substring(0, slash + 1) +
+              s"r${java.util.UUID.randomUUID().toString.take(8)}-" +
+              f.substring(slash + 1)
+            try GraftFs.rename(f, fresh)
+            catch { case scala.util.control.NonFatal(_) => () }
+          }
+        }
       }
       if (partDirNames(hold).forall(n => GraftFs.isDir(s"$dir/$n")))
         GraftFs.deleteRec(hold)

@@ -41,6 +41,12 @@ import graft.core._
   * write and plans an empty manifest). `overwrite = true` replaces an
   * existing export; the default refuses an existing path.
   *
+  * Crash contract: the manifest is written AFTER the data and is the
+  * export's commit marker — an export directory with no `_manifest/` is
+  * incomplete (a crash mid-write) and should be re-run with
+  * `overwrite = true`; per-task atomicity inside the data write is the
+  * Spark/Hadoop committer's.
+  *
   * 100 TB shape: the prefix sum is the TwoPass scaffold (per-partition
   * summaries ∝ #partitions, never #rows), the shard shuffle is one
   * hash exchange on the shard id (collisions only serialize two shards

@@ -1986,6 +1986,33 @@ object ExtensionQueries {
         .select("vec_id", "label", "n_benchmark_matches", "contaminated")
     },
 
+    // ---- decontaminate.embedding via index_path: the SAME construction
+    // and oracle, but the benchmark lives in a PREBUILT bands-layout lsh
+    // index — the fixed-eval-suite shape (embed + index the benchmark
+    // once, probe it per training batch). Scaling ×2 preserves hyperplane
+    // signs, so banded recall on the cosine-1 leaks is deterministic.
+    QueryDef("decontaminate_embedding_index",
+      """SELECT vec_id, label,
+        |  CAST(CASE WHEN vec_id % 10 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_benchmark_matches,
+        |  (vec_id % 10 = 0) AS contaminated
+        |FROM embeddings""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val bench = emb.filter(F.col("vec_id") % 10 === 0)
+        .select((F.col("vec_id") + 100000).as("vec_id"),
+          F.transform(F.col("embedding"), x => x * F.lit(2.0f)).cast("array<float>").as("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_dce_idx").toString
+      BenchPhases.time("index_build") {
+      IndexBuildOp(StageContext.one(s, bench, Cfg.of(
+        "type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+        "id_column" -> "vec_id", "vector_column" -> "embedding",
+        "bands" -> 8, "band_planes" -> 12, "seed" -> 7, "partition_dirs" -> 4)))
+      }
+      DecontaminateEmbeddingOp(StageContext.one(s, emb,
+        Cfg.of("id_column" -> "vec_id", "vector_column" -> "embedding",
+          "threshold" -> 0.99, "index_path" -> idx, "mode" -> "annotate")))
+        .select("vec_id", "label", "n_benchmark_matches", "contaminated")
+    },
+
     // ---- text.sentences: the corpus has no punctuation, so both engines
     // synthesize identically-punctuated docs (substr + terminators),
     // then run the same replace-then-split (RE2 ∩ java.regex — no

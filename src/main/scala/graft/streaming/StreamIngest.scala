@@ -84,6 +84,42 @@ import graft.operators.{DedupEmbeddingOp, DedupExactOp, DedupMinHashOp, DedupNgr
   * out `lease_stale_ms` before reclaiming; deployments that reschedule
   * across nodes routinely should set `lease_stale_ms` to a few multiples
   * of their trigger interval to bound that wait. */
+/** Per-micro-batch observability shared by stream.ingest / stream.sketch:
+  * one `_metrics/batch-<id>.json` per micro-batch, written LAST (a batch
+  * that died mid-write leaves no metrics row; its replay overwrites
+  * exactly one — same batch-id keying as the data partition, so
+  * exactly-once replays converge). COST DISCIPLINE: the r11 bench A/B
+  * measured a naive version (read-back count job per batch) at ~0.6 s per
+  * micro-batch of pure metrics overhead — so the landed-rows count reads
+  * parquet FOOTERS on the driver (no Spark job), and rows_in comes from
+  * the count the sink already pays for its emptiness check. */
+private[streaming] object IngestMetrics {
+  def landedRows(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    import scala.jdk.CollectionConverters._
+    if (!GraftFs.isDir(dir)) return 0L
+    val conf = spark.sessionState.newHadoopConf()
+    GraftFs.listFilesRec(dir).map(_._1).filter { f =>
+      val n = f.substring(f.lastIndexOf('/') + 1)
+      n.startsWith("part-") && n.endsWith(".parquet")
+    }.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+      finally r.close()
+    }.sum
+  }
+
+  def write(out: String, batchId: Long, rowsIn: Long, landed: Long,
+      t0Nanos: Long): Unit = {
+    GraftFs.mkdirs(s"$out/_metrics")
+    GraftFs.writeString(s"$out/_metrics/batch-$batchId.json",
+      s"""{"batch_id":$batchId,"rows_in":$rowsIn,"survivors":$landed,""" +
+      s""""duration_ms":${(System.nanoTime() - t0Nanos) / 1000000},""" +
+      s""""ts_ms":${System.currentTimeMillis()}}""")
+  }
+}
+
 private[graft] object IngestLease {
   val StaleMsDefault = 600000L
 
@@ -588,7 +624,11 @@ object StreamIngestSink extends Stage {
         val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val batchT0 = System.nanoTime()
         try {
-          if (!batch.isEmpty) {
+          // count, not isEmpty: same one-job emptiness check (the dedup
+          // probe fully materializes the persist anyway) and the count IS
+          // the rows_in metric — per-batch observability at zero extra jobs
+          val rowsIn = batch.count()
+          if (rowsIn > 0) {
             val tag = s"sb-$tagBase-$batchId"
             val deferred = scala.collection.mutable.Buffer[() => Unit]()
             val cleanups = scala.collection.mutable.Buffer[() => Unit]()
@@ -608,26 +648,12 @@ object StreamIngestSink extends Stage {
               // output — the same commit ordering as the batch pipelines'
               // success-deferred append
               deferred.foreach(_())
-              // per-batch observability: one small JSON per micro-batch
-              // under _metrics (underscore-named — parquet readers of the
-              // output skip it), REWRITTEN on replay with the same
-              // batch-id keying as the data partition, so exactly-once
-              // replays converge instead of double-counting. Written LAST:
-              // a batch that died mid-write leaves no metrics row, and its
-              // replay writes exactly one. rows_in counts the pinned
-              // micro-batch (no rescan); survivors counts the partition
-              // just written (parquet footer counts — no probe re-run).
-              // Surfaced by ingest.stats.
-              val rowsIn = batch.count()
-              val survDir = s"$out/ingest_batch=$batchId"
-              val survivorCount =
-                if (!graft.core.GraftFs.isDir(survDir)) 0L
-                else batch.sparkSession.read.parquet(survDir).count()
-              graft.core.GraftFs.mkdirs(s"$out/_metrics")
-              graft.core.GraftFs.writeString(s"$out/_metrics/batch-$batchId.json",
-                s"""{"batch_id":$batchId,"rows_in":$rowsIn,"survivors":$survivorCount,""" +
-                s""""duration_ms":${(System.nanoTime() - batchT0) / 1000000},""" +
-                s""""ts_ms":${System.currentTimeMillis()}}""")
+              // per-batch metrics (see IngestMetrics): survivors from the
+              // just-written partition's parquet footers — driver-side,
+              // no job, no probe re-run. Surfaced by ingest.stats.
+              IngestMetrics.write(out, batchId, rowsIn,
+                IngestMetrics.landedRows(batch.sparkSession,
+                  s"$out/ingest_batch=$batchId"), batchT0)
             } finally cleanups.foreach(c => try c() catch { case e: Exception =>
               System.err.println(s"[graft] stream.ingest cleanup failed: ${e.getMessage}") })
           }
@@ -726,8 +752,11 @@ object StreamSketchSink extends Stage {
         // pin once — the emptiness check and the sketch pass would each
         // re-scan the source files otherwise (see stream.ingest)
         val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val batchT0 = System.nanoTime()
         try {
-          if (!batch.isEmpty) {
+          // count doubles as the rows_in metric — see stream.ingest
+          val rowsIn = batch.count()
+          if (rowsIn > 0) {
             val cleanups = scala.collection.mutable.Buffer[() => Unit]()
             try {
               val summary = TopKOp(StageContext(batch.sparkSession,
@@ -737,6 +766,10 @@ object StreamSketchSink extends Stage {
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("ingest_batch").parquet(out)
+              // per-batch metrics: "survivors" = summary rows landed
+              IngestMetrics.write(out, batchId, rowsIn,
+                IngestMetrics.landedRows(batch.sparkSession,
+                  s"$out/ingest_batch=$batchId"), batchT0)
             } finally cleanups.foreach(c => try c() catch { case e: Exception =>
               System.err.println(s"[graft] stream.sketch cleanup failed: ${e.getMessage}") })
           }

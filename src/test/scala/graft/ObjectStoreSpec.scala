@@ -28,6 +28,39 @@ class MockS3FileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
       s.getPath)
   override def getFileStatus(f: Path): FileStatus = eager(super.getFileStatus(f))
   override def listStatus(f: Path): Array[FileStatus] = super.listStatus(f).map(eager)
+
+  // S3 PUTs are ATOMIC whole-object installs: an object is invisible until
+  // its PUT completes and never shows a torn body — last writer wins the
+  // WHOLE object. RawLocal streams bytes in place, which under racing
+  // claim PUTs produced interleaved lease bodies (LeaseClaimSpec flaked
+  // with "racer"+tail-of-"original" under suite load — an artifact no
+  // real object store can produce). Buffer the bytes and install them in
+  // one local atomic move at close; the ".put*" temp is dot-prefixed so
+  // segment/part listings never see it.
+  override def create(f: Path,
+      permission: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long, progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    if (!overwrite && exists(f))
+      throw new org.apache.hadoop.fs.FileAlreadyExistsException(f.toString)
+    val local = pathToFile(f).toPath
+    java.nio.file.Files.createDirectories(local.getParent)
+    val buf = new java.io.ByteArrayOutputStream()
+    val installing = new java.io.FilterOutputStream(buf) {
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        buf.write(b, off, len)
+      override def close(): Unit = {
+        super.close()
+        val tmp = java.nio.file.Files.createTempFile(local.getParent, ".put", ".tmp")
+        java.nio.file.Files.write(tmp, buf.toByteArray)
+        java.nio.file.Files.move(tmp, local,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    new org.apache.hadoop.fs.FSDataOutputStream(installing, null)
+  }
 }
 
 class ObjectStoreSpec extends SparkSpec {

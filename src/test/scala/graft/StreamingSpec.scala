@@ -332,6 +332,12 @@ class StreamingSpec extends SparkSpec {
     val sums = spark.read.parquet(out)
     assert(sums.select("ingest_batch").distinct().count() === 2,
       "each micro-batch persists its own summary partition")
+    // same per-batch observability as stream.ingest
+    val skStats = graft.operators.IngestStatsOp(StageContext.one(spark, sums,
+      Cfg.of("path" -> out))).head()
+    assert(skStats.getAs[Long]("metric_batches") === 2L)
+    assert(skStats.getAs[Long]("rows_in") === 4L)
+    assert(skStats.getAs[Long]("survivors") === sums.count())
     // merged streaming summaries ≡ one-pass batch top-k (exact regime)
     val merged = graft.operators.TopKMergeOp(StageContext(spark,
       Seq("s" -> sums), Cfg.of("k" -> 3)))
