@@ -393,10 +393,15 @@ object ExtensionQueries {
         .select("doc_id", "text")
     },
 
-    // ---- index.stats: fragmentation report (file counts / dir layout —
-    // filesystem facts, not SQL-expressible → rows-only; exactness pinned
-    // in IndexCompactSpec against known build+append layouts) ----
-    QueryDef.noOracle("index_stats") { (s, d) =>
+    // ---- index.stats: fragmentation report. File counts / byte sizes
+    // are physical (partitioning-dependent — pinned in IndexCompactSpec),
+    // but the family, the footer row count (= the whole indexed corpus)
+    // and the free lease are exact → oracle those columns.
+    QueryDef("index_stats",
+      """SELECT 'minhash' AS index_type,
+        |  CAST(count(*) AS BIGINT) AS rows,
+        |  CAST(NULL AS VARCHAR) AS lease_holder
+        |FROM documents""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents").select("doc_id", "text")
       val idx = java.nio.file.Files.createTempDirectory("graft_is_idx").toString
       val mhCfg = Seq[(String, Any)]("type" -> "minhash", "path" -> idx,
@@ -407,6 +412,7 @@ object ExtensionQueries {
       IndexBuildOp(StageContext.one(s, docs.filter(F.col("doc_id") % 2 =!= 0),
         Cfg.of((mhCfg :+ ("mode" -> "append")): _*)))
       IndexStatsOp(StageContext.one(s, docs, Cfg.of("path" -> idx)))
+        .select("index_type", "rows", "lease_holder")
     },
 
     // ---- stream.ingest batch-parity: the SAME corpus/batch split as
@@ -603,7 +609,15 @@ object ExtensionQueries {
     // ---- ingest.stats: output-lifecycle health counters (filesystem
     // facts, not SQL-expressible → rows-only; exactness pinned in
     // IngestCompactSpec against known batch/commit layouts) ----
-    QueryDef.noOracle("ingest_stats") { (s, d) =>
+    // the constructed layout makes every structural column a CONSTANT
+    // (2 committed single-file batches, no compaction, no live lease, no
+    // stream metrics) — oracle-gate those; bytes/mean_file_kb are physical
+    // file sizes and stay spec-pinned (IngestCompactSpec)
+    QueryDef("ingest_stats",
+      """SELECT CAST(2 AS BIGINT) AS batch_dirs, CAST(2 AS BIGINT) AS committed,
+        |  CAST(0 AS BIGINT) AS uncommitted, CAST(0 AS BIGINT) AS compacted,
+        |  CAST(2 AS BIGINT) AS files, CAST(NULL AS VARCHAR) AS lease_holder,
+        |  CAST(NULL AS BIGINT) AS metric_batches""".stripMargin) { (s, d) =>
       val docs = t(s, d, "documents").select("doc_id", "text")
       val root = java.nio.file.Files.createTempDirectory("graft_ings").toString
       import java.nio.file.{Files, Paths}
@@ -614,13 +628,17 @@ object ExtensionQueries {
         Files.write(Paths.get(s"$root/_checkpoint/commits/$i"), "v1".getBytes("UTF-8"))
       }
       IngestStatsOp(StageContext.one(s, docs.limit(1), Cfg.of("path" -> root)))
+        .select("batch_dirs", "committed", "uncommitted", "compacted",
+          "files", "lease_holder", "metric_batches")
     },
 
     // ---- kafka.stats: topic-log health counters + writer-lease
-    // visibility (filesystem facts, not SQL-expressible → rows-only;
-    // segment/partition exactness and the lease round-trip are pinned in
-    // KafkaSpec) ----
-    QueryDef.noOracle("kafka_stats") { (s, d) =>
+    // visibility. One produce into a 2-partition topic is a CONSTANT
+    // shape (one segment per partition, no lease) — oracle-gate it;
+    // bytes/mean_segment_kb are physical sizes, pinned in KafkaSpec.
+    QueryDef("kafka_stats",
+      """SELECT 'nations' AS topic, CAST(2 AS BIGINT) AS partitions,
+        |  CAST(2 AS BIGINT) AS segments, CAST(NULL AS VARCHAR) AS lease_holder""".stripMargin) { (s, d) =>
       val root = java.nio.file.Files.createTempDirectory("graft_kst").toString
       val slice = t(s, d, "nation").select(
         F.col("n_name").as("k"), F.col("n_regionkey").cast("string").as("v"))
@@ -628,6 +646,7 @@ object ExtensionQueries {
         "path" -> root, "topic" -> "nations", "key_field" -> "k",
         "num_partitions" -> 2L)))
       KafkaStatsOp(StageContext(s, Seq.empty, Cfg.of("path" -> root), "kstats"))
+        .select("topic", "partitions", "segments", "lease_holder")
     },
 
     // ---- dedup.minhash keep_by: survivor = highest-quality duplicate.
