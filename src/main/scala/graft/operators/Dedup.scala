@@ -1282,8 +1282,10 @@ object DedupEmbeddingOp extends Stage {
             IvfCentroids.load(ctx.spark, p, "dedup.embedding blocking=ivf").map(_._2.toArray)
           case None =>
             val maxTrain = cfg.longOr("max_train", 10000L).toInt
-            val sample = reps.select(F.col("vec").cast("array<double>"))
-              .limit(maxTrain).collect().map(_.getSeq[Double](0).toArray)
+            // Pq.trainSample: deterministic uniform draw (a plain limit
+            // would train on the first rows in plan order — one domain's
+            // slice of a sorted corpus)
+            val sample = Pq.trainSample(reps, F.col("vec"), maxTrain, seed)
             if (sample.isEmpty) Array(Array.fill(math.max(1, dim))(0.0)) // empty corpus: no pairs
             else Pq.lloyd(sample, nlist, Pq.TrainIters, seed)
         }

@@ -158,6 +158,85 @@ private[graft] object Pq {
   }
 
   val TrainIters = 15
+
+  /** Deterministic UNIFORM training draw for every quantizer/codebook
+    * trainer. `df.limit(n)` takes the FIRST rows in plan order — a real
+    * curated corpus is almost never in random order (it is sorted or
+    * partitioned by source, domain, or time), so a plain limit trains the
+    * quantizer on one domain's slice: coarse centroids crowd that domain,
+    * the rest of the corpus piles into few cells, and every cell-pruned
+    * probe loses selectivity. Ordering by a seeded content hash of the
+    * vector de-correlates the draw from storage order while staying
+    * deterministic (same rows + seed → same sample, any partitioning).
+    * Cost: one TakeOrdered over the projected vector column — a bounded
+    * per-partition top-k with an n·maxTrain driver merge, the same price
+    * class as the limit it replaces plus the scan it was already paying.
+    * The hash is the tie-order too (second key = the vector itself, so
+    * even a 64-bit collision at the cutoff stays deterministic). */
+  def trainSample(df: DataFrame, vec: org.apache.spark.sql.Column,
+      maxTrain: Int, seed: Long): Array[Array[Double]] =
+    df.select(vec.cast("array<double>").alias("_v"))
+      .filter(F.col("_v").isNotNull)
+      .orderBy(F.xxhash64(F.lit(seed), F.col("_v")), F.col("_v"))
+      .limit(maxTrain)
+      .collect().map(_.getSeq[Double](0).toArray)
+
+  /** ivf/ivfpq cell-skew advisory — the cell-layout sibling of the bands
+    * bucket-occupancy warning. A healthy coarse quantizer spreads the
+    * corpus ~1/nlist per cell; when the hottest cell holds many multiples
+    * of that share, fixed-nprobe probes lose recall balance (hot cells
+    * dominate every candidate set, cold cells prune to nothing) — the
+    * observable symptom of a quantizer trained on a non-uniform sample.
+    * Pure, so the threshold is unit-testable. Returns the stderr line to
+    * emit, or None while the spread is healthy. */
+  def cellSkewWarning(op: String, cellRows: Iterable[Long], nlist: Int): Option[String] = {
+    val total = cellRows.sum
+    if (total == 0 || nlist <= 1) return None
+    val maxRows = cellRows.max
+    val ratio = maxRows.toDouble * nlist / total // 1.0 = perfectly balanced
+    if (ratio <= 4.0) None
+    else Some(
+      f"[graft] $op: hottest cell holds $maxRows of $total corpus rows — " +
+      f"${ratio}%.1fx the balanced 1/$nlist share. The coarse quantizer is " +
+      "skewed (typical cause: training sample not representative of the " +
+      "corpus); probes at fixed nprobe lose recall balance. Retrain with " +
+      "mode=overwrite (larger max_train helps), or raise nlist.")
+  }
+
+  /** Per-cell corpus row counts straight from the parquet footers of the
+    * cell-partitioned layout (`corpus/cell=N/part-*.parquet`) — metadata
+    * only, O(files) driver reads, the same trick as index.stats. Files not
+    * under a cell= dir (none in the ivf/ivfpq layout) are ignored. */
+  def cellOccupancy(spark: SparkSession, corpusDir: String): Map[Int, Long] = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    IndexSnapshot.files(corpusDir, s"cellOccupancy: no corpus at $corpusDir")
+      .flatMap { f =>
+        GraftFs.relativize(corpusDir, f).split('/')
+          .find(_.startsWith("cell=")).map(_.stripPrefix("cell=").toInt -> f)
+      }
+      .groupBy(_._1)
+      .map { case (cell, fs) =>
+        cell -> fs.map { case (_, f) =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+          finally r.close()
+        }.sum
+      }
+  }
+
+  /** Emit the cell-skew advisory for the index at `root` (ivf/ivfpq
+    * layouts), swallowing measurement failures the way the bands advisory
+    * does — guidance must never fail a build. Runs after every corpus
+    * write, append included: occupancy is a property of the total. */
+  def warnCellSkew(spark: SparkSession, root: String, op: String, nlist: Int): Unit =
+    try {
+      val occ = cellOccupancy(spark, IndexSnapshot.corpusDir(root))
+      if (occ.nonEmpty) cellSkewWarning(op, occ.values, nlist).foreach(System.err.println)
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[graft] $op cell-skew check skipped: ${e.getMessage}") }
 }
 
 private[graft] object PqIndex {
@@ -230,8 +309,7 @@ private[graft] object PqIndex {
         s"index.build type=ivfpq: input already has a '$c' column — rename it; " +
         "the index layout reserves cell/pq_codes/pq_vnorm"))
 
-    val sample = ctx.primary.select(F.col(vecCol).cast("array<double>"))
-      .limit(maxTrain).collect().map(_.getSeq[Double](0).toArray)
+    val sample = Pq.trainSample(ctx.primary, F.col(vecCol), maxTrain, seed)
     if (sample.isEmpty) throw new GraftPlanError(
       "index.build type=ivfpq: empty input, nothing to train the quantizer on")
     val dim = sample(0).length
@@ -246,6 +324,7 @@ private[graft] object PqIndex {
     val books = Pq.trainCodebooks(residuals, m, ksub, Pq.TrainIters, seed)
 
     writeCorpus(ctx, path, vecCol, cents, books, "overwrite")
+    Pq.warnCellSkew(ctx.spark, path, "index.build type=ivfpq", cents.length)
 
     val spark = ctx.spark
     import spark.implicits._
@@ -301,6 +380,7 @@ private[graft] object PqIndex {
       .map(_._2.toArray)
     val books = loadCodebooks(spark, path, "index.build type=ivfpq mode=append")
     writeCorpus(ctx, path, vecCol, cents, books, "append")
+    Pq.warnCellSkew(ctx.spark, path, "index.build type=ivfpq mode=append", cents.length)
   }
 
   /** The one distributed pass: encode every row (cell + codes + norm) and

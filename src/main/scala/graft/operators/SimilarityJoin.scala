@@ -206,9 +206,11 @@ object SimilarJoinOp extends Stage {
           if (nlist < 1) throw new GraftConfigError(
             s"join.similar: nlist must be >= 1, got $nlist")
           val maxTrain = cfg.longOr("max_train", 10000L).toInt
-          val sample = right.select(F.col(rightVec).cast("array<double>"))
-            .filter(F.col(rightVec).isNotNull)
-            .limit(maxTrain).collect().map(_.getSeq[Double](0).toArray)
+          // Pq.trainSample: deterministic uniform draw (a plain limit
+          // would train on the first rows in plan order — one domain's
+          // slice of a sorted corpus)
+          val sample = Pq.trainSample(
+            right.filter(F.col(rightVec).isNotNull), F.col(rightVec), maxTrain, seed)
           if (sample.isEmpty) Array(Array.fill(math.max(1, dimL))(0.0))
           else Pq.lloyd(sample, nlist, Pq.TrainIters, seed)
       }

@@ -239,7 +239,14 @@ object IndexBuildOp extends Stage {
 
     val toVec = F.udf { v: Seq[Float] => Vectors.dense(v.map(_.toDouble).toArray) }
     val feat = ctx.primary.withColumn("_features", toVec(F.col(vecCol).cast("array<float>")))
-    val train = feat.select("_features").limit(maxTrain)
+    // deterministic UNIFORM draw — a plain limit() takes the first rows in
+    // plan order and trains the quantizer on one slice of a sorted corpus
+    // (see Pq.trainSample); same seeded content-hash order here, keeping
+    // the sample a DataFrame for the MLlib fit
+    val train = feat
+      .orderBy(F.xxhash64(F.lit(seed), F.col(vecCol).cast("array<double>")),
+        F.col(vecCol).cast("array<double>"))
+      .limit(maxTrain).select("_features")
     if (train.isEmpty)
       throw new GraftPlanError("index.build type=ivf: empty input, nothing to train the quantizer on")
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
@@ -258,6 +265,7 @@ object IndexBuildOp extends Stage {
       .map { case (c, i) => (i, c.toArray) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Pq.warnCellSkew(spark, path, "index.build type=ivf", nlist)
   }
 
   /** mode=append for type=ivf: assign new rows to the EXISTING centroids
@@ -293,6 +301,7 @@ object IndexBuildOp extends Stage {
     ctx.primary.withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
       .repartition(F.col("cell"))
       .write.mode("append").partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
+    Pq.warnCellSkew(spark, path, "index.build type=ivf mode=append", cents.length)
   }
 
   /** `type = "exact"` — the exact-dedup key set: distinct 128-bit md5
