@@ -466,7 +466,7 @@ object DedupExactOp extends Stage {
       if (!GraftFs.isDir(s"$path/meta"))
         throw new GraftPlanError(
           s"dedup.exact: no exact-dedup index at $path — run index.build type=exact first")
-      val metaRow = spark.read.parquet(s"$path/meta").head()
+      val metaRow = IndexMeta.head(spark, s"$path/meta")
       val metaCols = metaRow.getSeq[String](metaRow.fieldIndex("columns")).toVector
       if (metaCols != cols.toVector) throw new GraftConfigError(
         s"dedup.exact: columns ${cols.mkString(", ")} conflict with the index at $path " +
@@ -495,6 +495,34 @@ object DedupExactOp extends Stage {
       }
     }
     result.drop("_key")
+  }
+}
+
+/** Driver-side cache of index `meta/` tables, keyed by the dir's file
+  * listing (names + lengths): every incremental probe reads one tiny
+  * 1-row parquet per invocation, which in a streaming query means one
+  * Spark job PER MICRO-BATCH for a table that cannot change while the
+  * query holds the index lease. A driver FS listing (no job) detects the
+  * only way the meta can legitimately change — a rebuild writes fresh
+  * part-file names — and invalidates; everything else is served from
+  * memory. Bounded: one small Row per distinct index path per JVM. */
+private[graft] object IndexMeta {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.Row)]()
+
+  private def listing(dir: String): String =
+    GraftFs.listFilesRec(dir).map { case (f, len) => s"$f:$len" }.sorted.mkString("|")
+
+  def head(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.Row = {
+    val key = GraftFs.qualified(dir)
+    val lst = listing(dir)
+    val hit = cache.get(key)
+    if (hit != null && hit._1 == lst) hit._2
+    else {
+      val row = spark.read.parquet(dir).head()
+      cache.put(key, (lst, row))
+      row
+    }
   }
 }
 
@@ -734,7 +762,7 @@ object DedupMinHashOp extends Stage {
         if (!GraftFs.isDir(s"$path/meta"))
           throw new GraftPlanError(
             s"dedup.minhash: no minhash index at $path — run index.build type=minhash first")
-        val meta = spark.read.parquet(s"$path/meta").head()
+        val meta = IndexMeta.head(spark, s"$path/meta")
         val vals = (meta.getAs[Int]("shingle_size"), meta.getAs[Int]("num_hashes"),
           meta.getAs[Int]("bands"), meta.getAs[Long]("seed"))
         Seq(("shingle_size", vals._1.toLong), ("num_hashes", vals._2.toLong),
@@ -889,7 +917,7 @@ object DedupSimHashOp extends Stage {
       if (!GraftFs.isDir(s"$path/meta"))
         throw new GraftPlanError(
           s"dedup.simhash: no simhash index at $path — run index.build type=simhash first")
-      val meta = spark.read.parquet(s"$path/meta").head()
+      val meta = IndexMeta.head(spark, s"$path/meta")
       if (!meta.schema.fieldNames.contains("simhash")) throw new GraftConfigError(
         s"dedup.simhash: the index at $path is not a simhash index — probe it with the " +
         "matching dedup family")
@@ -1031,7 +1059,7 @@ object DedupNgramOp extends Stage {
         if (!GraftFs.isDir(s"$path/meta"))
           throw new GraftPlanError(
             s"dedup.ngram: no ngram index at $path — run index.build type=ngram first")
-        val meta = spark.read.parquet(s"$path/meta").head()
+        val meta = IndexMeta.head(spark, s"$path/meta")
         if (!meta.schema.fieldNames.contains("ngram_size")) throw new GraftConfigError(
           s"dedup.ngram: the index at $path is not an ngram index — probe it with the " +
           "matching dedup family")
@@ -1401,7 +1429,7 @@ object DedupEmbeddingOp extends Stage {
         s"dedup.embedding: no lsh index at $path — run index.build type=lsh first")
     val bandsLayout =
       if (!metaExists) cfg.strOr("blocking", "pigeonhole") == "bands" // explain placeholder
-      else ctx.spark.read.parquet(s"$path/meta").schema.fieldNames.contains("band_planes")
+      else IndexMeta.head(ctx.spark, s"$path/meta").schema.fieldNames.contains("band_planes")
     cfg.strOpt("blocking").foreach { b =>
       val layoutName = if (bandsLayout) "bands" else "pigeonhole"
       if (metaExists && b != layoutName) throw new GraftConfigError(
@@ -1445,7 +1473,7 @@ object DedupEmbeddingOp extends Stage {
              .headOption.map(_.getInt(0)).getOrElse(0)),
          cfg.longOr("partition_dirs", 64L).toInt)
       else {
-        val meta = spark.read.parquet(s"$path/meta").head()
+        val meta = IndexMeta.head(spark, s"$path/meta")
         val vals = (meta.getAs[Int]("bands"), meta.getAs[Int]("band_planes"),
           meta.getAs[Long]("seed"), meta.getAs[Int]("dim"), meta.getAs[Int]("pbuckets"))
         Seq(("bands", vals._1.toLong), ("band_planes", vals._2.toLong), ("seed", vals._3),
@@ -1516,22 +1544,44 @@ object DedupEmbeddingOp extends Stage {
       if (idxCols.sorted != ctx.primary.columns.toVector.sorted) throw new GraftConfigError(
         s"dedup.embedding index_append: batch columns (${ctx.primary.columns.mkString(", ")}) " +
         s"must match the index row columns (${idxCols.mkString(", ")})")
-      val survivorRows = ctx.primary.join(dropped,
-        ctx.primary(id) === dropped("id"), "left_anti")
-      val blockedRows = survivorRows
+      def blocked(rows: DataFrame) = rows
         .withColumn("_bsig", bandSignatures(F.col(vecCol), dim, bands, r, seed))
         .select(F.col("*"), F.posexplode(F.col("_bsig")).as(Seq("band", "bsig")))
         .drop("_bsig")
         .withColumn("band", F.col("band").cast("int"))
         .withColumn("pband", (F.col("bsig") % pdirs).cast("int"))
         .withColumn("ingest_tag", F.lit(streamTag.getOrElse("base")))
-      val pinnedAppend = ctx.pin(blockedRows)
+      // STREAMING read-back: by the time the deferred append fires, the
+      // sink has durably written this batch's survivors to its own output
+      // partition — re-reading that partition (one columnar scan of
+      // exactly the survivor rows) replaces re-running the whole probe
+      // DAG (anti-join against the dropped set and everything under it),
+      // which at gate scale was roughly half the micro-batch's Spark
+      // jobs. It is also the stronger consistency statement: the index
+      // grows by what the OUTPUT actually holds. Batch mode keeps the
+      // plan-side anti-join (there is no written partition to read).
+      val readbackDir = cfg.strOpt("_stream_readback_dir").filter(_ => streamTag.isDefined)
+      val pinnedAppend = readbackDir match {
+        case Some(_) => null // built lazily inside the closure, post-write
+        case None => ctx.pin(blocked(ctx.primary.join(dropped,
+          ctx.primary(id) === dropped("id"), "left_anti")))
+      }
       // batch: plain append (at-most-once via success deferral); streaming:
       // dynamic partition OVERWRITE of this batch's own (band, pband, tag)
       // dirs — a replayed micro-batch re-lands identical rows idempotently
       ctx.deferToSuccess { () =>
-        val co = pinnedAppend.repartition(F.col("band"), F.col("pband"))
-        def land(): Unit = {
+        val co = readbackDir match {
+          case Some(rb) =>
+            // an all-duplicates batch writes no partition at all — and
+            // appends nothing (skips the write job entirely)
+            if (!GraftFs.isDir(rb) ||
+                !GraftFs.listFilesRec(rb).exists(_._1.endsWith(".parquet"))) null
+            else blocked(spark.read.parquet(rb).select(
+              ctx.primary.columns.map(F.col).toIndexedSeq: _*))
+              .repartition(F.col("band"), F.col("pband"))
+          case None => pinnedAppend.repartition(F.col("band"), F.col("pband"))
+        }
+        def land(): Unit = if (co != null) {
           // crash repair inside the claim (see IndexSnapshot.append)
           IndexMaintenance.recoverSwap(path)
           val w = streamTag match {
@@ -1579,7 +1629,7 @@ object DedupEmbeddingOp extends Stage {
         if (!GraftFs.isDir(s"$path/meta"))
           throw new GraftPlanError(
             s"dedup.embedding: no lsh index at $path — run index.build type=lsh first")
-        val meta = spark.read.parquet(s"$path/meta").head()
+        val meta = IndexMeta.head(spark, s"$path/meta")
         if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
           s"dedup.embedding: the index at $path predates the (block, pbucket) layout — " +
           "rebuild it with index.build type=lsh mode=overwrite")

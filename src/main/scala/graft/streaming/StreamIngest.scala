@@ -550,7 +550,8 @@ object StreamIngestSink extends Stage {
   /** config keys the sink itself consumes; everything else passes through
     * to the dedup operator */
   private val SinkKeys = Set("path", "checkpoint", "dedup", "trigger", "trigger_ms",
-    "timeout_ms", "query_name", "_defer_await", "_explain_only", "lease_stale_ms")
+    "timeout_ms", "query_name", "_defer_await", "_explain_only", "lease_stale_ms",
+    "batch_aqe")
 
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
@@ -615,7 +616,18 @@ object StreamIngestSink extends Stage {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         // no heartbeat here — the driver-side scheduled beat (IngestLease)
-        // covers live-but-idle streams, which never enter foreachBatch
+        // covers live-but-idle streams, which never enter foreachBatch.
+        // AQE off inside the micro-batch (the stream's own cloned session
+        // — the outer session is untouched): a micro-batch plan is bounded
+        // by the trigger size, so AQE's runtime re-planning buys nothing
+        // here while splitting every action into per-stage jobs — and job
+        // count is the DRIVER-SIDE LATENCY FLOOR of a streaming operator
+        // (~0.15 s of fixed scheduler cost each; the r11 GateAudit
+        // measured ~42 jobs per dedup=embedding batch, most of them AQE
+        // stage-jobs). `batch_aqe = true` opts back in for deployments
+        // with skewed micro-batches large enough to want it.
+        batch0.sparkSession.conf.set("spark.sql.adaptive.enabled",
+          cfg.boolOr("batch_aqe", false).toString)
         // pin the micro-batch ONCE: the per-batch work reads it ~5 times
         // (emptiness check, dim validation, signature build, survivors
         // write) and each read re-scans the source files without this —
@@ -635,7 +647,11 @@ object StreamIngestSink extends Stage {
             try {
               val batchCfg = Cfg(passThrough ++ Map(
                 "index_append" -> CBool(cfg.boolOr("index_append", true)),
-                "_stream_batch_tag" -> CStr(tag)))
+                "_stream_batch_tag" -> CStr(tag),
+                // lets the deferred index append re-read this batch's
+                // just-written output partition instead of re-running the
+                // probe DAG (see the dedup.embedding read-back)
+                "_stream_readback_dir" -> CStr(s"$out/ingest_batch=$batchId")))
               val survivors = op(StageContext(batch.sparkSession,
                 Seq("batch" -> batch), batchCfg, stageId,
                 deferToSuccess = a => { deferred += a; () },
@@ -715,7 +731,8 @@ object StreamSketchSink extends Stage {
   val kind = StageKind.Sink
 
   private val SinkKeys = Set("path", "checkpoint", "trigger", "trigger_ms",
-    "timeout_ms", "query_name", "_defer_await", "_explain_only", "lease_stale_ms")
+    "timeout_ms", "query_name", "_defer_await", "_explain_only", "lease_stale_ms",
+    "batch_aqe")
 
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
@@ -749,6 +766,10 @@ object StreamSketchSink extends Stage {
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // AQE off in the micro-batch session — same latency-floor
+        // rationale as stream.ingest (`batch_aqe = true` opts back in)
+        batch0.sparkSession.conf.set("spark.sql.adaptive.enabled",
+          cfg.boolOr("batch_aqe", false).toString)
         // pin once — the emptiness check and the sketch pass would each
         // re-scan the source files otherwise (see stream.ingest)
         val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

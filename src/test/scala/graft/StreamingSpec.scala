@@ -463,6 +463,55 @@ class StreamingSpec extends SparkSpec {
     assert(next.select("vec_id").as[Long].collect().toSeq === Seq(302L))
   }
 
+  test("stream.ingest dedup=embedding: per-micro-batch Spark-job count stays bounded") {
+    // job count is the DRIVER-SIDE LATENCY FLOOR of a streaming operator:
+    // every job is a scheduler round-trip regardless of data size. r11's
+    // GateAudit measured ~42 jobs/batch on this path (AQE stage-jobs plus
+    // the deferred append re-running the whole probe DAG); AQE-off
+    // micro-batch sessions and the output read-back append cut it to ~10.
+    // Bound at 20/batch — loose enough for plan drift, tight enough that
+    // either regression (AQE back on in the batch session, or the append
+    // recomputing the probe) trips it.
+    import spark.implicits._
+    def vec(i: Int, scale: Float = 1f): Array[Float] =
+      Array.tabulate(4)(j => if (j == i) scale else 0f)
+    val idx = java.nio.file.Files.createTempDirectory("graft_emb_jobs_idx").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark,
+      Seq((1L, vec(0)), (2L, vec(1))).toDF("vec_id", "embedding"),
+      Cfg.of("type" -> "lsh", "blocking" -> "bands", "path" -> idx,
+        "vector_column" -> "embedding", "bands" -> 4, "band_planes" -> 4,
+        "seed" -> 11, "partition_dirs" -> 8)))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_emb_jobs_in").toString
+    Seq((100L, vec(0, 2f)), (101L, vec(2)))
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(streamDir)
+    Thread.sleep(400)
+    Seq((200L, vec(2, 3f)), (201L, vec(3)))
+      .toDF("vec_id", "embedding").coalesce(1).write.mode("append").parquet(streamDir)
+    val stream = FileStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> streamDir, "format" -> "parquet", "max_files_per_trigger" -> 1L)))
+    val out = java.nio.file.Files.createTempDirectory("graft_emb_jobs_out").toString + "/data"
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      StreamIngestSink(StageContext.one(spark, stream, Cfg.of(
+        "path" -> out, "index_path" -> idx, "dedup" -> "embedding",
+        "trigger" -> "available_now", "id_column" -> "vec_id",
+        "vector_column" -> "embedding", "threshold" -> 0.95)))
+      Thread.sleep(1000) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // semantics unchanged by the job-count work
+    assert(spark.read.parquet(out).select("vec_id").as[Long].collect().sorted.toSeq
+      === Seq(101L, 201L))
+    assert(jobs.get() <= 40,
+      s"two micro-batches issued ${jobs.get()} Spark jobs (> 20/batch) — " +
+      "the streaming latency floor regressed (AQE on in the batch session, " +
+      "or the deferred append is re-running the probe DAG)")
+  }
+
   test("stream.ingest embedding: a restarted query resumes its checkpoint, not from scratch") {
     import spark.implicits._
     def vec(i: Int, scale: Float = 1f): Array[Float] =
