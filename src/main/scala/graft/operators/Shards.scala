@@ -31,29 +31,50 @@ import graft.core._
   * Layout: `path/shard=<id>/part-*` in `format` = parquet (default) |
   * jsonl, ONE file per shard (rows are shuffled once, keyed by shard id,
   * so each shard is written by a single task — the intended shape: a
-  * shard IS the unit of parallel IO downstream); `path/_manifest/` holds
-  * one row per shard (`shard`, `n_docs`, `n_tokens`) — underscore-named,
-  * so readers of `path` skip it. Registered as a TRANSFORM whose output
-  * is the manifest (read back from disk), NOT the input rows — the
-  * index.build/ingest.compact pattern: the write is the compose-time
-  * side effect, and the useful downstream product is the audit row set
-  * (pipe it into stdout.write or validate.schema; `explain` skips the
-  * write and plans an empty manifest). `overwrite = true` replaces an
-  * existing export; the default refuses an existing path.
+  * shard IS the unit of parallel IO downstream; rows inside a shard file
+  * keep the `order_by` order, so file bytes are deterministic and loaders
+  * can resume by in-shard offset); `path/_manifest/` holds one row per
+  * shard (`shard`, `n_docs`, `n_tokens`) — underscore-named, so readers
+  * of `path` skip it. The manifest is derived FROM THE WRITTEN FILES
+  * (read back, grouped by the shard partition column), never from a
+  * re-execution of the sharding plan — re-executed partitions could
+  * permute `order_by` ties and silently disagree with what was written.
+  * Registered as a TRANSFORM whose output is the manifest, NOT the input
+  * rows — the index.build/ingest.compact pattern: the write is the
+  * compose-time side effect, and the useful downstream product is the
+  * audit row set (`explain` skips the write and plans an empty manifest).
+  * `overwrite = true` replaces an existing export; the default refuses a
+  * COMPLETED existing path.
   *
-  * Crash contract: the manifest is written AFTER the data and is the
-  * export's commit marker — an export directory with no `_manifest/` is
-  * incomplete (a crash mid-write) and should be re-run with
-  * `overwrite = true`; per-task atomicity inside the data write is the
-  * Spark/Hadoop committer's.
+  * Crash contract + RESTARTABILITY: the manifest is written AFTER the
+  * data and is the export's commit marker — an export directory with no
+  * `_manifest/` is incomplete. Re-running the same export over it
+  * RESUMES instead of redoing finished work: the data is committed in
+  * WAVES of `shards_per_commit` shards (default 0 = one wave, i.e. one
+  * commit), each wave's completion recorded as `_progress/wave-<i>.json`
+  * after its files commit. On resume, marked waves are skipped outright;
+  * shard dirs of unmarked waves (at most the crash-window wave plus
+  * never-started ones) are deleted and rewritten, so the final output is
+  * byte-identical to a clean run. `_progress/_meta.json` fingerprints
+  * the export (rule, budget, order, format, totals) — a resume against a
+  * CHANGED input or settings fails loud demanding `overwrite = true`
+  * rather than silently stitching two different corpora. The fingerprint
+  * is totals-based (partition layout varies across JVMs: range
+  * sampling), so resume assumes the deterministic corpus `order_by`
+  * already requires. `_progress/` is deleted when the manifest commits.
   *
   * 100 TB shape: the prefix sum is the TwoPass scaffold (per-partition
-  * summaries ∝ #partitions, never #rows), the shard shuffle is one
-  * hash exchange on the shard id (collisions only serialize two shards
-  * through one task), and the manifest is a narrow agg with ≤ #shards
-  * rows that never touches the driver. Shard count at 100 TB / 1 GB
-  * budget ≈ 10⁵ — directory listings stay per-shard, and the manifest
-  * parquet replaces any need to list `path` at all.
+  * summaries ∝ #partitions, never #rows), each wave's pass-2 reads ONLY
+  * the sorted partitions whose offset span overlaps the wave
+  * (PartitionPruningRDD — shard ids are monotone in the sorted order, so
+  * a wave is a contiguous partition range; boundary partitions are read
+  * twice, everything else once regardless of wave count), the shard
+  * shuffle is one hash exchange per wave on the shard id, and the
+  * manifest is a narrow agg over the written files with ≤ #shards rows
+  * that never touches the driver. Shard count at 100 TB / 1 GB budget ≈
+  * 10⁵ — `shards_per_commit` ≈ 10³ bounds a crash's lost work to ~1% of
+  * the export, and the manifest parquet replaces any need to list
+  * `path` at all.
   */
 object ShardWriteOp extends Stage {
   val name = "shards.write"
@@ -80,7 +101,9 @@ object ShardWriteOp extends Stage {
       "shards.write: input already has a 'shard' column — rename it (shard is the partition column)")
 
     // token source: explicit token_column > text_column via tokenizer >
-    // (rows mode only) none. Budget validation is per-rule.
+    // (rows mode only) none. Budget validation is per-rule. The expression
+    // is name-resolved, so it evaluates identically over the input and
+    // over the read-back of the written shards (manifest derivation).
     val tokCol: org.apache.spark.sql.Column = cfg.strOpt("token_column") match {
       case Some(tc) =>
         if (!df.columns.contains(tc)) throw new GraftConfigError(
@@ -113,6 +136,9 @@ object ShardWriteOp extends Stage {
           s"shards.write: shard_rows must be positive, got $b")
         b
     }
+    val perCommit = cfg.longOr("shards_per_commit", 0L)
+    if (perCommit < 0) throw new GraftConfigError(
+      s"shards.write: shards_per_commit must be >= 0 (0 = single commit), got $perCommit")
 
     // explain: every config/schema check above ran; skip the jobs (prefix
     // sum, write, manifest) and plan the empty manifest shape
@@ -121,6 +147,7 @@ object ShardWriteOp extends Stage {
       return Seq.empty[(Long, Long, Long)].toDF("shard", "n_docs", "n_tokens")
     }
 
+    val spark = ctx.spark
     val orderCols = orderBy.map(F.col)
     val sorted = df.withColumn("__graft_ntok", tokCol)
       .repartitionByRange(orderCols: _*)
@@ -129,59 +156,137 @@ object ShardWriteOp extends Stage {
     val outSchema = StructType(sorted.schema.fields :+
       StructField("shard", LongType, nullable = false))
 
-    val sharded = by match {
+    // pass 1 + fold now; pass 2 below, per wave, over only the partitions
+    // each wave touches
+    val (staged, pass2) = by match {
       case "tokens" =>
-        TwoPass[Long, Long](sorted, outSchema) { it =>
+        (TwoPass.stage(sorted) { it: Iterator[Row] =>
           var s = 0L; it.foreach(r => s += r.getLong(ntokIdx)); s
-        } { sums =>
-          sums.scanLeft(0L)(_ + _).dropRight(1)
-        } { (carry, it) =>
+        } { sums => sums.scanLeft(0L)(_ + _).dropRight(1) },
+        (carry: Long, it: Iterator[Row]) => {
           var running = carry
           it.map { r =>
             val start = running
             running += r.getLong(ntokIdx)
             Row.fromSeq(r.toSeq :+ start / budget)
           }
-        }
+        })
       case "rows" =>
-        TwoPass[Long, Long](sorted, outSchema) { it =>
+        (TwoPass.stage(sorted) { it: Iterator[Row] =>
           var n = 0L; it.foreach(_ => n += 1); n
-        } { counts =>
-          counts.scanLeft(0L)(_ + _).dropRight(1)
-        } { (carry, it) =>
+        } { counts => counts.scanLeft(0L)(_ + _).dropRight(1) },
+        (carry: Long, it: Iterator[Row]) => {
           var rank = carry
           it.map { r =>
             val id = rank / budget
             rank += 1
             Row.fromSeq(r.toSeq :+ id)
           }
-        }
+        })
     }
+    val stats = staged.stats
+    val carries = staged.carries
+    val total = if (stats.isEmpty) 0L else carries.last + stats.last
+    val maxShard = if (total == 0) -1L else (total - 1) / budget
+    val waveSize = if (perCommit == 0L) math.max(1L, maxShard + 1) else perCommit
+    val waves: IndexedSeq[(Long, Long)] =
+      if (maxShard < 0) IndexedSeq.empty
+      else (0L to maxShard by waveSize).map(s0 => (s0, math.min(s0 + waveSize - 1, maxShard)))
+    // shard-id span of partition p (None = empty partition)
+    def span(p: Int): Option[(Long, Long)] =
+      if (stats(p) == 0L) None
+      else Some((carries(p) / budget, (carries(p) + stats(p) - 1) / budget))
 
-    val writeMode =
-      if (cfg.boolOr("overwrite", false)) "overwrite" else "errorifexists"
     // shard compression: gzip jsonl / zstd parquet are the loader-standard
     // shapes at real scale; default = the format's Spark default
     val compression = cfg.strOpt("compression")
     compression.filterNot(Set("none", "gzip", "snappy", "zstd", "lz4")).foreach(c =>
       throw new GraftConfigError(
         s"shards.write: compression must be none|gzip|snappy|zstd|lz4, got '$c'"))
-    // one shuffle keyed on shard id → each shard dir gets exactly one file
-    var files = sharded.drop("__graft_ntok")
-      .repartition(F.col("shard"))
-      .write.partitionBy("shard").mode(writeMode)
-    compression.foreach(c => files = files.option("compression", c))
-    format match {
-      case "parquet" => files.parquet(path)
-      case "jsonl"   => files.json(path)
+
+    // ---- export-directory protocol (resume / overwrite / refuse) ----
+    val progressDir = s"$path/_progress"
+    val fingerprint =
+      s"""{"by":"$by","budget":$budget,"order_by":"${orderBy.mkString(",")}",""" +
+      s""""format":"$format","compression":"${compression.getOrElse("default")}",""" +
+      s""""total_units":$total,"max_shard":$maxShard,"wave_size":$waveSize}"""
+    var doneWaves: Set[Int] = Set.empty
+    if (GraftFs.isDir(path) || GraftFs.isFile(path)) {
+      val completed = GraftFs.isDir(s"$path/_manifest")
+      if (cfg.boolOr("overwrite", false)) GraftFs.deleteRec(path)
+      else if (completed) throw new GraftConfigError(
+        s"shards.write: $path already holds a completed export (a _manifest/ commit " +
+        "marker exists) — pass overwrite = true to replace it")
+      else if (GraftFs.isFile(s"$progressDir/_meta.json") &&
+               GraftFs.readString(s"$progressDir/_meta.json") == fingerprint) {
+        // RESUME a crashed export of the same corpus + settings: marked
+        // waves are complete (their marker committed after their files);
+        // everything else rewrites. One listing finds the shard dirs that
+        // belong to unmarked waves (the crash-window wave's partial or
+        // fully-written-but-unmarked data) — delete just those.
+        doneWaves = GraftFs.listNames(progressDir)
+          .filter(n => n.startsWith("wave-") && n.endsWith(".json"))
+          .map(_.stripPrefix("wave-").stripSuffix(".json").toInt).toSet
+        GraftFs.listDirNames(path).filter(_.startsWith("shard=")).foreach { d =>
+          val wave = (d.stripPrefix("shard=").toLong / waveSize).toInt
+          if (!doneWaves.contains(wave)) GraftFs.deleteRec(s"$path/$d")
+        }
+        GraftFs.deleteRec(s"$path/_temporary")
+        System.err.println(s"[graft] shards.write: resuming crashed export at $path — " +
+          s"${doneWaves.size}/${waves.size} waves already committed")
+      }
+      else throw new GraftConfigError(
+        s"shards.write: $path exists but is not resumable (no _manifest/, and no " +
+        "_progress/ matching this export's fingerprint — a crashed export of " +
+        "DIFFERENT data or settings, or an unrelated directory); pass " +
+        "overwrite = true to replace it")
     }
-    // manifest AFTER the data (an overwrite wiped `path` above); ≤ #shards
-    // rows, coalesced — the audit artifact a loader reads instead of
-    // listing path
-    sharded.groupBy("shard")
-      .agg(F.count(F.lit(1)).as("n_docs"), F.sum("__graft_ntok").as("n_tokens"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/_manifest")
+    GraftFs.mkdirs(progressDir)
+    GraftFs.writeString(s"$progressDir/_meta.json", fingerprint)
+
+    // ---- wave writes: filter to the wave's shard range, one shuffle
+    // keyed on shard id → each shard dir gets exactly one file; in-shard
+    // rows re-sorted to order_by so shard files are deterministic ----
+    waves.zipWithIndex.foreach { case ((s0, s1), i) =>
+      if (!doneWaves.contains(i)) {
+        val sel = (p: Int) => span(p).exists { case (lo, hi) => lo <= s1 && hi >= s0 }
+        var w = staged.run(spark, outSchema, sel)(pass2)
+          .filter(F.col("shard").between(s0, s1))
+          .drop("__graft_ntok")
+          .repartition(F.col("shard"))
+          .sortWithinPartitions(orderCols: _*)
+          .write.partitionBy("shard").mode("append")
+        compression.foreach(c => w = w.option("compression", c))
+        format match {
+          case "parquet" => w.parquet(path)
+          case "jsonl"   => w.json(path)
+        }
+        GraftFs.writeString(s"$progressDir/wave-$i.json",
+          s"""{"wave":$i,"first_shard":$s0,"last_shard":$s1}""")
+      }
+    }
+    staged.unpersist() // every pass-2 consumer has run
+
+    // ---- manifest FROM THE WRITTEN FILES (read-your-writes: the audit
+    // rows describe what is durably on disk, not a re-execution of the
+    // plan), committed last — it is the export's completion marker ----
+    val dataSchema = StructType(df.schema.fields)
+    val manifest =
+      if (maxShard < 0) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], StructType(Seq(
+          StructField("shard", LongType), StructField("n_docs", LongType),
+          StructField("n_tokens", LongType))))
+      else {
+        val written = format match {
+          case "parquet" => spark.read.option("basePath", path).parquet(path)
+          case "jsonl"   => spark.read.schema(dataSchema).option("basePath", path).json(path)
+        }
+        written.groupBy(F.col("shard").cast(LongType).as("shard"))
+          .agg(F.count(F.lit(1)).as("n_docs"), F.sum(tokCol).as("n_tokens"))
+      }
+    GraftFs.mkdirs(path) // empty corpus: the export dir still exists
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    GraftFs.deleteRec(progressDir) // the manifest is the commit marker now
     ctx.spark.read.parquet(s"$path/_manifest")
   }
 }
