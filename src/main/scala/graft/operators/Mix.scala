@@ -35,9 +35,13 @@ import graft.core._
   * at α ∈ [0.2, 0.7]), scaled so the expected output totals
   * `target_rows` (default: the input total, a same-size remix). Per-row
   * expected copies are w_i = p_i · target_rows / n_i. Sizing the
-  * sources costs one count() per input at compose time — an eager
-  * barrier, same class as bpe.train's vocab collect; the counts are
-  * O(1) driver state.
+  * sources is a compose-time barrier, but when an input is a PURE file
+  * scan (only row-preserving Project/alias nodes over one parquet
+  * relation — the common "mix these N parquet corpora" shape) the size
+  * comes from the parquet FOOTERS on the driver (the IngestMetrics
+  * pattern: O(files) metadata reads, zero Spark jobs); only inputs with
+  * filters/joins/generators upstream pay a count() job. The counts are
+  * O(1) driver state either way.
   */
 object MixOp extends Stage {
   val name = "mix.apply"
@@ -66,6 +70,43 @@ object MixOp extends Stage {
     }
   }
 
+  /** Row count from parquet footers, for inputs whose plan is a pure
+    * file scan: only cardinality-preserving nodes (Project, subquery
+    * aliases) over exactly one V1 parquet relation with no pushed state.
+    * Anything else — a Filter, a Generate, a join, a non-parquet or V2
+    * source — returns None and the caller falls back to count(). Footer
+    * reads are driver-side metadata (no Spark job); any read failure
+    * also falls back rather than guessing. */
+  private[graft] def scanRowCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    @scala.annotation.tailrec
+    def unwrap(p: LogicalPlan): Option[HadoopFsRelation] = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation
+          if fs.fileFormat.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] => Some(fs)
+        case _ => None
+      }
+      case Project(_, child)         => unwrap(child)
+      case SubqueryAlias(_, child)   => unwrap(child)
+      case _ => None
+    }
+    unwrap(df.queryExecution.analyzed).flatMap { fs =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val conf = df.sparkSession.sessionState.newHadoopConf()
+        Some(fs.location.inputFiles.iterator.map { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(f), conf)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+          finally r.close()
+        }.sum)
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   def apply(ctx: StageContext): DataFrame = {
     val cfg = ctx.cfg
     if (ctx.inputs.size < 1)
@@ -82,7 +123,11 @@ object MixOp extends Stage {
       case Some(alpha) =>
         if (alpha < 0) throw new GraftConfigError(
           s"mix.apply: temperature must be >= 0, got $alpha")
-        val sizes = ctx.inputs.map(_._2.count()).toVector // compose-time barrier
+        // compose-time barrier — footer-priced for pure parquet scans,
+        // count() only where the plan actually transforms cardinality
+        val sizes = ctx.inputs.map { case (_, df) =>
+          scanRowCount(df).getOrElse(df.count())
+        }.toVector
         val target = cfg.longOpt("target_rows").map(_.toDouble)
           .getOrElse(sizes.sum.toDouble)
         if (target < 0) throw new GraftConfigError(

@@ -126,4 +126,46 @@ class MixSpec extends SparkSpec {
     val plan = mix("weights" -> Seq(2.0, 0.5)).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("temperature sizes parquet inputs from footers: zero jobs, identical weights") {
+    // two parquet corpora on disk — the real "mix these corpora" shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_mix_ft").toString
+    corpusA.write.parquet(s"$dir/a")
+    corpusB.limit(40).write.parquet(s"$dir/b")
+    val pa = spark.read.parquet(s"$dir/a")
+    val pb = spark.read.parquet(s"$dir/b")
+    // the scan shortcut prices these from footers
+    assert(MixOp.scanRowCount(pa) === Some(100L))
+    assert(MixOp.scanRowCount(pb.select("id", "text")) === Some(40L),
+      "row-preserving projection keeps the shortcut")
+    // cardinality-changing plans must NOT shortcut
+    assert(MixOp.scanRowCount(pa.filter($"id" > 50)) === None)
+    assert(MixOp.scanRowCount(corpusA) === None, "in-memory input is not a file scan")
+
+    // composing a temperature mix over pure scans issues NO Spark job
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val fromFooters = try {
+      val out = MixOp(StageContext(spark, Seq("a" -> pa, "b" -> pb),
+        Cfg.of("temperature" -> 1.0, "target_rows" -> 280, "source_column" -> "src")))
+      Thread.sleep(500) // listener bus is async
+      assert(jobs.get() === 0,
+        s"temperature sizing over parquet scans issued ${jobs.get()} count jobs")
+      out
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // identical weights to the count() path: α=1, target 2×(100+40) →
+    // exactly 2 copies of every row either way
+    assert(fromFooters.count() === 280L)
+    val viaCount = MixOp(StageContext(spark,
+      Seq("a" -> pa.filter(F.lit(true)), "b" -> pb.filter(F.lit(true))),
+      Cfg.of("temperature" -> 1.0, "target_rows" -> 280, "source_column" -> "src")))
+    assert(fromFooters.select("id", "src").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq ===
+      viaCount.select("id", "src").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sorted.toSeq, "footer-priced and count()-priced mixes must be identical")
+  }
 }
