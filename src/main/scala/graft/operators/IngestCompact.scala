@@ -271,6 +271,14 @@ object IngestCompactOp extends Stage {
     System.err.println(s"[graft] ingest.compact: $root — folded ${sources.size} " +
       s"partition dir(s) (${bytes / 1048576} MiB) into ingest_batch=-1 ($nOut file(s))")
     } // !policySkipped
+    // the metrics mirror of the data fold: roll the SAME committed
+    // batches' _metrics/batch-<id>.json files into one running summary —
+    // a long-lived stream otherwise grows one JSON per micro-batch
+    // forever and ingest.stats re-reads every file per call. When the
+    // policy skipped the data fold this only sweeps crash leftovers
+    // (files at or below the summary's fold frontier).
+    graft.streaming.IngestMetrics.fold(root,
+      if (policySkipped) Set.empty else foldable.toSet)
     } // withBatchLease
     ctx.primary
   }
@@ -343,26 +351,22 @@ object IngestStatsOp extends Stage {
     // was written by a batch pipeline): totals + batch-duration spread —
     // the per-batch fixed cost is THE streaming scalability number, and
     // this is where an operator watches it without a Spark UI
-    case class BatchMetric(rowsIn: Long, survivors: Long, durationMs: Long)
-    val metricsDir = s"$root/_metrics"
-    val metrics: Vector[BatchMetric] =
-      if (!GraftFs.isDir(metricsDir)) Vector.empty
-      else GraftFs.listNames(metricsDir)
-        .filter(n => n.startsWith("batch-") && n.endsWith(".json"))
-        .flatMap { n =>
-          try {
-            val o = graft.js.JsVal.parseJson(GraftFs.readString(s"$metricsDir/$n"))
-              .asInstanceOf[graft.js.JsObj]
-            def num(k: String) = o.fields(k).asInstanceOf[graft.js.JsNum].d.toLong
-            Some(BatchMetric(num("rows_in"), num("survivors"), num("duration_ms")))
-          } catch { case _: Exception => None } // torn write: skip, don't fail stats
-        }
+    // two sources, totals identical before/after a fold: the compacted
+    // summary (ingest.compact rolls committed batches' files into it) +
+    // the still-unfolded per-batch files (torn writes skip; ids at or
+    // below the summary's fold frontier skip too — crash leftovers)
+    val summary = graft.streaming.IngestMetrics.readSummary(root)
+    val liveMetrics = graft.streaming.IngestMetrics.liveBatches(root)
+    val nBatches = summary.map(_.batches).getOrElse(0L) + liveMetrics.size
     val (mBatches, mRows, mSurv, mMean, mMax) =
-      if (metrics.isEmpty) (None, None, None, None, None)
-      else (Some(metrics.size.toLong), Some(metrics.map(_.rowsIn).sum),
-        Some(metrics.map(_.survivors).sum),
-        Some(math.round(metrics.map(_.durationMs).sum.toDouble / metrics.size * 10) / 10.0),
-        Some(metrics.map(_.durationMs).max))
+      if (nBatches == 0) (None, None, None, None, None)
+      else (Some(nBatches),
+        Some(summary.map(_.rowsIn).getOrElse(0L) + liveMetrics.map(_._2).sum),
+        Some(summary.map(_.survivors).getOrElse(0L) + liveMetrics.map(_._3).sum),
+        Some(math.round((summary.map(_.durSum).getOrElse(0L) + liveMetrics.map(_._4).sum)
+          .toDouble / nBatches * 10) / 10.0),
+        Some(math.max(summary.map(_.durMax).getOrElse(0L),
+          liveMetrics.map(_._4).maxOption.getOrElse(0L))))
     Seq((root, live.size.toLong, live.count(committedIds.contains).toLong,
         live.count(id => !committedIds.contains(id)).toLong,
         (if (ids.contains(-1L)) 1L else 0L), parts.size.toLong, bytes, meanKb,

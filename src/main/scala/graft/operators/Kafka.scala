@@ -85,9 +85,14 @@ object KafkaLog {
           // consume pruning read first-line offsets), and redelivery
           // under a new name is the documented at-least-once path —
           // readers dedup on (partition, offset), like consumers of a
-          // real broker's offset-preserving cleaner. Best-effort per
-          // file: a failed rename leaves the old name, which only keeps
-          // the narrow window this closes.
+          // real broker's offset-preserving cleaner. Deliberately ALL
+          // segments, not a narrowed set: only the stream knows which
+          // seen-marked files its ignoreMissingFiles read skipped inside
+          // the hidden window, so any name kept risks silent loss — the
+          // cost is one full-partition redelivery per crash repair
+          // (dedupable, priced in the kafka.stream scaladoc). Best-effort
+          // per file: a failed rename leaves the old name, which only
+          // keeps the narrow window this closes.
           segments(target).foreach { f =>
             val slash = f.lastIndexOf('/')
             val fresh = f.substring(0, slash + 1) +
@@ -509,10 +514,18 @@ object KafkaCompactOp extends Stage {
   * exactly once — while records superseded (or keyless-dropped) by a
   * compaction that overtakes the reader may never be seen, exactly as a
   * slow consumer misses them on a real compacted topic. Compacted
-  * segments re-enter the listing under fresh file names; a mid-swap
-  * CRASH leaves partitions held aside untouched-by-name, so the repair
-  * restores them without re-delivery. KafkaSpec drives a live stream
-  * through a full compact, a mid-swap crash window, and the repair.
+  * segments re-enter the listing under fresh file names. A mid-swap
+  * CRASH repair restores held partitions with every segment under a
+  * fresh name too — REDELIVERING THE PARTITION'S FULL HISTORY to a live
+  * stream, not just the crash window: the repair cannot know which
+  * seen-marked segments a stream skipped via ignoreMissingFiles while
+  * the dir was hidden (that skip is silent data loss if the name is
+  * kept), so it renames all of them, trading a bounded, dedupable
+  * replay (downstream (partition, offset) dedup absorbs it) for a
+  * provable no-loss guarantee. Budget accordingly: a crashed compact on
+  * an N-segment partition costs one partition re-read at the next
+  * repair. KafkaSpec drives a live stream through a full compact, a
+  * mid-swap crash window, and the repair.
   */
 object KafkaStreamSource extends Stage {
   val name = "kafka.stream"

@@ -93,7 +93,7 @@ import graft.operators.{DedupEmbeddingOp, DedupExactOp, DedupMinHashOp, DedupNgr
   * micro-batch of pure metrics overhead — so the landed-rows count reads
   * parquet FOOTERS on the driver (no Spark job), and rows_in comes from
   * the count the sink already pays for its emptiness check. */
-private[streaming] object IngestMetrics {
+private[graft] object IngestMetrics {
   def landedRows(spark: org.apache.spark.sql.SparkSession, dir: String): Long = {
     import scala.jdk.CollectionConverters._
     if (!GraftFs.isDir(dir)) return 0L
@@ -117,6 +117,86 @@ private[streaming] object IngestMetrics {
       s"""{"batch_id":$batchId,"rows_in":$rowsIn,"survivors":$landed,""" +
       s""""duration_ms":${(System.nanoTime() - t0Nanos) / 1000000},""" +
       s""""ts_ms":${System.currentTimeMillis()}}""")
+  }
+
+  /** The running fold of committed batches' metrics — one small JSON that
+    * ingest.compact maintains so a long-lived stream's `_metrics/` dir
+    * does not grow one file per micro-batch forever (and ingest.stats
+    * does not re-read thousands of files per call). `through` is the
+    * highest folded batch id: a `batch-<id>.json` at or below it is
+    * already counted (a crash between the summary commit and the file
+    * deletes can leave some behind) — readers skip it, the next fold
+    * deletes it. */
+  final case class Summary(batches: Long, rowsIn: Long, survivors: Long,
+      durSum: Long, durMax: Long, through: Long)
+
+  private def summaryFile(out: String) = s"$out/_metrics/compacted.json"
+
+  def readSummary(out: String): Option[Summary] =
+    try {
+      val f = summaryFile(out)
+      if (!GraftFs.isFile(f)) None
+      else {
+        val o = graft.js.JsVal.parseJson(GraftFs.readString(f))
+          .asInstanceOf[graft.js.JsObj]
+        def num(k: String) = o.fields(k).asInstanceOf[graft.js.JsNum].d.toLong
+        Some(Summary(num("batches"), num("rows_in"), num("survivors"),
+          num("duration_ms_sum"), num("duration_ms_max"), num("through")))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (id, rows_in, survivors, duration_ms) of the UNFOLDED per-batch
+    * metric files — ids above the summary's `through`; torn writes skip. */
+  def liveBatches(out: String): Vector[(Long, Long, Long, Long)] = {
+    val dir = s"$out/_metrics"
+    if (!GraftFs.isDir(dir)) return Vector.empty
+    val through = readSummary(out).map(_.through).getOrElse(-1L)
+    GraftFs.listNames(dir)
+      .filter(n => n.startsWith("batch-") && n.endsWith(".json"))
+      .flatMap(n => n.stripPrefix("batch-").stripSuffix(".json").toLongOption)
+      .filter(_ > through)
+      .flatMap { id =>
+        try {
+          val o = graft.js.JsVal.parseJson(GraftFs.readString(s"$dir/batch-$id.json"))
+            .asInstanceOf[graft.js.JsObj]
+          def num(k: String) = o.fields(k).asInstanceOf[graft.js.JsNum].d.toLong
+          Some((id, num("rows_in"), num("survivors"), num("duration_ms")))
+        } catch { case _: Exception => None }
+      }
+  }
+
+  /** Fold the metric files of `foldable` (committed, never-replaying)
+    * batch ids into the summary — the metrics mirror of ingest.compact's
+    * batch-dir fold. Crash-ordered: the merged summary COMMITS
+    * (write-then-rename) before any per-batch file is deleted; `through`
+    * makes the in-between state readable (see [[Summary]]). Unparseable
+    * foldable files are deleted without contributing — the same skip
+    * ingest.stats applied to them. */
+  def fold(out: String, foldable: Long => Boolean): Unit = {
+    val dir = s"$out/_metrics"
+    if (!GraftFs.isDir(dir)) return
+    val prev = readSummary(out)
+    val prevThrough = prev.map(_.through).getOrElse(-1L)
+    val ids = GraftFs.listNames(dir)
+      .filter(n => n.startsWith("batch-") && n.endsWith(".json"))
+      .flatMap(n => n.stripPrefix("batch-").stripSuffix(".json").toLongOption)
+    val stale = ids.filter(_ <= prevThrough)
+    val toFold = ids.filter(id => id > prevThrough && foldable(id))
+    if (toFold.nonEmpty) {
+      val parsed = liveBatches(out).filter(b => foldable(b._1))
+      val merged = Summary(
+        prev.map(_.batches).getOrElse(0L) + parsed.size,
+        prev.map(_.rowsIn).getOrElse(0L) + parsed.map(_._2).sum,
+        prev.map(_.survivors).getOrElse(0L) + parsed.map(_._3).sum,
+        prev.map(_.durSum).getOrElse(0L) + parsed.map(_._4).sum,
+        math.max(prev.map(_.durMax).getOrElse(0L), parsed.map(_._4).maxOption.getOrElse(0L)),
+        math.max(prevThrough, toFold.max))
+      GraftFs.writeStringCommit(summaryFile(out),
+        s"""{"batches":${merged.batches},"rows_in":${merged.rowsIn},""" +
+        s""""survivors":${merged.survivors},"duration_ms_sum":${merged.durSum},""" +
+        s""""duration_ms_max":${merged.durMax},"through":${merged.through}}""")
+    }
+    (stale ++ toFold).foreach(id => GraftFs.deleteIfExists(s"$dir/batch-$id.json"))
   }
 }
 

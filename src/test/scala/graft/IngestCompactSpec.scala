@@ -244,6 +244,58 @@ class IngestCompactSpec extends SparkSpec {
       === Seq(10L, 11L))
   }
 
+  test("compact folds _metrics into one summary; stats totals identical; leftovers repaired") {
+    val idx = Files.createTempDirectory("ingc_mf_idx").toString
+    graft.operators.IndexBuildOp(StageContext.one(spark,
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"),
+      Cfg.of("type" -> "minhash", "path" -> idx, "id_column" -> "doc_id",
+        "text_column" -> "text", "num_hashes" -> 64, "bands" -> 16, "seed" -> 7)))
+    val streamDir = Files.createTempDirectory("ingc_mf_in").toString
+    Seq((10L, "one wholly novel streaming sentence of fresh words here"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(streamDir)
+    Thread.sleep(400)
+    Seq((11L, "second entirely different new document with other vocabulary"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(streamDir)
+    val stream = graft.streaming.FileStreamSource(StageContext(spark, Seq.empty, Cfg.of(
+      "path" -> streamDir, "format" -> "parquet", "max_files_per_trigger" -> 1L)))
+    val out = Files.createTempDirectory("ingc_mf_out").toString + "/data"
+    graft.streaming.StreamIngestSink(StageContext.one(spark, stream, Cfg.of(
+      "path" -> out, "index_path" -> idx, "dedup" -> "minhash",
+      "trigger" -> "available_now", "id_column" -> "doc_id",
+      "text_column" -> "text", "threshold" -> 0.8)))
+    def stats() = IngestStatsOp(StageContext.one(spark,
+      Seq(row(0L)).toDF("doc_id", "text"), Cfg.of("path" -> out))).head()
+    def metricTotals() = {
+      val s = stats()
+      (s.getAs[Long]("metric_batches"), s.getAs[Long]("rows_in"),
+       s.getAs[Long]("survivors"), s.getAs[Long]("max_batch_ms"))
+    }
+    val before = metricTotals()
+    assert(before._1 === 2L && before._2 === 2L && before._3 === 2L)
+    def metricFiles() = graft.core.GraftFs.listNames(s"$out/_metrics")
+      .filter(_.startsWith("batch-")).sorted
+
+    IngestCompactOp(StageContext.one(spark, Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> out)))
+    // the per-batch files folded into one summary — the _metrics dir no
+    // longer grows with stream lifetime
+    assert(metricFiles().isEmpty, "per-batch metric files must fold away")
+    assert(graft.core.GraftFs.isFile(s"$out/_metrics/compacted.json"))
+    // totals are indistinguishable before/after the fold
+    assert(metricTotals() === before)
+
+    // crash window: a batch file at or below the fold frontier that the
+    // delete pass missed must not double-count (stats skips it) and the
+    // next fold removes it
+    graft.core.GraftFs.writeString(s"$out/_metrics/batch-0.json",
+      """{"batch_id":0,"rows_in":999,"survivors":999,"duration_ms":999,"ts_ms":1}""")
+    assert(metricTotals() === before, "a folded id's leftover file must not re-count")
+    IngestCompactOp(StageContext.one(spark, Seq(row(0L)).toDF("doc_id", "text"),
+      Cfg.of("path" -> out)))
+    assert(metricFiles().isEmpty, "the next compact sweeps fold-frontier leftovers")
+    assert(metricTotals() === before)
+  }
+
   test("ingest.stats surfaces the output and compact leases while held, null when free") {
     import graft.streaming.IngestLease
     val root = mkOutput(Seq(0L -> Seq(1L, 2L)), committed = Seq(0L))
