@@ -242,30 +242,37 @@ object IndexBuildOp extends Stage {
     // deterministic UNIFORM draw — a plain limit() takes the first rows in
     // plan order and trains the quantizer on one slice of a sorted corpus
     // (see Pq.trainSample); same seeded content-hash order here, keeping
-    // the sample a DataFrame for the MLlib fit
-    val train = feat
-      .orderBy(F.xxhash64(F.lit(seed), F.col(vecCol).cast("array<double>")),
-        F.col(vecCol).cast("array<double>"))
+    // the sample a DataFrame for the MLlib fit. Cost discipline (measured
+    // at 1M rows): project to the vector ALONE before the TakeOrdered —
+    // the top-100k heap must not carry every input column — and persist
+    // the sample, because KMeans re-evaluates an uncached input once per
+    // iteration and the draw is a real job, not a free limit.
+    val train = feat.select(F.col("_features"),
+        F.col(vecCol).cast("array<double>").as("_v"))
+      .orderBy(F.xxhash64(F.lit(seed), F.col("_v")), F.col("_v"))
       .limit(maxTrain).select("_features")
-    if (train.isEmpty)
-      throw new GraftPlanError("index.build type=ivf: empty input, nothing to train the quantizer on")
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .setFeaturesCol("_features").setPredictionCol("cell")
-      .fit(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (train.isEmpty)
+        throw new GraftPlanError("index.build type=ivf: empty input, nothing to train the quantizer on")
+      val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+        .setFeaturesCol("_features").setPredictionCol("cell")
+        .fit(train)
 
-    // co-locate cells before the partitioned write (one file per
-    // populated cell instead of input_partitions × cells droplets)
-    km.transform(feat).drop("_features")
-      .repartition(F.col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
+      // co-locate cells before the partitioned write (one file per
+      // populated cell instead of input_partitions × cells droplets)
+      km.transform(feat).drop("_features")
+        .repartition(F.col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
 
-    val spark = ctx.spark
-    import spark.implicits._
-    km.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Pq.warnCellSkew(spark, path, "index.build type=ivf", nlist)
+      val spark = ctx.spark
+      import spark.implicits._
+      km.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq
+        .toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+      Pq.warnCellSkew(spark, path, "index.build type=ivf", nlist)
+    } finally train.unpersist(blocking = false)
   }
 
   /** mode=append for type=ivf: assign new rows to the EXISTING centroids
