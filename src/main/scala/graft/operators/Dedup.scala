@@ -489,10 +489,12 @@ object DedupExactOp extends Stage {
 
     if (cfg.boolOr("index_append", false)) {
       IndexSnapshot.claimAppend(ctx, "dedup.exact", path)
-      if (!cfg.boolOr("_explain_only", false)) {
-        val survivors = ctx.pin(result.select(F.col("_key").alias("key")).distinct())
-        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, IndexSnapshot.corpusDir(path), streamTag))
-      }
+      if (!cfg.boolOr("_explain_only", false))
+        DeferredAppend(ctx, path, streamTag,
+          result.select(F.col("_key").alias("key")).distinct()) { rows =>
+          rows.withColumn("_key", contentKey(cols))
+            .select(F.col("_key").alias("key")).distinct()
+        }
     }
     result.drop("_key")
   }
@@ -655,6 +657,41 @@ private[graft] object IndexSnapshot {
   }
 }
 
+/** Success-deferred index append with the STREAMING read-back shortcut,
+  * shared by the flat-layout dedup families (exact/minhash/ngram/simhash;
+  * dedup.embedding's banded partitioned write has its own copy of the same
+  * idea). Batch mode pins the plan-side survivors frame and appends it on
+  * success. Streaming mode (`_stream_readback_dir` set by the sink)
+  * instead re-reads the batch's just-written output partition inside the
+  * deferred action — one columnar scan of exactly the survivor rows,
+  * replacing a re-run of the whole probe DAG (the r12 job-count work) —
+  * and re-derives the index rows from it: signatures are deterministic
+  * functions of the content, so derive(written rows) ≡ the plan-side
+  * signature frame. It is also the stronger consistency statement (the
+  * index grows by what the output durably holds), and an all-duplicates
+  * batch (no partition written) appends nothing at zero jobs. */
+private[graft] object DeferredAppend {
+  def apply(ctx: graft.core.StageContext, path: String, streamTag: Option[String],
+      planSurvivors: => DataFrame)(derive: DataFrame => DataFrame): Unit = {
+    val readback = ctx.cfg.strOpt("_stream_readback_dir").filter(_ => streamTag.isDefined)
+    readback match {
+      case Some(rb) =>
+        ctx.deferToSuccess { () =>
+          if (GraftFs.isDir(rb) &&
+              GraftFs.listFilesRec(rb).exists(_._1.endsWith(".parquet"))) {
+            val rows = ctx.spark.read.parquet(rb)
+              .select(ctx.primary.columns.map(F.col).toIndexedSeq: _*)
+            IndexSnapshot.append(derive(rows), IndexSnapshot.corpusDir(path), streamTag)
+          }
+        }
+      case None =>
+        val pinned = ctx.pin(planSurvivors)
+        ctx.deferToSuccess(() =>
+          IndexSnapshot.append(pinned, IndexSnapshot.corpusDir(path), streamTag))
+    }
+  }
+}
+
 /** dedup.minhash — near-duplicate removal via MinHash + LSH banding
   * (training-data extension; the standard web-scale text-dedup pipeline):
   *
@@ -808,12 +845,15 @@ object DedupMinHashOp extends Stage {
 
     if (cfg.boolOr("index_append", false)) {
       IndexSnapshot.claimAppend(ctx, "dedup.minhash", path)
-      if (!cfg.boolOr("_explain_only", false)) {
-        // survivors' representatives join the index only once the pipeline
-        // durably wrote its outputs — a failed run must not grow the index
-        val survivors = ctx.pin(hashed.join(dropped, Seq("id"), "left_anti"))
-        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, IndexSnapshot.corpusDir(path), streamTag))
-      }
+      // survivors' representatives join the index only once the pipeline
+      // durably wrote its outputs — a failed run must not grow the index
+      if (!cfg.boolOr("_explain_only", false))
+        DeferredAppend(ctx, path, streamTag,
+          hashed.join(dropped, Seq("id"), "left_anti")) { rows =>
+          rows.select(F.col(id).alias("id"),
+              Shingles.shingleHashes(F.col(text), n).alias("shingles"))
+            .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed))
+        }
     }
     dropped
   }
@@ -947,10 +987,12 @@ object DedupSimHashOp extends Stage {
 
     if (cfg.boolOr("index_append", false)) {
       IndexSnapshot.claimAppend(ctx, "dedup.simhash", path)
-      if (!explainOnly) {
-        val survivors = ctx.pin(sigs.join(dropped, Seq("id"), "left_anti"))
-        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, IndexSnapshot.corpusDir(path), streamTag))
-      }
+      if (!explainOnly)
+        DeferredAppend(ctx, path, streamTag,
+          sigs.join(dropped, Seq("id"), "left_anti")) { rows =>
+          withSignature(rows.select(F.col(id).alias("id"), F.col(text).alias("_txt")),
+            "id", "_txt")
+        }
     }
     dropped
   }
@@ -1104,10 +1146,13 @@ object DedupNgramOp extends Stage {
 
     if (cfg.boolOr("index_append", false)) {
       IndexSnapshot.claimAppend(ctx, "dedup.ngram", path)
-      if (!explainOnly) {
-        val survivors = ctx.pin(hashed.join(dropped, Seq("id"), "left_anti"))
-        ctx.deferToSuccess(() => IndexSnapshot.append(survivors, IndexSnapshot.corpusDir(path), streamTag))
-      }
+      if (!explainOnly)
+        DeferredAppend(ctx, path, streamTag,
+          hashed.join(dropped, Seq("id"), "left_anti")) { rows =>
+          rows.select(F.col(id).alias("id"),
+              charNgramHashes(text, n).alias("shingles"))
+            .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed))
+        }
     }
     dropped
   }
