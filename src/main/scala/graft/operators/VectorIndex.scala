@@ -247,9 +247,27 @@ object IndexBuildOp extends Stage {
     // the top-100k heap must not carry every input column — and persist
     // the sample, because KMeans re-evaluates an uncached input once per
     // iteration and the draw is a real job, not a free limit.
-    val train = feat.select(F.col("_features"),
+    val projected = feat.select(F.col("_features"),
         F.col(vecCol).cast("array<double>").as("_v"))
-      .orderBy(F.xxhash64(F.lit(seed), F.col("_v")), F.col("_v"))
+    // the draw key: the seeded content hash folded into [0, 2^40) — an
+    // ORDER on rows that is a pure function of (seed, vector)
+    val u = F.pmod(F.xxhash64(F.lit(seed), F.col("_v")), F.lit(1L << 40))
+    // footer-priced prefilter: when the corpus is a pure parquet scan
+    // whose row count the footers give for free (MixOp.scanRowCount) and
+    // it far exceeds the sample, keep only rows whose key falls in the
+    // first 2·maxTrain/n of the key space BEFORE the TakeOrdered — the
+    // global top-maxTrain keys all sit under that threshold except with
+    // probability e^(-maxTrain/4) ≈ 0, so the draw is unchanged, but the
+    // top-k heap sees ~2·maxTrain rows instead of the corpus (at 100 TB
+    // the draw then costs a filtered scan, not a corpus-wide heap).
+    val base = MixOp.scanRowCount(ctx.primary) match {
+      case Some(nRows) if nRows > 4L * maxTrain =>
+        val keep = math.max(1L,
+          ((1L << 40).toDouble * 2.0 * maxTrain / nRows).toLong)
+        projected.filter(u < F.lit(keep))
+      case _ => projected
+    }
+    val train = base.orderBy(u, F.col("_v"))
       .limit(maxTrain).select("_features")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

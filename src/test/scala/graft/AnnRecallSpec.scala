@@ -19,7 +19,7 @@ import graft.operators.{IndexBuildOp, KnnBruteForceOp, KnnIvfOp, KnnLshOp}
   * tops out in the 0.5-0.65 band (measured; every step is seeded, so
   * the value is exact, and the thresholds sit just below it — any real
   * quantizer/codebook regression moves them toward the ~0.25-0.3
-  * probed-share floor, cf. the measured nprobe=1 recall of 0.30). On a
+  * probed-share floor, cf. the measured nprobe=1 recall of 0.35). On a
   * CLUSTERED corpus — the distribution ANN indexes exist for — the same
   * settings must clear the conventional >= 0.9 bar, and that is pinned
   * too. Mean over 10 query ids, at each gate's own pruning settings. */
@@ -51,7 +51,7 @@ class AnnRecallSpec extends SparkSpec {
       "query_id" -> q, "id_column" -> "vec_id", "vector_column" -> "embedding",
       "k" -> K, "nprobe" -> 4, "index_path" -> idx))))
     info(f"knn.ivf recall@10 at nprobe=4: $r%.3f")
-    assert(r >= 0.6, f"ivf recall@10 degraded to $r%.3f — quantizer regression (0.65 measured)")
+    assert(r >= 0.6, f"ivf recall@10 degraded to $r%.3f — quantizer regression (0.64 measured)")
   }
 
   test("knn.ivfpq ADC probe (nprobe=4, rerank=4) holds recall@10 on random data") {
