@@ -404,10 +404,11 @@ object IndexStatsOp extends Stage {
 
     if (cfg.boolOr("_explain_only", false))
       return Seq.empty[(String, String, Long, Long, Long, Double, Long, Long, Long,
-          Option[String], Option[Long], Option[Double], Option[Double])]
+          Option[String], Option[Long], Option[Double], Option[Double], Option[Double])]
         .toDF("path", "index_type", "rows", "files", "bytes", "mean_file_kb",
           "stream_append_dirs", "partition_dirs", "appends_since_compact",
-          "lease_holder", "lease_age_ms", "mean_bucket_occupancy", "pq_scan_ratio")
+          "lease_holder", "lease_age_ms", "mean_bucket_occupancy", "pq_scan_ratio",
+          "cell_skew")
 
     IndexMaintenance.recoverSwap(path)
     val (family, partitionCols) = IndexMaintenance.layout(spark, path, "index.stats")
@@ -483,10 +484,29 @@ object IndexStatsOp extends Stage {
         if (codeBytes <= 0L) None
         else Some(math.round(vecBytes.toDouble / codeBytes * 10) / 10.0)
       } catch { case scala.util.control.NonFatal(_) => None }
+    // ivf/ivfpq only: the hottest cell's share of the corpus × nlist —
+    // 1.0 = perfectly balanced, ≫ 1 = a skewed quantizer (the observable
+    // form of the build-time cell-skew advisory: probes at fixed nprobe
+    // lose recall balance). Footer row counts per cell dir, no data scan;
+    // a maintenance pipeline can watch it drift and trigger a
+    // mode=overwrite retrain. Null for non-cell families.
+    val cellSkew: Option[Double] =
+      if (family != "ivf" && family != "ivfpq") None
+      else try {
+        // nlist from the centroids table, NOT the populated-cell count —
+        // a fully collapsed quantizer (everything in one cell) must read
+        // as maximal skew (= nlist), not as "balanced"
+        val nlist = IvfCentroids.load(spark, path, "index.stats").length
+        val occ = Pq.cellOccupancy(spark, corpusDir)
+        val total = occ.values.sum
+        if (occ.isEmpty || total == 0L || nlist == 0) None
+        else Some(math.round(occ.values.max.toDouble * nlist / total * 100) / 100.0)
+      } catch { case scala.util.control.NonFatal(_) => None }
     Seq((path, family, rows, files.size.toLong, bytes, meanKb, appendDirs, partDirs,
-        sinceCompact, lease.map(_._1), lease.map(_._2), occupancy, pqScanRatio))
+        sinceCompact, lease.map(_._1), lease.map(_._2), occupancy, pqScanRatio, cellSkew))
       .toDF("path", "index_type", "rows", "files", "bytes", "mean_file_kb",
         "stream_append_dirs", "partition_dirs", "appends_since_compact",
-        "lease_holder", "lease_age_ms", "mean_bucket_occupancy", "pq_scan_ratio")
+        "lease_holder", "lease_age_ms", "mean_bucket_occupancy", "pq_scan_ratio",
+        "cell_skew")
   }
 }

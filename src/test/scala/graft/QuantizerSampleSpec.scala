@@ -99,6 +99,30 @@ class QuantizerSampleSpec extends SparkSpec {
       f"hottest cell holds $maxShare%.2f of the corpus — quantizer trained on a biased sample")
   }
 
+  test("index.stats surfaces cell_skew for cell families, null elsewhere") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qsample_stats").toString
+    IndexBuildOp(StageContext.one(spark, sortedCorpus, Cfg.of(
+      "type" -> "ivf", "path" -> dir, "vector_column" -> "embedding",
+      "nlist" -> 12, "max_train" -> PerDomain, "seed" -> 11)))
+    val row = graft.operators.IndexStatsOp(StageContext.one(spark, sortedCorpus,
+      Cfg.of("path" -> dir))).head()
+    val skew = row.getAs[Double]("cell_skew")
+    // uniform draw over the sorted corpus → near-balanced cells (1.0 =
+    // perfect; the old first-rows draw reads >= 3.0 here: one whole
+    // domain of the 4 piled into a single cell of 12)
+    assert(skew >= 1.0 && skew < 3.0, s"cell_skew $skew")
+    // non-cell family: null column
+    val mh = java.nio.file.Files.createTempDirectory("graft_qsample_mh").toString
+    import spark.implicits._
+    IndexBuildOp(StageContext.one(spark,
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"),
+      Cfg.of("type" -> "minhash", "path" -> mh, "id_column" -> "doc_id",
+        "text_column" -> "text", "num_hashes" -> 64, "bands" -> 16, "seed" -> 7)))
+    val mhRow = graft.operators.IndexStatsOp(StageContext.one(spark, sortedCorpus,
+      Cfg.of("path" -> mh))).head()
+    assert(mhRow.isNullAt(mhRow.fieldIndex("cell_skew")))
+  }
+
   test("cellSkewWarning thresholds") {
     // balanced: 12 cells × 100 rows
     assert(Pq.cellSkewWarning("op", Seq.fill(12)(100L), 12).isEmpty)
