@@ -979,7 +979,7 @@ object ExtensionQueries {
     // measures the pure narrow-scan ADC probe.
     QueryDef.noOracle("knn_ivfpq") { (s, d) =>
       val emb = t(s, d, "embeddings")
-      val idx = "/tmp/graft_ivfpq_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = "/tmp/graft_ivfpq_u1_" + d.replaceAll("[^A-Za-z0-9]", "_") // _u1: uniform-draw quantizer generation
       val marker = new java.io.File(s"$idx/pq/_SUCCESS")
       val fixture = new java.io.File(s"$d/embeddings.parquet")
       if (!marker.exists() || marker.lastModified() < fixture.lastModified())
@@ -1015,7 +1015,7 @@ object ExtensionQueries {
     // sf dir (first invocation) into /tmp and reused — in Bench's min-of-2
     // the second rep therefore measures the pure partition-pruned probe.
     QueryDef.noOracle("knn_ivf_indexed") { (s, d) =>
-      val idx = "/tmp/graft_ivf_" + d.replaceAll("[^A-Za-z0-9]", "_")
+      val idx = "/tmp/graft_ivf_u1_" + d.replaceAll("[^A-Za-z0-9]", "_") // _u1: uniform-draw quantizer generation
       // rebuild when missing OR older than the fixture — a regenerated
       // embeddings table must never be probed through a stale index
       val marker = new java.io.File(s"$idx/centroids/_SUCCESS")
