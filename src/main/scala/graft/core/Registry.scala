@@ -84,7 +84,7 @@ object Registry {
     TextNormalizeOp, BpeTrainOp, BpeTokenizeOp, GopherQualityOp, LineFilterOp,
     TopKOp, TopKMergeOp, CompressibilityOp,
     PerplexityOp, ChunkTextOp, SentencesOp, QualityClassifierTrainOp, QualityClassifierScoreOp,
-    KnnBruteForceOp, KnnJoinOp, KnnLshOp, KnnIvfOp, IndexBuildOp, IndexCompactOp, IndexStatsOp,
+    KnnBruteForceOp, KnnJoinOp, KnnLshOp, KnnIvfOp, IndexBuildOp, IndexCompactOp, IndexStatsOp, IndexRecallOp,
     IngestCompactOp, IngestStatsOp,
     graft.multimodal.BinaryMetaOp, graft.multimodal.FeatureExtractOp,
     graft.multimodal.ImageDecodeOp, graft.multimodal.AudioDecodeOp,

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.config._
+import graft.core._
+
+/** index.recall — measured recall@k of an index's PRUNED probe against the
+  * exact answer, as a maintenance verb: the operational form of the
+  * observation that exhaustive-parity checks (nprobe = nlist) are blind to
+  * quantizer quality. An ivf/ivfpq index degrades SILENTLY: appends drift
+  * away from the frozen training distribution, a skewed quantizer crowds
+  * cells, and fixed-nprobe probes lose recall with no error anywhere —
+  * `index.stats`' cell_skew shows the layout symptom, this verb measures
+  * the consequence. Run it after heavy append traffic (or on a schedule
+  * next to index.compact) and trigger a mode=overwrite retrain when the
+  * number drops.
+  *
+  * Method: draw `queries` vectors from the corpus itself by the seeded
+  * content-hash order (deterministic, layout-independent — the same draw
+  * discipline as the trainers), compute the exact top-k for ALL queries in
+  * ONE corpus pass (per-partition bounded heaps, q·k driver merge — never
+  * q separate scans), probe each query through the index at the
+  * configured `nprobe` (+ `rerank` for ivfpq), and report
+  * |probe ∩ exact| / |exact| per query.
+  *
+  * Output: one summary row (path, queries, k, nprobe, mean_recall,
+  * min_recall), or one row per query (query_id, recall) with
+  * `per_query = true`. At nprobe = nlist the probe IS brute force, so
+  * mean_recall = 1.0 exactly — the oracle-able calibration point the
+  * index_recall_exhaustive gate pins; pruned settings are
+  * quantizer-dependent (rows-only territory).
+  *
+  * ivf / ivfpq only: lsh hyperplanes are fixed at build time and do not
+  * drift with appends, and the set-membership families (exact / minhash /
+  * ngram / simhash) have no probe-recall notion.
+  *
+  * 100 TB shape: one full corpus scan (the exact side — unavoidable for
+  * ground truth, amortized over all q queries), q partition-pruned probe
+  * jobs (the thing under test), driver state bounded by
+  * partitions × q × (k + slack) narrow candidate tuples.
+  */
+object IndexRecallOp extends Stage {
+  val name = "index.recall"
+  val kind = StageKind.Transform
+
+  def apply(ctx: StageContext): DataFrame = {
+    val cfg = ctx.cfg
+    val spark = ctx.spark
+    import spark.implicits._
+    val perQuery = cfg.boolOr("per_query", false)
+    if (cfg.boolOr("_explain_only", false))
+      return if (perQuery) Seq.empty[(String, Double)].toDF("query_id", "recall")
+      else Seq.empty[(String, Long, Long, Long, Double, Double)]
+        .toDF("path", "queries", "k", "nprobe", "mean_recall", "min_recall")
+    val path = cfg.str("path")
+    val k = cfg.longOr("k", 10L).toInt
+    val nprobe = cfg.longOr("nprobe", 4L).toInt
+    val nQueries = cfg.longOr("queries", 20L).toInt
+    val seed = cfg.longOr("seed", 11L)
+    if (k < 1 || nprobe < 1 || nQueries < 1) throw new GraftConfigError(
+      s"index.recall: k, nprobe and queries must be >= 1 (got k=$k, nprobe=$nprobe, queries=$nQueries)")
+    val idCol = cfg.strOr("id_column", "vec_id")
+
+    IndexMaintenance.recoverSwap(path)
+    val family = IndexMaintenance.layout(spark, path, "index.recall")._1
+    if (family != "ivf" && family != "ivfpq") throw new GraftConfigError(
+      s"index.recall: the index at $path is $family — recall is a property of " +
+      "cell-pruned ANN probes (ivf/ivfpq); lsh planes are fixed at build and the " +
+      "set-membership families have no probe-recall notion")
+    val vecCol =
+      if (family == "ivfpq") PqIndex.metaVectorColumn(IndexMeta.head(spark, s"$path/meta"))
+      else cfg.strOr("vector_column", "embedding")
+    val corpusDir = IndexSnapshot.corpusDir(path)
+    val files = IndexSnapshot.files(corpusDir, s"index.recall: no corpus at $path")
+    if (files.isEmpty) throw new GraftPlanError(
+      s"index.recall: the index at $path has an empty corpus — nothing to measure")
+    val corpus = spark.read.option("basePath", GraftFs.qualified(corpusDir))
+      .parquet(files: _*)
+
+    // deterministic query draw from the corpus (content-hash order)
+    val narrow = corpus.select(F.col(idCol).cast("string").as("_id"),
+      F.col(vecCol).cast("array<double>").as("_v"))
+    val qRows: Array[(String, Array[Double])] = narrow
+      .orderBy(F.pmod(F.xxhash64(F.lit(seed), F.col("_v")), F.lit(1L << 40)), F.col("_v"))
+      .limit(nQueries).collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+    val q = qRows.length
+    val qVecs = qRows.map(_._2)
+    val qNorms = qVecs.map(v => math.sqrt(v.map(x => x * x).sum))
+
+    // exact ground truth for ALL queries in ONE pass: per-partition
+    // bounded heaps on raw cosine with slack, then a driver merge that
+    // applies the probes' exact ordering (round half-up to 6, ties to the
+    // lower id) — slack absorbs raw-vs-rounded boundary reshuffles
+    val slack = k + 16
+    val candidates: Array[(Int, String, Double)] = narrow.rdd.mapPartitions { it =>
+      val heaps = Array.fill(q)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, String)](
+          Ordering.by[(Double, String), Double](_._1).reverse)) // min-heap on cos
+      it.foreach { r =>
+        val id = r.getString(0)
+        val v = r.getSeq[Double](1)
+        var qi = 0
+        while (qi < q) {
+          val qv = qVecs(qi)
+          var dot = 0.0; var vn = 0.0; var j = 0
+          val dim = math.min(qv.length, v.length)
+          while (j < dim) { dot += qv(j) * v(j); vn += v(j) * v(j); j += 1 }
+          val cos = if (vn == 0.0 || qNorms(qi) == 0.0) 0.0
+            else dot / (math.sqrt(vn) * qNorms(qi))
+          val h = heaps(qi)
+          if (h.size < slack) h.enqueue((cos, id))
+          else if (cos > h.head._1) { h.dequeue(); h.enqueue((cos, id)) }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (cos, id) => (qi, id, cos) } }
+    }.collect()
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exact: Map[Int, Set[String]] = candidates.groupBy(_._1).map { case (qi, cs) =>
+      qi -> cs.map { case (_, id, cos) => (round6(cos), id) }
+        .sortBy { case (cos, id) => (-cos, id) }.take(k).map(_._2).toSet
+    }
+
+    // the probe under test, per query
+    graft.functions.GraftFunctions.ensureRegistered(spark)
+    val ivfCents = if (family == "ivf") IvfCentroids.load(spark, path, "index.recall") else null
+    def probeIds(qv: Array[Double]): Set[String] = {
+      val df = family match {
+        case "ivfpq" => PqIndex.probeSingle(ctx, path, idCol, k, nprobe, qv.toSeq)
+        case _ =>
+          import org.apache.spark.ml.linalg.Vectors
+          val probed = IvfCentroids.nearest(ivfCents, Vectors.dense(qv),
+            math.min(nprobe, ivfCents.length))
+          val qLit = F.array(qv.toSeq.map(F.lit): _*)
+          corpus.filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
+            .withColumn("cosine", F.round(
+              F.call_function("cosine_sim", F.col(vecCol).cast("array<double>"), qLit), 6))
+            .select(F.col(idCol), F.col("cosine"))
+            .orderBy(F.col("cosine").desc, F.col(idCol).asc)
+            .limit(k)
+      }
+      df.select(F.col(idCol).cast("string")).collect().map(_.getString(0)).toSet
+    }
+    val recalls: Seq[(String, Double)] = qRows.toSeq.zipWithIndex.map { case ((qid, qv), qi) =>
+      val truth = exact.getOrElse(qi, Set.empty)
+      val r = if (truth.isEmpty) 1.0
+        else probeIds(qv).intersect(truth).size.toDouble / truth.size
+      (qid, math.round(r * 10000) / 10000.0)
+    }
+
+    if (perQuery) recalls.toDF("query_id", "recall")
+    else Seq((path, q.toLong, k.toLong, nprobe.toLong,
+        math.round(recalls.map(_._2).sum / q * 10000) / 10000.0,
+        recalls.map(_._2).min))
+      .toDF("path", "queries", "k", "nprobe", "mean_recall", "min_recall")
+  }
+}

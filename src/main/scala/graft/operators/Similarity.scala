@@ -929,10 +929,18 @@ object KnnIvfOp extends Stage {
         val toVec = F.udf { v: Seq[Float] => Vectors.dense(v.map(_.toDouble).toArray) }
         val feat = ctx.primary.select(F.col(idCol), F.col(vecCol))
           .withColumn("features", toVec(F.col(vecCol).cast("array<float>")))
-        // coarse quantizer on a bounded sample — centroid count is tiny,
-        // the model broadcasts, assignment is one map pass
-        val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-          .fit(feat.select("features").limit(maxTrain))
+        // coarse quantizer on a bounded UNIFORM sample — same content-hash
+        // draw as index.build (a plain limit takes the first rows in plan
+        // order and trains on one slice of a sorted corpus); centroid
+        // count is tiny, the model broadcasts, assignment is one map pass
+        val trainS = feat
+          .select(F.col("features"), F.col(vecCol).cast("array<double>").as("_v"))
+          .orderBy(F.pmod(F.xxhash64(F.lit(seed), F.col("_v")), F.lit(1L << 40)),
+            F.col("_v"))
+          .limit(maxTrain).select("features")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val km = try new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+          .fit(trainS) finally trainS.unpersist(blocking = false)
         val probed = km.clusterCenters.zipWithIndex
           .sortBy { case (c, _) => Vectors.sqdist(c, qv) }
           .take(nprobe).map(_._2.toString).toSeq

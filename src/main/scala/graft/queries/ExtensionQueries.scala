@@ -415,6 +415,39 @@ object ExtensionQueries {
         .select("index_type", "rows", "lease_holder")
     },
 
+    // ---- index.recall (r12): measured recall@k of the pruned ANN probe
+    // against a one-pass exact ground truth — the maintenance verb behind
+    // AnnRecallSpec's methodology (quantizer drift after appends is
+    // invisible to exhaustive-parity checks). At nprobe = nlist the probe
+    // IS brute force, so the summary is a CONSTANT the oracle can state:
+    // recall exactly 1.0. The pruned variant depends on the engine's
+    // seeded quantizer → rows-only.
+    QueryDef("index_recall_exhaustive",
+      """SELECT CAST(8 AS BIGINT) AS queries, CAST(10 AS BIGINT) AS k,
+        |  CAST(16 AS BIGINT) AS nprobe, 1.0 AS mean_recall,
+        |  1.0 AS min_recall""".stripMargin) { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_ir_idx").toString
+      IndexBuildOp(StageContext.one(s, emb, Cfg.of(
+        "type" -> "ivf", "path" -> idx, "vector_column" -> "embedding",
+        "nlist" -> 16, "seed" -> 11)))
+      IndexRecallOp(StageContext.one(s, emb, Cfg.of(
+        "path" -> idx, "id_column" -> "vec_id", "queries" -> 8, "k" -> 10,
+        "nprobe" -> 16, "seed" -> 11)))
+        .select("queries", "k", "nprobe", "mean_recall", "min_recall")
+    },
+    QueryDef.noOracle("index_recall_pruned") { (s, d) =>
+      val emb = t(s, d, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_irp_idx").toString
+      IndexBuildOp(StageContext.one(s, emb, Cfg.of(
+        "type" -> "ivfpq", "path" -> idx, "vector_column" -> "embedding",
+        "nlist" -> 16, "m" -> 8, "ksub" -> 16, "seed" -> 11)))
+      IndexRecallOp(StageContext.one(s, emb, Cfg.of(
+        "path" -> idx, "id_column" -> "vec_id", "queries" -> 8, "k" -> 10,
+        "nprobe" -> 4, "rerank" -> 4, "seed" -> 11)))
+        .select("queries", "k", "nprobe", "mean_recall", "min_recall")
+    },
+
     // ---- stream.ingest batch-parity: the SAME corpus/batch split as
     // dedup_minhash_incremental, but batch 2 arrives through the real
     // Structured Streaming path — file.stream (one file per micro-batch)
