@@ -510,22 +510,32 @@ object DedupExactOp extends Stage {
   * memory. Bounded: one small Row per distinct index path per JVM. */
 private[graft] object IndexMeta {
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, org.apache.spark.sql.Row)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Any)]()
 
   private def listing(dir: String): String =
     GraftFs.listFilesRec(dir).map { case (f, len) => s"$f:$len" }.sorted.mkString("|")
 
-  def head(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.Row = {
+  /** Listing-keyed driver cache for any small loaded artifact of an index
+    * subdirectory (meta rows, centroid tables, PQ codebooks): each load is
+    * a Spark job, and probe LOOPS (knn batches, index.recall's q probes,
+    * every micro-batch of a stream) re-pay it per call for tables that
+    * only change when a rebuild writes fresh part files — which the
+    * listing detects for one driver FS list, no job. A throwing load is
+    * not cached (empty-table errors stay loud per call). */
+  def cached[T](dir: String)(load: => T): T = {
     val key = GraftFs.qualified(dir)
     val lst = listing(dir)
     val hit = cache.get(key)
-    if (hit != null && hit._1 == lst) hit._2
+    if (hit != null && hit._1 == lst) hit._2.asInstanceOf[T]
     else {
-      val row = spark.read.parquet(dir).head()
-      cache.put(key, (lst, row))
-      row
+      val v = load
+      cache.put(key, (lst, v))
+      v
     }
   }
+
+  def head(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.Row =
+    cached(dir)(spark.read.parquet(dir).head())
 }
 
 /** Plan-time snapshot of an index corpus directory: parquet dir reads

@@ -85,7 +85,7 @@ private[graft] object IndexMaintenance {
   def layout(spark: org.apache.spark.sql.SparkSession, path: String,
       op: String): (String, Seq[String]) = {
     if (GraftFs.isDir(s"$path/meta")) {
-      val fields = spark.read.parquet(s"$path/meta").schema.fieldNames.toSet
+      val fields = IndexMeta.head(spark, s"$path/meta").schema.fieldNames.toSet
       if (fields.contains("ksub")) ("ivfpq", Seq("cell"))
       else if (fields.contains("band_planes")) ("lsh", Seq("band", "pband", "ingest_tag"))
       else if (fields.contains("pbuckets")) ("lsh", Seq("block", "pbucket"))
@@ -462,7 +462,7 @@ object IndexStatsOp extends Stage {
     val occupancy: Option[Double] =
       if (!GraftFs.isDir(s"$path/meta")) None
       else {
-        val m = spark.read.parquet(s"$path/meta").head()
+        val m = IndexMeta.head(spark, s"$path/meta")
         if (!m.schema.fieldNames.contains("band_planes")) None
         else {
           val bands = m.getAs[Int]("bands").toLong
@@ -477,7 +477,7 @@ object IndexStatsOp extends Stage {
     val pqScanRatio: Option[Double] =
       if (family != "ivfpq" || files.isEmpty) None
       else try {
-        val m = spark.read.parquet(s"$path/meta").head()
+        val m = IndexMeta.head(spark, s"$path/meta")
         val vecCol = PqIndex.metaVectorColumn(m)
         val vecBytes = PqIndex.columnChunkBytes(spark, files, Set(vecCol))
         val codeBytes = PqIndex.columnChunkBytes(spark, files, Set("pq_codes", "pq_vnorm"))

@@ -249,20 +249,23 @@ private[graft] object PqIndex {
       meta.getAs[String]("vector_column")
     else "embedding"
 
+  /** Listing-keyed cached like IvfCentroids.load — a probe loop must not
+    * re-collect the m·ksub codebook table per query; read-only. */
   def loadCodebooks(spark: SparkSession, path: String,
-      op: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$path/pq")
-      .select("subspace", "code", "center").collect()
-    if (rows.isEmpty) throw new GraftConfigError(
-      s"$op: the index at $path has an empty pq/ codebook dir — rebuild with " +
-      "index.build type=ivfpq mode=overwrite")
-    val m = rows.map(_.getInt(0)).max + 1
-    val books = Array.ofDim[Array[Array[Double]]](m)
-    rows.groupBy(_.getInt(0)).foreach { case (s, rs) =>
-      books(s) = rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      op: String): Array[Array[Array[Double]]] =
+    IndexMeta.cached(s"$path/pq") {
+      val rows = spark.read.parquet(s"$path/pq")
+        .select("subspace", "code", "center").collect()
+      if (rows.isEmpty) throw new GraftConfigError(
+        s"$op: the index at $path has an empty pq/ codebook dir — rebuild with " +
+        "index.build type=ivfpq mode=overwrite")
+      val m = rows.map(_.getInt(0)).max + 1
+      val books = Array.ofDim[Array[Array[Double]]](m)
+      rows.groupBy(_.getInt(0)).foreach { case (s, rs) =>
+        books(s) = rs.sortBy(_.getInt(1)).map(_.getSeq[Double](2).toArray)
+      }
+      books
     }
-    books
-  }
 
   /** Column-chunk COMPRESSED bytes for the top-level columns in `cols`,
     * straight from the parquet footers — the bytes a column-pruned scan of
@@ -353,7 +356,7 @@ private[graft] object PqIndex {
       throw new GraftConfigError(
         s"index.build type=ivfpq mode=append: no complete ivfpq index at $path " +
         "(quantizer and codebooks are frozen at first build); run mode=overwrite first")
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = IndexMeta.head(spark, s"$path/meta")
     // the corpus-side column name is a fact of the index; explicit config
     // may rename the INPUT's column but defaults follow the meta
     val vecCol = cfg.strOpt("vector_column").getOrElse(metaVectorColumn(meta))
@@ -413,7 +416,7 @@ private[graft] object PqIndex {
     val rerank = cfg.longOr("rerank", 4L).toInt
     if (rerank < 0) throw new GraftConfigError(
       s"knn.ivf: rerank must be >= 0 (0 = return ADC scores unreranked), got $rerank")
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = IndexMeta.head(spark, s"$path/meta")
     val m = meta.getAs[Int]("m")
     val dim = meta.getAs[Int]("dim")
     // the corpus-side rerank column is a fact of the index, not a probe

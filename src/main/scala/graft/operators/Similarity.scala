@@ -305,7 +305,7 @@ object KnnJoinOp extends Stage {
          cfg.longOr("seed", 11L), cfg.longOr("dim", 0L).toInt,
          cfg.longOr("partition_dirs", 64L).toInt)
       else {
-        val meta = spark.read.parquet(s"$path/meta").head()
+        val meta = IndexMeta.head(spark, s"$path/meta")
         if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
           s"knn.join: the index at $path predates the (block, pbucket) layout — " +
           "rebuild it with index.build type=lsh mode=overwrite")
@@ -389,7 +389,7 @@ object KnnJoinOp extends Stage {
          cfg.longOr("seed", 11L), cfg.longOr("dim", 0L).toInt,
          cfg.longOr("partition_dirs", 64L).toInt)
       else {
-        val meta = spark.read.parquet(s"$path/meta").head()
+        val meta = IndexMeta.head(spark, s"$path/meta")
         (meta.getAs[Int]("bands"), meta.getAs[Int]("band_planes"),
          meta.getAs[Long]("seed"), meta.getAs[Int]("dim"), meta.getAs[Int]("pbuckets"))
       }
@@ -557,7 +557,7 @@ object KnnJoinOp extends Stage {
         queries.schema(qId).dataType)
     }
     IndexMaintenance.recoverSwap(path)
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = IndexMeta.head(spark, s"$path/meta")
     val m = meta.getAs[Int]("m")
     val dim = meta.getAs[Int]("dim")
     val dsub = dim / m
@@ -741,7 +741,7 @@ object KnnLshOp extends Stage {
             s"knn.lsh: no index at '$path' — run an index.build type=lsh stage first " +
             "(note: the CLI `explain` command never builds indexes)")
         IndexMaintenance.recoverSwap(path) // repair a mid-swap compact crash
-        val meta = spark.read.parquet(s"$path/meta").head()
+        val meta = IndexMeta.head(spark, s"$path/meta")
         if (!meta.schema.fieldNames.contains("pbuckets")) throw new GraftConfigError(
           s"knn.lsh: the index at $path predates the (block, pbucket) layout — " +
           "rebuild it with index.build type=lsh mode=overwrite")

@@ -12,18 +12,22 @@ private[operators] object IvfCentroids {
 
   /** (cell, centroid) sorted by cell. An IVF index whose centroids table
     * is EMPTY is unusable (appends can't assign, probes would silently
-    * degrade to dim = 0) — fail loud instead. */
+    * degrade to dim = 0) — fail loud instead. Listing-keyed cached
+    * (IndexMeta): probe loops re-read a table that only a rebuild — which
+    * writes fresh part files — can change; callers treat the array as
+    * read-only. */
   def load(spark: org.apache.spark.sql.SparkSession, path: String,
-      op: String): Array[(Int, Vector)] = {
-    val cents = spark.read.parquet(s"$path/centroids")
-      .select("cell", "centroid").collect()
-      .map(r => (r.getInt(0), Vectors.dense(r.getSeq[Double](1).toArray)))
-      .sortBy(_._1)
-    if (cents.isEmpty) throw new GraftConfigError(
-      s"$op: the index at $path has no centroids — rebuild with " +
-      "index.build type=ivf mode=overwrite")
-    cents
-  }
+      op: String): Array[(Int, Vector)] =
+    IndexMeta.cached(s"$path/centroids") {
+      val cents = spark.read.parquet(s"$path/centroids")
+        .select("cell", "centroid").collect()
+        .map(r => (r.getInt(0), Vectors.dense(r.getSeq[Double](1).toArray)))
+        .sortBy(_._1)
+      if (cents.isEmpty) throw new GraftConfigError(
+        s"$op: the index at $path has no centroids — rebuild with " +
+        "index.build type=ivf mode=overwrite")
+      cents
+    }
 
   /** Cell ids of the `nprobe` euclidean-nearest centroids to `q`, nearest
     * first — bounded insertion selection (O(nlist·nprobe) with nprobe
@@ -197,7 +201,7 @@ object IndexBuildOp extends Stage {
         "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
     if (mode == "append" &&
         GraftFs.isDir(s"$path/meta")) {
-      val m = spark.read.parquet(s"$path/meta").head()
+      val m = IndexMeta.head(spark, s"$path/meta")
       val existing = (m.getAs[Int]("shingle_size"), m.getAs[Int]("num_hashes"),
         m.getAs[Int]("bands"), m.getAs[Long]("seed"))
       if (existing != ((n, k, bands, seed))) throw new GraftConfigError(
@@ -357,7 +361,7 @@ object IndexBuildOp extends Stage {
         "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
     if (mode == "append" &&
         GraftFs.isDir(s"$path/meta")) {
-      val m = spark.read.parquet(s"$path/meta").head()
+      val m = IndexMeta.head(spark, s"$path/meta")
       val existing = (m.getAs[Int]("ngram_size"), m.getAs[Int]("bands"),
         m.getAs[Int]("rows_per_band"), m.getAs[Long]("seed"))
       if (existing != ((n, bands, r, seed))) throw new GraftConfigError(
@@ -412,7 +416,7 @@ object IndexBuildOp extends Stage {
         "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
     if (mode == "append" &&
         GraftFs.isDir(s"$path/meta")) {
-      val m = spark.read.parquet(s"$path/meta").head()
+      val m = IndexMeta.head(spark, s"$path/meta")
       val existing = m.getSeq[String](m.fieldIndex("columns")).toVector
       if (existing != cols.toVector) throw new GraftConfigError(
         s"index.build type=exact mode=append: columns ${cols.mkString(", ")} differ " +
@@ -476,7 +480,7 @@ object IndexBuildOp extends Stage {
         "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
     if (mode == "append" &&
         GraftFs.isDir(s"$path/meta")) {
-      val m = spark.read.parquet(s"$path/meta").head()
+      val m = IndexMeta.head(spark, s"$path/meta")
       if (!m.schema.fieldNames.contains("band_planes")) throw new GraftConfigError(
         s"index.build type=lsh blocking=bands mode=append: the index at $path is " +
         "pigeonhole-partitioned — appending banded signatures would mix incompatible " +
@@ -560,7 +564,7 @@ object IndexBuildOp extends Stage {
         "earlier build?) — parameters cannot be validated; rebuild with mode=overwrite")
     if (mode == "append" &&
         GraftFs.isDir(s"$path/meta")) {
-      val m = spark.read.parquet(s"$path/meta").head()
+      val m = IndexMeta.head(spark, s"$path/meta")
       if (m.schema.fieldNames.contains("band_planes")) throw new GraftConfigError(
         s"index.build type=lsh mode=append: the index at $path is bands-partitioned — " +
         "append with blocking = \"bands\", or rebuild with mode=overwrite")
