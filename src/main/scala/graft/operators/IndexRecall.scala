@@ -119,35 +119,39 @@ object IndexRecallOp extends Stage {
     }.collect()
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val exact: Map[Int, Set[String]] = candidates.groupBy(_._1).map { case (qi, cs) =>
-      qi -> cs.map { case (_, id, cos) => (round6(cos), id) }
-        .sortBy { case (cos, id) => (-cos, id) }.take(k).map(_._2).toSet
+    // ground truth as a TIE CLOSURE: every id at or above the k-th rounded
+    // cosine. Tied candidates are interchangeable at equal similarity, so
+    // a probe returning either tie member is correct — and the id-ORDER
+    // convention at the boundary (the probe orders by the id's native
+    // type, this driver merge holds strings) stops mattering. Denominator
+    // stays min(k, available rows): the closure only widens membership.
+    val exact: Map[Int, (Set[String], Int)] = candidates.groupBy(_._1).map { case (qi, cs) =>
+      val ranked = cs.map { case (_, id, cos) => (round6(cos), id) }
+        .sortBy { case (cos, _) => -cos }
+      val denom = math.min(k, ranked.length)
+      val kth = ranked(denom - 1)._1
+      (qi, (ranked.takeWhile(_._1 >= kth).map(_._2).toSet, denom))
     }
 
-    // the probe under test, per query
-    graft.functions.GraftFunctions.ensureRegistered(spark)
-    val ivfCents = if (family == "ivf") IvfCentroids.load(spark, path, "index.recall") else null
-    def probeIds(qv: Array[Double]): Set[String] = {
-      val df = family match {
-        case "ivfpq" => PqIndex.probeSingle(ctx, path, idCol, k, nprobe, qv.toSeq)
-        case _ =>
-          import org.apache.spark.ml.linalg.Vectors
-          val probed = IvfCentroids.nearest(ivfCents, Vectors.dense(qv),
-            math.min(nprobe, ivfCents.length))
-          val qLit = F.array(qv.toSeq.map(F.lit): _*)
-          corpus.filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*))
-            .withColumn("cosine", F.round(
-              F.call_function("cosine_sim", F.col(vecCol).cast("array<double>"), qLit), 6))
-            .select(F.col(idCol), F.col("cosine"))
-            .orderBy(F.col("cosine").desc, F.col(idCol).asc)
-            .limit(k)
-      }
-      df.select(F.col(idCol).cast("string")).collect().map(_.getString(0)).toSet
-    }
-    val recalls: Seq[(String, Double)] = qRows.toSeq.zipWithIndex.map { case ((qid, qv), qi) =>
-      val truth = exact.getOrElse(qi, Set.empty)
-      val r = if (truth.isEmpty) 1.0
-        else probeIds(qv).intersect(truth).size.toDouble / truth.size
+    // the probe under test — ALL queries in ONE batch job through the
+    // knn.join index mode (the machinery the knn_join_{ivf,ivfpq}
+    // _exhaustive gates pin against batch brute force): q partition-pruned
+    // probes fused into a single plan instead of q sequential driver jobs
+    val qDf = qRows.toSeq.map { case (qid, v) => (qid, v.toSeq) }
+      .toDF("_rq_id", "_rq_vec")
+    val probeCfg = Seq[(String, Any)](
+      "left_id" -> "_rq_id", "left_vector" -> "_rq_vec",
+      "right_id" -> idCol, "right_vector" -> vecCol,
+      "k" -> k, "nprobe" -> nprobe, "index_path" -> path) ++
+      cfg.longOpt("rerank").map(r => "rerank" -> (r: Any)).toSeq
+    val probed: Map[String, Set[String]] = KnnJoinOp(
+      StageContext(spark, Seq("queries" -> qDf), Cfg.of(probeCfg: _*)))
+      .select(F.col("query_id").cast("string"), F.col("corpus_id").cast("string"))
+      .collect().groupBy(_.getString(0))
+      .map { case (qid, rs) => qid -> rs.map(_.getString(1)).toSet }
+    val recalls: Seq[(String, Double)] = qRows.toSeq.zipWithIndex.map { case ((qid, _), qi) =>
+      val (closure, denom) = exact.getOrElse(qi, (Set.empty[String], 1))
+      val r = probed.getOrElse(qid, Set.empty).intersect(closure).size.toDouble / denom
       (qid, math.round(r * 10000) / 10000.0)
     }
 
