@@ -65,7 +65,8 @@ object ScaleProbe {
       ivfpqProbe(args.drop(1).headOption.map(_.toInt).getOrElse(200000)); return
     }
     if (args.headOption.contains("shards")) {
-      shardsProbe(args.drop(1).headOption.map(_.toInt).getOrElse(200000)); return
+      shardsProbe(args.drop(1).headOption.map(_.toInt).getOrElse(200000),
+        args.drop(2).headOption.map(_.toLong).getOrElse(0L)); return
     }
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 15000, 50000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -435,7 +436,11 @@ object ScaleProbe {
     * the one-file-per-shard contract is what keeps downstream listing
     * O(shards)), manifest rows. Linear wall growth with flat
     * files-per-shard is the pass criterion. */
-  private def shardsProbe(n: Int): Unit = {
+  /** `waves` > 0 = shards_per_commit (the restartable-export wave size);
+    * 0 = single commit. The wave rung prices the restartability tax:
+    * extra per-wave commit jobs + boundary-partition double reads
+    * (PartitionPruningRDD keeps everything else read-once). */
+  private def shardsProbe(n: Int, waves: Long): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -455,14 +460,15 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     val manifest = ShardWriteOp(StageContext.one(spark, d, Cfg.of(
       "path" -> out, "order_by" -> Seq("doc_id"),
-      "token_column" -> "n_tok", "shard_tokens" -> (1L << 20))))
+      "token_column" -> "n_tok", "shard_tokens" -> (1L << 20),
+      "shards_per_commit" -> waves)))
     val shards = manifest.count()
     val sec = (System.nanoTime() - t0) / 1e9
     val files = graft.core.GraftFs.listFilesRec(out).count { case (f, _) =>
       val name = f.substring(f.lastIndexOf('/') + 1)
       name.startsWith("part-") && f.contains("/shard=")
     }
-    println(f"""{"op":"shards.write","n":$n,"sec":$sec%.2f,"shards":$shards,"data_files":$files}""")
+    println(f"""{"op":"shards.write","n":$n,"waves":$waves,"sec":$sec%.2f,"shards":$shards,"data_files":$files}""")
     spark.stop()
   }
 
