@@ -846,10 +846,15 @@ object StreamSketchSink extends Stage {
       .queryName(queryName)
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        // AQE off in the micro-batch session — same latency-floor
-        // rationale as stream.ingest (`batch_aqe = true` opts back in)
+        // UNLIKE stream.ingest, AQE stays ON here by default: the sketch
+        // batch is a single small aggregation (~5 jobs — never the 42-job
+        // problem the ingest path had), and AQE's post-shuffle coalescing
+        // is what keeps the per-batch summary write at one file instead of
+        // shuffle-partition-many (the r12 A/B measured the AQE-off variant
+        // +24% on stream_sketch_parity from exactly that small-files
+        // growth). `batch_aqe = false` opts out.
         batch0.sparkSession.conf.set("spark.sql.adaptive.enabled",
-          cfg.boolOr("batch_aqe", false).toString)
+          cfg.boolOr("batch_aqe", true).toString)
         // pin once — the emptiness check and the sketch pass would each
         // re-scan the source files otherwise (see stream.ingest)
         val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
