@@ -509,8 +509,19 @@ object DedupExactOp extends Stage {
   * part-file names — and invalidates; everything else is served from
   * memory. Bounded: one small Row per distinct index path per JVM. */
 private[graft] object IndexMeta {
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Any)]()
+  /** LRU-bounded: entries hold not just 1-row meta Rows but full IVF
+    * centroid tables and m·ksub PQ codebooks — a long-lived session
+    * touching many indexes must not grow driver memory without bound. 64
+    * indexes × the largest payload class (a few MB of centroids) keeps the
+    * cache useful for every realistic probe loop while capping the worst
+    * case; eviction just means the next probe re-pays one small load job. */
+  private val MaxEntries = 64
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (String, Any)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Any)]): Boolean =
+        size() > MaxEntries
+    })
 
   private def listing(dir: String): String =
     GraftFs.listFilesRec(dir).map { case (f, len) => s"$f:$len" }.sorted.mkString("|")
@@ -522,8 +533,14 @@ private[graft] object IndexMeta {
     * only change when a rebuild writes fresh part files — which the
     * listing detects for one driver FS list, no job. A throwing load is
     * not cached (empty-table errors stay loud per call). */
-  def cached[T](dir: String)(load: => T): T = {
-    val key = GraftFs.qualified(dir)
+  def cached[T](dir: String)(load: => T): T =
+    cachedAs(dir, "")(load)
+
+  /** As [[cached]], but namespaced: two different payloads of the SAME
+    * directory (head() Rows vs schema field sets) must not share a cache
+    * slot. The listing key is always taken on the real `dir`. */
+  private def cachedAs[T](dir: String, ns: String)(load: => T): T = {
+    val key = GraftFs.qualified(dir) + ns
     val lst = listing(dir)
     val hit = cache.get(key)
     if (hit != null && hit._1 == lst) hit._2.asInstanceOf[T]
@@ -536,6 +553,14 @@ private[graft] object IndexMeta {
 
   def head(spark: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.Row =
     cached(dir)(spark.read.parquet(dir).head())
+
+  /** Field names of a meta table from the parquet FOOTER alone — a
+    * driver-side schema read, no Spark job and no row materialization, for
+    * callers that dispatch on which fields exist (index family detection)
+    * rather than on values. Works on a zero-row meta table too, where
+    * head() would throw. */
+  def schemaFields(spark: org.apache.spark.sql.SparkSession, dir: String): Set[String] =
+    cachedAs(dir, "#schema")(spark.read.parquet(dir).schema.fieldNames.toSet)
 }
 
 /** Plan-time snapshot of an index corpus directory: parquet dir reads
@@ -1484,7 +1509,7 @@ object DedupEmbeddingOp extends Stage {
         s"dedup.embedding: no lsh index at $path — run index.build type=lsh first")
     val bandsLayout =
       if (!metaExists) cfg.strOr("blocking", "pigeonhole") == "bands" // explain placeholder
-      else IndexMeta.head(ctx.spark, s"$path/meta").schema.fieldNames.contains("band_planes")
+      else IndexMeta.schemaFields(ctx.spark, s"$path/meta").contains("band_planes")
     cfg.strOpt("blocking").foreach { b =>
       val layoutName = if (bandsLayout) "bands" else "pigeonhole"
       if (metaExists && b != layoutName) throw new GraftConfigError(

@@ -271,14 +271,20 @@ object IngestCompactOp extends Stage {
     System.err.println(s"[graft] ingest.compact: $root — folded ${sources.size} " +
       s"partition dir(s) (${bytes / 1048576} MiB) into ingest_batch=-1 ($nOut file(s))")
     } // !policySkipped
-    // the metrics mirror of the data fold: roll the SAME committed
-    // batches' _metrics/batch-<id>.json files into one running summary —
-    // a long-lived stream otherwise grows one JSON per micro-batch
-    // forever and ingest.stats re-reads every file per call. When the
-    // policy skipped the data fold this only sweeps crash leftovers
-    // (files at or below the summary's fold frontier).
+    // the metrics mirror of the data fold: roll committed batches'
+    // _metrics/batch-<id>.json files into one running summary — a
+    // long-lived stream otherwise grows one JSON per micro-batch forever
+    // and ingest.stats re-reads every file per call. Foldability here is
+    // COMMITTED-ness, not data-dir presence: a committed batch whose rows
+    // all deduped away has a metric file but no ingest_batch=<id> dir, and
+    // keying on dirs would let `through` advance past it so the next fold
+    // deletes it as stale without ever summing it (shrinking rows_in).
+    // When the policy skipped the data fold this only sweeps crash
+    // leftovers (files at or below the summary's fold frontier).
     graft.streaming.IngestMetrics.fold(root,
-      if (policySkipped) Set.empty else foldable.toSet)
+      if (policySkipped) (_: Long) => false
+      else (id: Long) => id >= 0 && watermark.forall(id <= _) &&
+        committed.forall(_.contains(id)))
     } // withBatchLease
     ctx.primary
   }

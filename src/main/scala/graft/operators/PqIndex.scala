@@ -210,21 +210,35 @@ private[graft] object Pq {
   def cellOccupancy(spark: SparkSession, corpusDir: String): Map[Int, Long] = {
     import scala.jdk.CollectionConverters._
     val conf = spark.sessionState.newHadoopConf()
-    IndexSnapshot.files(corpusDir, s"cellOccupancy: no corpus at $corpusDir")
+    val byCell = IndexSnapshot.files(corpusDir, s"cellOccupancy: no corpus at $corpusDir")
       .flatMap { f =>
         GraftFs.relativize(corpusDir, f).split('/')
           .find(_.startsWith("cell=")).map(_.stripPrefix("cell=").toInt -> f)
       }
-      .groupBy(_._1)
-      .map { case (cell, fs) =>
-        cell -> fs.map { case (_, f) =>
-          val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(f), conf)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
-          finally r.close()
-        }.sum
+    // footer opens are independent small reads dominated by per-open
+    // latency (an nlist-cell index is >= nlist files) — read them on a
+    // bounded driver pool instead of one at a time, same trick a parquet
+    // scan's own footer phase uses. Runs after EVERY ivf/ivfpq build and
+    // append, so this latency is on the build path, not just in stats.
+    def rowsOf(f: String): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+      finally r.close()
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, byCell.size)))
+    try {
+      val counted = byCell.map { case (cell, f) =>
+        cell -> pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = rowsOf(f)
+        })
       }
+      counted.groupBy(_._1).map { case (cell, fs) =>
+        cell -> fs.map(_._2.get()).sum
+      }
+    } finally pool.shutdown()
   }
 
   /** Emit the cell-skew advisory for the index at `root` (ivf/ivfpq

@@ -254,7 +254,13 @@ object ShardWriteOp extends Stage {
           .filter(F.col("shard").between(s0, s1))
           .drop("__graft_ntok")
           .repartition(F.col("shard"))
-          .sortWithinPartitions(orderCols: _*)
+          // shard FIRST: the dynamic-partition writer requires its output
+          // ordered by the partition column and inserts its own (unstable)
+          // sort otherwise, which would destroy the order_by order inside
+          // each shard file on a multi-partition cluster. With shard as a
+          // prefix the required ordering is already satisfied, no sort is
+          // inserted, and in-file row order is exactly order_by.
+          .sortWithinPartitions((F.col("shard") +: orderCols): _*)
           .write.partitionBy("shard").mode("append")
         compression.foreach(c => w = w.option("compression", c))
         format match {

@@ -221,7 +221,10 @@ object IndexBuildOp extends Stage {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  private def buildIvf(ctx: StageContext): Unit = {
+  // package-visible: index.compact's retrain_if rebuilds through this
+  // entry under its OWN already-held lease (the public apply would
+  // re-claim the same lease file and fail loud against itself)
+  private[operators] def buildIvf(ctx: StageContext): Unit = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val cfg = ctx.cfg
@@ -264,16 +267,28 @@ object IndexBuildOp extends Stage {
     // probability e^(-maxTrain/4) ≈ 0, so the draw is unchanged, but the
     // top-k heap sees ~2·maxTrain rows instead of the corpus (at 100 TB
     // the draw then costs a filtered scan, not a corpus-wide heap).
-    val base = MixOp.scanRowCount(ctx.primary) match {
+    val prefiltered = MixOp.scanRowCount(ctx.primary) match {
       case Some(nRows) if nRows > 4L * maxTrain =>
         val keep = math.max(1L,
           ((1L << 40).toDouble * 2.0 * maxTrain / nRows).toLong)
-        projected.filter(u < F.lit(keep))
-      case _ => projected
+        Some(projected.filter(u < F.lit(keep)))
+      case _ => None
     }
-    val train = base.orderBy(u, F.col("_v"))
+    def draw(src: DataFrame) = src.orderBy(u, F.col("_v"))
       .limit(maxTrain).select("_features")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the e^(-maxTrain/4) shortfall bound assumes distinct draw keys, but
+    // duplicate vectors SHARE one key (the hash is content-only by design
+    // — determinism under repartitioning), so a duplicate-heavy corpus can
+    // pass far fewer distinct keys than the threshold was sized for. A
+    // short (or empty) filtered draw is detectable for free — the persist
+    // is materialized anyway — so fall back to the unfiltered draw rather
+    // than train on a starved sample or throw on a non-empty corpus.
+    var train = draw(prefiltered.getOrElse(projected))
+    if (prefiltered.isDefined && train.count() < maxTrain) {
+      train.unpersist(blocking = false)
+      train = draw(projected)
+    }
     try {
       if (train.isEmpty)
         throw new GraftPlanError("index.build type=ivf: empty input, nothing to train the quantizer on")

@@ -296,6 +296,36 @@ class IngestCompactSpec extends SparkSpec {
     assert(metricTotals() === before)
   }
 
+  test("a committed zero-survivor batch's metrics fold (not deleted as stale)") {
+    // batch 0: rows_in=5, zero survivors → metric file but NO data dir.
+    // Foldability keyed on data-dir presence would let `through` jump past
+    // id 0 (folding 1,2), then the next fold deletes batch-0.json as stale
+    // without summing it — rows_in silently shrinks by 5.
+    val root = mkOutput(Seq(1L -> Seq(3L), 2L -> Seq(4L, 5L)),
+      committed = Seq(0L, 1L, 2L))
+    java.nio.file.Files.createDirectories(Paths.get(s"$root/_metrics"))
+    def metric(id: Long, rowsIn: Long, surv: Long) =
+      graft.core.GraftFs.writeString(s"$root/_metrics/batch-$id.json",
+        s"""{"batch_id":$id,"rows_in":$rowsIn,"survivors":$surv,"duration_ms":7,"ts_ms":1}""")
+    metric(0L, 5L, 0L); metric(1L, 1L, 1L); metric(2L, 2L, 2L)
+    def totals() = {
+      val s = IngestStatsOp(StageContext.one(spark,
+        Seq(row(0L)).toDF("doc_id", "text"), Cfg.of("path" -> root))).head()
+      (s.getAs[Long]("metric_batches"), s.getAs[Long]("rows_in"),
+       s.getAs[Long]("survivors"))
+    }
+    assert(totals() === ((3L, 8L, 3L)))
+    def compact(): Unit = IngestCompactOp(StageContext.one(spark,
+      Seq(row(0L)).toDF("doc_id", "text"), Cfg.of("path" -> root)))
+    compact()
+    assert(totals() === ((3L, 8L, 3L)), "fold must sum the zero-survivor batch")
+    assert(graft.core.GraftFs.listNames(s"$root/_metrics")
+      .count(_.startsWith("batch-")) === 0, "all committed metric files fold away")
+    // a second pass must not shrink anything either
+    compact()
+    assert(totals() === ((3L, 8L, 3L)))
+  }
+
   test("ingest.stats surfaces the output and compact leases while held, null when free") {
     import graft.streaming.IngestLease
     val root = mkOutput(Seq(0L -> Seq(1L, 2L)), committed = Seq(0L))

@@ -99,6 +99,39 @@ class QuantizerSampleSpec extends SparkSpec {
       f"hottest cell holds $maxShare%.2f of the corpus — quantizer trained on a biased sample")
   }
 
+  test("ivf draw prefilter: duplicate-heavy corpus falls back instead of starving") {
+    // Duplicate vectors share one draw key (the hash is content-only, by
+    // design), so the prefilter's keep-threshold — sized from the TOTAL
+    // row count — can reject every distinct key and starve the draw. Pick
+    // a seed where ALL distinct keys fall above the threshold: the old
+    // code then trains on an empty sample and throws 'empty input' on a
+    // non-empty corpus; the fixed code detects the short draw and retries
+    // unfiltered.
+    import spark.implicits._
+    val distinct = (0 until 8).map(d =>
+      Array.tabulate(Dim)(i => (d * 10.0 + i).toFloat).toSeq)
+    val rows = for (d <- 0 until 8; c <- 0 until 256)
+      yield (d.toLong * 256 + c, distinct(d))
+    val dataDir = java.nio.file.Files.createTempDirectory("graft_dup_data").toString
+    rows.toDF("id", "embedding").write.mode("overwrite").parquet(dataDir)
+    val corpus = spark.read.parquet(dataDir) // pure scan → footer row count
+    val maxTrain = 100
+    val keep = math.max(1L, ((1L << 40).toDouble * 2.0 * maxTrain / rows.size).toLong)
+    val keysOf = (seed: Int) => corpus.select(
+        F.pmod(F.xxhash64(F.lit(seed.toLong), F.col("embedding").cast("array<double>")),
+          F.lit(1L << 40)).as("u"))
+      .distinct().as[Long].collect()
+    val seed = (0 until 200).find(s => keysOf(s).forall(_ >= keep))
+      .getOrElse(fail("no adversarial seed found — prefilter key derivation changed?"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup_ivf").toString
+    IndexBuildOp(StageContext.one(spark, corpus, Cfg.of(
+      "type" -> "ivf", "path" -> dir, "vector_column" -> "embedding",
+      "nlist" -> 4, "max_train" -> maxTrain, "seed" -> seed)))
+    val occ = Pq.cellOccupancy(spark, IndexSnapshot.corpusDir(dir))
+    assert(occ.values.sum === rows.size.toLong,
+      "every corpus row must be indexed despite the starved prefiltered draw")
+  }
+
   test("index.stats surfaces cell_skew for cell families, null elsewhere") {
     val dir = java.nio.file.Files.createTempDirectory("graft_qsample_stats").toString
     IndexBuildOp(StageContext.one(spark, sortedCorpus, Cfg.of(

@@ -205,6 +205,28 @@ class ShardsWriteSpec extends SparkSpec {
     """{"by":"tokens","budget":7,"order_by":"doc_id","format":"parquet",""" +
     """"compression":"default","total_units":21,"max_shard":2,"wave_size":1}"""
 
+  test("in-file row order is exactly order_by (writer sort not re-inserted)") {
+    // 24 docs, shuffled across 8 input partitions so shuffle-arrival order
+    // is adversarial; budget 99 rows → ONE shard holding all of them. If
+    // the dynamic-partition writer inserted its own sort (required ordering
+    // not satisfied by our shard-prefixed sortWithinPartitions), in-shard
+    // order would degrade to arrival order and this read-back would catch it.
+    val path = tmp("shw_order")
+    val many = spark.range(24).select(
+        (F.lit(23) - F.col("id")).as("doc_id"),
+        F.concat(F.lit("w "), F.col("id").cast("string")).as("text"))
+      .repartition(8)
+    ShardWriteOp(StageContext.one(spark, many, Cfg.of(
+      "path" -> path, "by" -> "rows", "order_by" -> Seq("doc_id"),
+      "shard_rows" -> 99L)))
+    val file = new java.io.File(s"$path/shard=0").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    // one small file reads back as one partition: collect order = file order
+    val inFile = spark.read.parquet(file.getPath)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(inFile === (0L to 23L), "rows inside the shard file are not in order_by order")
+  }
+
   test("config edges fail loud") {
     intercept[GraftConfigError](run(tmp("e1"), "by" -> "bytes"))
     intercept[GraftConfigError](run(tmp("e2"), "format" -> "csv"))
