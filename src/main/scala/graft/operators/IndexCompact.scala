@@ -85,7 +85,9 @@ private[graft] object IndexMaintenance {
   def layout(spark: org.apache.spark.sql.SparkSession, path: String,
       op: String): (String, Seq[String]) = {
     if (GraftFs.isDir(s"$path/meta")) {
-      val fields = IndexMeta.head(spark, s"$path/meta").schema.fieldNames.toSet
+      // schema-only footer read: layout() dispatches on which fields EXIST,
+      // needs no values — and must not throw on a zero-row meta table
+      val fields = IndexMeta.schemaFields(spark, s"$path/meta")
       if (fields.contains("ksub")) ("ivfpq", Seq("cell"))
       else if (fields.contains("band_planes")) ("lsh", Seq("band", "pband", "ingest_tag"))
       else if (fields.contains("pbuckets")) ("lsh", Seq("block", "pbucket"))
@@ -223,7 +225,7 @@ object IndexCompactOp extends Stage {
     }
 
     // the index family (= corpus layout) from its own metadata
-    val (_, partitionCols) = IndexMaintenance.layout(spark, path, "index.compact")
+    val (family, partitionCols) = IndexMaintenance.layout(spark, path, "index.compact")
 
     val corpusDir = corpusDir0
     val filesLen = IndexSnapshot.filesWithLen(corpusDir,
@@ -231,8 +233,54 @@ object IndexCompactOp extends Stage {
     val files = filesLen.map(_._1)
     if (files.nonEmpty) { // empty index — nothing to rewrite
 
-    // compact_if policy gate: skip the rewrite when nothing tripped
-    val policySkipped = cfg.tblOpt("compact_if").exists { cond =>
+    // a stream.ingest query crashed mid-batch may hold an UNCOMMITTED
+    // corpus/sb-* append that its replay must still see via the excludeDir
+    // self-match exclusion; folding it into the flat generation would make
+    // the retried batch dedup against its own failed attempt and emit
+    // nothing. Committed and in-flight sb-* dirs are indistinguishable
+    // from here, so their mere presence blocks ANY corpus rewrite here —
+    // compact and retrain alike — unless the caller asserts the stream is
+    // quiesced at a committed batch.
+    val sbDirs = files.map(f => GraftFs.relativize(corpusDir, f))
+      .flatMap(_.split('/').dropRight(1))
+      .filter(s => s.startsWith("sb-") || s.startsWith("ingest_tag=sb-"))
+      .distinct
+    def requireQuiesced(): Unit =
+      if (sbDirs.nonEmpty && !cfg.boolOr("force", false))
+        throw new GraftConfigError(
+          s"index.compact: the corpus at $path holds ${sbDirs.size} stream.ingest " +
+          "micro-batch append dir(s) (sb-*) — if the streaming query crashed mid-batch, " +
+          "its replay dedups against its own folded append and emits nothing. Stop the " +
+          "stream at a committed batch (or drop its checkpoint), then re-run with " +
+          "force = true")
+
+    // retrain_if policy gate — the observe→act closure over index.recall
+    // and cell_skew: when the measured number crosses the threshold, the
+    // quantizer is REBUILT from the current corpus (index.build
+    // mode=overwrite semantics under this verb's already-held lease), so
+    // appends that drifted off the frozen training distribution stop
+    // costing recall. A retrain rewrites every corpus file, so it
+    // supersedes the physical compact below.
+    val retrainReason: Option[String] = cfg.tblOpt("retrain_if").flatMap(cond =>
+      IndexRetrain.evaluate(ctx, path, family, corpusDir, cond))
+    retrainReason.foreach { reason =>
+      requireQuiesced()
+      IndexRetrain.retrain(ctx, path, family, corpusDir,
+        cfg.tblOpt("retrain_if").get, reason)
+    }
+
+    // compact_if policy gate: skip the rewrite when nothing tripped. A
+    // fired retrain skips it too (the rebuild just rewrote the corpus);
+    // retrain_if present WITHOUT compact_if is a policy-only invocation —
+    // untripped means untouched, not an unconditional rewrite.
+    val policySkipped = retrainReason.isDefined || (cfg.tblOpt("compact_if") match {
+      case None =>
+        val policyOnly = cfg.tblOpt("retrain_if").isDefined
+        if (policyOnly)
+          System.err.println(s"[graft] index.compact: $path — retrain_if not " +
+            "tripped (no compact_if) — skipped")
+        policyOnly
+      case Some(cond) =>
       val known = Set("mean_file_kb_below", "files_above", "appends_since_compact_above")
       cond.table.keys.filterNot(known).foreach(k => throw new GraftConfigError(
         s"index.compact: unknown compact_if condition '$k' (use ${known.mkString(", ")})"))
@@ -257,26 +305,9 @@ object IndexCompactOp extends Stage {
           f"(${files.size} files, mean $meanKb%.1f KiB, $sinceCompact appends since " +
           "compact) — skipped")
       !tripped
-    }
+    })
     if (!policySkipped) {
-    // a stream.ingest query crashed mid-batch may hold an UNCOMMITTED
-    // corpus/sb-* append that its replay must still see via the excludeDir
-    // self-match exclusion; folding it into the flat generation would make
-    // the retried batch dedup against its own failed attempt and emit
-    // nothing. Committed and in-flight sb-* dirs are indistinguishable
-    // from here, so their mere presence blocks compaction unless the
-    // caller asserts the stream is quiesced at a committed batch.
-    val sbDirs = files.map(f => GraftFs.relativize(corpusDir, f))
-      .flatMap(_.split('/').dropRight(1))
-      .filter(s => s.startsWith("sb-") || s.startsWith("ingest_tag=sb-"))
-      .distinct
-    if (sbDirs.nonEmpty && !cfg.boolOr("force", false))
-      throw new GraftConfigError(
-        s"index.compact: the corpus at $path holds ${sbDirs.size} stream.ingest " +
-        "micro-batch append dir(s) (sb-*) — if the streaming query crashed mid-batch, " +
-        "its replay dedups against its own folded append and emits nothing. Stop the " +
-        "stream at a committed batch (or drop its checkpoint), then re-run with " +
-        "force = true")
+    requireQuiesced()
     val bytes = filesLen.map(_._2).sum
 
     val reader = spark.read
@@ -370,6 +401,150 @@ object IndexCompactOp extends Stage {
     } // files.nonEmpty
     } // withBatchLease
     ctx.primary
+  }
+}
+
+/** `retrain_if` — the remediation half of the index-quality loop. The
+  * measurement half already exists (`index.recall` measures pruned-probe
+  * recall, `index.stats` reports cell_skew); this closes it: a scheduled
+  * maintenance pipeline can now say
+  *
+  *   [stages.maintain.config.retrain_if]
+  *   recall_below = 0.8     # trip when measured mean recall@k drops below
+  *   nprobe = 4             # ... at this probe width (k/queries/seed too)
+  *   cell_skew_above = 4.0  # or when the hottest cell exceeds this ×fair-share
+  *
+  * and the quantizer is rebuilt from the CURRENT corpus only when a
+  * measured number says it degraded. Conditions OR together; cell skew is
+  * checked first (parquet footers only) so a layout-visible degradation
+  * never pays the recall measurement (one corpus scan + q probes).
+  *
+  * The retrain itself is `index.build mode=overwrite` semantics executed
+  * under index.compact's already-held writer lease: stage the corpus rows
+  * (minus the layout's own columns) to `_retrain_src`, row-parity check,
+  * then retrain + re-encode + rewrite through the same build internals a
+  * user rebuild runs — fresh centroids (+ codebooks for ivfpq), fresh
+  * meta, frozen-append compatibility preserved (later appends assign
+  * against the NEW quantizer exactly as they would after a manual
+  * rebuild). Crash contract, honestly: a crash between the corpus
+  * overwrite starting and finishing loses the live corpus generation —
+  * the same window a manual `index.build mode=overwrite` has — but the
+  * staged `_retrain_src` copy survives until the rebuild succeeds, so the
+  * rows are recoverable by hand. ivf/ivfpq only (the families with a
+  * trainable quantizer; lsh planes are fixed at build, set-membership
+  * families have nothing to retrain). */
+private[operators] object IndexRetrain {
+
+  /** Evaluate retrain_if against the measured index; Some(reason) when a
+    * condition trips. Validates the table loud even when nothing trips. */
+  def evaluate(ctx: StageContext, path: String, family: String,
+      corpusDir: String, cond: Cfg): Option[String] = {
+    val known = Set("recall_below", "cell_skew_above", "nprobe", "k",
+      "queries", "seed", "rerank", "id_column", "vector_column", "max_train")
+    cond.table.keys.filterNot(known).foreach(k => throw new GraftConfigError(
+      s"index.compact: unknown retrain_if key '$k' (use ${known.mkString(", ")})"))
+    if (cond.doubleOpt("recall_below").isEmpty && cond.doubleOpt("cell_skew_above").isEmpty)
+      throw new GraftConfigError(
+        "index.compact: retrain_if must name recall_below and/or cell_skew_above")
+    if (family != "ivf" && family != "ivfpq") throw new GraftConfigError(
+      s"index.compact: retrain_if applies to cell-quantized indexes (ivf/ivfpq) — " +
+      s"the index at $path is $family (lsh planes are fixed at build; " +
+      "set-membership families have no quantizer)")
+    val spark = ctx.spark
+    val skew = cond.doubleOpt("cell_skew_above").flatMap { thr =>
+      if (thr <= 1.0) throw new GraftConfigError(
+        s"index.compact: retrain_if.cell_skew_above must be > 1.0 (1.0 = perfectly balanced), got $thr")
+      val occ = Pq.cellOccupancy(spark, corpusDir)
+      val total = occ.values.sum
+      if (occ.isEmpty || total == 0L) None
+      else {
+        val nlist = IvfCentroids.load(spark, path, "index.compact retrain_if").length
+        val ratio = occ.values.max.toDouble * nlist / total
+        if (ratio > thr) Some(f"cell_skew $ratio%.2f > $thr%.2f") else None
+      }
+    }
+    skew.orElse(cond.doubleOpt("recall_below").flatMap { thr =>
+      if (thr <= 0.0 || thr > 1.0) throw new GraftConfigError(
+        s"index.compact: retrain_if.recall_below must be in (0, 1], got $thr")
+      val nprobe = cond.longOr("nprobe", 4L)
+      val rCfg = Seq[(String, Any)](
+        "path" -> path,
+        "k" -> cond.longOr("k", 10L),
+        "nprobe" -> nprobe,
+        "queries" -> cond.longOr("queries", 20L),
+        "seed" -> cond.longOr("seed", 11L)) ++
+        cond.strOpt("id_column").map(v => "id_column" -> (v: Any)).toSeq ++
+        cond.strOpt("vector_column").map(v => "vector_column" -> (v: Any)).toSeq ++
+        cond.longOpt("rerank").map(v => "rerank" -> (v: Any)).toSeq
+      val measured = IndexRecallOp(StageContext.one(spark, ctx.primary, Cfg.of(rCfg: _*)))
+        .head().getAs[Double]("mean_recall")
+      if (measured < thr) Some(f"mean_recall $measured%.4f < $thr%.4f at nprobe=$nprobe")
+      else None
+    })
+  }
+
+  /** Rebuild the quantizer from the current corpus. Caller holds the
+    * writer lease and has verified the quiesced contract. */
+  def retrain(ctx: StageContext, path: String, family: String,
+      corpusDir: String, cond: Cfg, reason: String): Unit = {
+    val spark = ctx.spark
+    val files = IndexSnapshot.files(corpusDir,
+      s"index.compact retrain: no corpus at $path")
+    val corpus = spark.read.option("basePath", GraftFs.qualified(corpusDir))
+      .parquet(files: _*)
+    // drop only the columns the index layout minted; everything else —
+    // ids, the vector, user payload — feeds the rebuild unchanged
+    val reserved =
+      if (family == "ivfpq") Set("cell", "pq_codes", "pq_vnorm") else Set("cell")
+    val src = corpus.select(
+      corpus.columns.filterNot(reserved).map(F.col).toSeq: _*)
+
+    // stage BEFORE any destructive step: the overwrite below reads from
+    // this copy, never from the directory it is rewriting
+    val stage = s"$path/_retrain_src"
+    GraftFs.deleteRec(stage)
+    src.write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val before = corpus.count()
+    val after = staged.count()
+    if (before != after) {
+      GraftFs.deleteRec(stage)
+      throw new GraftPlanError(
+        s"index.compact retrain: staged copy row count mismatch at $path " +
+        s"($before corpus, $after staged) — retrain aborted, index untouched")
+    }
+
+    val buildCfg: Seq[(String, Any)] = family match {
+      case "ivfpq" =>
+        val meta = IndexMeta.head(spark, s"$path/meta")
+        Seq("type" -> "ivfpq", "path" -> path,
+          "vector_column" -> PqIndex.metaVectorColumn(meta),
+          "nlist" -> meta.getAs[Int]("nlist").toLong,
+          "m" -> meta.getAs[Int]("m").toLong,
+          "ksub" -> meta.getAs[Int]("ksub").toLong,
+          "seed" -> cond.longOr("seed", meta.getAs[Long]("seed")),
+          "max_train" -> cond.longOr("max_train", 10000L))
+      case _ =>
+        val nlist = IvfCentroids.load(spark, path, "index.compact retrain").length
+        Seq("type" -> "ivf", "path" -> path,
+          "vector_column" -> cond.strOr("vector_column", "embedding"),
+          "nlist" -> nlist.toLong,
+          "seed" -> cond.longOr("seed", 11L),
+          "max_train" -> cond.longOr("max_train", 100000L))
+    }
+
+    // index.build mode=overwrite semantics, minus the lease this verb
+    // already holds: invalidate the compacted-generation record and any
+    // generation-pointer state, then run the same build internals
+    GraftFs.deleteIfExists(s"$path/compact.gen")
+    IndexSnapshot.resetGenerations(path)
+    val bctx = StageContext.one(spark, staged, Cfg.of(buildCfg: _*))
+    if (family == "ivfpq") PqIndex.build(bctx)
+    else IndexBuildOp.buildIvf(bctx)
+    GraftFs.deleteRec(stage) // rebuild landed — the recovery copy retires
+    System.err.println(s"[graft] index.compact: $path — retrain_if tripped " +
+      s"($reason): $family quantizer retrained on the current corpus " +
+      s"($before rows)")
   }
 }
 

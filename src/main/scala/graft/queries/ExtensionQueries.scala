@@ -448,6 +448,49 @@ object ExtensionQueries {
         .select("queries", "k", "nprobe", "mean_recall", "min_recall")
     },
 
+    // ---- retrain_if (r13): the observe→act loop closed. Build the
+    // quantizer on HALF the embeddings, append the other half SCALED to
+    // near the origin (×0.01) — cell assignment is euclidean, so every
+    // scaled row lands in the min-norm centroid's cell and skew is
+    // structurally >= nlist × |B|/(|A|+|B|) ≈ 4 at ANY scale factor,
+    // while COSINE geometry (what recall measures) is untouched: scaling
+    // preserves angles, so the fixture stays numerically well-conditioned
+    // (a translation instead would make the appended vectors near-parallel
+    // and push cosine gaps below float precision — measured while
+    // building this gate: probe-vs-exact arithmetic noise then defeats
+    // the tie closure). retrain_if = {cell_skew_above = 2.0} trips
+    // deterministically; the rebuilt quantizer's centroids differ
+    // (retrained = TRUE), and an exhaustive probe of the retrained index
+    // is brute force, so recall is the CONSTANT 1.0 the oracle states.
+    QueryDef("index_retrain_policy",
+      """SELECT TRUE AS retrained, CAST(8 AS BIGINT) AS queries,
+        |  CAST(10 AS BIGINT) AS k, CAST(8 AS BIGINT) AS nprobe,
+        |  1.0 AS mean_recall, 1.0 AS min_recall""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.{functions => F}
+      val emb = t(s, d, "embeddings")
+      val idx = java.nio.file.Files.createTempDirectory("graft_rt_idx").toString
+      IndexBuildOp(StageContext.one(s, emb.filter(F.col("vec_id") % 2 === 0), Cfg.of(
+        "type" -> "ivf", "path" -> idx, "vector_column" -> "embedding",
+        "nlist" -> 8, "seed" -> 11)))
+      val drifted = emb.filter(F.col("vec_id") % 2 === 1)
+        .withColumn("embedding",
+          F.transform(F.col("embedding"), x => x * F.lit(0.01f)))
+      IndexBuildOp(StageContext.one(s, drifted, Cfg.of(
+        "type" -> "ivf", "path" -> idx, "mode" -> "append",
+        "vector_column" -> "embedding", "nlist" -> 8, "seed" -> 11)))
+      def centroids() = s.read.parquet(s"$idx/centroids")
+        .orderBy("cell").collect().map(_.toString).toSeq
+      val before = centroids()
+      IndexCompactOp(StageContext.one(s, emb, Cfg.of(
+        "path" -> idx, "retrain_if" -> Map[String, Any]("cell_skew_above" -> 2.0))))
+      val retrained = centroids() != before
+      IndexRecallOp(StageContext.one(s, emb, Cfg.of(
+        "path" -> idx, "id_column" -> "vec_id", "queries" -> 8, "k" -> 10,
+        "nprobe" -> 8, "seed" -> 11)))
+        .select(F.lit(retrained).as("retrained"), F.col("queries"),
+          F.col("k"), F.col("nprobe"), F.col("mean_recall"), F.col("min_recall"))
+    },
+
     // ---- stream.ingest batch-parity: the SAME corpus/batch split as
     // dedup_minhash_incremental, but batch 2 arrives through the real
     // Structured Streaming path — file.stream (one file per micro-batch)

@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, functions => F}
+import graft.config.{Cfg, GraftConfigError}
+import graft.core.StageContext
+import graft.operators.{IndexBuildOp, IndexCompactOp, IndexRecallOp, IndexStatsOp, IndexSnapshot, Pq}
+
+/** retrain_if — the observe→act loop: an ivf/ivfpq index whose appends
+  * drifted off the frozen training distribution degrades (measured by
+  * index.recall / cell_skew); `index.compact retrain_if = {...}` rebuilds
+  * the quantizer only when a measured number crosses its threshold.
+  *
+  * Fixture geometry: 4 tight domains (sigma 0.5) at distance 10 along
+  * DIFFERENT coordinate axes. A quantizer trained on domain 0 only puts
+  * all nlist centroids inside domain 0, so appended far domains split
+  * across cells on their own noise (Voronoi boundaries cut through them)
+  * — the query probes one cell at nprobe=1 and misses neighbors in the
+  * others. Retraining on the full corpus gives each domain its own cell
+  * and recall returns to ~1. */
+class RetrainPolicySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 8
+  private val PerDomain = 300
+
+  /** domain d centered at 10·e_axis(d), seeded noise. Degradation needs
+    * the appended cloud's SPREAD to exceed the trained centroid
+    * separations: a quantizer trained on domain 0 (sigma 0.5) has
+    * centroids ~1 apart, and a far cloud with sigma 3 straddles their
+    * Voronoi boundaries, splitting every query's neighborhood across
+    * cells — a TIGHT far cloud would collapse whole into one cell and
+    * keep recall high (measured while building this spec). */
+  private def domain(d: Int, axis: Int, n: Int = PerDomain,
+      sigma: Double = 0.5): DataFrame = {
+    val rnd = new scala.util.Random(100 + d)
+    (0 until n).map { i =>
+      val v = Array.tabulate(Dim)(j =>
+        ((if (j == axis) 10.0 else 0.0) + rnd.nextGaussian() * sigma).toFloat)
+      (d.toLong * 10000 + i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  private def recallAt(path: String, nprobe: Int, queries: Int = 24): Double =
+    IndexRecallOp(StageContext.one(spark, Seq((1L, "x")).toDF("a", "b"), Cfg.of(
+      "path" -> path, "k" -> 10, "nprobe" -> nprobe, "queries" -> queries,
+      "seed" -> 5)))
+      .head().getAs[Double]("mean_recall")
+
+  private def compact(path: String, retrainIf: Map[String, Any]): Unit =
+    IndexCompactOp(StageContext.one(spark, Seq((1L, "x")).toDF("a", "b"),
+      Cfg.of("path" -> path, "retrain_if" -> retrainIf)))
+
+  private def fileState(dir: String): Map[String, (Long, Long)] =
+    graft.core.GraftFs.listFilesRec(dir).map { case (f, len) =>
+      f -> (len, new java.io.File(f).lastModified())
+    }.toMap
+
+  test("recall_below trips on a drifted ivf index; retrain recovers recall; appends keep working") {
+    val path = tmp("rt_ivf") + "/idx"
+    // quantizer frozen on domain 0 only, then 3 off-distribution appends
+    IndexBuildOp(StageContext.one(spark, domain(0, 0), Cfg.of(
+      "type" -> "ivf", "path" -> path, "vector_column" -> "embedding",
+      "nlist" -> 4, "seed" -> 11)))
+    (1 to 3).foreach { d =>
+      IndexBuildOp(StageContext.one(spark, domain(d, d, sigma = 3.0), Cfg.of(
+        "type" -> "ivf", "path" -> path, "mode" -> "append",
+        "vector_column" -> "embedding", "nlist" -> 4, "seed" -> 11)))
+    }
+    val before = recallAt(path, nprobe = 1)
+    // 0.829 measured on this seeded fixture (domain-0 queries stay perfect,
+    // wide-cloud queries lose ~1/3 of their neighborhood to other cells)
+    assert(before < 0.85, f"fixture must be degraded for the spec to mean anything: $before%.3f")
+
+    compact(path, Map("recall_below" -> 0.85, "nprobe" -> 1, "k" -> 10,
+      "queries" -> 24, "seed" -> 5))
+
+    val after = recallAt(path, nprobe = 1)
+    assert(after > before + 0.1, f"retrain must improve recall: $before%.3f -> $after%.3f")
+    assert(after >= 0.9, f"4 tight domains / nlist=4 retrained: recall@10 should be ~1, got $after%.3f")
+    assert(!graft.core.GraftFs.isDir(s"$path/_retrain_src"), "staging copy must retire on success")
+
+    // frozen-append compatibility: appends assign against the NEW quantizer
+    IndexBuildOp(StageContext.one(spark, domain(7, 3, n = 50), Cfg.of(
+      "type" -> "ivf", "path" -> path, "mode" -> "append",
+      "vector_column" -> "embedding", "nlist" -> 4, "seed" -> 11)))
+    assert(recallAt(path, nprobe = 4) === 1.0, "exhaustive probe after post-retrain append")
+  }
+
+  test("cell_skew_above trips when appends pile into one cell; retrain rebalances") {
+    val path = tmp("rt_skew") + "/idx"
+    IndexBuildOp(StageContext.one(spark, domain(0, 0), Cfg.of(
+      "type" -> "ivf", "path" -> path, "vector_column" -> "embedding",
+      "nlist" -> 4, "seed" -> 11)))
+    // collinear far domains: every appended row is nearest the ONE domain-0
+    // centroid extreme along the shared axis — cell skew, not a split
+    (1 to 3).foreach { d =>
+      IndexBuildOp(StageContext.one(spark,
+        domain(d, 0).withColumn("embedding",
+          F.transform(F.col("embedding"), (x, i) =>
+            F.when(i === 0, x + F.lit(10.0f * d)).otherwise(x))),
+        Cfg.of("type" -> "ivf", "path" -> path, "mode" -> "append",
+          "vector_column" -> "embedding", "nlist" -> 4, "seed" -> 11)))
+    }
+    def skew(): Double = {
+      val occ = Pq.cellOccupancy(spark, IndexSnapshot.corpusDir(path))
+      occ.values.max.toDouble * 4 / occ.values.sum
+    }
+    assert(skew() > 2.5, f"fixture must be skewed: ${skew()}%.2f")
+    compact(path, Map("cell_skew_above" -> 2.5))
+    assert(skew() < 2.5, f"retrained quantizer must rebalance: ${skew()}%.2f")
+  }
+
+  test("healthy index: retrain_if not tripped leaves every byte untouched") {
+    val path = tmp("rt_noop") + "/idx"
+    val all = (0 to 3).map(d => domain(d, d)).reduce(_ union _)
+    IndexBuildOp(StageContext.one(spark, all, Cfg.of(
+      "type" -> "ivf", "path" -> path, "vector_column" -> "embedding",
+      "nlist" -> 4, "seed" -> 11)))
+    val beforeState = fileState(path)
+    compact(path, Map("recall_below" -> 0.5, "nprobe" -> 1,
+      "cell_skew_above" -> 3.5, "seed" -> 5))
+    assert(fileState(path) === beforeState,
+      "untripped retrain_if (and no compact_if) must not rewrite anything")
+  }
+
+  test("ivfpq retrain preserves the recorded layout params") {
+    val path = tmp("rt_pq") + "/idx"
+    IndexBuildOp(StageContext.one(spark, domain(0, 0), Cfg.of(
+      "type" -> "ivfpq", "path" -> path, "vector_column" -> "embedding",
+      "nlist" -> 4, "m" -> 4, "ksub" -> 16, "seed" -> 11)))
+    (1 to 3).foreach { d =>
+      IndexBuildOp(StageContext.one(spark, domain(d, d, sigma = 3.0), Cfg.of(
+        "type" -> "ivfpq", "path" -> path, "mode" -> "append",
+        "vector_column" -> "embedding", "seed" -> 11)))
+    }
+    def meta() = {
+      val m = spark.read.parquet(s"$path/meta").head()
+      (m.getAs[Int]("nlist"), m.getAs[Int]("m"), m.getAs[Int]("ksub"),
+       m.getAs[String]("vector_column"))
+    }
+    val metaBefore = meta()
+    val before = recallAt(path, nprobe = 1)
+    assert(before < 0.9, f"drifted ivfpq fixture: $before%.3f")
+    compact(path, Map("recall_below" -> 0.9, "nprobe" -> 1, "k" -> 10,
+      "queries" -> 24, "seed" -> 5))
+    assert(meta() === metaBefore, "retrain must keep nlist/m/ksub/vector_column")
+    val after = recallAt(path, nprobe = 1)
+    assert(after > before, f"ivfpq retrain must improve recall: $before%.3f -> $after%.3f")
+  }
+
+  test("config edges fail loud") {
+    val path = tmp("rt_cfg") + "/idx"
+    // a minhash index has no quantizer to retrain
+    IndexBuildOp(StageContext.one(spark,
+      Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text"),
+      Cfg.of("type" -> "minhash", "path" -> path, "id_column" -> "doc_id",
+        "text_column" -> "text", "num_hashes" -> 64, "bands" -> 16, "seed" -> 7)))
+    intercept[GraftConfigError](compact(path, Map("recall_below" -> 0.8)))
+
+    val ivf = tmp("rt_cfg2") + "/idx"
+    IndexBuildOp(StageContext.one(spark, domain(0, 0), Cfg.of(
+      "type" -> "ivf", "path" -> ivf, "vector_column" -> "embedding",
+      "nlist" -> 4, "seed" -> 11)))
+    intercept[GraftConfigError](compact(ivf, Map("no_such_key" -> 1.0)))
+    intercept[GraftConfigError](compact(ivf, Map("nprobe" -> 4L))) // no condition named
+    intercept[GraftConfigError](compact(ivf, Map("cell_skew_above" -> 0.5)))
+    intercept[GraftConfigError](compact(ivf, Map("recall_below" -> 1.5)))
+  }
+}
