@@ -35,9 +35,14 @@ import graft.core._
   * ngram / simhash) have no probe-recall notion.
   *
   * 100 TB shape: one full corpus scan (the exact side — unavoidable for
-  * ground truth, amortized over all q queries), q partition-pruned probe
-  * jobs (the thing under test), driver state bounded by
-  * partitions × q × (k + slack) narrow candidate tuples.
+  * EXACT ground truth, amortized over all q queries), q partition-pruned
+  * probe jobs (the thing under test), driver state bounded by
+  * partitions × q × (k + slack) narrow candidate tuples. For scheduled
+  * checks where even one full scan per measurement is too much,
+  * `corpus_sample = f` measures recall WITHIN a content-hash id draw of
+  * the corpus (both truth and probe restricted to the same sample — an
+  * unbiased within-sample estimator, 1.0 ≡ today; see DESIGN_NOTES
+  * "corpus_sample").
   */
 object IndexRecallOp extends Stage {
   val name = "index.recall"
@@ -59,6 +64,19 @@ object IndexRecallOp extends Stage {
     val seed = cfg.longOr("seed", 11L)
     if (k < 1 || nprobe < 1 || nQueries < 1) throw new GraftConfigError(
       s"index.recall: k, nprobe and queries must be >= 1 (got k=$k, nprobe=$nprobe, queries=$nQueries)")
+    // corpus_sample < 1.0: measure recall WITHIN a content-hash draw of
+    // the corpus instead of against the full exact ground truth — the
+    // scheduled-check shape at 100 TB, where one full corpus scan per
+    // recall measurement is the wrong default cost. Both sides restrict
+    // to the same sample (truth = exact top-k among sampled rows; probe =
+    // the pruned probe's ranking filtered to sampled rows), so the number
+    // is recall@k of the index on an exchangeable subcorpus — an unbiased
+    // estimate under exchangeable id draws, see DESIGN_NOTES. 1.0 (the
+    // default) is byte-identical to the unsampled path.
+    val frac = cfg.doubleOr("corpus_sample", 1.0)
+    if (frac <= 0.0 || frac > 1.0) throw new GraftConfigError(
+      s"index.recall: corpus_sample must be in (0, 1], got $frac")
+    val sampled = frac < 1.0
     val idCol = cfg.strOr("id_column", "vec_id")
 
     IndexMaintenance.recoverSwap(path)
@@ -88,12 +106,25 @@ object IndexRecallOp extends Stage {
     val qVecs = qRows.map(_._2)
     val qNorms = qVecs.map(v => math.sqrt(v.map(x => x * x).sum))
 
+    // sample membership keyed on the ID's content hash (NOT the vector's:
+    // the query draw above hashes vectors with `seed`, and reusing that
+    // key would correlate the truth sample with the query set). An id key
+    // also lets the PROBE side test membership from its (query_id,
+    // corpus_id) output alone — one projection, never a corpus re-scan.
+    // The seed is decorrelated from the query-draw seed by a fixed odd
+    // multiplier; deterministic for a given (seed, corpus).
+    val sampleSeed = seed * 0x9E3779B9L + 1L
+    val sampleKeep = (frac * (1L << 40).toDouble).toLong
+    def member(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      F.pmod(F.xxhash64(F.lit(sampleSeed), id), F.lit(1L << 40)) < F.lit(sampleKeep)
+    val truthSide = if (sampled) narrow.filter(member(F.col("_id"))) else narrow
+
     // exact ground truth for ALL queries in ONE pass: per-partition
     // bounded heaps on raw cosine with slack, then a driver merge that
     // applies the probes' exact ordering (round half-up to 6, ties to the
     // lower id) — slack absorbs raw-vs-rounded boundary reshuffles
     val slack = k + 16
-    val candidates: Array[(Int, String, Double)] = narrow.rdd.mapPartitions { it =>
+    val candidates: Array[(Int, String, Double)] = truthSide.rdd.mapPartitions { it =>
       val heaps = Array.fill(q)(
         scala.collection.mutable.PriorityQueue.empty[(Double, String)](
           Ordering.by[(Double, String), Double](_._1).reverse)) // min-heap on cos
@@ -125,6 +156,9 @@ object IndexRecallOp extends Stage {
     // convention at the boundary (the probe orders by the id's native
     // type, this driver merge holds strings) stops mattering. Denominator
     // stays min(k, available rows): the closure only widens membership.
+    if (sampled && candidates.isEmpty) throw new GraftPlanError(
+      f"index.recall: corpus_sample = $frac%.4f drew an empty truth sample at $path — " +
+      "raise the fraction (the draw is content-hash deterministic, not row-count exact)")
     val exact: Map[Int, (Set[String], Int)] = candidates.groupBy(_._1).map { case (qi, cs) =>
       val ranked = cs.map { case (_, id, cos) => (round6(cos), id) }
         .sortBy { case (cos, _) => -cos }
@@ -139,16 +173,28 @@ object IndexRecallOp extends Stage {
     // probes fused into a single plan instead of q sequential driver jobs
     val qDf = qRows.toSeq.map { case (qid, v) => (qid, v.toSeq) }
       .toDF("_rq_id", "_rq_vec")
+    // sampled truth needs the probe's ranking restricted to the SAME
+    // sample: retrieve wide enough that ~k sample members survive the
+    // filter (k/frac expected members in the top-k/frac, doubled + slack
+    // for draw variance), filter membership in-plan on corpus_id, then
+    // keep each query's first k surviving ranks — the probe's own order.
+    val kProbe = if (sampled) (math.ceil(k / frac) * 2).toInt + 16 else k
     val probeCfg = Seq[(String, Any)](
       "left_id" -> "_rq_id", "left_vector" -> "_rq_vec",
       "right_id" -> idCol, "right_vector" -> vecCol,
-      "k" -> k, "nprobe" -> nprobe, "index_path" -> path) ++
+      "k" -> kProbe, "nprobe" -> nprobe, "index_path" -> path) ++
       cfg.longOpt("rerank").map(r => "rerank" -> (r: Any)).toSeq
-    val probed: Map[String, Set[String]] = KnnJoinOp(
+    val probedRaw = KnnJoinOp(
       StageContext(spark, Seq("queries" -> qDf), Cfg.of(probeCfg: _*)))
-      .select(F.col("query_id").cast("string"), F.col("corpus_id").cast("string"))
+    val probedInSample =
+      if (sampled) probedRaw.filter(member(F.col("corpus_id").cast("string")))
+      else probedRaw
+    val probed: Map[String, Set[String]] = probedInSample
+      .select(F.col("query_id").cast("string"), F.col("corpus_id").cast("string"),
+        F.col("rank").cast("long"))
       .collect().groupBy(_.getString(0))
-      .map { case (qid, rs) => qid -> rs.map(_.getString(1)).toSet }
+      .map { case (qid, rs) =>
+        qid -> rs.sortBy(_.getLong(2)).take(k).map(_.getString(1)).toSet }
     val recalls: Seq[(String, Double)] = qRows.toSeq.zipWithIndex.map { case ((qid, _), qi) =>
       val (closure, denom) = exact.getOrElse(qi, (Set.empty[String], 1))
       val r = probed.getOrElse(qid, Set.empty).intersect(closure).size.toDouble / denom

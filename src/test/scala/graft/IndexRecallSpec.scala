@@ -48,6 +48,31 @@ class IndexRecallSpec extends SparkSpec {
     assert(r1 < 1.0, "the metric must be sensitive at nprobe=1 on 500 random vectors")
   }
 
+  test("corpus_sample: 1.0 is byte-identical to the default; sampled truth stays calibrated") {
+    val dir = build("ivf")
+    // explicit 1.0 ≡ omitted — same report, every column
+    val full = recall(dir, "nprobe" -> 4)
+    val one = recall(dir, "nprobe" -> 4, "corpus_sample" -> 1.0)
+    assert(one.toSeq === full.toSeq, "corpus_sample = 1.0 must be today's behavior exactly")
+
+    // sampled, exhaustive probe: the probe IS brute force and both sides
+    // restrict to the SAME id-hash sample, so within-sample recall is 1.0
+    // — the calibration point survives sampling
+    val ex = recall(dir, "nprobe" -> 16, "corpus_sample" -> 0.5)
+    assert(ex.getAs[Double]("mean_recall") === 1.0 && ex.getAs[Double]("min_recall") === 1.0,
+      "exhaustive within-sample recall must be exactly 1.0")
+
+    // sampled pruned probe: a valid recall in [0,1], deterministic per seed
+    val a = recall(dir, "nprobe" -> 2, "corpus_sample" -> 0.5).getAs[Double]("mean_recall")
+    val b = recall(dir, "nprobe" -> 2, "corpus_sample" -> 0.5).getAs[Double]("mean_recall")
+    assert(a === b && a >= 0.0 && a <= 1.0)
+
+    // config edges: out-of-range fraction, and a draw too small to measure
+    intercept[GraftConfigError](recall(dir, "corpus_sample" -> 0.0))
+    intercept[GraftConfigError](recall(dir, "corpus_sample" -> 1.5))
+    intercept[graft.core.GraftPlanError](recall(dir, "corpus_sample" -> 1e-9))
+  }
+
   test("per_query rows, determinism, family guard") {
     val dir = build("ivf")
     val rows = IndexRecallOp(StageContext.one(spark, emb, Cfg.of(
