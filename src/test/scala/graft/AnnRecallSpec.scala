@@ -22,7 +22,15 @@ import graft.operators.{IndexBuildOp, KnnBruteForceOp, KnnIvfOp, KnnLshOp}
   * probed-share floor, cf. the measured nprobe=1 recall of 0.35). On a
   * CLUSTERED corpus — the distribution ANN indexes exist for — the same
   * settings must clear the conventional >= 0.9 bar, and that is pinned
-  * too. Mean over 10 query ids, at each gate's own pruning settings. */
+  * too. Mean over 10 query ids, at each gate's own pruning settings.
+  *
+  * PROVENANCE: every floor here is a measured constant of the CURRENT
+  * test-fixture generation (0.64 / 0.57 / 0.51 on today's sf0.001
+  * embeddings; ~1.0 clustered). If the fixtures are regenerated these
+  * floors silently describe the wrong data and a failure here would read
+  * as a quantizer regression — run `sbt "runMain graft.RecallPins"` (the
+  * re-pin tool, same settings single-sourced in its scaladoc) and reset
+  * each floor ~0.05 below the freshly measured value. */
 class AnnRecallSpec extends SparkSpec {
 
   private def emb = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
