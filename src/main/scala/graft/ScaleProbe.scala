@@ -66,7 +66,8 @@ object ScaleProbe {
     }
     if (args.headOption.contains("shards")) {
       shardsProbe(args.drop(1).headOption.map(_.toInt).getOrElse(200000),
-        args.drop(2).headOption.map(_.toLong).getOrElse(0L)); return
+        args.drop(2).headOption.map(_.toLong).getOrElse(0L),
+        args.drop(3).headOption.map(_.toLong).getOrElse(1L << 20)); return
     }
     val sizes = if (args.nonEmpty) args.map(_.toInt).toSeq else Seq(5000, 15000, 50000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
@@ -439,8 +440,12 @@ object ScaleProbe {
   /** `waves` > 0 = shards_per_commit (the restartable-export wave size);
     * 0 = single commit. The wave rung prices the restartability tax:
     * extra per-wave commit jobs + boundary-partition double reads
-    * (PartitionPruningRDD keeps everything else read-once). */
-  private def shardsProbe(n: Int, waves: Long): Unit = {
+    * (PartitionPruningRDD keeps everything else read-once). `budget` is
+    * shard_tokens — drop it to mint MANY shards from the same corpus: the
+    * 10^5-shard rung (budget ~5.5k at 1M docs) stresses the shard-COUNT
+    * axis (manifest = one row per shard, 10^5 output dirs in one dynamic
+    * write, _progress markers per wave) independent of data volume. */
+  private def shardsProbe(n: Int, waves: Long, budget: Long): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -460,7 +465,7 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     val manifest = ShardWriteOp(StageContext.one(spark, d, Cfg.of(
       "path" -> out, "order_by" -> Seq("doc_id"),
-      "token_column" -> "n_tok", "shard_tokens" -> (1L << 20),
+      "token_column" -> "n_tok", "shard_tokens" -> budget,
       "shards_per_commit" -> waves)))
     val shards = manifest.count()
     val sec = (System.nanoTime() - t0) / 1e9
@@ -468,7 +473,9 @@ object ScaleProbe {
       val name = f.substring(f.lastIndexOf('/') + 1)
       name.startsWith("part-") && f.contains("/shard=")
     }
-    println(f"""{"op":"shards.write","n":$n,"waves":$waves,"sec":$sec%.2f,"shards":$shards,"data_files":$files}""")
+    val heapMb = (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / 1048576
+    println(f"""{"op":"shards.write","n":$n,"waves":$waves,"budget":$budget,""" +
+      f""""sec":$sec%.2f,"shards":$shards,"data_files":$files,"driver_heap_mb":$heapMb}""")
     spark.stop()
   }
 

@@ -232,6 +232,7 @@ object ShardWriteOp extends Stage {
           if (!doneWaves.contains(wave)) GraftFs.deleteRec(s"$path/$d")
         }
         GraftFs.deleteRec(s"$path/_temporary")
+        GraftFs.deleteRec(s"$path/_wave_tmp") // crash-window wave's staging
         System.err.println(s"[graft] shards.write: resuming crashed export at $path — " +
           s"${doneWaves.size}/${waves.size} waves already committed")
       }
@@ -247,13 +248,33 @@ object ShardWriteOp extends Stage {
     // ---- wave writes: filter to the wave's shard range, one shuffle
     // keyed on shard id → each shard dir gets exactly one file; in-shard
     // rows re-sorted to order_by so shard files are deterministic ----
+    // multi-wave writes go through a per-wave staging dir: a SaveMode
+    // .Append straight into the export root resolves the existing
+    // relation first, which builds a file index over every shard dir
+    // written so far — O(accumulated shards) listing per wave, quadratic
+    // over the export (measured at the 10^5-shard rung: ~10.9 s/wave at
+    // 100 waves vs the flat ~1.1 s/commit at 525 shards, with Spark's
+    // partition-metadata cache evicting mid-run). Staging writes into an
+    // empty dir (no listing), then renames the wave's disjoint shard=
+    // dirs into place — O(wave) metadata moves, flat in export size.
+    val waveTmp = s"$path/_wave_tmp"
     waves.zipWithIndex.foreach { case ((s0, s1), i) =>
       if (!doneWaves.contains(i)) {
+        val target = if (waves.size == 1) path else waveTmp
+        if (waves.size > 1) GraftFs.deleteRec(waveTmp)
         val sel = (p: Int) => span(p).exists { case (lo, hi) => lo <= s1 && hi >= s0 }
+        // EXPLICIT partition count: a wave's shuffle is small, and AQE
+        // would coalesce a plain repartition(shard) to one post-shuffle
+        // partition — ONE task then opens every shard file of the wave
+        // sequentially, which measured ~3.7× the per-shard write cost at
+        // the 10^5-shard rung regardless of wave size. A user-specified
+        // count is exempt from AQE coalescing, keeping the dir-writing
+        // parallelism at the session's shuffle width in every wave.
+        val writeParallelism = spark.sessionState.conf.numShufflePartitions
         var w = staged.run(spark, outSchema, sel)(pass2)
           .filter(F.col("shard").between(s0, s1))
           .drop("__graft_ntok")
-          .repartition(F.col("shard"))
+          .repartition(writeParallelism, F.col("shard"))
           // shard FIRST: the dynamic-partition writer requires its output
           // ordered by the partition column and inserts its own (unstable)
           // sort otherwise, which would destroy the order_by order inside
@@ -264,8 +285,17 @@ object ShardWriteOp extends Stage {
           .write.partitionBy("shard").mode("append")
         compression.foreach(c => w = w.option("compression", c))
         format match {
-          case "parquet" => w.parquet(path)
-          case "jsonl"   => w.json(path)
+          case "parquet" => w.parquet(target)
+          case "jsonl"   => w.json(target)
+        }
+        if (waves.size > 1) {
+          GraftFs.listDirNames(waveTmp).filter(_.startsWith("shard=")).foreach { d =>
+            if (!GraftFs.rename(s"$waveTmp/$d", s"$path/$d"))
+              throw new GraftPlanError(
+                s"shards.write: could not install $d from the wave staging dir — " +
+                "another process is writing this export (run it quiesced)")
+          }
+          GraftFs.deleteRec(waveTmp)
         }
         GraftFs.writeString(s"$progressDir/wave-$i.json",
           s"""{"wave":$i,"first_shard":$s0,"last_shard":$s1}""")
