@@ -440,7 +440,8 @@ private[operators] object IndexRetrain {
   def evaluate(ctx: StageContext, path: String, family: String,
       corpusDir: String, cond: Cfg): Option[String] = {
     val known = Set("recall_below", "cell_skew_above", "nprobe", "k",
-      "queries", "seed", "rerank", "id_column", "vector_column", "max_train")
+      "queries", "seed", "rerank", "id_column", "vector_column", "max_train",
+      "corpus_sample")
     cond.table.keys.filterNot(known).foreach(k => throw new GraftConfigError(
       s"index.compact: unknown retrain_if key '$k' (use ${known.mkString(", ")})"))
     if (cond.doubleOpt("recall_below").isEmpty && cond.doubleOpt("cell_skew_above").isEmpty)
@@ -475,7 +476,11 @@ private[operators] object IndexRetrain {
         "seed" -> cond.longOr("seed", 11L)) ++
         cond.strOpt("id_column").map(v => "id_column" -> (v: Any)).toSeq ++
         cond.strOpt("vector_column").map(v => "vector_column" -> (v: Any)).toSeq ++
-        cond.longOpt("rerank").map(v => "rerank" -> (v: Any)).toSeq
+        cond.longOpt("rerank").map(v => "rerank" -> (v: Any)).toSeq ++
+        // a SCHEDULED policy check at corpus scale should not pay a full
+        // exact-truth scan per evaluation — index.recall's sampled mode
+        // composes here
+        cond.doubleOpt("corpus_sample").map(v => "corpus_sample" -> (v: Any)).toSeq
       val measured = IndexRecallOp(StageContext.one(spark, ctx.primary, Cfg.of(rCfg: _*)))
         .head().getAs[Double]("mean_recall")
       if (measured < thr) Some(f"mean_recall $measured%.4f < $thr%.4f at nprobe=$nprobe")

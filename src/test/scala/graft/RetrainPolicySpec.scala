@@ -119,8 +119,10 @@ class RetrainPolicySpec extends SparkSpec {
       "type" -> "ivf", "path" -> path, "vector_column" -> "embedding",
       "nlist" -> 4, "seed" -> 11)))
     val beforeState = fileState(path)
+    // corpus_sample composes: the scheduled-check shape measures sampled
+    // recall for the policy decision — still untripped on a healthy index
     compact(path, Map("recall_below" -> 0.5, "nprobe" -> 1,
-      "cell_skew_above" -> 3.5, "seed" -> 5))
+      "cell_skew_above" -> 3.5, "seed" -> 5, "corpus_sample" -> 0.5))
     assert(fileState(path) === beforeState,
       "untripped retrain_if (and no compact_if) must not rewrite anything")
   }
