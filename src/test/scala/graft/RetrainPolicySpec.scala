@@ -152,6 +152,40 @@ class RetrainPolicySpec extends SparkSpec {
     assert(after > before, f"ivfpq retrain must improve recall: $before%.3f -> $after%.3f")
   }
 
+  test("retrain on a generation-pointer index: stages from the live generation, resets to classic") {
+    // a pointer-committed corpus (what index.compact layout=generations
+    // leaves on object-store-class roots) must retrain from the LIVE
+    // generation, and the rebuild — mode=overwrite semantics — drops the
+    // pointer state and writes the classic corpus dir, exactly like a
+    // manual rebuild would
+    val path = tmp("rt_gen") + "/idx"
+    IndexBuildOp(StageContext.one(spark, domain(0, 0), Cfg.of(
+      "type" -> "ivf", "path" -> path, "vector_column" -> "embedding",
+      "nlist" -> 4, "seed" -> 11)))
+    (1 to 3).foreach { d =>
+      IndexBuildOp(StageContext.one(spark, domain(d, d, sigma = 3.0), Cfg.of(
+        "type" -> "ivf", "path" -> path, "mode" -> "append",
+        "vector_column" -> "embedding", "nlist" -> 4, "seed" -> 11)))
+    }
+    // pointer-commit the fragmented corpus, then verify the layout took
+    IndexCompactOp(StageContext.one(spark, Seq((1L, "x")).toDF("a", "b"),
+      Cfg.of("path" -> path, "layout" -> "generations")))
+    assert(graft.core.GraftFs.isFile(s"$path/corpus.ptr"), "precondition: pointer layout")
+    val before = recallAt(path, nprobe = 1)
+    assert(before < 0.85, f"drifted fixture survives the generational rewrite: $before%.3f")
+
+    compact(path, Map("recall_below" -> 0.85, "nprobe" -> 1, "k" -> 10,
+      "queries" -> 24, "seed" -> 5))
+    assert(!graft.core.GraftFs.isFile(s"$path/corpus.ptr"),
+      "rebuild resets generation-pointer state (mode=overwrite semantics)")
+    assert(graft.core.GraftFs.isDir(s"$path/corpus"), "fresh corpus in the classic dir")
+    val after = recallAt(path, nprobe = 1)
+    assert(after > before + 0.1 && after >= 0.9,
+      f"retrain from the live generation must recover recall: $before%.3f -> $after%.3f")
+    assert(spark.read.parquet(s"$path/corpus").count() === (4L * PerDomain),
+      "every corpus row survives the staged rebuild")
+  }
+
   test("config edges fail loud") {
     val path = tmp("rt_cfg") + "/idx"
     // a minhash index has no quantizer to retrain
