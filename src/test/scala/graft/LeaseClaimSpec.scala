@@ -107,10 +107,19 @@ class LeaseClaimSpec extends SparkSpec {
     try {
       import scala.concurrent.ExecutionContext.Implicits.global
       val claim = scala.concurrent.Future(GraftFs.createExclusive(path, "original"))
+      // wait for the claimant's FULL body, not mere existence: racing the
+      // PUT mid-flight tears the mock store's bytes ("racer" over a
+      // half-landed "original" read back as "racernal" once under a loaded
+      // suite) and that interleaving is not what this test exercises — the
+      // demotion contract starts from a LANDED claim overwritten inside
+      // the settle window
       val deadline = System.currentTimeMillis() + 5000
-      while (!GraftFs.isFile(path) && System.currentTimeMillis() < deadline)
+      def landed(): Boolean = GraftFs.isFile(path) &&
+        (try GraftFs.readString(path) == "original"
+         catch { case scala.util.control.NonFatal(_) => false })
+      while (!landed() && System.currentTimeMillis() < deadline)
         Thread.sleep(5)
-      assert(GraftFs.isFile(path), "claimant never PUT its body")
+      assert(landed(), "claimant never PUT its full body")
       // the racing PUT lands inside the 400ms settle window
       GraftFs.writeString(path, "racer")
       val stable = scala.concurrent.Await.result(
