@@ -297,43 +297,53 @@ object LshVerify {
     * incremental-vs-full-corpus equivalence breaks. */
   private val PrefilterSlack = 0.3
 
-  /** (band_idx, band_hash, id_<side>, sig_<side>) keys for the LSH bucket
-    * join — one row per (doc, band). */
+  /** (band_idx, band_hash, id_<side>) keys for the LSH bucket join — one
+    * NARROW row per (doc, band). The signature itself does NOT ride the
+    * band join (r13, guide §2.3 "project before the exchange"): sig is a
+    * 128-long array (~1 KB) and the join shuffles rows × bands of them,
+    * so carrying it multiplied the exchange bytes ~40× over the
+    * (band_idx, band_hash, id) key rows; sigs and shingles re-attach by
+    * id only for the candidates that survive the band-collision dedup. */
   private def bandedKeys(df: DataFrame, bands: Int, r: Int, side: String): DataFrame =
-    df.select(F.col("id").alias(s"id_$side"), F.col("sig").alias(s"sig_$side"),
+    df.select(F.col("id").alias(s"id_$side"),
       F.posexplode(F.transform(F.sequence(F.lit(0), F.lit(bands - 1)),
         b => F.xxhash64(F.concat_ws("_", F.slice(F.col("sig"), b * F.lit(r) + 1, F.lit(r)))))))
       .withColumnRenamed("pos", "band_idx").withColumnRenamed("col", "band_hash")
+      .select(s"id_$side", "band_idx", "band_hash")
 
   /** unbiased k-sample Jaccard estimate from signature agreement */
   private def sigAgreement(a: Column, b: Column, k: Int): Column =
     F.aggregate(F.zip_with(a, b, (x, y) => F.when(x === y, 1).otherwise(0)),
       F.lit(0), (acc, v) => acc + v).cast("double") / k
 
-  /** exact-Jaccard verify of narrow candidate pairs: shingles re-attach by
-    * id only for candidates that survived the prefilter. */
+  /** sig + shingles re-attach and the agreement→exact-Jaccard verify
+    * ladder over narrow (idL, idR) candidates. One hash join per side
+    * attaches BOTH columns; the agreement prefilter and the exact verify
+    * land in one codegen'd conjunction (inner filter first — Catalyst's
+    * CombineFilters keeps the evaluation order, so jaccard_sim still only
+    * runs on prefilter survivors). */
   private def verify(candidates: DataFrame, left: DataFrame, right: DataFrame,
-      lId: String, rId: String, threshold: Double): DataFrame =
+      lId: String, rId: String, k: Int, threshold: Double): DataFrame =
     candidates
-      .join(left.select(F.col("id").alias(lId), F.col("shingles").alias("sh_l")), lId)
-      .join(right.select(F.col("id").alias(rId), F.col("shingles").alias("sh_r")), rId)
+      .join(left.select(F.col("id").alias(lId), F.col("sig").alias("_sg_l"),
+        F.col("shingles").alias("sh_l")), lId)
+      .join(right.select(F.col("id").alias(rId), F.col("sig").alias("_sg_r"),
+        F.col("shingles").alias("sh_r")), rId)
+      .filter(sigAgreement(F.col("_sg_l"), F.col("_sg_r"), k) >=
+        math.max(0.0, threshold - PrefilterSlack))
       .withColumn("jaccard", F.call_function("jaccard_sim", F.col("sh_l"), F.col("sh_r")))
       .filter(F.col("jaccard") >= threshold)
-      .select(lId, rId)
 
   /** input: (id, shingles, sig). Returns verified near-dup PAIRS
     * (id_a < id_b); reduce with DedupPairs.dropped. */
   def verifiedPairs(hashed: DataFrame, bands: Int, r: Int, k: Int, threshold: Double): DataFrame = {
-    val sigs = hashed.select(F.col("id"), F.col("sig"))
-    val candidates = bandedKeys(sigs, bands, r, "a")
-      .join(bandedKeys(sigs, bands, r, "b"), Seq("band_idx", "band_hash"))
+    val candidates = bandedKeys(hashed, bands, r, "a")
+      .join(bandedKeys(hashed, bands, r, "b"), Seq("band_idx", "band_hash"))
       .filter(F.col("id_a") < F.col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b")
-      .dropDuplicates("id_a", "id_b")
-      .filter(sigAgreement(F.col("sig_a"), F.col("sig_b"), k) >=
-        math.max(0.0, threshold - PrefilterSlack))
       .select("id_a", "id_b")
-    verify(candidates, hashed, hashed, "id_a", "id_b", threshold)
+      .dropDuplicates("id_a", "id_b")
+    verify(candidates, hashed, hashed, "id_a", "id_b", k, threshold)
+      .select("id_a", "id_b")
   }
 
   /** Cross-frame variant: verified near-dup pairs BETWEEN two pre-hashed
@@ -354,16 +364,9 @@ object LshVerify {
       bands: Int, r: Int, k: Int, threshold: Double): DataFrame = {
     val candidates = bandedKeys(left, bands, r, "l")
       .join(bandedKeys(right, bands, r, "r"), Seq("band_idx", "band_hash"))
-      .select("id_l", "id_r", "sig_l", "sig_r")
-      .dropDuplicates("id_l", "id_r")
-      .filter(sigAgreement(F.col("sig_l"), F.col("sig_r"), k) >=
-        math.max(0.0, threshold - PrefilterSlack))
       .select("id_l", "id_r")
-    candidates
-      .join(left.select(F.col("id").alias("id_l"), F.col("shingles").alias("sh_l")), "id_l")
-      .join(right.select(F.col("id").alias("id_r"), F.col("shingles").alias("sh_r")), "id_r")
-      .withColumn("jaccard", F.call_function("jaccard_sim", F.col("sh_l"), F.col("sh_r")))
-      .filter(F.col("jaccard") >= threshold)
+      .dropDuplicates("id_l", "id_r")
+    verify(candidates, left, right, "id_l", "id_r", k, threshold)
       .select("id_l", "id_r", "jaccard")
   }
 
@@ -689,6 +692,30 @@ private[graft] object IndexSnapshot {
         s.startsWith("_") || s.startsWith(".") || excludeDir.contains(s)
       }
     }
+  }
+
+  /** Total row count of `files` straight from the parquet footers —
+    * metadata only, pooled driver reads (the index.stats / cellOccupancy
+    * trick), ZERO Spark jobs. Replaces `spark.read.parquet(...).count()`
+    * on advisory paths: a count() plans and schedules a whole Spark job
+    * over every file to learn numbers the footers already hold. */
+  def footerRows(files: Seq[String]): Long = {
+    import scala.jdk.CollectionConverters._
+    if (files.isEmpty) return 0L
+    val conf = GraftFs.hadoopConf
+    def rowsOf(f: String): Long = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.map(_.getRowCount.toLong).sum
+      finally r.close()
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size))
+    try files.map(f => pool.submit(new java.util.concurrent.Callable[Long] {
+      def call(): Long = rowsOf(f)
+    })).map(_.get()).sum
+    finally pool.shutdown()
   }
 }
 

@@ -921,31 +921,31 @@ object KnnIvfOp extends Stage {
         if (cfg.has("rerank")) throw new GraftConfigError(
           "knn.ivf: rerank applies only to an index_path probe of an ivfpq " +
           "index; the inline mode trains IVF-flat and scores exactly")
-        import org.apache.spark.ml.clustering.KMeans
         val nlist = cfg.longOr("nlist", 16L).toInt
-        val nprobe = math.min(nprobe0, nlist)
         val seed = cfg.longOr("seed", 11L)
         val maxTrain = cfg.longOr("max_train", 10000L).toInt
-        val toVec = F.udf { v: Seq[Float] => Vectors.dense(v.map(_.toDouble).toArray) }
-        val feat = ctx.primary.select(F.col(idCol), F.col(vecCol))
-          .withColumn("features", toVec(F.col(vecCol).cast("array<float>")))
-        // coarse quantizer on a bounded UNIFORM sample — same content-hash
-        // draw as index.build (a plain limit takes the first rows in plan
-        // order and trains on one slice of a sorted corpus); centroid
-        // count is tiny, the model broadcasts, assignment is one map pass
-        val trainS = feat
-          .select(F.col("features"), F.col(vecCol).cast("array<double>").as("_v"))
-          .orderBy(F.pmod(F.xxhash64(F.lit(seed), F.col("_v")), F.lit(1L << 40)),
-            F.col("_v"))
-          .limit(maxTrain).select("features")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val km = try new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-          .fit(trainS) finally trainS.unpersist(blocking = false)
-        val probed = km.clusterCenters.zipWithIndex
-          .sortBy { case (c, _) => Vectors.sqdist(c, qv) }
-          .take(nprobe).map(_._2.toString).toSeq
-        topk(km.transform(feat)
-          .filter(F.col("prediction").cast("string").isin(probed: _*)))
+        // coarse quantizer trained DRIVER-SIDE on the bounded uniform
+        // draw — same shared Pq.trainSample / Pq.lloyd pair as
+        // index.build type=ivf (r13: the sample is capped at max_train by
+        // construction, so the fit is driver-scale work at any corpus
+        // size; the old distributed MLlib KMeans paid ~18 scheduler jobs
+        // per query against a cached sample). Centroids broadcast inside
+        // one assignment UDF, assignment stays one map pass.
+        val sample = graft.operators.Pq.trainSample(
+          ctx.primary, F.col(vecCol), maxTrain, seed)
+        if (sample.isEmpty) throw new GraftPlanError(
+          "knn.ivf: empty input, nothing to train the quantizer on")
+        val centsArr = graft.operators.Pq.lloyd(
+          sample, nlist, graft.operators.Pq.TrainIters, seed)
+        val cents = centsArr.zipWithIndex.map { case (c, i) => (i, Vectors.dense(c)) }
+        val nprobe = math.min(nprobe0, cents.length)
+        val probed = IvfCentroids.nearest(cents, qv, nprobe)
+        val assign = F.udf { v: Seq[Float] =>
+          IvfCentroids.nearest(cents, Vectors.dense(v.map(_.toDouble).toArray), 1)(0)
+        }
+        topk(ctx.primary.select(F.col(idCol), F.col(vecCol))
+          .withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
+          .filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*)))
     }
   }
 }

@@ -244,72 +244,38 @@ object IndexBuildOp extends Stage {
     val seed = cfg.longOr("seed", 11L)
     val maxTrain = cfg.longOr("max_train", 100000L).toInt
 
-    val toVec = F.udf { v: Seq[Float] => Vectors.dense(v.map(_.toDouble).toArray) }
-    val feat = ctx.primary.withColumn("_features", toVec(F.col(vecCol).cast("array<float>")))
-    // deterministic UNIFORM draw — a plain limit() takes the first rows in
-    // plan order and trains the quantizer on one slice of a sorted corpus
-    // (see Pq.trainSample); same seeded content-hash order here, keeping
-    // the sample a DataFrame for the MLlib fit. Cost discipline (measured
-    // at 1M rows): project to the vector ALONE before the TakeOrdered —
-    // the top-100k heap must not carry every input column — and persist
-    // the sample, because KMeans re-evaluates an uncached input once per
-    // iteration and the draw is a real job, not a free limit.
-    val projected = feat.select(F.col("_features"),
-        F.col(vecCol).cast("array<double>").as("_v"))
-    // the draw key: the seeded content hash folded into [0, 2^40) — an
-    // ORDER on rows that is a pure function of (seed, vector)
-    val u = F.pmod(F.xxhash64(F.lit(seed), F.col("_v")), F.lit(1L << 40))
-    // footer-priced prefilter: when the corpus is a pure parquet scan
-    // whose row count the footers give for free (MixOp.scanRowCount) and
-    // it far exceeds the sample, keep only rows whose key falls in the
-    // first 2·maxTrain/n of the key space BEFORE the TakeOrdered — the
-    // global top-maxTrain keys all sit under that threshold except with
-    // probability e^(-maxTrain/4) ≈ 0, so the draw is unchanged, but the
-    // top-k heap sees ~2·maxTrain rows instead of the corpus (at 100 TB
-    // the draw then costs a filtered scan, not a corpus-wide heap).
-    val prefiltered = MixOp.scanRowCount(ctx.primary) match {
-      case Some(nRows) if nRows > 4L * maxTrain =>
-        val keep = math.max(1L,
-          ((1L << 40).toDouble * 2.0 * maxTrain / nRows).toLong)
-        Some(projected.filter(u < F.lit(keep)))
-      case _ => None
+    // r13: the coarse quantizer trains DRIVER-SIDE on the bounded uniform
+    // draw (Pq.trainSample — one shared TakeOrdered job with the pmod key,
+    // footer prefilter, and starved-draw fallback; Pq.lloyd — the same
+    // seeded Lloyd's the ivfpq codebooks already use). The sample is
+    // capped at max_train BY CONSTRUCTION, so training is driver-scale
+    // work at any corpus size (100k × 64 dims ≈ 50 MB), while the old
+    // distributed MLlib KMeans paid ~18 scheduler jobs per fit against a
+    // cached sample — measured 1.2 s of the knn_ivf_exhaustive gate's
+    // 1.66 s job wall (GateAudit r13) that a 2,000-row fixture cannot
+    // amortize and a 100 TB corpus never needed (the draw, not the fit,
+    // is the distributed part). Assignment stays one broadcast map pass.
+    val sample = Pq.trainSample(ctx.primary, F.col(vecCol), maxTrain, seed)
+    if (sample.isEmpty)
+      throw new GraftPlanError("index.build type=ivf: empty input, nothing to train the quantizer on")
+    val centsArr = Pq.lloyd(sample, nlist, Pq.TrainIters, seed)
+    val cents = centsArr.zipWithIndex.map { case (c, i) => (i, Vectors.dense(c)) }
+    val assign = F.udf { v: Seq[Float] =>
+      IvfCentroids.nearest(cents, Vectors.dense(v.map(_.toDouble).toArray), 1)(0)
     }
-    def draw(src: DataFrame) = src.orderBy(u, F.col("_v"))
-      .limit(maxTrain).select("_features")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the e^(-maxTrain/4) shortfall bound assumes distinct draw keys, but
-    // duplicate vectors SHARE one key (the hash is content-only by design
-    // — determinism under repartitioning), so a duplicate-heavy corpus can
-    // pass far fewer distinct keys than the threshold was sized for. A
-    // short (or empty) filtered draw is detectable for free — the persist
-    // is materialized anyway — so fall back to the unfiltered draw rather
-    // than train on a starved sample or throw on a non-empty corpus.
-    var train = draw(prefiltered.getOrElse(projected))
-    if (prefiltered.isDefined && train.count() < maxTrain) {
-      train.unpersist(blocking = false)
-      train = draw(projected)
-    }
-    try {
-      if (train.isEmpty)
-        throw new GraftPlanError("index.build type=ivf: empty input, nothing to train the quantizer on")
-      val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-        .setFeaturesCol("_features").setPredictionCol("cell")
-        .fit(train)
+    // co-locate cells before the partitioned write (one file per
+    // populated cell instead of input_partitions × cells droplets)
+    ctx.primary.withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
+      .repartition(F.col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
 
-      // co-locate cells before the partitioned write (one file per
-      // populated cell instead of input_partitions × cells droplets)
-      km.transform(feat).drop("_features")
-        .repartition(F.col("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
-
-      val spark = ctx.spark
-      import spark.implicits._
-      km.clusterCenters.zipWithIndex
-        .map { case (c, i) => (i, c.toArray) }.toSeq
-        .toDF("cell", "centroid")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-      Pq.warnCellSkew(spark, path, "index.build type=ivf", nlist)
-    } finally train.unpersist(blocking = false)
+    val spark = ctx.spark
+    import spark.implicits._
+    centsArr.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    Pq.warnCellSkew(spark, path, "index.build type=ivf", nlist)
   }
 
   /** mode=append for type=ivf: assign new rows to the EXISTING centroids
@@ -530,11 +496,16 @@ object IndexBuildOp extends Stage {
     // turns banded probes into scans. One parquet-footer count (metadata
     // only, the index.stats trick) prices the whole corpus post-write —
     // append mode included, since occupancy is a property of the total.
+    // r13: the count comes from the footers DRIVER-SIDE (IndexSnapshot
+    // .footerRows) — the old spark.read.parquet(...).count() scheduled a
+    // full Spark job over every corpus file just to re-learn numbers the
+    // footers already hold (~0.3 s of fixed job cost per build at gate
+    // scale; a listing-priced metadata read at any scale).
     try {
       val files = IndexSnapshot.files(IndexSnapshot.corpusDir(path),
         s"index.build: no corpus at $path")
       if (files.nonEmpty) {
-        val sigRows = spark.read.parquet(files: _*).count()
+        val sigRows = IndexSnapshot.footerRows(files)
         IndexBuildOp.bandsOccupancyWarning(sigRows / math.max(1, bands), r)
           .foreach(System.err.println)
       }

@@ -21,6 +21,18 @@ import QueryDef.t
   */
 object ExtensionQueries {
 
+  /** Pin every file already in `dir` to an mtime safely in the past, so a
+    * subsequently written file sorts AFTER it in file.stream's
+    * (timestamp, path) micro-batch order. Replaces the Thread.sleep(400)
+    * the streaming gates used to pay inside their timed window — the
+    * micro-batch order is identical (now separated by 60 s instead of
+    * 400 ms), the 0.4 s of wall is not computation and is gone. */
+  private def backdate(dir: String): Unit = {
+    val t = System.currentTimeMillis() - 60000L
+    val files = new java.io.File(dir).listFiles()
+    if (files != null) files.foreach(f => { f.setLastModified(t); () })
+  }
+
   private val duckToks =
     "string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')"
 
@@ -526,7 +538,7 @@ object ExtensionQueries {
       docs.filter(F.col("doc_id") < 50)
         .select((F.col("doc_id") + 10000).as("doc_id"), F.col("text"))
         .coalesce(1).write.mode("append").parquet(streamDir)
-      Thread.sleep(400) // distinct mtimes pin micro-batch order
+      backdate(streamDir) // distinct mtimes pin micro-batch order
       docs.filter(F.col("doc_id") >= 400)
         .select((F.col("doc_id") + 20000).as("doc_id"), F.reverse(F.col("text")).as("text"))
         .coalesce(1).write.mode("append").parquet(streamDir)
@@ -579,7 +591,7 @@ object ExtensionQueries {
       scaled(emb, 10000, 2.0f)
         .unionByName(scaled(emb.filter(F.col("vec_id") < half), 20000, -1.0f))
         .coalesce(1).write.mode("append").parquet(streamDir)
-      Thread.sleep(400) // distinct mtimes pin micro-batch order
+      backdate(streamDir) // distinct mtimes pin micro-batch order
       scaled(emb.filter(F.col("vec_id") < half), 30000, -2.0f)
         .unionByName(scaled(emb.filter(F.col("vec_id") >= half), 20000, -1.0f))
         .coalesce(1).write.mode("append").parquet(streamDir)
@@ -2593,7 +2605,7 @@ object ExtensionQueries {
       val streamDir = java.nio.file.Files.createTempDirectory("graft_sk_in").toString
       docs.filter(F.col("doc_id") % 2 === 0)
         .coalesce(1).write.mode("append").parquet(streamDir)
-      Thread.sleep(400) // distinct mtimes → two micro-batches
+      backdate(streamDir) // distinct mtimes → two micro-batches
       docs.filter(F.col("doc_id") % 2 =!= 0)
         .coalesce(1).write.mode("append").parquet(streamDir)
       val stream = graft.streaming.FileStreamSource(StageContext(s, Seq.empty, Cfg.of(
