@@ -57,7 +57,13 @@ object GateAudit {
     val doneJobs = new java.util.concurrent.ConcurrentLinkedQueue[(Job, Double)]()
     val listener = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit = {
-        val site = j.stageInfos.lastOption.map(_.name).getOrElse("?")
+        // prefer the explicit job description (operators label their
+        // actions per guide §1.5) — the stage-name call site of a
+        // foreachBatch job is just the stream's start() line
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .filter(_.nonEmpty)
+          .getOrElse(j.stageInfos.lastOption.map(_.name).getOrElse("?"))
         open.put(j.jobId, Job(j.jobId, System.nanoTime(),
           site, j.stageInfos.map(_.numTasks).sum))
       }

@@ -35,7 +35,7 @@ object PlansDump {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(s"$outDir/${g}_$suffix.txt"), plan)
         println(s"[plansdump] wrote $outDir/${g}_$suffix.txt")
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[plansdump] $g failed: ${e.getMessage}")
       }
     }

@@ -59,7 +59,7 @@ import graft.core._
 private[graft] object Pq {
 
   /** Deterministic Lloyd's k-means on a bounded in-memory sample. Seeded
-    * shuffle init over distinct points (k clamps to the distinct count —
+    * k-means++ init over distinct points (k clamps to the distinct count —
     * duplicating a center would just split ties unstably); empty clusters
     * keep their previous center. Returns exactly `kEff` centers. */
   def lloyd(points: Array[Array[Double]], k: Int, iters: Int, seed: Long): Array[Array[Double]] = {
@@ -236,7 +236,12 @@ private[graft] object Pq {
     * scan, not a corpus-wide heap). Duplicate vectors share one key, so
     * a duplicate-heavy corpus can starve the filtered draw — a short
     * filtered result falls back to the unfiltered draw (the detection is
-    * free: the collected array length is the row count). */
+    * free: the collected array length is the row count). Known cost
+    * limitation, not a correctness one: the keep threshold is sized from
+    * the FOOTER row count, which includes null-vector rows the isNotNull
+    * filter drops — a null-heavy corpus therefore tends to run the
+    * filtered draw short and pay both scans; the fallback keeps the draw
+    * itself exact. */
   def trainSample(df: DataFrame, vec: org.apache.spark.sql.Column,
       maxTrain: Int, seed: Long): Array[Array[Double]] = {
     val projected = df.select(vec.cast("array<double>").alias("_v"))

@@ -30,7 +30,11 @@ object ExtensionQueries {
   private def backdate(dir: String): Unit = {
     val t = System.currentTimeMillis() - 60000L
     val files = new java.io.File(dir).listFiles()
-    if (files != null) files.foreach(f => { f.setLastModified(t); () })
+    val ok = files == null || files.forall(_.setLastModified(t))
+    // setLastModified can legitimately return false (FS without mtime
+    // writes): the micro-batch order then has nothing pinning it, so fall
+    // back to the old wall-clock separation rather than go nondeterministic
+    if (!ok) Thread.sleep(400)
   }
 
   private val duckToks =

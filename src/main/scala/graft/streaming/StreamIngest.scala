@@ -715,11 +715,19 @@ object StreamIngestSink extends Stage {
         // probe. Bounded by the trigger size, released in the finally.
         val batch = batch0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val batchT0 = System.nanoTime()
+        // label the per-batch actions (guide §1.5) — descriptions are
+        // thread-local to the micro-batch thread, so GateAudit / the UI can
+        // attribute each job inside foreachBatch to its action
+        val sc = batch0.sparkSession.sparkContext
+        def described[T](d: String)(body: => T): T = {
+          sc.setJobDescription(s"stream.ingest batch=$batchId: $d")
+          try body finally sc.setJobDescription(null)
+        }
         try {
           // count, not isEmpty: same one-job emptiness check (the dedup
           // probe fully materializes the persist anyway) and the count IS
           // the rows_in metric — per-batch observability at zero extra jobs
-          val rowsIn = batch.count()
+          val rowsIn = described("rows_in count")(batch.count())
           if (rowsIn > 0) {
             val tag = s"sb-$tagBase-$batchId"
             val deferred = scala.collection.mutable.Buffer[() => Unit]()
@@ -732,18 +740,19 @@ object StreamIngestSink extends Stage {
                 // just-written output partition instead of re-running the
                 // probe DAG (see the dedup.embedding read-back)
                 "_stream_readback_dir" -> CStr(s"$out/ingest_batch=$batchId")))
-              val survivors = op(StageContext(batch.sparkSession,
+              val survivors = described("probe compose")(op(StageContext(batch.sparkSession,
                 Seq("batch" -> batch), batchCfg, stageId,
                 deferToSuccess = a => { deferred += a; () },
-                deferToCleanup = a => { cleanups += a; () }))
+                deferToCleanup = a => { cleanups += a; () })))
+              described("survivors write")(
               survivors.withColumn("ingest_batch", F.lit(batchId))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("ingest_batch").parquet(out)
+                .partitionBy("ingest_batch").parquet(out))
               // the index grows only after the survivors are durably in the
               // output — the same commit ordering as the batch pipelines'
               // success-deferred append
-              deferred.foreach(_())
+              described("index append")(deferred.foreach(_()))
               // per-batch metrics (see IngestMetrics): survivors from the
               // just-written partition's parquet footers — driver-side,
               // no job, no probe re-run. Surfaced by ingest.stats.
