@@ -59,10 +59,18 @@ object ClusterAssignOp extends Stage {
           s"cluster.assign: input vectors have length ${r.getInt(0)} but the " +
           s"index at $path was built with dim = $dim")
       }
+    // broadcast the centroid table instead of closure-shipping it with
+    // every task binary (same math — see IvfCentroids.assignUdf; this UDF
+    // stays local only for its null-tagging variant)
+    val bcCents = ctx.spark.sparkContext.broadcast(cents)
     val assign = F.udf { v: Seq[Float] =>
       if (v == null) null
-      else Int.box(IvfCentroids.nearest(cents,
-        Vectors.dense(v.map(_.toDouble).toArray), 1)(0))
+      else {
+        val arr = new Array[Double](v.length)
+        var i = 0
+        while (i < arr.length) { arr(i) = v(i).toDouble; i += 1 }
+        Int.box(IvfCentroids.nearest(bcCents.value, Vectors.dense(arr), 1)(0))
+      }
     }
     df.withColumn(out, assign(F.col(vecCol).cast("array<float>")))
   }

@@ -694,6 +694,26 @@ private[graft] object IndexSnapshot {
     }
   }
 
+  /** ADVISORY row-count estimate from a BOUNDED footer sample: read at
+    * most `maxFooters` footers and extrapolate by byte share. At gate
+    * scale (files <= maxFooters) this is exact — identical to
+    * [[footerRows]]; at 100 TB (10^5-10^6 corpus files) the exact sum
+    * would be a driver metadata storm on every build, and the occupancy
+    * advisory only needs the magnitude (its threshold is a power of two).
+    * Deterministic: the sample is the lexicographic head of the sorted
+    * listing. */
+  def footerRowsEstimate(filesWithLen: Seq[(String, Long)],
+      maxFooters: Int = 1024): Long = {
+    if (filesWithLen.isEmpty) return 0L
+    if (filesWithLen.size <= maxFooters) return footerRows(filesWithLen.map(_._1))
+    val sorted = filesWithLen.sortBy(_._1)
+    val sample = sorted.take(maxFooters)
+    val sampleRows = footerRows(sample.map(_._1))
+    val sampleBytes = math.max(1L, sample.map(_._2).sum)
+    val totalBytes = filesWithLen.map(_._2).sum
+    math.round(sampleRows.toDouble * totalBytes / sampleBytes)
+  }
+
   /** Total row count of `files` straight from the parquet footers —
     * metadata only, pooled driver reads (the index.stats / cellOccupancy
     * trick), ZERO Spark jobs. Replaces `spark.read.parquet(...).count()`
@@ -1287,8 +1307,22 @@ object DedupEmbeddingOp extends Stage {
   }
 
   /** h-bit hyperplane signature of a float-array column (seeded, dim known);
-    * one pass over the vector computing all h dots. */
-  def hyperplaneSig(vec: Column, dim: Int, h: Int, seed: Long): Column = {
+    * one pass over the vector computing all h dots.
+    *
+    * `ndExplode = true` marks the UDF non-deterministic — REQUIRED at the
+    * sites that posexplode the signature's block keys WITHOUT a persist in
+    * between (index builds and appends): InferFiltersFromGenerate infers
+    * `size(keys(UDF(v))) > 0 AND isnotnull(...)` below the Generate, and
+    * the pushed filter re-evaluates the UDF — measured 3 evaluations per
+    * row on the bands build (guide §4.4; BandsBuildProbe: the sig pass
+    * alone 0.6 s, with the explode 1.7-2.0 s on identical data). The
+    * values are deterministic either way — the flag only stops the
+    * optimizer duplicating the expression. Probe paths keep the default:
+    * a non-deterministic projection would block partition-filter pushdown
+    * past it (PushPredicateThroughNonJoin requires every project field
+    * deterministic), which the index-side scans rely on. */
+  def hyperplaneSig(vec: Column, dim: Int, h: Int, seed: Long,
+      ndExplode: Boolean = false): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(h, dim)(rnd.nextGaussian())
     val udf = F.udf { v: Seq[Float] =>
@@ -1304,7 +1338,7 @@ object DedupEmbeddingOp extends Stage {
       }
       sig
     }
-    udf(vec.cast("array<float>"))
+    (if (ndExplode) udf.asNondeterministic() else udf)(vec.cast("array<float>"))
   }
 
   /** `bands` independent r-bit hyperplane signatures (one pass over the
@@ -1317,8 +1351,13 @@ object DedupEmbeddingOp extends Stage {
     * band, so r ≈ log2(corpus size) keeps the candidate set linear at any
     * scale. Recall is probabilistic — 1-(1-p^r)^bands with
     * p = 1-acos(cos)/π — ~1 for exact/near-exact copies and tunable via
-    * `bands` for borderline pairs. */
-  def bandSignatures(vec: Column, dim: Int, bands: Int, r: Int, seed: Long): Column = {
+    * `bands` for borderline pairs.
+    *
+    * `ndExplode`: see [[hyperplaneSig]] — set at un-persisted explode
+    * sites (builds/appends) to stop InferFiltersFromGenerate tripling the
+    * UDF; values identical either way. */
+  def bandSignatures(vec: Column, dim: Int, bands: Int, r: Int, seed: Long,
+      ndExplode: Boolean = false): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(bands * r, dim)(rnd.nextGaussian())
     val udf = F.udf { v: Seq[Float] =>
@@ -1341,7 +1380,7 @@ object DedupEmbeddingOp extends Stage {
       }
       out
     }
-    udf(vec.cast("array<float>"))
+    (if (ndExplode) udf.asNondeterministic() else udf)(vec.cast("array<float>"))
   }
 
   def duplicateIds(ctx: StageContext): DataFrame = {
@@ -1424,8 +1463,14 @@ object DedupEmbeddingOp extends Stage {
             if (sample.isEmpty) Array(Array.fill(math.max(1, dim))(0.0)) // empty corpus: no pairs
             else Pq.lloyd(sample, nlist, Pq.TrainIters, seed)
         }
+        // broadcast the centroid table instead of closure-shipping it with
+        // every task binary (same math — see IvfCentroids.assignUdf)
+        val bcCents = ctx.spark.sparkContext.broadcast(cents)
         val assign = F.udf { v: Seq[Float] =>
-          Pq.nearest(cents, v.map(_.toDouble).toArray)
+          val arr = new Array[Double](v.length)
+          var i = 0
+          while (i < arr.length) { arr(i) = v(i).toDouble; i += 1 }
+          Pq.nearest(bcCents.value, arr)
         }
         val sigs = ctx.pin(reps
           .withColumn("cell", assign(F.col("vec").cast("array<float>"))))
@@ -1594,8 +1639,10 @@ object DedupEmbeddingOp extends Stage {
       }
     // batch-dim-vs-index-dim loud failure, same contract as the pigeonhole
     // probe (bandSignatures truncates at min(dim, v.length)); skipped under
-    // explain (no upstream jobs)
-    if (!placeholder && !explainOnly)
+    // explain (no upstream jobs) and on later micro-batches of a stream
+    // whose first batch already validated (`_dim_checked` — the check is a
+    // one-row sample, so repeating it per batch buys nothing but a job)
+    if (!placeholder && !explainOnly && !cfg.boolOr("_dim_checked", false))
       ctx.primary.select(F.size(F.col(vecCol)).as("_sz")).filter(F.col("_sz") >= 0)
         .head(1).headOption.map(_.getInt(0)).filter(_ != dim).foreach(bd =>
           throw new GraftConfigError(
@@ -1652,7 +1699,8 @@ object DedupEmbeddingOp extends Stage {
         s"dedup.embedding index_append: batch columns (${ctx.primary.columns.mkString(", ")}) " +
         s"must match the index row columns (${idxCols.mkString(", ")})")
       def blocked(rows: DataFrame) = rows
-        .withColumn("_bsig", bandSignatures(F.col(vecCol), dim, bands, r, seed))
+        .withColumn("_bsig", bandSignatures(F.col(vecCol), dim, bands, r, seed,
+          ndExplode = true))
         .select(F.col("*"), F.posexplode(F.col("_bsig")).as(Seq("band", "bsig")))
         .drop("_bsig")
         .withColumn("band", F.col("band").cast("int"))
@@ -1756,8 +1804,11 @@ object DedupEmbeddingOp extends Stage {
     // batch would silently compute signatures over a prefix and miss
     // cross matches instead of failing loud. One-row probe, same as the
     // non-incremental path's dim inference; skipped under explain (no
-    // upstream jobs) — the probe-vs-meta check then runs at execution.
-    if (!placeholder && !explainOnly)
+    // upstream jobs) — the probe-vs-meta check then runs at execution —
+    // and on later micro-batches of a stream whose first batch validated
+    // (`_dim_checked`; the pigeonhole layout rejects streaming anyway, so
+    // this is for contract symmetry with the banded path).
+    if (!placeholder && !explainOnly && !cfg.boolOr("_dim_checked", false))
       ctx.primary.select(F.size(F.col(vecCol)).as("_sz")).filter(F.col("_sz") >= 0)
         .head(1).headOption.map(_.getInt(0)).filter(_ != dim).foreach(bd =>
           throw new GraftConfigError(
@@ -1827,7 +1878,8 @@ object DedupEmbeddingOp extends Stage {
       val survivorRows = ctx.primary.join(dropped,
         ctx.primary(id) === dropped("id"), "left_anti")
       val blockedRows = survivorRows
-        .withColumn("_sig", hyperplaneSig(F.col(vecCol), dim, h, seed))
+        .withColumn("_sig", hyperplaneSig(F.col(vecCol), dim, h, seed,
+          ndExplode = true))
         .select(F.col("*"), F.posexplode(blockKeys(F.col("_sig"), blocks, width))
           .as(Seq("block", "bucket")))
         .drop("_sig")

@@ -425,22 +425,26 @@ private[graft] object PqIndex {
     writeCorpus(ctx, path, vecCol, cents, books, "overwrite")
     Pq.warnCellSkew(ctx.spark, path, "index.build type=ivfpq", cents.length)
 
-    val spark = ctx.spark
-    import spark.implicits._
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    books.zipWithIndex.flatMap { case (book, s) =>
+    // centroids / codebooks / meta are driver-held, bounded tables (nlist,
+    // m·ksub, 1 rows) — driver-side parquet writes, no Spark jobs
+    DriverParquet.overwrite(s"$path/centroids", Seq(
+      DriverParquet.I32("cell", cents.indices),
+      DriverParquet.DblArr("centroid", cents.map(_.toSeq).toSeq)))
+    val flat = books.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (ctr, code) => (s, code, ctr.toSeq) }
-    }.toSeq.toDF("subspace", "code", "center")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+    }.toSeq
+    DriverParquet.overwrite(s"$path/pq", Seq(
+      DriverParquet.I32("subspace", flat.map(_._1)),
+      DriverParquet.I32("code", flat.map(_._2)),
+      DriverParquet.DblArr("center", flat.map(_._3))))
     // ksub records the EFFECTIVE codebook size (lloyd clamps to the
     // distinct sample count), so probes and appends see the truth;
     // vector_column is a fact of the index — appends and probes resolve
     // the corpus-side column from here, not from per-query config
-    Seq((nlist, m, books(0).length, dim, seed, vecCol))
-      .toDF("nlist", "m", "ksub", "dim", "seed", "vector_column")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    DriverParquet.overwrite(s"$path/meta", Seq(
+      DriverParquet.I32("nlist", Seq(nlist)), DriverParquet.I32("m", Seq(m)),
+      DriverParquet.I32("ksub", Seq(books(0).length)), DriverParquet.I32("dim", Seq(dim)),
+      DriverParquet.I64("seed", Seq(seed)), DriverParquet.Str("vector_column", Seq(vecCol))))
   }
 
   private def append(ctx: StageContext): Unit = {
@@ -489,8 +493,12 @@ private[graft] object PqIndex {
   private def writeCorpus(ctx: StageContext, path: String, vecCol: String,
       cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
       mode: String): Unit = {
+    // centroids AND codebooks (m·ksub·dsub doubles — the heavy payload)
+    // broadcast instead of closure-shipped per task binary; same Pq.encode
+    val bcC = ctx.spark.sparkContext.broadcast(cents)
+    val bcB = ctx.spark.sparkContext.broadcast(books)
     val enc = F.udf { v: Seq[Double] =>
-      val (cell, codes, norm) = Pq.encode(v.toArray, cents, books)
+      val (cell, codes, norm) = Pq.encode(v.toArray, bcC.value, bcB.value)
       (cell, codes, norm)
     }
     ctx.primary

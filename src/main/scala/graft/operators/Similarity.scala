@@ -325,7 +325,8 @@ object KnnJoinOp extends Stage {
       s"<= 12, index has $width) — rebuild the index with more blocks")
     if (!explainOnly) checkQueryDim(qSide, path, dim)
     val qBlocked0 = qSide
-      .withColumn("_sig", DedupEmbeddingOp.hyperplaneSig(F.col("_qv"), dim, h, seed))
+      .withColumn("_sig", DedupEmbeddingOp.hyperplaneSig(F.col("_qv"), dim, h, seed,
+        ndExplode = true))
       .select(F.col("query_id"), F.col("_qv"),
         F.posexplode(DedupEmbeddingOp.blockKeys(F.col("_sig"), blocks, width)))
       .withColumnRenamed("pos", "block").withColumnRenamed("col", "bucket")
@@ -414,7 +415,8 @@ object KnnJoinOp extends Stage {
     val qBlocked0 = {
       val exploded = qSide
         .withColumn("_bsig",
-          DedupEmbeddingOp.bandSignatures(F.col("_qv"), dim, bands, r, seed))
+          DedupEmbeddingOp.bandSignatures(F.col("_qv"), dim, bands, r, seed,
+            ndExplode = true))
         .select(F.col("query_id"), F.col("_qv"),
           F.posexplode(F.col("_bsig")).as(Seq("band", "bsig")))
         .withColumn("band", F.col("band").cast("int"))
@@ -845,7 +847,8 @@ object KnnLshOp extends Stage {
         if (probeD < 0 || probeD > width) throw new GraftConfigError(
           s"knn.lsh: probe_hamming must be in [0, $width] (the block width), got $probeD")
         val withSig = ctx.primary.withColumn("__sig",
-          DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed))
+          DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed,
+            ndExplode = true))
         val blockMatch = (0 until blocks).map { j =>
           val qBlock = (qSig >>> (j * width)) & mask
           val rowBlock = F.shiftrightunsigned(F.col("__sig"), j * width).bitwiseAND(F.lit(mask))
@@ -940,9 +943,7 @@ object KnnIvfOp extends Stage {
         val cents = centsArr.zipWithIndex.map { case (c, i) => (i, Vectors.dense(c)) }
         val nprobe = math.min(nprobe0, cents.length)
         val probed = IvfCentroids.nearest(cents, qv, nprobe)
-        val assign = F.udf { v: Seq[Float] =>
-          IvfCentroids.nearest(cents, Vectors.dense(v.map(_.toDouble).toArray), 1)(0)
-        }
+        val assign = IvfCentroids.assignUdf(ctx.spark, cents)
         topk(ctx.primary.select(F.col(idCol), F.col(vecCol))
           .withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
           .filter(F.col("cell").isin(probed.map(_.asInstanceOf[Any]): _*)))

@@ -29,6 +29,27 @@ private[operators] object IvfCentroids {
       cents
     }
 
+  /** One-nearest-cell assignment UDF over a BROADCAST centroid table —
+    * the corpus-wide map pass of every ivf build/append/inline-probe. The
+    * centroid array used to ride the UDF closure, re-shipped with every
+    * stage's task binary (nlist·dim doubles per launch); a broadcast ships
+    * it once per executor (guide §3.1's small-side discipline applied to
+    * the task payload — r14, VERDICT item 8). The arithmetic is UNCHANGED:
+    * the same [[nearest]] over the same `Vectors.sqdist`, with the
+    * float→double widening done by an exact while-loop instead of the
+    * boxing `v.map(_.toDouble)` — assignments are bit-identical
+    * (IvfAssignSpec pins it). */
+  def assignUdf(spark: org.apache.spark.sql.SparkSession,
+      cents: Array[(Int, Vector)]): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(cents)
+    F.udf { v: Seq[Float] =>
+      val arr = new Array[Double](v.length)
+      var i = 0
+      while (i < arr.length) { arr(i) = v(i).toDouble; i += 1 }
+      nearest(bc.value, Vectors.dense(arr), 1)(0)
+    }
+  }
+
   /** Cell ids of the `nprobe` euclidean-nearest centroids to `q`, nearest
     * first — bounded insertion selection (O(nlist·nprobe) with nprobe
     * tiny), not a full nlist sort per query row. Ties keep the
@@ -216,9 +237,11 @@ object IndexBuildOp extends Stage {
       .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), k, seed))
       .write.mode(mode).parquet(IndexSnapshot.corpusDir(path))
 
-    import spark.implicits._
-    Seq((n, k, bands, seed)).toDF("shingle_size", "num_hashes", "bands", "seed")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // one-row table the driver already holds — write it driver-side
+    // (DriverParquet) instead of scheduling a Spark job for it
+    DriverParquet.overwrite(s"$path/meta", Seq(
+      DriverParquet.I32("shingle_size", Seq(n)), DriverParquet.I32("num_hashes", Seq(k)),
+      DriverParquet.I32("bands", Seq(bands)), DriverParquet.I64("seed", Seq(seed))))
   }
 
   // package-visible: index.compact's retrain_if rebuilds through this
@@ -260,22 +283,18 @@ object IndexBuildOp extends Stage {
       throw new GraftPlanError("index.build type=ivf: empty input, nothing to train the quantizer on")
     val centsArr = Pq.lloyd(sample, nlist, Pq.TrainIters, seed)
     val cents = centsArr.zipWithIndex.map { case (c, i) => (i, Vectors.dense(c)) }
-    val assign = F.udf { v: Seq[Float] =>
-      IvfCentroids.nearest(cents, Vectors.dense(v.map(_.toDouble).toArray), 1)(0)
-    }
+    val assign = IvfCentroids.assignUdf(ctx.spark, cents)
     // co-locate cells before the partitioned write (one file per
     // populated cell instead of input_partitions × cells droplets)
     ctx.primary.withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
       .repartition(F.col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(IndexSnapshot.corpusDir(path))
 
-    val spark = ctx.spark
-    import spark.implicits._
-    centsArr.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    Pq.warnCellSkew(spark, path, "index.build type=ivf", nlist)
+    // nlist driver-held rows — driver-side write, no Spark job
+    DriverParquet.overwrite(s"$path/centroids", Seq(
+      DriverParquet.I32("cell", centsArr.indices),
+      DriverParquet.DblArr("centroid", centsArr.map(_.toSeq).toSeq)))
+    Pq.warnCellSkew(ctx.spark, path, "index.build type=ivf", nlist)
   }
 
   /** mode=append for type=ivf: assign new rows to the EXISTING centroids
@@ -303,9 +322,7 @@ object IndexBuildOp extends Stage {
         s"index.build type=ivf mode=append: input vectors have length ${r.getInt(0)} " +
         s"but the index at $path was built with dim = $dim")
     }
-    val assign = F.udf { v: Seq[Float] =>
-      IvfCentroids.nearest(cents, Vectors.dense(v.map(_.toDouble).toArray), 1)(0)
-    }
+    val assign = IvfCentroids.assignUdf(spark, cents)
     // the shared batch-appender lease is claimed by the mode=append
     // dispatch in apply() — one claim for every family's append write
     ctx.primary.withColumn("cell", assign(F.col(vecCol).cast("array<float>")))
@@ -355,9 +372,9 @@ object IndexBuildOp extends Stage {
         DedupNgramOp.charNgramHashes(text, n).alias("shingles"))
       .withColumn("sig", Shingles.minhashSignature(F.col("shingles"), bands * r, seed))
       .write.mode(mode).parquet(IndexSnapshot.corpusDir(path))
-    import spark.implicits._
-    Seq((n, bands, r, seed)).toDF("ngram_size", "bands", "rows_per_band", "seed")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    DriverParquet.overwrite(s"$path/meta", Seq(
+      DriverParquet.I32("ngram_size", Seq(n)), DriverParquet.I32("bands", Seq(bands)),
+      DriverParquet.I32("rows_per_band", Seq(r)), DriverParquet.I64("seed", Seq(seed))))
   }
 
   /** simhash index: flat (id, sig) 64-bit signatures — the signature has
@@ -378,9 +395,8 @@ object IndexBuildOp extends Stage {
         "earlier build?) — rebuild with mode=overwrite")
     DedupSimHashOp.withSignature(Parallelize(ctx), id, text)
       .write.mode(mode).parquet(IndexSnapshot.corpusDir(path))
-    import spark.implicits._
-    Seq(Tuple1(true)).toDF("simhash")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    DriverParquet.overwrite(s"$path/meta",
+      Seq(DriverParquet.Bool("simhash", Seq(true))))
   }
 
   private def buildExact(ctx: StageContext): Unit = {
@@ -405,9 +421,8 @@ object IndexBuildOp extends Stage {
     }
     ctx.primary.select(DedupExactOp.contentKey(cols).alias("key")).distinct()
       .write.mode(mode).parquet(IndexSnapshot.corpusDir(path))
-    import spark.implicits._
-    Seq(Tuple1(cols)).toDF("columns")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    DriverParquet.overwrite(s"$path/meta",
+      Seq(DriverParquet.StrArr("columns", Seq(cols))))
   }
 
   private def buildLsh(ctx: StageContext): Unit = ctx.cfg.strOr("blocking", "pigeonhole") match {
@@ -474,7 +489,8 @@ object IndexBuildOp extends Stage {
         s"existing index at $path $existing — appending would mix incompatible signatures")
     }
 
-    val bsig = DedupEmbeddingOp.bandSignatures(F.col(vecCol), dim, bands, r, seed)
+    val bsig = DedupEmbeddingOp.bandSignatures(F.col(vecCol), dim, bands, r, seed,
+      ndExplode = true)
     val exploded = ctx.primary.withColumn("_bsig", bsig)
       .select(F.col("*"), F.posexplode(F.col("_bsig")).as(Seq("band", "bsig")))
       .drop("_bsig")
@@ -485,10 +501,10 @@ object IndexBuildOp extends Stage {
     exploded.repartition(F.col("band"), F.col("pband"))
       .write.mode(mode).partitionBy("band", "pband", "ingest_tag").parquet(IndexSnapshot.corpusDir(path))
 
-    import spark.implicits._
-    Seq((bands, r, seed, dim, pdirs))
-      .toDF("bands", "band_planes", "seed", "dim", "pbuckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    DriverParquet.overwrite(s"$path/meta", Seq(
+      DriverParquet.I32("bands", Seq(bands)), DriverParquet.I32("band_planes", Seq(r)),
+      DriverParquet.I64("seed", Seq(seed)), DriverParquet.I32("dim", Seq(dim)),
+      DriverParquet.I32("pbuckets", Seq(pdirs))))
 
     // occupancy guidance (measurement-backed, BENCH_NOTES r11 ANN rungs):
     // per-bucket candidate growth is LINEAR in corpus size at fixed
@@ -502,10 +518,13 @@ object IndexBuildOp extends Stage {
     // footers already hold (~0.3 s of fixed job cost per build at gate
     // scale; a listing-priced metadata read at any scale).
     try {
-      val files = IndexSnapshot.files(IndexSnapshot.corpusDir(path),
+      // r14: bounded-sample estimate — the exact footer sum reads EVERY
+      // corpus file's footer on the driver, a metadata storm per build at
+      // 10^5+ files; the advisory threshold only needs the magnitude
+      val files = IndexSnapshot.filesWithLen(IndexSnapshot.corpusDir(path),
         s"index.build: no corpus at $path")
       if (files.nonEmpty) {
-        val sigRows = IndexSnapshot.footerRows(files)
+        val sigRows = IndexSnapshot.footerRowsEstimate(files)
         IndexBuildOp.bandsOccupancyWarning(sigRows / math.max(1, bands), r)
           .foreach(System.err.println)
       }
@@ -565,7 +584,8 @@ object IndexBuildOp extends Stage {
         s"at $path $existing — appending would mix incompatible signatures")
     }
 
-    val sig = DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed)
+    val sig = DedupEmbeddingOp.hyperplaneSig(F.col(vecCol), dim, h, seed,
+      ndExplode = true)
     val exploded = ctx.primary.withColumn("_sig", sig)
       .select(F.col("*"), F.posexplode(
         DedupEmbeddingOp.blockKeys(F.col("_sig"), blocks, width)).as(Seq("block", "bucket")))
@@ -577,9 +597,9 @@ object IndexBuildOp extends Stage {
     exploded.repartition(F.col("block"), F.col("pbucket"))
       .write.mode(mode).partitionBy("block", "pbucket").parquet(IndexSnapshot.corpusDir(path))
 
-    import spark.implicits._
-    Seq((h, blocks, seed, dim, pdirs))
-      .toDF("num_planes", "blocks", "seed", "dim", "pbuckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    DriverParquet.overwrite(s"$path/meta", Seq(
+      DriverParquet.I32("num_planes", Seq(h)), DriverParquet.I32("blocks", Seq(blocks)),
+      DriverParquet.I64("seed", Seq(seed)), DriverParquet.I32("dim", Seq(dim)),
+      DriverParquet.I32("pbuckets", Seq(pdirs))))
   }
 }

@@ -674,6 +674,12 @@ object StreamIngestSink extends Stage {
     val passThrough = cfg.table -- SinkKeys
     val stageId = ctx.stageId
     val queryName = cfg.strOr("query_name", s"graft_${stageId}")
+    // the embedding probes run a one-row batch-dim-vs-index-dim sample
+    // check (an eager head(1) Spark job). Per micro-batch that job is pure
+    // fixed cost repeating the same sample against the same frozen index —
+    // after the first batch validates, later batches of this query skip it
+    // (the check was always a one-row sample, never a per-row guarantee)
+    val dimChecked = new java.util.concurrent.atomic.AtomicBoolean(false)
 
     // single-writer ENFORCEMENT: fail loud before the query starts if
     // another live query holds this index — and the OUTPUT path is
@@ -708,6 +714,16 @@ object StreamIngestSink extends Stage {
         // with skewed micro-batches large enough to want it.
         batch0.sparkSession.conf.set("spark.sql.adaptive.enabled",
           cfg.boolOr("batch_aqe", false).toString)
+        // the probe's index-snapshot read passes an explicit part-file
+        // list; at >= 32 files Spark re-lists it with a DISTRIBUTED job
+        // per micro-batch (parallelPartitionDiscovery.threshold default) —
+        // a ~0.15 s scheduler round-trip to stat files the snapshot just
+        // listed. Raise the threshold ON THE MICRO-BATCH SESSION CLONE
+        // only: under 512 files the driver stats them in-line; a corpus
+        // past 512 files still goes distributed (the object-store-scale
+        // behavior the default protects).
+        batch0.sparkSession.conf.set(
+          "spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
         // pin the micro-batch ONCE: the per-batch work reads it ~5 times
         // (emptiness check, dim validation, signature build, survivors
         // write) and each read re-scans the source files without this —
@@ -739,11 +755,13 @@ object StreamIngestSink extends Stage {
                 // lets the deferred index append re-read this batch's
                 // just-written output partition instead of re-running the
                 // probe DAG (see the dedup.embedding read-back)
-                "_stream_readback_dir" -> CStr(s"$out/ingest_batch=$batchId")))
+                "_stream_readback_dir" -> CStr(s"$out/ingest_batch=$batchId"),
+                "_dim_checked" -> CBool(dimChecked.get)))
               val survivors = described("probe compose")(op(StageContext(batch.sparkSession,
                 Seq("batch" -> batch), batchCfg, stageId,
                 deferToSuccess = a => { deferred += a; () },
                 deferToCleanup = a => { cleanups += a; () })))
+              dimChecked.set(true)
               described("survivors write")(
               survivors.withColumn("ingest_batch", F.lit(batchId))
                 .write.mode("overwrite")
