@@ -99,7 +99,54 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "jaccard_sim requires exactly 2 arguments")
         JaccardSimilarity(args.head, args(1))
+      }),
+    (new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName, "hyperplane_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 5,
+          "hyperplane_sig(vec, dim, h, seed, nd) requires exactly 5 arguments")
+        HyperplaneSignature(args.head, foldedInt(args(1), "dim"),
+          foldedInt(args(2), "h"), foldedLong(args(3), "seed"),
+          foldedBool(args(4), "nd"))
+      }),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "minhash_sig(hashes, k, seed) requires exactly 3 arguments")
+        MinhashSignature(args.head, foldedInt(args(1), "k"),
+          foldedLong(args(2), "seed"))
+      }),
+    (new FunctionIdentifier("band_sigs"),
+      new ExpressionInfo(classOf[BandSignatures].getName, "band_sigs"),
+      (args: Seq[Expression]) => {
+        require(args.length == 6,
+          "band_sigs(vec, dim, bands, r, seed, nd) requires exactly 6 arguments")
+        BandSignatures(args.head, foldedInt(args(1), "dim"),
+          foldedInt(args(2), "bands"), foldedInt(args(3), "r"),
+          foldedLong(args(4), "seed"), foldedBool(args(5), "nd"))
       }))
+
+  // the signature expressions take their parameters as FOLDABLE literal
+  // arguments (graft's operators pass F.lit(...)); evaluate them at build
+  private def folded(e: Expression, name: String): Any = {
+    require(e.foldable, s"$name must be a literal")
+    e.eval()
+  }
+  private def foldedInt(e: Expression, name: String): Int = folded(e, name) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case o => throw new IllegalArgumentException(s"$name: expected int, got $o")
+  }
+  private def foldedLong(e: Expression, name: String): Long = folded(e, name) match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case o => throw new IllegalArgumentException(s"$name: expected long, got $o")
+  }
+  private def foldedBool(e: Expression, name: String): Boolean = folded(e, name) match {
+    case b: Boolean => b
+    case o => throw new IllegalArgumentException(s"$name: expected boolean, got $o")
+  }
 
   /** Library-use path (no spark.sql.extensions conf needed): idempotently
     * register into the session's function registry. */

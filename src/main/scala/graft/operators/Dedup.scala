@@ -80,24 +80,12 @@ object Shingles {
     * loop computing all k minima in one pass. Values are identical to the
     * expression form (same seeded coefficients, same pmod arithmetic). */
   def minhashSignature(hashes: Column, k: Int, seed: Long): Column = {
-    val coeffs = minhashCoefficients(k, seed)
-    val as = coeffs.map(_._1).toArray
-    val bs = coeffs.map(_._2).toArray
-    val p = MersennePrime
-    val udf = F.udf { hs: Seq[Long] =>
-      val sig = Array.fill(k)(Long.MaxValue)
-      hs.foreach { h0 =>
-        val x = ((h0 % p) + p) % p
-        var i = 0
-        while (i < k) {
-          val v = (as(i) * x + bs(i)) % p
-          if (v < sig(i)) sig(i) = v
-          i += 1
-        }
-      }
-      sig
-    }
-    udf(hashes)
+    // r14: native codegen expression (graft.functions.MinhashSignature) —
+    // integer arithmetic identical to the scala UDF it replaced, minus the
+    // per-row Seq[Long] boxing on |shingles| elements per document.
+    graft.functions.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    F.call_function("minhash_sig", hashes, F.lit(k), F.lit(seed))
   }
 }
 
@@ -1323,22 +1311,14 @@ object DedupEmbeddingOp extends Stage {
     * deterministic), which the index-side scans rely on. */
   def hyperplaneSig(vec: Column, dim: Int, h: Int, seed: Long,
       ndExplode: Boolean = false): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(h, dim)(rnd.nextGaussian())
-    val udf = F.udf { v: Seq[Float] =>
-      var sig = 0L
-      var i = 0
-      while (i < h) {
-        var dot = 0.0
-        var j = 0
-        val n = math.min(dim, v.length)
-        while (j < n) { dot += planes(i)(j) * v(j); j += 1 }
-        if (dot >= 0) sig |= (1L << i)
-        i += 1
-      }
-      sig
-    }
-    (if (ndExplode) udf.asNondeterministic() else udf)(vec.cast("array<float>"))
+    // r14: native codegen expression (graft.functions.HyperplaneSignature)
+    // — bit-identical planes/arithmetic to the scala UDF it replaced, at
+    // ~30x less per-row cost (SigPerfProbe; SignatureExpressionSpec pins
+    // value equality). Registered idempotently on the active session.
+    graft.functions.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    F.call_function("hyperplane_sig", vec.cast("array<float>"),
+      F.lit(dim), F.lit(h), F.lit(seed), F.lit(ndExplode))
   }
 
   /** `bands` independent r-bit hyperplane signatures (one pass over the
@@ -1358,29 +1338,13 @@ object DedupEmbeddingOp extends Stage {
     * UDF; values identical either way. */
   def bandSignatures(vec: Column, dim: Int, bands: Int, r: Int, seed: Long,
       ndExplode: Boolean = false): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(bands * r, dim)(rnd.nextGaussian())
-    val udf = F.udf { v: Seq[Float] =>
-      val out = new Array[Long](bands)
-      var b = 0
-      while (b < bands) {
-        var sig = 0L
-        var i = 0
-        while (i < r) {
-          var dot = 0.0
-          var j = 0
-          val n = math.min(dim, v.length)
-          val p = planes(b * r + i)
-          while (j < n) { dot += p(j) * v(j); j += 1 }
-          if (dot >= 0) sig |= (1L << i)
-          i += 1
-        }
-        out(b) = sig
-        b += 1
-      }
-      out
-    }
-    (if (ndExplode) udf.asNondeterministic() else udf)(vec.cast("array<float>"))
+    // r14: native codegen expression (graft.functions.BandSignatures) —
+    // see hyperplaneSig above; bit-identical values, ~30x less per-row
+    // boundary cost than the scala UDF.
+    graft.functions.GraftFunctions.ensureRegistered(
+      org.apache.spark.sql.SparkSession.active)
+    F.call_function("band_sigs", vec.cast("array<float>"),
+      F.lit(dim), F.lit(bands), F.lit(r), F.lit(seed), F.lit(ndExplode))
   }
 
   def duplicateIds(ctx: StageContext): DataFrame = {

@@ -49,14 +49,16 @@ class R14OptimizationSpec extends SparkSpec {
     }
     val nd = explodedPlan(nd = true)
     val det = explodedPlan(nd = false)
-    def udfCount(p: String) = "UDF".r.findAllIn(p).size
-    assert(udfCount(nd) === 1,
-      s"expected exactly one UDF evaluation in:\n$nd")
+    // the signature is a native expression since r14 (prints as
+    // band_sigs(...)); count its evaluations in the physical plan
+    def sigCount(p: String) = "band_sigs".r.findAllIn(p).size
+    assert(sigCount(nd) === 1,
+      s"expected exactly one signature evaluation in:\n$nd")
     // the deterministic shape is the one InferFiltersFromGenerate
     // duplicates (an inferred size()/isnotnull filter below the Generate);
     // if a future Spark stops duplicating, this contrast goes to 1 and the
     // ndExplode flag can be retired
-    assert(udfCount(det) >= 1)
+    assert(sigCount(det) >= 1)
     // and the rows are identical either way (the flag only blocks the
     // optimizer duplication, never the values)
     def rows(ndFlag: Boolean) = {
